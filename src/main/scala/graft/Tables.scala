@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.RegularGrid
+
+/** Loaders for the driver's deterministic testdata tables (TESTDATA.md) and
+  * the canonical emission-shaped views the correctness queries run on.
+  *
+  * The correctness gate (Verify → DuckDB) needs every query to be expressible
+  * both as our operator API and as plain SQL. We therefore derive an
+  * emission inventory deterministically from `lineitem`:
+  * `cell_id = l_orderkey % 4096` on a 64×64 unit grid, category =
+  * l_returnflag (A/N/R), substance = l_linestatus (F/O), value = l_quantity
+  * (integer-valued doubles → exact IEEE sums, so Spark and DuckDB hashes
+  * can't drift on aggregation order).
+  */
+object Tables {
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def lineitem(s: SparkSession, dir: String): DataFrame = table(s, dir, "lineitem")
+  def orders(s: SparkSession, dir: String): DataFrame = table(s, dir, "orders")
+  def customer(s: SparkSession, dir: String): DataFrame = table(s, dir, "customer")
+  def nation(s: SparkSession, dir: String): DataFrame = table(s, dir, "nation")
+  def region(s: SparkSession, dir: String): DataFrame = table(s, dir, "region")
+  def supplier(s: SparkSession, dir: String): DataFrame = table(s, dir, "supplier")
+  def part(s: SparkSession, dir: String): DataFrame = table(s, dir, "part")
+  def events(s: SparkSession, dir: String): DataFrame = table(s, dir, "events")
+  def documents(s: SparkSession, dir: String): DataFrame = table(s, dir, "documents")
+  def embeddings(s: SparkSession, dir: String): DataFrame = table(s, dir, "embeddings")
+
+  /** The canonical 64×64 unit source grid (x-major cell ids). */
+  val srcGrid: RegularGrid = RegularGrid(64, 64, 0.0, 0.0, 1.0, 1.0)
+
+  /** A coarser destination grid offset by half a source cell so regrid
+    * weights are fractional but dyadic (exact in binary floating point):
+    * 33×33 cells of size 2 starting at (-0.5,-0.5). */
+  val dstGrid: RegularGrid = RegularGrid(33, 33, -0.5, -0.5, 2.0, 2.0)
+
+  /** Long-format gridded emissions derived from lineitem (see class doc). */
+  def emissions(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir).select(
+      (col("l_orderkey") % 4096).as("cell_id"),
+      col("l_returnflag").as("category"),
+      col("l_linestatus").as("substance"),
+      col("l_quantity").as("value"))
+
+  /** SQL CTE prefix equivalent to [[emissions]] for the DuckDB oracle. */
+  val EmiCte: String =
+    "WITH emissions AS (SELECT l_orderkey % 4096 AS cell_id, " +
+      "l_returnflag AS category, l_linestatus AS substance, " +
+      "l_quantity AS value FROM lineitem)"
+
+  /** Emissions pre-aggregated to one row per (cell, category, substance) —
+    * the shape most reference operators assume (the gdf is dense per cell). */
+  def emissionsAgg(s: SparkSession, dir: String): DataFrame =
+    emissions(s, dir)
+      .groupBy("cell_id", "category", "substance")
+      .agg(sum("value").as("value"))
+
+  val EmiAggCte: String =
+    EmiCte + ", emi AS (SELECT cell_id, category, substance, " +
+      "sum(value) AS value FROM emissions GROUP BY 1, 2, 3)"
+}

@@ -1,0 +1,113 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Category/substance regrouping, inventory addition, scaling, totals —
+  * the reference's relational core (emiproc/inventories/utils.py).
+  *
+  * All of these are broadcast-join + hash-aggregate shapes: the mapping
+  * tables are tiny dimensions (broadcast), the emission fact table is the
+  * only big relation, and each operator costs at most one shuffle on the
+  * (cell, cat, sub) grouping key.
+  */
+object Grouping {
+
+  /** Validate + apply a category partition mapping, then sum members —
+    * reference `group_categories` (emiproc/inventories/utils.py:264-375,
+    * validation :91-117: every category in exactly one group). */
+  def groupCategories(
+      spark: SparkSession,
+      emissions: DataFrame,
+      mapping: Map[String, Seq[String]]): DataFrame = {
+    val flat = mapping.toSeq.flatMap { case (g, cats) => cats.map(c => (c, g)) }
+    require(flat.map(_._1).distinct.size == flat.size,
+      s"categories mapped to more than one group: $mapping")
+    val mapDf = spark.createDataFrame(flat).toDF("category", "cat_group")
+    emissions
+      .join(broadcast(mapDf), Seq("category"))
+      .groupBy(col("cell_id"), col("cat_group").as("category"), col("substance"))
+      .agg(sum("value").as("value"))
+      .select("cell_id", "category", "substance", "value")
+  }
+
+  /** Same on the substance axis — reference `group_substances`
+    * (emiproc/inventories/utils.py:378-474). */
+  def groupSubstances(
+      spark: SparkSession,
+      emissions: DataFrame,
+      mapping: Map[String, Seq[String]]): DataFrame = {
+    val flat = mapping.toSeq.flatMap { case (g, subs) => subs.map(s => (s, g)) }
+    val mapDf = spark.createDataFrame(flat).toDF("substance", "sub_group")
+    emissions
+      .join(broadcast(mapDf), Seq("substance"))
+      .groupBy(col("cell_id"), col("category"), col("sub_group").as("substance"))
+      .agg(sum("value").as("value"))
+      .select("cell_id", "category", "substance", "value")
+  }
+
+  /** Sum two inventories on the same grid — reference `add_inventories`
+    * (emiproc/inventories/utils.py:477-577): union + re-aggregate, the
+    * full-outer-sum of the wide layout becomes a plain unionByName. */
+  def addInventories(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy("cell_id", "category", "substance")
+      .agg(sum("value").as("value"))
+
+  /** Scale selected (category, substance) pairs — reference
+    * `scale_inventory` (emiproc/inventories/utils.py:631-684). Unmatched
+    * pairs keep factor 1.0 (coalesce), matching the reference's "only
+    * listed pairs change" contract. */
+  def scale(
+      spark: SparkSession,
+      emissions: DataFrame,
+      factors: Seq[(String, String, Double)]): DataFrame = {
+    val dim = spark.createDataFrame(factors).toDF("category", "substance", "factor")
+    emissions
+      .join(broadcast(dim), Seq("category", "substance"), "left")
+      .withColumn("value", col("value") * coalesce(col("factor"), lit(1.0)))
+      .drop("factor")
+  }
+
+  /** Drop categories/substances — reference `drop`
+    * (emiproc/inventories/utils.py:714-772); in long format a plain filter
+    * that Catalyst pushes into the scan. */
+  def drop(
+      emissions: DataFrame,
+      categories: Seq[String] = Nil,
+      substances: Seq[String] = Nil): DataFrame = {
+    val keep =
+      (if (categories.isEmpty) lit(true) else !col("category").isin(categories: _*)) &&
+        (if (substances.isEmpty) lit(true) else !col("substance").isin(substances: _*))
+    emissions.where(keep)
+  }
+
+  /** Per-(substance, category) totals plus per-substance grand total —
+    * reference `get_total_emissions` (emiproc/inventories/utils.py:580-628);
+    * the `__total__` pseudo-category is a grouping set. */
+  def totals(emissions: DataFrame): DataFrame =
+    emissions
+      .groupingSets(
+        Seq(Seq(col("substance"), col("category")), Seq(col("substance"))),
+        col("substance"), col("category"))
+      .agg(sum("value").as("total"))
+      .select(
+        col("substance"),
+        coalesce(col("category"), lit("__total__")).as("category"),
+        col("total"))
+
+  /** Conservation check — reference `total_emissions_almost_equal`
+    * (emiproc/utilities.py:545-578): full-outer join of two total maps
+    * and the relative difference per (category, substance). */
+  def conservationDiff(a: DataFrame, b: DataFrame): DataFrame = {
+    val ta = a.groupBy("category", "substance").agg(sum("value").as("total_a"))
+    val tb = b.groupBy("category", "substance").agg(sum("value").as("total_b"))
+    ta.join(tb, Seq("category", "substance"), "full_outer")
+      .select(
+        col("category"), col("substance"),
+        coalesce(col("total_a"), lit(0.0)).as("total_a"),
+        coalesce(col("total_b"), lit(0.0)).as("total_b"),
+        (coalesce(col("total_a"), lit(0.0)) - coalesce(col("total_b"), lit(0.0)))
+          .as("abs_diff"))
+  }
+}

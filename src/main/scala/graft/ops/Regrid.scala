@@ -1,0 +1,115 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.RegularGrid
+
+/** Conservative regridding between grids — the reference's centerpiece
+  * operator family (reference: emiproc/regrid.py:104-310 weight generation,
+  * :313-346 sparse remap product, :421-597 `remap_inventory`).
+  *
+  * Spark-first design: for regular×regular grids the spatial join degenerates
+  * to closed-form box arithmetic on cell ids — weight generation is a NARROW
+  * plan (range → sequence/explode → filter), no shuffle, no geometry library,
+  * embarrassingly parallel over source cells. At 100 TB the weight table is
+  * O(ncells × small fanout) and is the broadcast side of the remap join when
+  * the destination grid is coarse.
+  */
+object Regrid {
+
+  /** Sparse weight table `(src_cell, dst_cell, weight)` where
+    * weight = area(src ∩ dst) / area(src) — the polygon rule of
+    * emiproc/regrid.py:246-260, closed-form for axis-aligned boxes.
+    *
+    * Candidate destination indexes per source cell are generated
+    * analytically (at most ceil(sdx/ddx)+1 per axis) via sequence+explode,
+    * so the plan is scan-free and shuffle-free.
+    */
+  def weights(spark: SparkSession, src: RegularGrid, dst: RegularGrid): DataFrame = {
+    val cells = src.cells(spark) // (cell_id, xmin, ymin, xmax, ymax)
+
+    def candRange(lo: Column, hi: Column, gmin: Double, gd: Double, gn: Int): (Column, Column) = {
+      val j0 = greatest(lit(0), floor((lo - gmin) / gd).cast("int"))
+      val j1 = least(lit(gn - 1), floor((hi - gmin) / gd).cast("int"))
+      (j0, j1)
+    }
+
+    val (jx0, jx1) = candRange(col("xmin"), col("xmax"), dst.xmin, dst.dx, dst.nx)
+    val (jy0, jy1) = candRange(col("ymin"), col("ymax"), dst.ymin, dst.dy, dst.ny)
+
+    val withCand = cells
+      .where(jx1 >= jx0 && jy1 >= jy0)
+      .select(
+        col("cell_id").as("src_cell"),
+        col("xmin"), col("ymin"), col("xmax"), col("ymax"),
+        explode(sequence(jx0, jx1)).as("jx"),
+        jy0.as("jy0"), jy1.as("jy1"))
+      .select(
+        col("src_cell"), col("xmin"), col("ymin"), col("xmax"), col("ymax"),
+        col("jx"), explode(sequence(col("jy0"), col("jy1"))).as("jy"))
+
+    val dxmin = lit(dst.xmin) + col("jx") * dst.dx
+    val dymin = lit(dst.ymin) + col("jy") * dst.dy
+    val ovx = least(col("xmax"), dxmin + dst.dx) - greatest(col("xmin"), dxmin)
+    val ovy = least(col("ymax"), dymin + dst.dy) - greatest(col("ymin"), dymin)
+
+    withCand
+      .select(
+        col("src_cell"),
+        (col("jx").cast("long") * dst.ny + col("jy")).as("dst_cell"),
+        (ovx * ovy / (src.dx * src.dy)).as("weight"),
+        ovx.as("_ovx"), ovy.as("_ovy"))
+      .where(col("_ovx") > 0 && col("_ovy") > 0)
+      .drop("_ovx", "_ovy")
+  }
+
+  /** The sparse matrix–vector product of emiproc/regrid.py:313-334
+    * (`weights_remap`), for ALL (category, substance) pairs in ONE
+    * shuffle: weights ⋈ emissions on src cell, then hash-aggregate on
+    * (dst_cell, category, substance). The weight side is broadcast when
+    * small (coarse destination); otherwise AQE picks the join. */
+  def remap(emissions: DataFrame, weights: DataFrame): DataFrame =
+    emissions
+      .join(weights.withColumnRenamed("src_cell", "cell_id"), Seq("cell_id"))
+      .groupBy(col("dst_cell").as("cell_id"), col("category"), col("substance"))
+      .agg(sum(col("value") * col("weight")).as("value"))
+      .select(col("cell_id"), col("category"), col("substance"), col("value"))
+
+  /** End-to-end remap (emiproc/regrid.py:421-597 `remap_inventory`) for
+    * regular grids: weight generation + remap product. */
+  def remapInventory(
+      spark: SparkSession,
+      emissions: DataFrame,
+      src: RegularGrid,
+      dst: RegularGrid): DataFrame =
+    remap(emissions, weights(spark, src, dst))
+
+  /** Crop by a box with fractional boundary weights — the reference's
+    * `crop_with_shape` on a rectangle (emiproc/inventories/utils.py:120-261
+    * via `geoserie_intersection`, emiproc/regrid.py:349-418): each cell's
+    * value is scaled by the fraction of its area inside the box; zero-weight
+    * cells are dropped (`drop_unused`). Pure arithmetic on a regular grid. */
+  def cropBox(
+      emissions: DataFrame,
+      grid: RegularGrid,
+      bxmin: Double, bymin: Double, bxmax: Double, bymax: Double): DataFrame = {
+    val cid = col("cell_id")
+    val ovx = least(grid.cellXmax(cid), lit(bxmax)) - greatest(grid.cellXmin(cid), lit(bxmin))
+    val ovy = least(grid.cellYmax(cid), lit(bymax)) - greatest(grid.cellYmin(cid), lit(bymin))
+    val w = when(ovx > 0 && ovy > 0, ovx * ovy / (grid.dx * grid.dy)).otherwise(lit(0.0))
+    emissions
+      .withColumn("crop_weight", w)
+      .where(col("crop_weight") > 0)
+      .withColumn("value", col("value") * col("crop_weight"))
+      .drop("crop_weight")
+  }
+
+  /** Hard clip: keep cells fully inside the index box — the reference's
+    * `clip_box` (emiproc/inventories/utils.py:888-954): a plain predicate,
+    * partition-prunable on a regular grid. */
+  def clipBox(
+      emissions: DataFrame,
+      grid: RegularGrid,
+      bxmin: Double, bymin: Double, bxmax: Double, bymax: Double): DataFrame =
+    emissions.where(grid.intersectsBox(col("cell_id"), bxmin, bymin, bxmax, bymax))
+}
