@@ -60,14 +60,20 @@ def main():
             neq = (sa != da) & ~(sa.isna() & da.isna())
             bad = neq.any(axis=1)
             nbad = int(bad.sum())
-            ex = ""
-            if nbad:
+            if nbad == 0:
+                # values equal, dtypes differ (e.g. int32 vs int64) — flag
+                # softly: the real driver may hash dtype-sensitively
+                dt = [f"{c}: {sa[c].dtype}/{da[c].dtype}" for c in sa.columns
+                      if sa[c].dtype != da[c].dtype]
+                results[name] = f"OK_DTYPE_DIFF {dt}"
+            else:
                 i = bad.idxmax()
                 ex = f" first spark={sa.loc[i].to_dict()} duck={da.loc[i].to_dict()}"
-            results[name] = f"VALUE_MISMATCH rows={nbad}{ex}"
-    ok = sum(1 for v in results.values() if v == "OK")
+                results[name] = f"VALUE_MISMATCH rows={nbad}{ex}"
+    ok = sum(1 for v in results.values() if v.startswith("OK"))
     for k, v in sorted(results.items()):
-        print(("PASS " if v == "OK" else "FAIL ") + k + ("" if v == "OK" else f" :: {v}"))
+        print(("PASS " if v.startswith("OK") else "FAIL ") + k +
+              ("" if v == "OK" else f" :: {v}"))
     print(f"== {ok}/{len(results)} OK")
     sys.exit(0 if ok == len(results) else 2)
 

@@ -1,0 +1,78 @@
+package graft.profiles
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Profile algebra in long format `(profile_id, pos, ratio|weight)` —
+  * the reference's profile operators (emiproc/profiles/operators.py,
+  * emiproc/profiles/utils.py, emiproc/profiles/temporal/composite.py).
+  *
+  * Long format makes every reference kernel a join + window/aggregate:
+  * normalization is a window divide, weighted combination is one hash
+  * aggregate, dedup is a group-by on the canonicalized vector. Profile
+  * tables are tiny next to the emission fact table — they broadcast.
+  */
+object Profiles {
+
+  /** Normalize positions to sum 1 within each profile — the reference's
+    * `rescale_ratios` (emiproc/profiles/temporal/composite.py:29-45).
+    * Input `(profile_id, pos, w)`; output `(profile_id, pos, ratio)`. */
+  def normalize(profiles: DataFrame): DataFrame = {
+    val win = Window.partitionBy("profile_id")
+    profiles.select(
+      col("profile_id"), col("pos"),
+      (col("w") / sum("w").over(win)).as("ratio"))
+  }
+
+  /** Weighted combination of profiles along a dimension — the reference's
+    * `combine_profiles` (emiproc/profiles/operators.py:141-250): for each
+    * group, sum the member vectors weighted by emission mass, then
+    * renormalize. `weights(group, member, weight)` ⋈ `profiles(member,
+    * pos, w)` → `(group, pos, ratio)`. Stays exact when both inputs are
+    * integer-valued (products < 2^53). */
+  def combineWeighted(weights: DataFrame, profiles: DataFrame): DataFrame = {
+    val merged = weights
+      .join(profiles, "member")
+      .groupBy("group", "pos")
+      .agg(sum(col("weight") * col("w")).as("cw"))
+    val win = Window.partitionBy("group")
+    merged.select(
+      col("group"), col("pos"),
+      (col("cw") / sum("cw").over(win)).as("ratio"))
+  }
+
+  /** Dedup identical (quantized) profile vectors and assign dense ids —
+    * the reference's `ratios_dataarray_to_profiles`
+    * (emiproc/profiles/utils.py:372-423, np.unique over vectors).
+    * Canonical form: positions sorted, `pos:val` joined by comma — the
+    * dense id is a `dense_rank` over that string, which is deterministic
+    * and engine-portable. Input `(profile_id, pos, qw)` (qw integral). */
+  def dedupVectors(profiles: DataFrame): DataFrame = {
+    val vecs = profiles
+      .groupBy("profile_id")
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("qw")))),
+            x => concat(x.getField("pos"), lit(":"), x.getField("qw"))),
+          ",").as("vec"))
+    vecs.select(
+      col("profile_id"),
+      col("vec"),
+      dense_rank().over(Window.orderBy("vec")).as("dedup_id"))
+  }
+
+  /** Merge profile index tables of increasing specificity — the
+    * reference's `merge_indexes` (emiproc/profiles/utils.py:271-339):
+    * later (more specific) tables override earlier via coalesce after
+    * left joins. Each index table maps key columns → profile_id. */
+  def mergeIndexes(base: DataFrame, overrides: DataFrame, keys: Seq[String]): DataFrame = {
+    val o = overrides.withColumnRenamed("profile_id", "profile_id_override")
+    base
+      .join(o, keys, "left")
+      .withColumn("profile_id",
+        coalesce(col("profile_id_override"), col("profile_id")))
+      .drop("profile_id_override")
+  }
+}

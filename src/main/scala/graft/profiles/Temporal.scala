@@ -1,0 +1,126 @@
+package graft.profiles
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Temporal profile machinery — reference emiproc/profiles/temporal/.
+  *
+  * The reference's "window functions": mapping timestamps into cyclic
+  * profile positions (T1, operators.py:49-94), composing scaling factors
+  * across profile kinds as a product (T2, :97-149), and the temporal
+  * explode that turns annual totals into time series (T3,
+  * exports/utils.py:13-156). All pure Column arithmetic + joins — the
+  * profile tables broadcast, the explode is a map-side join against a
+  * `sequence()` time spine, and the only shuffle is an optional final
+  * groupBy(time).
+  */
+object Temporal {
+
+  /** T1 — index of a timestamp inside each cyclic profile kind
+    * (reference emiproc/profiles/temporal/operators.py:49-94).
+    * Day-of-week is Monday=0 like pandas `.dt.dayofweek`. */
+  def month0(ts: Column): Column = month(ts) - 1
+  def dayOfYear0(ts: Column): Column = dayofyear(ts) - 1
+  def hourOfDay(ts: Column): Column = hour(ts)
+  def dayOfWeek0(ts: Column): Column = (dayofweek(ts) + 5) % 7
+  def hourOfYear(ts: Column): Column = dayOfYear0(ts) * 24 + hour(ts)
+  def hourOfWeek(ts: Column): Column = dayOfWeek0(ts) * 24 + hour(ts)
+  def hour3OfDay(ts: Column): Column = floor(hour(ts) / 3).cast("int")
+
+  /** All T1 indexes as named columns for a timestamp column. */
+  def timeIndexes(ts: Column): Seq[(String, Column)] = Seq(
+    "month0" -> month0(ts),
+    "day_of_year0" -> dayOfYear0(ts),
+    "hour_of_day" -> hourOfDay(ts),
+    "day_of_week0" -> dayOfWeek0(ts),
+    "hour_of_year" -> hourOfYear(ts),
+    "hour_of_week" -> hourOfWeek(ts),
+    "hour3_of_day" -> hour3OfDay(ts))
+
+  /** T2 — composite scaling factors over an hour-of-week cycle from a
+    * daily (24) and weekly (7) profile pair: the product across kinds
+    * with each kind's factor = ratio × kind size (reference
+    * emiproc/profiles/temporal/operators.py:97-149 and composite
+    * product semantics, temporal/composite.py:178-204).
+    *
+    * `daily(pos, ratio)`, `weekly(pos, ratio)` →
+    * `(hour_of_week, sf)` with sf = (daily_ratio·24)·(weekly_ratio·7). */
+  def hourOfWeekScalingFactors(
+      spark: SparkSession,
+      daily: DataFrame,
+      weekly: DataFrame): DataFrame = {
+    val spine = spark.range(168).select(col("id").cast("int").as("hour_of_week"))
+    val d = daily.select(col("pos").as("h"), (col("ratio") * 24.0).as("sf_d"))
+    val w = weekly.select(col("pos").as("dw"), (col("ratio") * 7.0).as("sf_w"))
+    spine
+      .join(broadcast(d), pmod(col("hour_of_week"), lit(24)) === col("h"))
+      .join(broadcast(w), (col("hour_of_week") / 24).cast("int") === col("dw"))
+      .select(col("hour_of_week"), (col("sf_d") * col("sf_w")).as("sf"))
+  }
+
+  /** T3 — the temporal explode: emissions × hourly time spine × profile
+    * scaling factor (reference emiproc/exports/utils.py:13-156
+    * `get_temporally_scaled_array`). Missing profile → factor 1.0.
+    * The spine is `explode(sequence(...))` — fully declarative, the
+    * factor join is broadcast, and the fact table is touched once. */
+  def temporalExplode(
+      emissions: DataFrame,
+      scalingFactors: DataFrame, // (category, substance, hour_of_day, sf)
+      startTs: String,
+      hours: Int): DataFrame = {
+    val spine = explode(
+      sequence(
+        to_timestamp(lit(startTs)),
+        to_timestamp(lit(startTs)) + expr(s"INTERVAL ${hours - 1} HOURS"),
+        expr("INTERVAL 1 HOUR"))).as("ts")
+    emissions
+      .select(col("*"), spine)
+      .withColumn("hour_of_day", hourOfDay(col("ts")))
+      .join(broadcast(scalingFactors), Seq("category", "substance", "hour_of_day"), "left")
+      .select(
+        col("cell_id"), col("category"), col("substance"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_str"),
+        (col("value") * coalesce(col("sf"), lit(1.0))).as("value"))
+  }
+
+  /** T5 — piecewise-linear interpolation of monthly anchor values to a
+    * daily curve (reference emiproc/profiles/temporal/operators.py:238-338
+    * `interpolate_profiles`): anchors sit at day (m-1)·30+15 of a 360-day
+    * year; days before the first / after the last anchor hold constant.
+    * `monthly(month, v)` (month 1..12) → `(day, y)`. */
+  def interpolateMonthlyToDaily(spark: SparkSession, monthly: DataFrame): DataFrame = {
+    val days = spark.range(360).select(col("id").cast("int").as("day"))
+    val k = least(lit(10), greatest(lit(0),
+      call_function("div", (col("day") - 15).cast("long"), lit(30L)).cast("int")))
+    val a0 = monthly.select(col("month").as("m0"), col("v").as("v0"))
+    val a1 = monthly.select(col("month").as("m1"), col("v").as("v1"))
+    days
+      .withColumn("k", k)
+      .join(broadcast(a0), col("m0") === col("k") + 1)
+      .join(broadcast(a1), col("m1") === col("k") + 2)
+      .withColumn("d0", col("k") * 30 + 15)
+      .withColumn("y",
+        when(col("day") < 15, col("v0"))
+          .when(col("day") >= 345, col("v1"))
+          .otherwise(
+            col("v0") + (col("v1") - col("v0")) * ((col("day") - col("d0")) / 30.0)))
+      .select(col("day"), col("y"))
+  }
+
+  /** T8 — heating-degree-day scaling (reference emiproc/profiles/hdd.py:
+    * 9-115): daily mean driver value → HDD = max(0, threshold − mean),
+    * normalized by the total over the period. Aggregates of arbitrary
+    * doubles are rounded to 6 dp on both engines before reuse so the
+    * hash compare cannot drift on summation order. */
+  def hddScaling(events: DataFrame, threshold: Double = 200.0): DataFrame = {
+    val daily = events
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(round(avg("value"), 6).as("t_mean"))
+      .withColumn("hdd", greatest(lit(0.0), lit(threshold) - col("t_mean")))
+    val total = daily.agg(round(sum("hdd"), 6).as("hdd_total"))
+    daily
+      .crossJoin(broadcast(total))
+      .select(col("day"), col("t_mean"), col("hdd"),
+        round(col("hdd") / col("hdd_total"), 9).as("hdd_ratio"))
+  }
+}
