@@ -14,9 +14,16 @@ import duckdb
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 def canon(df):
-    # sort columns by name, then rows; round doubles to 9 dp for hashing
-    cols = sorted(df.columns)
-    df = df[cols]
+    # sort columns by name; normalize numeric dtypes (int* -> int64,
+    # float* -> float64) so the value compare mirrors the driver's
+    # value-level hash rather than tripping on int32-vs-int64 frames
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        k = df[c].dtype.kind
+        if k in "iu":
+            df[c] = df[c].astype("int64")
+        elif k == "f":
+            df[c] = df[c].astype("float64")
     return df
 
 def main():
@@ -61,11 +68,11 @@ def main():
             bad = neq.any(axis=1)
             nbad = int(bad.sum())
             if nbad == 0:
-                # values equal, dtypes differ (e.g. int32 vs int64) — flag
-                # softly: the real driver may hash dtype-sensitively
+                # canon() already unified numeric dtypes; a residual diff
+                # here is non-numeric (e.g. object vs category) — fail it
                 dt = [f"{c}: {sa[c].dtype}/{da[c].dtype}" for c in sa.columns
                       if sa[c].dtype != da[c].dtype]
-                results[name] = f"OK_DTYPE_DIFF {dt}"
+                results[name] = f"DTYPE_MISMATCH {dt}"
             else:
                 i = bad.idxmax()
                 ex = f" first spark={sa.loc[i].to_dict()} duck={da.loc[i].to_dict()}"

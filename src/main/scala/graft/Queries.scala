@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables._
 import graft.ops._
+import graft.profiles.{Profiles, Temporal, VerticalProfiles}
 
 /** One registered correctness query per implemented operator (SURVEY.md §2).
   *
@@ -195,5 +196,200 @@ object Queries {
         |FROM cells, bands WHERE least(ymax, bymax) - greatest(ymin, bymin) > 0""".stripMargin))
   )
 
-  def all: Seq[Q] = relational
+  /** Long-format profile table derived deterministically from lineitem:
+    * integer-valued weights so every downstream product/sum is exact. */
+  private def profileTable(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(col("l_suppkey").as("profile_id"), col("l_linenumber").as("pos"))
+      .agg(sum("l_quantity").as("w"))
+
+  private val ProfCte: String =
+    "WITH prof AS (SELECT l_suppkey AS profile_id, l_linenumber AS pos, " +
+      "sum(l_quantity) AS w FROM lineitem GROUP BY 1, 2)"
+
+  /** Queries covering the profile algebra (SURVEY §2.4), temporal machinery
+    * (§2.5) and the event-stream operators (§2.6). */
+  val profileTemporal: Seq[Q] = Seq(
+    Q("q_profile_normalize",
+      (s, d) => Profiles.normalize(profileTable(s, d)),
+      Some(s"""$ProfCte
+        |SELECT profile_id, pos, w / sum(w) OVER (PARTITION BY profile_id) AS ratio
+        |FROM prof""".stripMargin)),
+
+    Q("q_combine_weighted",
+      (s, d) => {
+        val w = supplier(s, d).select(
+          col("s_nationkey").as("group"),
+          col("s_suppkey").as("member"),
+          (col("s_suppkey") % 5 + 1).as("weight"))
+        Profiles.combineWeighted(w, profileTable(s, d).withColumnRenamed("profile_id", "member"))
+      },
+      Some(s"""$ProfCte,
+        |wts AS (SELECT s_nationkey AS grp, s_suppkey AS member, s_suppkey % 5 + 1 AS weight
+        |        FROM supplier),
+        |m AS (SELECT grp, pos, sum(weight * w) AS cw
+        |      FROM wts JOIN prof ON prof.profile_id = wts.member GROUP BY 1, 2)
+        |SELECT grp AS "group", pos, cw / sum(cw) OVER (PARTITION BY grp) AS ratio
+        |FROM m""".stripMargin)),
+
+    Q("q_dedup_vectors",
+      (s, d) => Profiles.dedupVectors(
+        lineitem(s, d)
+          .groupBy(col("l_suppkey").as("profile_id"), col("l_linenumber").as("pos"))
+          .agg(sum("l_quantity").cast("long").as("qw"))),
+      Some("""WITH prof AS (SELECT l_suppkey AS profile_id, l_linenumber AS pos,
+        |                     CAST(sum(l_quantity) AS BIGINT) AS qw
+        |              FROM lineitem GROUP BY 1, 2),
+        |vecs AS (SELECT profile_id, string_agg(pos || ':' || qw, ',' ORDER BY pos) AS vec
+        |         FROM prof GROUP BY profile_id)
+        |SELECT profile_id, dense_rank() OVER (ORDER BY vec) AS dedup_id FROM vecs""".stripMargin)),
+
+    Q("q_merge_indexes",
+      (s, d) => {
+        val base = emissionsAgg(s, d).select("category", "substance").distinct()
+          .withColumn("profile_id", lit(1))
+        val overrides = s.createDataFrame(Seq(("A", "F", 7), ("N", "O", 9)))
+          .toDF("category", "substance", "profile_id")
+        Profiles.mergeIndexes(base, overrides, Seq("category", "substance"))
+      },
+      Some(s"""$EmiAggCte,
+        |base AS (SELECT DISTINCT category, substance, 1 AS profile_id FROM emi),
+        |ov AS (SELECT * FROM (VALUES ('A','F',7), ('N','O',9)) t(category, substance, profile_id))
+        |SELECT base.category, base.substance,
+        |       coalesce(ov.profile_id, base.profile_id) AS profile_id
+        |FROM base LEFT JOIN ov ON base.category = ov.category AND base.substance = ov.substance""".stripMargin)),
+
+    Q("q_hour_of_week_sf",
+      (s, _) => {
+        val daily = s.range(24).select(
+          col("id").cast("int").as("pos"), ((col("id") + 1) / lit(300.0)).as("ratio"))
+        val weekly = s.range(7).select(
+          col("id").cast("int").as("pos"), ((col("id") + 1) / lit(28.0)).as("ratio"))
+        Temporal.hourOfWeekScalingFactors(s, daily, weekly)
+      },
+      Some("""WITH d AS (SELECT i AS h, ((i + 1) / 300.0) * 24.0 AS sf_d FROM range(24) t(i)),
+        |w AS (SELECT j AS dw, ((j + 1) / 28.0) * 7.0 AS sf_w FROM range(7) t(j)),
+        |spine AS (SELECT i AS hour_of_week FROM range(168) t(i))
+        |SELECT CAST(hour_of_week AS INT) AS hour_of_week, sf_d * sf_w AS sf
+        |FROM spine JOIN d ON hour_of_week % 24 = d.h JOIN w ON hour_of_week // 24 = w.dw""".stripMargin)),
+
+    Q("q_temporal_explode",
+      (s, d) => {
+        val emi = emissionsAgg(s, d).where(col("cell_id") < 256)
+        val sf = s.range(24).select(
+          lit("A").as("category"), lit("F").as("substance"),
+          col("id").cast("int").as("hour_of_day"),
+          (lit(1.0) + col("id") / lit(48.0)).as("sf"))
+        Temporal.temporalExplode(emi, sf, "2024-01-01 00:00:00", 24)
+      },
+      Some(s"""$EmiAggCte,
+        |sf AS (SELECT 'A' AS category, 'F' AS substance, CAST(i AS INT) AS hour_of_day,
+        |              1.0 + i / 48.0 AS sf FROM range(24) t(i)),
+        |spine AS (SELECT i AS h FROM range(24) t(i))
+        |SELECT e.cell_id, e.category, e.substance,
+        |       strftime(TIMESTAMP '2024-01-01 00:00:00' + to_hours(h), '%Y-%m-%d %H:%M:%S') AS ts_str,
+        |       e.value * coalesce(sf.sf, 1.0) AS value
+        |FROM (SELECT * FROM emi WHERE cell_id < 256) e
+        |CROSS JOIN spine
+        |LEFT JOIN sf ON sf.category = e.category AND sf.substance = e.substance
+        |            AND sf.hour_of_day = h""".stripMargin)),
+
+    Q("q_interpolate_monthly",
+      (s, _) => Temporal.interpolateMonthlyToDaily(s,
+        s.range(12).select(
+          (col("id") + 1).cast("int").as("month"),
+          ((col("id") + 1) * (col("id") + 1)).cast("int").as("v"))),
+      Some("""WITH m AS (SELECT CAST(i + 1 AS INT) AS month, CAST((i + 1) * (i + 1) AS INT) AS v
+        |              FROM range(12) t(i)),
+        |days AS (SELECT CAST(i AS INT) AS day FROM range(360) t(i)),
+        |j AS (SELECT day, least(10, greatest(0, CAST(floor((day - 15) / 30.0) AS INT))) AS k
+        |      FROM days)
+        |SELECT day, CASE WHEN day < 15 THEN a0.v WHEN day >= 345 THEN a1.v
+        |            ELSE a0.v + (a1.v - a0.v) * ((day - (k * 30 + 15)) / 30.0) END AS y
+        |FROM j JOIN m a0 ON a0.month = k + 1 JOIN m a1 ON a1.month = k + 2""".stripMargin)),
+
+    Q("q_hdd_scaling",
+      (s, d) => Temporal.hddScaling(events(s, d)),
+      Some("""WITH daily AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |                      round(avg(value), 6) AS t_mean
+        |               FROM events GROUP BY 1),
+        |h AS (SELECT day, t_mean, greatest(0.0, 200.0 - t_mean) AS hdd FROM daily),
+        |t AS (SELECT round(sum(hdd), 6) AS hdd_total FROM h)
+        |SELECT day, t_mean, hdd, round(hdd / hdd_total, 9) AS hdd_ratio FROM h, t""".stripMargin)),
+
+    Q("q_vertical_resample",
+      (s, d) => VerticalProfiles.resample(s,
+        lineitem(s, d).groupBy(
+          (col("l_suppkey") % 20).as("profile_id"),
+          (col("l_linenumber") - 1).as("level"))
+          .agg(sum("l_quantity").as("r")),
+        srcEdges = Seq(0, 10, 20, 30, 40, 50, 60, 70).map(_.toDouble),
+        dstEdges = Seq(0.0, 15.0, 35.0, 70.0)),
+      Some("""WITH prof AS (SELECT l_suppkey % 20 AS profile_id, l_linenumber - 1 AS level,
+        |                     sum(l_quantity) AS r
+        |              FROM lineitem GROUP BY 1, 2),
+        |src AS (SELECT i AS src_level, i * 10.0 AS slo, (i + 1) * 10.0 AS shi FROM range(7) t(i)),
+        |dst AS (SELECT * FROM (VALUES (0, 0.0, 15.0), (1, 15.0, 35.0), (2, 35.0, 70.0))
+        |        d(dst_level, dlo, dhi)),
+        |w AS (SELECT src_level, dst_level,
+        |             (least(shi, dhi) - greatest(slo, dlo)) / (shi - slo) AS weight
+        |      FROM src, dst WHERE least(shi, dhi) - greatest(slo, dlo) > 0)
+        |SELECT profile_id, dst_level AS level, sum(r * weight) AS r
+        |FROM prof JOIN w ON prof.level = w.src_level GROUP BY 1, 2""".stripMargin)),
+
+    Q("q_vertical_violations",
+      (s, d) => VerticalProfiles.violations(
+        lineitem(s, d).groupBy(
+          col("l_suppkey").as("profile_id"), col("l_linenumber").as("level"))
+          .agg(sum("l_quantity").as("r"))),
+      Some("""WITH prof AS (SELECT l_suppkey AS profile_id, l_linenumber AS level,
+        |                     sum(l_quantity) AS r
+        |              FROM lineitem GROUP BY 1, 2)
+        |SELECT profile_id, sum(r) AS ratio_sum,
+        |       CAST(sum(CASE WHEN r < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_negative
+        |FROM prof GROUP BY 1
+        |HAVING abs(sum(r) - 1.0) > 1e-9 OR sum(CASE WHEN r < 0 THEN 1 ELSE 0 END) > 0""".stripMargin))
+  )
+
+  /** Event-stream operator queries (SURVEY §2.6 additions). */
+  val eventOps: Seq[Q] = Seq(
+    Q("q_sessionize",
+      (s, d) => Events.sessionize(events(s, d), gapMinutes = 30),
+      Some("""WITH e AS (SELECT user_id, ts, event_id,
+        |              lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |       FROM events),
+        |m AS (SELECT *, CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000
+        |                     THEN 1 ELSE 0 END AS new_session FROM e),
+        |se AS (SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq FROM m)
+        |SELECT user_id, session_seq, count(*) AS n_events, min(event_id) AS first_event,
+        |       max(epoch_us(ts)) - min(epoch_us(ts)) AS duration_us
+        |FROM se GROUP BY 1, 2""".stripMargin)),
+
+    Q("q_hourly_windows",
+      (s, d) => Events.hourlyWindows(events(s, d)),
+      Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        |       event_type, count(*) AS n, round(sum(value), 6) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin)),
+
+    Q("q_asof_join",
+      (s, d) => {
+        val ev = events(s, d)
+        Events.asofJoin(
+          ev.where(col("event_type") === "click"),
+          ev.where(col("event_type") === "purchase"))
+      },
+      Some("""WITH l AS (SELECT user_id, ts, event_id, NULL::BIGINT AS right_id, 1 AS is_left
+        |       FROM events WHERE event_type = 'click'),
+        |r AS (SELECT user_id, ts, NULL::BIGINT AS event_id, event_id AS right_id, 0 AS is_left
+        |      FROM events WHERE event_type = 'purchase'),
+        |u AS (SELECT * FROM l UNION ALL SELECT * FROM r)
+        |SELECT user_id, event_id, asof_id FROM (
+        |  SELECT *, last_value(right_id IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY ts, is_left, coalesce(event_id, right_id)
+        |    ROWS UNBOUNDED PRECEDING) AS asof_id
+        |  FROM u) WHERE is_left = 1""".stripMargin))
+  )
+
+  def all: Seq[Q] = relational ++ profileTemporal ++ eventOps
 }

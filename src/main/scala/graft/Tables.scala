@@ -26,7 +26,15 @@ object Tables {
   def region(s: SparkSession, dir: String): DataFrame = table(s, dir, "region")
   def supplier(s: SparkSession, dir: String): DataFrame = table(s, dir, "supplier")
   def part(s: SparkSession, dir: String): DataFrame = table(s, dir, "part")
-  def events(s: SparkSession, dir: String): DataFrame = table(s, dir, "events")
+  /** The driver's events table stores ns-precision timestamps, which the
+    * Parquet reader rejects ([PARQUET_TYPE_ILLEGAL]); read them as raw
+    * longs and truncate to µs — exactly what DuckDB's ns→µs TIMESTAMP
+    * coercion does, so both engines see identical timestamps. */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(s, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
   def documents(s: SparkSession, dir: String): DataFrame = table(s, dir, "documents")
   def embeddings(s: SparkSession, dir: String): DataFrame = table(s, dir, "embeddings")
 

@@ -13,17 +13,44 @@ import org.apache.spark.sql.functions._
   */
 object Grouping {
 
+  /** Mirrors the reference's `validate_group` (emiproc/inventories/utils.py:
+    * 91-117): every member appears in exactly one group, and — unless
+    * `ignoreMissing` — every distinct value present in the data is covered
+    * by the mapping (the reference raises on uncovered categories instead
+    * of silently dropping them through the inner join). The coverage check
+    * is one partial-aggregated distinct over a single column — cheap next
+    * to the grouping shuffle itself; pass `ignoreMissing = true` to skip
+    * the extra job and keep drop-semantics explicitly. */
+  private def validateGroup(
+      emissions: DataFrame,
+      axis: String,
+      flat: Seq[(String, String)],
+      mapDf: DataFrame,
+      ignoreMissing: Boolean): Unit = {
+    val dups = flat.groupBy(_._1).filter(_._2.size > 1).keys
+    require(dups.isEmpty,
+      s"${axis}s mapped to more than one group: ${dups.mkString(", ")}")
+    if (!ignoreMissing) {
+      val missing = emissions.select(axis).distinct()
+        .join(broadcast(mapDf), Seq(axis), "left_anti")
+        .limit(10).collect().map(_.getString(0))
+      require(missing.isEmpty,
+        s"${axis}s present in data but not in any group (pass " +
+          s"ignoreMissing=true to drop them): ${missing.mkString(", ")}")
+    }
+  }
+
   /** Validate + apply a category partition mapping, then sum members —
     * reference `group_categories` (emiproc/inventories/utils.py:264-375,
     * validation :91-117: every category in exactly one group). */
   def groupCategories(
       spark: SparkSession,
       emissions: DataFrame,
-      mapping: Map[String, Seq[String]]): DataFrame = {
+      mapping: Map[String, Seq[String]],
+      ignoreMissing: Boolean = false): DataFrame = {
     val flat = mapping.toSeq.flatMap { case (g, cats) => cats.map(c => (c, g)) }
-    require(flat.map(_._1).distinct.size == flat.size,
-      s"categories mapped to more than one group: $mapping")
     val mapDf = spark.createDataFrame(flat).toDF("category", "cat_group")
+    validateGroup(emissions, "category", flat, mapDf, ignoreMissing)
     emissions
       .join(broadcast(mapDf), Seq("category"))
       .groupBy(col("cell_id"), col("cat_group").as("category"), col("substance"))
@@ -36,9 +63,11 @@ object Grouping {
   def groupSubstances(
       spark: SparkSession,
       emissions: DataFrame,
-      mapping: Map[String, Seq[String]]): DataFrame = {
+      mapping: Map[String, Seq[String]],
+      ignoreMissing: Boolean = false): DataFrame = {
     val flat = mapping.toSeq.flatMap { case (g, subs) => subs.map(s => (s, g)) }
     val mapDf = spark.createDataFrame(flat).toDF("substance", "sub_group")
+    validateGroup(emissions, "substance", flat, mapDf, ignoreMissing)
     emissions
       .join(broadcast(mapDf), Seq("substance"))
       .groupBy(col("cell_id"), col("category"), col("sub_group").as("substance"))

@@ -104,9 +104,12 @@ object Regrid {
       .drop("crop_weight")
   }
 
-  /** Hard clip: keep cells fully inside the index box — the reference's
-    * `clip_box` (emiproc/inventories/utils.py:888-954): a plain predicate,
-    * partition-prunable on a regular grid. */
+  /** Hard clip: keep cells INTERSECTING the index box — the reference's
+    * `clip_box` (emiproc/inventories/utils.py:888-954, geopandas `.cx`
+    * bbox selection): a plain predicate, partition-prunable on a regular
+    * grid. Divergence note: `.cx` also keeps geometries merely TOUCHING
+    * the box edge; our strict inequalities exclude zero-area contact
+    * (see RegularGrid.intersectsBox). */
   def clipBox(
       emissions: DataFrame,
       grid: RegularGrid,

@@ -45,10 +45,18 @@ object Profiles {
   /** Dedup identical (quantized) profile vectors and assign dense ids —
     * the reference's `ratios_dataarray_to_profiles`
     * (emiproc/profiles/utils.py:372-423, np.unique over vectors).
-    * Canonical form: positions sorted, `pos:val` joined by comma — the
-    * dense id is a `dense_rank` over that string, which is deterministic
-    * and engine-portable. Input `(profile_id, pos, qw)` (qw integral). */
+    * Canonical form: positions sorted, `pos:val` joined by comma; the
+    * dense id is the 1-based rank of the vector in the globally sorted
+    * distinct-vector set — deterministic and engine-portable
+    * (= `dense_rank` over the vector in SQL).
+    *
+    * Scale path: the rank is assigned on the (much smaller) DISTINCT
+    * vector set via a range-partitioned sort + `zipWithIndex`, then
+    * joined back — no single-partition global window over all profiles.
+    * Input `(profile_id, pos, qw)` (qw integral); output
+    * `(profile_id, dedup_id)`. */
   def dedupVectors(profiles: DataFrame): DataFrame = {
+    val spark = profiles.sparkSession
     val vecs = profiles
       .groupBy("profile_id")
       .agg(
@@ -57,10 +65,12 @@ object Profiles {
             array_sort(collect_list(struct(col("pos"), col("qw")))),
             x => concat(x.getField("pos"), lit(":"), x.getField("qw"))),
           ",").as("vec"))
-    vecs.select(
-      col("profile_id"),
-      col("vec"),
-      dense_rank().over(Window.orderBy("vec")).as("dedup_id"))
+    val distinctSorted = vecs.select("vec").distinct().orderBy("vec")
+    val idRows = distinctSorted.rdd
+      .zipWithIndex()
+      .map { case (row, i) => (row.getString(0), i + 1) }
+    val ids = spark.createDataFrame(idRows).toDF("vec", "dedup_id")
+    vecs.join(ids, "vec").select(col("profile_id"), col("dedup_id"))
   }
 
   /** Merge profile index tables of increasing specificity — the

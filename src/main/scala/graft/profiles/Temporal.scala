@@ -90,8 +90,9 @@ object Temporal {
     * `monthly(month, v)` (month 1..12) → `(day, y)`. */
   def interpolateMonthlyToDaily(spark: SparkSession, monthly: DataFrame): DataFrame = {
     val days = spark.range(360).select(col("id").cast("int").as("day"))
+    // floor((day-15)/30): exact for these int/30.0 ratios, clamped to [0,10]
     val k = least(lit(10), greatest(lit(0),
-      call_function("div", (col("day") - 15).cast("long"), lit(30L)).cast("int")))
+      floor((col("day") - 15) / 30.0).cast("int")))
     val a0 = monthly.select(col("month").as("m0"), col("v").as("v0"))
     val a1 = monthly.select(col("month").as("m1"), col("v").as("v1"))
     days
