@@ -391,5 +391,5 @@ object Queries {
         |  FROM u) WHERE is_left = 1""".stripMargin))
   )
 
-  def all: Seq[Q] = relational ++ profileTemporal ++ eventOps
+  def all: Seq[Q] = relational ++ profileTemporal ++ eventOps ++ QueriesML.ml
 }

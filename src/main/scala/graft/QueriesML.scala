@@ -1,0 +1,199 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.text.TextAnalysis
+import graft.dedup.Dedup
+import graft.similarity.Similarity
+
+/** Correctness queries for the training-data pipeline operators
+  * (text analysis, dedup, similarity search) on the driver's `documents`
+  * and `embeddings` tables, each with a DuckDB oracle computing the same
+  * engine-portable arithmetic (base-31 Horner hashes, integer-quantized
+  * dot products) so results hash-match bit-for-bit.
+  */
+object QueriesML {
+
+  private val Stopwords = Seq("the", "a", "of", "and", "to", "in")
+
+  private val Lexicon = Seq(
+    ("the", "en"), ("a", "en"), ("and", "en"),
+    ("der", "de"), ("die", "de"), ("und", "de"),
+    ("le", "fr"), ("la", "fr"), ("et", "fr"),
+    ("el", "es"), ("los", "es"), ("y", "es"))
+
+  /** DuckDB rendering of [[TextAnalysis.portableHash]] over column `c`. */
+  private def hashSql(c: String): String =
+    s"list_reduce(list_prepend(0::BIGINT, list_transform(string_split($c, ''), " +
+      s"ch -> ascii(ch)::BIGINT)), (acc, x) -> (acc * 31 + x) % 1000000007)"
+
+  /** Shared CTE bodies for the shingle pipeline (3-gram shingles + their
+    * portable hashes) — mirrors [[Dedup.shingles]] / minhash input. */
+  private val ShingleCte: String =
+    """sh AS (SELECT DISTINCT doc_id,
+      |          unnest(list_transform(range(0, greatest(0, len(w) - 2)),
+      |                 i -> array_to_string(w[i+1:i+3], ' '))) AS shingle
+      |       FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))""".stripMargin
+
+  private val ShingleHashCte: String =
+    s"""$ShingleCte,
+       |shh AS (SELECT doc_id, shingle, ${hashSql("shingle")} AS h FROM sh),
+       |params AS (SELECT j AS hash_id, 37 + 101 * j AS a, 17 + 91 * j AS b
+       |           FROM range(8) t(j)),
+       |mh AS (SELECT doc_id, hash_id, min((a * h + b) % 1000000007) AS minhash
+       |       FROM shh, params GROUP BY 1, 2)""".stripMargin
+
+  /** DuckDB: quantized embedding vector (integer-valued doubles). */
+  private val QuantCte: String =
+    "q AS (SELECT vec_id, list_transform(embedding, " +
+      "x -> round(CAST(x AS DOUBLE) * 1000, 0)) AS v FROM embeddings)"
+
+  val ml: Seq[Q] = Seq(
+    Q("q_text_stats",
+      (s, d) => TextAnalysis.textStats(documents(s, d), Stopwords),
+      Some("""WITH s AS (SELECT doc_id, string_split(text, ' ') AS w, length(text) AS n
+        |              FROM documents),
+        |f AS (SELECT doc_id, len(w) AS n_words,
+        |             len(list_filter(w, x -> list_contains(['the','a','of','and','to','in'], x))) AS n_stop,
+        |             n - (len(w) - 1) AS n_letters
+        |      FROM s)
+        |SELECT doc_id, n_words, n_stop,
+        |       round(n_stop / n_words, 6) AS stop_ratio,
+        |       round(n_letters / n_words, 6) AS avg_word_len,
+        |       round(least(1.0, n_words / 200.0) * 0.5 + (1.0 - n_stop / n_words) * 0.3 +
+        |             least(1.0, (n_letters / n_words) / 8.0) * 0.2, 6) AS quality
+        |FROM f""".stripMargin)),
+
+    Q("q_lang_id",
+      (s, d) => TextAnalysis.langId(s, documents(s, d), Lexicon),
+      Some("""WITH lex AS (SELECT * FROM (VALUES ('the','en'),('a','en'),('and','en'),
+        |                     ('der','de'),('die','de'),('und','de'),
+        |                     ('le','fr'),('la','fr'),('et','fr'),
+        |                     ('el','es'),('los','es'),('y','es')) l(word, cand_lang)),
+        |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        |sc AS (SELECT doc_id, cand_lang, count(*) AS score
+        |       FROM tok JOIN lex USING (word) GROUP BY 1, 2),
+        |best AS (SELECT doc_id, cand_lang, score,
+        |                row_number() OVER (PARTITION BY doc_id
+        |                                   ORDER BY score DESC, cand_lang) AS rn
+        |         FROM sc)
+        |SELECT d.doc_id, coalesce(b.cand_lang, 'und') AS pred_lang,
+        |       coalesce(b.score, 0) AS score
+        |FROM documents d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)""".stripMargin)),
+
+    Q("q_token_count",
+      (s, d) => TextAnalysis.tokenCounts(documents(s, d)),
+      Some("""SELECT doc_id, len(string_split(text, ' ')) AS n_ws_tokens,
+        |       len(regexp_extract_all(text, '[a-z]+')) AS n_word_tokens,
+        |       len(regexp_extract_all(text, '[a-z]{1,4}')) AS n_subword_tokens
+        |FROM documents""".stripMargin)),
+
+    Q("q_fingerprint",
+      (s, d) => TextAnalysis.fingerprint(documents(s, d)),
+      Some(s"""WITH f AS (SELECT doc_id, ${hashSql("text")} AS fp FROM documents)
+        |SELECT doc_id, fp, fp % 1024 AS fp_band FROM f""".stripMargin)),
+
+    Q("q_dedup_exact",
+      (s, d) => Dedup.exactDuplicates(documents(s, d)),
+      Some("""SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS canonical_id,
+        |       CAST(doc_id <> min(doc_id) OVER (PARTITION BY text) AS INT) AS is_dup
+        |FROM documents""".stripMargin)),
+
+    Q("q_minhash",
+      (s, d) => Dedup.minhashSignatures(s, Dedup.shingles(documents(s, d)), numHashes = 8),
+      Some(s"""WITH $ShingleHashCte
+        |SELECT doc_id, hash_id, minhash FROM mh""".stripMargin)),
+
+    Q("q_lsh_pairs",
+      (s, d) => Dedup.lshCandidatePairs(
+        Dedup.minhashSignatures(s, Dedup.shingles(documents(s, d)), numHashes = 8),
+        numHashes = 8, rowsPerBand = 2),
+      Some(s"""WITH $ShingleHashCte,
+        |keys AS (SELECT doc_id, hash_id // 2 AS band,
+        |                string_agg(hash_id || ':' || minhash, ',' ORDER BY hash_id) AS band_key
+        |         FROM mh GROUP BY 1, 2),
+        |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |          FROM keys a JOIN keys b
+        |            ON a.band = b.band AND a.band_key = b.band_key
+        |           AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b,
+        |       sum(CASE WHEN ma.minhash = mb.minhash THEN 1 ELSE 0 END) / 8.0 AS est_jaccard
+        |FROM pairs
+        |JOIN mh ma ON ma.doc_id = doc_a
+        |JOIN mh mb ON mb.doc_id = doc_b AND mb.hash_id = ma.hash_id
+        |GROUP BY 1, 2""".stripMargin)),
+
+    Q("q_ngram_jaccard",
+      (s, d) => Dedup.jaccardPairs(Dedup.shingles(documents(s, d)),
+        maxDocFreq = 50, threshold = 0.2),
+      Some(s"""WITH $ShingleCte,
+        |rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 50),
+        |pr AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM pr GROUP BY 1),
+        |cm AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        |       FROM pr a JOIN pr b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |       GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, common, common / (sa.sz + sb.sz - common) AS jaccard
+        |FROM cm JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+        |WHERE common / (sa.sz + sb.sz - common) >= 0.2""".stripMargin)),
+
+    Q("q_simhash",
+      (s, d) => Dedup.simhash(s, documents(s, d), bits = 16),
+      Some(s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |              FROM documents),
+        |th AS (SELECT doc_id, ${hashSql("word")} AS h FROM tok),
+        |bits AS (SELECT b, (1::BIGINT << b) AS p2 FROM range(16) t(b)),
+        |c AS (SELECT doc_id, b, p2, ((h // p2) % 2) * 2 - 1 AS c FROM th, bits),
+        |sv AS (SELECT doc_id, b, p2, sum(c) AS s FROM c GROUP BY 1, 2, 3)
+        |SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN p2 ELSE 0 END) AS BIGINT) AS simhash
+        |FROM sv GROUP BY 1""".stripMargin)),
+
+    Q("q_embed_knn",
+      (s, d) => Similarity.cosineTopK(embeddings(s, d), nQueries = 10, k = 5),
+      Some(s"""WITH $QuantCte,
+        |q2 AS (SELECT vec_id AS query_id, v AS qv, list_dot_product(v, v) AS qn
+        |       FROM q WHERE vec_id < 10),
+        |c2 AS (SELECT vec_id AS neighbor_id, v AS cv, list_dot_product(v, v) AS cn FROM q),
+        |s AS (SELECT query_id, neighbor_id,
+        |             round(list_dot_product(qv, cv) / (sqrt(qn) * sqrt(cn)), 6) AS cos_sim
+        |      FROM q2, c2 WHERE neighbor_id <> query_id)
+        |SELECT query_id, neighbor_id, rank, cos_sim FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |                               ORDER BY cos_sim DESC, neighbor_id) AS rank
+        |  FROM s)
+        |WHERE rank <= 5""".stripMargin)),
+
+    Q("q_embed_neardup",
+      (s, d) => Similarity.nearDupPairs(s, embeddings(s, d), threshold = 0.35, bits = 6),
+      Some(s"""WITH $QuantCte,
+        |bits AS (SELECT j, (1::BIGINT << j) AS p2 FROM range(6) t(j)),
+        |expl AS (SELECT vec_id, t.i, v[t.i + 1] AS x FROM q, range(0, 64) t(i)),
+        |proj AS (SELECT vec_id, j, p2,
+        |                sum((CASE WHEN ((i * 131 + j * 137) % 97) % 2 = 0
+        |                          THEN 1 ELSE -1 END) * x) AS proj
+        |         FROM expl, bits GROUP BY 1, 2, 3),
+        |bk AS (SELECT vec_id, CAST(sum(CASE WHEN proj > 0 THEN p2 ELSE 0 END) AS BIGINT) AS bucket
+        |       FROM proj GROUP BY 1),
+        |wb AS (SELECT q.vec_id, bucket, v, list_dot_product(v, v) AS n
+        |       FROM q JOIN bk USING (vec_id)),
+        |s AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |             round(list_dot_product(a.v, b.v) / (sqrt(a.n) * sqrt(b.n)), 6) AS cos_sim
+        |      FROM wb a JOIN wb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+        |SELECT vec_a, vec_b, cos_sim FROM s WHERE cos_sim >= 0.35""".stripMargin)),
+
+    Q("q_ivf_assign",
+      (s, d) => Similarity.ivfAssign(embeddings(s, d), centroidMod = 97),
+      Some(s"""WITH $QuantCte,
+        |cents AS (SELECT vec_id AS centroid_id, v AS cv, list_dot_product(v, v) AS cn
+        |          FROM q WHERE vec_id % 97 = 0),
+        |vecs AS (SELECT vec_id, v, list_dot_product(v, v) AS n FROM q),
+        |s AS (SELECT vec_id, centroid_id,
+        |             round(list_dot_product(v, cv) / (sqrt(n) * sqrt(cn)), 6) AS cos_sim
+        |      FROM vecs, cents)
+        |SELECT vec_id, centroid_id, cos_sim FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id
+        |                               ORDER BY cos_sim DESC, centroid_id) AS rn
+        |  FROM s)
+        |WHERE rn = 1""".stripMargin))
+  )
+}

@@ -1,0 +1,149 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.text.TextAnalysis
+
+/** Deduplication operators for a training-data pipeline: exact,
+  * MinHash + LSH banding, n-gram Jaccard verification, SimHash.
+  *
+  * Scale design: every stage is a join/aggregate keyed by something whose
+  * cardinality grows with the corpus (text hash, shingle, band key), so
+  * the shuffles stay balanced at 100 TB. The only quadratic step —
+  * candidate-pair verification — is gated behind LSH banding or
+  * document-frequency pruning of shingles, the standard inverted-index
+  * bound on join fan-out.
+  */
+object Dedup {
+
+  import TextAnalysis.Prime
+
+  /** Exact duplicate grouping: every doc maps to the smallest doc_id
+    * carrying identical text. One shuffle partitioned by text (at 100 TB
+    * you would pre-hash: partition by xxhash64(text) and compare within —
+    * same plan shape, narrower shuffle rows). */
+  def exactDuplicates(docs: DataFrame): DataFrame = {
+    val win = Window.partitionBy("text")
+    docs
+      .select(col("doc_id"), min("doc_id").over(win).as("canonical_id"))
+      .withColumn("is_dup", (col("doc_id") =!= col("canonical_id")).cast("int"))
+  }
+
+  /** Distinct word n-gram shingles per document — the unit set of both
+    * MinHash and Jaccard. Narrow (explode) + one dedup aggregate. */
+  def shingles(docs: DataFrame, n: Int = 3): DataFrame = {
+    val w = split(col("text"), " ")
+    val sh = when(size(w) >= n,
+      transform(
+        sequence(lit(0), size(w) - n),
+        i => concat_ws(" ", slice(w, i + lit(1), lit(n)))))
+      .otherwise(array())
+    docs.select(col("doc_id"), explode(sh).as("shingle")).distinct()
+  }
+
+  /** MinHash signatures: k permutation-hashes h_j(x) = (a_j·x + b_j) mod P
+    * over the shingle hashes, minimum per (doc, j). The parameter table is
+    * a broadcast of k rows; one shuffle on (doc, j). */
+  def minhashSignatures(
+      spark: SparkSession,
+      shingleDf: DataFrame,
+      numHashes: Int = 8): DataFrame = {
+    val params = spark.createDataFrame(
+      (0 until numHashes).map(j => (j, 37L + 101L * j, 17L + 91L * j)))
+      .toDF("hash_id", "a", "b")
+    shingleDf
+      .withColumn("h", TextAnalysis.portableHash(col("shingle")))
+      .crossJoin(broadcast(params))
+      .groupBy("doc_id", "hash_id")
+      .agg(min((col("a") * col("h") + col("b")) % Prime).as("minhash"))
+  }
+
+  /** LSH banding: split the signature into bands of `rowsPerBand` hashes;
+    * the band key is the ordered minhash list rendered to a string.
+    * Docs sharing a band key are candidate near-duplicates. */
+  def lshBandKeys(minhashes: DataFrame, rowsPerBand: Int = 2): DataFrame =
+    minhashes
+      .withColumn("band", expr(s"hash_id div $rowsPerBand"))
+      .groupBy("doc_id", "band")
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("hash_id"), col("minhash")))),
+            x => concat(x.getField("hash_id"), lit(":"), x.getField("minhash"))),
+          ",").as("band_key"))
+
+  /** Candidate pairs from LSH banding + estimated Jaccard = fraction of
+    * agreeing minhashes. The pair join is keyed by (band, band_key) —
+    * fan-out bounded by bucket occupancy, not corpus size. */
+  def lshCandidatePairs(
+      minhashes: DataFrame,
+      numHashes: Int = 8,
+      rowsPerBand: Int = 2): DataFrame = {
+    val keys = lshBandKeys(minhashes, rowsPerBand)
+    val pairs = keys.as("a")
+      .join(keys.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sigA = minhashes.select(
+      col("doc_id").as("doc_a"), col("hash_id"), col("minhash").as("mh_a"))
+    val sigB = minhashes.select(
+      col("doc_id").as("doc_b"), col("hash_id"), col("minhash").as("mh_b"))
+    val k = numHashes.toDouble
+    pairs
+      .join(sigA, Seq("doc_a"))
+      .join(sigB, Seq("doc_b", "hash_id"))
+      .groupBy("doc_a", "doc_b")
+      .agg((sum(when(col("mh_a") === col("mh_b"), 1).otherwise(0)) / k).as("est_jaccard"))
+  }
+
+  /** Exact n-gram Jaccard over candidate pairs that share at least one
+    * shingle, with stop-shingles (document frequency > maxDocFreq)
+    * pruned first — the inverted-index bound that keeps the self-join
+    * linear-ish in corpus size. */
+  def jaccardPairs(
+      shingleDf: DataFrame,
+      maxDocFreq: Int = 50,
+      threshold: Double = 0.2): DataFrame = {
+    val rare = shingleDf
+      .groupBy("shingle").agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxDocFreq)
+      .select("shingle")
+    val pruned = shingleDf.join(rare, "shingle")
+    val sizes = pruned.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val common = pruned.as("a")
+      .join(pruned.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
+      .withColumn("jaccard",
+        col("common") / (col("sz_a") + col("sz_b") - col("common")))
+      .where(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "common", "jaccard")
+  }
+
+  /** SimHash fingerprints: per token-occurrence hash, each of `bits` bit
+    * positions votes ±1; the fingerprint sets bits with positive vote sum.
+    * Two bounded shuffles ((doc, bit) then doc). Bit extraction is integer
+    * div/mod — portable across engines. */
+  def simhash(spark: SparkSession, docs: DataFrame, bits: Int = 16): DataFrame = {
+    val bitsDf = spark.createDataFrame(
+      Seq.tabulate(bits)(b => (b, 1L << b))).toDF("bit", "p2")
+    val tok = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .withColumn("h", TextAnalysis.portableHash(col("word")))
+    tok
+      .crossJoin(broadcast(bitsDf))
+      .withColumn("c", (expr("h div p2") % 2) * 2 - 1)
+      .groupBy("doc_id", "bit", "p2")
+      .agg(sum("c").as("s"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("s") > 0, col("p2")).otherwise(0L)).as("simhash"))
+  }
+}

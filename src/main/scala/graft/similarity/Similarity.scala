@@ -1,0 +1,122 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`Array[Float]`):
+  * brute-force cosine top-k as the exact baseline, sign-random-projection
+  * LSH bucketing and an IVF-style centroid assignment as the scale paths.
+  *
+  * Numeric design: embeddings are quantized to integer-valued doubles
+  * (round(x·1000)) FIRST, so every dot product is a sum of exact integers
+  * (< 2^53) — order-independent, hence identical across engines and
+  * across Spark's nondeterministic aggregation orders. Only the final
+  * cosine division/sqrt touches real floating point, on identical
+  * operands. All kernels are builtin higher-order functions
+  * (zip_with/aggregate) — no UDFs.
+  */
+object Similarity {
+
+  /** Quantize an Array[Float] column to integer-valued doubles. */
+  def quantize(emb: Column, scale: Int = 1000): Column =
+    transform(emb, x => round(x.cast("double") * scale, 0))
+
+  /** Exact dot product of two quantized vectors. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** Brute-force cosine top-k: queries (vec_id < nQueries) are broadcast
+    * against all candidates; rank with a deterministic
+    * (cos desc, neighbor_id) tie-break AFTER rounding to 6 dp, so ranking
+    * is reproducible across engines. O(nQueries·N) — the exact baseline;
+    * use [[signBuckets]] or [[ivfAssign]] to restrict candidates at scale. */
+  def cosineTopK(embeddings: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val q = embeddings
+      .where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), quantize(col("embedding")).as("qv"))
+      .withColumn("qn", dot(col("qv"), col("qv")))
+    val c = embeddings
+      .select(col("vec_id").as("neighbor_id"), quantize(col("embedding")).as("cv"))
+      .withColumn("cn", dot(col("cv"), col("cv")))
+    val scored = c
+      .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos_sim",
+        round(dot(col("qv"), col("cv")) / (sqrt(col("qn")) * sqrt(col("cn"))), 6))
+    val win = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(win))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cos_sim")
+  }
+
+  /** Sign-random-projection LSH: `bits` pseudo-random ±1 hyperplanes
+    * (s_ij from a fixed arithmetic pattern — portable, no RNG state);
+    * bucket = bitmask of projection signs. Vectors in the same bucket are
+    * near-duplicate candidates. Two bounded shuffles. */
+  def signBuckets(spark: SparkSession, embeddings: DataFrame, bits: Int = 6): DataFrame = {
+    val bitsDf = spark.createDataFrame(
+      Seq.tabulate(bits)(j => (j, 1L << j))).toDF("j", "p2")
+    val expl = embeddings
+      .select(col("vec_id"), posexplode(quantize(col("embedding"))))
+      .withColumnRenamed("pos", "i")
+      .withColumnRenamed("col", "x")
+    expl
+      .crossJoin(broadcast(bitsDf))
+      .withColumn("s",
+        when(((col("i") * 131 + col("j") * 137) % 97) % 2 === 0, 1).otherwise(-1))
+      .groupBy("vec_id", "j", "p2")
+      .agg(sum(col("s") * col("x")).as("proj"))
+      .groupBy("vec_id")
+      .agg(sum(when(col("proj") > 0, col("p2")).otherwise(0L)).as("bucket"))
+  }
+
+  /** LSH-bucketed near-duplicate pairs: exact cosine, but only within a
+    * bucket — the candidate join is keyed by bucket id, so fan-out is
+    * bucket occupancy, not N². Approximate by construction (a true pair
+    * split across buckets is missed — raise bits/bands for recall). */
+  def nearDupPairs(
+      spark: SparkSession,
+      embeddings: DataFrame,
+      threshold: Double,
+      bits: Int = 6): DataFrame = {
+    val withB = embeddings
+      .join(signBuckets(spark, embeddings, bits), "vec_id")
+      .select(col("vec_id"), col("bucket"), quantize(col("embedding")).as("v"))
+      .withColumn("n", dot(col("v"), col("v")))
+    withB.as("a")
+      .join(withB.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos_sim",
+        round(dot(col("a.v"), col("b.v")) /
+          (sqrt(col("a.n")) * sqrt(col("b.n"))), 6))
+      .where(col("cos_sim") >= threshold)
+      .select(
+        col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cos_sim"))
+  }
+
+  /** IVF-style coarse quantizer: a deterministic centroid subset
+    * (vec_id ≡ 0 mod centroidMod), every vector assigned to its
+    * max-cosine centroid with a (cos desc, centroid_id) tie-break.
+    * The centroid table broadcasts; at query time only the query's
+    * cluster is searched. */
+  def ivfAssign(embeddings: DataFrame, centroidMod: Int = 97): DataFrame = {
+    val cents = embeddings
+      .where(col("vec_id") % centroidMod === 0)
+      .select(col("vec_id").as("centroid_id"), quantize(col("embedding")).as("cv"))
+      .withColumn("cn", dot(col("cv"), col("cv")))
+    val vecs = embeddings
+      .select(col("vec_id"), quantize(col("embedding")).as("v"))
+      .withColumn("n", dot(col("v"), col("v")))
+    val win = Window.partitionBy("vec_id")
+      .orderBy(col("cos_sim").desc, col("centroid_id"))
+    vecs
+      .crossJoin(broadcast(cents))
+      .withColumn("cos_sim",
+        round(dot(col("v"), col("cv")) / (sqrt(col("n")) * sqrt(col("cn"))), 6))
+      .withColumn("rn", row_number().over(win))
+      .where(col("rn") === 1)
+      .select("vec_id", "centroid_id", "cos_sim")
+  }
+}

@@ -1,0 +1,108 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline —
+  * beyond the reference's surface (SURVEY.md §2.6 gap-fill): language ID,
+  * quality scoring, token counting, document fingerprinting.
+  *
+  * Everything is built from codegen'd builtin functions (split/filter/
+  * aggregate/regexp) — no UDFs — so the whole stage stays inside
+  * whole-stage codegen and scales linearly with one narrow pass over the
+  * corpus; only langId shuffles (one hash aggregate on (doc, lang)).
+  *
+  * Hashing: [[portableHash]] is a base-31 Horner polynomial mod 1e9+7 —
+  * chosen because BOTH Spark and DuckDB can evaluate it identically
+  * (the correctness gate hash-matches results across engines). For a
+  * production 100 TB run where cross-engine equality is not required,
+  * swap in the builtin `xxhash64` (cheaper: no char explode).
+  */
+object TextAnalysis {
+
+  /** Modulus (1e9+7) keeps every intermediate < 2^35 — exact in BIGINT
+    * arithmetic on both engines. */
+  val Prime = 1000000007L
+  val Base = 31L
+
+  /** Engine-portable rolling hash: fold base-31 Horner over the chars. */
+  def portableHash(s: Column): Column =
+    aggregate(
+      filter(split(s, ""), c => c =!= lit("")),
+      lit(0L),
+      (acc, c) => (acc * Base + ascii(c)) % Prime)
+
+  /** Whitespace tokens. */
+  def words(text: Column): Column = split(text, " ")
+
+  /** Quality features + a deterministic composite score per document:
+    * word count, stopword ratio, mean word length. The score formula is
+    * pure double arithmetic mirrored verbatim by the SQL oracle. */
+  def textStats(docs: DataFrame, stopwords: Seq[String]): DataFrame = {
+    val w = words(col("text"))
+    val stopArr = array(stopwords.map(lit): _*)
+    val nWords = size(w)
+    val nStop = size(filter(w, x => array_contains(stopArr, x)))
+    val nLetters = length(col("text")) - (nWords - 1)
+    val stopRatio = nStop / nWords
+    val avgWordLen = nLetters / nWords
+    val quality =
+      least(lit(1.0), nWords / 200.0) * 0.5 +
+        (lit(1.0) - stopRatio) * 0.3 +
+        least(lit(1.0), avgWordLen / 8.0) * 0.2
+    docs.select(
+      col("doc_id"),
+      nWords.as("n_words"),
+      nStop.as("n_stop"),
+      round(stopRatio, 6).as("stop_ratio"),
+      round(avgWordLen, 6).as("avg_word_len"),
+      round(quality, 6).as("quality"))
+  }
+
+  /** N-gram-free language ID heuristic: score each candidate language by
+    * its marker-word hits (a tiny broadcast lexicon), argmax with a
+    * deterministic (score desc, lang asc) tie-break; no hit → "und".
+    * One shuffle: the (doc, lang) count aggregate. */
+  def langId(
+      spark: SparkSession,
+      docs: DataFrame,
+      lexicon: Seq[(String, String)]): DataFrame = {
+    val lex = spark.createDataFrame(lexicon).toDF("word", "cand_lang")
+    val tokens = docs.select(col("doc_id"), explode(words(col("text"))).as("word"))
+    val scores = tokens
+      .join(broadcast(lex), "word")
+      .groupBy("doc_id", "cand_lang")
+      .agg(count(lit(1)).as("score"))
+    val win = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("cand_lang").asc)
+    val best = scores
+      .withColumn("rn", row_number().over(win))
+      .where(col("rn") === 1)
+      .drop("rn")
+    docs.select("doc_id")
+      .join(best, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("cand_lang"), lit("und")).as("pred_lang"),
+        coalesce(col("score"), lit(0L)).as("score"))
+  }
+
+  /** Token counting three ways: whitespace tokens, regex word tokens,
+    * and a BPE-ish greedy ≤4-char chunking — all regexp_count, fully
+    * codegen'd, zero shuffles. */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(words(col("text"))).as("n_ws_tokens"),
+      regexp_count(col("text"), lit("[a-z]+")).as("n_word_tokens"),
+      regexp_count(col("text"), lit("[a-z]{1,4}")).as("n_subword_tokens"))
+
+  /** Document fingerprint: rolling hash of the full text plus a coarse
+    * band (fp mod 1024) usable as a shard/bucket key. */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      portableHash(col("text")).as("fp"))
+      .withColumn("fp_band", col("fp") % 1024)
+}
