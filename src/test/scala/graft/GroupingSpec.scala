@@ -1,0 +1,81 @@
+package graft
+
+import graft.ops.Grouping
+
+class GroupingSpec extends SparkSpec {
+
+  test("groupCategories sums member categories per (cell, substance)") {
+    val out = Grouping.groupCategories(spark, basicInv,
+      Map("gA" -> Seq("adf", "liku"), "gB" -> Seq("test")))
+    val t = totalsBySub(out)
+    // adf/CO2 total = 0+1+2+3+4 = 10 ; liku/CO2 = 10 → gA/CO2 = 20
+    assert(t(("gA", "CO2")) == 20.0)
+    assert(t(("gA", "CH4")) == 25.0) // Σ(c+3) = 10 + 15
+    assert(t(("gB", "NH3")) == 15.0) // Σ(c+1)
+  }
+
+  test("groupCategories rejects a category mapped to two groups") {
+    val e = intercept[IllegalArgumentException] {
+      Grouping.groupCategories(spark, basicInv,
+        Map("g1" -> Seq("adf"), "g2" -> Seq("adf", "test", "liku")))
+    }
+    assert(e.getMessage.contains("adf"))
+  }
+
+  test("groupCategories rejects uncovered categories unless ignoreMissing") {
+    val e = intercept[IllegalArgumentException] {
+      Grouping.groupCategories(spark, basicInv, Map("g1" -> Seq("adf")))
+    }
+    assert(e.getMessage.contains("liku") || e.getMessage.contains("test"))
+    // explicit drop semantics
+    val out = Grouping.groupCategories(spark, basicInv,
+      Map("g1" -> Seq("adf")), ignoreMissing = true)
+    assert(out.select("category").distinct().collect().map(_.getString(0)).toSeq == Seq("g1"))
+  }
+
+  test("groupSubstances validates and sums on the substance axis") {
+    intercept[IllegalArgumentException] {
+      Grouping.groupSubstances(spark, basicInv,
+        Map("x" -> Seq("CO2", "CH4"), "y" -> Seq("CO2", "NH3")))
+    }
+    val out = Grouping.groupSubstances(spark, basicInv,
+      Map("GHG" -> Seq("CO2", "CH4"), "OTH" -> Seq("NH3")))
+    assert(totalsBySub(out)(("adf", "GHG")) == 35.0) // 10 + 25
+  }
+
+  test("addInventories is a union-sum; totals add") {
+    val out = Grouping.addInventories(basicInv, basicInv)
+    totalsBySub(out).foreach { case (k, v) => assert(v == 2 * totalsBySub(basicInv)(k)) }
+  }
+
+  test("scale multiplies only listed pairs") {
+    val out = Grouping.scale(spark, basicInv, Seq(("adf", "CO2", 2.0)))
+    val t = totalsBySub(out)
+    assert(t(("adf", "CO2")) == 20.0)
+    assert(t(("adf", "CH4")) == 25.0)
+  }
+
+  test("drop filters both axes") {
+    val out = Grouping.drop(basicInv, categories = Seq("adf"), substances = Seq("NH3"))
+    val kept = out.select("category", "substance").distinct()
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(kept == Set(("liku", "CO2")))
+  }
+
+  test("totals emits per-(sub,cat) rows plus __total__ rollup") {
+    val rows = Grouping.totals(basicInv).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(rows(("CO2", "__total__")) == 20.0)
+    assert(rows(("CO2", "adf")) == 10.0)
+    assert(rows(("CH4", "__total__")) == 25.0)
+  }
+
+  test("conservationDiff is zero against itself and signed against scaled") {
+    Grouping.conservationDiff(basicInv, basicInv).collect()
+      .foreach(r => assert(r.getDouble(4) == 0.0))
+    val scaled = Grouping.scale(spark, basicInv, Seq(("adf", "CO2", 0.5)))
+    val d = Grouping.conservationDiff(basicInv, scaled).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(4)).toMap
+    assert(d(("adf", "CO2")) == 5.0)
+  }
+}

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.profiles.{Profiles, VerticalProfiles}
+
+class ProfilesSpec extends SparkSpec {
+
+  test("normalize makes each profile sum to 1") {
+    val p = spark.createDataFrame(Seq(
+      (1, 0, 2.0), (1, 1, 6.0), (2, 0, 5.0), (2, 1, 5.0), (2, 2, 10.0)))
+      .toDF("profile_id", "pos", "w")
+    val out = Profiles.normalize(p)
+    val sums = out.groupBy("profile_id").sum("ratio").collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(sums.values.forall(s => math.abs(s - 1.0) < 1e-12))
+    val r10 = out.where(col("profile_id") === 1 && col("pos") === 0)
+      .collect()(0).getDouble(2)
+    assert(r10 == 0.25)
+  }
+
+  test("combineWeighted is the emission-weighted average, renormalized") {
+    // group g: member m1 (weight 1) ratios (1, 0); member m2 (weight 3) ratios (0, 1)
+    val w = spark.createDataFrame(Seq(("g", "m1", 1.0), ("g", "m2", 3.0)))
+      .toDF("group", "member", "weight")
+    val p = spark.createDataFrame(Seq(
+      ("m1", 0, 1.0), ("m1", 1, 0.0), ("m2", 0, 0.0), ("m2", 1, 1.0)))
+      .toDF("member", "pos", "w")
+    val out = Profiles.combineWeighted(w, p).collect()
+      .map(r => r.getInt(1) -> r.getDouble(2)).toMap
+    assert(out == Map(0 -> 0.25, 1 -> 0.75))
+  }
+
+  test("dedupVectors groups identical vectors under one dense id") {
+    val p = spark.createDataFrame(Seq(
+      (1, 0, 5L), (1, 1, 7L),
+      (2, 0, 5L), (2, 1, 7L), // identical to 1
+      (3, 0, 9L)))
+      .toDF("profile_id", "pos", "qw")
+    val out = Profiles.dedupVectors(p).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(out(1) == out(2))
+    assert(out(1) != out(3))
+    assert(Set(out(1), out(3)) == Set(1L, 2L)) // dense 1-based ids
+    assert(Profiles.dedupVectors(p).columns.toSeq == Seq("profile_id", "dedup_id"))
+  }
+
+  test("mergeIndexes: later (specific) table overrides, else base") {
+    val base = spark.createDataFrame(Seq(("a", "x", 1), ("a", "y", 1), ("b", "x", 2)))
+      .toDF("category", "substance", "profile_id")
+    val over = spark.createDataFrame(Seq(("a", "y", 9)))
+      .toDF("category", "substance", "profile_id")
+    val out = Profiles.mergeIndexes(base, over, Seq("category", "substance"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getInt(2)).toMap
+    assert(out == Map(("a", "x") -> 1, ("a", "y") -> 9, ("b", "x") -> 2))
+  }
+
+  test("vertical resample conserves mass and splits by interval overlap") {
+    val p = spark.createDataFrame(Seq((1, 0, 4.0), (1, 1, 6.0)))
+      .toDF("profile_id", "level", "r")
+    // src edges 0,10,20 ; dst edges 0,5,20: level0 splits 1/2-1/2
+    val out = VerticalProfiles.resample(spark, p, Seq(0.0, 10.0, 20.0), Seq(0.0, 5.0, 20.0))
+      .collect().map(r => r.getInt(1) -> r.getDouble(2)).toMap
+    assert(out == Map(0 -> 2.0, 1 -> 8.0))
+    assert(out.values.sum == 10.0)
+  }
+
+  test("vertical violations flags bad sums and negatives only") {
+    val p = spark.createDataFrame(Seq(
+      (1, 0, 0.5), (1, 1, 0.5), // valid
+      (2, 0, 0.4), (2, 1, 0.4), // sums to 0.8
+      (3, 0, 1.5), (3, 1, -0.5))) // negative
+      .toDF("profile_id", "level", "r")
+    val bad = VerticalProfiles.violations(p).collect().map(_.getInt(0)).toSet
+    assert(bad == Set(2, 3))
+  }
+}

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.model.RegularGrid
+import graft.ops.{Grouping, Regrid}
+
+/** Weight-table oracles + conservation invariants — FIXTURES.md §1.4/§5
+  * (reference tests/test_weights_mapping.py, tests/test_remap_inv.py:28-31). */
+class RegridSpec extends SparkSpec {
+
+  test("2x2 unit grid onto one 2x2 cell: all weights 1, same dst") {
+    val src = RegularGrid(2, 2, 0.0, 0.0, 1.0, 1.0)
+    val dst = RegularGrid(1, 1, 0.0, 0.0, 2.0, 2.0)
+    val w = Regrid.weights(spark, src, dst).collect()
+    assert(w.length == 4)
+    assert(w.forall(_.getDouble(2) == 1.0))
+    assert(w.forall(_.getLong(1) == 0L))
+  }
+
+  test("half-offset coarse grid: dyadic quarter weights, sum to 1 per src") {
+    // src 2x2 unit cells; dst 2x2 cells of size 1 offset by (0.5, 0.5) over
+    // (-0.5..1.5)^2 — every src cell splits into 4 quarters.
+    val src = RegularGrid(2, 2, 0.0, 0.0, 1.0, 1.0)
+    val dst = RegularGrid(3, 3, -0.5, -0.5, 1.0, 1.0)
+    val w = Regrid.weights(spark, src, dst)
+    val perSrc = w.groupBy("src_cell").agg(sum("weight").as("s")).collect()
+    assert(perSrc.forall(_.getDouble(1) == 1.0))
+    assert(w.collect().forall(_.getDouble(2) == 0.25))
+  }
+
+  test("weights bounded in (0,1] and per-src sums == 1 when dst covers src") {
+    val src = RegularGrid(8, 8, 0.0, 0.0, 1.0, 1.0)
+    val dst = RegularGrid(5, 5, -1.0, -1.0, 2.0, 2.0)
+    val rows = Regrid.weights(spark, src, dst).collect()
+    assert(rows.forall(r => r.getDouble(2) > 0 && r.getDouble(2) <= 1.0))
+    val bySrc = rows.groupBy(_.getLong(0)).view.mapValues(_.map(_.getDouble(2)).sum)
+    bySrc.foreach { case (_, s) => assert(math.abs(s - 1.0) < 1e-12) }
+  }
+
+  test("remap conserves per-(cat,sub) totals when dst covers src") {
+    val src = Tables.srcGrid
+    val dst = Tables.dstGrid
+    val emi = basicInv // cells 0..4 exist on the 64x64 grid
+    val out = Regrid.remapInventory(spark, emi, src, dst)
+    val diff = Grouping.conservationDiff(emi, out).collect()
+    diff.foreach(r => assert(math.abs(r.getDouble(4)) < 1e-9, r.toString))
+  }
+
+  test("cropBox scales boundary cells by overlap fraction and drops outside") {
+    val grid = RegularGrid(2, 1, 0.0, 0.0, 1.0, 1.0) // cells [0,1]x[0,1], [1,2]x[0,1]
+    val emi = spark.createDataFrame(Seq(
+      (0L, "c", "s", 10.0), (1L, "c", "s", 10.0)))
+      .toDF("cell_id", "category", "substance", "value")
+    // box covers right half of cell 0 and none of cell 1's area? No:
+    // box (0.5,0)-(1.5,1) covers half of each.
+    val out = Regrid.cropBox(emi, grid, 0.5, 0.0, 1.5, 1.0)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out == Map(0L -> 5.0, 1L -> 5.0))
+  }
+
+  test("clipBox keeps intersecting cells, excludes zero-area touch") {
+    val grid = RegularGrid(4, 1, 0.0, 0.0, 1.0, 1.0)
+    val emi = spark.createDataFrame(
+      (0L until 4L).map(c => (c, "c", "s", 1.0)))
+      .toDF("cell_id", "category", "substance", "value")
+    // box (1.5,0)-(3.0,1): intersects cells 1 and 2; touches cell 3 at x=3.
+    val kept = Regrid.clipBox(emi, grid, 1.5, 0.0, 3.0, 1.0)
+      .select("cell_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L))
+  }
+}

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.similarity.Similarity
+
+class SimilaritySpec extends SparkSpec {
+
+  private def emb(rows: (Long, Seq[Float])*) =
+    spark.createDataFrame(rows.map { case (id, v) => (id, v) })
+      .toDF("vec_id", "embedding")
+
+  private val e = emb(
+    (0L, Seq(1f, 0f, 0f)),
+    (1L, Seq(1f, 0f, 0f)), // identical to 0
+    (2L, Seq(0f, 1f, 0f)), // orthogonal
+    (3L, Seq(0.8f, 0.6f, 0f)))
+
+  test("cosineTopK ranks the identical vector first with cos 1.0") {
+    val out = Similarity.cosineTopK(e, nQueries = 1, k = 3).collect()
+      .map(r => r.getInt(2) -> (r.getLong(1), r.getDouble(3))).toMap
+    assert(out(1) == ((1L, 1.0)))
+    assert(out(2)._1 == 3L && math.abs(out(2)._2 - 0.8) < 1e-6)
+    assert(out(3) == ((2L, 0.0)))
+  }
+
+  test("signBuckets puts identical vectors in the same bucket") {
+    val b = Similarity.signBuckets(spark, e, bits = 6).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(b(0L) == b(1L))
+    assert(b.size == 4)
+  }
+
+  test("nearDupPairs finds the identical pair at threshold") {
+    val pairs = Similarity.nearDupPairs(spark, e, threshold = 0.99, bits = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.contains((0L, 1L, 1.0)))
+  }
+
+  test("ivfAssign assigns every vector to its best centroid; centroid to itself") {
+    // centroidMod = 2 -> centroids {0, 2}
+    val out = Similarity.ivfAssign(e, centroidMod = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size == 4)
+    assert(out(0L) == 0L && out(2L) == 2L)
+    assert(out(1L) == 0L) // identical to centroid 0
+    assert(out(3L) == 0L) // cos 0.8 vs 0.6 -> centroid 0
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.profiles.Temporal
+
+class TemporalSpec extends SparkSpec {
+
+  test("time indexes match pandas conventions on known timestamps") {
+    // 2024-01-01 is a Monday; 2024-03-01 is day-of-year 61 (leap year)
+    val df = spark.sql(
+      """SELECT timestamp'2024-01-01 05:30:00' AS a,
+        |       timestamp'2024-03-01 23:00:00' AS b""".stripMargin)
+    val r = df.select(
+      Temporal.dayOfWeek0(col("a")), Temporal.hourOfDay(col("a")),
+      Temporal.month0(col("a")), Temporal.hour3OfDay(col("a")),
+      Temporal.dayOfYear0(col("b")), Temporal.hourOfYear(col("b")),
+      Temporal.hourOfWeek(col("a"))).collect()(0)
+    assert(r.getInt(0) == 0) // Monday = 0
+    assert(r.getInt(1) == 5)
+    assert(r.getInt(2) == 0)
+    assert(r.getInt(3) == 1) // hour 5 -> block 1
+    assert(r.getInt(4) == 60) // 2024-03-01 is doy 61 -> 0-based 60
+    assert(r.getInt(5) == 60 * 24 + 23)
+    assert(r.getInt(6) == 5) // Monday 05h
+  }
+
+  test("hourOfWeekScalingFactors average to 1 for normalized profiles") {
+    val daily = spark.range(24).select(
+      col("id").cast("int").as("pos"), lit(1.0 / 24.0).as("ratio"))
+    val weekly = spark.range(7).select(
+      col("id").cast("int").as("pos"), lit(1.0 / 7.0).as("ratio"))
+    val sf = Temporal.hourOfWeekScalingFactors(spark, daily, weekly).collect()
+    assert(sf.length == 168)
+    sf.foreach(r => assert(math.abs(r.getDouble(1) - 1.0) < 1e-12))
+  }
+
+  test("temporalExplode applies hourly factors; missing profile = 1.0") {
+    val emi = spark.createDataFrame(Seq(
+      (0L, "A", "F", 10.0), (0L, "B", "F", 10.0)))
+      .toDF("cell_id", "category", "substance", "value")
+    val sf = spark.createDataFrame(Seq(("A", "F", 0, 2.0), ("A", "F", 1, 0.5)))
+      .toDF("category", "substance", "hour_of_day", "sf")
+    val out = Temporal.temporalExplode(emi, sf, "2024-01-01 00:00:00", 2)
+      .collect().map(r => (r.getString(1), r.getString(3)) -> r.getDouble(4)).toMap
+    assert(out(("A", "2024-01-01 00:00:00")) == 20.0)
+    assert(out(("A", "2024-01-01 01:00:00")) == 5.0)
+    assert(out(("B", "2024-01-01 00:00:00")) == 10.0) // no profile -> 1.0
+  }
+
+  test("monthly interpolation hits anchors at day m*30+15 and clamps ends") {
+    val monthly = spark.range(12).select(
+      (col("id") + 1).cast("int").as("month"),
+      ((col("id") + 1) * 10).cast("int").as("v"))
+    val out = Temporal.interpolateMonthlyToDaily(spark, monthly)
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(out(15) == 10.0) // first anchor
+    assert(out(45) == 20.0) // second anchor
+    assert(out(30) == 15.0) // midpoint
+    assert(out(0) == 10.0) // clamped before first anchor
+    assert(out(359) == 120.0) // clamped after last anchor
+  }
+
+  test("hddScaling ratios sum to 1 over the period") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val out = Temporal.hddScaling(ev)
+    val s = out.agg(sum("hdd_ratio")).collect()(0).getDouble(0)
+    assert(math.abs(s - 1.0) < 1e-6)
+  }
+}

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.TextAnalysis
+import graft.dedup.Dedup
+
+class TextDedupSpec extends SparkSpec {
+
+  private def docs(rows: (Long, String)*) =
+    spark.createDataFrame(rows).toDF("doc_id", "text")
+
+  test("portableHash matches the cross-engine reference value") {
+    // DuckDB: list_reduce over ascii chars of 'hello' base 31 mod 1e9+7
+    val h = spark.range(1).select(TextAnalysis.portableHash(lit("hello")))
+      .collect()(0).getLong(0)
+    assert(h == 99162322L)
+  }
+
+  test("textStats computes exact counts on a known sentence") {
+    val d = docs((1L, "the cat sat on the mat"))
+    val r = TextAnalysis.textStats(d, Seq("the", "on")).collect()(0)
+    assert(r.getInt(1) == 6) // n_words
+    assert(r.getInt(2) == 3) // 'the' x2 + 'on'
+    assert(r.getDouble(3) == 0.5) // stop_ratio
+    // 17 letters / 6 words
+    assert(math.abs(r.getDouble(4) - 17.0 / 6.0) < 1e-6)
+  }
+
+  test("langId scores marker words with deterministic tie-break") {
+    val d = docs((1L, "le chat et la table"), (2L, "xyzzy plugh"))
+    val out = TextAnalysis.langId(spark, d,
+      Seq(("le", "fr"), ("la", "fr"), ("et", "fr"), ("the", "en")))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(1L) == (("fr", 3L)))
+    assert(out(2L) == (("und", 0L)))
+  }
+
+  test("exactDuplicates maps copies to the smallest doc_id") {
+    val d = docs((5L, "aaa"), (2L, "bbb"), (9L, "aaa"))
+    val out = Dedup.exactDuplicates(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    assert(out(5L) == ((5L, 0)))
+    assert(out(9L) == ((5L, 1)))
+    assert(out(2L) == ((2L, 0)))
+  }
+
+  test("shingles builds distinct word 3-grams; short docs yield none") {
+    val d = docs((1L, "a b c d"), (2L, "x y"))
+    val sh = Dedup.shingles(d, 3).collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(sh == Set((1L, "a b c"), (1L, "b c d")))
+  }
+
+  test("identical docs share minhash signatures and simhash; near-identical mostly") {
+    val d = docs(
+      (1L, "spark shuffles data across the cluster for wide joins"),
+      (2L, "spark shuffles data across the cluster for wide joins"),
+      (3L, "completely different words entirely here now"))
+    val mh = Dedup.minhashSignatures(spark, Dedup.shingles(d), numHashes = 8)
+    val sig = mh.collect().groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq).toMap
+    assert(sig(1L) == sig(2L))
+    assert(sig(1L) != sig(3L))
+    val sh = Dedup.simhash(spark, d, bits = 16).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(2L))
+  }
+
+  test("lsh candidates + jaccard find the duplicate pair") {
+    val d = docs(
+      (1L, "one two three four five six seven eight nine ten"),
+      (2L, "one two three four five six seven eight nine ten"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta"))
+    val mh = Dedup.minhashSignatures(spark, Dedup.shingles(d), numHashes = 8)
+    val cand = Dedup.lshCandidatePairs(mh, numHashes = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(cand.toSeq == Seq((1L, 2L, 1.0)))
+    val jac = Dedup.jaccardPairs(Dedup.shingles(d), maxDocFreq = 50, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(jac.toSeq == Seq((1L, 2L, 1.0)))
+  }
+}
