@@ -391,5 +391,6 @@ object Queries {
         |  FROM u) WHERE is_left = 1""".stripMargin))
   )
 
-  def all: Seq[Q] = relational ++ profileTemporal ++ eventOps ++ QueriesML.ml
+  def all: Seq[Q] =
+    relational ++ profileTemporal ++ eventOps ++ QueriesML.ml ++ QueriesExtra.extra
 }

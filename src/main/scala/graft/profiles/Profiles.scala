@@ -56,7 +56,6 @@ object Profiles {
     * Input `(profile_id, pos, qw)` (qw integral); output
     * `(profile_id, dedup_id)`. */
   def dedupVectors(profiles: DataFrame): DataFrame = {
-    val spark = profiles.sparkSession
     val vecs = profiles
       .groupBy("profile_id")
       .agg(
@@ -65,12 +64,51 @@ object Profiles {
             array_sort(collect_list(struct(col("pos"), col("qw")))),
             x => concat(x.getField("pos"), lit(":"), x.getField("qw"))),
           ",").as("vec"))
-    val distinctSorted = vecs.select("vec").distinct().orderBy("vec")
-    val idRows = distinctSorted.rdd
+    vecs.join(denseIdsByVec(vecs, "dedup_id"), "vec")
+      .select(col("profile_id"), col("dedup_id"))
+  }
+
+  /** Dense 1-based ids for the distinct values of a `vec` string column —
+    * rank in the globally sorted distinct set (= SQL `dense_rank` over the
+    * vector) computed scalably: distributed sort of the (small) distinct
+    * set + zipWithIndex, no single-partition window. */
+  private def denseIdsByVec(vecs: DataFrame, idName: String): DataFrame = {
+    val spark = vecs.sparkSession
+    val idRows = vecs.select("vec").distinct().orderBy("vec").rdd
       .zipWithIndex()
       .map { case (row, i) => (row.getString(0), i + 1) }
-    val ids = spark.createDataFrame(idRows).toDF("vec", "dedup_id")
-    vecs.join(ids, "vec").select(col("profile_id"), col("dedup_id"))
+    spark.createDataFrame(idRows).toDF("vec", idName)
+  }
+
+  /** Country-dim profiles → cell-dim via the cell×country fraction table —
+    * the reference's `country_to_cells` fraction method
+    * (emiproc/profiles/operators.py:517-537: sf.dot(country_fractions)).
+    * `fractions(cell_id, country, fraction)` ⋈ `countryFactors(country,
+    * factor)` → per-cell factor = Σ_c fraction·factor. The factor table is
+    * a tiny broadcast; one shuffle on cell_id. */
+  def countryToCells(fractions: DataFrame, countryFactors: DataFrame): DataFrame =
+    fractions
+      .join(broadcast(countryFactors), "country")
+      .groupBy("cell_id")
+      .agg(sum(col("fraction") * col("factor")).as("factor"))
+
+  /** Group cells by identical per-category profile assignment — the
+    * reference's `group_profile_cells_by_regions`
+    * (emiproc/profiles/utils.py:426-468, np.unique over cell rows of the
+    * index cube; used by the ICON export's "profile regions").
+    * `index(cell_id, category, profile_id)` → `(cell_id, region_id)` with
+    * dense 1-based region ids, deterministic by the sorted vector. */
+  def groupCellsByRegions(index: DataFrame): DataFrame = {
+    val vecs = index
+      .groupBy("cell_id")
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("category"), col("profile_id")))),
+            x => concat(x.getField("category"), lit(":"), x.getField("profile_id"))),
+          ",").as("vec"))
+    vecs.join(denseIdsByVec(vecs, "region_id"), "vec")
+      .select(col("cell_id"), col("region_id"))
   }
 
   /** Merge profile index tables of increasing specificity — the

@@ -108,6 +108,22 @@ object Temporal {
       .select(col("day"), col("y"))
   }
 
+  /** T6 — fold the `day_type` dimension into hour-of-week factors
+    * (reference emiproc/profiles/temporal/operators.py:345-437
+    * `resolve_daytype`): each hour of the week selects the profile row of
+    * its day type (weekday / saturday / sunday) at its hour-of-day, scaled
+    * by the kind size 24. `profiles(day_type, pos, ratio)`. */
+  def resolveDayType(spark: SparkSession, profiles: DataFrame): DataFrame = {
+    val spine = spark.range(168).select(col("id").cast("int").as("hour_of_week"))
+    val dow = expr("hour_of_week div 24")
+    spine
+      .withColumn("day_type",
+        when(dow <= 4, "weekday").when(dow === 5, "saturday").otherwise("sunday"))
+      .withColumn("pos", pmod(col("hour_of_week"), lit(24)))
+      .join(broadcast(profiles), Seq("day_type", "pos"))
+      .select(col("hour_of_week"), col("day_type"), (col("ratio") * 24.0).as("sf"))
+  }
+
   /** T8 — heating-degree-day scaling (reference emiproc/profiles/hdd.py:
     * 9-115): daily mean driver value → HDD = max(0, threshold − mean),
     * normalized by the total over the period. Aggregates of arbitrary

@@ -1,0 +1,83 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.RegularGrid
+import graft.profiles.Temporal
+
+/** Export sinks — idiomatic Spark substitutes for the reference's NetCDF/
+  * GeoPackage writers (the container has no NetCDF library; parquet is the
+  * engine-native interchange and the schemas carry the same information).
+  */
+object Exports {
+
+  /** CF-raster-style export (reference `export_raster_netcdf`,
+    * emiproc/exports/rasters.py:14-323): one row per cell with x/y
+    * coordinates and one column per substance (categories summed — the
+    * `sum_categories` path), written as parquet. Returns the wide frame.
+    * Unit conversion kg/y/cell → kg/m2/s is the optional `perArea` flag
+    * (reference :95-108; SEC_PER_YEAR = 365.25·86400 as in
+    * emiproc/utilities.py SEC_PER_YR). */
+  val SecPerYear: Double = 365.25 * 86400.0
+
+  def rasterExport(
+      emissions: DataFrame,
+      grid: RegularGrid,
+      path: Option[String] = None,
+      perArea: Boolean = false): DataFrame = {
+    val conv = if (perArea) 1.0 / (grid.cellArea * SecPerYear) else 1.0
+    val wide = emissions
+      .groupBy("cell_id")
+      .pivot("substance")
+      .agg(sum(col("value") * conv))
+      .na.fill(0.0)
+      .withColumn("x", grid.cellXc(col("cell_id")))
+      .withColumn("y", grid.cellYc(col("cell_id")))
+    path.foreach(p => wide.write.mode("overwrite").parquet(p))
+    wide
+  }
+
+  /** The totals block of the raster export (reference rasters.py:247-306):
+    * per-substance per-category sums plus grand totals — a rollup. */
+  def rasterTotals(emissions: DataFrame): DataFrame =
+    graft.ops.Grouping.totals(emissions)
+
+  /** Hourly export (reference `export_hourly_emissions`,
+    * emiproc/exports/hourly.py:22-224): temporal explode then a
+    * partitioned write — one directory per hour replaces one file per
+    * hour; readers prune partitions by `ts_str`. */
+  def hourlyExport(
+      emissions: DataFrame,
+      scalingFactors: DataFrame,
+      startTs: String,
+      hours: Int,
+      path: String): Unit =
+    Temporal.temporalExplode(emissions, scalingFactors, startTs, hours)
+      .write.mode("overwrite")
+      .partitionBy("ts_str")
+      .parquet(path)
+
+  /** GeoParquet-style export (reference `export_to_geopackage`,
+    * emiproc/exports/geopackage.py:9-60): cell polygons as WKT plus
+    * envelope columns (xmin…ymax) so engines without a geometry reader
+    * can still prune by bbox. */
+  def geoParquetExport(
+      spark: SparkSession,
+      emissions: DataFrame,
+      grid: RegularGrid,
+      path: Option[String] = None): DataFrame = {
+    val cells = grid.cells(spark)
+    val wkt = concat(
+      lit("POLYGON(("),
+      col("xmin"), lit(" "), col("ymin"), lit(", "),
+      col("xmax"), lit(" "), col("ymin"), lit(", "),
+      col("xmax"), lit(" "), col("ymax"), lit(", "),
+      col("xmin"), lit(" "), col("ymax"), lit(", "),
+      col("xmin"), lit(" "), col("ymin"), lit("))"))
+    val out = emissions
+      .join(cells, "cell_id")
+      .withColumn("geometry_wkt", wkt)
+    path.foreach(p => out.write.mode("overwrite").parquet(p))
+    out
+  }
+}

@@ -1,0 +1,115 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.sources.{AsciiRaster, ProfilesCsv}
+import graft.sinks.Exports
+import graft.model.RegularGrid
+import graft.multimodal.Multimodal
+
+class IoSpec extends SparkSpec {
+
+  private def tmpFile(name: String, content: String): String = {
+    val dir = Files.createTempDirectory("graft-io")
+    val p = dir.resolve(name)
+    Files.writeString(p, content)
+    p.toString
+  }
+
+  test("temporal profile CSV reads in all three dialects, normalized") {
+    val variants = Seq(
+      ("comma.csv", "name,h0,h1,h2\np1,1,2,5\np2,4,4,2\n"),
+      ("semi.csv", "# comment line\nname;h0;h1;h2\np1;1;2;5\np2;4;4;2\n"),
+      ("tab.csv", "name\th0\th1\th2\np1\t1\t2\t5\np2\t4\t4\t2\n"))
+    variants.foreach { case (name, content) =>
+      val out = ProfilesCsv.readTemporalProfiles(spark, tmpFile(name, content))
+        .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(2)).toMap
+      assert(out(("p1", 0)) == 0.125, name)
+      assert(out(("p1", 2)) == 0.625, name)
+      assert(out(("p2", 1)) == 0.4, name)
+    }
+  }
+
+  test("vertical profile CSV parses height headers and intervals") {
+    val path = tmpFile("vert.csv",
+      "Category,Substance,20m,92m,100-184\nPP,CO2,0.2,0.5,0.3\n")
+    val out = ProfilesCsv.readVerticalProfiles(spark, path)
+      .collect().map(r => r.getInt(2) -> (r.getDouble(3), r.getDouble(4))).toMap
+    assert(out(0) == ((20.0, 0.2)))
+    assert(out(1) == ((92.0, 0.5)))
+    assert(out(2) == ((184.0, 0.3)))
+  }
+
+  test("ascii raster reads header, flips rows, drops nodata") {
+    val asc =
+      """ncols 3
+        |nrows 2
+        |xllcorner 10.0
+        |yllcorner 20.0
+        |cellsize 0.5
+        |NODATA_value -9999
+        |1 2 3
+        |4 -9999 6
+        |""".stripMargin
+    val (g, df) = AsciiRaster.read(spark, tmpFile("r.asc", asc))
+    assert(g == RegularGrid(3, 2, 10.0, 20.0, 0.5, 0.5))
+    val vals = df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // top row (1 2 3) is iy=1: cells ix*2+1 ; bottom row iy=0
+    assert(vals == Map(1L -> 1.0, 3L -> 2.0, 5L -> 3.0, 0L -> 4.0, 4L -> 6.0))
+  }
+
+  test("raster export pivots substances wide with cell centers; totals roll up") {
+    val grid = RegularGrid(2, 1, 0.0, 0.0, 1.0, 1.0)
+    val emi = spark.createDataFrame(Seq(
+      (0L, "a", "CO2", 2.0), (0L, "b", "CO2", 3.0), (1L, "a", "CH4", 4.0)))
+      .toDF("cell_id", "category", "substance", "value")
+    val wide = Exports.rasterExport(emi, grid)
+    val r0 = wide.where(col("cell_id") === 0).collect()(0)
+    assert(r0.getAs[Double]("CO2") == 5.0)
+    assert(r0.getAs[Double]("CH4") == 0.0)
+    assert(r0.getAs[Double]("x") == 0.5)
+    val dir = Files.createTempDirectory("graft-sink").resolve("raster").toString
+    Exports.rasterExport(emi, grid, Some(dir))
+    assert(spark.read.parquet(dir).count() == 2)
+  }
+
+  test("hourly export writes one partition per hour") {
+    val emi = spark.createDataFrame(Seq((0L, "A", "F", 10.0)))
+      .toDF("cell_id", "category", "substance", "value")
+    val sf = spark.createDataFrame(Seq(("A", "F", 0, 2.0)))
+      .toDF("category", "substance", "hour_of_day", "sf")
+    val dir = Files.createTempDirectory("graft-sink").resolve("hourly").toString
+    Exports.hourlyExport(emi, sf, "2024-01-01 00:00:00", 3, dir)
+    val back = spark.read.parquet(dir)
+    assert(back.select("ts_str").distinct().count() == 3)
+    val v = back.where(col("ts_str") === "2024-01-01 00:00:00")
+      .collect()(0).getAs[Double]("value")
+    assert(v == 20.0)
+  }
+
+  test("geoparquet export carries WKT polygons and envelopes") {
+    val grid = RegularGrid(1, 1, 0.0, 0.0, 2.0, 2.0)
+    val emi = spark.createDataFrame(Seq((0L, "a", "CO2", 1.0)))
+      .toDF("cell_id", "category", "substance", "value")
+    val out = Exports.geoParquetExport(spark, emi, grid).collect()(0)
+    assert(out.getAs[String]("geometry_wkt") ==
+      "POLYGON((0.0 0.0, 2.0 0.0, 2.0 2.0, 0.0 2.0, 0.0 0.0))")
+    assert(out.getAs[Double]("xmax") == 2.0)
+  }
+
+  test("multimodal decode stub: typed mapPartitions batch shape + features") {
+    val docs = spark.createDataFrame(Seq((1L, "abcd"), (2L, "")))
+      .toDF("doc_id", "text")
+    val decoded = Multimodal.decodeFeatures(spark, Multimodal.attachBinary(docs))
+      .collect().map(d => d.doc_id -> d).toMap
+    assert(decoded(1L).byte_len == 4)
+    assert(decoded(1L).width == 16 + 4 % 64)
+    assert(decoded(1L).features.sum == 1.0) // normalized histogram
+    assert(decoded(2L).features.sum == 0.0)
+    val frames = Multimodal.sampleFrames(
+      Multimodal.decodeFeatures(spark, Multimodal.attachBinary(
+        spark.createDataFrame(Seq((1L, "x" * 250))).toDF("doc_id", "text"))), 2)
+      .collect().map(_.getInt(1)).sorted
+    assert(frames.toSeq == Seq(0, 2)) // n_frames = 3 -> samples 0,2
+  }
+}

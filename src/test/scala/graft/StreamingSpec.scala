@@ -1,0 +1,57 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamingOps
+
+class StreamingSpec extends SparkSpec {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("hourlyWindows aggregates a micro-batched stream incrementally") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String, Double)]
+    val events = mem.toDF()
+      .toDF("event_id", "ts", "event_type", "value")
+    val q = StreamingOps.hourlyWindows(events)
+      .writeStream.format("memory").queryName("hourly_out")
+      .outputMode("complete").start()
+    try {
+      mem.addData(
+        (1L, ts("2024-01-01 10:05:00"), "click", 1.0),
+        (2L, ts("2024-01-01 10:55:00"), "click", 2.0),
+        (3L, ts("2024-01-01 11:05:00"), "view", 4.0))
+      q.processAllAvailable()
+      mem.addData((4L, ts("2024-01-01 10:59:00"), "click", 8.0))
+      q.processAllAvailable()
+      val out = spark.table("hourly_out").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+        .toMap
+      assert(out(("2024-01-01 10:00:00.0", "click")) == ((3L, 11.0)))
+      assert(out(("2024-01-01 11:00:00.0", "view")) == ((1L, 4.0)))
+    } finally q.stop()
+  }
+
+  test("applyHourlyFactors: stream-static broadcast join, no state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String, Double)]
+    val events = mem.toDF().toDF("event_id", "ts", "event_type", "value")
+    val factors = spark.createDataFrame(Seq(("click", 10, 3.0)))
+      .toDF("event_type", "hour_of_day", "sf")
+    val q = StreamingOps.applyHourlyFactors(events, factors)
+      .writeStream.format("memory").queryName("scaled_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, ts("2024-01-01 10:05:00"), "click", 2.0),
+        (2L, ts("2024-01-01 11:05:00"), "click", 2.0))
+      q.processAllAvailable()
+      val out = spark.table("scaled_out").collect()
+        .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+      assert(out == Map(1L -> 6.0, 2L -> 2.0))
+    } finally q.stop()
+  }
+}
