@@ -64,6 +64,7 @@ object Profiles {
             array_sort(collect_list(struct(col("pos"), col("qw")))),
             x => concat(x.getField("pos"), lit(":"), x.getField("qw"))),
           ",").as("vec"))
+      .persist() // read twice: id assignment + join-back
     vecs.join(denseIdsByVec(vecs, "dedup_id"), "vec")
       .select(col("profile_id"), col("dedup_id"))
   }
@@ -107,6 +108,7 @@ object Profiles {
             array_sort(collect_list(struct(col("category"), col("profile_id")))),
             x => concat(x.getField("category"), lit(":"), x.getField("profile_id"))),
           ",").as("vec"))
+      .persist() // read twice: id assignment + join-back
     vecs.join(denseIdsByVec(vecs, "region_id"), "vec")
       .select(col("cell_id"), col("region_id"))
   }
