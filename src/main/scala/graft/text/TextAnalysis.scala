@@ -26,8 +26,15 @@ object TextAnalysis {
   val Prime = 1000000007L
   val Base = 31L
 
-  /** Engine-portable rolling hash: fold base-31 Horner over the chars. */
+  /** Engine-portable rolling hash — the codegen'd native Expression
+    * ([[graft.functions.PortableHashExpr]]); bit-identical to the
+    * declarative fold in [[portableHashDeclarative]] (spec-checked). */
   def portableHash(s: Column): Column =
+    graft.functions.PortableHashExpr.portableHash(s)
+
+  /** The same hash via builtin higher-order functions only — kept as the
+    * cross-engine reference implementation (CodegenFallback, slower). */
+  def portableHashDeclarative(s: Column): Column =
     aggregate(
       filter(split(s, ""), c => c =!= lit("")),
       lit(0L),

@@ -16,6 +16,23 @@ class TextDedupSpec extends SparkSpec {
     assert(h == 99162322L)
   }
 
+  test("native codegen hash == declarative fold on real corpus strings") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val diff = docs.select(
+      TextAnalysis.portableHash(col("text")).as("a"),
+      TextAnalysis.portableHashDeclarative(col("text")).as("b"))
+      .where(col("a") =!= col("b"))
+    assert(diff.count() == 0)
+    // and on edge cases incl. empty string
+    val edge = spark.createDataFrame(Seq((1L, ""), (2L, "a"), (3L, "zz zz")))
+      .toDF("id", "text")
+    val d2 = edge.select(
+      TextAnalysis.portableHash(col("text")).as("a"),
+      TextAnalysis.portableHashDeclarative(col("text")).as("b"))
+      .where(col("a") =!= col("b"))
+    assert(d2.count() == 0)
+  }
+
   test("textStats computes exact counts on a known sentence") {
     val d = docs((1L, "the cat sat on the mat"))
     val r = TextAnalysis.textStats(d, Seq("the", "on")).collect()(0)
