@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.Tables._
-import graft.ops.CountryMask
+import graft.ops.{CountryMask, SourceWeights}
 import graft.profiles.{Profiles, Temporal}
 import graft.multimodal.Multimodal
 
@@ -76,6 +76,70 @@ object QueriesExtra {
         |       FROM spine)
         |SELECT hour_of_week, dt.day_type, ratio * 24.0 AS sf
         |FROM dt JOIN prof ON prof.day_type = dt.day_type AND prof.pos = dt.pos""".stripMargin)),
+
+    Q("q_point_weights",
+      (s, d) => SourceWeights.pointWeights(
+        customer(s, d).select(
+          col("c_custkey").as("source_id"),
+          (col("c_custkey") % 1281 / 20.0).as("x"),
+          (col("c_custkey") % 2561 / 40.0).as("y")),
+        srcGrid),
+      Some("""WITH pts AS (SELECT c_custkey AS source_id,
+        |                    (c_custkey % 1281) / 20.0 AS fx,
+        |                    (c_custkey % 2561) / 40.0 AS fy
+        |             FROM customer),
+        |cand AS (SELECT source_id,
+        |                floor(fx)::BIGINT - ox AS ix, floor(fy)::BIGINT - oy AS iy
+        |         FROM pts, (VALUES (0), (1)) a(ox), (VALUES (0), (1)) b(oy)
+        |         WHERE (ox = 0 OR fx = floor(fx)) AND (oy = 0 OR fy = floor(fy))
+        |           AND floor(fx)::BIGINT - ox BETWEEN 0 AND 63
+        |           AND floor(fy)::BIGINT - oy BETWEEN 0 AND 63),
+        |n AS (SELECT source_id, count(*) AS n FROM cand GROUP BY 1)
+        |SELECT cand.source_id, ix * 64 + iy AS cell_id, 1.0 / n.n AS weight
+        |FROM cand JOIN n USING (source_id)""".stripMargin)),
+
+    Q("q_line_weights",
+      (s, d) => SourceWeights.lineWeights(
+        supplier(s, d).select(
+          col("s_suppkey").as("source_id"),
+          (col("s_suppkey") % 640 / 10.0).as("x1"),
+          (col("s_suppkey") % 320 / 5.0).as("y1"),
+          (col("s_suppkey") % 640 / 10.0 + col("s_suppkey") % 7 - 3).as("x2"),
+          (col("s_suppkey") % 320 / 5.0 + col("s_suppkey") % 11 - 5).as("y2")),
+        srcGrid),
+      Some("""WITH segs AS (SELECT s_suppkey AS source_id,
+        |                     (s_suppkey % 640) / 10.0 AS fx1, (s_suppkey % 320) / 5.0 AS fy1,
+        |                     (s_suppkey % 640) / 10.0 + s_suppkey % 7 - 3 AS fx2,
+        |                     (s_suppkey % 320) / 5.0 + s_suppkey % 11 - 5 AS fy2
+        |              FROM supplier),
+        |cx AS (SELECT *, unnest(generate_series(greatest(0, floor(least(fx1, fx2))::BIGINT - 1),
+        |                                        least(63, floor(greatest(fx1, fx2))::BIGINT))) AS ix
+        |       FROM segs),
+        |cxy AS (SELECT *, unnest(generate_series(greatest(0, floor(least(fy1, fy2))::BIGINT - 1),
+        |                                         least(63, floor(greatest(fy1, fy2))::BIGINT))) AS iy
+        |        FROM cx),
+        |t AS (SELECT source_id, ix, iy,
+        |        CASE WHEN fx2 - fx1 = 0
+        |             THEN CASE WHEN fx1 >= CAST(ix AS DOUBLE) AND fx1 <= ix + 1.0 THEN -1e18 ELSE 1e18 END
+        |             ELSE least((CAST(ix AS DOUBLE) - fx1) / (fx2 - fx1), (ix + 1.0 - fx1) / (fx2 - fx1)) END AS txin,
+        |        CASE WHEN fx2 - fx1 = 0
+        |             THEN CASE WHEN fx1 >= CAST(ix AS DOUBLE) AND fx1 <= ix + 1.0 THEN 1e18 ELSE -1e18 END
+        |             ELSE greatest((CAST(ix AS DOUBLE) - fx1) / (fx2 - fx1), (ix + 1.0 - fx1) / (fx2 - fx1)) END AS txout,
+        |        CASE WHEN fy2 - fy1 = 0
+        |             THEN CASE WHEN fy1 >= CAST(iy AS DOUBLE) AND fy1 <= iy + 1.0 THEN -1e18 ELSE 1e18 END
+        |             ELSE least((CAST(iy AS DOUBLE) - fy1) / (fy2 - fy1), (iy + 1.0 - fy1) / (fy2 - fy1)) END AS tyin,
+        |        CASE WHEN fy2 - fy1 = 0
+        |             THEN CASE WHEN fy1 >= CAST(iy AS DOUBLE) AND fy1 <= iy + 1.0 THEN 1e18 ELSE -1e18 END
+        |             ELSE greatest((CAST(iy AS DOUBLE) - fy1) / (fy2 - fy1), (iy + 1.0 - fy1) / (fy2 - fy1)) END AS tyout
+        |      FROM cxy),
+        |w AS (SELECT source_id, ix, iy,
+        |             greatest(least(txout, tyout, 1.0) - greatest(txin, tyin, 0.0), 0.0) AS w
+        |      FROM t),
+        |f AS (SELECT source_id, ix * 64 + iy AS cell_id, w,
+        |             sum(w) OVER (PARTITION BY source_id) AS wsum
+        |      FROM w WHERE w > 0)
+        |SELECT source_id, cell_id, CASE WHEN wsum > 1.0 THEN w / wsum ELSE w END AS weight
+        |FROM f""".stripMargin)),
 
     Q("q_multimodal_meta",
       (s, d) => Multimodal.metadata(documents(s, d)),
