@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.Tables._
-import graft.ops.{CountryMask, SourceWeights}
+import graft.ops.{CountryMask, PolygonCrop, SourceWeights}
 import graft.profiles.{Profiles, Temporal}
 import graft.multimodal.Multimodal
 
@@ -140,6 +140,15 @@ object QueriesExtra {
         |      FROM w WHERE w > 0)
         |SELECT source_id, cell_id, CASE WHEN wsum > 1.0 THEN w / wsum ELSE w END AS weight
         |FROM f""".stripMargin)),
+
+    // No SQL oracle (driver rows-only check): polygon clipping is the one
+    // operator that is genuinely not plain-SQL-expressible — the custom
+    // Expression path; exactness is covered by PolygonCropSpec against the
+    // reference's hand-computed triangle×square tables.
+    Q("q_crop_polygon",
+      (s, d) => PolygonCrop.cropWithPolygon(s, emissionsAgg(s, d), srcGrid,
+        Seq((5.0, 5.0), (55.0, 10.0), (30.0, 60.0))),
+      None),
 
     Q("q_multimodal_meta",
       (s, d) => Multimodal.metadata(documents(s, d)),

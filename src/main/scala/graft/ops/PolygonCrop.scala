@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.BoxPolyClipAreaExpr
+import graft.model.RegularGrid
+
+/** Crop / weight-map against an arbitrary simple polygon — the general
+  * form of the reference's `crop_with_shape` / `geoserie_intersection`
+  * (emiproc/inventories/utils.py:120-261, emiproc/regrid.py:349-418):
+  * each cell's weight is the fraction of its area inside the polygon;
+  * `keepOutside` inverts (1 − w); zero-weight cells are dropped
+  * (`drop_unused`). Narrow map over the cell table — the polygon is a
+  * broadcast-free literal inside the expression.
+  */
+object PolygonCrop {
+
+  /** `(cell_id, weight)` for cells overlapping the polygon; weight =
+    * area(cell ∩ poly) / area(cell), or / area(poly) with
+    * `normalizeByPoly` (the reference's polygon-source weight view). */
+  def cellWeights(
+      spark: SparkSession,
+      grid: RegularGrid,
+      poly: Seq[(Double, Double)],
+      normalizeByPoly: Boolean = false): DataFrame = {
+    val area = BoxPolyClipAreaExpr.clipAreaCol(
+      col("xmin"), col("ymin"), col("xmax"), col("ymax"), poly)
+    val denom =
+      if (normalizeByPoly) math.abs(shoelace(poly))
+      else grid.cellArea
+    grid.cells(spark)
+      .withColumn("weight", area / denom)
+      .where(col("weight") > 0)
+      .select("cell_id", "weight")
+  }
+
+  /** Crop an inventory by the polygon: value × inside-fraction, boundary
+    * cells partial, zero-weight cells dropped; `keepOutside` keeps the
+    * complement instead. */
+  def cropWithPolygon(
+      spark: SparkSession,
+      emissions: DataFrame,
+      grid: RegularGrid,
+      poly: Seq[(Double, Double)],
+      keepOutside: Boolean = false): DataFrame = {
+    val w = cellWeights(spark, grid, poly)
+    val joined = emissions.join(broadcast(w), Seq("cell_id"), "left")
+    val inside = coalesce(col("weight"), lit(0.0))
+    val frac = if (keepOutside) lit(1.0) - inside else inside
+    joined
+      .withColumn("value", col("value") * frac)
+      .drop("weight")
+      .where(col("value") =!= 0.0)
+  }
+
+  private def shoelace(poly: Seq[(Double, Double)]): Double =
+    poly.indices.map { i =>
+      val (x1, y1) = poly(i)
+      val (x2, y2) = poly((i + 1) % poly.length)
+      x1 * y2 - x2 * y1
+    }.sum / 2.0
+}
