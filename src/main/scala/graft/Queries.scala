@@ -337,6 +337,44 @@ object Queries {
         |SELECT profile_id, dst_level AS level, sum(r * weight) AS r
         |FROM prof JOIN w ON prof.level = w.src_level GROUP BY 1, 2""".stripMargin)),
 
+    Q("q_remap_profiles",
+      (s, d) => {
+        val cellProfiles = lineitem(s, d)
+          .groupBy((col("l_orderkey") % 4096).as("cell_id"),
+            col("l_linenumber").as("pos"))
+          .agg(sum("l_quantity").as("ratio"))
+        val cellWeights = emissionsAgg(s, d)
+          .groupBy("cell_id").agg(sum("value").as("w"))
+        Profiles.remapProfiles(cellProfiles, cellWeights,
+          Regrid.weights(s, srcGrid, dstGrid))
+      },
+      Some(s"""$EmiAggCte,
+        |$WeightsCte,
+        |cp AS (SELECT l_orderkey % 4096 AS cell_id, l_linenumber AS pos,
+        |              sum(l_quantity) AS ratio
+        |       FROM lineitem GROUP BY 1, 2),
+        |cw AS (SELECT cell_id, sum(value) AS w FROM emi GROUP BY 1),
+        |m AS (SELECT w.dst_cell AS cell_id, cp.pos,
+        |             sum(cp.ratio * cw.w * w.weight) AS cw
+        |      FROM cp JOIN cw USING (cell_id) JOIN w ON w.src_cell = cp.cell_id
+        |      GROUP BY 1, 2)
+        |SELECT cell_id, pos, cw / sum(cw) OVER (PARTITION BY cell_id) AS ratio
+        |FROM m""".stripMargin)),
+
+    Q("q_pad_missing_cells",
+      (s, d) => {
+        val index = emissionsAgg(s, d).select("cell_id").distinct()
+          .where(col("cell_id") % 3 === 0)
+          .withColumn("profile_id", (col("cell_id") % 7).cast("int"))
+        Profiles.padMissingCells(s, index, srcGrid.ncells)
+      },
+      Some(s"""$EmiAggCte,
+        |idx AS (SELECT DISTINCT cell_id, CAST(cell_id % 7 AS INT) AS profile_id
+        |        FROM emi WHERE cell_id % 3 = 0)
+        |SELECT c.cell_id, coalesce(idx.profile_id, -1) AS profile_id
+        |FROM (SELECT i AS cell_id FROM range(4096) t(i)) c
+        |LEFT JOIN idx USING (cell_id)""".stripMargin)),
+
     Q("q_vertical_violations",
       (s, d) => VerticalProfiles.violations(
         lineitem(s, d).groupBy(

@@ -113,6 +113,40 @@ object Profiles {
       .select(col("cell_id"), col("region_id"))
   }
 
+  /** Re-grid cell-dimension profiles through a remap weight table — the
+    * reference's `remap_profiles` (emiproc/profiles/operators.py:571-666):
+    * each output cell's profile is the emission-mass × remap-weight
+    * weighted combination of its source cells' profiles, renormalized.
+    * `cellProfiles(cell_id, pos, ratio)` ⋈ `cellWeights(cell_id, w)` ⋈
+    * `remapWeights(src_cell, dst_cell, weight)`. One shuffle on
+    * (dst_cell, pos). */
+  def remapProfiles(
+      cellProfiles: DataFrame,
+      cellWeights: DataFrame,
+      remapWeights: DataFrame): DataFrame = {
+    val combined = cellProfiles
+      .join(cellWeights, "cell_id")
+      .join(remapWeights.withColumnRenamed("src_cell", "cell_id"), "cell_id")
+      .groupBy(col("dst_cell").as("cell_id"), col("pos"))
+      .agg(sum(col("ratio") * col("w") * col("weight")).as("cw"))
+    val win = Window.partitionBy("cell_id")
+    combined.select(
+      col("cell_id"), col("pos"),
+      (col("cw") / sum("cw").over(win)).as("ratio"))
+  }
+
+  /** Pad a cell→profile index with the constant-profile sentinel for
+    * cells lacking an assignment — the reference's
+    * `add_constant_profile_to_missing_cells`
+    * (emiproc/profiles/operators.py:746-797; `-1` = constant). */
+  def padMissingCells(
+      spark: org.apache.spark.sql.SparkSession,
+      index: DataFrame,
+      ncells: Long): DataFrame =
+    spark.range(ncells).select(col("id").as("cell_id"))
+      .join(index, Seq("cell_id"), "left")
+      .withColumn("profile_id", coalesce(col("profile_id"), lit(-1)))
+
   /** Merge profile index tables of increasing specificity — the
     * reference's `merge_indexes` (emiproc/profiles/utils.py:271-339):
     * later (more specific) tables override earlier via coalesce after

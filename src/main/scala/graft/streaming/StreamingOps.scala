@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Structured Streaming variants of the bounded-time exports (SURVEY.md
   * §2.5 streaming note): the reference's hourly export loop
@@ -28,6 +29,50 @@ object StreamingOps {
       .select(
         col("window.start").as("hour"),
         col("event_type"), col("n"), col("total_value"))
+
+  final case class SessionEvent(user_id: Long, event_id: Long, ts_us: Long)
+  final case class OpenSession(start_us: Long, last_us: Long, n: Long, first_event: Long)
+  final case class ClosedSession(
+      user_id: Long, first_event: Long, n_events: Long, duration_us: Long)
+
+  /** Stateful streaming sessionization via
+    * `flatMapGroupsWithState` — the custom-state path of SURVEY §2.5's
+    * streaming note (batch equivalent: Events.sessionize). One open
+    * session per user lives in the state store; a closed session is
+    * emitted as soon as an event beyond the gap arrives. */
+  def sessionizeStream(events: DataFrame, gapMinutes: Int = 30): Dataset[ClosedSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapMinutes.toLong * 60 * 1000000
+
+    def update(
+        user: Long,
+        it: Iterator[SessionEvent],
+        state: GroupState[OpenSession]): Iterator[ClosedSession] = {
+      val evs = it.toSeq.sortBy(e => (e.ts_us, e.event_id))
+      var st = state.getOption
+      val out = scala.collection.mutable.Buffer[ClosedSession]()
+      evs.foreach { e =>
+        st match {
+          case Some(s) if e.ts_us - s.last_us <= gapUs =>
+            st = Some(s.copy(last_us = e.ts_us, n = s.n + 1))
+          case Some(s) =>
+            out += ClosedSession(user, s.first_event, s.n, s.last_us - s.start_us)
+            st = Some(OpenSession(e.ts_us, e.ts_us, 1, e.event_id))
+          case None =>
+            st = Some(OpenSession(e.ts_us, e.ts_us, 1, e.event_id))
+        }
+      }
+      st.foreach(state.update)
+      out.iterator
+    }
+
+    events
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+      .as[SessionEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
+  }
 
   /** Stream-static join: scale each event by the static hourly profile
     * factor of its event type (missing profile → 1.0) — the streaming form

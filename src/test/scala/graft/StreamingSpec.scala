@@ -34,6 +34,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionizeStream closes sessions across micro-batches via state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long)]
+    val events = mem.toDF().toDF("event_id", "ts", "user_id")
+    val q = StreamingOps.sessionizeStream(events, gapMinutes = 30)
+      .writeStream.format("memory").queryName("sessions_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, ts("2024-01-01 10:00:00"), 7L),
+        (2L, ts("2024-01-01 10:10:00"), 7L))
+      q.processAllAvailable()
+      assert(spark.table("sessions_out").count() == 0) // still open
+      mem.addData((3L, ts("2024-01-01 12:00:00"), 7L)) // gap -> closes first
+      q.processAllAvailable()
+      val out = spark.table("sessions_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(out.toSeq == Seq((7L, 1L, 2L, 600000000L)))
+    } finally q.stop()
+  }
+
   test("applyHourlyFactors: stream-static broadcast join, no state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
