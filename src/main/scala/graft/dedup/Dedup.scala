@@ -31,29 +31,14 @@ object Dedup {
   }
 
   /** Distinct word n-gram shingles per document — the unit set of both
-    * MinHash and Jaccard.
-    *
-    * Implementation note: built as token explode + window `lead` (one
-    * shuffle on doc_id, fully codegen'd) rather than per-row higher-order
-    * array functions (transform/slice are CodegenFallback — interpreted,
-    * measured ~20x slower on this corpus). */
-  def shingles(docs: DataFrame, n: Int = 3): DataFrame = {
-    val tok = docs.select(
+    * MinHash and Jaccard. A single narrow generate via the custom
+    * [[graft.functions.ShingleGenerator]] (per-doc dedup inside the
+    * generator == the global (doc, shingle) distinct): zero shuffles,
+    * vs. two for the declarative explode+window+distinct formulation. */
+  def shingles(docs: DataFrame, n: Int = 3): DataFrame =
+    docs.select(
       col("doc_id"),
-      posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
-    val win = Window.partitionBy("doc_id").orderBy("pos")
-    val withNext = (1 until n).foldLeft(tok) { (df, k) =>
-      df.withColumn(s"w$k", lead("word", k).over(win))
-    }
-    val full = (1 until n).map(k => col(s"w$k").isNotNull)
-      .reduceOption(_ && _).getOrElse(lit(true))
-    withNext
-      .where(full)
-      .select(
-        col("doc_id"),
-        concat_ws(" ", col("word") +: (1 until n).map(k => col(s"w$k")): _*).as("shingle"))
-      .distinct()
-  }
+      graft.functions.ShingleGenerator.shingles(col("text"), n).as("shingle"))
 
   /** MinHash signatures: k permutation-hashes h_j(x) = (a_j·x + b_j) mod P
     * over the shingle hashes, minimum per (doc, j). The parameter table is
