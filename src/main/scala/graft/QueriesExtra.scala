@@ -2,9 +2,11 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.Tables._
-import graft.ops.{CountryMask, PolygonCrop, SourceWeights}
+import graft.ops.{CountryMask, HumanRespiration, PolygonCrop, SourceWeights}
 import graft.profiles.{Profiles, Temporal}
 import graft.multimodal.Multimodal
+import graft.sources.RasterTable
+import graft.sinks.IconExport
 
 /** Gate queries for the remaining profile-algebra operators (P5 country→
   * cells, P15 profile regions, T6 day-type resolution) and the multimodal
@@ -140,6 +142,58 @@ object QueriesExtra {
         |      FROM w WHERE w > 0)
         |SELECT source_id, cell_id, CASE WHEN wsum > 1.0 THEN w / wsum ELSE w END AS weight
         |FROM f""".stripMargin)),
+
+    Q("q_raster_to_inventory",
+      (s, d) => {
+        val raster = part(s, d).select(
+          (col("p_partkey") % 64).as("lon_idx"),
+          (expr("p_partkey div 64") % 64).as("lat_idx"),
+          concat(lit("v"), col("p_partkey") % 3).as("variable"),
+          col("p_size").as("flux"))
+        RasterTable.toInventory(s, raster, srcGrid,
+          Seq(("v0", "A", "CO2"), ("v1", "A", "CH4"), ("v2", "B", "CO2")))
+      },
+      Some("""WITH raster AS (SELECT p_partkey % 64 AS lon_idx, (p_partkey // 64) % 64 AS lat_idx,
+        |                       'v' || (p_partkey % 3) AS variable, p_size AS flux
+        |                FROM part),
+        |m AS (SELECT * FROM (VALUES ('v0','A','CO2'), ('v1','A','CH4'), ('v2','B','CO2'))
+        |      t(variable, category, substance))
+        |SELECT lon_idx * 64 + lat_idx AS cell_id, category, substance,
+        |       flux * 31557600.0 AS value
+        |FROM raster JOIN m USING (variable)""".stripMargin)),
+
+    Q("q_icon_tz_roll",
+      (s, _) => IconExport.tzRoll(
+        s.range(240).select(
+          expr("id div 24").as("profile_id"),
+          (col("id") % 24).cast("int").as("pos"),
+          (col("id") / 300.0).as("ratio")),
+        shiftHours = 7),
+      Some("""SELECT i // 24 AS profile_id, CAST((i % 24 + 7) % 24 AS INT) AS pos,
+        |       i / 300.0 AS ratio
+        |FROM range(240) t(i)""".stripMargin)),
+
+    Q("q_people_emissions",
+      (s, d) => HumanRespiration.peopleToEmissions(s,
+        customer(s, d).select(
+          (col("c_custkey") % 4096).as("cell_id"),
+          when(col("c_nationkey") % 2 === 0, "resident").otherwise("worker")
+            .as("people_kind"),
+          (col("c_custkey") % 50 + 1).as("n_people")),
+        factors = Seq(
+          ("resident", "CO2", 0.25), ("resident", "CH4", 0.0625),
+          ("worker", "CO2", 0.125)),
+        timeRatio = 0.5),
+      Some("""WITH pop AS (SELECT c_custkey % 4096 AS cell_id,
+        |                    CASE WHEN c_nationkey % 2 = 0 THEN 'resident' ELSE 'worker' END AS people_kind,
+        |                    c_custkey % 50 + 1 AS n_people
+        |             FROM customer),
+        |f AS (SELECT people_kind, substance, CAST(ef AS DOUBLE) AS ef
+        |      FROM (VALUES ('resident','CO2',0.25), ('resident','CH4',0.0625),
+        |                   ('worker','CO2',0.125)) t(people_kind, substance, ef))
+        |SELECT cell_id, 'human_respiration' AS category, substance,
+        |       sum(n_people * ef * 0.5) AS value
+        |FROM pop JOIN f USING (people_kind) GROUP BY 1, 2, 3""".stripMargin)),
 
     // No SQL oracle (driver rows-only check): polygon clipping is the one
     // operator that is genuinely not plain-SQL-expressible — the custom

@@ -108,6 +108,13 @@ object Temporal {
       .select(col("day"), col("y"))
   }
 
+  /** T7 — leap-year profile selection (reference
+    * emiproc/profiles/temporal/profiles.py:277-284): the reference checks
+    * `year % 4` ONLY — intentionally ignoring the 100/400 Gregorian rule
+    * at this call-site (unlike `get_day_per_year`,
+    * emiproc/utilities.py:38-46); we replicate the documented behavior. */
+  def isLeapRef(year: Column): Column = year % 4 === 0
+
   /** T6 — fold the `day_type` dimension into hour-of-week factors
     * (reference emiproc/profiles/temporal/operators.py:345-437
     * `resolve_daytype`): each hour of the week selects the profile row of
