@@ -143,6 +143,59 @@ object QueriesExtra {
         |SELECT source_id, cell_id, CASE WHEN wsum > 1.0 THEN w / wsum ELSE w END AS weight
         |FROM f""".stripMargin)),
 
+    Q("q_interp_anchors_hourly",
+      (s, _) => Temporal.interpolateAnchorsToHourly(s,
+        s.range(36).select(
+          expr("id div 12").as("profile_id"),
+          ((col("id") % 12) * 730 + 365).as("h"),
+          ((col("id") % 12 + 1) * (col("id") % 12 + 1)).as("v")),
+        hours = 8760),
+      Some("""WITH anchors AS (SELECT i // 12 AS profile_id,
+        |                        CAST((i % 12) * 730 + 365 AS DOUBLE) AS h,
+        |                        CAST((i % 12 + 1) * (i % 12 + 1) AS DOUBLE) AS v,
+        |                        0 AS is_spine
+        |                 FROM range(36) t(i)),
+        |spine AS (SELECT p.profile_id, CAST(j AS DOUBLE) AS h, NULL::DOUBLE AS v, 1 AS is_spine
+        |          FROM (SELECT DISTINCT profile_id FROM anchors) p, range(8760) s(j)),
+        |u AS (SELECT * FROM anchors UNION ALL SELECT * FROM spine),
+        |m AS (SELECT *,
+        |        last_value(v IGNORE NULLS) OVER (PARTITION BY profile_id ORDER BY h, is_spine
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        |        last_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+        |          OVER (PARTITION BY profile_id ORDER BY h, is_spine
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+        |        first_value(v IGNORE NULLS) OVER (PARTITION BY profile_id ORDER BY h, is_spine
+        |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        |        first_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+        |          OVER (PARTITION BY profile_id ORDER BY h, is_spine
+        |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+        |      FROM u)
+        |SELECT profile_id, h,
+        |       CASE WHEN pv IS NULL THEN nv
+        |            WHEN nv IS NULL THEN pv
+        |            WHEN ph = nh THEN pv
+        |            ELSE pv + (nv - pv) * ((h - ph) / (nh - ph)) END AS y
+        |FROM m WHERE is_spine = 1""".stripMargin)),
+
+    Q("q_winnowing",
+      (s, d) => graft.text.TextAnalysis.winnowing(documents(s, d), n = 3, w = 4),
+      Some(s"""WITH tok AS (SELECT doc_id, unnest(generate_series(0, len(w) - 3)) AS pos0, w
+        |         FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |         WHERE len(w) >= 3),
+        |g AS (SELECT doc_id, CAST(pos0 AS INT) AS pos,
+        |             ${QueriesML.hashSqlOf("(w[pos0 + 1] || ' ' || w[pos0 + 2] || ' ' || w[pos0 + 3])")} AS h
+        |      FROM tok),
+        |k AS (SELECT doc_id, pos, h * 1048576 + (1048575 - pos) AS key FROM g),
+        |m AS (SELECT doc_id, pos,
+        |             min(key) OVER (PARTITION BY doc_id ORDER BY pos
+        |               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS kmin,
+        |             count(*) OVER (PARTITION BY doc_id ORDER BY pos
+        |               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS n_grams
+        |      FROM k)
+        |SELECT DISTINCT doc_id, 1048575 - kmin % 1048576 AS pos,
+        |       kmin // 1048576 AS fingerprint
+        |FROM m WHERE n_grams = 4""".stripMargin)),
+
     Q("q_raster_to_inventory",
       (s, d) => {
         val raster = part(s, d).select(

@@ -22,7 +22,10 @@ object QueriesML {
     ("le", "fr"), ("la", "fr"), ("et", "fr"),
     ("el", "es"), ("los", "es"), ("y", "es"))
 
-  /** DuckDB rendering of [[TextAnalysis.portableHash]] over column `c`. */
+  /** DuckDB rendering of [[TextAnalysis.portableHash]] over any SQL
+    * string expression `c`. */
+  def hashSqlOf(c: String): String = hashSql(c)
+
   private def hashSql(c: String): String =
     s"list_reduce(list_prepend(0::BIGINT, list_transform(string_split($c, ''), " +
       s"ch -> ascii(ch)::BIGINT)), (acc, x) -> (acc * 31 + x) % 1000000007)"

@@ -108,6 +108,49 @@ object Temporal {
       .select(col("day"), col("y"))
   }
 
+  /** T5 (general form) — piecewise-linear interpolation of per-profile
+    * anchor points onto an hourly spine via the as-of window pattern
+    * (reference emiproc/profiles/temporal/operators.py:238-338
+    * `interpolate_profiles`: anchors at period midpoints, linear interp,
+    * constant extrapolation at the ends). `anchors(profile_id, h, v)` →
+    * `(profile_id, h, y)` for h in [0, hours).
+    *
+    * Scale note: windows partition by profile_id (one profile's spine is
+    * at most 8784 rows — bounded), so the sort never concentrates the
+    * whole dataset on one partition. */
+  def interpolateAnchorsToHourly(
+      spark: SparkSession,
+      anchors: DataFrame,
+      hours: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spine = anchors.select("profile_id").distinct()
+      .crossJoin(spark.range(hours).select(col("id").cast("double").as("h")))
+      .withColumn("v", lit(null).cast("double"))
+      .withColumn("is_spine", lit(1))
+    val a = anchors.select(
+      col("profile_id"), col("h").cast("double"),
+      col("v").cast("double"), lit(0).as("is_spine"))
+    val u = a.unionByName(spine)
+    val w = Window.partitionBy("profile_id").orderBy(col("h"), col("is_spine"))
+    val back = w.rowsBetween(Window.unboundedPreceding, 0)
+    val fwd = w.rowsBetween(0, Window.unboundedFollowing)
+    val anchorH = when(col("v").isNotNull, col("h"))
+    u
+      .withColumn("pv", last(col("v"), ignoreNulls = true).over(back))
+      .withColumn("ph", last(anchorH, ignoreNulls = true).over(back))
+      .withColumn("nv", first(col("v"), ignoreNulls = true).over(fwd))
+      .withColumn("nh", first(anchorH, ignoreNulls = true).over(fwd))
+      .where(col("is_spine") === 1)
+      .select(
+        col("profile_id"), col("h"),
+        when(col("pv").isNull, col("nv"))
+          .when(col("nv").isNull, col("pv"))
+          .when(col("ph") === col("nh"), col("pv"))
+          .otherwise(col("pv") +
+            (col("nv") - col("pv")) * ((col("h") - col("ph")) / (col("nh") - col("ph"))))
+          .as("y"))
+  }
+
   /** T7 — leap-year profile selection (reference
     * emiproc/profiles/temporal/profiles.py:277-284): the reference checks
     * `year % 4` ONLY — intentionally ignoring the 100/400 Gregorian rule

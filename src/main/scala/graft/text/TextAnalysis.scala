@@ -112,4 +112,39 @@ object TextAnalysis {
       col("doc_id"),
       portableHash(col("text")).as("fp"))
       .withColumn("fp_band", col("fp") % 1024)
+
+  /** Winnowing fingerprints (the MOSS scheme): hash every positioned
+    * word n-gram; each sliding window of `w` consecutive n-grams records
+    * its minimum hash (ties → rightmost position, robust winnowing);
+    * the distinct recorded (pos, hash) pairs are the fingerprints.
+    * Guarantees any shared run of ≥ w+n-1 words yields a shared
+    * fingerprint. The (hash, pos) pair is packed into one BIGINT
+    * (h·2²⁰ + (2²⁰−1−pos)) so the arg-min is a plain `min` — portable to
+    * any engine with integer windows, no struct ordering needed.
+    * One shuffle (doc partition for the position windows). */
+  def winnowing(docs: DataFrame, n: Int = 3, w: Int = 4): DataFrame = {
+    val P = 1048576L // 2^20: max document positions supported
+    val win = Window.partitionBy("doc_id").orderBy("pos")
+    val tok = docs.select(
+      col("doc_id"),
+      posexplode(words(col("text"))).as(Seq("pos", "word")))
+    val grams = (1 until n).foldLeft(tok) { (df, k) =>
+      df.withColumn(s"w$k", lead("word", k).over(win))
+    }
+      .where((1 until n).map(k => col(s"w$k").isNotNull).reduceOption(_ && _)
+        .getOrElse(lit(true)))
+      .withColumn("h",
+        portableHash(concat_ws(" ", col("word") +: (1 until n).map(k => col(s"w$k")): _*)))
+      .withColumn("key", col("h") * P + (lit(P - 1) - col("pos")))
+    val sw = win.rowsBetween(-(w - 1), 0)
+    grams
+      .withColumn("kmin", min("key").over(sw))
+      .withColumn("n_grams", count(lit(1)).over(sw))
+      .where(col("n_grams") === w)
+      .select(
+        col("doc_id"),
+        (lit(P - 1) - col("kmin") % P).as("pos"),
+        expr(s"kmin div $P").as("fingerprint"))
+      .distinct()
+  }
 }

@@ -60,6 +60,20 @@ class TemporalSpec extends SparkSpec {
     assert(out(359) == 120.0) // clamped after last anchor
   }
 
+  test("anchor interpolation: exact at anchors, linear between, clamped ends") {
+    val anchors = spark.createDataFrame(Seq(
+      (1, 10.0, 10.0), (1, 20.0, 30.0), (2, 5.0, 100.0)))
+      .toDF("profile_id", "h", "v")
+    val out = Temporal.interpolateAnchorsToHourly(spark, anchors, hours = 30)
+      .collect().map(r => (r.getInt(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    assert(out((1, 10.0)) == 10.0)
+    assert(out((1, 15.0)) == 20.0)
+    assert(out((1, 20.0)) == 30.0)
+    assert(out((1, 0.0)) == 10.0) // clamp before first anchor
+    assert(out((1, 25.0)) == 30.0) // clamp after last
+    assert(out((2, 29.0)) == 100.0) // single-anchor profile constant
+  }
+
   test("hddScaling ratios sum to 1 over the period") {
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
     val out = Temporal.hddScaling(ev)

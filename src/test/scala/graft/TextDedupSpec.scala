@@ -52,6 +52,19 @@ class TextDedupSpec extends SparkSpec {
     assert(out(2L) == (("und", 0L)))
   }
 
+  test("winnowing: identical docs share all fingerprints; long shared runs overlap") {
+    val a = "the quick brown fox jumps over the lazy dog near the old barn today"
+    val b = "completely different prefix words here " + a.split(' ').drop(2).mkString(" ")
+    val d = docs((1L, a), (2L, a), (3L, b))
+    val fp = TextAnalysis.winnowing(d, n = 3, w = 4).collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.map(r => r.getLong(2)).toSet).toMap
+    assert(fp(1L) == fp(2L))
+    // doc 3 shares a >= w+n-1 word run with doc 1 -> guaranteed overlap
+    assert((fp(1L) & fp(3L)).nonEmpty)
+    assert(fp(1L) != fp(3L))
+  }
+
   test("exactDuplicates maps copies to the smallest doc_id") {
     val d = docs((5L, "aaa"), (2L, "bbb"), (9L, "aaa"))
     val out = Dedup.exactDuplicates(d).collect()
