@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.Tables._
-import graft.ops.{CountryMask, HumanRespiration, PolygonCrop, SourceWeights}
+import graft.ops.{CountryMask, HumanRespiration, PolygonCrop, SourceWeights, Vprm}
+import graft.sinks.Exports
 import graft.profiles.{Profiles, Temporal}
 import graft.multimodal.Multimodal
 import graft.sources.RasterTable
@@ -142,6 +143,71 @@ object QueriesExtra {
         |      FROM w WHERE w > 0)
         |SELECT source_id, cell_id, CASE WHEN wsum > 1.0 THEN w / wsum ELSE w END AS weight
         |FROM f""".stripMargin)),
+
+    Q("q_vprm",
+      (s, d) => {
+        val obs = events(s, d).select(
+          col("event_type").as("veg_type"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+          (col("value") / 10.0).as("t"),
+          (col("value") * 4.0).as("rad"),
+          (col("user_id") % 20 / 20.0 - 0.25).as("lswi"),
+          (col("event_id") % 100 / 100.0).as("evi"))
+        val params = s.createDataFrame(Seq(
+          ("click", 0.25, 1.0, 0.5, 0.0, 20.0, 40.0, 2.0, 250.0),
+          ("view", 0.125, 0.5, 0.25, 0.0, 20.0, 40.0, 4.0, 500.0),
+          ("purchase", 0.5, 2.0, 0.75, 0.0, 20.0, 40.0, 1.0, 125.0),
+          ("signup", 0.25, 1.0, 0.5, 0.0, 20.0, 40.0, 2.0, 250.0),
+          ("error", 0.25, 1.0, 0.5, 0.0, 20.0, 40.0, 2.0, 250.0)))
+          .toDF("veg_type", "alpha", "beta", "lambda",
+            "tmin", "topt", "tmax", "tlow", "par0")
+        Vprm.calculateEmissions(obs, params)
+      },
+      Some("""WITH obs AS (SELECT event_type AS veg_type,
+        |                    strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+        |                    value / 10.0 AS t, value * 4.0 AS rad,
+        |                    user_id % 20 / 20.0 - 0.25 AS lswi,
+        |                    event_id % 100 / 100.0 AS evi
+        |             FROM events),
+        |p AS (SELECT veg_type, CAST(alpha AS DOUBLE) AS alpha, CAST(beta AS DOUBLE) AS beta,
+        |             CAST(lambda AS DOUBLE) AS lambda, CAST(tmin AS DOUBLE) AS tmin,
+        |             CAST(topt AS DOUBLE) AS topt, CAST(tmax AS DOUBLE) AS tmax,
+        |             CAST(tlow AS DOUBLE) AS tlow, CAST(par0 AS DOUBLE) AS par0
+        |      FROM (VALUES ('click', 0.25, 1.0, 0.5, 0.0, 20.0, 40.0, 2.0, 250.0),
+        |                   ('view', 0.125, 0.5, 0.25, 0.0, 20.0, 40.0, 4.0, 500.0),
+        |                   ('purchase', 0.5, 2.0, 0.75, 0.0, 20.0, 40.0, 1.0, 125.0),
+        |                   ('signup', 0.25, 1.0, 0.5, 0.0, 20.0, 40.0, 2.0, 250.0),
+        |                   ('error', 0.25, 1.0, 0.5, 0.0, 20.0, 40.0, 2.0, 250.0))
+        |      t(veg_type, alpha, beta, lambda, tmin, topt, tmax, tlow, par0)),
+        |j AS (SELECT obs.*, p.alpha, p.beta, p.lambda, p.tmin, p.topt, p.tmax, p.tlow, p.par0,
+        |             rad / 0.505 AS par,
+        |             max(lswi) OVER (PARTITION BY obs.veg_type) AS lswi_max,
+        |             min(evi) OVER (PARTITION BY obs.veg_type) AS evi_min,
+        |             max(evi) OVER (PARTITION BY obs.veg_type) AS evi_max
+        |      FROM obs JOIN p USING (veg_type)),
+        |c AS (SELECT *,
+        |        CASE WHEN t <= tlow THEN alpha * tlow + beta ELSE alpha * t + beta END AS resp,
+        |        CASE WHEN t <= tmin THEN 0.0
+        |             ELSE ((t - tmin) * (t - tmax)) /
+        |                  (((t - tmin) * (t - tmax)) - (t - topt) * (t - topt)) END AS tscale,
+        |        (1.0 + lswi) / (1.0 + lswi_max) AS wscale,
+        |        CASE WHEN evi >= evi_min + 0.55 * (evi_max - evi_min) THEN 1.0
+        |             ELSE (1.0 + lswi) / 2.0 END AS pscale
+        |      FROM j)
+        |SELECT veg_type, ts, tscale, wscale, pscale, resp,
+        |       -(lambda * tscale * pscale * wscale * evi * par / (1.0 + par / par0)) AS gee,
+        |       resp + -(lambda * tscale * pscale * wscale * evi * par / (1.0 + par / par0)) AS nee
+        |FROM c""".stripMargin)),
+
+    Q("q_wrf_mole_flux",
+      (s, d) => Exports.wrfMoleFlux(s, emissionsAgg(s, d),
+        Seq(("F", 46.0), ("O", 30.0)), cellAreaKm2 = 0.25),
+      Some(s"""$EmiAggCte,
+        |mm AS (SELECT substance, CAST(m AS DOUBLE) AS molar_mass
+        |       FROM (VALUES ('F', 46.0), ('O', 30.0)) t(substance, m))
+        |SELECT cell_id, category, emi.substance,
+        |       value * (1000.0 / molar_mass) / 0.25 / 8766.0 AS mole_km2_h
+        |FROM emi JOIN mm ON emi.substance = mm.substance""".stripMargin)),
 
     Q("q_interp_anchors_hourly",
       (s, _) => Temporal.interpolateAnchorsToHourly(s,

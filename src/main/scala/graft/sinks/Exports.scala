@@ -57,6 +57,32 @@ object Exports {
       .partitionBy("ts_str")
       .parquet(path)
 
+  /** WRF-chemi unit path (reference `export_wrf_hourly_emissions`,
+    * emiproc/exports/wrf.py:129-240 + molar masses
+    * emiproc/utils/constants.py:22): kg/y/cell → mole km⁻² h⁻¹ via a
+    * broadcast molar-mass dim: v · (1000/M) / areaKm2 / (365.25·24). */
+  def wrfMoleFlux(
+      spark: SparkSession,
+      emissions: DataFrame,
+      molarMasses: Seq[(String, Double)],
+      cellAreaKm2: Double): DataFrame = {
+    val dim = spark.createDataFrame(molarMasses).toDF("substance", "molar_mass")
+    val hoursPerYear = 365.25 * 24.0
+    emissions
+      .join(broadcast(dim), "substance")
+      .select(
+        col("cell_id"), col("category"), col("substance"),
+        (col("value") * (lit(1000.0) / col("molar_mass")) / cellAreaKm2 / hoursPerYear)
+          .as("mole_km2_h"))
+  }
+
+  /** Plain text sink (the GRAL-style text writers of reference
+    * emiproc/exports/gral.py:65-349 reduced to their Spark-native form):
+    * rows rendered with a separator, written as partitioned text. */
+  def textExport(df: DataFrame, path: String, sep: String = ","): Unit =
+    df.select(concat_ws(sep, df.columns.map(col): _*).as("value"))
+      .write.mode("overwrite").text(path)
+
   /** GeoParquet-style export (reference `export_to_geopackage`,
     * emiproc/exports/geopackage.py:9-60): cell polygons as WKT plus
     * envelope columns (xmin…ymax) so engines without a geometry reader

@@ -62,6 +62,48 @@ class InventorySpec extends SparkSpec {
     assert(out((1L, "CO2")) == 1.25)
   }
 
+  test("vprm standard model on a hand-computed observation") {
+    val obs = spark.createDataFrame(Seq(
+      ("grass", "t0", 20.0, 50.5, 0.5, 0.2),
+      ("grass", "t1", 1.0, 101.0, 0.5, 0.8)))
+      .toDF("veg_type", "ts", "t", "rad", "lswi", "evi")
+    val params = spark.createDataFrame(Seq(
+      ("grass", 0.5, 1.0, 0.5, 0.0, 20.0, 40.0, 2.0, 100.0)))
+      .toDF("veg_type", "alpha", "beta", "lambda",
+        "tmin", "topt", "tmax", "tlow", "par0")
+    val out = graft.ops.Vprm.calculateEmissions(obs, params)
+      .collect().map(r => r.getString(1) -> r).toMap
+    val r0 = out("t0")
+    // T=20=Topt -> Tscale = Tprod/(Tprod-0) = 1; PAR=100
+    assert(r0.getAs[Double]("tscale") == 1.0)
+    assert(r0.getAs[Double]("wscale") == 1.0) // lswi == max
+    // evi 0.2 < thr(0.2+0.55*0.6=0.53) -> pscale=(1+0.5)/2
+    assert(r0.getAs[Double]("pscale") == 0.75)
+    assert(r0.getAs[Double]("resp") == 0.5 * 20 + 1)
+    val expGee = -(0.5 * 1.0 * 0.75 * 1.0 * 0.2 * 100.0 / (1.0 + 100.0 / 100.0))
+    assert(math.abs(r0.getAs[Double]("gee") - expGee) < 1e-12)
+    val r1 = out("t1")
+    assert(r1.getAs[Double]("resp") == 0.5 * 2.0 + 1.0) // clamped at Tlow
+    assert(r1.getAs[Double]("pscale") == 1.0) // evi 0.8 >= thr
+  }
+
+  test("wrf mole flux applies molar-mass and area/time conversion") {
+    val emi = spark.createDataFrame(Seq((0L, "c", "NOx", 46.0)))
+      .toDF("cell_id", "category", "substance", "value")
+    val out = graft.sinks.Exports.wrfMoleFlux(spark, emi,
+      Seq(("NOx", 46.0)), cellAreaKm2 = 2.0)
+      .collect()(0).getAs[Double]("mole_km2_h")
+    assert(math.abs(out - 46.0 * (1000.0 / 46.0) / 2.0 / 8766.0) < 1e-12)
+  }
+
+  test("text export writes delimiter-joined lines") {
+    val df = spark.createDataFrame(Seq((1L, "a", 2.5))).toDF("id", "k", "v")
+    val dir = java.nio.file.Files.createTempDirectory("graft-txt").resolve("t").toString
+    graft.sinks.Exports.textExport(df, dir, sep = ";")
+    val lines = spark.read.text(dir).collect().map(_.getString(0))
+    assert(lines.toSeq == Seq("1;a;2.5"))
+  }
+
   test("unit conversions round-trip and match constants") {
     val df = spark.range(1).select(lit(31557600.0).as("v"))
     val flux = df.select(Units.kgPerYearToFlux(col("v"), cellAreaM2 = 1.0))
