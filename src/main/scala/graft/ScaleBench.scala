@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.model.RegularGrid
+import graft.ops.{Grouping, Regrid}
+import graft.profiles.Temporal
+
+/** The declared BASELINE.md workloads B1–B3 at reference scale, generated
+  * analytically (spark.range — no testdata dependency):
+  *
+  *  B1  EDGAR-size regrid: 6.48M-cell 0.1° grid × 8 categories × 4
+  *      substances (207M fact rows) remapped to a 720k-cell grid.
+  *  B2  group_categories + rollup totals on the B1 input.
+  *  B3  temporal explode: 1000 cells × 4 cat × 2 sub × 8760 h (70M rows).
+  *
+  * Prints one JSON line like Bench. Not part of the driver contract —
+  * run manually: sbt "runMain graft.ScaleBench".
+  */
+object ScaleBench {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.build(cpus)
+    import spark.implicits._
+
+    val src = RegularGrid(3600, 1800, -180.0, -90.0, 0.1, 0.1) // EDGAR 0.1°
+    val dst = RegularGrid(1200, 600, -180.0, -90.0, 0.3, 0.3)
+
+    def emissions(ncells: Long, ncat: Int, nsub: Int) =
+      spark.range(ncells * ncat * nsub).select(
+        (col("id") % ncells).as("cell_id"),
+        concat(lit("c"), expr(s"(id div $ncells) % $ncat")).as("category"),
+        concat(lit("s"), expr(s"id div ${ncells * ncat}")).as("substance"),
+        (col("id") % 97 + 1).cast("double").as("value"))
+
+    def time(f: => Long): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val n = f
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+
+    spark.range(1000000).agg(sum("id")).collect() // warmup
+
+    // persist the synthetic fact table so B1/B2 time the operator, not
+    // the row generator
+    val emi = emissions(src.ncells, 8, 4).persist()
+    emi.count()
+    val (b1s, b1n) = time {
+      Regrid.remapInventory(spark, emi, src, dst)
+        .agg(count(lit(1)), sum("value")).collect()(0).getLong(0)
+    }
+
+    val catMap = (0 until 8).map(i => s"c$i" -> s"g${i / 2}")
+      .groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    val (b2s, b2n) = time {
+      Grouping.totals(
+        Grouping.groupCategories(spark, emi, catMap, ignoreMissing = true))
+        .count()
+    }
+
+    val emi3 = emissions(1000, 4, 2)
+    val sf = spark.range(24).select(
+      lit("c0").as("category"), lit("s0").as("substance"),
+      col("id").cast("int").as("hour_of_day"),
+      (lit(1.0) + col("id") / 48.0).as("sf"))
+    val (b3s, b3n) = time {
+      Temporal.temporalExplode(emi3, sf, "2024-01-01 00:00:00", 8760)
+        .agg(count(lit(1)), sum("value")).collect()(0).getLong(0)
+    }
+
+    val b1rate = (src.ncells * 32 / b1s / 1e6).formatted("%.1f")
+    val b3rate = (b3n / b3s / 1e6).formatted("%.1f")
+    println(
+      s"""{"metric":"scale_bench","b1_remap_sec":$b1s,"b1_rows_in":${src.ncells * 32},"b1_rows_out":$b1n,"b1_mrows_per_s":$b1rate,""" +
+        s""""b2_group_rollup_sec":$b2s,"b2_rows_out":$b2n,""" +
+        s""""b3_explode_sec":$b3s,"b3_rows":$b3n,"b3_mrows_per_s":$b3rate}""")
+    spark.stop()
+  }
+}
