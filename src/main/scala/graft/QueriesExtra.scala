@@ -144,6 +144,16 @@ object QueriesExtra {
         |SELECT source_id, cell_id, CASE WHEN wsum > 1.0 THEN w / wsum ELSE w END AS weight
         |FROM f""".stripMargin)),
 
+    Q("q_salted_agg",
+      (s, d) => graft.ops.Skew.saltedSum(
+        emissions(s, d), Seq("cell_id", "category", "substance"), "value",
+        saltFactor = 16),
+      // exact integer-valued sums: the salted two-stage aggregate equals
+      // the direct GROUP BY, so the oracle is the plain aggregation
+      Some(s"""$EmiCte
+        |SELECT cell_id, category, substance, sum(value) AS value
+        |FROM emissions GROUP BY 1, 2, 3""".stripMargin)),
+
     Q("q_vprm",
       (s, d) => {
         val obs = events(s, d).select(

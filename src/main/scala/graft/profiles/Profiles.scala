@@ -147,6 +147,55 @@ object Profiles {
       .join(index, Seq("cell_id"), "left")
       .withColumn("profile_id", coalesce(col("profile_id"), lit(-1)))
 
+  /** Long rows → composite blocks: one row per (profile, kind) with the
+    * ratio vector as an ordered array — the reference's
+    * `make_composite_profiles` packing (emiproc/profiles/temporal/
+    * composite.py:375-436). */
+  def toComposite(profiles: DataFrame): DataFrame =
+    profiles
+      .groupBy("profile_id", "kind")
+      .agg(
+        transform(
+          array_sort(collect_list(struct(col("pos"), col("ratio")))),
+          x => x.getField("ratio")).as("ratios"))
+
+  /** Composite blocks → long rows (`split_composite_profile`). */
+  def fromComposite(composite: DataFrame): DataFrame =
+    composite.select(
+      col("profile_id"), col("kind"),
+      posexplode(col("ratios")).as(Seq("pos", "ratio")))
+
+  /** Index-cube validation — the reference's `check_valid_indexes`
+    * (emiproc/profiles/utils.py:54-93): profile ids must be ≥ -1 and
+    * reference an existing profile (or the -1 constant); returns the
+    * violating rows (empty = valid). */
+  def invalidIndexes(index: DataFrame, profiles: DataFrame): DataFrame = {
+    val known = profiles.select("profile_id").distinct()
+      .withColumnRenamed("profile_id", "known_id")
+    index
+      .join(broadcast(known), col("profile_id") === col("known_id"), "left")
+      .where(col("profile_id") =!= -1 && col("known_id").isNull)
+      .drop("known_id")
+  }
+
+  /** Point lookup into the index cube with most-specific-match semantics
+    * (`get_desired_profile_index`, emiproc/profiles/utils.py:95-151):
+    * rows matching the requested coordinates, NULL dims acting as
+    * wildcards, most specific (fewest NULLs) first. */
+  def lookupIndex(
+      index: DataFrame,
+      category: Option[String],
+      substance: Option[String]): DataFrame = {
+    def m(c: String, v: Option[String]) =
+      v.map(x => col(c).isNull || col(c) === x).getOrElse(col(c).isNull)
+    index
+      .where(m("category", category) && m("substance", substance))
+      .withColumn("specificity",
+        when(col("category").isNotNull, 1).otherwise(0) +
+          when(col("substance").isNotNull, 1).otherwise(0))
+      .orderBy(col("specificity").desc)
+  }
+
   /** Merge profile index tables of increasing specificity — the
     * reference's `merge_indexes` (emiproc/profiles/utils.py:271-339):
     * later (more specific) tables override earlier via coalesce after

@@ -54,6 +54,45 @@ class ProfilesSpec extends SparkSpec {
     assert(out == Map(("a", "x") -> 1, ("a", "y") -> 9, ("b", "x") -> 2))
   }
 
+  test("composite pack/unpack round-trips") {
+    val p = spark.createDataFrame(Seq(
+      (1, "daily", 0, 0.25), (1, "daily", 1, 0.75), (1, "weekly", 0, 1.0)))
+      .toDF("profile_id", "kind", "pos", "ratio")
+    val packed = Profiles.toComposite(p)
+    val daily = packed.where(col("kind") === "daily")
+      .collect()(0).getSeq[Double](2)
+    assert(daily == Seq(0.25, 0.75))
+    val back = Profiles.fromComposite(packed)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2)) -> r.getDouble(3)).toMap
+    assert(back == Map(
+      (1, "daily", 0) -> 0.25, (1, "daily", 1) -> 0.75, (1, "weekly", 0) -> 1.0))
+  }
+
+  test("invalidIndexes flags dangling profile ids, passes -1 sentinel") {
+    val idx = spark.createDataFrame(Seq(("a", 1), ("b", -1), ("c", 99)))
+      .toDF("category", "profile_id")
+    val prof = spark.createDataFrame(Seq((1, 0, 1.0))).toDF("profile_id", "pos", "ratio")
+    val bad = Profiles.invalidIndexes(idx, prof).collect().map(_.getString(0))
+    assert(bad.toSeq == Seq("c"))
+  }
+
+  test("lookupIndex returns most specific match first, wildcards last") {
+    val idx = spark.createDataFrame(Seq(
+      (Some("a"), Some("x"), 1), (Some("a"), None, 2), (None, None, 3)))
+      .toDF("category", "substance", "profile_id")
+    val hits = Profiles.lookupIndex(idx, Some("a"), Some("x"))
+      .collect().map(_.getInt(2))
+    assert(hits.toSeq == Seq(1, 2, 3))
+  }
+
+  test("saltedSum equals the direct aggregate") {
+    val direct = basicInv.groupBy("cell_id", "category", "substance")
+      .agg(org.apache.spark.sql.functions.sum("value").as("value"))
+    val salted = graft.ops.Skew.saltedSum(
+      basicInv, Seq("cell_id", "category", "substance"), "value")
+    assert(collectSet(direct) == collectSet(salted))
+  }
+
   test("vertical resample conserves mass and splits by interval overlap") {
     val p = spark.createDataFrame(Seq((1, 0, 4.0), (1, 1, 6.0)))
       .toDF("profile_id", "level", "r")
