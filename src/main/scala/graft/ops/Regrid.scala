@@ -63,6 +63,28 @@ object Regrid {
       .drop("_ovx", "_ovy")
   }
 
+  /** Materialized weight view — the reference's weight cache
+    * (emiproc/regrid.py:42-101 `get_weights_mapping`: load `.npz` if
+    * present else compute+save). Parquet keyed by the grid-pair
+    * signature; irregular-grid weights (expensive geometry) amortize
+    * across runs, regular×regular pairs are cheap enough that the cache
+    * is read-through convenience. */
+  def cachedWeights(
+      spark: SparkSession,
+      src: RegularGrid,
+      dst: RegularGrid,
+      cacheDir: String): DataFrame = {
+    def sig(g: RegularGrid) =
+      s"${g.nx}x${g.ny}_${g.xmin}_${g.ymin}_${g.dx}_${g.dy}".replace("-", "m")
+    val path = s"$cacheDir/weights_${sig(src)}__${sig(dst)}"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(path))) {
+      weights(spark, src, dst).write.mode("overwrite").parquet(path)
+    }
+    spark.read.parquet(path)
+  }
+
   /** The sparse matrix–vector product of emiproc/regrid.py:313-334
     * (`weights_remap`), for ALL (category, substance) pairs in ONE
     * shuffle: weights ⋈ emissions on src cell, then hash-aggregate on

@@ -46,6 +46,28 @@ class RegridSpec extends SparkSpec {
     diff.foreach(r => assert(math.abs(r.getDouble(4)) < 1e-9, r.toString))
   }
 
+  test("cachedWeights computes once then reads the parquet view") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-wcache").toString
+    val src = RegularGrid(4, 4, 0.0, 0.0, 1.0, 1.0)
+    val dst = RegularGrid(2, 2, 0.0, 0.0, 2.0, 2.0)
+    val w1 = Regrid.cachedWeights(spark, src, dst, dir).collect()
+    val w2 = Regrid.cachedWeights(spark, src, dst, dir).collect() // cache hit
+    assert(w1.length == 16 && w2.length == 16)
+    assert(w1.map(_.toSeq).toSet == w2.map(_.toSeq).toSet)
+    val direct = Regrid.weights(spark, src, dst).collect().map(_.toSeq).toSet
+    assert(direct == w1.map(_.toSeq).toSet)
+  }
+
+  test("remapDirect == weight-table remap on an uneven grid pair") {
+    val src = RegularGrid(8, 8, 0.0, 0.0, 1.0, 1.0)
+    val dst = RegularGrid(5, 5, -1.0, -1.0, 2.0, 2.0)
+    val emi = basicInv
+    val direct = Regrid.remapDirect(emi, src, dst).collect().map(_.toSeq).toSet
+    val joined = Regrid.remap(emi, Regrid.weights(spark, src, dst))
+      .collect().map(_.toSeq).toSet
+    assert(direct == joined)
+  }
+
   test("cropBox scales boundary cells by overlap fraction and drops outside") {
     val grid = RegularGrid(2, 1, 0.0, 0.0, 1.0, 1.0) // cells [0,1]x[0,1], [1,2]x[0,1]
     val emi = spark.createDataFrame(Seq(
