@@ -144,6 +144,46 @@ object QueriesExtra {
         |SELECT source_id, cell_id, CASE WHEN wsum > 1.0 THEN w / wsum ELSE w END AS weight
         |FROM f""".stripMargin)),
 
+    Q("q_country_box_mask",
+      (s, _) => CountryMask.boxMask(s, srcGrid, Seq(
+        ("C1", 0.0, 0.0, 32.5, 32.5), ("C2", 32.5, 0.0, 64.0, 32.5),
+        ("C3", 0.0, 32.5, 64.0, 64.0))),
+      Some("""WITH cells AS (SELECT i AS cell_id,
+        |               (i // 64) * 1.0 AS xmin, (i % 64) * 1.0 AS ymin,
+        |               (i // 64) + 1.0 AS xmax, (i % 64) + 1.0 AS ymax
+        |        FROM range(4096) t(i)),
+        |boxes AS (SELECT * FROM (VALUES ('C1', 0.0, 0.0, 32.5, 32.5),
+        |                   ('C2', 32.5, 0.0, 64.0, 32.5),
+        |                   ('C3', 0.0, 32.5, 64.0, 64.0))
+        |          b(country, bxmin, bymin, bxmax, bymax)),
+        |ov AS (SELECT cell_id, country,
+        |              (least(xmax, bxmax) - greatest(xmin, bxmin)) *
+        |              (least(ymax, bymax) - greatest(ymin, bymin)) AS w
+        |       FROM cells, boxes
+        |       WHERE least(xmax, bxmax) - greatest(xmin, bxmin) > 0
+        |         AND least(ymax, bymax) - greatest(ymin, bymin) > 0)
+        |SELECT cell_id, country FROM
+        |  (SELECT cell_id, country,
+        |          row_number() OVER (PARTITION BY cell_id ORDER BY w DESC, country) AS rn
+        |   FROM ov) WHERE rn = 1""".stripMargin)),
+
+    Q("q_topk_per_group",
+      (s, d) => {
+        val win = org.apache.spark.sql.expressions.Window
+          .partitionBy("l_returnflag")
+          .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        lineitem(s, d)
+          .withColumn("rk", row_number().over(win))
+          .where(col("rk") <= 5)
+          .select("l_returnflag", "rk", "l_orderkey", "l_linenumber", "l_extendedprice")
+      },
+      Some("""SELECT l_returnflag, rk, l_orderkey, l_linenumber, l_extendedprice
+        |FROM (SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+        |             row_number() OVER (PARTITION BY l_returnflag
+        |               ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rk
+        |      FROM lineitem)
+        |WHERE rk <= 5""".stripMargin)),
+
     Q("q_salted_agg",
       (s, d) => graft.ops.Skew.saltedSum(
         emissions(s, d), Seq("cell_id", "category", "substance"), "value",

@@ -17,6 +17,35 @@ import graft.model.RegularGrid
   */
 object CountryMask {
 
+  /** Regions as 2-D boxes `(country, bxmin, bymin, bxmax, bymax)` —
+    * the general axis-aligned form of [[bandMask]]: per-cell overlap area
+    * via the closed-form box intersection, argmax (or fractions). */
+  def boxMask(
+      spark: SparkSession,
+      grid: RegularGrid,
+      boxes: Seq[(String, Double, Double, Double, Double)],
+      fractions: Boolean = false): DataFrame = {
+    val boxDf = spark.createDataFrame(boxes)
+      .toDF("country", "bxmin", "bymin", "bxmax", "bymax")
+    val cells = grid.cells(spark)
+    val ovx = least(col("xmax"), col("bxmax")) - greatest(col("xmin"), col("bxmin"))
+    val ovy = least(col("ymax"), col("bymax")) - greatest(col("ymin"), col("bymin"))
+    val overlaps = cells
+      .crossJoin(broadcast(boxDf))
+      .withColumn("w", ovx * ovy)
+      .where(ovx > 0 && ovy > 0)
+    if (fractions)
+      overlaps.select(col("cell_id"), col("country"),
+        (col("w") / grid.cellArea).as("fraction"))
+    else {
+      val win = Window.partitionBy("cell_id").orderBy(col("w").desc, col("country").asc)
+      overlaps
+        .withColumn("rn", row_number().over(win))
+        .where(col("rn") === 1)
+        .select("cell_id", "country")
+    }
+  }
+
   /** Regions as y-bands `(country, bymin, bymax)`; returns the argmax-area
     * `(cell_id, country)` mask. `fractions = true` instead returns the full
     * `(cell_id, country, fraction)` table (reference's
