@@ -144,6 +144,24 @@ object QueriesExtra {
         |SELECT source_id, cell_id, CASE WHEN wsum > 1.0 THEN w / wsum ELSE w END AS weight
         |FROM f""".stripMargin)),
 
+    Q("q_stratified_sample",
+      (s, d) => graft.ops.Sampling.stratifiedSample(
+        documents(s, d), Seq("lang", "source"), "doc_id", perGroup = 3),
+      Some("""SELECT doc_id, text, lang, source, n_chars FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 3""".stripMargin)),
+
+    Q("q_holdout_split",
+      (s, d) => graft.ops.Sampling.holdoutSplit(
+        documents(s, d).select("doc_id", "lang"), "doc_id",
+        trainPct = 80, valPct = 10),
+      Some("""SELECT doc_id, lang,
+        |       CASE WHEN doc_id % 100 < 80 THEN 'train'
+        |            WHEN doc_id % 100 < 90 THEN 'val'
+        |            ELSE 'test' END AS split
+        |FROM documents""".stripMargin)),
+
     Q("q_country_box_mask",
       (s, _) => CountryMask.boxMask(s, srcGrid, Seq(
         ("C1", 0.0, 0.0, 32.5, 32.5), ("C2", 32.5, 0.0, 64.0, 32.5),

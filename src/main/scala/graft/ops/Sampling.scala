@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data pipelines: reproducible
+  * (same input → same sample, no RNG state), partition-count-independent,
+  * and cheap (narrow filter / one bounded window). `Dataset.sample` is
+  * seed-stable only for a fixed partitioning — these are content-stable.
+  */
+object Sampling {
+
+  /** Keep ~`pct`% of rows by a modular slot on the id column — content-
+    * deterministic; with a sequential id this is systematic sampling, with
+    * a hashed id it is uniform. Narrow (a pushdown-able filter). */
+  def slotSample(df: DataFrame, idCol: String, pct: Int): DataFrame = {
+    require(pct >= 0 && pct <= 100, s"pct must be 0..100, got $pct")
+    df.where(pmod(col(idCol), lit(100)) < pct)
+  }
+
+  /** Stratified fixed-size sample: the first `perGroup` rows of each
+    * stratum under a deterministic (idCol) order — one window shuffle on
+    * the stratum key, skew-bounded by `perGroup`. */
+  def stratifiedSample(
+      df: DataFrame,
+      stratumCols: Seq[String],
+      idCol: String,
+      perGroup: Int): DataFrame = {
+    val win = Window.partitionBy(stratumCols.map(col): _*).orderBy(col(idCol))
+    df.withColumn("_rn", row_number().over(win))
+      .where(col("_rn") <= perGroup)
+      .drop("_rn")
+  }
+
+  /** Split into train/validation/test by id slot — the standard
+    * reproducible holdout: slots [0,a) train, [a,b) val, [b,100) test. */
+  def holdoutSplit(
+      df: DataFrame,
+      idCol: String,
+      trainPct: Int,
+      valPct: Int): DataFrame = {
+    require(trainPct + valPct <= 100, "train+val must be <= 100")
+    val slot = pmod(col(idCol), lit(100))
+    df.withColumn("split",
+      when(slot < trainPct, "train")
+        .when(slot < trainPct + valPct, "val")
+        .otherwise("test"))
+  }
+}

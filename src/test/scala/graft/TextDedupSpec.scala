@@ -65,6 +65,20 @@ class TextDedupSpec extends SparkSpec {
     assert(fp(1L) != fp(3L))
   }
 
+  test("deterministic sampling: slots, strata, holdout") {
+    val d = spark.createDataFrame((0L until 100L).map(i => (i, s"g${i % 2}")))
+      .toDF("doc_id", "grp")
+    assert(graft.ops.Sampling.slotSample(d, "doc_id", 10).count() == 10)
+    val strat = graft.ops.Sampling.stratifiedSample(d, Seq("grp"), "doc_id", 3)
+      .collect().map(r => (r.getString(1), r.getLong(0)))
+    assert(strat.toSet == Set(("g0", 0L), ("g0", 2L), ("g0", 4L),
+      ("g1", 1L), ("g1", 3L), ("g1", 5L)))
+    val split = graft.ops.Sampling.holdoutSplit(d, "doc_id", 80, 10)
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(split == Map("train" -> 80L, "val" -> 10L, "test" -> 10L))
+  }
+
   test("exactDuplicates maps copies to the smallest doc_id") {
     val d = docs((5L, "aaa"), (2L, "bbb"), (9L, "aaa"))
     val out = Dedup.exactDuplicates(d).collect()
