@@ -144,6 +144,16 @@ object QueriesExtra {
         |SELECT source_id, cell_id, CASE WHEN wsum > 1.0 THEN w / wsum ELSE w END AS weight
         |FROM f""".stripMargin)),
 
+    Q("q_json_props",
+      (s, d) => events(s, d)
+        .select(get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy((col("k") % 10).as("k_bucket"))
+        .agg(count(lit(1)).as("n"), sum("k").as("k_sum")),
+      Some("""WITH j AS (SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |            FROM events)
+        |SELECT k % 10 AS k_bucket, count(*) AS n, CAST(sum(k) AS BIGINT) AS k_sum
+        |FROM j GROUP BY 1""".stripMargin)),
+
     Q("q_stratified_sample",
       (s, d) => graft.ops.Sampling.stratifiedSample(
         documents(s, d), Seq("lang", "source"), "doc_id", perGroup = 3),

@@ -53,6 +53,27 @@ object PolygonCrop {
       .where(col("value") =!= 0.0)
   }
 
+  /** Crop POINT sources by the polygon with the reference's boundary
+    * rule (emiproc/inventories/utils.py:225-241): inside kept, exactly-
+    * on-boundary halved, outside dropped; `keepOutside` keeps the
+    * complement (boundary still halved). `points` needs (x, y, value). */
+  def cropPointSources(
+      points: DataFrame,
+      poly: Seq[(Double, Double)],
+      keepOutside: Boolean = false): DataFrame = {
+    val code = graft.functions.PointInPolyExpr.classifyCol(col("x"), col("y"), poly)
+    val w =
+      if (keepOutside)
+        when(code === 0, 1.0).when(code === 1, 0.5).otherwise(0.0)
+      else
+        when(code === 2, 1.0).when(code === 1, 0.5).otherwise(0.0)
+    points
+      .withColumn("_w", w)
+      .where(col("_w") > 0)
+      .withColumn("value", col("value") * col("_w"))
+      .drop("_w")
+  }
+
   private def shoelace(poly: Seq[(Double, Double)]): Double =
     poly.indices.map { i =>
       val (x1, y1) = poly(i)

@@ -64,6 +64,34 @@ class PolygonCropSpec extends SparkSpec {
     assert(BoxPolyClipAreaExpr.clipArea(-1, -1, 5, 5, sq._1, sq._2) == 4.0)
   }
 
+  test("point crop: inside kept, boundary halved, outside dropped; inverted complement") {
+    val square = Seq((0.0, 0.0), (2.0, 0.0), (2.0, 2.0), (0.0, 2.0))
+    val pts = spark.createDataFrame(Seq(
+      (1L, 1.0, 1.0, 8.0),  // interior
+      (2L, 2.0, 1.0, 8.0),  // on edge
+      (3L, 0.0, 0.0, 8.0),  // on corner
+      (4L, 5.0, 5.0, 8.0))) // outside
+      .toDF("source_id", "x", "y", "value")
+    val in = PolygonCrop.cropPointSources(pts, square)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(in == Map(1L -> 8.0, 2L -> 4.0, 3L -> 4.0))
+    val out = PolygonCrop.cropPointSources(pts, square, keepOutside = true)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out == Map(2L -> 4.0, 3L -> 4.0, 4L -> 8.0))
+  }
+
+  test("point-in-poly kernel handles non-convex polygons") {
+    // L-shaped polygon
+    val px = Array(0.0, 4.0, 4.0, 2.0, 2.0, 0.0)
+    val py = Array(0.0, 0.0, 2.0, 2.0, 4.0, 4.0)
+    import graft.functions.PointInPolyExpr.classify
+    assert(classify(1.0, 1.0, px, py) == 2) // in the lower arm
+    assert(classify(1.0, 3.0, px, py) == 2) // in the upper arm
+    assert(classify(3.0, 3.0, px, py) == 0) // in the notch
+    assert(classify(2.0, 3.0, px, py) == 1) // on the notch edge
+    assert(classify(5.0, 5.0, px, py) == 0)
+  }
+
   test("cropWithPolygon + complement conserve total mass") {
     val tri = triangles(0)
     val emi = basicInv // cells 0..4 on srcGrid? use the 3x2 grid cells 0..4
