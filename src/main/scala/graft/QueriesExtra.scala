@@ -144,6 +144,24 @@ object QueriesExtra {
         |SELECT source_id, cell_id, CASE WHEN wsum > 1.0 THEN w / wsum ELSE w END AS weight
         |FROM f""".stripMargin)),
 
+    Q("q_corpus_stats",
+      // per-language length distribution: Spark's exact `percentile`
+      // and DuckDB's quantile_cont share the linear-interpolation
+      // definition, so even the interpolated values hash-match
+      (s, d) => documents(s, d).groupBy("lang").agg(
+        count(lit(1)).as("n_docs"),
+        min("n_chars").as("min_chars"),
+        expr("percentile(n_chars, 0.5)").as("p50_chars"),
+        expr("percentile(n_chars, 0.9)").as("p90_chars"),
+        max("n_chars").as("max_chars"),
+        sum("n_chars").as("total_chars")),
+      Some("""SELECT lang, count(*) AS n_docs, min(n_chars) AS min_chars,
+        |       quantile_cont(n_chars, 0.5) AS p50_chars,
+        |       quantile_cont(n_chars, 0.9) AS p90_chars,
+        |       max(n_chars) AS max_chars,
+        |       CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY 1""".stripMargin)),
+
     Q("q_json_props",
       (s, d) => events(s, d)
         .select(get_json_object(col("props"), "$.k").cast("long").as("k"))
