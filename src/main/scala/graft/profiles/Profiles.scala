@@ -147,6 +147,28 @@ object Profiles {
       .join(index, Seq("cell_id"), "left")
       .withColumn("profile_id", coalesce(col("profile_id"), lit(-1)))
 
+  /** Merge the profiles of two inventories — the reference's
+    * `add_profiles` (emiproc/profiles/operators.py:669-743): per
+    * category, the combined profile is the emission-mass-weighted sum of
+    * both sides' profiles, renormalized. Categories present on only one
+    * side pass through unchanged (the reference's disjoint fast path
+    * :700-713 is the same formula — normalization restores the original
+    * ratios). `pX(category, pos, ratio)` ⋈ `wX(category, w)`. */
+  def addProfiles(
+      p1: DataFrame, w1: DataFrame,
+      p2: DataFrame, w2: DataFrame): DataFrame = {
+    def side(p: DataFrame, w: DataFrame) =
+      p.join(broadcast(w), "category")
+        .select(col("category"), col("pos"), (col("ratio") * col("w")).as("rw"))
+    val merged = side(p1, w1).unionByName(side(p2, w2))
+      .groupBy("category", "pos")
+      .agg(sum("rw").as("cw"))
+    val win = Window.partitionBy("category")
+    merged.select(
+      col("category"), col("pos"),
+      (col("cw") / sum("cw").over(win)).as("ratio"))
+  }
+
   /** Long rows → composite blocks: one row per (profile, kind) with the
     * ratio vector as an ordered array — the reference's
     * `make_composite_profiles` packing (emiproc/profiles/temporal/

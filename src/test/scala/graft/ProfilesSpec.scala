@@ -54,6 +54,23 @@ class ProfilesSpec extends SparkSpec {
     assert(out == Map(("a", "x") -> 1, ("a", "y") -> 9, ("b", "x") -> 2))
   }
 
+  test("addProfiles: shared categories weighted-average, disjoint pass through") {
+    val p1 = spark.createDataFrame(Seq(
+      ("shared", 0, 1.0), ("shared", 1, 0.0), ("only1", 0, 0.25), ("only1", 1, 0.75)))
+      .toDF("category", "pos", "ratio")
+    val w1 = spark.createDataFrame(Seq(("shared", 1.0), ("only1", 5.0)))
+      .toDF("category", "w")
+    val p2 = spark.createDataFrame(Seq(("shared", 0, 0.0), ("shared", 1, 1.0)))
+      .toDF("category", "pos", "ratio")
+    val w2 = spark.createDataFrame(Seq(("shared", 3.0))).toDF("category", "w")
+    val out = Profiles.addProfiles(p1, w1, p2, w2)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(out(("shared", 0)) == 0.25) // weights 1:3
+    assert(out(("shared", 1)) == 0.75)
+    assert(out(("only1", 0)) == 0.25) // passes through unchanged
+    assert(out(("only1", 1)) == 0.75)
+  }
+
   test("composite pack/unpack round-trips") {
     val p = spark.createDataFrame(Seq(
       (1, "daily", 0, 0.25), (1, "daily", 1, 0.75), (1, "weekly", 0, 1.0)))
