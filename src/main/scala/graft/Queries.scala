@@ -391,6 +391,29 @@ object Queries {
 
   /** Event-stream operator queries (SURVEY §2.6 additions). */
   val eventOps: Seq[Q] = Seq(
+    Q("q_funnel",
+      (s, d) => Events.funnel(events(s, d), "view", "purchase", windowMinutes = 120),
+      Some("""WITH pu AS (SELECT user_id,
+        |              min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS a_us,
+        |              min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS b_any_us
+        |       FROM events WHERE event_type IN ('view', 'purchase') GROUP BY 1)
+        |SELECT CAST(sum(CASE WHEN a_us IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_step_a,
+        |       CAST(sum(CASE WHEN a_us IS NOT NULL AND b_any_us IS NOT NULL
+        |                      AND b_any_us > a_us AND b_any_us - a_us <= 7200000000
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+        |FROM pu""".stripMargin)),
+
+    Q("q_retention_cohorts",
+      (s, d) => Events.retentionCohorts(events(s, d)),
+      Some("""WITH fd AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+        |             FROM events GROUP BY 1),
+        |act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS activity_day FROM events)
+        |SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort,
+        |       CAST(activity_day - cohort_day AS INT) AS day_offset,
+        |       count(*) AS n_users
+        |FROM act JOIN fd USING (user_id)
+        |GROUP BY 1, 2""".stripMargin)),
+
     Q("q_sessionize",
       (s, d) => Events.sessionize(events(s, d), gapMinutes = 30),
       Some("""WITH e AS (SELECT user_id, ts, event_id,

@@ -44,6 +44,52 @@ object Events {
         col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("total_value"))
 
+  /** Funnel conversion: per user, did `stepA` occur and then `stepB`
+    * within `windowMinutes` after the FIRST `stepA`? One aggregate per
+    * user (min A ts, min B-after-A ts), then a global rollup. Output:
+    * one row per funnel stage with user counts — the standard
+    * event-analytics conversion query, one shuffle on user_id. */
+  def funnel(
+      events: DataFrame,
+      stepA: String,
+      stepB: String,
+      windowMinutes: Int): DataFrame = {
+    val winUs = windowMinutes.toLong * 60 * 1000000
+    val perUser = events
+      .where(col("event_type").isin(stepA, stepB))
+      .groupBy("user_id")
+      .agg(
+        min(when(col("event_type") === stepA, unix_micros(col("ts")))).as("a_us"),
+        min(when(col("event_type") === stepB, unix_micros(col("ts")))).as("b_any_us"))
+    val staged = perUser
+      .withColumn("did_a", col("a_us").isNotNull)
+      .withColumn("converted",
+        col("a_us").isNotNull && col("b_any_us").isNotNull &&
+          col("b_any_us") > col("a_us") &&
+          col("b_any_us") - col("a_us") <= winUs)
+    staged.agg(
+      sum(when(col("did_a"), 1).otherwise(0)).as("n_step_a"),
+      sum(when(col("converted"), 1).otherwise(0)).as("n_converted"))
+  }
+
+  /** Retention cohorts: users grouped by their first-seen day (cohort),
+    * counted by activity day offset — the cohort-retention matrix.
+    * Two shuffles (per-user first-seen, then cohort aggregate), both on
+    * keys that grow with data. */
+  def retentionCohorts(events: DataFrame): DataFrame = {
+    val firstDay = events
+      .groupBy("user_id")
+      .agg(min(to_date(col("ts"))).as("cohort_day"))
+    events
+      .select(col("user_id"), to_date(col("ts")).as("activity_day"))
+      .distinct()
+      .join(firstDay, "user_id")
+      .groupBy(
+        date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort"),
+        datediff(col("activity_day"), col("cohort_day")).as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   /** As-of join: for each left event, the id of the latest right event of
     * the same user with ts_right ≤ ts_left. Implemented as the scalable
     * union + last(ignoreNulls) window pattern — one shuffle on user_id,
