@@ -144,6 +144,20 @@ object QueriesExtra {
         |SELECT source_id, cell_id, CASE WHEN wsum > 1.0 THEN w / wsum ELSE w END AS weight
         |FROM f""".stripMargin)),
 
+    Q("q_data_profile",
+      (s, d) => graft.ops.DataQuality.profile(nation(s, d)),
+      Some("""SELECT 'n_nationkey' AS "column", count(*) AS n_rows,
+        |       CAST(sum(CASE WHEN n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+        |       count(DISTINCT n_nationkey) AS n_distinct FROM nation
+        |UNION ALL
+        |SELECT 'n_name', count(*),
+        |       CAST(sum(CASE WHEN n_name IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |       count(DISTINCT n_name) FROM nation
+        |UNION ALL
+        |SELECT 'n_regionkey', count(*),
+        |       CAST(sum(CASE WHEN n_regionkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |       count(DISTINCT n_regionkey) FROM nation""".stripMargin)),
+
     Q("q_corpus_stats",
       // per-language length distribution: Spark's exact `percentile`
       // and DuckDB's quantile_cont share the linear-interpolation
