@@ -1,0 +1,49 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Registration of the engine's custom Catalyst expressions as SQL
+  * functions — the `SparkSessionExtensions` path of the build brief, so
+  * `spark.sql("SELECT portable_hash(text) ...")` works without the Scala
+  * Column API:
+  *
+  *   .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+  *
+  * or [[GraftFunctions.register]] on an existing session. */
+object GraftFunctions {
+
+  private def fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "portable_hash" -> { exprs =>
+      require(exprs.length == 1, "portable_hash(str)")
+      PortableHashExpr(exprs.head)
+    },
+    "shingles" -> { exprs =>
+      require(exprs.length == 2, "shingles(text, n)")
+      val n = exprs(1).eval(null).asInstanceOf[Number].intValue()
+      ShingleGenerator(exprs.head, n)
+    })
+
+  /** Register on a live session (test/REPL convenience). */
+  def register(spark: SparkSession): Unit =
+    fns.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "scala_udf")
+    }
+
+  /** Inject via SparkSessionExtensions (for spark.sql.extensions). */
+  def inject(ext: SparkSessionExtensions): Unit =
+    fns.foreach { case (name, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions", name),
+        builder))
+    }
+}
+
+/** Entry point for `spark.sql.extensions`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.inject(ext)
+}

@@ -16,6 +16,16 @@ class TextDedupSpec extends SparkSpec {
     assert(h == 99162322L)
   }
 
+  test("custom expressions callable from SQL after registration") {
+    graft.functions.GraftFunctions.register(spark)
+    val h = spark.sql("SELECT portable_hash('hello') AS h").collect()(0).getLong(0)
+    assert(h == 99162322L)
+    val sh = spark.sql(
+      "SELECT shingles(text, 2) AS s FROM VALUES ('a b c') t(text)")
+      .collect().map(_.getString(0)).toSet
+    assert(sh == Set("a b", "b c"))
+  }
+
   test("native codegen hash == declarative fold on real corpus strings") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val diff = docs.select(
