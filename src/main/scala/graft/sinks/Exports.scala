@@ -57,6 +57,26 @@ object Exports {
       .partitionBy("ts_str")
       .parquet(path)
 
+  /** Fluxie-style monthly flux export (reference `export_fluxie`,
+    * emiproc/exports/fluxie.py:24-199): per-month flux rasters — wide
+    * pivot of months with kg/y → kg m⁻² s⁻¹ conversion applied per
+    * month's share. Input needs a `month` column (1-12). */
+  def monthlyFluxExport(
+      emissions: DataFrame,
+      grid: RegularGrid,
+      path: Option[String] = None): DataFrame = {
+    val conv = 1.0 / (grid.cellArea * SecPerYear)
+    val wide = emissions
+      .groupBy("cell_id", "substance")
+      .pivot("month", (1 to 12).map(_.toString))
+      .agg(sum(col("value") * conv))
+      .na.fill(0.0)
+      .withColumn("x", grid.cellXc(col("cell_id")))
+      .withColumn("y", grid.cellYc(col("cell_id")))
+    path.foreach(p => wide.write.mode("overwrite").parquet(p))
+    wide
+  }
+
   /** WRF-chemi unit path (reference `export_wrf_hourly_emissions`,
     * emiproc/exports/wrf.py:129-240 + molar masses
     * emiproc/utils/constants.py:22): kg/y/cell → mole km⁻² h⁻¹ via a

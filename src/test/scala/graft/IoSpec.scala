@@ -87,6 +87,17 @@ class IoSpec extends SparkSpec {
     assert(v == 20.0)
   }
 
+  test("monthly flux export pivots months with per-area conversion") {
+    val grid = RegularGrid(2, 1, 0.0, 0.0, 1.0, 1.0)
+    val emi = spark.createDataFrame(Seq(
+      (0L, "CO2", 1, Exports.SecPerYear), (0L, "CO2", 2, 2 * Exports.SecPerYear)))
+      .toDF("cell_id", "substance", "month", "value")
+    val wide = Exports.monthlyFluxExport(emi, grid).collect()(0)
+    assert(math.abs(wide.getAs[Double]("1") - 1.0) < 1e-12)
+    assert(math.abs(wide.getAs[Double]("2") - 2.0) < 1e-12)
+    assert(wide.getAs[Double]("3") == 0.0)
+  }
+
   test("geoparquet export carries WKT polygons and envelopes") {
     val grid = RegularGrid(1, 1, 0.0, 0.0, 2.0, 2.0)
     val emi = spark.createDataFrame(Seq((0L, "a", "CO2", 1.0)))

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.profiles.{Profiles, VerticalProfiles}
+import graft.profiles.{Profiles, VerticalProfiles, WeightedVectorMerge}
 
 class ProfilesSpec extends SparkSpec {
 
@@ -52,6 +52,27 @@ class ProfilesSpec extends SparkSpec {
     val out = Profiles.mergeIndexes(base, over, Seq("category", "substance"))
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getInt(2)).toMap
     assert(out == Map(("a", "x") -> 1, ("a", "y") -> 9, ("b", "x") -> 2))
+  }
+
+  test("typed WeightedVectorMerge == long-format combineWeighted") {
+    import spark.implicits._
+    val rows = Seq(
+      ("g", 1.0, Seq(1.0, 0.0)),
+      ("g", 3.0, Seq(0.0, 1.0)),
+      ("h", 2.0, Seq(0.5, 0.5)))
+    val ds = rows.toDS()
+    val merged = ds
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(new WeightedVectorMerge(2).toColumn)
+      .collect().toMap
+    assert(merged("g") == Seq(0.25, 0.75))
+    assert(merged("h") == Seq(0.5, 0.5))
+    // all-zero weights -> uniform fallback
+    val z = Seq(("z", 0.0, Seq(0.0, 0.0))).toDS()
+      .groupByKey(_._1).mapValues(r => (r._2, r._3))
+      .agg(new WeightedVectorMerge(2).toColumn).collect()
+    assert(z(0)._2 == Seq(0.5, 0.5))
   }
 
   test("addProfiles: shared categories weighted-average, disjoint pass through") {
