@@ -26,6 +26,40 @@ object QueriesExtra {
       |       FROM cellsf, bands WHERE least(ymax, bymax) - greatest(ymin, bymin) > 0)""".stripMargin
 
   val extra: Seq[Q] = Seq(
+    Q("q_speciate_by_country",
+      (s, d) => {
+        val fr = CountryMask.bandMask(s, srcGrid,
+          Seq(("C1", 0.0, 20.5), ("C2", 20.5, 43.5), ("C3", 43.5, 64.0)),
+          fractions = true)
+          .where(col("cell_id") % 64 < 60) // leave some cells "homeless"
+        graft.ops.Speciation.speciateByCountry(s, emissionsAgg(s, d), fr,
+          ratios = Seq(
+            ("C1", "F", "PM10", 0.25), ("C1", "F", "PM25", 0.75),
+            ("C2", "F", "PM10", 0.5), ("C2", "F", "PM25", 0.5),
+            ("C3", "F", "PM10", 0.75), ("C3", "F", "PM25", 0.25)),
+          defaultRatios = Seq(("F", "PM10", 0.5), ("F", "PM25", 0.5)))
+      },
+      Some(s"""$EmiAggCte,
+        |$FracCte,
+        |fr2 AS (SELECT * FROM fr WHERE cell_id % 64 < 60),
+        |rt AS (SELECT * FROM (VALUES ('C1','F','PM10',0.25), ('C1','F','PM25',0.75),
+        |               ('C2','F','PM10',0.5), ('C2','F','PM25',0.5),
+        |               ('C3','F','PM10',0.75), ('C3','F','PM25',0.25))
+        |       t(country, substance, new_substance, ratio)),
+        |dflt AS (SELECT * FROM (VALUES ('F','PM10',0.5), ('F','PM25',0.5))
+        |         d(substance, new_substance, default_ratio)),
+        |cr AS (SELECT cell_id, substance, new_substance,
+        |              sum(fraction * ratio) AS eff_ratio
+        |       FROM fr2 JOIN rt USING (country) GROUP BY 1, 2, 3)
+        |SELECT e.cell_id, e.category, dflt.new_substance AS substance,
+        |       e.value * coalesce(cr.eff_ratio, dflt.default_ratio) AS value
+        |FROM emi e
+        |JOIN dflt ON dflt.substance = e.substance
+        |LEFT JOIN cr ON cr.cell_id = e.cell_id AND cr.substance = e.substance
+        |            AND cr.new_substance = dflt.new_substance
+        |UNION ALL
+        |SELECT cell_id, category, substance, value FROM emi WHERE substance <> 'F'""".stripMargin)),
+
     Q("q_country_to_cells",
       (s, _) => {
         val fr = CountryMask.bandMask(s, srcGrid,

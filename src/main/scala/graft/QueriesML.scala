@@ -140,6 +140,27 @@ object QueriesML {
         |FROM cm JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
         |WHERE common / (sa.sz + sb.sz - common) >= 0.2""".stripMargin)),
 
+    Q("q_verified_neardups",
+      (s, d) => Dedup.verifiedNearDups(s, documents(s, d),
+        numHashes = 8, rowsPerBand = 2, threshold = 0.5),
+      Some(s"""WITH $ShingleHashCte,
+        |keys AS (SELECT doc_id, hash_id // 2 AS band,
+        |                string_agg(hash_id || ':' || minhash, ',' ORDER BY hash_id) AS band_key
+        |         FROM mh GROUP BY 1, 2),
+        |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |          FROM keys a JOIN keys b
+        |            ON a.band = b.band AND a.band_key = b.band_key
+        |           AND a.doc_id < b.doc_id),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |cm AS (SELECT p.doc_a, p.doc_b, count(*) AS common
+        |       FROM pairs p
+        |       JOIN sh a ON a.doc_id = p.doc_a
+        |       JOIN sh b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+        |       GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, common / (sa.sz + sb.sz - common) AS jaccard
+        |FROM cm JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+        |WHERE common / (sa.sz + sb.sz - common) >= 0.5""".stripMargin)),
+
     Q("q_simhash",
       (s, d) => Dedup.simhash(s, documents(s, d), bits = 16),
       Some(s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word

@@ -138,6 +138,36 @@ object Dedup {
       .select("doc_a", "doc_b", "common", "jaccard")
   }
 
+  /** The production near-dup pipeline at scale: LSH banding proposes
+    * candidates, exact n-gram Jaccard verifies ONLY those — the
+    * verification join is proportional to candidate count × doc shingle
+    * size, never corpus². (SCALE.md: this is the composition to run at
+    * 100 TB instead of the all-pairs [[jaccardPairs]].) */
+  def verifiedNearDups(
+      spark: SparkSession,
+      docs: DataFrame,
+      numHashes: Int = 8,
+      rowsPerBand: Int = 2,
+      threshold: Double = 0.5): DataFrame = {
+    val sh = shingles(docs).persist()
+    val mh = minhashSignatures(spark, sh, numHashes)
+    val cand = lshCandidatePairs(mh, numHashes, rowsPerBand)
+      .select("doc_a", "doc_b")
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val common = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
+      .withColumn("jaccard",
+        col("common") / (col("sz_a") + col("sz_b") - col("common")))
+      .where(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
   /** SimHash fingerprints: per token-occurrence hash, each of `bits` bit
     * positions votes ±1; the fingerprint sets bits with positive vote sum.
     * Two bounded shuffles ((doc, bit) then doc). Bit extraction is integer

@@ -59,6 +59,46 @@ object Speciation {
     no.unionByName(no2).unionByName(rest.select("cell_id", "category", "substance", "value"))
   }
 
+  /** Country-dependent speciation — the reference's table-driven
+    * `speciate` country path (emiproc/speciation.py:129-348: per-cell
+    * effective ratio = country_fractions · ratios, `:228-260`; cells
+    * with no country coverage fall back to the default ratio row, the
+    * `-99` "homeless" rule `:243-257`).
+    *
+    * `fractions(cell_id, country, fraction)` × `ratios(country,
+    * substance, new_substance, ratio)` (+ `defaultRatios(substance,
+    * new_substance, ratio)`): one broadcast of the per-cell effective
+    * ratio table (cells × daughters — grid-scale metadata), one
+    * fact-table join. */
+  def speciateByCountry(
+      spark: SparkSession,
+      emissions: DataFrame,
+      fractions: DataFrame,
+      ratios: Seq[(String, String, String, Double)],
+      defaultRatios: Seq[(String, String, Double)]): DataFrame = {
+    val ratioDf = spark.createDataFrame(ratios)
+      .toDF("country", "substance", "new_substance", "ratio")
+    val defaultDf = spark.createDataFrame(defaultRatios)
+      .toDF("substance", "new_substance", "default_ratio")
+    // per-cell effective ratio = sum_c fraction * ratio(country)
+    val cellRatio = fractions
+      .join(broadcast(ratioDf), "country")
+      .groupBy("cell_id", "substance", "new_substance")
+      .agg(sum(col("fraction") * col("ratio")).as("eff_ratio"))
+    val speciated = emissions
+      .join(broadcast(defaultDf), Seq("substance"))
+      .join(broadcast(cellRatio),
+        Seq("cell_id", "substance", "new_substance"), "left")
+      .select(
+        col("cell_id"), col("category"),
+        col("new_substance").as("substance"),
+        (col("value") * coalesce(col("eff_ratio"), col("default_ratio"))).as("value"))
+    val touched = defaultDf.select("substance").distinct()
+    val untouched = emissions.join(broadcast(touched), Seq("substance"), "left_anti")
+    speciated.unionByName(
+      untouched.select("cell_id", "category", "substance", "value"))
+  }
+
   /** Sum several substances into one — reference `merge_substances`
     * (emiproc/speciation.py:504-569). */
   def mergeSubstances(
