@@ -5,17 +5,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001: the canonical regrid
-    * pipeline (scan → group categories → remap → totals), SURVEY.md §3
-    * entry point 1. Driver smoke-checks rows > 0. */
+  /** Flagship query on /root/testdata/sf0.001: the canonical pipeline of
+    * SURVEY.md §3 entry points 1+2 — scan → group categories → fractional
+    * box crop → conservative remap → NOx speciation → rollup totals.
+    * Driver smoke-checks rows > 0. */
   def entry(spark: SparkSession): DataFrame = {
     val dir = "/root/testdata/sf0.001"
     val emi = Tables.emissions(spark, dir)
     val grouped = ops.Grouping.groupCategories(
       spark, emi, Map("grp_ret" -> Seq("A", "R"), "grp_cur" -> Seq("N")))
+    val cropped = ops.Regrid.cropBox(grouped, Tables.srcGrid, 2.5, 2.5, 61.5, 61.5)
     val remapped = ops.Regrid.remapInventory(
-      spark, grouped, Tables.srcGrid, Tables.dstGrid)
-    ops.Grouping.totals(remapped)
+      spark, cropped, Tables.srcGrid, Tables.dstGrid)
+    val speciated = ops.Speciation.speciateNox(
+      spark, remapped, noxSubstance = "O", no2Fraction = 0.25)
+    ops.Grouping.totals(speciated)
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */
