@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Session-wide registry of persisted DataFrames.
+  *
+  * Operators that persist reuse points (LSH signatures, pruned shingle
+  * sets, distinct-vector tables) register them here instead of calling
+  * `.persist()` bare; harness code (Verify / Bench / specs) calls
+  * [[release]] after consuming each query so cached blocks never leak
+  * across a long-lived session. DataFrames are lazy — the operator cannot
+  * unpersist before its result is consumed, so the unpersist point has to
+  * live with whoever materializes the result; this registry is that
+  * hand-off.
+  */
+object Caching {
+  private val registry = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  /** Persist `df` and track it for the next [[release]]. */
+  def cache(df: DataFrame): DataFrame = {
+    val c = df.persist()
+    registry.add(c)
+    c
+  }
+
+  /** Unpersist every tracked DataFrame (blocking=false: async drop). */
+  def release(): Unit = {
+    var df = registry.poll()
+    while (df != null) {
+      df.unpersist()
+      df = registry.poll()
+    }
+  }
+}

@@ -15,6 +15,7 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true") // ns events table
       .config("spark.ui.enabled", "false")
       .withExtensions(graft.functions.GraftFunctions.inject)
       .getOrCreate()

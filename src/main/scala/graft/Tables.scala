@@ -29,9 +29,14 @@ object Tables {
   /** The driver's events table stores ns-precision timestamps, which the
     * Parquet reader rejects ([PARQUET_TYPE_ILLEGAL]); read them as raw
     * longs and truncate to µs — exactly what DuckDB's ns→µs TIMESTAMP
-    * coercion does, so both engines see identical timestamps. */
+    * coercion does, so both engines see identical timestamps. The
+    * `nanosAsLong` flag is session configuration (GraftSession / test
+    * session builders), NOT set here — a side-effecting getter would be a
+    * race under concurrent queries. */
   def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      "set spark.sql.legacy.parquet.nanosAsLong=true at session build " +
+        "(GraftSession.build does) before reading the ns-timestamped events table")
     table(s, dir, "events")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }

@@ -20,12 +20,16 @@ object Dedup {
   import TextAnalysis.Prime
 
   /** Exact duplicate grouping: every doc maps to the smallest doc_id
-    * carrying identical text. One shuffle partitioned by text (at 100 TB
-    * you would pre-hash: partition by xxhash64(text) and compare within —
-    * same plan shape, narrower shuffle rows). */
+    * carrying identical text. Pre-hashed: the window partitions by
+    * (xxhash64(text), text), so partitioning and the within-partition
+    * sort resolve on the 8-byte hash in all but collision cases — the
+    * raw text is only compared when hashes collide, never as the leading
+    * sort key. Text still equality-checked inside the group, so hash
+    * collisions cannot merge distinct documents. */
   def exactDuplicates(docs: DataFrame): DataFrame = {
-    val win = Window.partitionBy("text")
+    val win = Window.partitionBy(col("_th"), col("text"))
     docs
+      .withColumn("_th", xxhash64(col("text")))
       .select(col("doc_id"), min("doc_id").over(win).as("canonical_id"))
       .withColumn("is_dup", (col("doc_id") =!= col("canonical_id")).cast("int"))
   }
@@ -86,9 +90,10 @@ object Dedup {
     // The signature table is referenced three times below (band keys +
     // both pair sides); persist it so the shingle/hash pipeline above it
     // runs once, not three times. Signatures are k rows/doc — tiny next
-    // to the corpus, safe to cache at scale.
-    val minhashes = minhashes_.persist()
-    val keys = lshBandKeys(minhashes, rowsPerBand).persist()
+    // to the corpus, safe to cache at scale. Registered with
+    // graft.Caching so the harness unpersists after consumption.
+    val minhashes = graft.Caching.cache(minhashes_)
+    val keys = graft.Caching.cache(lshBandKeys(minhashes, rowsPerBand))
     val pairs = keys.as("a")
       .join(keys.as("b"),
         col("a.band") === col("b.band") &&
@@ -122,7 +127,7 @@ object Dedup {
       .select("shingle")
     // pruned feeds the self-join (twice) and the size table — persist so
     // the shingle explode + doc-frequency pass runs once.
-    val pruned = shingleDf.join(rare, "shingle").persist()
+    val pruned = graft.Caching.cache(shingleDf.join(rare, "shingle"))
     val sizes = pruned.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val common = pruned.as("a")
       .join(pruned.as("b"),
@@ -149,7 +154,7 @@ object Dedup {
       numHashes: Int = 8,
       rowsPerBand: Int = 2,
       threshold: Double = 0.5): DataFrame = {
-    val sh = shingles(docs).persist()
+    val sh = graft.Caching.cache(shingles(docs))
     val mh = minhashSignatures(spark, sh, numHashes)
     val cand = lshCandidatePairs(mh, numHashes, rowsPerBand)
       .select("doc_a", "doc_b")

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Substance speciation / merging — reference emiproc/speciation.py.
@@ -9,15 +9,27 @@ import org.apache.spark.sql.functions._
   * need NOT sum to 1 — molar-mass chemistry, emiproc/speciation.py:367-369);
   * merging is the inverse. In long format both are a broadcast join:
   * speciation fans rows out (join against a ratio dimension), merging fans
-  * rows in (groupBy-sum after renaming). No shuffle on the speciation side
-  * (map-side broadcast join), one shuffle for the merge aggregate.
+  * rows in (groupBy-sum after renaming).
+  *
+  * Single-pass design: the fact table is scanned ONCE. The ratio dimension
+  * is grouped into per-key daughter arrays; unmatched rows take an identity
+  * array `[(substance, 1.0)]` via coalesce, and one explode produces both
+  * the speciated and the pass-through rows. (The earlier two-branch form —
+  * speciated join ∪ anti-join pass-through — scanned the input twice; at
+  * 100 TB that is two full passes where one suffices.) `value * 1.0` is
+  * bit-exact in IEEE, so pass-through rows hash identically.
   */
 object Speciation {
 
+  /** Daughter-array element type shared by the real and identity branches. */
+  private def identityParts(sub: Column, ratioName: String): Column =
+    array(struct(sub.as("new_substance"), lit(1.0).as(ratioName)))
+
   /** Split (category, substance) rows by a ratio table — reference
-    * `speciate_inventory` (emiproc/speciation.py:351-436). Rows whose
+    * `speciate_inventory` (emiproc/speciation.py:360-436). Rows whose
     * (category, substance) appear in the table are replaced by one row per
-    * (new_substance, ratio); others pass through unchanged. */
+    * (new_substance, ratio); others pass through unchanged. One scan, one
+    * broadcast join, one explode. */
   def speciate(
       spark: SparkSession,
       emissions: DataFrame,
@@ -25,38 +37,41 @@ object Speciation {
     val dim = spark
       .createDataFrame(ratios)
       .toDF("category", "substance", "new_substance", "ratio")
-    val speciated = emissions
-      .join(broadcast(dim), Seq("category", "substance"))
+      .groupBy("category", "substance")
+      .agg(sort_array(collect_list(struct(col("new_substance"), col("ratio"))))
+        .as("parts"))
+    emissions
+      .join(broadcast(dim), Seq("category", "substance"), "left")
+      .withColumn("p",
+        explode(coalesce(col("parts"), identityParts(col("substance"), "ratio"))))
       .select(
         col("cell_id"), col("category"),
-        col("new_substance").as("substance"),
-        (col("value") * col("ratio")).as("value"))
-    val untouchedKeys = dim.select("category", "substance").distinct()
-    val untouched = emissions.join(
-      broadcast(untouchedKeys), Seq("category", "substance"), "left_anti")
-    speciated.unionByName(untouched.select("cell_id", "category", "substance", "value"))
+        col("p.new_substance").as("substance"),
+        (col("value") * col("p.ratio")).as("value"))
   }
 
   /** NOx → NO + NO2 with the 30/46 molar-mass ratio — reference
     * `speciate_nox` (emiproc/speciation.py:439-501): NO gets
-    * (1-f)·30/46, NO2 gets f, where f is the NO2 mass fraction. */
+    * (1-f)·30/46, NO2 gets f, where f is the NO2 mass fraction.
+    * Join-free single pass: the daughter array is a CASE expression. */
   def speciateNox(
       spark: SparkSession,
       emissions: DataFrame,
       noxSubstance: String = "NOx",
       no2Fraction: Double = 0.18): DataFrame = {
-    val cats = Seq(noxSubstance)
-    val isNox = col("substance") === noxSubstance
-    val nox = emissions.where(isNox)
-    val rest = emissions.where(!isNox)
-    val no = nox.select(
-      col("cell_id"), col("category"), lit("NO").as("substance"),
-      (col("value") * ((1.0 - no2Fraction) * 30.0 / 46.0)).as("value"))
-    val no2 = nox.select(
-      col("cell_id"), col("category"), lit("NO2").as("substance"),
-      (col("value") * no2Fraction).as("value"))
-    val _ = cats
-    no.unionByName(no2).unionByName(rest.select("cell_id", "category", "substance", "value"))
+    val parts = when(col("substance") === noxSubstance,
+      array(
+        struct(lit("NO").as("new_substance"),
+          lit((1.0 - no2Fraction) * 30.0 / 46.0).as("ratio")),
+        struct(lit("NO2").as("new_substance"),
+          lit(no2Fraction).as("ratio"))))
+      .otherwise(identityParts(col("substance"), "ratio"))
+    emissions
+      .withColumn("p", explode(parts))
+      .select(
+        col("cell_id"), col("category"),
+        col("p.new_substance").as("substance"),
+        (col("value") * col("p.ratio")).as("value"))
   }
 
   /** Country-dependent speciation — the reference's table-driven
@@ -67,9 +82,11 @@ object Speciation {
     *
     * `fractions(cell_id, country, fraction)` × `ratios(country,
     * substance, new_substance, ratio)` (+ `defaultRatios(substance,
-    * new_substance, ratio)`): one broadcast of the per-cell effective
-    * ratio table (cells × daughters — grid-scale metadata), one
-    * fact-table join. */
+    * new_substance, ratio)`): the per-cell effective ratio table (cells ×
+    * daughters — grid-scale metadata) is grouped to a per-(cell,
+    * substance) map and broadcast; the fact table is scanned once, with
+    * the default daughters exploded and the per-daughter cell override
+    * looked up in the map. */
   def speciateByCountry(
       spark: SparkSession,
       emissions: DataFrame,
@@ -78,25 +95,37 @@ object Speciation {
       defaultRatios: Seq[(String, String, Double)]): DataFrame = {
     val ratioDf = spark.createDataFrame(ratios)
       .toDF("country", "substance", "new_substance", "ratio")
-    val defaultDf = spark.createDataFrame(defaultRatios)
+    val defaultDim = spark.createDataFrame(defaultRatios)
       .toDF("substance", "new_substance", "default_ratio")
-    // per-cell effective ratio = sum_c fraction * ratio(country)
+      .groupBy("substance")
+      .agg(sort_array(
+        collect_list(struct(col("new_substance"), col("default_ratio"))))
+        .as("dparts"))
+    // per-cell effective ratio = sum_c fraction * ratio(country), as a
+    // new_substance -> ratio map per (cell, substance)
     val cellRatio = fractions
       .join(broadcast(ratioDf), "country")
       .groupBy("cell_id", "substance", "new_substance")
       .agg(sum(col("fraction") * col("ratio")).as("eff_ratio"))
-    val speciated = emissions
-      .join(broadcast(defaultDf), Seq("substance"))
-      .join(broadcast(cellRatio),
-        Seq("cell_id", "substance", "new_substance"), "left")
+      .groupBy("cell_id", "substance")
+      .agg(map_from_entries(
+        collect_list(struct(col("new_substance"), col("eff_ratio"))))
+        .as("eff_map"))
+    emissions
+      .join(broadcast(defaultDim), Seq("substance"), "left")
+      .join(broadcast(cellRatio), Seq("cell_id", "substance"), "left")
+      .withColumn("_touched", col("dparts").isNotNull)
+      .withColumn("p",
+        explode(coalesce(col("dparts"),
+          identityParts(col("substance"), "default_ratio"))))
       .select(
         col("cell_id"), col("category"),
-        col("new_substance").as("substance"),
-        (col("value") * coalesce(col("eff_ratio"), col("default_ratio"))).as("value"))
-    val touched = defaultDf.select("substance").distinct()
-    val untouched = emissions.join(broadcast(touched), Seq("substance"), "left_anti")
-    speciated.unionByName(
-      untouched.select("cell_id", "category", "substance", "value"))
+        col("p.new_substance").as("substance"),
+        (col("value") * when(col("_touched"),
+          coalesce(
+            element_at(col("eff_map"), col("p.new_substance")),
+            col("p.default_ratio")))
+          .otherwise(lit(1.0))).as("value"))
   }
 
   /** Sum several substances into one — reference `merge_substances`

@@ -64,21 +64,39 @@ object Profiles {
             array_sort(collect_list(struct(col("pos"), col("qw")))),
             x => concat(x.getField("pos"), lit(":"), x.getField("qw"))),
           ",").as("vec"))
-      .persist() // read twice: id assignment + join-back
-    vecs.join(denseIdsByVec(vecs, "dedup_id"), "vec")
+    val cached = graft.Caching.cache(vecs) // read twice: ids + join-back
+    cached.join(denseIdsByVec(cached, "dedup_id"), "vec")
       .select(col("profile_id"), col("dedup_id"))
   }
 
   /** Dense 1-based ids for the distinct values of a `vec` string column —
     * rank in the globally sorted distinct set (= SQL `dense_rank` over the
-    * vector) computed scalably: distributed sort of the (small) distinct
-    * set + zipWithIndex, no single-partition window. */
+    * vector), computed WITHOUT a single-partition window and without
+    * leaving the DataFrame API: range-partition the (small) distinct set
+    * by `vec`, rank locally per partition, then add per-partition offsets
+    * (a bounded collect of one count per shuffle partition — the classic
+    * two-phase global-rank construction). Everything stays inside
+    * codegen/AQE except the two bounded jobs. */
   private def denseIdsByVec(vecs: DataFrame, idName: String): DataFrame = {
     val spark = vecs.sparkSession
-    val idRows = vecs.select("vec").distinct().orderBy("vec").rdd
-      .zipWithIndex()
-      .map { case (row, i) => (row.getString(0), i + 1) }
-    spark.createDataFrame(idRows).toDF("vec", idName)
+    // persist: the partition ids assigned by the range shuffle must be
+    // identical across the counts job and the final join job
+    val parted = graft.Caching.cache(
+      vecs.select("vec").distinct()
+        .repartitionByRange(col("vec"))
+        .withColumn("_pid", spark_partition_id()))
+    val counts = parted.groupBy("_pid").agg(count(lit(1)).as("_cnt"))
+      .orderBy("_pid").collect()
+    var acc = 0L
+    val offsets = counts.toSeq.map { r =>
+      val o = (r.getInt(0), acc); acc += r.getLong(1); o
+    }
+    val offDf = spark.createDataFrame(offsets).toDF("_pid", "_off")
+    val win = Window.partitionBy("_pid").orderBy("vec")
+    parted
+      .withColumn("_rn", row_number().over(win))
+      .join(broadcast(offDf), "_pid")
+      .select(col("vec"), (col("_off") + col("_rn")).as(idName))
   }
 
   /** Country-dim profiles → cell-dim via the cell×country fraction table —
@@ -108,8 +126,8 @@ object Profiles {
             array_sort(collect_list(struct(col("category"), col("profile_id")))),
             x => concat(x.getField("category"), lit(":"), x.getField("profile_id"))),
           ",").as("vec"))
-      .persist() // read twice: id assignment + join-back
-    vecs.join(denseIdsByVec(vecs, "region_id"), "vec")
+    val cached = graft.Caching.cache(vecs) // read twice: ids + join-back
+    cached.join(denseIdsByVec(cached, "region_id"), "vec")
       .select(col("cell_id"), col("region_id"))
   }
 

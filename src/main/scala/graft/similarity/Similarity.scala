@@ -82,11 +82,11 @@ object Similarity {
       threshold: Double,
       bits: Int = 6): DataFrame = {
     // persisted: both sides of the bucket self-join read this subtree
-    val withB = embeddings
+    // (registered with graft.Caching — harness unpersists after use)
+    val withB = graft.Caching.cache(embeddings
       .join(signBuckets(spark, embeddings, bits), "vec_id")
       .select(col("vec_id"), col("bucket"), quantize(col("embedding")).as("v"))
-      .withColumn("n", dot(col("v"), col("v")))
-      .persist()
+      .withColumn("n", dot(col("v"), col("v"))))
     withB.as("a")
       .join(withB.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))

@@ -24,12 +24,31 @@ object AsciiRaster {
       xllcorner: Double, yllcorner: Double,
       cellsize: Double, nodata: Double)
 
+  private val HeaderKeys = Set(
+    "ncols", "nrows", "xllcorner", "yllcorner", "xllcenter", "yllcenter",
+    "cellsize", "nodata_value")
+
+  /** A line is a header line iff its first token is a known Esri ASCII
+    * header key — NODATA_value is OPTIONAL in the format, so counting
+    * lines (always 6) would silently eat the first data row of a 5-line
+    * header file. */
+  private[sources] def isHeaderLine(line: String): Boolean = {
+    val tok = line.trim.split("\\s+")
+    tok.length == 2 && HeaderKeys.contains(tok(0).toLowerCase)
+  }
+
   private[sources] def parseHeader(lines: Seq[String]): Header = {
-    val kv = lines.map(_.trim.split("\\s+")).map(a => a(0).toLowerCase -> a(1)).toMap
+    val kv = lines.takeWhile(isHeaderLine)
+      .map(_.trim.split("\\s+")).map(a => a(0).toLowerCase -> a(1)).toMap
+    // xllcenter form: corner = center - cellsize/2 (Esri ASCII spec)
+    val cs = kv("cellsize").toDouble
+    val xll = kv.get("xllcorner").map(_.toDouble)
+      .getOrElse(kv("xllcenter").toDouble - cs / 2)
+    val yll = kv.get("yllcorner").map(_.toDouble)
+      .getOrElse(kv("yllcenter").toDouble - cs / 2)
     Header(
       kv("ncols").toInt, kv("nrows").toInt,
-      kv("xllcorner").toDouble, kv("yllcorner").toDouble,
-      kv("cellsize").toDouble,
+      xll, yll, cs,
       kv.getOrElse("nodata_value", "-9999").toDouble)
   }
 
@@ -40,11 +59,12 @@ object AsciiRaster {
   def read(spark: SparkSession, path: String): (RegularGrid, DataFrame) = {
     val headerLines = spark.read.textFile(path).take(6).toSeq
     val h = parseHeader(headerLines)
+    val nHeader = headerLines.takeWhile(isHeaderLine).length.toLong
     val g = grid(h)
     val indexed = spark.sparkContext.textFile(path)
       .zipWithIndex()
-      .filter(_._2 >= 6)
-      .map { case (line, i) => (i - 6, line) } // data row r: top row first
+      .filter(_._2 >= nHeader)
+      .map { case (line, i) => (i - nHeader, line) } // data row r: top row first
     val rows = spark.createDataFrame(indexed).toDF("row", "line")
     val df = rows
       .select(col("row"), posexplode(split(trim(col("line")), "\\s+")))

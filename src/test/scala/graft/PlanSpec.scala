@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.ops.Speciation
+import graft.dedup.Dedup
+import graft.profiles.Profiles
+
+/** Physical-plan and cache-hygiene guarantees: operators that promise
+  * "one scan of the fact table" really do scan once, and pipelines that
+  * persist reuse points leave no cached blocks behind after
+  * Caching.release() (the Verify/Bench per-query hand-off). */
+class PlanSpec extends SparkSpec {
+
+  import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+
+  /** Number of file-scan leaves over `tag` in df's optimized plan. */
+  private def scansOf(df: DataFrame, tag: String): Int =
+    df.queryExecution.optimizedPlan.collectLeaves().count {
+      case l: LogicalRelation => l.relation match {
+        case fs: HadoopFsRelation =>
+          fs.location.rootPaths.exists(_.toString.contains(tag))
+        case _ => false
+      }
+      case _ => false
+    }
+
+  private def factFromParquet(): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("planspec").toString
+    basicInv.write.mode("overwrite").parquet(s"$dir/fact_planspec")
+    spark.read.parquet(s"$dir/fact_planspec")
+  }
+
+  test("speciate scans the fact table exactly once (single-pass)") {
+    val fact = factFromParquet()
+    val out = Speciation.speciate(spark, fact,
+      Seq(("adf", "CO2", "CO2_A", 0.4), ("adf", "CO2", "CO2_B", 0.6)))
+    assert(scansOf(out, "fact_planspec") == 1)
+    // semantics: speciated rows split, others pass through
+    val m = totalsBySub(out)
+    assert(math.abs(m(("adf", "CO2_A")) - 0.4 * (0 + 1 + 2 + 3 + 4)) < 1e-9)
+    assert(math.abs(m(("adf", "CO2_B")) - 0.6 * (0 + 1 + 2 + 3 + 4)) < 1e-9)
+    assert(m(("adf", "CH4")) == 3 + 4 + 5 + 6 + 7)
+    assert(!m.contains(("adf", "CO2")))
+  }
+
+  test("speciateNox scans the fact table exactly once") {
+    val fact = factFromParquet()
+    val out = Speciation.speciateNox(spark, fact, noxSubstance = "NH3",
+      no2Fraction = 0.25)
+    assert(scansOf(out, "fact_planspec") == 1)
+    val m = totalsBySub(out)
+    val nh3Total = (1 + 2 + 3 + 4 + 5).toDouble
+    assert(m(("test", "NO")) == nh3Total * (0.75 * 30.0 / 46.0))
+    assert(m(("test", "NO2")) == nh3Total * 0.25)
+    assert(m(("adf", "CO2")) == 0 + 1 + 2 + 3 + 4)
+  }
+
+  test("speciateByCountry scans the fact table exactly once, keeps " +
+    "country-weighted ratios and homeless default") {
+    val fact = factFromParquet()
+    // cells 0,1 covered by countries; cells 2-4 homeless -> default row
+    val fractions = spark.createDataFrame(Seq(
+      (0L, "AA", 0.5), (0L, "BB", 0.5), (1L, "AA", 1.0)))
+      .toDF("cell_id", "country", "fraction")
+    val ratios = Seq(
+      ("AA", "CO2", "X", 0.2), ("AA", "CO2", "Y", 0.8),
+      ("BB", "CO2", "X", 0.6), ("BB", "CO2", "Y", 0.4))
+    val defaults = Seq(("CO2", "X", 0.5), ("CO2", "Y", 0.5))
+    val out = Speciation.speciateByCountry(spark, fact, fractions, ratios, defaults)
+    assert(scansOf(out, "fact_planspec") == 1)
+    val rows = out.where(col("category") === "adf").collect()
+      .map(r => (r.getLong(0), r.getString(2)) -> r.getDouble(3)).toMap
+    // cell 0 adf/CO2 value=0 -> 0; cell 1 value=1: AA only -> X=0.2,Y=0.8
+    assert(rows((1L, "X")) == 0.2)
+    assert(rows((1L, "Y")) == 0.8)
+    // cell 2 homeless, value=2 -> default 0.5/0.5
+    assert(rows((2L, "X")) == 1.0)
+    assert(rows((2L, "Y")) == 1.0)
+    // untouched substance passes through
+    val m = totalsBySub(out)
+    assert(m(("adf", "CH4")) == 3 + 4 + 5 + 6 + 7)
+    assert(m(("test", "NH3")) == 1 + 2 + 3 + 4 + 5)
+  }
+
+  test("cache registry: pipelines leave no persistent RDDs after release") {
+    Caching.release()
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val docs = spark.createDataFrame(
+      (0L until 40L).map(i => (i, s"w${i % 7} common text body w${i % 5} tail ${i % 3}")))
+      .toDF("doc_id", "text")
+    Dedup.verifiedNearDups(spark, docs, numHashes = 4, rowsPerBand = 2,
+      threshold = 0.3).count()
+    val prof = spark.createDataFrame(
+      (0L until 30L).map(i => (i, (i % 4).toInt, (i % 3 + 1).toLong)))
+      .toDF("profile_id", "pos", "qw")
+    Profiles.dedupVectors(prof).count()
+    assert(spark.sparkContext.getPersistentRDDs.size > before,
+      "pipelines should persist reuse points while running")
+    Caching.release()
+    assert(spark.sparkContext.getPersistentRDDs.size == before,
+      "Caching.release must unpersist everything the pipelines cached")
+  }
+
+  test("dedupVectors dense ids match global sorted rank (no RDD hop)") {
+    // 3 distinct vectors across 6 profiles
+    val prof = spark.createDataFrame(Seq(
+      (1L, 0, 5L), (1L, 1, 7L),
+      (2L, 0, 5L), (2L, 1, 7L), // same as 1
+      (3L, 0, 1L),
+      (4L, 0, 9L), (4L, 1, 2L),
+      (5L, 0, 1L), // same as 3
+      (6L, 0, 5L), (6L, 1, 7L))) // same as 1
+      .toDF("profile_id", "pos", "qw")
+    val ids = Profiles.dedupVectors(prof).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Caching.release()
+    // vectors sorted: "0:1" < "0:5,1:7" < "0:9,1:2" -> ids 1, 2, 3
+    assert(ids(3L) == 1L && ids(5L) == 1L)
+    assert(ids(1L) == 2L && ids(2L) == 2L && ids(6L) == 2L)
+    assert(ids(4L) == 3L)
+  }
+
+  test("exactDuplicates pre-hashes and still groups exactly") {
+    val docs = spark.createDataFrame(Seq(
+      (1L, "alpha"), (2L, "beta"), (3L, "alpha"), (4L, "gamma"), (5L, "beta")))
+      .toDF("doc_id", "text")
+    val out = Dedup.exactDuplicates(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(out == Set((1L, 1L, 0), (3L, 1L, 1), (2L, 2L, 0), (5L, 2L, 1),
+      (4L, 4L, 0)))
+  }
+}
