@@ -453,5 +453,6 @@ object Queries {
   )
 
   def all: Seq[Q] =
-    relational ++ profileTemporal ++ eventOps ++ QueriesML.ml ++ QueriesExtra.extra
+    relational ++ profileTemporal ++ eventOps ++ QueriesML.ml ++
+      QueriesExtra.extra ++ QueriesSpatial.spatial
 }

@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.ops.SpatialJoin
+
+/** Gate queries for the general polygon spatial join (SURVEY §2 R1 full
+  * form / M5). Fixture design: polygons are RECTANGLES fed through the
+  * generic vertex-array machinery — the engine runs the real tile join +
+  * Sutherland–Hodgman clip, while DuckDB reproduces the result closed-form
+  * as box∩box arithmetic. Rect sizes are powers of two and offsets sit on
+  * the 1/4 lattice, so every clip intersection coordinate and shoelace
+  * product is dyadic-exact → bit-identical across engines (the same trick
+  * q_line_weights uses for Liang–Barsky). Non-axis-aligned shapes
+  * (triangles, diamonds) are covered by SpatialJoinSpec against the
+  * reference's hand-computed tables, where no SQL oracle is possible.
+  */
+object QueriesSpatial {
+
+  /** 25 rect polygons derived from nation (4×2, quarter-offset). */
+  private def nationPolys(s: SparkSession, d: String): DataFrame =
+    nation(s, d).select(
+      col("n_nationkey").cast("long").as("poly_id"),
+      ((col("n_nationkey") * 7 % 50).cast("double") + 0.25).as("x0"),
+      ((col("n_nationkey") * 11 % 50).cast("double") + 0.5).as("y0"))
+      .select(col("poly_id"),
+        array(col("x0"), col("x0") + 4.0, col("x0") + 4.0, col("x0")).as("xs"),
+        array(col("y0"), col("y0"), col("y0") + 2.0, col("y0") + 2.0).as("ys"))
+
+  private val NationPolyCte =
+    """np AS (SELECT CAST(n_nationkey AS BIGINT) AS poly_id,
+      |             CAST((n_nationkey*7)%50 + 0.25 AS DOUBLE) AS x0,
+      |             CAST((n_nationkey*11)%50 + 0.5 AS DOUBLE) AS y0
+      |      FROM nation)""".stripMargin
+
+  /** 5 zone rects derived from region (16×8). */
+  private def regionZones(s: SparkSession, d: String): DataFrame =
+    region(s, d).select(
+      col("r_regionkey").cast("long").as("poly_id"),
+      ((col("r_regionkey") * 10).cast("double") + 0.5).as("x0"),
+      ((col("r_regionkey") * 9).cast("double") + 0.25).as("y0"))
+      .select(col("poly_id"),
+        array(col("x0"), col("x0") + 16.0, col("x0") + 16.0, col("x0")).as("xs"),
+        array(col("y0"), col("y0"), col("y0") + 8.0, col("y0") + 8.0).as("ys"))
+
+  private val RegionZoneCte =
+    """rz AS (SELECT CAST(r_regionkey AS BIGINT) AS poly_id,
+      |             CAST(r_regionkey*10 + 0.5 AS DOUBLE) AS x0,
+      |             CAST(r_regionkey*9 + 0.25 AS DOUBLE) AS y0
+      |      FROM region)""".stripMargin
+
+  private val CellsCte =
+    """cells AS (SELECT i AS cell_id, (i // 64) * 1.0 AS cx, (i % 64) * 1.0 AS cy
+      |          FROM range(4096) t(i))""".stripMargin
+
+  /** 4 overlapping rect countries (32-sized, quarter offsets). */
+  private val CountryRects: Seq[(String, Double, Double, Double, Double)] = Seq(
+    ("C1", 0.25, 0.25, 32.0, 32.0),
+    ("C2", 24.5, 0.5, 32.0, 16.0),
+    ("C3", 0.5, 28.25, 16.0, 32.0),
+    ("C4", 28.25, 24.5, 32.0, 32.0))
+
+  private def countryPolys(s: SparkSession): DataFrame =
+    s.createDataFrame(CountryRects).toDF("country", "x0", "y0", "w", "h")
+      .select(col("country"),
+        array(col("x0"), col("x0") + col("w"), col("x0") + col("w"), col("x0")).as("xs"),
+        array(col("y0"), col("y0"), col("y0") + col("h"), col("y0") + col("h")).as("ys"))
+
+  private val CountryCte =
+    """c(country, x0, y0, w, h) AS (VALUES
+      |  ('C1', 0.25, 0.25, 32.0, 32.0), ('C2', 24.5, 0.5, 32.0, 16.0),
+      |  ('C3', 0.5, 28.25, 16.0, 32.0), ('C4', 28.25, 24.5, 32.0, 32.0)),
+      |cov AS (SELECT cell_id, country,
+      |               least(cx + 1.0, CAST(x0 AS DOUBLE) + CAST(w AS DOUBLE)) - greatest(cx, CAST(x0 AS DOUBLE)) AS ovx,
+      |               least(cy + 1.0, CAST(y0 AS DOUBLE) + CAST(h AS DOUBLE)) - greatest(cy, CAST(y0 AS DOUBLE)) AS ovy
+      |        FROM cells, c)""".stripMargin
+
+  val spatial: Seq[Q] = Seq(
+    Q("q_poly_weights",
+      (s, d) => SpatialJoin.polyGridWeights(s, srcGrid, nationPolys(s, d))
+        .select("poly_id", "cell_id", "weight"),
+      Some(s"""WITH $NationPolyCte,
+        |$CellsCte,
+        |ov AS (SELECT poly_id, cell_id,
+        |              least(cx + 1.0, x0 + 4.0) - greatest(cx, x0) AS ovx,
+        |              least(cy + 1.0, y0 + 2.0) - greatest(cy, y0) AS ovy
+        |       FROM np, cells)
+        |SELECT poly_id, cell_id, ovx * ovy AS weight
+        |FROM ov WHERE ovx > 0 AND ovy > 0""".stripMargin)),
+
+    Q("q_poly_remap",
+      (s, d) => SpatialJoin.remapToPolygons(
+        s, emissionsAgg(s, d), srcGrid, regionZones(s, d)),
+      Some(s"""$EmiAggCte,
+        |$RegionZoneCte,
+        |$CellsCte,
+        |w AS (SELECT poly_id, cell_id,
+        |             (least(cx + 1.0, x0 + 16.0) - greatest(cx, x0)) *
+        |             (least(cy + 1.0, y0 + 8.0) - greatest(cy, y0)) AS weight
+        |      FROM rz, cells
+        |      WHERE least(cx + 1.0, x0 + 16.0) - greatest(cx, x0) > 0
+        |        AND least(cy + 1.0, y0 + 8.0) - greatest(cy, y0) > 0)
+        |SELECT poly_id, category, substance, sum(value * weight) AS value
+        |FROM emi JOIN w USING (cell_id)
+        |GROUP BY 1, 2, 3""".stripMargin)),
+
+    Q("q_poly_pairs",
+      (s, d) => SpatialJoin.polyPolyWeights(
+        nationPolys(s, d), regionZones(s, d), tileSize = 8.0, normalize = "none")
+        .select(col("a_id"), col("b_id"), col("area")),
+      Some(s"""WITH $NationPolyCte,
+        |$RegionZoneCte
+        |SELECT np.poly_id AS a_id, rz.poly_id AS b_id,
+        |       (least(np.x0 + 4.0, rz.x0 + 16.0) - greatest(np.x0, rz.x0)) *
+        |       (least(np.y0 + 2.0, rz.y0 + 8.0) - greatest(np.y0, rz.y0)) AS area
+        |FROM np, rz
+        |WHERE np.x0 < rz.x0 + 16.0 AND np.x0 + 4.0 > rz.x0
+        |  AND np.y0 < rz.y0 + 8.0 AND np.y0 + 2.0 > rz.y0""".stripMargin)),
+
+    Q("q_country_poly_mask",
+      (s, _) => SpatialJoin.polygonMask(s, srcGrid, countryPolys(s)),
+      Some(s"""WITH $CellsCte,
+        |$CountryCte
+        |SELECT cell_id, country FROM (
+        |  SELECT cell_id, country,
+        |         row_number() OVER (PARTITION BY cell_id
+        |                            ORDER BY ovx * ovy DESC, country ASC) AS rn
+        |  FROM cov WHERE ovx > 0 AND ovy > 0)
+        |WHERE rn = 1""".stripMargin)),
+
+    Q("q_country_poly_fractions",
+      (s, _) => SpatialJoin.polygonMask(s, srcGrid, countryPolys(s), fractions = true),
+      Some(s"""WITH $CellsCte,
+        |$CountryCte
+        |SELECT cell_id, country, ovx * ovy AS fraction
+        |FROM cov WHERE ovx > 0 AND ovy > 0""".stripMargin))
+  )
+}

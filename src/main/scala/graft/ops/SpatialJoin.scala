@@ -1,0 +1,197 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.{ConvexClipAreaExpr, PolyAreaExpr, PolyClipAreaExpr}
+import graft.model.RegularGrid
+
+/** General polygon spatial join — the full form of the reference's
+  * weight generation (`calculate_weights_mapping`,
+  * emiproc/regrid.py:232-301: `sjoin` candidate pairs + shapely
+  * `intersection` refine), which the regular×regular [[Regrid]] fast path
+  * cannot express. Unlocks irregular destination grids (ICON triangle
+  * meshes, hex grids — emiproc/grids.py:494-628), gpkg-defined zones and
+  * real country/timezone polygon masks.
+  *
+  * Geometry model: a polygon table carries `(poly_id, xs: array<double>,
+  * ys: array<double>)` vertex arrays (simple polygons, no holes — the
+  * reference's weight path also ignores interiors).
+  *
+  * Scale design, two regimes:
+  *  - polygon × REGULAR grid ([[polyGridWeights]]): join-free. Each
+  *    polygon analytically explodes its candidate cells from its bbox
+  *    (same shape as `Regrid.remapDirect`), then one exact clip per
+  *    candidate. NO shuffle at all — a narrow map over the polygon
+  *    table; 100 TB facts never move.
+  *  - polygon × polygon ([[tilePairs]] / [[polyPolyWeights]]): both sides
+  *    explode the coarse tiles their bboxes touch, equi-join on tile id
+  *    (hash shuffle keyed by tile — bounded fan-out, no N² pairs), bbox
+  *    prune, and de-duplicate multi-tile pairs with the reference-point
+  *    rule (a pair is kept only in the tile containing the upper-left
+  *    corner of the bbox intersection — the standard dedup of tiled
+  *    spatial joins, e.g. Apache Sedona's). Then one exact convex clip
+  *    per surviving pair.
+  */
+object SpatialJoin {
+
+  /** Attach bbox columns derived from the vertex arrays. */
+  def withBBox(polys: DataFrame): DataFrame =
+    polys
+      .withColumn("_bxmin", array_min(col("xs")))
+      .withColumn("_bxmax", array_max(col("xs")))
+      .withColumn("_bymin", array_min(col("ys")))
+      .withColumn("_bymax", array_max(col("ys")))
+
+  /** `(poly_id, cell_id, area, weight)` for every (polygon, grid cell)
+    * pair with positive intersection area. `weight` = area / cellArea
+    * (the crop/zone fraction), or / polygonArea with `normalizeByPoly`
+    * (the reference's polygon-source rule, emiproc/regrid.py:246-260).
+    * Join-free: candidate cells are exploded analytically per polygon. */
+  def polyGridWeights(
+      spark: SparkSession,
+      grid: RegularGrid,
+      polys: DataFrame,
+      normalizeByPoly: Boolean = false): DataFrame = {
+    val p = withBBox(polys)
+    val jx0 = greatest(lit(0), floor((col("_bxmin") - grid.xmin) / grid.dx).cast("int"))
+    val jx1 = least(lit(grid.nx - 1), floor((col("_bxmax") - grid.xmin) / grid.dx).cast("int"))
+    val jy0 = greatest(lit(0), floor((col("_bymin") - grid.ymin) / grid.dy).cast("int"))
+    val jy1 = least(lit(grid.ny - 1), floor((col("_bymax") - grid.ymin) / grid.dy).cast("int"))
+    val cand = p
+      .where(jx1 >= jx0 && jy1 >= jy0)
+      .select(col("*"), explode(sequence(jx0, jx1)).as("_jx"))
+      .select(col("*"), explode(sequence(jy0, jy1)).as("_jy"))
+    val cxmin = lit(grid.xmin) + col("_jx") * grid.dx
+    val cymin = lit(grid.ymin) + col("_jy") * grid.dy
+    val area = PolyClipAreaExpr.col(
+      cxmin, cymin, cxmin + grid.dx, cymin + grid.dy, col("xs"), col("ys"))
+    val denom =
+      if (normalizeByPoly) PolyAreaExpr.col(col("xs"), col("ys"))
+      else lit(grid.cellArea)
+    cand
+      .withColumn("area", area)
+      .where(col("area") > 0)
+      .select(
+        col("poly_id"),
+        (col("_jx").cast("long") * grid.ny + col("_jy")).as("cell_id"),
+        col("area"),
+        (col("area") / denom).as("weight"))
+  }
+
+  /** Tile ids covered by each bbox, exploded: `(…, _tx, _ty)`. */
+  private def tiled(polys: DataFrame, tileSize: Double): DataFrame =
+    withBBox(polys)
+      .select(col("*"),
+        explode(sequence(
+          floor(col("_bxmin") / tileSize).cast("int"),
+          floor(col("_bxmax") / tileSize).cast("int"))).as("_tx"))
+      .select(col("*"),
+        explode(sequence(
+          floor(col("_bymin") / tileSize).cast("int"),
+          floor(col("_bymax") / tileSize).cast("int"))).as("_ty"))
+
+  /** Candidate pairs between two polygon sets via the tile-bucketed
+    * equi-join: `(a_id, a_xs, a_ys, b_id, b_xs, b_ys)`, exactly one row
+    * per bbox-overlapping pair (reference-point dedup). `tileSize`
+    * should be a few × the typical polygon extent so bucket occupancy
+    * stays bounded. */
+  def tilePairs(a: DataFrame, b: DataFrame, tileSize: Double): DataFrame = {
+    def side(df: DataFrame, prefix: String): DataFrame =
+      tiled(df, tileSize).select(
+        col("poly_id").as(s"${prefix}_id"),
+        col("xs").as(s"${prefix}_xs"), col("ys").as(s"${prefix}_ys"),
+        col("_bxmin").as(s"${prefix}_bxmin"), col("_bxmax").as(s"${prefix}_bxmax"),
+        col("_bymin").as(s"${prefix}_bymin"), col("_bymax").as(s"${prefix}_bymax"),
+        col("_tx"), col("_ty"))
+    val ta = side(a, "a")
+    val tb = side(b, "b")
+    val overlap =
+      col("a_bxmin") < col("b_bxmax") && col("a_bxmax") > col("b_bxmin") &&
+        col("a_bymin") < col("b_bymax") && col("a_bymax") > col("b_bymin")
+    // reference point: the bbox-intersection corner (max of the mins);
+    // the pair is processed only in the tile that contains it
+    val refTile =
+      floor(greatest(col("a_bxmin"), col("b_bxmin")) / tileSize).cast("int") === col("_tx") &&
+        floor(greatest(col("a_bymin"), col("b_bymin")) / tileSize).cast("int") === col("_ty")
+    ta.join(tb, Seq("_tx", "_ty"))
+      .where(overlap && refTile)
+      .select("a_id", "a_xs", "a_ys", "b_id", "b_xs", "b_ys")
+  }
+
+  /** `(a_id, b_id, area, weight)` for polygon sets A × B where B's
+    * polygons are CONVEX (grid cells, ICON triangles, hexes). `weight`
+    * normalizes by A's polygon area ("a"), B's ("b"), or nothing
+    * ("none"). The exact clip runs only on tile-pruned candidate pairs. */
+  def polyPolyWeights(
+      a: DataFrame,
+      b: DataFrame,
+      tileSize: Double,
+      normalize: String = "a"): DataFrame = {
+    val pairs = tilePairs(a, b, tileSize)
+    val area = ConvexClipAreaExpr.col(
+      col("a_xs"), col("a_ys"), col("b_xs"), col("b_ys"))
+    val denom = normalize match {
+      case "a" => PolyAreaExpr.col(col("a_xs"), col("a_ys"))
+      case "b" => PolyAreaExpr.col(col("b_xs"), col("b_ys"))
+      case _ => lit(1.0)
+    }
+    pairs
+      .withColumn("area", area)
+      .where(col("area") > 0)
+      .select(col("a_id"), col("b_id"), col("area"),
+        (col("area") / denom).as("weight"))
+  }
+
+  /** Grid cells as a convex-polygon table `(poly_id = cell_id, xs, ys)` —
+    * the bridge from a [[RegularGrid]] into the poly×poly machinery. */
+  def gridAsPolygons(spark: SparkSession, grid: RegularGrid): DataFrame =
+    grid.cells(spark).select(
+      col("cell_id").as("poly_id"),
+      array(col("xmin"), col("xmax"), col("xmax"), col("xmin")).as("xs"),
+      array(col("ymin"), col("ymin"), col("ymax"), col("ymax")).as("ys"))
+
+  /** Remap an inventory onto polygon zones: each zone's value is the
+    * area-fraction-weighted sum of its cells — `crop_with_shape` /
+    * zone-extraction over arbitrary polygons
+    * (emiproc/inventories/utils.py:120-261 generalized to a zone SET).
+    * One broadcast of the (grid-scale) weight table, one fact shuffle. */
+  def remapToPolygons(
+      spark: SparkSession,
+      emissions: DataFrame,
+      grid: RegularGrid,
+      zones: DataFrame): DataFrame = {
+    val w = polyGridWeights(spark, grid, zones)
+      .select(col("poly_id"), col("cell_id"), col("weight"))
+    emissions
+      .join(broadcast(w), "cell_id")
+      .groupBy("poly_id", "category", "substance")
+      .agg(sum(col("value") * col("weight")).as("value"))
+  }
+
+  /** Real-polygon country/timezone mask — the reference's
+    * `get_country_mask` over actual geometry (emiproc/utilities.py:
+    * 317-531): per-cell dominant-area country (deterministic
+    * (area DESC, country ASC) tie-break), or the full fraction table
+    * with `fractions = true` (`return_fractions=True`, `:505-514`).
+    * `countries(country, xs, ys)`. */
+  def polygonMask(
+      spark: SparkSession,
+      grid: RegularGrid,
+      countries: DataFrame,
+      fractions: Boolean = false): DataFrame = {
+    val w = polyGridWeights(spark, grid,
+      countries.withColumnRenamed("country", "poly_id"))
+      .select(col("cell_id"), col("poly_id").as("country"), col("area"))
+    if (fractions)
+      w.select(col("cell_id"), col("country"),
+        (col("area") / grid.cellArea).as("fraction"))
+    else {
+      val win = Window.partitionBy("cell_id")
+        .orderBy(col("area").desc, col("country").asc)
+      w.withColumn("rn", row_number().over(win))
+        .where(col("rn") === 1)
+        .select("cell_id", "country")
+    }
+  }
+}

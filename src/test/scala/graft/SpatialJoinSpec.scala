@@ -1,0 +1,147 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.PolyClipKernel
+import graft.model.RegularGrid
+import graft.ops.SpatialJoin
+
+/** The general polygon spatial join against the reference's hand-computed
+  * weight tables (tests/test_weights_mapping.py:14-97) and the tile-join
+  * invariants (each overlapping pair exactly once, any tile size). */
+class SpatialJoinSpec extends SparkSpec {
+
+  // the reference's 4 triangles (tests/test_weights_mapping.py:22-29)
+  private val triangles = Seq(
+    Seq((0.5, 0.5), (0.5, 1.5), (1.5, 1.5)),
+    Seq((0.5, 0.5), (1.5, 0.5), (1.5, 1.5)),
+    Seq((2.5, 0.5), (1.5, 1.5), (1.5, 0.5)),
+    Seq((2.5, 0.5), (2.5, 1.5), (1.5, 1.5)))
+
+  private val grid = RegularGrid(3, 2, 0.0, 0.0, 1.0, 1.0)
+  // reference squares 0..4 = our x-major cells 0,1,2,3,5
+  private val squareToCell = Map(0 -> 0L, 1 -> 1L, 2 -> 2L, 3 -> 3L, 4 -> 5L)
+
+  private def triDf: DataFrame =
+    spark.createDataFrame(
+      triangles.zipWithIndex.map { case (t, i) =>
+        (i.toLong, t.map(_._1).toArray, t.map(_._2).toArray)
+      }).toDF("poly_id", "xs", "ys")
+
+  test("polyGridWeights reproduces the reference square->triangle table") {
+    // expected_weights (tests/test_weights_mapping.py:57-78)
+    val expected = Map(
+      (0, 0) -> 0.125, (1, 0) -> 0.25, (3, 0) -> 0.125,
+      (0, 1) -> 0.125, (2, 1) -> 0.25, (3, 1) -> 0.125,
+      (2, 2) -> 0.25, (3, 2) -> 0.125,
+      (3, 3) -> 0.125, (4, 3) -> 0.25)
+    val w = SpatialJoin.polyGridWeights(spark, grid, triDf)
+      .collect().map(r => (r.getLong(1), r.getLong(0)) -> r.getDouble(3)).toMap
+    for (sq <- 0 to 4; t <- 0 to 3) {
+      val got = w.getOrElse((squareToCell(sq), t.toLong), 0.0)
+      val exp = expected.getOrElse((sq, t), 0.0)
+      assert(math.abs(got - exp) < 1e-12, s"square $sq triangle $t: $got != $exp")
+    }
+  }
+
+  test("polyGridWeights normalizeByPoly reproduces weights_triangle_to_square") {
+    val expected = Map(
+      (0, 0) -> 0.25, (0, 1) -> 0.5, (0, 3) -> 0.25,
+      (1, 0) -> 0.25, (1, 2) -> 0.5, (1, 3) -> 0.25,
+      (2, 2) -> 0.5, (2, 3) -> 0.25,
+      (3, 3) -> 0.25, (3, 4) -> 0.5)
+    val w = SpatialJoin.polyGridWeights(spark, grid, triDf, normalizeByPoly = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    for (sq <- 0 to 4; t <- 0 to 3) {
+      val got = w.getOrElse((t.toLong, squareToCell(sq)), 0.0)
+      val exp = expected.getOrElse((t, sq), 0.0)
+      assert(math.abs(got - exp) < 1e-12, s"triangle $t square $sq: $got != $exp")
+    }
+  }
+
+  test("polyPolyWeights over grid-as-polygons equals polyGridWeights") {
+    val cellsAsPolys = SpatialJoin.gridAsPolygons(spark, grid)
+    val viaTiles = SpatialJoin.polyPolyWeights(
+      triDf, cellsAsPolys, tileSize = 1.0, normalize = "none")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val direct = SpatialJoin.polyGridWeights(spark, grid, triDf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(viaTiles.keySet == direct.keySet)
+    viaTiles.foreach { case (k, a) =>
+      assert(math.abs(a - direct(k)) < 1e-12, s"$k: $a != ${direct(k)}")
+    }
+  }
+
+  test("tilePairs emits each overlapping pair exactly once, any tile size") {
+    // polygons spanning several tiles — the reference-point rule must
+    // dedup the multi-tile matches
+    val a = spark.createDataFrame(Seq(
+      (1L, Array(0.2, 9.8, 9.8, 0.2), Array(0.2, 0.2, 5.7, 5.7)),
+      (2L, Array(6.0, 14.0, 14.0, 6.0), Array(4.0, 4.0, 12.0, 12.0))))
+      .toDF("poly_id", "xs", "ys")
+    val b = spark.createDataFrame(Seq(
+      (10L, Array(3.0, 8.0, 8.0, 3.0), Array(1.0, 1.0, 9.0, 9.0)),
+      (20L, Array(100.0, 101.0, 101.0, 100.0), Array(0.0, 0.0, 1.0, 1.0))))
+      .toDF("poly_id", "xs", "ys")
+    for (t <- Seq(1.0, 2.5, 4.0, 16.0)) {
+      val pairs = SpatialJoin.tilePairs(a, b, t)
+        .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(pairs.length == pairs.distinct.length, s"dup pairs at tile=$t")
+      assert(pairs.toSet == Set((1L, 10L), (2L, 10L)), s"wrong pairs at tile=$t")
+    }
+  }
+
+  test("convex clip kernel: diamond x square, containment, disjoint") {
+    // unit diamond centered at (1,1) clipped by the unit square [0,1]^2:
+    // quarter of the diamond -> area 1/8... the diamond |x-1|+|y-1|<=0.5
+    // has area 0.5; the square catches exactly a quarter = 0.125
+    val dx = Array(1.0, 1.5, 1.0, 0.5)
+    val dy = Array(0.5, 1.0, 1.5, 1.0)
+    val sq = (Array(0.0, 1.0, 1.0, 0.0), Array(0.0, 0.0, 1.0, 1.0))
+    assert(math.abs(
+      PolyClipKernel.convexClipArea(dx, dy, sq._1, sq._2) - 0.125) < 1e-12)
+    // clip orientation-insensitivity: CW clip gives the same area
+    val sqCw = (Array(0.0, 0.0, 1.0, 1.0), Array(0.0, 1.0, 1.0, 0.0))
+    assert(math.abs(
+      PolyClipKernel.convexClipArea(dx, dy, sqCw._1, sqCw._2) - 0.125) < 1e-12)
+    // containment
+    assert(math.abs(PolyClipKernel.convexClipArea(
+      dx, dy, Array(-5.0, 5.0, 5.0, -5.0), Array(-5.0, -5.0, 5.0, 5.0)) - 0.5) < 1e-12)
+    // disjoint
+    assert(PolyClipKernel.convexClipArea(
+      dx, dy, Array(8.0, 9.0, 9.0, 8.0), Array(8.0, 8.0, 9.0, 9.0)) == 0.0)
+  }
+
+  test("polygonMask argmax + fractions on overlapping countries") {
+    val g = RegularGrid(4, 4, 0.0, 0.0, 1.0, 1.0)
+    val countries = spark.createDataFrame(Seq(
+      ("AA", Array(0.0, 3.0, 3.0, 0.0), Array(0.0, 0.0, 4.0, 4.0)),
+      ("BB", Array(2.5, 4.0, 4.0, 2.5), Array(0.0, 0.0, 4.0, 4.0))))
+      .toDF("country", "xs", "ys")
+    val mask = SpatialJoin.polygonMask(spark, g, countries)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // x-major 4x4: column ix=2 cells overlap AA 1.0 vs BB 0.5 -> AA;
+    // ix=3 cells only BB
+    assert(mask(g.ncells.toInt - 1) == "BB") // cell (3,3)
+    assert(mask(2L * 4 + 1) == "AA") // cell (2,1): AA wins 1.0 vs 0.5
+    assert(mask(0L) == "AA")
+    val fr = SpatialJoin.polygonMask(spark, g, countries, fractions = true)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(fr((9L, "AA")) == 1.0) // cell (2,1) ix=2
+    assert(fr((9L, "BB")) == 0.5)
+    assert(!fr.contains((13L, "AA"))) // ix=3 outside AA
+  }
+
+  test("remapToPolygons conserves mass for zones covering the grid") {
+    val g = RegularGrid(3, 2, 0.0, 0.0, 1.0, 1.0)
+    val zones = spark.createDataFrame(Seq(
+      (0L, Array(0.0, 1.5, 1.5, 0.0), Array(0.0, 0.0, 2.0, 2.0)),
+      (1L, Array(1.5, 3.0, 3.0, 1.5), Array(0.0, 0.0, 2.0, 2.0))))
+      .toDF("poly_id", "xs", "ys")
+    val emi = basicInv // cells 0..4 live on the 3x2 grid
+    val out = SpatialJoin.remapToPolygons(spark, emi, g, zones)
+    val total = emi.groupBy().sum("value").collect()(0).getDouble(0)
+    val remapped = out.groupBy().sum("value").collect()(0).getDouble(0)
+    assert(math.abs(total - remapped) < 1e-9)
+  }
+}
