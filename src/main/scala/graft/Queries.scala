@@ -273,6 +273,43 @@ object Queries {
         |SELECT CAST(hour_of_week AS INT) AS hour_of_week, sf_d * sf_w AS sf
         |FROM spine JOIN d ON hour_of_week % 24 = d.h JOIN w ON hour_of_week // 24 = w.dw""".stripMargin)),
 
+    Q("q_composite_sf",
+      (s, _) => {
+        val monthProf = s.range(12).where(col("id") =!= 5).select(
+          col("id").cast("int").as("pos"), ((col("id") + 1) / lit(78.0)).as("ratio"))
+        val weekProf = s.range(7).select(
+          col("id").cast("int").as("pos"), ((col("id") + 1) / lit(28.0)).as("ratio"))
+        val dailyProf = s.range(24).select(
+          col("id").cast("int").as("pos"), ((col("id") + 1) / lit(300.0)).as("ratio"))
+        // NB: Column-API lit(300.0) is a DOUBLE; the same literal inside
+        // selectExpr would parse as DECIMAL and round the ratio at 6 dp
+        val weekendDaily = s.range(24).select(
+          col("id").cast("int").as("pos"),
+          ((lit(24) - col("id")) / lit(300.0)).as("ratio"))
+          .crossJoin(s.createDataFrame(Seq(Tuple1(5), Tuple1(6))).toDF("dow"))
+        Temporal.compositeScalingFactors(s,
+          "2023-01-01 00:00:00", 8760,
+          Seq("month" -> monthProf, "day_of_week" -> weekProf,
+            "hour_of_day" -> dailyProf),
+          tzShiftHours = 1,
+          specificDaily = Some(weekendDaily))
+      },
+      Some("""WITH spine AS (SELECT CAST(i AS INT) AS h,
+        |              TIMESTAMP '2023-01-01 00:00:00' + to_hours(i + 1) AS lts
+        |       FROM range(8760) t(i)),
+        |m AS (SELECT i AS pos, (i+1)/78.0 AS ratio FROM range(12) t(i) WHERE i <> 5),
+        |w AS (SELECT i AS pos, (i+1)/28.0 AS ratio FROM range(7) t(i)),
+        |dly AS (SELECT i AS pos, (i+1)/300.0 AS ratio FROM range(24) t(i)),
+        |sd AS (SELECT d AS dow, i AS pos, (24-i)/300.0 AS ratio
+        |       FROM range(24) t(i), (VALUES (5), (6)) v(d))
+        |SELECT h, ((coalesce(m.ratio*12.0, 1.0)) * (coalesce(w.ratio*7.0, 1.0)))
+        |          * coalesce(sd.ratio*24.0, dly.ratio*24.0, 1.0) AS sf
+        |FROM spine
+        |LEFT JOIN m ON month(lts) - 1 = m.pos
+        |LEFT JOIN w ON isodow(lts) - 1 = w.pos
+        |LEFT JOIN dly ON hour(lts) = dly.pos
+        |LEFT JOIN sd ON isodow(lts) - 1 = sd.dow AND hour(lts) = sd.pos""".stripMargin)),
+
     Q("q_temporal_explode",
       (s, d) => {
         val emi = emissionsAgg(s, d).where(col("cell_id") < 256)

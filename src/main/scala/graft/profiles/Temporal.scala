@@ -58,6 +58,88 @@ object Temporal {
       .select(col("hour_of_week"), (col("sf_d") * col("sf_w")).as("sf"))
   }
 
+  /** Profile-kind catalog: cyclic size per kind (reference
+    * emiproc/profiles/temporal/profiles.py: DailyProfile 24,
+    * WeeklyProfile 7, MounthsProfile 12, Hour3OfDay 8, DayOfYear 365,
+    * HourOfYear 8760 — leap variants 366/8784 exist in the reference;
+    * pass a leap-sized profile and the product works unchanged since the
+    * factor is ratio × size of the PROFILE's kind). */
+  val kindSizes: Map[String, Int] = Map(
+    "month" -> 12,
+    "day_of_week" -> 7,
+    "hour_of_day" -> 24,
+    "hour3_of_day" -> 8,
+    "day_of_year" -> 365,
+    "hour_of_year" -> 8760)
+
+  /** Position of a timestamp inside a named kind's cycle. */
+  def kindPos(kind: String, ts: Column): Column = kind match {
+    case "month" => month0(ts)
+    case "day_of_week" => dayOfWeek0(ts)
+    case "hour_of_day" => hourOfDay(ts)
+    case "hour3_of_day" => hour3OfDay(ts)
+    case "day_of_year" => dayOfYear0(ts)
+    case "hour_of_year" => hourOfYear(ts)
+    case other => throw new IllegalArgumentException(s"unknown kind: $other")
+  }
+
+  /** T2 (general form) + T4 — composite scaling factors over an ARBITRARY
+    * kind set with missing-kind = 1.0 product semantics (reference
+    * `get_scaling_factors_at_time`, emiproc/profiles/temporal/
+    * operators.py:446-499: per sub-profile index lookup, missing index →
+    * 1.0, `.prod(dim="sub_profile")`), evaluated in LOCAL time (T4,
+    * `create_scaling_factors_time_serie` `:443-520`: UTC spine converted
+    * to the local tz before indexing).
+    *
+    * `kinds` maps kind name → profile `(pos, ratio)`; each present
+    * position contributes ratio × kindSize, absent positions contribute
+    * 1.0. `specificDaily(dow, pos, ratio)` overrides the `hour_of_day`
+    * profile on specific weekdays — the reference's SpecificDayProfile
+    * rule (`ensure_specific_days_consistency`, operators.py:345-437).
+    * Local time is either a fixed `tzShiftHours` offset (engine-portable)
+    * or a real zone via `localTz` (JVM tz database; Spark-side only).
+    *
+    * Plan: one `range(hours)` spine, one broadcast left join per kind —
+    * no shuffle; the spine never exceeds one year of hours. */
+  def compositeScalingFactors(
+      spark: SparkSession,
+      startTs: String,
+      hours: Int,
+      kinds: Seq[(String, DataFrame)],
+      tzShiftHours: Int = 0,
+      specificDaily: Option[DataFrame] = None,
+      localTz: Option[String] = None): DataFrame = {
+    var df = spark.range(hours)
+      .select(col("id").cast("int").as("h"))
+      .withColumn("_uts",
+        expr(s"timestampadd(HOUR, h, to_timestamp('$startTs'))"))
+      .withColumn("_lts", localTz
+        .map(tz => from_utc_timestamp(col("_uts"), tz))
+        .getOrElse(expr(s"timestampadd(HOUR, $tzShiftHours, _uts)")))
+    specificDaily.foreach { sd =>
+      df = df.join(
+        broadcast(sd.select(col("dow").as("_sd_dow"), col("pos").as("_sd_pos"),
+          col("ratio").as("_sd_r"))),
+        dayOfWeek0(col("_lts")) === col("_sd_dow") &&
+          hourOfDay(col("_lts")) === col("_sd_pos"), "left")
+    }
+    var sf: Column = null
+    kinds.foreach { case (kind, prof) =>
+      val size = kindSizes(kind).toDouble
+      val rc = s"_r_$kind"
+      df = df.join(
+        broadcast(prof.select(col("pos").as(s"_p_$kind"), col("ratio").as(rc))),
+        kindPos(kind, col("_lts")) === col(s"_p_$kind"), "left")
+      val c =
+        if (kind == "hour_of_day" && specificDaily.nonEmpty)
+          coalesce(col("_sd_r") * size, col(rc) * size, lit(1.0))
+        else
+          coalesce(col(rc) * size, lit(1.0))
+      sf = if (sf == null) c else sf * c
+    }
+    df.select(col("h"), sf.as("sf"))
+  }
+
   /** T3 — the temporal explode: emissions × hourly time spine × profile
     * scaling factor (reference emiproc/exports/utils.py:13-156
     * `get_temporally_scaled_array`). Missing profile → factor 1.0.

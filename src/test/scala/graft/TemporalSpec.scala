@@ -80,4 +80,52 @@ class TemporalSpec extends SparkSpec {
     val s = out.agg(sum("hdd_ratio")).collect()(0).getDouble(0)
     assert(math.abs(s - 1.0) < 1e-6)
   }
+
+  test("compositeScalingFactors: missing kind positions contribute 1.0, " +
+    "hour-of-week special case reproduced") {
+    val daily = spark.range(24).select(
+      col("id").cast("int").as("pos"), ((col("id") + 1) / lit(300.0)).as("ratio"))
+    val weekly = spark.range(7).select(
+      col("id").cast("int").as("pos"), ((col("id") + 1) / lit(28.0)).as("ratio"))
+    // 2024-01-01 is a Monday: the first 168 hours = exactly one
+    // hour-of-week cycle, so the general product must equal the
+    // daily x weekly special case
+    val general = Temporal.compositeScalingFactors(spark,
+      "2024-01-01 00:00:00", 168,
+      Seq("day_of_week" -> weekly, "hour_of_day" -> daily))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val special = Temporal.hourOfWeekScalingFactors(spark, daily, weekly)
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    (0 until 168).foreach { h =>
+      assert(math.abs(general(h) - special(h)) < 1e-12, s"hour $h")
+    }
+    // missing kind rows -> factor 1.0: empty month profile leaves the
+    // product unchanged
+    val emptyMonth = spark.range(0).select(
+      col("id").cast("int").as("pos"), lit(1.0).as("ratio"))
+    val withEmpty = Temporal.compositeScalingFactors(spark,
+      "2024-01-01 00:00:00", 168,
+      Seq("month" -> emptyMonth, "day_of_week" -> weekly, "hour_of_day" -> daily))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    (0 until 168).foreach { h =>
+      assert(math.abs(withEmpty(h) - general(h)) < 1e-12)
+    }
+  }
+
+  test("compositeScalingFactors real-tz path follows DST (T4 local time)") {
+    val daily = spark.range(24).select(
+      col("id").cast("int").as("pos"), (col("id") * 1.0).as("ratio"))
+    // Europe/Zurich: 2024-03-31 DST jump, UTC+1 -> UTC+2
+    val before = Temporal.compositeScalingFactors(spark,
+      "2024-03-30 10:00:00", 1, Seq("hour_of_day" -> daily),
+      localTz = Some("Europe/Zurich"))
+      .collect()(0).getDouble(1)
+    val after = Temporal.compositeScalingFactors(spark,
+      "2024-03-31 10:00:00", 1, Seq("hour_of_day" -> daily),
+      localTz = Some("Europe/Zurich"))
+      .collect()(0).getDouble(1)
+    // 10:00 UTC = 11:00 local before DST (ratio 11*24), 12:00 after
+    assert(before == 11.0 * 24)
+    assert(after == 12.0 * 24)
+  }
 }
