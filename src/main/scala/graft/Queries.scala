@@ -166,6 +166,44 @@ object Queries {
         |UNION ALL
         |SELECT cell_id, category, substance, value FROM emi WHERE substance <> 'O'""".stripMargin)),
 
+    Q("q_speciate_table",
+      (s, d) => {
+        val table = graft.sources.SpeciationCsv.read(
+          s, "/root/repo/fixtures/speciation_co2.csv")
+        val fractions = CountryMask.bandMask(s, srcGrid,
+          Seq(("C1", 0.0, 20.5), ("C2", 20.5, 50.0)), fractions = true)
+        Speciation.speciateFromTable(s, emissionsAgg(s, d), fractions, table,
+          substance = "F", year = Some(2024), typ = Some("gridded"))
+      },
+      Some(s"""$EmiAggCte,
+        |t AS (SELECT * FROM read_csv('/root/repo/fixtures/speciation_co2.csv')),
+        |tt AS (SELECT category, country, CAST(FA AS DOUBLE) AS fa, CAST(FB AS DOUBLE) AS fb
+        |       FROM t WHERE year = 2024 AND type = 'gridded'),
+        |tl AS (SELECT category, country, 'FA' AS new_substance, fa AS ratio FROM tt
+        |       UNION ALL
+        |       SELECT category, country, 'FB' AS new_substance, fb AS ratio FROM tt),
+        |cells AS (SELECT i AS cell_id, (i % 64) * 1.0 AS ymin, (i % 64) + 1.0 AS ymax
+        |          FROM range(4096) c(i)),
+        |bands AS (SELECT * FROM (VALUES ('C1', 0.0, 20.5), ('C2', 20.5, 50.0))
+        |          b(country, bymin, bymax)),
+        |fr AS (SELECT cell_id, country,
+        |              (least(ymax, bymax) - greatest(ymin, bymin)) / 1.0 AS fraction
+        |       FROM cells, bands
+        |       WHERE least(ymax, bymax) - greatest(ymin, bymin) > 0),
+        |cr AS (SELECT cell_id, tl.category, new_substance, sum(fraction * ratio) AS eff
+        |       FROM fr JOIN tl USING (country) GROUP BY 1, 2, 3),
+        |dflt AS (SELECT category, new_substance, ratio FROM tl WHERE country = '-99')
+        |SELECT e.cell_id, e.category, d.new_substance AS substance,
+        |       e.value * coalesce(cr.eff, d.ratio) AS value
+        |FROM emi e
+        |JOIN dflt d ON d.category = e.category
+        |LEFT JOIN cr ON cr.cell_id = e.cell_id AND cr.category = e.category
+        |            AND cr.new_substance = d.new_substance
+        |WHERE e.substance = 'F'
+        |UNION ALL
+        |SELECT cell_id, category, substance, value FROM emi
+        |WHERE NOT (substance = 'F' AND category IN ('A', 'R'))""".stripMargin)),
+
     Q("q_merge_substances",
       (s, d) => Speciation.mergeSubstances(s, emissionsAgg(s, d), "TOT", Seq("F", "O")),
       Some(s"""$EmiAggCte

@@ -128,6 +128,69 @@ object Speciation {
           .otherwise(lit(1.0))).as("value"))
   }
 
+  /** Table-driven speciation with the reference's full coordinate set —
+    * `speciate` (emiproc/speciation.py:129-348): the ratio table (from
+    * [[graft.sources.SpeciationCsv.read]]) may carry `year` (filtered to
+    * the inventory year, `:200-209`), `type` (gridded vs shapped,
+    * `:220-223`), `category` (per-category ratios, `:111-126`) and
+    * `country` coordinates. Country rows are folded with the cell×country
+    * fraction table into per-cell effective ratios (`:228-239`); cells
+    * with zero country coverage take the `-99` default row (`:243-257`).
+    *
+    * Divergence note: a (category, substance) row with NO table entry
+    * passes through unchanged here; the reference raises. The engine
+    * favors explicit pass-through — validate the table up front if strict
+    * behavior is needed.
+    *
+    * Single pass over the fact table: the `-99` rows form the daughter
+    * spine per category, per-daughter cell overrides come from a
+    * broadcast (cell, category) → map lookup. */
+  def speciateFromTable(
+      spark: SparkSession,
+      emissions: DataFrame,
+      fractions: DataFrame,
+      table: DataFrame, // long: (category, country, new_substance, ratio) [+year +type]
+      substance: String,
+      year: Option[Int] = None,
+      typ: Option[String] = None): DataFrame = {
+    var t = table
+    if (t.columns.contains("year"))
+      year.foreach(y => t = t.where(col("year") === y))
+    if (t.columns.contains("type"))
+      typ.foreach(tp => t = t.where(col("type") === tp))
+    t = t.select("category", "country", "new_substance", "ratio")
+
+    val dparts = t.where(col("country") === "-99")
+      .groupBy("category")
+      .agg(sort_array(
+        collect_list(struct(col("new_substance"), col("ratio").as("default_ratio"))))
+        .as("dparts"))
+    val cellRatio = fractions
+      .join(t.where(col("country") =!= "-99"), "country")
+      .groupBy("cell_id", "category", "new_substance")
+      .agg(sum(col("fraction") * col("ratio")).as("eff_ratio"))
+      .groupBy("cell_id", "category")
+      .agg(map_from_entries(
+        collect_list(struct(col("new_substance"), col("eff_ratio"))))
+        .as("eff_map"))
+    emissions
+      .join(broadcast(dparts), Seq("category"), "left")
+      .join(broadcast(cellRatio), Seq("cell_id", "category"), "left")
+      .withColumn("_touched",
+        col("dparts").isNotNull && col("substance") === substance)
+      .withColumn("p",
+        explode(when(col("_touched"), col("dparts"))
+          .otherwise(identityParts(col("substance"), "default_ratio"))))
+      .select(
+        col("cell_id"), col("category"),
+        col("p.new_substance").as("substance"),
+        (col("value") * when(col("_touched"),
+          coalesce(
+            element_at(col("eff_map"), col("p.new_substance")),
+            col("p.default_ratio")))
+          .otherwise(lit(1.0))).as("value"))
+  }
+
   /** Sum several substances into one — reference `merge_substances`
     * (emiproc/speciation.py:504-569). */
   def mergeSubstances(

@@ -2,6 +2,7 @@ package graft
 
 import graft.ops.{CountryMask, Speciation}
 import graft.model.RegularGrid
+import org.apache.spark.sql.functions.col
 
 class SpeciationSpec extends SparkSpec {
 
@@ -55,5 +56,74 @@ class SpeciationSpec extends SparkSpec {
       Seq(("A", 0.0, 2.5), ("B", 2.5, 4.0)), fractions = true)
     val sums = fr.groupBy("cell_id").sum("fraction").collect()
     sums.foreach(r => assert(math.abs(r.getDouble(1) - 1.0) < 1e-12))
+  }
+
+  private def writeCsv(lines: String*): String = {
+    val f = java.nio.file.Files.createTempFile("spec_table", ".csv")
+    java.nio.file.Files.writeString(f, lines.mkString("\n"))
+    f.toString
+  }
+
+  test("SpeciationCsv.read: comments skipped, long melt, dims typed") {
+    val p = writeCsv(
+      "# speciation table",
+      "category,country,type,year,SA,SB",
+      "# another comment",
+      "adf,C1,gridded,2024,0.25,0.75",
+      "adf,-99,gridded,2024,0.5,0.5")
+    val t = graft.sources.SpeciationCsv.read(spark, p)
+    assert(t.columns.toSeq ==
+      Seq("category", "country", "type", "year", "new_substance", "ratio"))
+    val rows = t.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getInt(3), r.getString(4)) -> r.getDouble(5)).toMap
+    assert(rows(("adf", "C1", 2024, "SA")) == 0.25)
+    assert(rows(("adf", "-99", 2024, "SB")) == 0.5)
+    assert(rows.size == 4)
+  }
+
+  test("SpeciationCsv.read: row-sum validation fires, dropZeros removes") {
+    val bad = writeCsv("category,SA,SB", "adf,0.5,0.4")
+    intercept[IllegalArgumentException] {
+      graft.sources.SpeciationCsv.read(spark, bad)
+    }
+    // check_sum off lets it through
+    assert(graft.sources.SpeciationCsv.read(spark, bad, checkSum = false)
+      .count() == 2)
+    val zeros = writeCsv("category,SA,SB", "adf,1.0,0.0", "blek,0.0,0.0")
+    val t = graft.sources.SpeciationCsv.read(spark, zeros, dropZeros = true)
+    assert(t.select("category").distinct().collect().map(_.getString(0)).toSeq
+      == Seq("adf"))
+  }
+
+  test("speciateFromTable: year/type filter, country fold, homeless default") {
+    val p = writeCsv(
+      "category,country,type,year,SA,SB",
+      "adf,C1,gridded,2024,0.25,0.75",
+      "adf,C2,gridded,2024,0.75,0.25",
+      "adf,-99,gridded,2024,0.5,0.5",
+      "adf,C1,gridded,2023,1.0,0.0", // filtered by year
+      "adf,C1,shapped,2024,0.0,1.0") // filtered by type
+    val table = graft.sources.SpeciationCsv.read(spark, p)
+    // cell 0: pure C1; cell 1: half C1 half C2; cells 2-4 homeless
+    val fractions = spark.createDataFrame(Seq(
+      (0L, "C1", 1.0), (1L, "C1", 0.5), (1L, "C2", 0.5)))
+      .toDF("cell_id", "country", "fraction")
+    val out = Speciation.speciateFromTable(spark, basicInv, fractions, table,
+      substance = "CO2", year = Some(2024), typ = Some("gridded"))
+    val rows = out.where(col("category") === "adf").collect()
+      .map(r => (r.getLong(0), r.getString(2)) -> r.getDouble(3)).toMap
+    // cell 1 value=1: SA = 0.5*0.25 + 0.5*0.75 = 0.5
+    assert(rows((1L, "SA")) == 0.5)
+    assert(rows((1L, "SB")) == 0.5)
+    // cell 2 homeless value=2 -> default 0.5/0.5
+    assert(rows((2L, "SA")) == 1.0)
+    // liku/CO2 has no adf... liku rows pass through untouched (no table
+    // entry for liku) -- divergence from reference's raise, documented
+    val m = totalsBySub(out)
+    assert(m(("liku", "CO2")) == 0 + 1 + 2 + 3 + 4)
+    assert(m(("adf", "CH4")) == 3 + 4 + 5 + 6 + 7)
+    assert(!m.contains(("adf", "CO2")))
+    // mass conserved for speciated rows (ratios sum to 1)
+    assert(math.abs(m(("adf", "SA")) + m(("adf", "SB")) - (0 + 1 + 2 + 3 + 4)) < 1e-9)
   }
 }
