@@ -311,6 +311,53 @@ object Queries {
         |SELECT CAST(hour_of_week AS INT) AS hour_of_week, sf_d * sf_w AS sf
         |FROM spine JOIN d ON hour_of_week % 24 = d.h JOIN w ON hour_of_week // 24 = w.dw""".stripMargin)),
 
+    Q("q_icon_assembly",
+      (s, _) => {
+        val catsubs = s.createDataFrame(Seq(
+          ("A", "F", "co2_anthro"), ("N", "O", "nox")))
+          .toDF("category", "substance", "var")
+        val indexes = s.createDataFrame(Seq(
+          ("A", "F", 10, 1), ("A", "F", 20, 2), ("N", "O", 10, 3), ("N", "O", 20, 1)))
+          .toDF("category", "substance", "tpid", "profile_id")
+        val regions = s.createDataFrame(Seq((0, 10, 0), (1, 10, 2), (2, 20, -1)))
+          .toDF("region_id", "tpid", "tz_shift")
+        def prof(kind: String, n: Int) =
+          s.range(n).select(col("id").cast("int").as("pos"))
+            .crossJoin(s.createDataFrame(Seq(1, 2, 3).map(Tuple1(_))).toDF("profile_id"))
+            .select(col("profile_id"), lit(kind).as("kind"), col("pos"),
+              ((col("profile_id") * 100 + col("pos") + 1) / lit(1000.0)).as("ratio"))
+        val profiles = prof("hour_of_day", 24)
+          .unionByName(prof("day_of_week", 7))
+          .unionByName(prof("month", 12))
+        graft.sinks.IconExport.assembleTimeProfiles(
+          s, catsubs, indexes, regions, profiles)
+      },
+      Some("""WITH regions(region_id, tpid, tz) AS (VALUES (0, 10, 0), (1, 10, 2), (2, 20, -1)),
+        |idx(category, substance, tpid, profile_id) AS
+        |  (VALUES ('A','F',10,1), ('A','F',20,2), ('N','O',10,3), ('N','O',20,1)),
+        |catsubs(category, substance, var) AS
+        |  (VALUES ('A','F','co2_anthro'), ('N','O','nox')),
+        |pp(profile_id) AS (VALUES (1), (2), (3)),
+        |prof AS (
+        |  SELECT profile_id, 'hour_of_day' AS kind, CAST(i AS INT) AS pos,
+        |         (profile_id*100 + i + 1)/1000.0 AS ratio FROM range(24) t(i), pp
+        |  UNION ALL
+        |  SELECT profile_id, 'day_of_week', CAST(i AS INT),
+        |         (profile_id*100 + i + 1)/1000.0 FROM range(7) t(i), pp
+        |  UNION ALL
+        |  SELECT profile_id, 'month', CAST(i AS INT),
+        |         (profile_id*100 + i + 1)/1000.0 FROM range(12) t(i), pp)
+        |SELECT var, kind, region_id,
+        |       CASE WHEN kind = 'hour_of_day' THEN (pos - tz + 24) % 24
+        |            ELSE pos END AS pos,
+        |       ratio * (CASE kind WHEN 'hour_of_day' THEN 24.0
+        |                          WHEN 'day_of_week' THEN 7.0
+        |                          ELSE 12.0 END) AS sf
+        |FROM catsubs
+        |JOIN idx USING (category, substance)
+        |JOIN regions USING (tpid)
+        |JOIN prof USING (profile_id)""".stripMargin)),
+
     Q("q_composite_sf",
       (s, _) => {
         val monthProf = s.range(12).where(col("id") =!= 5).select(

@@ -40,4 +40,60 @@ object IconExport {
         col("region_id"),
         pmod(col("pos") + col("tz_shift"), lit(size)).as("pos"),
         (col("ratio") * size).as("sf"))
+
+  /** End-to-end OEM time-profile assembly — the reference's
+    * `make_icon_time_profiles` (emiproc/exports/icon.py:384-547): for
+    * every export variable (cat, sub) and every OEM "country" (= profile
+    * region), the per-kind scaling-factor vectors
+    * `sf = ratio × kind_size`, with the hour-resolved kinds
+    * (`hourofday`, `hourofyear`) rolled into the region's timezone —
+    * `np.roll(sf, -tz_shift)` (icon.py:512-518) ⇒ long-format
+    * `pos' = (pos − tz_shift) mod size`. THREE_CYCLES mode = profiles
+    * carrying {hour_of_day, day_of_week, month}; HOUR_OF_YEAR mode =
+    * an `hour_of_year` profile sized by the reference's year%4 leap rule
+    * (profiles.py:277-284 via `get_leap_year_or_normal`, icon.py:426).
+    *
+    * Inputs (long format): `catsubs(category, substance, var)`,
+    * `indexes(category, substance, tpid, profile_id)` — the profile
+    * index cube with its region dimension keyed by the region's
+    * `temporal_profile_id` (icon.py:498-505); `regions(region_id, tpid,
+    * tz_shift)`; `profiles(profile_id, kind, pos, ratio)`.
+    * Output: `(var, kind, region_id, pos, sf)` — one row per matrix
+    * entry of the reference's per-kind datasets. Everything broadcasts
+    * except the profile join; no fact data involved. */
+  def assembleTimeProfiles(
+      spark: SparkSession,
+      catsubs: DataFrame,
+      indexes: DataFrame,
+      regions: DataFrame,
+      profiles: DataFrame,
+      year: Int = 2023): DataFrame = {
+    val leap = year % 4 == 0 // reference's documented year%4-only rule
+    val size = when(col("kind") === "month", 12.0)
+      .when(col("kind") === "day_of_week", 7.0)
+      .when(col("kind") === "hour_of_day", 24.0)
+      .when(col("kind") === "hour3_of_day", 8.0)
+      .when(col("kind") === "day_of_year", if (leap) 366.0 else 365.0)
+      .when(col("kind") === "hour_of_year", if (leap) 8784.0 else 8760.0)
+    val rolled = when(col("kind").isin("hour_of_day", "hour_of_year"),
+      pmod(col("pos") - col("tz_shift"), col("_size").cast("int")))
+      .otherwise(col("pos"))
+    catsubs
+      .join(indexes, Seq("category", "substance"))
+      .join(regions, "tpid")
+      .join(profiles, "profile_id")
+      .withColumn("_size", size)
+      .select(
+        col("var"), col("kind"), col("region_id"),
+        rolled.as("pos"),
+        (col("ratio") * col("_size")).as("sf"))
+  }
+
+  /** Write the assembled profiles as the per-kind file set the OEM
+    * export produces (hourofday/dayofweek/monthofyear or hourofyear) —
+    * parquet partitioned by kind; the reference writes NetCDF
+    * (icon.py:540-546), out of scope without a NetCDF encoder (see
+    * FIXTURES.md), with identical table content. */
+  def writeOemProfiles(assembled: DataFrame, outDir: String): Unit =
+    assembled.write.mode("overwrite").partitionBy("kind").parquet(outDir)
 }

@@ -123,4 +123,50 @@ class IoSpec extends SparkSpec {
       .collect().map(_.getInt(1)).sorted
     assert(frames.toSeq == Seq(0, 2)) // n_frames = 3 -> samples 0,2
   }
+
+  test("icon assembly: tz roll matches np.roll(-shift), hourofyear leap size, " +
+    "per-kind file set") {
+    import org.apache.spark.sql.functions._
+    val catsubs = spark.createDataFrame(Seq(("A", "F", "v1")))
+      .toDF("category", "substance", "var")
+    val indexes = spark.createDataFrame(Seq(("A", "F", 10, 1)))
+      .toDF("category", "substance", "tpid", "profile_id")
+    val regions = spark.createDataFrame(Seq((0, 10, 0), (1, 10, 2)))
+      .toDF("region_id", "tpid", "tz_shift")
+    val daily = spark.range(24).select(
+      lit(1).as("profile_id"), lit("hour_of_day").as("kind"),
+      col("id").cast("int").as("pos"), (col("id") * 1.0).as("ratio"))
+    val out = graft.sinks.IconExport.assembleTimeProfiles(
+      spark, catsubs, indexes, regions, daily)
+      .collect().map(r => (r.getInt(2), r.getInt(3)) -> r.getDouble(4)).toMap
+    // region 0 (no shift): sf[p] = p*24; region 1 (shift 2) is
+    // np.roll(sf, -2): out[0] = in[2]
+    assert(out((0, 0)) == 0.0)
+    assert(out((0, 5)) == 5.0 * 24)
+    assert(out((1, 0)) == 2.0 * 24)
+    assert(out((1, 23)) == 1.0 * 24) // out[23] = in[(23+2)%24] = in[1]
+    // hour_of_year leap sizing: year%4 reference rule
+    val hoy = spark.range(10).select(
+      lit(1).as("profile_id"), lit("hour_of_year").as("kind"),
+      col("id").cast("int").as("pos"), lit(1.0).as("ratio"))
+    def sfOf(year: Int): Double =
+      graft.sinks.IconExport.assembleTimeProfiles(
+        spark, catsubs, indexes,
+        spark.createDataFrame(Seq((0, 10, 0))).toDF("region_id", "tpid", "tz_shift"),
+        hoy, year = year)
+        .select("sf").head().getDouble(0)
+    assert(sfOf(2023) == 8760.0)
+    assert(sfOf(2024) == 8784.0)
+    // per-kind file set
+    val dir = java.nio.file.Files.createTempDirectory("oem").toString
+    val both = daily.unionByName(spark.range(7).select(
+      lit(1).as("profile_id"), lit("day_of_week").as("kind"),
+      col("id").cast("int").as("pos"), lit(1.0).as("ratio")))
+    graft.sinks.IconExport.writeOemProfiles(
+      graft.sinks.IconExport.assembleTimeProfiles(
+        spark, catsubs, indexes, regions, both), dir)
+    val kinds = new java.io.File(dir).list().filter(_.startsWith("kind=")).sorted
+    assert(kinds.toSeq == Seq("kind=day_of_week", "kind=hour_of_day"))
+    assert(spark.read.parquet(dir).count() == 2 * (24 + 7))
+  }
 }
