@@ -439,6 +439,34 @@ object Queries {
         |t AS (SELECT round(sum(hdd), 6) AS hdd_total FROM h)
         |SELECT day, t_mean, hdd, round(hdd / hdd_total, 9) AS hdd_ratio FROM h, t""".stripMargin)),
 
+    Q("q_hdd_hourly",
+      (s, d) => {
+        val heat = s.range(24).select(
+          col("id").cast("int").as("pos"), ((col("id") + 1) / lit(300.0)).as("ratio"))
+        val dhw = s.range(24).select(
+          col("id").cast("int").as("pos"), ((lit(24) - col("id")) / lit(300.0)).as("ratio"))
+        Temporal.hddHourlyBlend(events(s, d), heat, dhw,
+          hours = 72, tzShiftHours = 1)
+      },
+      Some("""WITH daily AS (SELECT date_trunc('day', ts) AS day,
+        |              round(avg(value), 6) AS t_mean FROM events GROUP BY 1),
+        |hh AS (SELECT day, year(day) AS yr,
+        |              CASE WHEN t_mean < 200.0 THEN 220.0 - t_mean ELSE 0.0 END AS hdd
+        |       FROM daily),
+        |ym AS (SELECT yr, round(avg(hdd), 6) AS ym FROM hh GROUP BY 1),
+        |ad AS (SELECT day, round(hdd / ym, 6) AS a_hdd FROM hh JOIN ym USING (yr)),
+        |s0 AS (SELECT date_trunc('day', min(ts)) AS start0 FROM events),
+        |spine AS (SELECT start0 + to_hours(i) AS ts FROM s0, range(72) t(i)),
+        |ff AS (SELECT spine.ts, ad.a_hdd AS a
+        |       FROM spine ASOF LEFT JOIN ad ON spine.ts >= ad.day),
+        |hp AS (SELECT i AS pos, (i + 1) / 300.0 * 24.0 AS hsf FROM range(24) t(i)),
+        |dp AS (SELECT i AS pos, (24 - i) / 300.0 * 24.0 AS dsf FROM range(24) t(i))
+        |SELECT strftime(ff.ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+        |       (1.0 - 0.25) * (a * hsf) + 0.25 * dsf AS sf
+        |FROM ff
+        |JOIN hp ON hour(ff.ts + to_hours(1)) = hp.pos
+        |JOIN dp ON hour(ff.ts + to_hours(1)) = dp.pos""".stripMargin)),
+
     Q("q_vertical_resample",
       (s, d) => VerticalProfiles.resample(s,
         lineitem(s, d).groupBy(

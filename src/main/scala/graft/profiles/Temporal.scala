@@ -256,11 +256,73 @@ object Temporal {
       .select(col("hour_of_week"), col("day_type"), (col("ratio") * 24.0).as("sf"))
   }
 
-  /** T8 — heating-degree-day scaling (reference emiproc/profiles/hdd.py:
-    * 9-115): daily mean driver value → HDD = max(0, threshold − mean),
-    * normalized by the total over the period. Aggregates of arbitrary
-    * doubles are rounded to 6 dp on both engines before reuse so the
-    * hash compare cannot drift on summation order. */
+  /** T8 (full form) — the reference's complete HDD scaling-factor serie
+    * (emiproc/profiles/hdd.py:9-115 `create_HDD_scaling_factor`):
+    *
+    *  1. daily mean temperature; HDD = (T_inside − T_mean) ONLY when
+    *     heating is active (T_mean < T_min), else 0 (hdd.py:61-63);
+    *  2. normalized by the YEARLY MEAN of HDD (hdd.py:65-71);
+    *  3. forward-filled onto the hourly spine (hdd.py:73-81 — the
+    *     reindex+ffill; here the as-of union+last-ignore-nulls window,
+    *     same shape as Events.asofJoin; DuckDB expresses it as ASOF JOIN);
+    *  4. blended with the hourly heating and domestic-hot-water
+    *     profiles: sf = (1 − f_DHW)·a_HDD·heat + f_DHW·dhw (hdd.py:83-90),
+    *     profiles evaluated in LOCAL time (tz offset).
+    *
+    * Aggregates of arbitrary doubles are rounded to 6 dp on both engines
+    * before reuse so hash compares cannot drift on summation order. The
+    * ffill window is a single global sort over (hours + days) rows —
+    * bounded by the requested spine, never the fact table. */
+  def hddHourlyBlend(
+      events: DataFrame,
+      heating: DataFrame, // (pos, ratio) hour-of-day profile
+      dhw: DataFrame, // (pos, ratio) hour-of-day profile
+      hours: Int,
+      tzShiftHours: Int = 0,
+      minHeatingT: Double = 200.0,
+      insideT: Double = 220.0,
+      dhwScaling: Double = 0.25): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(round(avg("value"), 6).as("t_mean"))
+      .withColumn("hdd",
+        when(col("t_mean") < minHeatingT, lit(insideT) - col("t_mean"))
+          .otherwise(lit(0.0)))
+      .withColumn("yr", year(col("day")))
+    val ym = daily.groupBy("yr").agg(round(avg("hdd"), 6).as("ym"))
+    val aDaily = daily.join(broadcast(ym), "yr")
+      .select(col("day").as("ts"), round(col("hdd") / col("ym"), 6).as("a_hdd"),
+        lit(0).as("is_spine"))
+    val spine = events
+      .agg(date_trunc("day", min("ts")).as("start0"))
+      .select(explode(sequence(
+        col("start0"),
+        col("start0") + expr(s"INTERVAL ${hours - 1} HOURS"),
+        expr("INTERVAL 1 HOUR"))).as("ts"))
+      .select(col("ts"), lit(null).cast("double").as("a_hdd"), lit(1).as("is_spine"))
+    val w = Window.orderBy(col("ts"), col("is_spine"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val ffilled = aDaily.unionByName(spine)
+      .withColumn("a", last(col("a_hdd"), ignoreNulls = true).over(w))
+      .where(col("is_spine") === 1)
+    val lh = hour(expr(s"timestampadd(HOUR, $tzShiftHours, ts)"))
+    ffilled
+      .join(broadcast(heating.select(col("pos").as("_hp"),
+        (col("ratio") * 24.0).as("hsf"))), lh === col("_hp"))
+      .join(broadcast(dhw.select(col("pos").as("_dp"),
+        (col("ratio") * 24.0).as("dsf"))), lh === col("_dp"))
+      .select(
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_str"),
+        (lit(1.0 - dhwScaling) * (col("a") * col("hsf")) +
+          lit(dhwScaling) * col("dsf")).as("sf"))
+  }
+
+  /** T8 (simple form) — heating-degree-day scaling (reference
+    * emiproc/profiles/hdd.py:9-115): daily mean driver value →
+    * HDD = max(0, threshold − mean), normalized by the total over the
+    * period. Aggregates of arbitrary doubles are rounded to 6 dp on both
+    * engines so the hash compare cannot drift on summation order. */
   def hddScaling(events: DataFrame, threshold: Double = 200.0): DataFrame = {
     val daily = events
       .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
