@@ -23,6 +23,10 @@ object GraftFunctions {
       require(exprs.length == 2, "shingles(text, n)")
       val n = exprs(1).eval(null).asInstanceOf[Number].intValue()
       ShingleGenerator(exprs.head, n)
+    },
+    "dot_product" -> { exprs =>
+      require(exprs.length == 2, "dot_product(array<double>, array<double>)")
+      DotProductExpr(exprs.head, exprs(1))
     })
 
   /** Register on a live session (test/REPL convenience). */

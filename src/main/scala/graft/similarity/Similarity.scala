@@ -22,9 +22,13 @@ object Similarity {
   def quantize(emb: Column, scale: Int = 1000): Column =
     transform(emb, x => round(x.cast("double") * scale, 0))
 
-  /** Exact dot product of two quantized vectors. */
+  /** Exact dot product of two quantized vectors — native codegen'd
+    * kernel ([[graft.functions.DotProductExpr]]); index-order summation
+    * identical to the previous higher-order fold, so results (and gate
+    * hashes) are unchanged while the per-pair cost drops out of
+    * interpreted lambda land. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    graft.functions.DotProductExpr.col(a, b)
 
   /** Brute-force cosine top-k: queries (vec_id < nQueries) are broadcast
     * against all candidates; rank with a deterministic

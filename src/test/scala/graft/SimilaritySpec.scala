@@ -45,4 +45,26 @@ class SimilaritySpec extends SparkSpec {
     assert(out(1L) == 0L) // identical to centroid 0
     assert(out(3L) == 0L) // cos 0.8 vs 0.6 -> centroid 0
   }
+
+  test("native dot_product == higher-order fold, codegen-compiled, null-safe") {
+    val df = spark.range(200).selectExpr(
+      "transform(sequence(0, 63), j -> CAST((id * 7 + j * 13) % 97 AS DOUBLE)) AS a",
+      "transform(sequence(0, 63), j -> CAST((id * 11 + j * 17) % 89 AS DOUBLE)) AS b")
+    val native = df.select(
+      graft.functions.DotProductExpr.col(col("a"), col("b")).as("d"))
+    val hof = df.select(
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0.0), (acc, v) => acc + v).as("d"))
+    assert(native.collect().map(_.getDouble(0)).toSeq ==
+      hof.collect().map(_.getDouble(0)).toSeq)
+    // survives whole-stage codegen (no fallback exception) and SQL registry
+    graft.functions.GraftFunctions.register(spark)
+    val viaSql = df.selectExpr("dot_product(a, b) AS d")
+    assert(viaSql.agg(sum("d")).collect()(0).getDouble(0) ==
+      native.agg(sum("d")).collect()(0).getDouble(0))
+    // nulls propagate
+    val withNull = spark.sql(
+      "SELECT dot_product(CAST(NULL AS ARRAY<DOUBLE>), array(1.0d)) AS d")
+    assert(withNull.collect()(0).isNullAt(0))
+  }
 }
