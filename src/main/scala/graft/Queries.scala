@@ -210,6 +210,21 @@ object Queries {
         |SELECT cell_id, category, 'TOT' AS substance, sum(value) AS value
         |FROM emi GROUP BY 1, 2, 3""".stripMargin)),
 
+    Q("q_swiss_scale",
+      (s, d) => {
+        val totals = s.createDataFrame(Seq(
+          ("A", "F", 1000.0), ("N", "O", 500.0), ("R", "F", 250.0)))
+          .toDF("category", "substance", "total")
+        graft.sources.SwissRasters.scaleToTotals(emissionsAgg(s, d), totals)
+      },
+      Some(s"""$EmiAggCte,
+        |t(category, substance, total) AS
+        |  (VALUES ('A','F',1000.0), ('N','O',500.0), ('R','F',250.0))
+        |SELECT cell_id, emi.category, emi.substance,
+        |       value / (sum(value) OVER (PARTITION BY emi.category, emi.substance))
+        |             * CAST(total AS DOUBLE) AS value
+        |FROM emi JOIN t ON emi.category = t.category AND emi.substance = t.substance""".stripMargin)),
+
     Q("q_country_mask",
       (s, _) => CountryMask.bandMask(s, srcGrid,
         Seq(("C1", 0.0, 20.5), ("C2", 20.5, 43.5), ("C3", 43.5, 64.0))),

@@ -153,6 +153,41 @@ object ConvexClipAreaExpr {
       Seq(sxs, sys, cxs, cys).map(GraftBridge.expression)))
 }
 
+/** [[PointInPolyExpr]] with the polygon from per-row array columns
+  * `(x, y, xs, ys)`: 2 = interior, 1 = boundary, 0 = outside. */
+case class PointInPolyArrayExpr(override val children: Seq[Expression])
+  extends Expression with CodegenFallback {
+
+  require(children.length == 4, "expects (x, y, xs, ys)")
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def prettyName: String = "point_in_poly_arr"
+
+  override def eval(input: InternalRow): Any = {
+    val vals = children.map(_.eval(input))
+    if (vals.contains(null)) null
+    else {
+      val x = vals(0).asInstanceOf[Double]
+      val y = vals(1).asInstanceOf[Double]
+      val px = vals(2).asInstanceOf[ArrayData].toDoubleArray()
+      val py = vals(3).asInstanceOf[ArrayData].toDoubleArray()
+      if (px.length < 3 || px.length != py.length) 0
+      else PointInPolyExpr.classify(x, y, px, py)
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): PointInPolyArrayExpr =
+    copy(children = newChildren)
+}
+
+object PointInPolyArrayExpr {
+  def col(x: Column, y: Column, xs: Column, ys: Column): Column =
+    GraftBridge.column(PointInPolyArrayExpr(
+      Seq(x, y, xs, ys).map(GraftBridge.expression)))
+}
+
 /** abs shoelace area of a per-row vertex-array polygon `(xs, ys)`. */
 case class PolyAreaExpr(override val children: Seq[Expression])
   extends Expression with CodegenFallback {

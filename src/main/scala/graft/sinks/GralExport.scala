@@ -1,0 +1,173 @@
+package graft.sinks
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.{PointInPolyArrayExpr, PolyAreaExpr}
+
+/** GRAL emission file set — reference `EmissionWriter`
+  * (emiproc/exports/gral.py:65-331) and its text formats:
+  *
+  *  - `point.dat` (2 header lines): x,y,z,emission[kg/h],0,0,0,
+  *    exit_velocity,diameter,temperature,source_group (`:197-224`);
+  *  - `line.dat` (5 header lines): LineStrings split into straight
+  *    sections, emission divided by segment LENGTH ratio (`:236-262`);
+  *  - `cadastre.dat` (1 header line): polygons rasterized on a
+  *    `polygon_raster_size` grid anchored at the polygon set's bbox,
+  *    CELL-CENTER containment (rasterize all_touched=False), cell
+  *    emission = emission × cellArea / polyArea, additive merge
+  *    (`:288-331` — the reference warns this is not exactly mass
+  *    conserving; neither is this, by construction);
+  *  - source-group ids = substance_index × ncategories + category_index
+  *    (`:82-88`).
+  *
+  * All shapes are narrow maps (explode + expression kernels) — no
+  * shuffle until an optional final sort. Readers for the same formats
+  * (the S8 ingestion path) skip the documented header-line counts.
+  */
+object GralExport {
+
+  /** source_group dimension table (substance, category, source_group). */
+  def sourceGroups(
+      spark: SparkSession,
+      substances: Seq[String],
+      categories: Seq[String]): DataFrame = {
+    val rows = for {
+      (sub, i) <- substances.zipWithIndex
+      (cat, j) <- categories.zipWithIndex
+    } yield (sub, cat, i * categories.length + j)
+    spark.createDataFrame(rows).toDF("substance", "category", "source_group")
+  }
+
+  /** point.dat rows from `(x, y, z, value, source_group)` points plus
+    * constant EmissionInfo fields. */
+  def pointRows(
+      points: DataFrame,
+      speed: Double, diameter: Double, temperature: Double): DataFrame =
+    points.select(
+      concat_ws(",",
+        col("x"), col("y"), col("z"), col("value"),
+        lit(0), lit(0), lit(0),
+        lit(speed), lit(diameter), lit(temperature),
+        col("source_group")).as("line"))
+
+  /** line.dat rows: `lines(line_id, xs, ys, value, source_group)` with
+    * vertex arrays; each consecutive vertex pair becomes a section whose
+    * emission is value × segLen / totalLen. */
+  def lineRows(
+      lines: DataFrame,
+      height: Double, width: Double, verticalExtension: Double): DataFrame = {
+    val n = size(col("xs"))
+    val seg = lines
+      .withColumn("_i", explode(sequence(lit(0), n - 2)))
+      .withColumn("_x1", element_at(col("xs"), col("_i") + 1))
+      .withColumn("_y1", element_at(col("ys"), col("_i") + 1))
+      .withColumn("_x2", element_at(col("xs"), col("_i") + 2))
+      .withColumn("_y2", element_at(col("ys"), col("_i") + 2))
+      .withColumn("_len", sqrt(
+        (col("_x2") - col("_x1")) * (col("_x2") - col("_x1")) +
+          (col("_y2") - col("_y1")) * (col("_y2") - col("_y1"))))
+    val tot = org.apache.spark.sql.expressions.Window.partitionBy("line_id")
+    seg
+      .withColumn("_em", col("value") * col("_len") / sum("_len").over(tot))
+      .select(
+        concat_ws(",",
+          lit("unnamed"), col("_i"), col("source_group"),
+          col("_x1"), col("_y1"), lit(height),
+          col("_x2"), col("_y2"), lit(height),
+          lit(width), lit(s"-$verticalExtension"), lit(0), lit(0),
+          col("_em"), lit(0), lit(0), lit(0), lit(0)).as("line"))
+  }
+
+  /** cadastre.dat rows: polygons `(poly_id, xs, ys, value,
+    * source_group)` rasterized at `rasterSize` on a grid anchored at
+    * (anchorX, anchorY) — the polygon set's bbox min in the reference;
+    * passed explicitly here so the anchor is deterministic without a
+    * driver-side total_bounds pass (compute it with an agg when
+    * mirroring the reference exactly). */
+  def cadastreCells(
+      polys: DataFrame,
+      rasterSize: Double,
+      anchorX: Double,
+      anchorY: Double): DataFrame = {
+    val bx0 = array_min(col("xs"))
+    val bx1 = array_max(col("xs"))
+    val by0 = array_min(col("ys"))
+    val by1 = array_max(col("ys"))
+    val jx0 = floor((bx0 - anchorX) / rasterSize).cast("int")
+    val jx1 = floor((bx1 - anchorX) / rasterSize).cast("int")
+    val jy0 = floor((by0 - anchorY) / rasterSize).cast("int")
+    val jy1 = floor((by1 - anchorY) / rasterSize).cast("int")
+    val cand = polys
+      .withColumn("_area", PolyAreaExpr.col(col("xs"), col("ys")))
+      .select(col("*"), explode(sequence(jx0, jx1)).as("_jx"))
+      .select(col("*"), explode(sequence(jy0, jy1)).as("_jy"))
+    val cx = lit(anchorX) + col("_jx") * rasterSize
+    val cy = lit(anchorY) + col("_jy") * rasterSize
+    // cell-center containment (rasterize all_touched=False); boundary
+    // (code 1) counts as inside like rasterio's center rule
+    val inside = PointInPolyArrayExpr.col(
+      cx + rasterSize / 2, cy + rasterSize / 2, col("xs"), col("ys")) >= 1
+    cand
+      .where(inside)
+      .groupBy(cx.as("x"), cy.as("y"), col("source_group"))
+      .agg(sum(col("value") * (rasterSize * rasterSize) / col("_area")).as("emission"))
+      .select(col("x"), col("y"), col("source_group"), col("emission"))
+  }
+
+  /** cadastre.dat text rows from [[cadastreCells]] output. */
+  def cadastreRows(
+      cells: DataFrame,
+      rasterSize: Double, height: Double, verticalExtension: Double): DataFrame =
+    cells.select(
+      concat_ws(",",
+        col("x"), col("y"), lit(height),
+        lit(rasterSize), lit(rasterSize), lit(verticalExtension),
+        col("emission"), lit(0), lit(0), lit(0), col("source_group"),
+        lit("")).as("line"))
+
+  // ---- S8: readers for the same text formats ----
+
+  private def readSkipping(
+      spark: SparkSession, path: String, skip: Int, cols: Seq[String]): DataFrame = {
+    val indexed = spark.sparkContext.textFile(path)
+      .zipWithIndex().filter(_._2 >= skip).map(_._1)
+      .map(_.split(",", -1).toSeq)
+    val rows = indexed.map(org.apache.spark.sql.Row.fromSeq(_))
+    val schema = org.apache.spark.sql.types.StructType(
+      cols.map(c => org.apache.spark.sql.types.StructField(
+        c, org.apache.spark.sql.types.StringType)))
+    spark.createDataFrame(rows.filter(_.length == cols.length), schema)
+  }
+
+  /** point.dat reader (2 header lines ignored — gral.py:104). */
+  def readPoints(spark: SparkSession, path: String): DataFrame =
+    readSkipping(spark, path, 2, Seq(
+      "x", "y", "z", "emission", "u0", "u1", "u2",
+      "exit_velocity", "diameter", "temperature", "source_group"))
+      .select(
+        col("x").cast("double"), col("y").cast("double"),
+        col("z").cast("double"), col("emission").cast("double"),
+        col("source_group").cast("int"))
+
+  /** line.dat reader (5 header lines ignored — gral.py:108-117). */
+  def readLines(spark: SparkSession, path: String): DataFrame =
+    readSkipping(spark, path, 5, Seq(
+      "name", "section", "source_group", "x1", "y1", "z1", "x2", "y2", "z2",
+      "width", "vert_ext", "d0", "d1", "emission", "d2", "d3", "d4", "d5"))
+      .select(
+        col("name"), col("section").cast("int"),
+        col("source_group").cast("int"),
+        col("x1").cast("double"), col("y1").cast("double"),
+        col("x2").cast("double"), col("y2").cast("double"),
+        col("emission").cast("double"))
+
+  /** cadastre.dat reader (1 header line ignored — gral.py:120). */
+  def readCadastre(spark: SparkSession, path: String): DataFrame =
+    readSkipping(spark, path, 1, Seq(
+      "x", "y", "z", "dx", "dy", "dz", "emission",
+      "d0", "d1", "d2", "source_group", "trail"))
+      .select(
+        col("x").cast("double"), col("y").cast("double"),
+        col("dx").cast("double"), col("dy").cast("double"),
+        col("emission").cast("double"), col("source_group").cast("int"))
+}

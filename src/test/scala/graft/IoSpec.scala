@@ -124,6 +124,65 @@ class IoSpec extends SparkSpec {
     assert(frames.toSeq == Seq(0, 2)) // n_frames = 3 -> samples 0,2
   }
 
+  test("swiss totals scaling: normalize x total, point deduction, overdraw raises") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.SwissRasters
+    val raster = spark.createDataFrame(Seq(
+      (0L, "a", "CO2", 1.0), (1L, "a", "CO2", 3.0), (0L, "b", "CO2", 5.0)))
+      .toDF("cell_id", "category", "substance", "value")
+    val totals = spark.createDataFrame(Seq(("a", "CO2", 100.0), ("b", "CO2", 40.0)))
+      .toDF("category", "substance", "total")
+    val out = SwissRasters.scaleToTotals(raster, totals)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(3)).toMap
+    assert(out((0L, "a")) == 25.0 && out((1L, "a")) == 75.0)
+    assert(out((0L, "b")) == 40.0)
+    val points = spark.createDataFrame(Seq(("a", "CO2", 60.0)))
+      .toDF("category", "substance", "total")
+    val ded = SwissRasters.deductPointSources(totals, points)
+      .collect().map(r => (r.getString(0)) -> r.getDouble(2)).toMap
+    assert(ded("a") == 40.0 && ded("b") == 40.0)
+    intercept[IllegalArgumentException] {
+      SwissRasters.deductPointSources(totals,
+        spark.createDataFrame(Seq(("b", "CO2", 41.0)))
+          .toDF("category", "substance", "total"))
+    }
+  }
+
+  test("profile YAML: aliases, flow + block lists, specific days, validation") {
+    import graft.sources.ProfilesYaml
+    val text =
+      """# heating profiles
+        |daily: [0.5, 0.5]
+        |week:
+        |  - 0.25
+        |  - 0.75
+        |diurn_monday: [0.125, 0.875]  # overrides daily on mondays
+        |season: [1.0]
+        |unknown_key: [0.5, 0.5]
+        |""".stripMargin
+    val ps = ProfilesYaml.parse(text)
+    assert(ps.map(p => (p.kind, p.specificDay)) == Seq(
+      ("hour_of_day", None), ("day_of_week", None),
+      ("hour_of_day", Some("monday")), ("month", None)))
+    assert(ps.head.ratios == Seq(0.5, 0.5))
+    assert(ps(1).ratios == Seq(0.25, 0.75))
+    // sum != 1 raises
+    intercept[IllegalArgumentException] {
+      ProfilesYaml.parse("daily: [0.5, 0.4]")
+    }
+    // duplicate kind raises (daily + day are the same class)
+    intercept[IllegalArgumentException] {
+      ProfilesYaml.parse("daily: [0.5, 0.5]\nday: [0.25, 0.75]")
+    }
+    // DataFrame long form
+    val f = java.nio.file.Files.createTempFile("prof", ".yaml")
+    java.nio.file.Files.writeString(f, text)
+    val df = ProfilesYaml.read(spark, f.toString)
+    assert(df.count() == 2 + 2 + 2 + 1)
+    assert(df.where("kind = 'hour_of_day' AND specific_day = 'monday'")
+      .count() == 2)
+  }
+
   test("icon assembly: tz roll matches np.roll(-shift), hourofyear leap size, " +
     "per-kind file set") {
     import org.apache.spark.sql.functions._
