@@ -126,6 +126,25 @@ object NetcdfClassic {
     NcFile(version, numrecs, dims, gatts, vars)
   }
 
+  /** Decode a 2-D `(n, strlen)` NC_CHAR variable as n strings (trailing
+    * NUL/space trimmed) — the layout TNO uses for `emis_cat_code` /
+    * `source_type_code` (emiproc/inventories/tno.py:145-165). */
+  def readVarStrings(bytes: Array[Byte], f: NcFile, name: String): Seq[String] = {
+    val v = f.variable(name)
+    require(v.ncType == NcChar, s"$name is not an NC_CHAR variable")
+    val shape = f.shape(v)
+    val (n, m) = shape match {
+      case Seq(a, b) => (a, b)
+      case Seq(a) => (a, 1)
+      case other => throw new IllegalArgumentException(
+        s"$name: unsupported char shape $other")
+    }
+    (0 until n).map { i =>
+      new String(bytes, v.begin.toInt + i * m, m, "UTF-8")
+        .takeWhile(_ != 0).trim
+    }
+  }
+
   /** Read a variable's full data as a flattened row-major Double array
     * (record dimension unrolled to numrecs), applying the CF
     * `scale_factor`/`add_offset` packing attributes if present and
