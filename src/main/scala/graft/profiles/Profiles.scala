@@ -99,6 +99,55 @@ object Profiles {
       .select(col("vec"), (col("_off") + col("_rn")).as(idName))
   }
 
+  /** P3 — group profiles and their index cube along a dimension —
+    * the reference's `group_profiles_indexes`
+    * (emiproc/profiles/operators.py:307-404): for each group of
+    * categories, members' profiles are emission-weight combined per
+    * remaining key (via `combine_profiles`, `:141-250`), the NEW
+    * profiles get fresh ids offset past each other (`:372-380` — here a
+    * dense 1-based id per (group, key)), and keys whose members are all
+    * `-1` stay `-1` (`:343-358`). Zero total weight falls back to the
+    * uniform profile (P16 rescale rule).
+    *
+    * `index(category, key, profile_id)`, `weights(category, key,
+    * weight)`; returns (newProfiles(profile_id, pos, ratio),
+    * newIndex(category=group, key, profile_id)). The id window runs
+    * over the index cube — METADATA-scale (categories × keys), like the
+    * reference's driver-side numpy pass, never fact data. */
+  def groupProfilesIndexes(
+      profiles: DataFrame,
+      index: DataFrame,
+      weights: DataFrame,
+      groups: Map[String, Seq[String]]): (DataFrame, DataFrame) = {
+    val spark = profiles.sparkSession
+    val groupDim = broadcast(spark.createDataFrame(
+      groups.toSeq.flatMap { case (g, cats) => cats.map(c => (c, g)) })
+      .toDF("category", "grp"))
+    val combined = index.where(col("profile_id") =!= -1)
+      .join(groupDim, "category")
+      .join(weights, Seq("category", "key"))
+      .join(profiles, "profile_id")
+      .groupBy("grp", "key", "pos")
+      .agg(sum(col("ratio") * col("weight")).as("rw"))
+    val win = Window.partitionBy("grp", "key")
+    val normalized = combined.withColumn("ratio",
+      when(sum("rw").over(win) === 0, lit(1.0) / count(lit(1)).over(win))
+        .otherwise(col("rw") / sum("rw").over(win)))
+    val ids = normalized.select("grp", "key").distinct()
+      .withColumn("profile_id",
+        row_number().over(Window.orderBy("grp", "key")))
+    val newProfiles = normalized.join(ids, Seq("grp", "key"))
+      .select("profile_id", "pos", "ratio")
+    val allGroups = spark.createDataFrame(groups.keys.toSeq.map(Tuple1(_)))
+      .toDF("grp")
+    val newIndex = index.select("key").distinct()
+      .crossJoin(allGroups)
+      .join(ids, Seq("grp", "key"), "left")
+      .select(col("grp").as("category"), col("key"),
+        coalesce(col("profile_id"), lit(-1)).as("profile_id"))
+    (newProfiles, newIndex)
+  }
+
   /** Country-dim profiles → cell-dim via the cell×country fraction table —
     * the reference's `country_to_cells` fraction method
     * (emiproc/profiles/operators.py:517-537: sf.dot(country_fractions)).

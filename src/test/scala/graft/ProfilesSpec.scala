@@ -150,4 +150,31 @@ class ProfilesSpec extends SparkSpec {
     val bad = VerticalProfiles.violations(p).collect().map(_.getInt(0)).toSet
     assert(bad == Set(2, 3))
   }
+
+  test("groupProfilesIndexes: weighted member combine, -1 keys, fresh ids") {
+    val profiles = spark.createDataFrame(Seq(
+      (1, 0, 0.5), (1, 1, 0.5), (2, 0, 1.0), (2, 1, 0.0)))
+      .toDF("profile_id", "pos", "ratio")
+    val index = spark.createDataFrame(Seq(
+      ("a", "k1", 1), ("b", "k1", 2), ("a", "k2", -1), ("b", "k2", -1)))
+      .toDF("category", "key", "profile_id")
+    val weights = spark.createDataFrame(Seq(
+      ("a", "k1", 1.0), ("b", "k1", 3.0), ("a", "k2", 2.0), ("b", "k2", 2.0)))
+      .toDF("category", "key", "weight")
+    val (newProfiles, newIndex) = Profiles.groupProfilesIndexes(
+      profiles, index, weights,
+      Map("g" -> Seq("a", "b"), "h" -> Seq("missing_cat")))
+    val idx = newIndex.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getInt(2)).toMap
+    // k2 has only -1 members -> -1; group h has no member categories -> -1
+    assert(idx(("g", "k2")) == -1)
+    assert(idx(("h", "k1")) == -1 && idx(("h", "k2")) == -1)
+    val gId = idx(("g", "k1"))
+    assert(gId > 0)
+    val prof = newProfiles.where(col("profile_id") === gId).collect()
+      .map(r => r.getInt(1) -> r.getDouble(2)).toMap
+    // combined = (0.5*1 + 1.0*3, 0.5*1 + 0.0*3) = (3.5, 0.5), normalized
+    assert(math.abs(prof(0) - 0.875) < 1e-12)
+    assert(math.abs(prof(1) - 0.125) < 1e-12)
+  }
 }
