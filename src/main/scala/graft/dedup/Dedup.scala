@@ -82,18 +82,34 @@ object Dedup {
 
   /** Candidate pairs from LSH banding + estimated Jaccard = fraction of
     * agreeing minhashes. The pair join is keyed by (band, band_key) —
-    * fan-out bounded by bucket occupancy, not corpus size. */
+    * fan-out bounded by bucket occupancy, not corpus size.
+    *
+    * `maxBucketSize` caps degenerate buckets (a boilerplate band key
+    * shared by millions of docs would otherwise explode the self-join
+    * quadratically): buckets above the cap are DROPPED before the join —
+    * the standard production guard; the docs they contain are usually
+    * boilerplate whose near-dup pairs carry no information. 0 = no cap. */
   def lshCandidatePairs(
       minhashes_ : DataFrame,
       numHashes: Int = 8,
-      rowsPerBand: Int = 2): DataFrame = {
+      rowsPerBand: Int = 2,
+      maxBucketSize: Int = 0): DataFrame = {
     // The signature table is referenced three times below (band keys +
     // both pair sides); persist it so the shingle/hash pipeline above it
     // runs once, not three times. Signatures are k rows/doc — tiny next
     // to the corpus, safe to cache at scale. Registered with
     // graft.Caching so the harness unpersists after consumption.
     val minhashes = graft.Caching.cache(minhashes_)
-    val keys = graft.Caching.cache(lshBandKeys(minhashes, rowsPerBand))
+    val keys0 = lshBandKeys(minhashes, rowsPerBand)
+    val capped =
+      if (maxBucketSize <= 0) keys0
+      else {
+        val w = Window.partitionBy("band", "band_key")
+        keys0.withColumn("_bsz", count(lit(1)).over(w))
+          .where(col("_bsz") <= maxBucketSize)
+          .drop("_bsz")
+      }
+    val keys = graft.Caching.cache(capped)
     val pairs = keys.as("a")
       .join(keys.as("b"),
         col("a.band") === col("b.band") &&

@@ -151,6 +151,44 @@ object SpatialJoin {
       array(col("xmin"), col("xmax"), col("xmax"), col("xmin")).as("xs"),
       array(col("ymin"), col("ymin"), col("ymax"), col("ymax")).as("ys"))
 
+  /** An ICON-style triangular mesh over a regular grid: each cell split
+    * along its diagonal into two triangles, `poly_id = cell_id·2 + t` —
+    * a synthetic stand-in for the reference's ICONGrid triangle lists
+    * (emiproc/grids.py:494-575 reads them from the grid file; any
+    * `(poly_id, xs, ys)` table plugs in the same way). */
+  def triangulateGrid(spark: SparkSession, grid: RegularGrid): DataFrame = {
+    val c = grid.cells(spark)
+    val lower = c.select(
+      (col("cell_id") * 2).as("poly_id"),
+      array(col("xmin"), col("xmax"), col("xmax")).as("xs"),
+      array(col("ymin"), col("ymin"), col("ymax")).as("ys"))
+    val upper = c.select(
+      (col("cell_id") * 2 + 1).as("poly_id"),
+      array(col("xmin"), col("xmax"), col("xmin")).as("xs"),
+      array(col("ymin"), col("ymax"), col("ymax")).as("ys"))
+    lower.unionByName(upper)
+  }
+
+  /** Remap emissions keyed by cell_id across TWO polygon sets — source
+    * cells as polygons (any shape) onto convex destination polygons
+    * (ICON triangles, hexes): the fully irregular form of the
+    * reference's `remap_inventory` (emiproc/regrid.py:421-597). Weight =
+    * area(src ∩ dst) / area(src cell) via the tile-bucketed join; the
+    * weight table is grid-scale and broadcasts into the one fact join. */
+  def remapAcrossPolygons(
+      spark: SparkSession,
+      emissions: DataFrame,
+      cellsAsPolys: DataFrame,
+      dstPolys: DataFrame,
+      tileSize: Double): DataFrame = {
+    val w = polyPolyWeights(cellsAsPolys, dstPolys, tileSize, normalize = "a")
+      .select(col("a_id").as("cell_id"), col("b_id").as("dst_id"), col("weight"))
+    emissions
+      .join(broadcast(w), "cell_id")
+      .groupBy(col("dst_id").as("cell_id"), col("category"), col("substance"))
+      .agg(sum(col("value") * col("weight")).as("value"))
+  }
+
   /** Remap an inventory onto polygon zones: each zone's value is the
     * area-fraction-weighted sum of its cells — `crop_with_shape` /
     * zone-extraction over arbitrary polygons

@@ -5,12 +5,11 @@ import graft.sources.Shapefile
 import graft.model.RegularGrid
 import graft.ops.SpatialJoin
 
-/** Builds real .shp/.dbf byte streams (public ESRI/dBase layouts) and
-  * runs them through the reader into the polygon country-mask path. */
-class ShapefileSpec extends SparkSpec {
+/** Shared .shp/.dbf byte-stream builders (public ESRI/dBase layouts). */
+object ShapeFixtures {
 
   /** One Polygon(5) record per ring list; rings closed automatically. */
-  private def buildShp(polys: Seq[Seq[(Double, Double)]]): Array[Byte] = {
+  def buildShp(polys: Seq[Seq[(Double, Double)]]): Array[Byte] = {
     val recs = polys.zipWithIndex.map { case (ring, i) =>
       val pts = ring :+ ring.head // close the ring
       val contentLen = 4 + 32 + 4 + 4 + 4 + 16 * pts.length
@@ -37,7 +36,7 @@ class ShapefileSpec extends SparkSpec {
     b.array()
   }
 
-  private def buildDbf(field: String, values: Seq[String], width: Int): Array[Byte] = {
+  def buildDbf(field: String, values: Seq[String], width: Int): Array[Byte] = {
     val headerSize = 32 + 32 + 1
     val recordSize = 1 + width
     val b = ByteBuffer.allocate(headerSize + values.length * recordSize + 1)
@@ -60,11 +59,18 @@ class ShapefileSpec extends SparkSpec {
     b.array()
   }
 
-  private def writeTmp(suffix: String, bytes: Array[Byte]): String = {
+  def writeTmp(suffix: String, bytes: Array[Byte]): String = {
     val f = java.nio.file.Files.createTempFile("shape", suffix)
     java.nio.file.Files.write(f, bytes)
     f.toString
   }
+}
+
+/** Runs the fixture byte streams through the reader into the polygon
+  * country-mask path. */
+class ShapefileSpec extends SparkSpec {
+
+  import ShapeFixtures._
 
   test("shp + dbf parse: rings, orientation, attributes") {
     // clockwise = outer; counter-clockwise = hole

@@ -132,6 +132,24 @@ class SpatialJoinSpec extends SparkSpec {
     assert(!fr.contains((13L, "AA"))) // ix=3 outside AA
   }
 
+  test("remap onto an ICON-style triangle mesh: halves cells, conserves mass") {
+    val g = RegularGrid(3, 2, 0.0, 0.0, 1.0, 1.0)
+    val tris = SpatialJoin.triangulateGrid(spark, g)
+    assert(tris.count() == 12)
+    val emi = basicInv
+    val out = SpatialJoin.remapAcrossPolygons(
+      spark, emi, SpatialJoin.gridAsPolygons(spark, g), tris, tileSize = 1.0)
+    val total = emi.groupBy().sum("value").collect()(0).getDouble(0)
+    val remapped = out.groupBy().sum("value").collect()(0).getDouble(0)
+    assert(math.abs(total - remapped) < 1e-9)
+    // each cell splits 50/50 between its two triangles
+    val byTri = out.where(col("category") === "adf" && col("substance") === "CH4")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    // cell 1 has adf/CH4 = 4.0 -> triangles 2 and 3 get 2.0 each
+    assert(math.abs(byTri(2L) - 2.0) < 1e-12)
+    assert(math.abs(byTri(3L) - 2.0) < 1e-12)
+  }
+
   test("remapToPolygons conserves mass for zones covering the grid") {
     val g = RegularGrid(3, 2, 0.0, 0.0, 1.0, 1.0)
     val zones = spark.createDataFrame(Seq(

@@ -132,4 +132,28 @@ class TextDedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
     assert(jac.toSeq == Seq((1L, 2L, 1.0)))
   }
+
+  test("maxBucketSize drops degenerate LSH buckets, keeps normal pairs") {
+    import graft.dedup.Dedup
+    // 6 identical boilerplate docs (one giant bucket) + 2 near-dup docs
+    val docs = spark.createDataFrame(
+      (0L until 6L).map(i => (i, "the same boilerplate text body here every time")) ++
+        Seq(
+          (10L, "unique alpha beta gamma delta epsilon zeta eta theta"),
+          (11L, "unique alpha beta gamma delta epsilon zeta eta iota")))
+      .toDF("doc_id", "text")
+    val sh = Dedup.shingles(docs)
+    val mh = Dedup.minhashSignatures(spark, sh, numHashes = 4)
+    val uncapped = Dedup.lshCandidatePairs(mh, 4, 2)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.contains((10L, 11L)))
+    assert(uncapped.exists { case (a, b) => a < 6 && b < 6 }) // boilerplate pairs
+    val capped = Dedup.lshCandidatePairs(mh, 4, 2, maxBucketSize = 4)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    Caching.release()
+    assert(capped.contains((10L, 11L))) // small buckets survive
+    assert(!capped.exists { case (a, b) => a < 6 && b < 6 }) // giant bucket dropped
+  }
 }

@@ -3,20 +3,19 @@ package graft
 import java.nio.{ByteBuffer, ByteOrder}
 import graft.sources.{NetcdfClassic, TnoLoader}
 
-/** Assembles a TNO-shaped CDF-1 file (source dimension, 1-based indexes,
-  * area/point split, substance vars tagged by long_name) and loads it. */
-class TnoSpec extends SparkSpec {
+/** Shared generic CDF-1 assembler for source-loader specs. */
+object NcFixtures {
 
   import NetcdfClassic._
 
   private def pad4(n: Int): Int = (n + 3) & ~3
 
-  private case class V(
+  case class V(
       name: String, dimIds: Seq[Int], ncType: Int,
       atts: Seq[(String, String)], payload: ByteBuffer => Unit, payloadLen: Int)
 
   /** Two-pass CDF-1 assembly with computed data offsets. */
-  private def build(dims: Seq[(String, Int)], vars: Seq[V]): Array[Byte] = {
+  def build(dims: Seq[(String, Int)], vars: Seq[V]): Array[Byte] = {
     def header(begins: Seq[Long]): Array[Byte] = {
       val b = ByteBuffer.allocate(1 << 16).order(ByteOrder.BIG_ENDIAN)
       def name(s: String): Unit = {
@@ -59,10 +58,18 @@ class TnoSpec extends SparkSpec {
     total.array()
   }
 
-  private def doubles(vs: Double*)(b: ByteBuffer): Unit = vs.foreach(b.putDouble)
-  private def ints(vs: Int*)(b: ByteBuffer): Unit = vs.foreach(b.putInt)
-  private def floats(vs: Float*)(b: ByteBuffer): Unit = vs.foreach(b.putFloat)
-  private def chars(s: String)(b: ByteBuffer): Unit = b.put(s.getBytes("UTF-8"))
+  def doubles(vs: Double*)(b: ByteBuffer): Unit = vs.foreach(b.putDouble)
+  def ints(vs: Int*)(b: ByteBuffer): Unit = vs.foreach(b.putInt)
+  def floats(vs: Float*)(b: ByteBuffer): Unit = vs.foreach(b.putFloat)
+  def chars(s: String)(b: ByteBuffer): Unit = b.put(s.getBytes("UTF-8"))
+}
+
+/** Assembles a TNO-shaped CDF-1 file (source dimension, 1-based indexes,
+  * area/point split, substance vars tagged by long_name) and loads it. */
+class TnoSpec extends SparkSpec {
+
+  import NetcdfClassic._
+  import NcFixtures._
 
   private def tnoBytes: Array[Byte] = {
     // dims: 0 lon(3), 1 lat(2), 2 source(4), 3 str3(3), 4 cat(2),
