@@ -7,9 +7,11 @@ object SparkEntry {
 
   /** Flagship query on /root/testdata/sf0.001: the canonical pipeline of
     * SURVEY.md §3 entry points 1+2 — scan → group categories → fractional
-    * box crop → conservative remap → NOx speciation → rollup totals.
+    * box crop → conservative remap → NOx speciation → polygon-zone
+    * extraction (the general spatial join) → rollup totals.
     * Driver smoke-checks rows > 0. */
   def entry(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.functions.col
     val dir = "/root/testdata/sf0.001"
     val emi = Tables.emissions(spark, dir)
     val grouped = ops.Grouping.groupCategories(
@@ -19,7 +21,18 @@ object SparkEntry {
       spark, cropped, Tables.srcGrid, Tables.dstGrid)
     val speciated = ops.Speciation.speciateNox(
       spark, remapped, noxSubstance = "O", no2Fraction = 0.25)
-    ops.Grouping.totals(speciated)
+    // two polygon zones over the destination grid (a diamond and a rect)
+    val zones = spark.createDataFrame(Seq(
+      (0L, Seq(30.0, 56.0, 30.0, 4.0), Seq(4.0, 30.0, 56.0, 30.0)),
+      (1L, Seq(40.0, 64.0, 64.0, 40.0), Seq(40.0, 40.0, 64.0, 64.0))))
+      .toDF("poly_id", "xs", "ys")
+      .select(col("poly_id"),
+        col("xs").cast("array<double>").as("xs"),
+        col("ys").cast("array<double>").as("ys"))
+    val zoned = ops.SpatialJoin.remapToPolygons(
+      spark, speciated, Tables.dstGrid, zones)
+    ops.Grouping.totals(
+      zoned.withColumnRenamed("poly_id", "cell_id"))
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */

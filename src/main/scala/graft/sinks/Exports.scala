@@ -33,8 +33,42 @@ object Exports {
       .na.fill(0.0)
       .withColumn("x", grid.cellXc(col("cell_id")))
       .withColumn("y", grid.cellYc(col("cell_id")))
-    path.foreach(p => wide.write.mode("overwrite").parquet(p))
+    path.foreach { p =>
+      wide.write.mode("overwrite").parquet(p)
+      writeCfAttributes(wide, grid, p, perArea)
+    }
     wide
+  }
+
+  /** K9 — CF metadata attributes for a raster export (reference
+    * `DEFAULT_NC_ATTRIBUTES` + per-variable units/standard_name,
+    * emiproc/exports/rasters.py:118-197). Parquet has no NetCDF-style
+    * global attributes, so the same information rides a `_cf_attrs.json`
+    * sidecar in the export directory: global CF keys + one entry per
+    * substance column with units and coordinate declarations. */
+  def writeCfAttributes(
+      wide: DataFrame,
+      grid: RegularGrid,
+      path: String,
+      perArea: Boolean): Unit = {
+    val units = if (perArea) "kg m-2 s-1" else "kg year-1 cell-1"
+    val subs = wide.columns.filterNot(Seq("cell_id", "x", "y").contains)
+    def q(s: String) = "\"" + s + "\""
+    val vars = subs.map(s0 =>
+      s"${q(s0)}: {${q("units")}: ${q(units)}, ${q("coordinates")}: ${q("x y")}}")
+      .mkString(", ")
+    val json =
+      s"""{${q("Conventions")}: ${q("CF-1.8")},
+         | ${q("source")}: ${q("graft emission inventory export")},
+         | ${q("grid")}: {${q("nx")}: ${grid.nx}, ${q("ny")}: ${grid.ny},
+         |   ${q("xmin")}: ${grid.xmin}, ${q("ymin")}: ${grid.ymin},
+         |   ${q("dx")}: ${grid.dx}, ${q("dy")}: ${grid.dy}},
+         | ${q("variables")}: {$vars}}""".stripMargin
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), wide.sparkSession.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(path, "_cf_attrs.json"), true)
+    out.write(json.getBytes("UTF-8"))
+    out.close()
   }
 
   /** The totals block of the raster export (reference rasters.py:247-306):

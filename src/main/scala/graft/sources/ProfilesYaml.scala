@@ -97,6 +97,23 @@ object ProfilesYaml {
     out.toSeq
   }
 
+  /** Write profiles back to YAML — the reference's `to_yaml`
+    * (io.py:284-306): daily/weekly/monthly keys, `diurn_<day>` for
+    * specific days, flow lists. Round-trips with [[parse]]. */
+  def write(profiles: Seq[YamlProfile], path: String): Unit = {
+    val keyOf: YamlProfile => String = p => (p.kind, p.specificDay) match {
+      case ("hour_of_day", Some(d)) => s"diurn_$d"
+      case ("hour_of_day", None) => "daily"
+      case ("day_of_week", None) => "weekly"
+      case ("month", None) => "monthly"
+      case other => throw new IllegalArgumentException(s"cannot write $other")
+    }
+    val text = profiles.map { p =>
+      s"${keyOf(p)}: [${p.ratios.mkString(", ")}]"
+    }.mkString("", "\n", "\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), text)
+  }
+
   /** Read a profile YAML into long format
     * `(kind, specific_day, pos, ratio)`. */
   def read(spark: SparkSession, path: String): DataFrame = {

@@ -71,6 +71,12 @@ class IoSpec extends SparkSpec {
     val dir = Files.createTempDirectory("graft-sink").resolve("raster").toString
     Exports.rasterExport(emi, grid, Some(dir))
     assert(spark.read.parquet(dir).count() == 2)
+    // K9: CF attribute sidecar rides along, parses as JSON, lists vars
+    val attrs = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_cf_attrs.json")), "UTF-8")
+    assert(attrs.contains("\"Conventions\": \"CF-1.8\""))
+    assert(attrs.contains("\"CO2\"") && attrs.contains("\"CH4\""))
+    assert(attrs.contains("\"units\": \"kg year-1 cell-1\""))
   }
 
   test("hourly export writes one partition per hour") {
@@ -181,6 +187,11 @@ class IoSpec extends SparkSpec {
     assert(df.count() == 2 + 2 + 2 + 1)
     assert(df.where("kind = 'hour_of_day' AND specific_day = 'monday'")
       .count() == 2)
+    // write side (to_yaml) round-trips through parse
+    val out = java.nio.file.Files.createTempFile("prof_out", ".yaml")
+    ProfilesYaml.write(ps, out.toString)
+    val back = ProfilesYaml.parse(java.nio.file.Files.readString(out))
+    assert(back == ps)
   }
 
   test("icon assembly: tz roll matches np.roll(-shift), hourofyear leap size, " +

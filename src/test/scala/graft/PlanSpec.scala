@@ -121,6 +121,27 @@ class PlanSpec extends SparkSpec {
     assert(ids(4L) == 3L)
   }
 
+  test("polyGridWeights plans ZERO shuffle exchanges (join-free geometry)") {
+    import graft.ops.SpatialJoin
+    import graft.model.RegularGrid
+    val polys = spark.createDataFrame(Seq(
+      (1L, Array(0.5, 2.5, 2.5, 0.5), Array(0.5, 0.5, 1.5, 1.5))))
+      .toDF("poly_id", "xs", "ys")
+    val w = SpatialJoin.polyGridWeights(spark, RegularGrid(8, 8, 0, 0, 1, 1), polys)
+    val plan = w.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+    assert(w.count() == 6) // 3x2 covered cells
+  }
+
+  test("remapDirect plans exactly ONE shuffle (the output aggregate)") {
+    import graft.ops.Regrid
+    val emi = basicInv
+    val out = Regrid.remapDirect(emi, Tables.srcGrid, Tables.dstGrid)
+    val plan = out.queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$plan")
+  }
+
   test("exactDuplicates pre-hashes and still groups exactly") {
     val docs = spark.createDataFrame(Seq(
       (1L, "alpha"), (2L, "beta"), (3L, "alpha"), (4L, "gamma"), (5L, "beta")))
