@@ -67,12 +67,43 @@ object ScaleBench {
         .agg(count(lit(1)), sum("value")).collect()(0).getLong(0)
     }
 
+    // B6: polygon × EDGAR-grid spatial join — 100k diamond polygons
+    // (non-axis-aligned: every candidate runs the real clip kernel)
+    // against the 6.48M-cell grid, join-free path.
+    val polys = spark.range(100000).select(
+      col("id").as("poly_id"),
+      (expr("(id * 37) % 3000").cast("double") / 10.0 - 150.0).as("cx"),
+      (expr("(id * 53) % 1500").cast("double") / 10.0 - 70.0).as("cy"))
+      .select(col("poly_id"),
+        array(col("cx") - 0.25, col("cx"), col("cx") + 0.25, col("cx")).as("xs"),
+        array(col("cy"), col("cy") - 0.25, col("cy"), col("cy") + 0.25).as("ys"))
+    val (b6s, b6n) = time {
+      graft.ops.SpatialJoin.polyGridWeights(spark, src, polys)
+        .agg(count(lit(1)), sum("weight")).collect()(0).getLong(0)
+    }
+
+    // B7: tile-bucketed polygon × polygon join — 50k × 50k rects
+    // scattered over [0,100]^2, tileSize 2.
+    def rects(seed: Int) = spark.range(50000).select(
+      col("id").as("poly_id"),
+      (expr(s"(id * $seed) % 1000").cast("double") / 10.0).as("x0"),
+      (expr(s"(id * ${seed + 4}) % 1000").cast("double") / 10.0).as("y0"))
+      .select(col("poly_id"),
+        array(col("x0"), col("x0") + 0.8, col("x0") + 0.8, col("x0")).as("xs"),
+        array(col("y0"), col("y0"), col("y0") + 0.6, col("y0") + 0.6).as("ys"))
+    val (b7s, b7n) = time {
+      graft.ops.SpatialJoin.polyPolyWeights(rects(37), rects(53), tileSize = 2.0)
+        .agg(count(lit(1)), sum("weight")).collect()(0).getLong(0)
+    }
+
     val b1rate = (src.ncells * 32 / b1s / 1e6).formatted("%.1f")
     val b3rate = (b3n / b3s / 1e6).formatted("%.1f")
     println(
       s"""{"metric":"scale_bench","b1_remap_sec":$b1s,"b1_rows_in":${src.ncells * 32},"b1_rows_out":$b1n,"b1_mrows_per_s":$b1rate,""" +
         s""""b2_group_rollup_sec":$b2s,"b2_rows_out":$b2n,""" +
-        s""""b3_explode_sec":$b3s,"b3_rows":$b3n,"b3_mrows_per_s":$b3rate}""")
+        s""""b3_explode_sec":$b3s,"b3_rows":$b3n,"b3_mrows_per_s":$b3rate,""" +
+        s""""b6_poly_grid_sec":$b6s,"b6_weights":$b6n,""" +
+        s""""b7_tile_join_sec":$b7s,"b7_pairs":$b7n}""")
     spark.stop()
   }
 }
