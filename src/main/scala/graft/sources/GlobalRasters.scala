@@ -1,0 +1,120 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.RegularGrid
+
+/** Directory-level global raster inventories over [[NetcdfClassic]]:
+  *
+  *  - S2 EDGAR-style: one classic NetCDF flux raster per
+  *    (substance, category), named `<SUB>_<CAT>.nc`
+  *    (emiproc/inventories/edgar/edgarv8.py:140-237 walks such a
+  *    directory after `download_edgar_files` fetches it); flux
+  *    kg m⁻² s⁻¹ → kg/y/cell via spherical cell areas × SEC_PER_YR.
+  *  - S9 Saunois/WetCHARTs-style: one file per category, a monthly flux
+  *    variable `(time=12[, lev=1], lat, lon)` in g m⁻² day⁻¹; annual
+  *    value = Σ_m flux_m × days_m × 10⁻³ × area (saunois.py:73-97), and
+  *    the monthly series doubles as the month-of-year profile source
+  *    (`:99-103` — normalize with `Profiles.normalize`).
+  */
+object GlobalRasters {
+
+  private val DaysPerMonth =
+    Array(31.0, 28.0, 31.0, 30.0, 31.0, 30.0, 31.0, 31.0, 30.0, 31.0, 30.0, 31.0)
+
+  /** Read every `<SUB>_<CAT>.nc` in a directory into one long inventory
+    * `(cell_id, category, substance, value)` in kg/y/cell. All files
+    * must share the grid (validated). */
+  def readEdgarDir(spark: SparkSession, dir: String): (RegularGrid, DataFrame) = {
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".nc")).sortBy(_.getName)
+    require(files.nonEmpty, s"no .nc files in $dir")
+    var grid: Option[RegularGrid] = None
+    val parts = files.toSeq.map { file =>
+      val Array(sub, cat) = file.getName.stripSuffix(".nc").split("_", 2)
+      val (g, df) = NetcdfRaster.read(spark, file.getPath)
+      grid.foreach(g0 => require(g0 == g,
+        s"${file.getName}: grid $g differs from $g0"))
+      grid = Some(g)
+      val conv = udfFreeAreaCol(g)
+      df.where(col("flux") =!= 0.0) // long format keeps only emitting cells
+        .select(
+          (col("lon_idx").cast("long") * g.ny + col("lat_idx")).as("cell_id"),
+          lit(cat).as("category"), lit(sub).as("substance"),
+          (col("flux") * conv * GfasLoader.SecPerYear).as("value"))
+    }
+    (grid.get, parts.reduce(_ unionByName _))
+  }
+
+  /** Spherical cell area as a Column of the lat index — the reference's
+    * lat-dependent `cell_areas` (emiproc/grids.py:791-806). */
+  private def udfFreeAreaCol(g: RegularGrid) = {
+    // area(lat_idx) = R^2 * dlon_rad * (sin(lat+dy/2) - sin(lat-dy/2));
+    // expressed as pure Column math (radians/sin are codegen'd builtins)
+    val latC = lit(g.ymin) + (col("lat_idx") + 0.5) * g.dy
+    lit(GfasLoader.REarth * GfasLoader.REarth) *
+      lit(math.toRadians(g.dx)) *
+      abs(sin(radians(latC + g.dy / 2)) - sin(radians(latC - g.dy / 2)))
+  }
+
+  final case class MonthlyInventory(
+      grid: RegularGrid,
+      annual: DataFrame, // (cell_id, category, substance, value) kg/y
+      monthly: DataFrame) // (category, substance, cell_id, pos, flux)
+
+  /** Read one Saunois/WetCHARTs-style monthly flux file. */
+  def readMonthly(
+      spark: SparkSession,
+      path: String,
+      category: String,
+      substance: String = "CH4",
+      fluxVar: String = "flux"): MonthlyInventory = {
+    import NetcdfClassic._
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    val f = readHeader(bytes)
+    val lats = readVarDoubles(bytes, f, "latitude")
+    val lons = readVarDoubles(bytes, f, "longitude")
+    val (ymin, dy) = NetcdfRaster.regularAxis(lats)
+    val (xmin, dx) = NetcdfRaster.regularAxis(lons)
+    val grid = RegularGrid(lons.length, lats.length, xmin, ymin, dx, dy)
+
+    val v = f.variable(fluxVar)
+    val shape = f.shape(v)
+    // (time, lat, lon) or (time, lev=1, lat, lon)
+    val core = if (shape.length == 4) {
+      require(shape(1) == 1, s"$fluxVar: lev dimension must be 1 (saunois.py:50)")
+      Seq(shape(0), shape(2), shape(3))
+    } else shape
+    require(core == Seq(12, lats.length, lons.length),
+      s"$fluxVar: expected (12, lat, lon), got $shape")
+    val data = readVarDoubles(bytes, f, fluxVar)
+    val perMonth = lats.length * lons.length
+
+    val annualRows = scala.collection.mutable.ListBuffer.empty[(Long, String, String, Double)]
+    val monthlyRows = scala.collection.mutable.ListBuffer.empty[(String, String, Long, Int, Double)]
+    for (i <- lats.indices; j <- lons.indices) {
+      val cellId = j.toLong * lats.length + i
+      var total = 0.0
+      var m = 0
+      while (m < 12) {
+        val flux = data(m * perMonth + i * lons.length + j)
+        if (!flux.isNaN && flux != 0.0) {
+          total += flux * DaysPerMonth(m)
+          monthlyRows += ((category, substance, cellId, m, flux))
+        }
+        m += 1
+      }
+      if (total != 0.0) {
+        val area = GfasLoader.sphericalCellArea(
+          lats(i) - dy / 2, lats(i) + dy / 2, dx)
+        annualRows += ((cellId, category, substance, total * 1e-3 * area))
+      }
+    }
+    MonthlyInventory(
+      grid,
+      spark.createDataFrame(annualRows.toSeq)
+        .toDF("cell_id", "category", "substance", "value"),
+      spark.createDataFrame(monthlyRows.toSeq)
+        .toDF("category", "substance", "cell_id", "pos", "flux"))
+  }
+}

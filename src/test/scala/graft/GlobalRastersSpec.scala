@@ -1,0 +1,71 @@
+package graft
+
+import graft.sources.{GfasLoader, GlobalRasters, NetcdfClassic}
+
+/** EDGAR-directory and Saunois-monthly loaders on byte-level fixtures. */
+class GlobalRastersSpec extends SparkSpec {
+
+  import NetcdfClassic._
+  import NcFixtures._
+
+  private def fluxFile(values: Seq[Float]): Array[Byte] =
+    build(
+      Seq(("latitude", 2), ("longitude", 3)),
+      Seq(
+        V("latitude", Seq(0), NcDouble, Seq("units" -> "degrees_north"),
+          doubles(10.0, 12.0), 16),
+        V("longitude", Seq(1), NcDouble, Seq("units" -> "degrees_east"),
+          doubles(100.0, 102.0, 104.0), 24),
+        V("flux", Seq(0, 1), NcFloat, Seq("long_name" -> "emission flux"),
+          b => values.foreach(b.putFloat), 4 * values.length)))
+
+  test("EDGAR directory scan: filename catsub, flux x area x SEC_PER_YR") {
+    val dir = java.nio.file.Files.createTempDirectory("edgar")
+    java.nio.file.Files.write(dir.resolve("CO2_ENE.nc"),
+      fluxFile(Seq(1f, 0f, 0f, 0f, 0f, 0f)))
+    java.nio.file.Files.write(dir.resolve("CH4_TRO.nc"),
+      fluxFile(Seq(0f, 0f, 0f, 0f, 0f, 2f)))
+    val (grid, inv) = GlobalRasters.readEdgarDir(spark, dir.toString)
+    assert(grid.nx == 3 && grid.ny == 2)
+    val rows = inv.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)) -> r.getDouble(3)).toMap
+    // flux row-major (lat, lon): value 1 at (lat0, lon0) -> cell 0
+    val a0 = GfasLoader.sphericalCellArea(9.0, 11.0, 2.0)
+    assert(math.abs(rows((0L, "ENE", "CO2")) /
+      (1.0 * a0 * GfasLoader.SecPerYear) - 1.0) < 1e-6)
+    // value 2 at (lat1, lon2) -> cell 2*2+1 = 5
+    val a1 = GfasLoader.sphericalCellArea(11.0, 13.0, 2.0)
+    assert(math.abs(rows((5L, "TRO", "CH4")) /
+      (2.0 * a1 * GfasLoader.SecPerYear) - 1.0) < 1e-6)
+    assert(rows.size == 2)
+  }
+
+  test("monthly loader: day-weighted annual total + month-of-year series") {
+    // (time=12, lev=1, lat=2, lon=2); fluxes only at (lat0, lon0):
+    // 3 g/m2/day in January, 1.5 in February
+    val perMonth = 4
+    val data = new Array[Float](12 * perMonth)
+    data(0) = 3f
+    data(perMonth) = 1.5f
+    val bytes = build(
+      Seq(("time", 12), ("lev", 1), ("latitude", 2), ("longitude", 2)),
+      Seq(
+        V("latitude", Seq(2), NcDouble, Nil, doubles(10.0, 12.0), 16),
+        V("longitude", Seq(3), NcDouble, Nil, doubles(100.0, 102.0), 16),
+        V("flux", Seq(0, 1, 2, 3), NcFloat, Nil,
+          b => data.foreach(b.putFloat), 4 * data.length)))
+    val path = java.nio.file.Files.createTempFile("saunois", ".nc")
+    java.nio.file.Files.write(path, bytes)
+    val inv = GlobalRasters.readMonthly(spark, path.toString, "wetlands")
+    val area = GfasLoader.sphericalCellArea(9.0, 11.0, 2.0)
+    val exp = (3.0 * 31 + 1.5 * 28) * 1e-3 * area
+    val ann = inv.annual.collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(ann.size == 1)
+    assert(math.abs(ann(0L) / exp - 1.0) < 1e-6)
+    val months = inv.monthly.collect()
+      .map(r => (r.getLong(2), r.getInt(3)) -> r.getDouble(4)).toMap
+    assert(months((0L, 0)) == 3.0 && months((0L, 1)) == 1.5)
+    assert(months.size == 2)
+  }
+}
