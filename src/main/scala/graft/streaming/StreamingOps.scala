@@ -74,6 +74,21 @@ object StreamingOps {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
   }
 
+  /** Streaming exact dedup for a document stream — the incremental form
+    * of `Dedup.exactDuplicates` for continuous ingestion pipelines:
+    * pre-hash the text (the state key is the 8-byte hash + text, like
+    * the batch path) and keep first-seen only, with the dedup state
+    * bounded by the event-time watermark
+    * (`dropDuplicatesWithinWatermark` — exact within the window, which
+    * is the practical contract for streaming ingest; cross-window dupes
+    * need the batch pass). `docs` needs (doc_id, ts, text). */
+  def dedupStream(docs: DataFrame, watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("_th", xxhash64(col("text")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("_th", "text")
+      .drop("_th")
+
   /** Stream-static join: scale each event by the static hourly profile
     * factor of its event type (missing profile → 1.0) — the streaming form
     * of the temporal explode's factor application (T3). The profile table

@@ -76,4 +76,27 @@ class StreamingSpec extends SparkSpec {
       assert(out == Map(1L -> 6.0, 2L -> 2.0))
     } finally q.stop()
   }
+
+  test("dedupStream keeps first-seen texts across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val docs = mem.toDF().toDF("doc_id", "ts", "text")
+    val q = StreamingOps.dedupStream(docs)
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, ts("2024-01-01 10:00:00"), "alpha"),
+        (2L, ts("2024-01-01 10:01:00"), "beta"),
+        (3L, ts("2024-01-01 10:02:00"), "alpha")) // dupe in-batch
+      q.processAllAvailable()
+      mem.addData(
+        (4L, ts("2024-01-01 10:10:00"), "beta"), // dupe across batches
+        (5L, ts("2024-01-01 10:11:00"), "gamma"))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").collect().map(_.getLong(0)).toSet
+      assert(ids == Set(1L, 2L, 5L))
+    } finally q.stop()
+  }
 }
