@@ -118,6 +118,37 @@ object QueriesSpatial {
         |WHERE np.x0 < rz.x0 + 16.0 AND np.x0 + 4.0 > rz.x0
         |  AND np.y0 < rz.y0 + 8.0 AND np.y0 + 2.0 > rz.y0""".stripMargin)),
 
+    Q("q_gral_cadastre",
+      (s, d) => {
+        val polys = nation(s, d).select(
+          col("n_nationkey").cast("long").as("poly_id"),
+          ((col("n_nationkey") * 7 % 50).cast("double") + 0.25).as("x0"),
+          // y0 on the 1/4 lattice so no cell CENTER (k+0.5) ever sits
+          // exactly on a rect edge (center-rule vs strict-SQL ambiguity)
+          ((col("n_nationkey") * 11 % 50).cast("double") + 0.25).as("y0"),
+          (col("n_nationkey") + 1).cast("double").as("value"),
+          (col("n_nationkey") % 3).cast("int").as("source_group"))
+          .select(col("poly_id"),
+            array(col("x0"), col("x0") + 4.0, col("x0") + 4.0, col("x0")).as("xs"),
+            array(col("y0"), col("y0"), col("y0") + 2.0, col("y0") + 2.0).as("ys"),
+            col("value"), col("source_group"))
+        graft.sinks.GralExport.cadastreCells(polys, 1.0, 0.0, 0.0)
+      },
+      Some(s"""WITH np AS (SELECT CAST(n_nationkey AS BIGINT) AS poly_id,
+        |             CAST((n_nationkey*7)%50 + 0.25 AS DOUBLE) AS x0,
+        |             CAST((n_nationkey*11)%50 + 0.25 AS DOUBLE) AS y0,
+        |             CAST(n_nationkey + 1 AS DOUBLE) AS value,
+        |             CAST(n_nationkey % 3 AS INT) AS source_group
+        |      FROM nation),
+        |cells AS (SELECT i // 64 AS kx, i % 64 AS ky FROM range(4096) t(i)),
+        |hit AS (SELECT kx, ky, source_group, value
+        |        FROM np, cells
+        |        WHERE x0 < kx + 0.5 AND kx + 0.5 < x0 + 4.0
+        |          AND y0 < ky + 0.5 AND ky + 0.5 < y0 + 2.0)
+        |SELECT CAST(kx AS DOUBLE) AS x, CAST(ky AS DOUBLE) AS y, source_group,
+        |       sum(value * 1.0 / 8.0) AS emission
+        |FROM hit GROUP BY 1, 2, 3""".stripMargin)),
+
     Q("q_country_poly_mask",
       (s, _) => SpatialJoin.polygonMask(s, srcGrid, countryPolys(s)),
       Some(s"""WITH $CellsCte,
