@@ -143,6 +143,40 @@ object SpatialJoin {
         (col("area") / denom).as("weight"))
   }
 
+  /** Line → polygon buffering with SQUARE caps — the reference's
+    * MapLuftZurich line conversion (`gdf.geometry.buffer(line_width,
+    * cap_style=3)`, emiproc/inventories/utils.py:58-88): each polyline
+    * segment becomes the rectangle of half-width `width` around it,
+    * extended `width` beyond both endpoints (shapely's square cap).
+    * Exact per segment; at interior vertices the reference UNIONS the
+    * segment rectangles (mitre join) while this emits one polygon per
+    * segment — overlapping joint areas are counted by both segments,
+    * a documented divergence bounded by O(width²) per vertex.
+    * `lines(line_id, xs, ys)` → `(poly_id = line_id, seg, xs, ys)`. */
+  def bufferLines(lines: DataFrame, width: Double): DataFrame = {
+    val n = size(col("xs"))
+    val seg = lines
+      .withColumn("_i", explode(sequence(lit(0), n - 2)))
+      .withColumn("_x1", element_at(col("xs"), col("_i") + 1))
+      .withColumn("_y1", element_at(col("ys"), col("_i") + 1))
+      .withColumn("_x2", element_at(col("xs"), col("_i") + 2))
+      .withColumn("_y2", element_at(col("ys"), col("_i") + 2))
+      .withColumn("_len", sqrt(
+        (col("_x2") - col("_x1")) * (col("_x2") - col("_x1")) +
+          (col("_y2") - col("_y1")) * (col("_y2") - col("_y1"))))
+      .where(col("_len") > 0)
+      .withColumn("_ux", (col("_x2") - col("_x1")) / col("_len") * width)
+      .withColumn("_uy", (col("_y2") - col("_y1")) / col("_len") * width)
+    // square-cap corners: (p1 - u ± n), (p2 + u ± n) with n = (-uy, ux)
+    val ax = col("_x1") - col("_ux"); val ay = col("_y1") - col("_uy")
+    val bx = col("_x2") + col("_ux"); val by = col("_y2") + col("_uy")
+    val nx = -col("_uy"); val ny = col("_ux")
+    seg.select(
+      col("line_id").as("poly_id"), col("_i").as("seg"),
+      array(ax + nx, ax - nx, bx - nx, bx + nx).as("xs"),
+      array(ay + ny, ay - ny, by - ny, by + ny).as("ys"))
+  }
+
   /** Grid cells as a convex-polygon table `(poly_id = cell_id, xs, ys)` —
     * the bridge from a [[RegularGrid]] into the poly×poly machinery. */
   def gridAsPolygons(spark: SparkSession, grid: RegularGrid): DataFrame =

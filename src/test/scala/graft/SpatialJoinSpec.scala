@@ -150,6 +150,30 @@ class SpatialJoinSpec extends SparkSpec {
     assert(math.abs(byTri(3L) - 2.0) < 1e-12)
   }
 
+  test("bufferLines: square-cap rectangles match shapely buffer areas") {
+    import graft.functions.PolyAreaExpr
+    val lines = spark.createDataFrame(Seq(
+      (1L, Array(0.0, 10.0), Array(0.0, 0.0)), // horizontal
+      (2L, Array(0.0, 3.0), Array(0.0, 4.0)), // diagonal, len 5
+      (3L, Array(0.0, 2.0, 2.0), Array(0.0, 0.0, 2.0)))) // two segments
+      .toDF("line_id", "xs", "ys")
+    val buf = SpatialJoin.bufferLines(lines, width = 2.0)
+    val areas = buf
+      .select(col("poly_id"), col("seg"),
+        PolyAreaExpr.col(col("xs"), col("ys")).as("a"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    // square-cap single segment: (len + 2w) * 2w
+    assert(math.abs(areas((1L, 0)) - 14.0 * 4.0) < 1e-9)
+    assert(math.abs(areas((2L, 0)) - 9.0 * 4.0) < 1e-9)
+    assert(math.abs(areas((3L, 0)) - 6.0 * 4.0) < 1e-9)
+    assert(math.abs(areas((3L, 1)) - 6.0 * 4.0) < 1e-9)
+    // horizontal buffer bbox: x in [-2, 12], y in [-2, 2]
+    val h = buf.where(col("poly_id") === 1).collect()(0)
+    val xs = h.getSeq[Double](2); val ys = h.getSeq[Double](3)
+    assert(xs.min == -2.0 && xs.max == 12.0)
+    assert(ys.min == -2.0 && ys.max == 2.0)
+  }
+
   test("remapToPolygons conserves mass for zones covering the grid") {
     val g = RegularGrid(3, 2, 0.0, 0.0, 1.0, 1.0)
     val zones = spark.createDataFrame(Seq(
