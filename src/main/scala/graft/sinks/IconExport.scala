@@ -96,4 +96,18 @@ object IconExport {
     * FIXTURES.md), with identical table content. */
   def writeOemProfiles(assembled: DataFrame, outDir: String): Unit =
     assembled.write.mode("overwrite").partitionBy("kind").parquet(outDir)
+
+  /** K8 — standalone profile export (reference
+    * `export_inventory_profiles`, emiproc/exports/profiles.py:22-121:
+    * vertical profiles + ICON-style temporal profiles written as their
+    * own file set, without the emission export): vertical ratio table
+    * under `<dir>/vertical`, temporal per-kind set under
+    * `<dir>/temporal` via [[writeOemProfiles]]. */
+  def exportInventoryProfiles(
+      vertical: DataFrame, // (profile_id, level, r)
+      assembledTemporal: DataFrame, // output of assembleTimeProfiles
+      outDir: String): Unit = {
+    vertical.write.mode("overwrite").parquet(s"$outDir/vertical")
+    writeOemProfiles(assembledTemporal, s"$outDir/temporal")
+  }
 }

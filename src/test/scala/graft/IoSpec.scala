@@ -238,5 +238,16 @@ class IoSpec extends SparkSpec {
     val kinds = new java.io.File(dir).list().filter(_.startsWith("kind=")).sorted
     assert(kinds.toSeq == Seq("kind=day_of_week", "kind=hour_of_day"))
     assert(spark.read.parquet(dir).count() == 2 * (24 + 7))
+    // K8 standalone profile export: vertical + temporal side by side
+    val k8 = java.nio.file.Files.createTempDirectory("profiles").toString
+    val vertical = spark.createDataFrame(Seq((1, 0, 0.25), (1, 1, 0.75)))
+      .toDF("profile_id", "level", "r")
+    graft.sinks.IconExport.exportInventoryProfiles(
+      vertical,
+      graft.sinks.IconExport.assembleTimeProfiles(
+        spark, catsubs, indexes, regions, daily),
+      k8)
+    assert(spark.read.parquet(s"$k8/vertical").count() == 2)
+    assert(spark.read.parquet(s"$k8/temporal").count() == 2 * 24)
   }
 }
