@@ -118,6 +118,33 @@ object QueriesSpatial {
         |WHERE np.x0 < rz.x0 + 16.0 AND np.x0 + 4.0 > rz.x0
         |  AND np.y0 < rz.y0 + 8.0 AND np.y0 + 2.0 > rz.y0""".stripMargin)),
 
+    Q("q_buffer_weights",
+      (s, d) => {
+        // horizontal lines on the 1/4 lattice, buffered square-cap w=2
+        // (power of two -> every buffer corner and clip vertex dyadic)
+        val lines = nation(s, d).select(
+          col("n_nationkey").cast("long").as("line_id"),
+          ((col("n_nationkey") * 7 % 40).cast("double") + 4.25).as("x0"),
+          ((col("n_nationkey") * 11 % 40).cast("double") + 4.25).as("y0"))
+          .select(col("line_id"),
+            array(col("x0"), col("x0") + 4.0).as("xs"),
+            array(col("y0"), col("y0")).as("ys"))
+        SpatialJoin.polyGridWeights(
+          s, srcGrid, SpatialJoin.bufferLines(lines, 2.0))
+          .select("poly_id", "cell_id", "weight")
+      },
+      Some(s"""WITH ln AS (SELECT CAST(n_nationkey AS BIGINT) AS poly_id,
+        |             CAST((n_nationkey*7)%40 + 4.25 AS DOUBLE) AS x0,
+        |             CAST((n_nationkey*11)%40 + 4.25 AS DOUBLE) AS y0
+        |      FROM nation),
+        |$CellsCte,
+        |ov AS (SELECT poly_id, cell_id,
+        |              least(cx + 1.0, x0 + 6.0) - greatest(cx, x0 - 2.0) AS ovx,
+        |              least(cy + 1.0, y0 + 2.0) - greatest(cy, y0 - 2.0) AS ovy
+        |       FROM ln, cells)
+        |SELECT poly_id, cell_id, ovx * ovy AS weight
+        |FROM ov WHERE ovx > 0 AND ovy > 0""".stripMargin)),
+
     Q("q_gral_cadastre",
       (s, d) => {
         val polys = nation(s, d).select(
