@@ -3,6 +3,8 @@ package graft.sinks
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.profiles.Profiles
+import graft.sources.NetcdfClassic.{NcAtt, NcDim, NcInt, NcDouble}
+import graft.sinks.NetcdfWriter.{WriteVar, textAtt}
 
 /** ICON-OEM-style export building blocks (reference `export_icon_oem`,
   * emiproc/exports/icon.py:92-370): cells are grouped into "profile
@@ -96,6 +98,82 @@ object IconExport {
     * FIXTURES.md), with identical table content. */
   def writeOemProfiles(assembled: DataFrame, outDir: String): Unit =
     assembled.write.mode("overwrite").partitionBy("kind").parquet(outDir)
+
+  /** Write the assembled OEM profiles as REAL NetCDF classic files — the
+    * reference's `make_icon_time_profiles` `to_netcdf` endpoint
+    * (emiproc/exports/icon.py:524-546): one `<kind>.nc` per kind
+    * (hourofday/dayofweek/monthofyear or hourofyear), each holding one
+    * NC_DOUBLE variable per export var with dims `(kind, country)` and
+    * `units="1"` / `long_name="<kind> scaling factors for <var>"`
+    * (icon.py:484-487), plus the coordinate block icon.py:528-536:
+    * `country` (dense ints), `temporal_profile_id`, and — when the
+    * region table carries them — `timezone_of_country` / `region_key`
+    * NC_CHAR matrices.
+    *
+    * `assembled` = output of [[assembleTimeProfiles]] `(var, kind,
+    * region_id, pos, sf)`; `regions` = `(region_id, tpid[, tz_name,
+    * region_key])`. Profile matrices are metadata-scale (kinds × regions
+    * × vars), so the collect is bounded by construction. */
+  def writeOemNc(
+      assembled: DataFrame,
+      regions: DataFrame,
+      outDir: String,
+      atts: Seq[NcAtt] = Nil): Seq[String] = {
+    val kindDim = Map(
+      "hour_of_day" -> "hourofday", "day_of_week" -> "dayofweek",
+      "month" -> "monthofyear", "hour_of_year" -> "hourofyear")
+    val regRows = regions
+      .withColumn("region_id", col("region_id").cast("long"))
+      .withColumn("tpid", col("tpid").cast("long"))
+      .orderBy("region_id").collect()
+    val nReg = regRows.length
+    val regIdx = regRows.map(_.getAs[Long]("region_id")).zipWithIndex.toMap
+    val hasTz = regions.columns.contains("tz_name")
+    val hasKey = regions.columns.contains("region_key")
+    val all = assembled
+      .withColumn("region_id", col("region_id").cast("long"))
+      .withColumn("pos", col("pos").cast("int"))
+      .withColumn("sf", col("sf").cast("double"))
+      .collect()
+    val written = scala.collection.mutable.ArrayBuffer.empty[String]
+    all.groupBy(_.getAs[String]("kind")).toSeq.sortBy(_._1).foreach {
+      case (kind, rows) =>
+        val dimName = kindDim.getOrElse(kind, kind.replace("_", ""))
+        val size = rows.map(_.getAs[Int]("pos")).max + 1
+        val varNames = rows.map(_.getAs[String]("var")).distinct.sorted
+        val mats = varNames.map(v => v -> new Array[Double](size * nReg)).toMap
+        rows.foreach { r =>
+          val i = r.getAs[Int]("pos") * nReg + regIdx(r.getAs[Long]("region_id"))
+          mats(r.getAs[String]("var"))(i) = r.getAs[Double]("sf")
+        }
+        val strLen = 32
+        val dims = Seq(NcDim(dimName, size), NcDim("country", nReg),
+          NcDim("str_len", strLen))
+        val coords = Seq(
+          WriteVar("country", Seq("country"), NcInt,
+            doubles = Array.tabulate(nReg)(_.toDouble)),
+          WriteVar("temporal_profile_id", Seq("country"), NcInt,
+            doubles = regRows.map(_.getAs[Long]("tpid").toDouble))) ++
+          (if (hasTz) Seq(WriteVar("timezone_of_country",
+            Seq("country", "str_len"), graft.sources.NetcdfClassic.NcChar,
+            strings = regRows.map(_.getAs[String]("tz_name")).toSeq)) else Nil) ++
+          (if (hasKey) Seq(WriteVar("region_key",
+            Seq("country", "str_len"), graft.sources.NetcdfClassic.NcChar,
+            strings = regRows.map(_.getAs[String]("region_key")).toSeq)) else Nil)
+        val dataVars = varNames.map { v =>
+          WriteVar(v, Seq(dimName, "country"), NcDouble,
+            atts = Seq(textAtt("units", "1"),
+              textAtt("long_name", s"$dimName scaling factors for $v")),
+            doubles = mats(v))
+        }
+        val gatts = if (atts.nonEmpty) atts
+          else Exports.ncCfAttrs(s"${dimName.capitalize} profiles")
+        Exports.writeBytes(s"$outDir/$dimName.nc",
+          NetcdfWriter.write(dims, gatts, coords ++ dataVars))
+        written += s"$dimName.nc"
+    }
+    written.toSeq
+  }
 
   /** K8 — standalone profile export (reference
     * `export_inventory_profiles`, emiproc/exports/profiles.py:22-121:

@@ -1,0 +1,205 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.model.RegularGrid
+import graft.sources.NetcdfClassic
+import graft.sources.NetcdfClassic.{NcAtt, NcDim}
+import graft.sinks.{Exports, IconExport, NetcdfWriter}
+import graft.sinks.NetcdfWriter.{WriteVar, textAtt, numAtt}
+
+/** Byte-level tests of the NetCDF classic WRITER: every file it emits must
+  * parse back through the independent reader [[NetcdfClassic]] with
+  * identical dims/atts/values, and the header bytes must match the
+  * documented classic layout. */
+class NetcdfWriterSpec extends SparkSpec {
+
+  import NetcdfClassic.{NcByte, NcChar, NcShort, NcInt, NcFloat, NcDouble}
+
+  private def tmpDir(): String =
+    java.nio.file.Files.createTempDirectory("ncw").toString
+
+  test("round-trip: dims, global+var atts, all numeric types, char, record var") {
+    val dims = Seq(NcDim("time", 0), NcDim("y", 2), NcDim("x", 3), NcDim("s", 4))
+    val gatts = Seq(textAtt("title", "t"), numAtt("vals", Seq(1.5, -2.0)),
+      numAtt("count", Seq(7), NcInt))
+    val flux = Array(1.0, 2.5, -3.0, 0.0, 4.25, 1e6)
+    val shorts = Array(1.0, -2.0, 3.0, -4.0, 5.0, -6.0)
+    val bytes7 = Array(1.0, 2.0, 3.0, 4.0, 5.0, 6.0) // y*x = 6 elems
+    val recs = Array( // time × y = 2 recs × 2
+      10.0, 11.0, 20.0, 21.0)
+    val vars = Seq(
+      WriteVar("flux", Seq("y", "x"), NcDouble,
+        atts = Seq(textAtt("units", "kg"), numAtt("scale_check", Seq(1.0))),
+        doubles = flux),
+      WriteVar("svar", Seq("y", "x"), NcShort, doubles = shorts),
+      WriteVar("bvar", Seq("y", "x"), NcByte, doubles = bytes7),
+      WriteVar("fvar", Seq("y", "x"), NcFloat, doubles = flux),
+      WriteVar("ivar", Seq("x"), NcInt, doubles = Array(7.0, -8.0, 9.0)),
+      WriteVar("names", Seq("y", "s"), NcChar, strings = Seq("ab", "cdef")),
+      WriteVar("rec", Seq("time", "y"), NcDouble, doubles = recs))
+    val bytes = NetcdfWriter.write(dims, gatts, vars, numrecs = 2)
+
+    // header magic
+    assert(bytes(0) == 'C' && bytes(1) == 'D' && bytes(2) == 'F' && bytes(3) == 2)
+    val f = NetcdfClassic.readHeader(bytes)
+    assert(f.numrecs == 2)
+    assert(f.dims == dims)
+    assert(f.gatts.map(_.name) == Seq("title", "vals", "count"))
+    assert(f.gatts.head.text == "t")
+    assert(f.gatts(1).nums == Seq(1.5, -2.0))
+    assert(f.gatts(2).nums == Seq(7.0) && f.gatts(2).ncType == NcInt)
+    assert(f.vars.map(_.name) == vars.map(_.name))
+    assert(f.variable("flux").atts.map(_.name) == Seq("units", "scale_check"))
+    assert(NetcdfClassic.readVarDoubles(bytes, f, "flux").toSeq == flux.toSeq)
+    assert(NetcdfClassic.readVarDoubles(bytes, f, "svar").toSeq == shorts.toSeq)
+    assert(NetcdfClassic.readVarDoubles(bytes, f, "bvar").toSeq == bytes7.toSeq)
+    assert(NetcdfClassic.readVarDoubles(bytes, f, "fvar").toSeq == flux.toSeq)
+    assert(NetcdfClassic.readVarDoubles(bytes, f, "ivar").toSeq == Seq(7.0, -8.0, 9.0))
+    assert(NetcdfClassic.readVarStrings(bytes, f, "names") == Seq("ab", "cdef"))
+    assert(NetcdfClassic.readVarDoubles(bytes, f, "rec").toSeq == recs.toSeq)
+  }
+
+  test("CDF-1 (32-bit offsets) round-trips too") {
+    val dims = Seq(NcDim("x", 3))
+    val vars = Seq(WriteVar("v", Seq("x"), NcDouble, doubles = Array(1.0, 2.0, 3.0)))
+    val bytes = NetcdfWriter.write(dims, Nil, vars, version = 1)
+    assert(bytes(3) == 1)
+    val f = NetcdfClassic.readHeader(bytes)
+    assert(f.version == 1)
+    assert(NetcdfClassic.readVarDoubles(bytes, f, "v").toSeq == Seq(1.0, 2.0, 3.0))
+  }
+
+  test("single small record variable is packed unpadded (classic spec exception)") {
+    val dims = Seq(NcDim("time", 0), NcDim("x", 3))
+    // 3 shorts = 6 bytes per record; spec: NO padding when it is the only
+    // record var and type is byte/short/char
+    val vars = Seq(WriteVar("r", Seq("time", "x"), NcShort,
+      doubles = Array(1.0, 2.0, 3.0, 4.0, 5.0, 6.0)))
+    val bytes = NetcdfWriter.write(dims, Nil, vars, numrecs = 2)
+    val f = NetcdfClassic.readHeader(bytes)
+    assert(f.variable("r").vsize == 6) // not padded to 8
+    assert(bytes.length == f.variable("r").begin + 2 * 6)
+    assert(NetcdfClassic.readVarDoubles(bytes, f, "r").toSeq ==
+      Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0))
+  }
+
+  test("CF packing attributes round-trip through the reader's scale/offset path") {
+    val dims = Seq(NcDim("x", 2))
+    val vars = Seq(WriteVar("packed", Seq("x"), NcShort,
+      atts = Seq(numAtt("scale_factor", Seq(0.5)), numAtt("add_offset", Seq(10.0)),
+        numAtt("_FillValue", Seq(-999.0), NcShort)),
+      doubles = Array(4.0, -999.0)))
+    val bytes = NetcdfWriter.write(dims, Nil, vars)
+    val f = NetcdfClassic.readHeader(bytes)
+    val v = NetcdfClassic.readVarDoubles(bytes, f, "packed")
+    assert(v(0) == 4.0 * 0.5 + 10.0)
+    assert(v(1).isNaN)
+  }
+
+  test("rasterExportNc emits the rasters.py layout, readable and correct") {
+    val grid = RegularGrid(3, 2, 10.0, 20.0, 0.5, 0.25)
+    // basicInv has cells 0..4 on a 5-cell range; grid has 6 cells
+    val path = s"${tmpDir()}/raster.nc"
+    Exports.rasterExportNc(basicInv, grid, path,
+      atts = Exports.ncCfAttrs("test raster"))
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    val f = NetcdfClassic.readHeader(bytes)
+    assert(f.dim("lat").length == 2 && f.dim("lon").length == 3)
+    assert(f.dim("lat_bnds").length == 3 && f.dim("lon_bnds").length == 4)
+    assert(f.gatts.exists(a => a.name == "Conventions" && a.text == "CF-1.10"))
+    // coords: centers and bounds
+    assert(NetcdfClassic.readVarDoubles(bytes, f, "lon").toSeq ==
+      Seq(10.25, 10.75, 11.25))
+    assert(NetcdfClassic.readVarDoubles(bytes, f, "lat_bnds").toSeq ==
+      Seq(20.0, 20.25, 20.5))
+    // data: CH4 only from adf = cell+3; cell_id = ix*ny+iy, layout (lat, lon)
+    val ch4 = NetcdfClassic.readVarDoubles(bytes, f, "CH4")
+    // cell (ix=1, iy=0) = id 2 → value 5 at [iy=0][ix=1] = index 1
+    assert(ch4(1) == 5.0)
+    // cell 5 (ix=2, iy=1) not in basicInv → 0
+    assert(ch4(2 + 3) == 0.0)
+    val units = f.variable("CH4").atts.find(_.name == "units").get
+    assert(units.text == "kg year-1 cell-1")
+    // NH3 present from the `test` category
+    assert(f.vars.map(_.name).contains("NH3"))
+  }
+
+  test("writeOemNc emits per-kind files with icon.py coords and rolled SFs") {
+    val catsubs = spark.createDataFrame(Seq(("A", "F", "co2"))).toDF("category", "substance", "var")
+    val indexes = spark.createDataFrame(Seq(("A", "F", 10, 1))).toDF("category", "substance", "tpid", "profile_id")
+    val regions = spark.createDataFrame(Seq(
+      (0L, 10, 0, "UTC", "AAA"), (1L, 10, 2, "UTC+2", "BBB")))
+      .toDF("region_id", "tpid", "tz_shift", "tz_name", "region_key")
+    val daily = spark.range(24).select(
+      lit(1).as("profile_id"), lit("hour_of_day").as("kind"),
+      col("id").cast("int").as("pos"), (col("id") * 1.0).as("ratio"))
+    val weekly = spark.range(7).select(
+      lit(1).as("profile_id"), lit("day_of_week").as("kind"),
+      col("id").cast("int").as("pos"), (col("id") * 1.0).as("ratio"))
+    val assembled = IconExport.assembleTimeProfiles(
+      spark, catsubs, indexes, regions.select("region_id", "tpid", "tz_shift"),
+      daily.unionByName(weekly))
+    val dir = tmpDir()
+    val files = IconExport.writeOemNc(assembled, regions, dir)
+    assert(files.toSet == Set("hourofday.nc", "dayofweek.nc"))
+
+    val hb = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/hourofday.nc"))
+    val hf = NetcdfClassic.readHeader(hb)
+    assert(hf.dim("hourofday").length == 24 && hf.dim("country").length == 2)
+    assert(NetcdfClassic.readVarDoubles(hb, hf, "country").toSeq == Seq(0.0, 1.0))
+    assert(NetcdfClassic.readVarDoubles(hb, hf, "temporal_profile_id").toSeq ==
+      Seq(10.0, 10.0))
+    assert(NetcdfClassic.readVarStrings(hb, hf, "timezone_of_country") ==
+      Seq("UTC", "UTC+2"))
+    assert(NetcdfClassic.readVarStrings(hb, hf, "region_key") == Seq("AAA", "BBB"))
+    val co2 = NetcdfClassic.readVarDoubles(hb, hf, "co2") // (24, 2)
+    // region 0 unshifted: sf[pos=5] = 5*24 at index 5*2+0
+    assert(co2(5 * 2 + 0) == 5.0 * 24)
+    // region 1 shift 2: out[p] = in[(p+2)%24]; pos 0 ← ratio 2
+    assert(co2(0 * 2 + 1) == 2.0 * 24)
+    val lname = hf.variable("co2").atts.find(_.name == "long_name").get.text
+    assert(lname == "hourofday scaling factors for co2")
+
+    val wb = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/dayofweek.nc"))
+    val wf = NetcdfClassic.readHeader(wb)
+    val week = NetcdfClassic.readVarDoubles(wb, wf, "co2")
+    // day_of_week not rolled: both regions identical, sf = ratio*7
+    assert(week(3 * 2 + 0) == 3.0 * 7 && week(3 * 2 + 1) == 3.0 * 7)
+  }
+
+  test("hourlyExportNc writes one file per hour in chunks with hourly.py naming") {
+    val grid = RegularGrid(5, 1, 0.0, 0.0, 1.0, 1.0)
+    val sfs = spark.createDataFrame(Seq(("adf", "CH4", 0, 2.0)))
+      .toDF("category", "substance", "hour_of_day", "sf")
+    val dir = tmpDir()
+    val files = Exports.hourlyExportNc(
+      basicInv, sfs, "2023-01-01 00:00:00", 48, grid, dir, chunkSize = 7)
+    assert(files.size == 48)
+    assert(files.head == "20230101T000000Z.nc")
+    assert(files.last == "20230102T230000Z.nc")
+    assert(files.toSet.size == 48)
+
+    val b0 = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/${files.head}"))
+    val f0 = NetcdfClassic.readHeader(b0)
+    assert(f0.dim("cell").length == 5)
+    // CH4_adf at hour 0 scaled by 2: cell c → (c+3)*2
+    val ch4 = NetcdfClassic.readVarDoubles(b0, f0, "CH4_adf")
+    assert(ch4.toSeq == Seq(6.0, 8.0, 10.0, 12.0, 14.0))
+    // CO2_adf has no SF for hour 0 → factor 1
+    val co2 = NetcdfClassic.readVarDoubles(b0, f0, "CO2_adf")
+    assert(co2.toSeq == Seq(0.0, 1.0, 2.0, 3.0, 4.0))
+    assert(NetcdfClassic.readVarDoubles(b0, f0, "lon").toSeq ==
+      Seq(0.5, 1.5, 2.5, 3.5, 4.5))
+    // hour 1: no SF row → all factors 1
+    val b1 = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/${files(1)}"))
+    val f1 = NetcdfClassic.readHeader(b1)
+    assert(NetcdfClassic.readVarDoubles(b1, f1, "CH4_adf").toSeq ==
+      Seq(3.0, 4.0, 5.0, 6.0, 7.0))
+    assert(f1.gatts.exists(a => a.name == "valid_hour" &&
+      a.text == "2023-01-01 01:00:00"))
+  }
+}
