@@ -205,6 +205,35 @@ object QueriesML {
         |      FROM wb a JOIN wb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
         |SELECT vec_a, vec_b, cos_sim FROM s WHERE cos_sim >= 0.35""".stripMargin)),
 
+    Q("q_embed_neardup_banded",
+      (s, d) => Similarity.nearDupPairsBanded(s, embeddings(s, d),
+        threshold = 0.35, bands = 4, rowBits = 4, maxBucketSize = 50),
+      Some(s"""WITH $QuantCte,
+        |bits AS (SELECT j, j // 4 AS band, (1::BIGINT << (j % 4)) AS p2
+        |         FROM range(16) t(j)),
+        |expl AS (SELECT vec_id, t.i, v[t.i + 1] AS x FROM q, range(0, 64) t(i)),
+        |proj AS (SELECT vec_id, band, j, p2,
+        |                sum((CASE WHEN ((i * 131 + j * 137) % 97) % 2 = 0
+        |                          THEN 1 ELSE -1 END) * x) AS proj
+        |         FROM expl, bits GROUP BY 1, 2, 3, 4),
+        |bk AS (SELECT vec_id, band,
+        |              CAST(sum(CASE WHEN proj > 0 THEN p2 ELSE 0 END) AS BIGINT) AS bucket
+        |       FROM proj GROUP BY 1, 2),
+        |capped AS (SELECT vec_id, band, bucket FROM (
+        |             SELECT *, count(*) OVER (PARTITION BY band, bucket) AS bsz
+        |             FROM bk)
+        |           WHERE bsz <= 50),
+        |pairs AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |          FROM capped a JOIN capped b
+        |            ON a.band = b.band AND a.bucket = b.bucket
+        |               AND a.vec_id < b.vec_id),
+        |wb AS (SELECT vec_id, v, list_dot_product(v, v) AS n FROM q),
+        |s AS (SELECT vec_a, vec_b,
+        |             round(list_dot_product(a.v, b.v) / (sqrt(a.n) * sqrt(b.n)), 6) AS cos_sim
+        |      FROM pairs JOIN wb a ON a.vec_id = vec_a
+        |                 JOIN wb b ON b.vec_id = vec_b)
+        |SELECT vec_a, vec_b, cos_sim FROM s WHERE cos_sim >= 0.35""".stripMargin)),
+
     Q("q_ivf_assign",
       (s, d) => Similarity.ivfAssign(embeddings(s, d), centroidMod = 97),
       Some(s"""WITH $QuantCte,

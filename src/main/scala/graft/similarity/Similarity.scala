@@ -102,6 +102,80 @@ object Similarity {
         col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cos_sim"))
   }
 
+  /** BANDED sign-random-projection LSH — the 100 TB form of
+    * [[signBuckets]]: `bands × rowBits` hyperplanes, one bucket key per
+    * band from that band's `rowBits` projection signs. A fixed-width
+    * single code (the plain `signBuckets(bits)`) has 2^bits buckets
+    * TOTAL, so occupancy (and the bucket self-join) grows linearly with
+    * corpus size; banding keeps per-band keys small enough to match
+    * (recall ≈ 1-(1-s^rowBits)^bands for sign-agreement rate s) while
+    * the `maxBucketSize` cap bounds any degenerate bucket — the same
+    * guard as [[graft.dedup.Dedup.lshCandidatePairs]]. Output:
+    * `(vec_id, band, bucket)` — one row per band. */
+  def signBucketsBanded(
+      spark: SparkSession,
+      embeddings: DataFrame,
+      bands: Int = 4,
+      rowBits: Int = 4): DataFrame = {
+    val bits = bands * rowBits
+    val bitsDf = spark.createDataFrame(
+      Seq.tabulate(bits)(j => (j, j / rowBits, 1L << (j % rowBits))))
+      .toDF("j", "band", "p2")
+    val expl = embeddings
+      .select(col("vec_id"), posexplode(quantize(col("embedding"))))
+      .withColumnRenamed("pos", "i")
+      .withColumnRenamed("col", "x")
+    expl
+      .crossJoin(broadcast(bitsDf))
+      .withColumn("s",
+        when(((col("i") * 131 + col("j") * 137) % 97) % 2 === 0, 1).otherwise(-1))
+      .groupBy("vec_id", "band", "j", "p2")
+      .agg(sum(col("s") * col("x")).as("proj"))
+      .groupBy("vec_id", "band")
+      .agg(sum(when(col("proj") > 0, col("p2")).otherwise(0L)).as("bucket"))
+  }
+
+  /** Banded near-duplicate pairs: candidates share ≥1 (band, bucket),
+    * oversize buckets dropped BEFORE the self-join (`maxBucketSize`,
+    * 0 = no cap), pair set deduplicated across bands, then exact-cosine
+    * verified — candidate generation is O(Σ bucket²) with every bucket
+    * ≤ cap, never O(N²/2^bits). */
+  def nearDupPairsBanded(
+      spark: SparkSession,
+      embeddings: DataFrame,
+      threshold: Double,
+      bands: Int = 4,
+      rowBits: Int = 4,
+      maxBucketSize: Int = 0): DataFrame = {
+    val keys0 = signBucketsBanded(spark, embeddings, bands, rowBits)
+    val capped =
+      if (maxBucketSize <= 0) keys0
+      else {
+        val w = Window.partitionBy("band", "bucket")
+        keys0.withColumn("_bsz", count(lit(1)).over(w))
+          .where(col("_bsz") <= maxBucketSize)
+          .drop("_bsz")
+      }
+    val keys = graft.Caching.cache(capped)
+    val pairs = keys.as("a")
+      .join(keys.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    val vecs = graft.Caching.cache(embeddings
+      .select(col("vec_id"), quantize(col("embedding")).as("v"))
+      .withColumn("n", dot(col("v"), col("v"))))
+    pairs
+      .join(vecs.select(col("vec_id").as("vec_a"), col("v").as("va"), col("n").as("na")), "vec_a")
+      .join(vecs.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("n").as("nb")), "vec_b")
+      .withColumn("cos_sim",
+        round(dot(col("va"), col("vb")) / (sqrt(col("na")) * sqrt(col("nb"))), 6))
+      .where(col("cos_sim") >= threshold)
+      .select("vec_a", "vec_b", "cos_sim")
+  }
+
   /** IVF-style coarse quantizer: a deterministic centroid subset
     * (vec_id ≡ 0 mod centroidMod), every vector assigned to its
     * max-cosine centroid with a (cos desc, centroid_id) tie-break.

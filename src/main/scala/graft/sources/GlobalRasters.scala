@@ -46,6 +46,51 @@ object GlobalRasters {
     (grid.get, parts.reduce(_ unionByName _))
   }
 
+  /** Distributed EDGAR directory read — the 100 TB shape for many-file
+    * ingestion (SCALE.md §ingestion): `spark.read.format("binaryFile")`
+    * ships each file's bytes to an executor task, and the pure
+    * [[NetcdfRaster.parseRaster]] + scalar spherical-area math run INSIDE
+    * `mapPartitions` — no driver loop, no per-file collect. With
+    * `onePartitionPerFile` (default), files are range-partitioned by path
+    * into exactly one task each (binaryFile's default bin-packing would
+    * batch small files; EDGAR fleets are hundreds of grid-sized rasters,
+    * edgarv8.py:140-237, where per-file tasks are the right granularity).
+    *
+    * Output is row-identical to [[readEdgarDir]] (same formula, same FP
+    * order); the grid is validated against `expected` inside each task. */
+  def readEdgarDirDistributed(
+      spark: SparkSession,
+      dir: String,
+      expected: RegularGrid,
+      onePartitionPerFile: Boolean = true): DataFrame = {
+    import spark.implicits._
+    val binary = spark.read.format("binaryFile").load(s"$dir/*.nc")
+      .select(col("path"), col("content"))
+    val nFiles = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".nc"))
+    require(nFiles > 0, s"no .nc files in $dir")
+    val perFile =
+      if (onePartitionPerFile) binary.repartitionByRange(nFiles, col("path"))
+      else binary
+    val secPerYear = GfasLoader.SecPerYear
+    perFile.as[(String, Array[Byte])].mapPartitions { it =>
+      it.flatMap { case (path, bytes) =>
+        val name = path.substring(path.lastIndexOf('/') + 1)
+        val Array(sub, cat) = name.stripSuffix(".nc").split("_", 2)
+        val (g, rows) = NetcdfRaster.parseRaster(bytes)
+        require(g == expected, s"$name: grid $g differs from $expected")
+        rows.iterator
+          .filter { case (_, _, _, flux) => flux != 0.0 }
+          .map { case (j, i, _, flux) =>
+            val latC = g.ymin + (i + 0.5) * g.dy
+            val area = GfasLoader.sphericalCellArea(
+              latC - g.dy / 2, latC + g.dy / 2, g.dx)
+            (j.toLong * g.ny + i, cat, sub, flux * area * secPerYear)
+          }
+      }
+    }.toDF("cell_id", "category", "substance", "value")
+  }
+
   /** Spherical cell area as a Column of the lat index — the reference's
     * lat-dependent `cell_areas` (emiproc/grids.py:791-806). */
   private def udfFreeAreaCol(g: RegularGrid) = {

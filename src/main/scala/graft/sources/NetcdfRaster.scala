@@ -46,15 +46,13 @@ object NetcdfRaster {
     (centers(0) - d / 2, d)
   }
 
-  /** Read one classic NetCDF raster file: grid from the lat/lon coords,
-    * `(lon_idx, lat_idx, variable, flux)` rows for each requested
-    * variable (all non-coordinate 2-D+ variables when None), NaN cells
-    * dropped. Feed the result to [[RasterTable.toInventory]]. */
-  def read(
-      spark: SparkSession,
-      path: String,
-      variables: Option[Seq[String]] = None): (RegularGrid, DataFrame) = {
-    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+  /** PURE parser: classic raster bytes → (grid, `(lon_idx, lat_idx,
+    * variable, flux)` rows), NaN cells dropped. No Spark involved, so it
+    * runs equally on the driver (single file) or inside `binaryFile`
+    * tasks (file fleets — [[GlobalRasters.readEdgarDirDistributed]]). */
+  def parseRaster(
+      bytes: Array[Byte],
+      variables: Option[Seq[String]] = None): (RegularGrid, Seq[(Int, Int, String, Double)]) = {
     val f = readHeader(bytes)
     val latVar = findCoord(f, LatNames, "degrees_north")
     val lonVar = findCoord(f, LonNames, "degrees_east")
@@ -84,6 +82,19 @@ object NetcdfRaster {
         if !flux.isNaN
       } yield (j, i, name, flux)
     }
+    (grid, rows)
+  }
+
+  /** Read one classic NetCDF raster file: grid from the lat/lon coords,
+    * `(lon_idx, lat_idx, variable, flux)` rows for each requested
+    * variable (all non-coordinate 2-D+ variables when None), NaN cells
+    * dropped. Feed the result to [[RasterTable.toInventory]]. */
+  def read(
+      spark: SparkSession,
+      path: String,
+      variables: Option[Seq[String]] = None): (RegularGrid, DataFrame) = {
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    val (grid, rows) = parseRaster(bytes, variables)
     val df = spark.createDataFrame(rows)
       .toDF("lon_idx", "lat_idx", "variable", "flux")
     (grid, df)

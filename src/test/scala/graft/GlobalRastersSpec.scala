@@ -40,6 +40,32 @@ class GlobalRastersSpec extends SparkSpec {
     assert(rows.size == 2)
   }
 
+  test("distributed EDGAR read: one task per file, identical to driver-side scan") {
+    import org.apache.spark.sql.functions.{col, countDistinct, spark_partition_id, struct}
+    val dir = java.nio.file.Files.createTempDirectory("edgarBig")
+    val subs = Seq("CO2", "CH4", "N2O", "NOX")
+    val cats = Seq("ENE", "TRO")
+    for (s <- subs; c <- cats) {
+      val values = (0 until 6).map(k => if ((k + s.length + c.hashCode.abs) % 3 == 0) 0f
+        else (k + 1).toFloat * (s.length + 1))
+      java.nio.file.Files.write(dir.resolve(s"${s}_$c.nc"), fluxFile(values))
+    }
+    val (grid, driverInv) = GlobalRasters.readEdgarDir(spark, dir.toString)
+    val dist = GlobalRasters.readEdgarDirDistributed(spark, dir.toString, grid)
+
+    // exactly one file (= one (substance, category)) per input partition, 8 partitions
+    val parts = dist
+      .groupBy(spark_partition_id().as("pid"))
+      .agg(countDistinct(struct(col("category"), col("substance"))).as("nfiles"))
+      .collect()
+    assert(parts.length == 8, s"expected 8 non-empty partitions, got ${parts.length}")
+    assert(parts.forall(_.getLong(1) == 1L), "a partition holds rows of >1 file")
+
+    // row-identical to the driver-side reader (same FP order end-to-end)
+    assert(collectSet(dist) == collectSet(driverInv))
+    assert(driverInv.count() > 0)
+  }
+
   test("monthly loader: day-weighted annual total + month-of-year series") {
     // (time=12, lev=1, lat=2, lon=2); fluxes only at (lat0, lon0):
     // 3 g/m2/day in January, 1.5 in February

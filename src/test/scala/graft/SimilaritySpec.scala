@@ -30,6 +30,23 @@ class SimilaritySpec extends SparkSpec {
     assert(b.size == 4)
   }
 
+  test("banded sign-LSH: identical vectors collide in every band; cap drops hot buckets") {
+    val b = Similarity.signBucketsBanded(spark, e, bands = 3, rowBits = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(b.size == 4 * 3) // one row per (vec, band)
+    (0 until 3).foreach(band => assert(b((0L, band)) == b((1L, band))))
+
+    val pairs = Similarity.nearDupPairsBanded(spark, e, threshold = 0.99,
+      bands = 3, rowBits = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 1L))) // the identical pair, found once despite 3 bands
+
+    // cap = 1: every bucket with both vectors dropped -> no pairs survive
+    val capped = Similarity.nearDupPairsBanded(spark, e, threshold = 0.99,
+      bands = 3, rowBits = 2, maxBucketSize = 1).collect()
+    assert(capped.isEmpty)
+  }
+
   test("nearDupPairs finds the identical pair at threshold") {
     val pairs = Similarity.nearDupPairs(spark, e, threshold = 0.99, bits = 6)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
