@@ -133,9 +133,12 @@ object Profiles {
     val normalized = combined.withColumn("ratio",
       when(sum("rw").over(win) === 0, lit(1.0) / count(lit(1)).over(win))
         .otherwise(col("rw") / sum("rw").over(win)))
-    val ids = normalized.select("grp", "key").distinct()
-      .withColumn("profile_id",
-        row_number().over(Window.orderBy("grp", "key")))
+    // dense 1-based ids ordered by (grp, key) — via the same two-phase
+    // partition-local rank as P4, never a global single-partition window
+    val ids = denseIdsByVec(
+      normalized.select(struct(col("grp"), col("key")).as("vec")), "profile_id")
+      .select(col("vec.grp").as("grp"), col("vec.key").as("key"),
+        col("profile_id").cast("int").as("profile_id"))
     val newProfiles = normalized.join(ids, Seq("grp", "key"))
       .select("profile_id", "pos", "ratio")
     val allGroups = spark.createDataFrame(groups.keys.toSeq.map(Tuple1(_)))

@@ -300,12 +300,20 @@ object Temporal {
         col("start0"),
         col("start0") + expr(s"INTERVAL ${hours - 1} HOURS"),
         expr("INTERVAL 1 HOUR"))).as("ts"))
-      .select(col("ts"), lit(null).cast("double").as("a_hdd"), lit(1).as("is_spine"))
-    val w = Window.orderBy(col("ts"), col("is_spine"))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val ffilled = aDaily.unionByName(spine)
-      .withColumn("a", last(col("a_hdd"), ignoreNulls = true).over(w))
-      .where(col("is_spine") === 1)
+      .withColumn("sday", date_trunc("day", col("ts")))
+    // as-of forward fill WITHOUT a global window: the daily table is
+    // bounded (one row per day of the event span), so the day → last
+    // known a_hdd map is a broadcast range join + max_by over days —
+    // every hour then equi-joins its day. Same semantics as sorting
+    // (ts, is_spine) and last(ignoreNulls): a day's own value wins from
+    // hour 00 on, missing days carry the previous day, leading hours
+    // with no prior day get null.
+    val dayAsof = spine.select("sday").distinct()
+      .join(broadcast(aDaily.select(col("ts").as("_aday"), col("a_hdd"))),
+        col("_aday") <= col("sday"), "left")
+      .groupBy("sday")
+      .agg(max_by(col("a_hdd"), col("_aday")).as("a"))
+    val ffilled = spine.join(broadcast(dayAsof), "sday")
     val lh = hour(expr(s"timestampadd(HOUR, $tzShiftHours, ts)"))
     ffilled
       .join(broadcast(heating.select(col("pos").as("_hp"),

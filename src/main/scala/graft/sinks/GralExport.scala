@@ -127,16 +127,23 @@ object GralExport {
 
   // ---- S8: readers for the same text formats ----
 
+  /** DataFrame-native .dat reader: the reference skips N header lines
+    * positionally (pandas `skiprows`, gral.py:104-120); line position is
+    * not a distributed-friendly predicate, so headers are dropped by
+    * SHAPE instead — a row must split into exactly `cols.length` fields
+    * and its `probe` field must `try_cast` to a number. GRAL headers
+    * (free text + column-name lines) fail both; the whole read stays in
+    * the text source + codegen'd filters, no RDD hop. */
   private def readSkipping(
-      spark: SparkSession, path: String, skip: Int, cols: Seq[String]): DataFrame = {
-    val indexed = spark.sparkContext.textFile(path)
-      .zipWithIndex().filter(_._2 >= skip).map(_._1)
-      .map(_.split(",", -1).toSeq)
-    val rows = indexed.map(org.apache.spark.sql.Row.fromSeq(_))
-    val schema = org.apache.spark.sql.types.StructType(
-      cols.map(c => org.apache.spark.sql.types.StructField(
-        c, org.apache.spark.sql.types.StringType)))
-    spark.createDataFrame(rows.filter(_.length == cols.length), schema)
+      spark: SparkSession, path: String, skip: Int, cols: Seq[String],
+      probe: Int = 0): DataFrame = {
+    val f = split(col("value"), ",", -1)
+    spark.read.text(path)
+      .select(f.as("f"))
+      .where(size(col("f")) === cols.length &&
+        expr(s"try_cast(element_at(f, ${probe + 1}) AS DOUBLE)").isNotNull)
+      .select(cols.zipWithIndex.map { case (c, i) =>
+        col("f").getItem(i).as(c) }: _*)
   }
 
   /** point.dat reader (2 header lines ignored — gral.py:104). */
@@ -153,7 +160,8 @@ object GralExport {
   def readLines(spark: SparkSession, path: String): DataFrame =
     readSkipping(spark, path, 5, Seq(
       "name", "section", "source_group", "x1", "y1", "z1", "x2", "y2", "z2",
-      "width", "vert_ext", "d0", "d1", "emission", "d2", "d3", "d4", "d5"))
+      "width", "vert_ext", "d0", "d1", "emission", "d2", "d3", "d4", "d5"),
+      probe = 1) // first field is a free-text name; probe `section`
       .select(
         col("name"), col("section").cast("int"),
         col("source_group").cast("int"),

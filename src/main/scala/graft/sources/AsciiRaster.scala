@@ -11,11 +11,11 @@ import graft.model.RegularGrid
   * values, row 0 = TOP row).
   *
   * The header is parsed on the driver (6 lines); the data block parses
-  * distributedly: each text line carries its row index via
-  * `monotonically…`-free line numbering from a zipWithIndex on the text
-  * RDD (deterministic: text files preserve line order per split).
-  * Output is the engine's long cell format on a [[RegularGrid]] with
-  * x-major cell ids, NODATA dropped.
+  * distributedly: each text line carries its row index via the two-phase
+  * per-partition numbering in [[numberedLines]] (text splits preserve
+  * file order; no RDD hop, no global window). Output is the engine's
+  * long cell format on a [[RegularGrid]] with x-major cell ids, NODATA
+  * dropped.
   */
 object AsciiRaster {
 
@@ -55,17 +55,42 @@ object AsciiRaster {
   def grid(h: Header): RegularGrid =
     RegularGrid(h.ncols, h.nrows, h.xllcorner, h.yllcorner, h.cellsize, h.cellsize)
 
+  /** DataFrame-native line numbering: `(row, line)` in file order via
+    * per-partition row_number + a bounded per-partition-count collect
+    * (one row per split) — the same two-phase global-rank shape as
+    * `Profiles.denseIdsByVec`, replacing the RDD `zipWithIndex` hop.
+    * Text splits preserve file order and `monotonically_increasing_id`
+    * is ascending within a partition, so (partition, mid) sorts lines
+    * exactly as the file does. */
+  private def numberedLines(spark: SparkSession, path: String) = {
+    import org.apache.spark.sql.expressions.Window
+    val raw = graft.Caching.cache(spark.read.text(path)
+      .select(col("value").as("line"),
+        spark_partition_id().as("_pid"),
+        monotonically_increasing_id().as("_mid")))
+    val counts = raw.groupBy("_pid").agg(count(lit(1)).as("_cnt"))
+      .orderBy("_pid").collect()
+    var acc = 0L
+    val offsets = counts.toSeq.map { r =>
+      val o = (r.getInt(0), acc); acc += r.getLong(1); o
+    }
+    val offDf = spark.createDataFrame(offsets).toDF("_pid", "_off")
+    val w = Window.partitionBy("_pid").orderBy("_mid")
+    raw
+      .withColumn("_rn", row_number().over(w) - 1)
+      .join(broadcast(offDf), "_pid")
+      .select((col("_off") + col("_rn")).as("row"), col("line"))
+  }
+
   /** Read one `.asc` file into `(cell_id, value)` on [[grid]]. */
   def read(spark: SparkSession, path: String): (RegularGrid, DataFrame) = {
     val headerLines = spark.read.textFile(path).take(6).toSeq
     val h = parseHeader(headerLines)
     val nHeader = headerLines.takeWhile(isHeaderLine).length.toLong
     val g = grid(h)
-    val indexed = spark.sparkContext.textFile(path)
-      .zipWithIndex()
-      .filter(_._2 >= nHeader)
-      .map { case (line, i) => (i - nHeader, line) } // data row r: top row first
-    val rows = spark.createDataFrame(indexed).toDF("row", "line")
+    val rows = numberedLines(spark, path)
+      .where(col("row") >= nHeader)
+      .select((col("row") - nHeader).as("row"), col("line"))
     val df = rows
       .select(col("row"), posexplode(split(trim(col("line")), "\\s+")))
       .select(

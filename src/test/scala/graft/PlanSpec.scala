@@ -142,6 +142,23 @@ class PlanSpec extends SparkSpec {
     assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$plan")
   }
 
+  test("source hygiene: no global windows, no RDD text reads in src/main") {
+    import scala.jdk.CollectionConverters._
+    val srcRoot = java.nio.file.Paths.get("src/main/scala/graft")
+    val files = java.nio.file.Files.walk(srcRoot).iterator().asScala
+      .filter(_.toString.endsWith(".scala")).toSeq
+    assert(files.nonEmpty)
+    val offenders = files.flatMap { p =>
+      val text = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      // `Window.orderBy(` called ON THE OBJECT is the single-partition
+      // global window; the partitioned form is Window.partitionBy(...).orderBy
+      val global = text.contains("Window.orderBy(")
+      val rddText = text.contains("sparkContext.textFile")
+      if (global || rddText) Some(s"$p: global=$global rddText=$rddText") else None
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
   test("exactDuplicates pre-hashes and still groups exactly") {
     val docs = spark.createDataFrame(Seq(
       (1L, "alpha"), (2L, "beta"), (3L, "alpha"), (4L, "gamma"), (5L, "beta")))
