@@ -287,6 +287,115 @@ object Exports {
     wide
   }
 
+  /** K6 as real NetCDF — the reference's `export_fluxie`
+    * (emiproc/exports/fluxie.py:24-199): ONE FILE PER SUBSTANCE named
+    * `<model>_<substance>_<frequency>.nc`, holding `flux_total_prior`
+    * over dims (time, latitude, longitude) in kg m⁻² yr⁻¹ (categories
+    * summed, value / cell_area — fluxie.py:164-168), the lon/lat center
+    * coords with the reference's attributes (:103-127), and — when
+    * country fractions are supplied — `country_fraction(country, lat,
+    * lon)` plus `country_flux_total_prior(time, country)` =
+    * Σ_cells flux × fraction (:128-143, 185-193).
+    *
+    * `emissions` = `(cell_id, substance, time_idx, value)` with
+    * `time_idx` 0-based (months for monthly, one step for yearly);
+    * `countryFractions` = `(cell_id, country, fraction)`. */
+  def fluxieExportNc(
+      emissions: DataFrame,
+      grid: RegularGrid,
+      outDir: String,
+      transportModel: String = "icon",
+      frequency: String = "monthly",
+      countryFractions: Option[DataFrame] = None,
+      atts: Seq[NcAtt] = Nil): Seq[String] = {
+    val rows = emissions
+      .groupBy("substance", "time_idx", "cell_id")
+      .agg(sum("value").as("v"))
+      .withColumn("time_idx", col("time_idx").cast("int"))
+      .withColumn("cell_id", col("cell_id").cast("long"))
+      .collect()
+    val subs = rows.map(_.getAs[String]("substance")).distinct.sorted
+    val nT = rows.map(_.getAs[Int]("time_idx")).max + 1
+    val (nx, ny) = (grid.nx, grid.ny)
+    val area = grid.cellArea
+
+    val countries = countryFractions.map { cf =>
+      cf.withColumn("cell_id", col("cell_id").cast("long"))
+        .withColumn("fraction", col("fraction").cast("double"))
+        .collect()
+    }
+    val countryNames = countries.map(
+      _.map(_.getAs[String]("country")).distinct.sorted).getOrElse(Array.empty)
+
+    def axis(name: String, n: Int, v0: Double, dv: Double, std: String,
+        units: String, ax: String): WriteVar =
+      WriteVar(name, Seq(name), graft.sources.NetcdfClassic.NcDouble,
+        atts = Seq(textAtt("standard_name", std),
+          textAtt("long_name", s"$std of grid cell centre"),
+          textAtt("units", units), textAtt("axis", ax)),
+        doubles = Array.tabulate(n)(i => v0 + (i + 0.5) * dv))
+
+    subs.map { sub =>
+      val flux = new Array[Double](nT * ny * nx)
+      rows.filter(_.getAs[String]("substance") == sub).foreach { r =>
+        val cid = r.getAs[Long]("cell_id")
+        val t = r.getAs[Int]("time_idx")
+        val ix = (cid / ny).toInt; val iy = (cid % ny).toInt
+        flux(t * ny * nx + iy * nx + ix) += r.getAs[Double]("v") / area
+      }
+      val baseDims = Seq(NcDim("time", nT), NcDim("latitude", ny),
+        NcDim("longitude", nx))
+      val coordVars = Seq(
+        axis("longitude", nx, grid.xmin, grid.dx,
+          "longitude", "degrees_east", "X"),
+        axis("latitude", ny, grid.ymin, grid.dy,
+          "latitude", "degrees_north", "Y"),
+        WriteVar("time", Seq("time"), graft.sources.NetcdfClassic.NcInt,
+          doubles = Array.tabulate(nT)(_.toDouble)))
+      val fluxVar = WriteVar("flux_total_prior",
+        Seq("time", "latitude", "longitude"),
+        graft.sources.NetcdfClassic.NcDouble,
+        atts = Seq(textAtt("units", "kg m-2 yr-1")), doubles = flux)
+      val countryBlock = countries.toSeq.flatMap { cf =>
+        val nC = countryNames.length
+        val cIdx = countryNames.zipWithIndex.toMap
+        val frac = new Array[Double](nC * ny * nx)
+        cf.foreach { r =>
+          val cid = r.getAs[Long]("cell_id")
+          val ix = (cid / ny).toInt; val iy = (cid % ny).toInt
+          frac(cIdx(r.getAs[String]("country")) * ny * nx + iy * nx + ix) =
+            r.getAs[Double]("fraction")
+        }
+        val cflux = new Array[Double](nT * nC)
+        for (t <- 0 until nT; c <- 0 until nC; iy <- 0 until ny; ix <- 0 until nx)
+          cflux(t * nC + c) +=
+            flux(t * ny * nx + iy * nx + ix) * frac(c * ny * nx + iy * nx + ix)
+        Seq(
+          WriteVar("country", Seq("country", "str_len"),
+            graft.sources.NetcdfClassic.NcChar, strings = countryNames.toSeq),
+          WriteVar("country_fraction", Seq("country", "latitude", "longitude"),
+            graft.sources.NetcdfClassic.NcDouble,
+            atts = Seq(
+              textAtt("long_name", "fraction of grid cell associated to country"),
+              textAtt("units", "1")),
+            doubles = frac),
+          WriteVar("country_flux_total_prior", Seq("time", "country"),
+            graft.sources.NetcdfClassic.NcDouble,
+            atts = Seq(textAtt("units", "kg m-2 yr-1")), doubles = cflux))
+      }
+      val dims = baseDims ++
+        (if (countries.isDefined)
+          Seq(NcDim("country", countryNames.length), NcDim("str_len", 32))
+        else Nil)
+      val gatts = if (atts.nonEmpty) atts
+        else ncCfAttrs(s"$transportModel $frequency flux export")
+      val fname = s"$sub/${transportModel}_${sub}_$frequency.nc"
+      writeBytes(s"$outDir/$fname",
+        NetcdfWriter.write(dims, gatts, coordVars ++ Seq(fluxVar) ++ countryBlock))
+      fname
+    }
+  }
+
   /** WRF-chemi unit path (reference `export_wrf_hourly_emissions`,
     * emiproc/exports/wrf.py:129-240 + molar masses
     * emiproc/utils/constants.py:22): kg/y/cell → mole km⁻² h⁻¹ via a

@@ -175,6 +175,51 @@ object IconExport {
     written.toSeq
   }
 
+  /** Vertical profiles as a real `vertical_profiles.nc` — the
+    * reference's `make_icon_vertical_profiles`
+    * (emiproc/exports/icon.py:549-590): one NC_DOUBLE variable per
+    * category over dim `level` with `units="1"`, plus `layer_top` (the
+    * resampled heights), `layer_bot` (heights rolled down, first = 0)
+    * and `layer_mid` (their midpoint). All categories must share the
+    * height axis — resample first with `VerticalProfiles.resample`.
+    *
+    * `vertical` = `(category, level, r)` long table; `heights` = top
+    * edge per level index (ascending). */
+  def writeVerticalNc(
+      vertical: DataFrame,
+      heights: Seq[Double],
+      outDir: String,
+      atts: Seq[NcAtt] = Nil): Unit = {
+    val n = heights.length
+    val rows = vertical
+      .withColumn("level", col("level").cast("int"))
+      .withColumn("r", col("r").cast("double"))
+      .collect()
+    val cats = rows.map(_.getAs[String]("category")).distinct.sorted
+    val mats = cats.map(c => c -> new Array[Double](n)).toMap
+    rows.foreach { r =>
+      mats(r.getAs[String]("category"))(r.getAs[Int]("level")) =
+        r.getAs[Double]("r")
+    }
+    val layerBot = 0.0 +: heights.dropRight(1)
+    val dims = Seq(NcDim("level", n))
+    val catVars = cats.map { c =>
+      WriteVar(c, Seq("level"), NcDouble,
+        atts = Seq(
+          textAtt("long_name", s"vertical scaling factor for sources of $c category "),
+          textAtt("units", "1")),
+        doubles = mats(c))
+    }
+    val layers = Seq(
+      WriteVar("layer_top", Seq("level"), NcDouble, doubles = heights.toArray),
+      WriteVar("layer_bot", Seq("level"), NcDouble, doubles = layerBot.toArray),
+      WriteVar("layer_mid", Seq("level"), NcDouble,
+        doubles = heights.zip(layerBot).map { case (t, b) => (t + b) / 2.0 }.toArray))
+    val gatts = if (atts.nonEmpty) atts else Exports.ncCfAttrs("Vertical profiles")
+    Exports.writeBytes(s"$outDir/vertical_profiles.nc",
+      NetcdfWriter.write(dims, gatts, catVars ++ layers))
+  }
+
   /** K8 — standalone profile export (reference
     * `export_inventory_profiles`, emiproc/exports/profiles.py:22-121:
     * vertical profiles + ICON-style temporal profiles written as their

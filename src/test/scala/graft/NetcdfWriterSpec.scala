@@ -169,6 +169,53 @@ class NetcdfWriterSpec extends SparkSpec {
     assert(week(3 * 2 + 0) == 3.0 * 7 && week(3 * 2 + 1) == 3.0 * 7)
   }
 
+  test("writeVerticalNc emits the icon.py layer layout") {
+    val vertical = spark.createDataFrame(Seq(
+      ("heat", 0, 0.7), ("heat", 1, 0.3), ("traffic", 0, 1.0), ("traffic", 1, 0.0)))
+      .toDF("category", "level", "r")
+    val dir = tmpDir()
+    IconExport.writeVerticalNc(vertical, Seq(20.0, 100.0), dir)
+    val b = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/vertical_profiles.nc"))
+    val f = NetcdfClassic.readHeader(b)
+    assert(f.dim("level").length == 2)
+    assert(NetcdfClassic.readVarDoubles(b, f, "heat").toSeq == Seq(0.7, 0.3))
+    assert(NetcdfClassic.readVarDoubles(b, f, "layer_top").toSeq == Seq(20.0, 100.0))
+    // layer_bot = heights rolled, first = 0 (icon.py:574-576)
+    assert(NetcdfClassic.readVarDoubles(b, f, "layer_bot").toSeq == Seq(0.0, 20.0))
+    assert(NetcdfClassic.readVarDoubles(b, f, "layer_mid").toSeq == Seq(10.0, 60.0))
+    val units = f.variable("traffic").atts.find(_.name == "units").get.text
+    assert(units == "1")
+  }
+
+  test("fluxieExportNc: per-substance files, flux/area, country block") {
+    val grid = RegularGrid(2, 2, 0.0, 0.0, 2.0, 2.0) // area 4
+    val emi = spark.createDataFrame(Seq(
+      (0L, "CO2", 0, 8.0), (3L, "CO2", 1, 16.0), (0L, "CH4", 0, 4.0)))
+      .toDF("cell_id", "substance", "time_idx", "value")
+    val fracs = spark.createDataFrame(Seq(
+      (0L, "AAA", 1.0), (3L, "AAA", 0.5), (3L, "BBB", 0.5)))
+      .toDF("cell_id", "country", "fraction")
+    val dir = tmpDir()
+    val files = Exports.fluxieExportNc(emi, grid, dir,
+      countryFractions = Some(fracs))
+    assert(files == Seq("CH4/icon_CH4_monthly.nc", "CO2/icon_CO2_monthly.nc"))
+
+    val b = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/CO2/icon_CO2_monthly.nc"))
+    val f = NetcdfClassic.readHeader(b)
+    assert(f.dim("time").length == 2 && f.dim("latitude").length == 2)
+    val flux = NetcdfClassic.readVarDoubles(b, f, "flux_total_prior")
+    // t0: cell 0 (ix 0, iy 0) -> flat index iy*nx+ix = 0: 8/4 = 2
+    assert(flux(0) == 2.0)
+    // t1: cell 3 (ix 1, iy 1) -> t*4 + 1*2+1 = 7: 16/4 = 4
+    assert(flux(7) == 4.0)
+    assert(NetcdfClassic.readVarStrings(b, f, "country") == Seq("AAA", "BBB"))
+    val cflux = NetcdfClassic.readVarDoubles(b, f, "country_flux_total_prior")
+    // (t0, AAA) = 2*1.0 = 2; (t1, AAA) = 4*0.5 = 2; (t1, BBB) = 2
+    assert(cflux.toSeq == Seq(2.0, 0.0, 2.0, 2.0))
+  }
+
   test("hourlyExportNc writes one file per hour in chunks with hourly.py naming") {
     val grid = RegularGrid(5, 1, 0.0, 0.0, 1.0, 1.0)
     val sfs = spark.createDataFrame(Seq(("adf", "CH4", 0, 2.0)))
