@@ -96,6 +96,35 @@ object ScaleBench {
         .agg(count(lit(1)), sum("weight")).collect()(0).getLong(0)
     }
 
+    // B8: distributed many-file NetCDF ingestion — 64 EDGAR-style flux
+    // rasters (360×180 each, ~26% emitting cells) authored with
+    // NetcdfWriter, parsed one-file-per-task via binaryFile.
+    val b8dir = java.nio.file.Files.createTempDirectory("scale_edgar")
+    val b8subs = Seq("CO2", "CH4", "N2O", "NOX", "SO2", "NH3", "CO", "VOC")
+    val b8cats = (0 until 8).map(i => s"C$i")
+    import graft.sources.NetcdfClassic.{NcDim, NcDouble, NcFloat}
+    import graft.sinks.NetcdfWriter
+    import graft.sinks.NetcdfWriter.WriteVar
+    for (s <- b8subs; c <- b8cats) {
+      val data = Array.tabulate(360 * 180)(k =>
+        if (k % 4 == 0) ((k % 97) + 1).toDouble else 0.0)
+      val bytes = NetcdfWriter.write(
+        Seq(NcDim("lat", 180), NcDim("lon", 360)), Nil,
+        Seq(
+          WriteVar("lat", Seq("lat"), NcDouble,
+            doubles = Array.tabulate(180)(i => -89.5 + i)),
+          WriteVar("lon", Seq("lon"), NcDouble,
+            doubles = Array.tabulate(360)(j => -179.5 + j)),
+          WriteVar("flux", Seq("lat", "lon"), NcFloat, doubles = data)))
+      java.nio.file.Files.write(b8dir.resolve(s"${s}_$c.nc"), bytes)
+    }
+    val b8grid = RegularGrid(360, 180, -180.0, -90.0, 1.0, 1.0)
+    val (b8s, b8n) = time {
+      graft.sources.GlobalRasters
+        .readEdgarDirDistributed(spark, b8dir.toString, b8grid)
+        .agg(count(lit(1)), sum("value")).collect()(0).getLong(0)
+    }
+
     val b1rate = (src.ncells * 32 / b1s / 1e6).formatted("%.1f")
     val b3rate = (b3n / b3s / 1e6).formatted("%.1f")
     println(
@@ -103,7 +132,8 @@ object ScaleBench {
         s""""b2_group_rollup_sec":$b2s,"b2_rows_out":$b2n,""" +
         s""""b3_explode_sec":$b3s,"b3_rows":$b3n,"b3_mrows_per_s":$b3rate,""" +
         s""""b6_poly_grid_sec":$b6s,"b6_weights":$b6n,""" +
-        s""""b7_tile_join_sec":$b7s,"b7_pairs":$b7n}""")
+        s""""b7_tile_join_sec":$b7s,"b7_pairs":$b7n,""" +
+        s""""b8_dist_ingest_sec":$b8s,"b8_files":64,"b8_rows":$b8n}""")
     spark.stop()
   }
 }

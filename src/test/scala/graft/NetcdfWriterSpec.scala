@@ -169,6 +169,20 @@ class NetcdfWriterSpec extends SparkSpec {
     assert(week(3 * 2 + 0) == 3.0 * 7 && week(3 * 2 + 1) == 3.0 * 7)
   }
 
+  test("exported raster re-ingests through the CF reader (full interop loop)") {
+    val grid = RegularGrid(3, 2, 10.0, 20.0, 0.5, 0.25)
+    val path = s"${tmpDir()}/loop.nc"
+    Exports.rasterExportNc(basicInv, grid, path)
+    // NetcdfRaster auto-detects lat/lon coords and reads every 2-D var
+    val (g2, df) = graft.sources.NetcdfRaster.read(spark, path)
+    assert(g2 == grid)
+    val ch4 = df.where(col("variable") === "CH4").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(3)).toMap
+    // cell 2 = (ix 1, iy 0) -> adf CH4 = 2 + 3 = 5
+    assert(ch4((1, 0)) == 5.0)
+    assert(ch4.size == 6) // full grid (zeros included, none NaN)
+  }
+
   test("writeVerticalNc emits the icon.py layer layout") {
     val vertical = spark.createDataFrame(Seq(
       ("heat", 0, 0.7), ("heat", 1, 0.3), ("traffic", 0, 1.0), ("traffic", 1, 0.0)))
