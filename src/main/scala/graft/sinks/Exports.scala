@@ -100,7 +100,7 @@ object Exports {
     textAtt("creation_time", creationTime))
 
   /** Write raw bytes to a local file path, creating parent dirs. */
-  private[sinks] def writeBytes(path: String, bytes: Array[Byte]): Unit = {
+  private[graft] def writeBytes(path: String, bytes: Array[Byte]): Unit = {
     val p = java.nio.file.Paths.get(path)
     Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
     java.nio.file.Files.write(p, bytes)

@@ -89,6 +89,69 @@ object StreamingOps {
       .dropDuplicatesWithinWatermark("_th", "text")
       .drop("_th")
 
+  /** Per-(hour, cell, variable) tumbling windows — the gridded form of
+    * [[hourlyWindows]] feeding [[hourlyNcSink]]: state is bounded by
+    * watermark × active cells. */
+  def hourlyCellWindows(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("cell_id"), col("event_type"))
+      .agg(sum("value").as("total_value"))
+      .select(
+        col("window.start").as("hour"),
+        col("cell_id"), col("event_type"), col("total_value"))
+
+  /** Streaming per-hour NetCDF sink — the real-file K2 streaming variant:
+    * each micro-batch's closed hourly windows are written as one classic
+    * `.nc` per hour named `yyyyMMdd'T'HHmmss'Z'.nc` (the reference's
+    * `filename_format`, emiproc/exports/hourly.py:33) via
+    * [[graft.sinks.NetcdfWriter]]. Append-mode aggregate: a window only
+    * reaches the sink once its watermark passes, so each file is final —
+    * the micro-batch loop IS the reference's 168-hour chunk loop, with
+    * completeness guaranteed by the watermark instead of batch order.
+    *
+    * Input: the output of [[hourlyCellWindows]]. Each hour's rows are
+    * grid-sized per variable; the foreachBatch collect is bounded by
+    * hours-per-batch × variables × cells. */
+  def hourlyNcSink(
+      windowed: DataFrame,
+      grid: graft.model.RegularGrid,
+      outDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import graft.sinks.{Exports, NetcdfWriter}
+    import graft.sinks.NetcdfWriter.{WriteVar, textAtt}
+    import graft.sources.NetcdfClassic.{NcDim, NcDouble}
+    val fmtOut = java.time.format.DateTimeFormatter
+      .ofPattern("yyyyMMdd'T'HHmmss'Z'").withZone(java.time.ZoneOffset.UTC)
+    windowed.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val rows = batch
+          .withColumn("cell_id", col("cell_id").cast("long"))
+          .withColumn("total_value", col("total_value").cast("double"))
+          .collect()
+        rows.groupBy(_.getAs[java.sql.Timestamp]("hour")).foreach {
+          case (hourTs, hrRows) =>
+            val vars = hrRows.map(_.getAs[String]("event_type")).distinct.sorted
+            val ncells = grid.ncells.toInt
+            val data = vars.map(v => v -> new Array[Double](ncells)).toMap
+            hrRows.foreach { r =>
+              data(r.getAs[String]("event_type"))(
+                r.getAs[Long]("cell_id").toInt) += r.getAs[Double]("total_value")
+            }
+            val dataVars = vars.map { v =>
+              WriteVar(v, Seq("cell"), NcDouble,
+                atts = Seq(textAtt("units", "kg h-1"), textAtt("long_name", v)),
+                doubles = data(v))
+            }
+            val fname = fmtOut.format(hourTs.toInstant)
+            Exports.writeBytes(s"$outDir/$fname.nc", NetcdfWriter.write(
+              Seq(NcDim("cell", ncells)),
+              Exports.ncCfAttrs("graft streaming hourly export"),
+              dataVars))
+        }
+      }
+  }
+
   /** Stream-static join: scale each event by the static hourly profile
     * factor of its event type (missing profile → 1.0) — the streaming form
     * of the temporal explode's factor application (T3). The profile table

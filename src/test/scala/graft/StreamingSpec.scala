@@ -34,6 +34,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("hourlyNcSink writes one final .nc per watermark-closed hour") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.model.RegularGrid
+    import graft.sources.NetcdfClassic
+    val grid = RegularGrid(3, 1, 0.0, 0.0, 1.0, 1.0)
+    val dir = java.nio.file.Files.createTempDirectory("ncstream").toString
+    val mem = MemoryStream[(Long, Timestamp, String, Double)]
+    val events = mem.toDF().toDF("cell_id", "ts", "event_type", "value")
+    val q = StreamingOps.hourlyNcSink(
+      StreamingOps.hourlyCellWindows(events), grid, dir)
+      .start()
+    try {
+      mem.addData(
+        (0L, ts("2024-01-01 10:05:00"), "CO2", 1.0),
+        (2L, ts("2024-01-01 10:55:00"), "CO2", 2.0),
+        (0L, ts("2024-01-01 10:30:00"), "CH4", 4.0))
+      q.processAllAvailable()
+      // watermark has not passed hour 10 yet -> nothing emitted (append)
+      assert(!new java.io.File(dir).list().exists(_.endsWith(".nc")))
+      // an event 3h later pushes the watermark past hour 10
+      mem.addData((1L, ts("2024-01-01 14:00:00"), "CO2", 8.0))
+      q.processAllAvailable()
+      mem.addData((1L, ts("2024-01-01 18:00:00"), "CO2", 16.0))
+      q.processAllAvailable()
+      val files = new java.io.File(dir).list().filter(_.endsWith(".nc")).sorted
+      assert(files.contains("20240101T100000Z.nc"))
+      val b = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$dir/20240101T100000Z.nc"))
+      val f = NetcdfClassic.readHeader(b)
+      assert(NetcdfClassic.readVarDoubles(b, f, "CO2").toSeq == Seq(1.0, 0.0, 2.0))
+      assert(NetcdfClassic.readVarDoubles(b, f, "CH4").toSeq == Seq(4.0, 0.0, 0.0))
+    } finally q.stop()
+  }
+
   test("sessionizeStream closes sessions across micro-batches via state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
