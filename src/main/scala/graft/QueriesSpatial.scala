@@ -192,6 +192,20 @@ object QueriesSpatial {
       Some(s"""WITH $CellsCte,
         |$CountryCte
         |SELECT cell_id, country, ovx * ovy AS fraction
-        |FROM cov WHERE ovx > 0 AND ovy > 0""".stripMargin))
+        |FROM cov WHERE ovx > 0 AND ovy > 0""".stripMargin)),
+
+    // No SQL oracle (driver rows-only check): hexagon×cell clip areas
+    // involve 1/√3 corner coordinates — genuinely not plain-SQL. Geometry
+    // exactness is covered by HexGridSpec (corner offsets vs the
+    // reference pattern, exact dx·dy shoelace area, conservation under
+    // remap); this entry runs the full hex remap in the driver contract.
+    Q("q_hex_remap",
+      (s, d) => {
+        val hex = graft.model.HexGrid.fromSpacing(-4.0, -4.0, nx = 20, ny = 22,
+          spacing = 4.0)
+        SpatialJoin.remapAcrossPolygons(s, emissionsAgg(s, d),
+          SpatialJoin.gridAsPolygons(s, srcGrid), hex.cells(s), tileSize = 8.0)
+      },
+      None)
   )
 }
