@@ -205,6 +205,74 @@ object QueriesML {
         |      FROM wb a JOIN wb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
         |SELECT vec_a, vec_b, cos_sim FROM s WHERE cos_sim >= 0.35""".stripMargin)),
 
+    Q("q_text_normalize",
+      (s, d) => TextAnalysis.normalizeText(documents(s, d)),
+      Some("""SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+        |       ' +', ' ', 'g')) AS norm_text
+        |FROM documents""".stripMargin)),
+
+    Q("q_repetition",
+      (s, d) => TextAnalysis.repetition(documents(s, d)),
+      Some("""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |           FROM documents),
+        |c AS (SELECT doc_id, word, count(*) AS cnt FROM w GROUP BY 1, 2),
+        |a AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_words,
+        |             count(*) AS n_distinct, CAST(max(cnt) AS BIGINT) AS top_cnt
+        |      FROM c GROUP BY 1)
+        |SELECT doc_id, n_words, n_distinct,
+        |       round(1.0 - n_distinct / CAST(n_words AS DOUBLE), 6) AS dup_ratio,
+        |       round(top_cnt / CAST(n_words AS DOUBLE), 6) AS top_frac
+        |FROM a""".stripMargin)),
+
+    Q("q_decontaminate",
+      (s, d) => TextAnalysis.decontaminate(documents(s, d), Seq(
+        "key agg row scan slow", "batch window spark order data",
+        "the quick brown fox jumps"), n = 5),
+      Some("""WITH sh AS (SELECT DISTINCT doc_id,
+        |          unnest(list_transform(range(0, greatest(0, len(w) - 4)),
+        |                 i -> array_to_string(w[i+1:i+5], ' '))) AS shingle
+        |       FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+        |p AS (SELECT unnest(['key agg row scan slow',
+        |                     'batch window spark order data',
+        |                     'the quick brown fox jumps']) AS shingle),
+        |h AS (SELECT doc_id, count(DISTINCT sh.shingle) AS n_hits
+        |      FROM sh JOIN p ON sh.shingle = p.shingle GROUP BY 1)
+        |SELECT d.doc_id,
+        |       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+        |       coalesce(h.n_hits, 0) > 0 AS contaminated
+        |FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id""".stripMargin)),
+
+    Q("q_ivf_search",
+      (s, d) => Similarity.ivfSearch(embeddings(s, d), nQueries = 20, k = 5,
+        centroidMod = 97),
+      Some(s"""WITH $QuantCte,
+        |cents AS (SELECT vec_id AS centroid_id, v AS cv, list_dot_product(v, v) AS cn
+        |          FROM q WHERE vec_id % 97 = 0),
+        |vecs AS (SELECT vec_id, v, list_dot_product(v, v) AS n FROM q),
+        |s0 AS (SELECT vec_id, centroid_id,
+        |              round(list_dot_product(v, cv) / (sqrt(n) * sqrt(cn)), 6) AS cos_sim
+        |       FROM vecs, cents),
+        |assign AS (SELECT vec_id, centroid_id FROM (
+        |             SELECT *, row_number() OVER (PARTITION BY vec_id
+        |                          ORDER BY cos_sim DESC, centroid_id) AS rn
+        |             FROM s0) WHERE rn = 1),
+        |qs AS (SELECT a.vec_id AS query_id, a.centroid_id, v.v AS qv, v.n AS qn
+        |       FROM assign a JOIN vecs v ON v.vec_id = a.vec_id
+        |       WHERE a.vec_id < 20),
+        |cand AS (SELECT a.vec_id AS neighbor_id, a.centroid_id,
+        |                v.v AS cv2, v.n AS cn2
+        |         FROM assign a JOIN vecs v ON v.vec_id = a.vec_id),
+        |sc AS (SELECT query_id, neighbor_id,
+        |              round(list_dot_product(qv, cv2) / (sqrt(qn) * sqrt(cn2)), 6) AS cos_sim
+        |       FROM cand JOIN qs USING (centroid_id)
+        |       WHERE neighbor_id <> query_id)
+        |SELECT query_id, neighbor_id, rank, cos_sim FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |               ORDER BY cos_sim DESC, neighbor_id) AS rank
+        |  FROM sc)
+        |WHERE rank <= 5""".stripMargin)),
+
     Q("q_embed_neardup_banded",
       (s, d) => Similarity.nearDupPairsBanded(s, embeddings(s, d),
         threshold = 0.35, bands = 4, rowBits = 4, maxBucketSize = 50),

@@ -176,6 +176,43 @@ object Similarity {
       .select("vec_a", "vec_b", "cos_sim")
   }
 
+  /** IVF SEARCH — the query path over [[ivfAssign]]: each query vector
+    * (vec_id < nQueries) is assigned to its centroid, then ranked
+    * against ONLY the vectors of that cluster (candidate set =
+    * N/centroids on average instead of N — the inverted-file restriction
+    * that makes the k-NN scan sublinear at scale). Exact cosine inside
+    * the cluster, deterministic (cos desc, neighbor_id) tie-break.
+    * Approximate by construction: a true neighbor in another cluster is
+    * missed — probe more clusters / raise centroidMod for recall. */
+  def ivfSearch(
+      embeddings: DataFrame,
+      nQueries: Int,
+      k: Int,
+      centroidMod: Int = 97): DataFrame = {
+    val assign = graft.Caching.cache(ivfAssign(embeddings, centroidMod)
+      .select(col("vec_id"), col("centroid_id")))
+    val vecs = graft.Caching.cache(embeddings
+      .select(col("vec_id"), quantize(col("embedding")).as("v"))
+      .withColumn("n", dot(col("v"), col("v"))))
+    val queries = vecs.where(col("vec_id") < nQueries)
+      .join(assign, "vec_id")
+      .select(col("vec_id").as("query_id"), col("centroid_id"),
+        col("v").as("qv"), col("n").as("qn"))
+    val candidates = vecs.join(assign, "vec_id")
+      .select(col("vec_id").as("neighbor_id"), col("centroid_id"),
+        col("v").as("cv"), col("n").as("cn"))
+    val win = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    candidates
+      .join(broadcast(queries), Seq("centroid_id"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos_sim",
+        round(dot(col("qv"), col("cv")) / (sqrt(col("qn")) * sqrt(col("cn"))), 6))
+      .withColumn("rank", row_number().over(win))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cos_sim")
+  }
+
   /** IVF-style coarse quantizer: a deterministic centroid subset
     * (vec_id ≡ 0 mod centroidMod), every vector assigned to its
     * max-cosine centroid with a (cos desc, centroid_id) tie-break.

@@ -147,4 +147,62 @@ object TextAnalysis {
         expr(s"kmin div $P").as("fingerprint"))
       .distinct()
   }
+
+  /** Dedup-prep text normalization: lowercase, strip everything outside
+    * `[a-z0-9 ]`, collapse runs of spaces, trim — the canonical form fed
+    * to exact/near dedup so case/punctuation variants collide. Pure
+    * per-row regex (codegen'd, zero shuffles); patterns are
+    * engine-portable (identical semantics in RE2/Java regex). */
+  def normalizeText(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""),
+        " +", " ")).as("norm_text"))
+
+  /** Repetition / diversity signals (the Gopher-style reference-free
+    * quality rules applied at word level): duplicate-word ratio
+    * `1 − distinct/total` and top-word fraction `max_count/total`. High
+    * values flag degenerate machine-generated or boilerplate text. One
+    * shuffle (word counts per doc). Ratios are single IEEE divisions of
+    * exact ints — deterministic across engines. */
+  def repetition(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), explode(words(col("text"))).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id")
+      .agg(
+        sum("cnt").as("n_words"),
+        count(lit(1)).as("n_distinct"),
+        max("cnt").as("top_cnt"))
+      .select(
+        col("doc_id"), col("n_words"), col("n_distinct"),
+        round(lit(1.0) - col("n_distinct") / col("n_words"), 6).as("dup_ratio"),
+        round(col("top_cnt") / col("n_words"), 6).as("top_frac"))
+
+  /** Benchmark decontamination: flag documents sharing any word n-gram
+    * with a probe set (the held-out benchmark's n-grams) — the standard
+    * training-data hygiene pass. Probes broadcast (benchmark suites are
+    * tiny next to the corpus); the doc side reuses the zero-shuffle
+    * shingle generator, so the scan stays narrow and the only shuffle is
+    * the per-doc hit count. Output: every doc with its distinct-probe
+    * hit count and a `contaminated` flag. */
+  def decontaminate(
+      docs: DataFrame,
+      probes: Seq[String],
+      n: Int = 5): DataFrame = {
+    val spark = docs.sparkSession
+    val probeDf = spark.createDataFrame(probes.distinct.map(Tuple1(_)))
+      .toDF("shingle")
+    val hits = graft.dedup.Dedup.shingles(docs, n)
+      .join(broadcast(probeDf), "shingle")
+      .groupBy("doc_id")
+      .agg(countDistinct("shingle").as("n_hits"))
+    docs.select("doc_id")
+      .join(hits, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+  }
 }

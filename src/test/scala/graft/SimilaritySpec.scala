@@ -63,6 +63,16 @@ class SimilaritySpec extends SparkSpec {
     assert(out(3L) == 0L) // cos 0.8 vs 0.6 -> centroid 0
   }
 
+  test("ivfSearch ranks only within the query's cluster") {
+    // centroidMod = 2: centroids are vec 0 and 2; vecs 0,1 cluster to 0,
+    // vecs 2 to itself; 3 lands with 0's cluster (cos 0.8 vs 0.6)
+    val out = Similarity.ivfSearch(e, nQueries = 1, k = 3, centroidMod = 2)
+      .collect().map(r => r.getInt(2) -> r.getLong(1)).toMap
+    assert(out(1) == 1L) // identical vector first
+    assert(out(2) == 3L) // same-cluster diagonal vector
+    assert(!out.values.toSet.contains(2L)) // other cluster never scanned
+  }
+
   test("native dot_product == higher-order fold, codegen-compiled, null-safe") {
     val df = spark.range(200).selectExpr(
       "transform(sequence(0, 63), j -> CAST((id * 7 + j * 13) % 97 AS DOUBLE)) AS a",

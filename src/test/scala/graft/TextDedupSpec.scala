@@ -9,6 +9,33 @@ class TextDedupSpec extends SparkSpec {
   private def docs(rows: (Long, String)*) =
     spark.createDataFrame(rows).toDF("doc_id", "text")
 
+  test("normalizeText canonicalizes case, punctuation and whitespace") {
+    val out = TextAnalysis.normalizeText(docs(
+      (1L, "Hello,  World! 123"), (2L, "  spaced   out  ")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "hello world 123")
+    assert(out(2L) == "spaced out")
+  }
+
+  test("repetition: duplicate-word ratio and top-word fraction") {
+    val out = TextAnalysis.repetition(docs(
+      (1L, "a a a b"), (2L, "x y z w")))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(out(1L) == ((4L, 2L, 0.5, 0.75)))
+    assert(out(2L) == ((4L, 4L, 0.0, 0.25)))
+  }
+
+  test("decontaminate flags docs sharing a probe n-gram, keeps clean docs") {
+    val out = TextAnalysis.decontaminate(docs(
+      (1L, "the quick brown fox jumps over"), // contains the probe 5-gram
+      (2L, "completely unrelated clean text here")),
+      Seq("the quick brown fox jumps", "quick brown fox jumps over"), n = 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out(1L) == ((2L, true))) // both probes present
+    assert(out(2L) == ((0L, false)))
+  }
+
   test("portableHash matches the cross-engine reference value") {
     // DuckDB: list_reduce over ascii chars of 'hello' base 31 mod 1e9+7
     val h = spark.range(1).select(TextAnalysis.portableHash(lit("hello")))
