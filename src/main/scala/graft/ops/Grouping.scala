@@ -114,16 +114,22 @@ object Grouping {
   /** Per-(substance, category) totals plus per-substance grand total —
     * reference `get_total_emissions` (emiproc/inventories/utils.py:580-628);
     * the `__total__` pseudo-category is a grouping set. */
-  def totals(emissions: DataFrame): DataFrame =
-    emissions
-      .groupingSets(
-        Seq(Seq(col("substance"), col("category")), Seq(col("substance"))),
-        col("substance"), col("category"))
-      .agg(sum("value").as("total"))
-      .select(
-        col("substance"),
-        coalesce(col("category"), lit("__total__")).as("category"),
-        col("total"))
+  def totals(emissions: DataFrame): DataFrame = {
+    // Two-level rollup WITHOUT groupingSets: the Expand node would
+    // double every fact row before the partial aggregate (2× the CPU on
+    // the only data-scale pass). Instead aggregate once to the
+    // metadata-scale (substance, category) table — map-side combine
+    // makes the shuffle tiny — and derive the per-substance level from
+    // those 16-ish rows. Same result (sum is associative; gate
+    // arithmetic is order-portable by design).
+    val perPair = graft.Caching.cache(
+      emissions.groupBy("substance", "category").agg(sum("value").as("total")))
+    perPair
+      .select("substance", "category", "total")
+      .unionByName(perPair
+        .groupBy("substance").agg(sum("total").as("total"))
+        .select(col("substance"), lit("__total__").as("category"), col("total")))
+  }
 
   /** Conservation check — reference `total_emissions_almost_equal`
     * (emiproc/utilities.py:545-578): full-outer join of two total maps
