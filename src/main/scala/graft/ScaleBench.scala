@@ -125,8 +125,8 @@ object ScaleBench {
         .agg(count(lit(1)), sum("value")).collect()(0).getLong(0)
     }
 
-    val b1rate = (src.ncells * 32 / b1s / 1e6).formatted("%.1f")
-    val b3rate = (b3n / b3s / 1e6).formatted("%.1f")
+    val b1rate = "%.1f".format(src.ncells * 32 / b1s / 1e6)
+    val b3rate = "%.1f".format(b3n / b3s / 1e6)
     println(
       s"""{"metric":"scale_bench","b1_remap_sec":$b1s,"b1_rows_in":${src.ncells * 32},"b1_rows_out":$b1n,"b1_mrows_per_s":$b1rate,""" +
         s""""b2_group_rollup_sec":$b2s,"b2_rows_out":$b2n,""" +

@@ -335,7 +335,7 @@ object Exports {
           textAtt("units", units), textAtt("axis", ax)),
         doubles = Array.tabulate(n)(i => v0 + (i + 0.5) * dv))
 
-    subs.map { sub =>
+    subs.toIndexedSeq.map { sub =>
       val flux = new Array[Double](nT * ny * nx)
       rows.filter(_.getAs[String]("substance") == sub).foreach { r =>
         val cid = r.getAs[Long]("cell_id")
