@@ -56,6 +56,7 @@ object ScaleBench {
         Grouping.groupCategories(spark, emi, catMap, ignoreMissing = true))
         .count()
     }
+    Caching.release() // totals registers its pair-level cache
 
     val emi3 = emissions(1000, 4, 2)
     val sf = spark.range(24).select(
