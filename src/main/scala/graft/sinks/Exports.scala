@@ -122,18 +122,31 @@ object Exports {
       grid: RegularGrid,
       path: String,
       perArea: Boolean = false,
-      atts: Seq[NcAtt] = Nil): Unit = {
+      atts: Seq[NcAtt] = Nil,
+      groupCategories: Boolean = false,
+      addTotals: Boolean = false): Unit = {
     val conv = if (perArea) 1.0 / (grid.cellArea * SecPerYear) else 1.0
     val rows = emissions
-      .groupBy("cell_id", "substance")
+      .groupBy("cell_id", "substance", "category")
       .agg(sum(col("value") * conv).as("v"))
       .collect()
     val subs = rows.map(_.getString(1)).distinct.sorted
-    val data = subs.map(s => s -> new Array[Double](grid.ny * grid.nx)).toMap
-    rows.foreach { r =>
-      val cid = r.getLong(0)
+    val cats = rows.map(_.getString(2)).distinct.sorted
+    val ncell = grid.ny * grid.nx
+    def flat(cid: Long): Int = {
       val ix = (cid / grid.ny).toInt; val iy = (cid % grid.ny).toInt
-      data(r.getString(1))(iy * grid.nx + ix) = r.getDouble(2)
+      iy * grid.nx + ix
+    }
+    // per-substance summed plane (the default layout + the all-sectors
+    // totals); per-(substance, category) planes for the group mode
+    val data = subs.map(s => s -> new Array[Double](ncell)).toMap
+    val byCat = if (groupCategories || addTotals)
+      subs.map(s => s -> cats.map(c => c -> new Array[Double](ncell)).toMap).toMap
+    else Map.empty[String, Map[String, Array[Double]]]
+    rows.foreach { r =>
+      val i = flat(r.getLong(0)); val v = r.getDouble(3)
+      data(r.getString(1))(i) += v
+      if (byCat.nonEmpty) byCat(r.getString(1))(r.getString(2))(i) += v
     }
     val unitStr = if (perArea) "kg m-2 s-1" else "kg year-1 cell-1"
     val dims = Seq(
@@ -158,17 +171,60 @@ object Exports {
         "longitude", "degrees_east", "X", centers = false),
       axisVar("lat_bnds", "lat_bnds", grid.ny + 1, grid.ymin, grid.dy,
         "latitude", "degrees_north", "Y", centers = false))
-    val dataVars = subs.map { s =>
-      WriteVar(s, Seq("lat", "lon"), NetcdfClassicDouble,
-        atts = Seq(
-          textAtt("standard_name",
-            s"tendency_of_atmosphere_mass_content_of_${s}_due_to_emission"),
-          textAtt("long_name", s), textAtt("units", unitStr),
-          textAtt("comment", s"emissions of $s"), textAtt("substance", s)),
-        doubles = data(s))
+    val dataVars =
+      if (!groupCategories) subs.map { s =>
+        WriteVar(s, Seq("lat", "lon"), NetcdfClassicDouble,
+          atts = Seq(
+            textAtt("standard_name",
+              s"tendency_of_atmosphere_mass_content_of_${s}_due_to_emission"),
+            textAtt("long_name", s), textAtt("units", unitStr),
+            textAtt("comment", s"emissions of $s"), textAtt("substance", s)),
+          doubles = data(s))
+      } else subs.map { s => // rasters.py:137-160 category-dim layout
+        WriteVar(s, Seq("category", "lat", "lon"), NetcdfClassicDouble,
+          atts = Seq(
+            textAtt("standard_name",
+              s"tendency_of_atmosphere_mass_content_of_${s}_due_to_emission"),
+            textAtt("long_name", s), textAtt("units", unitStr),
+            textAtt("comment", s"emissions of $s"), textAtt("substance", s)),
+          doubles = cats.flatMap(c => byCat(s)(c)).toArray)
+      }
+    // add_totals block (rasters.py:246-303): per-substance all-sectors
+    // plane + per-category kg/yr totals; always kg/yr for the totals —
+    // undo the per-area conversion with area × SEC_PER_YR.
+    val backToKg = if (perArea) grid.cellArea * SecPerYear else 1.0
+    val totalVars = if (!addTotals) Seq.empty[WriteVar] else subs.toSeq.flatMap { s =>
+      Seq(
+        WriteVar(s"emi_${s}_all_sectors", Seq("lat", "lon"), NetcdfClassicDouble,
+          atts = Seq(
+            textAtt("standard_name",
+              s"tendency_of_atmosphere_mass_content_of_${s}_due_to_emission"),
+            textAtt("long_name", s"Aggregated Emissions of $s from all sectors"),
+            textAtt("units", unitStr),
+            textAtt("comment", "annual mean emission rate")),
+          doubles = data(s)),
+        WriteVar(s"emi_${s}_total", Seq("category"), NetcdfClassicDouble,
+          atts = Seq(
+            textAtt("long_name", s"Total Emissions of $s"),
+            textAtt("units", "kg yr-1"),
+            textAtt("comment", "annual total emission")),
+          doubles = cats.map(c => byCat(s)(c).sum * backToKg).toArray))
     }
+    val areaCellVars = if (!addTotals) Nil else Seq(
+      WriteVar("cell_area", Seq("lat", "lon"), NetcdfClassicDouble,
+        atts = Seq(textAtt("standard_name", "cell_area"),
+          textAtt("units", "m2"),
+          textAtt("comment", "area of the cell (planar analytic grid)")),
+        doubles = Array.fill(ncell)(grid.cellArea)))
+    val strLen = 32
+    val catDims = if (groupCategories || addTotals)
+      Seq(NcDim("category", cats.length), NcDim("str_len", strLen)) else Nil
+    val catVars = if (catDims.isEmpty) Nil else Seq(
+      WriteVar("category", Seq("category", "str_len"),
+        graft.sources.NetcdfClassic.NcChar, strings = cats.toSeq))
     val gatts = if (atts.nonEmpty) atts else ncCfAttrs("graft raster export")
-    writeBytes(path, NetcdfWriter.write(dims, gatts, coordVars ++ dataVars))
+    writeBytes(path, NetcdfWriter.write(dims ++ catDims, gatts,
+      coordVars ++ catVars ++ dataVars ++ totalVars ++ areaCellVars))
   }
 
   private val NetcdfClassicDouble = graft.sources.NetcdfClassic.NcDouble

@@ -124,6 +124,32 @@ class NetcdfWriterSpec extends SparkSpec {
     assert(f.vars.map(_.name).contains("NH3"))
   }
 
+  test("rasterExportNc group_categories + add_totals blocks (rasters.py:137-303)") {
+    val grid = RegularGrid(3, 2, 0.0, 0.0, 1.0, 1.0)
+    val path = s"${tmpDir()}/grouped.nc"
+    Exports.rasterExportNc(basicInv, grid, path,
+      groupCategories = true, addTotals = true)
+    val b = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    val f = NetcdfClassic.readHeader(b)
+    assert(f.dim("category").length == 3)
+    assert(NetcdfClassic.readVarStrings(b, f, "category") ==
+      Seq("adf", "liku", "test"))
+    // CO2 has category dim (category, lat, lon); adf CO2 = cell value
+    val co2 = NetcdfClassic.readVarDoubles(b, f, "CO2")
+    assert(co2.length == 3 * 2 * 3)
+    // cell 2 (ix 1, iy 0) -> plane index iy*nx+ix = 1; adf is category 0
+    assert(co2(0 * 6 + 1) == 2.0)
+    // liku (category idx 1) CO2 same cell
+    assert(co2(1 * 6 + 1) == 2.0)
+    // all-sectors plane sums categories: CO2 = adf + liku = 4.0
+    val all = NetcdfClassic.readVarDoubles(b, f, "emi_CO2_all_sectors")
+    assert(all(1) == 4.0)
+    // per-category kg/yr totals: adf CO2 = 0+1+2+3+4 = 10
+    val tot = NetcdfClassic.readVarDoubles(b, f, "emi_CO2_total")
+    assert(tot.toSeq == Seq(10.0, 10.0, 0.0))
+    assert(NetcdfClassic.readVarDoubles(b, f, "cell_area").forall(_ == 1.0))
+  }
+
   test("writeOemNc emits per-kind files with icon.py coords and rolled SFs") {
     val catsubs = spark.createDataFrame(Seq(("A", "F", "co2"))).toDF("category", "substance", "var")
     val indexes = spark.createDataFrame(Seq(("A", "F", 10, 1))).toDF("category", "substance", "tpid", "profile_id")
