@@ -77,4 +77,73 @@ class PropertySpec extends SparkSpec {
       assert(math.abs(daughters - tin * (r1 + r2)) < 1e-9)
     }
   }
+
+  test("property: NetCDF writer round-trips random variables bit-exactly") {
+    import graft.sources.NetcdfClassic
+    import graft.sinks.NetcdfWriter
+    import graft.sinks.NetcdfWriter.WriteVar
+    import NetcdfClassic.{NcDim, NcDouble, NcFloat, NcInt, NcShort}
+    (1 to 8).foreach { _ =>
+      val nx = 1 + rnd.nextInt(7); val ny = 1 + rnd.nextInt(5)
+      val recs = rnd.nextInt(4)
+      val doubles = Array.fill(nx * ny)(rnd.nextDouble() * 1e6 - 5e5)
+      val floats = Array.fill(nx * ny)(rnd.nextFloat().toDouble) // exact in double
+      val ints = Array.fill(nx)(rnd.nextInt().toDouble)
+      val shorts = Array.fill(ny)(rnd.nextInt(65536).toShort.toDouble)
+      val recData = Array.fill(recs * nx)(rnd.nextDouble())
+      val version = 1 + rnd.nextInt(2)
+      val bytes = NetcdfWriter.write(
+        Seq(NcDim("t", 0), NcDim("y", ny), NcDim("x", nx)),
+        Nil,
+        Seq(
+          WriteVar("d", Seq("y", "x"), NcDouble, doubles = doubles),
+          WriteVar("f", Seq("y", "x"), NcFloat, doubles = floats),
+          WriteVar("i", Seq("x"), NcInt, doubles = ints),
+          WriteVar("s", Seq("y"), NcShort, doubles = shorts),
+          WriteVar("r", Seq("t", "x"), NcDouble, doubles = recData)),
+        numrecs = recs, version = version)
+      val f = NetcdfClassic.readHeader(bytes)
+      assert(f.version == version && f.numrecs == recs)
+      assert(NetcdfClassic.readVarDoubles(bytes, f, "d").toSeq == doubles.toSeq)
+      assert(NetcdfClassic.readVarDoubles(bytes, f, "f").toSeq == floats.toSeq)
+      assert(NetcdfClassic.readVarDoubles(bytes, f, "i").toSeq == ints.toSeq)
+      assert(NetcdfClassic.readVarDoubles(bytes, f, "s").toSeq == shorts.toSeq)
+      assert(NetcdfClassic.readVarDoubles(bytes, f, "r").toSeq == recData.toSeq)
+    }
+  }
+
+  test("property: FileGDB shapes round-trip on the quantization lattice") {
+    import GdbFixtures._
+    import graft.sources.FileGdb
+    import graft.sources.FileGdb._
+    (1 to 8).foreach { _ =>
+      // coordinates on the 1e-4 lattice (the fixture xyscale) round-trip
+      // exactly through the varint delta encoding
+      def coord(): Double = math.round(rnd.nextDouble() * 2e7 - 1e7) / 1e4
+      val nPts = 2 + rnd.nextInt(6)
+      val nParts = 1 + rnd.nextInt(2)
+      val parts = (0 until nParts).map(_ =>
+        (0 until nPts).map(_ => (coord(), coord())))
+      val shapeType = if (rnd.nextBoolean()) 3 else 5
+      val fields = Seq(
+        FField("OBJECTID", TObjectId),
+        FField("v", TFloat64, nullable = true),
+        FField("SHAPE", TGeometry, nullable = true))
+      val dir = java.nio.file.Files.createTempDirectory("gdbprop")
+      val (t, tx) = buildTable(fields, Seq(
+        Seq(FNull, FDouble(rnd.nextDouble()), FShape(shapeType, parts))))
+      java.nio.file.Files.write(dir.resolve("p.gdbtable"), t)
+      java.nio.file.Files.write(dir.resolve("p.gdbtablx"), tx)
+      val (_, rows) = FileGdb.readTable(dir.resolve("p.gdbtable").toString)
+      val s = rows(0)("SHAPE").asInstanceOf[Shape]
+      assert(s.shapeType == shapeType)
+      assert(s.xs.size == nParts)
+      parts.zipWithIndex.foreach { case (p, k) =>
+        p.zipWithIndex.foreach { case ((x, y), i) =>
+          assert(math.abs(s.xs(k)(i) - x) < 1e-9, s"x($k,$i)")
+          assert(math.abs(s.ys(k)(i) - y) < 1e-9, s"y($k,$i)")
+        }
+      }
+    }
+  }
 }
