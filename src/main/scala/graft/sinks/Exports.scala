@@ -124,7 +124,8 @@ object Exports {
       perArea: Boolean = false,
       atts: Seq[NcAtt] = Nil,
       groupCategories: Boolean = false,
-      addTotals: Boolean = false): Unit = {
+      addTotals: Boolean = false,
+      varPerCatSub: Boolean = false): Unit = {
     val conv = if (perArea) 1.0 / (grid.cellArea * SecPerYear) else 1.0
     val rows = emissions
       .groupBy("cell_id", "substance", "category")
@@ -140,7 +141,7 @@ object Exports {
     // per-substance summed plane (the default layout + the all-sectors
     // totals); per-(substance, category) planes for the group mode
     val data = subs.map(s => s -> new Array[Double](ncell)).toMap
-    val byCat = if (groupCategories || addTotals)
+    val byCat = if (groupCategories || addTotals || varPerCatSub)
       subs.map(s => s -> cats.map(c => c -> new Array[Double](ncell)).toMap).toMap
     else Map.empty[String, Map[String, Array[Double]]]
     rows.foreach { r =>
@@ -172,7 +173,16 @@ object Exports {
       axisVar("lat_bnds", "lat_bnds", grid.ny + 1, grid.ymin, grid.dy,
         "latitude", "degrees_north", "Y", centers = false))
     val dataVars =
-      if (!groupCategories) subs.map { s =>
+      if (varPerCatSub) // rasters.py default var_name_format "{sub}_{cat}"
+        (for (s <- subs.toSeq; c <- cats if byCat(s)(c).exists(_ != 0.0)) yield
+          WriteVar(s"${s}_$c", Seq("lat", "lon"), NetcdfClassicDouble,
+            atts = Seq(
+              textAtt("standard_name", s"${s}_$c"),
+              textAtt("long_name", s"${s}_$c"), textAtt("units", unitStr),
+              textAtt("comment", s"emissions of $s from $c"),
+              textAtt("substance", s), textAtt("category", c)),
+            doubles = byCat(s)(c)))
+      else if (!groupCategories) subs.toSeq.map { s =>
         WriteVar(s, Seq("lat", "lon"), NetcdfClassicDouble,
           atts = Seq(
             textAtt("standard_name",
@@ -180,7 +190,7 @@ object Exports {
             textAtt("long_name", s), textAtt("units", unitStr),
             textAtt("comment", s"emissions of $s"), textAtt("substance", s)),
           doubles = data(s))
-      } else subs.map { s => // rasters.py:137-160 category-dim layout
+      } else subs.toSeq.map { s => // rasters.py:137-160 category-dim layout
         WriteVar(s, Seq("category", "lat", "lon"), NetcdfClassicDouble,
           atts = Seq(
             textAtt("standard_name",

@@ -124,6 +124,19 @@ class NetcdfWriterSpec extends SparkSpec {
     assert(f.vars.map(_.name).contains("NH3"))
   }
 
+  test("rasterExportNc varPerCatSub emits the rasters.py default {sub}_{cat} vars") {
+    val grid = RegularGrid(3, 2, 0.0, 0.0, 1.0, 1.0)
+    val path = s"${tmpDir()}/percatsub.nc"
+    Exports.rasterExportNc(basicInv, grid, path, varPerCatSub = true)
+    val b = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    val f = NetcdfClassic.readHeader(b)
+    val names = f.vars.map(_.name).filter(_.contains("_"))
+    assert(names.toSet == Set("CH4_adf", "CO2_adf", "CO2_liku", "NH3_test",
+      "lat_bnds", "lon_bnds"))
+    val v = NetcdfClassic.readVarDoubles(b, f, "CO2_liku")
+    assert(v(1) == 2.0) // cell 2 (ix 1, iy 0) -> plane idx 1
+  }
+
   test("rasterExportNc group_categories + add_totals blocks (rasters.py:137-303)") {
     val grid = RegularGrid(3, 2, 0.0, 0.0, 1.0, 1.0)
     val path = s"${tmpDir()}/grouped.nc"
