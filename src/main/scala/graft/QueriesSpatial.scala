@@ -206,6 +206,29 @@ object QueriesSpatial {
         SpatialJoin.remapAcrossPolygons(s, emissionsAgg(s, d),
           SpatialJoin.gridAsPolygons(s, srcGrid), hex.cells(s), tileSize = 8.0)
       },
+      None),
+
+    // No SQL oracle (driver rows-only check): DuckDB cannot read the
+    // FileGDB container. Reads the repo-committed byte-level .gdb
+    // fixture through the full MapLuftZurich path (catalog -> layers ->
+    // Emission_* selection) and rolls up per category × substance —
+    // deterministic totals; byte-level correctness is GdbSpec/MapLuftSpec.
+    Q("q_mapluft",
+      (s, _) => {
+        val gdfs = graft.sources.MapLuft.read(
+          s, "/root/repo/fixtures/mapluft.gdb",
+          convertLinesToPolygons = false)
+        gdfs.toSeq.sortBy(_._1).map { case (cat, df) =>
+          val subCols = df.columns.filter(
+            graft.sources.MapLuft.DefaultSubstances.contains(_))
+          subCols.toSeq.map(sub =>
+            df.select(lit(cat).as("category"), lit(sub).as("substance"),
+              col(sub).cast("double").as("value"))).reduce(_ unionByName _)
+        }.reduce(_ unionByName _)
+          .groupBy("category", "substance")
+          .agg(round(sum("value"), 6).as("total"),
+            count(col("value")).as("n_sources"))
+      },
       None)
   )
 }
