@@ -23,6 +23,14 @@ object Caching {
     c
   }
 
+  /** Unpersist ONE tracked DataFrame eagerly — for iterative operators
+    * (label propagation) that must drop round N's cache before round
+    * N+1, long before the harness-level [[release()]] runs. */
+  def release(df: DataFrame): Unit = {
+    registry.remove(df)
+    df.unpersist()
+  }
+
   /** Unpersist every tracked DataFrame (blocking=false: async drop). */
   def release(): Unit = {
     var df = registry.poll()

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.Tables._
 import graft.text.TextAnalysis
-import graft.dedup.Dedup
+import graft.dedup.{Clustering, Dedup}
 import graft.similarity.Similarity
 
 /** Correctness queries for the training-data pipeline operators
@@ -301,6 +301,130 @@ object QueriesML {
         |      FROM pairs JOIN wb a ON a.vec_id = vec_a
         |                 JOIN wb b ON b.vec_id = vec_b)
         |SELECT vec_a, vec_b, cos_sim FROM s WHERE cos_sim >= 0.35""".stripMargin)),
+
+    Q("q_tfidf",
+      (s, d) => TextAnalysis.tfIdf(documents(s, d), k = 3),
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |              FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |s AS (SELECT doc_id, term, tf, df,
+        |             round(tf * (n_docs + 1) / (df + 1), 6) AS tfidf
+        |      FROM tf JOIN df USING (term), n)
+        |SELECT doc_id, term, tf, df, tfidf, rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |               ORDER BY tfidf DESC, term) AS rank
+        |  FROM s)
+        |WHERE rank <= 3""".stripMargin)),
+
+    Q("q_pack_sequences",
+      (s, d) => TextAnalysis.packSequences(documents(s, d), capacity = 256L),
+      Some("""WITH t AS (SELECT doc_id, source,
+        |              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |       FROM documents),
+        |o AS (SELECT *, CAST(coalesce(sum(n_tokens) OVER (
+        |              PARTITION BY source ORDER BY doc_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
+        |      FROM t)
+        |SELECT doc_id, source, n_tokens, tok_offset,
+        |       tok_offset // 256 AS bin_id, tok_offset % 256 AS bin_pos
+        |FROM o""".stripMargin)),
+
+    Q("q_cleaning_funnel",
+      (s, d) => TextAnalysis.cleaningFunnel(documents(s, d), minWords = 20, lang = "en"),
+      Some("""WITH f AS (SELECT text, lang,
+        |              len(string_split(text, ' ')) >= 20 AS len_ok
+        |       FROM documents),
+        |a AS (SELECT count(*) AS total,
+        |             CAST(sum(CASE WHEN len_ok THEN 1 ELSE 0 END) AS BIGINT) AS len_ok_n,
+        |             CAST(sum(CASE WHEN len_ok AND lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS lang_ok_n,
+        |             count(DISTINCT CASE WHEN len_ok AND lang = 'en' THEN text END) AS uniq
+        |      FROM f)
+        |SELECT 1 AS stage, 'total' AS stage_name, total AS n_docs FROM a
+        |UNION ALL SELECT 2, 'min_length', len_ok_n FROM a
+        |UNION ALL SELECT 3, 'language', lang_ok_n FROM a
+        |UNION ALL SELECT 4, 'exact_dedup', uniq FROM a""".stripMargin)),
+
+    Q("q_dedup_clusters",
+      (s, d) => Clustering.dedupAssign(
+        documents(s, d),
+        Dedup.verifiedNearDups(s, documents(s, d),
+          numHashes = 8, rowsPerBand = 2, threshold = 0.5)),
+      Some(s"""WITH RECURSIVE $ShingleHashCte,
+        |keys AS (SELECT doc_id, hash_id // 2 AS band,
+        |                string_agg(hash_id || ':' || minhash, ',' ORDER BY hash_id) AS band_key
+        |         FROM mh GROUP BY 1, 2),
+        |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |          FROM keys a JOIN keys b
+        |            ON a.band = b.band AND a.band_key = b.band_key
+        |           AND a.doc_id < b.doc_id),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |cm AS (SELECT p.doc_a, p.doc_b, count(*) AS common
+        |       FROM pairs p
+        |       JOIN sh a ON a.doc_id = p.doc_a
+        |       JOIN sh b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+        |       GROUP BY 1, 2),
+        |vp AS (SELECT doc_a, doc_b
+        |       FROM cm JOIN sz sa ON sa.doc_id = doc_a
+        |               JOIN sz sb ON sb.doc_id = doc_b
+        |       WHERE common / (sa.sz + sb.sz - common) >= 0.5),
+        |e AS (SELECT doc_a AS src, doc_b AS dst FROM vp
+        |      UNION ALL SELECT doc_b, doc_a FROM vp),
+        |r AS (SELECT src AS n, src AS l FROM e
+        |      UNION
+        |      SELECT e.dst, r.l FROM r JOIN e ON e.src = r.n),
+        |cc AS (SELECT n AS doc_id, min(l) AS cluster_id FROM r GROUP BY 1),
+        |asg AS (SELECT d.doc_id, coalesce(cc.cluster_id, d.doc_id) AS cluster_id
+        |        FROM documents d LEFT JOIN cc USING (doc_id))
+        |SELECT doc_id, cluster_id,
+        |       count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+        |       CAST(doc_id = min(doc_id) OVER (PARTITION BY cluster_id) AS INT) AS keep
+        |FROM asg""".stripMargin)),
+
+    Q("q_quantize_embed",
+      (s, d) => Similarity.quantizeInt8(embeddings(s, d)),
+      Some(s"""WITH $QuantCte,
+        |m AS (SELECT vec_id, v,
+        |             list_max(list_transform(v, x -> abs(x))) AS maxabs0
+        |      FROM q),
+        |m2 AS (SELECT vec_id, v,
+        |              CASE WHEN maxabs0 = 0 THEN 1.0 ELSE maxabs0 END AS maxabs
+        |       FROM m),
+        |qq AS (SELECT vec_id, v, maxabs,
+        |              list_transform(v, x -> round(x * 127 / maxabs, 0)) AS qv
+        |       FROM m2),
+        |e AS (SELECT vec_id, maxabs,
+        |             list_sum(list_transform(range(len(v)),
+        |               i -> (v[i+1] * 127 - qv[i+1] * maxabs) *
+        |                    (v[i+1] * 127 - qv[i+1] * maxabs))) AS err_num,
+        |             list_dot_product(v, v) AS norm2
+        |      FROM qq)
+        |SELECT vec_id, CAST(maxabs AS BIGINT) AS max_abs,
+        |       CAST(err_num AS BIGINT) AS sq_err_scaled,
+        |       CASE WHEN norm2 = 0 THEN 0.0
+        |            ELSE round(err_num / (norm2 * 16129), 9) END AS rel_err
+        |FROM e""".stripMargin)),
+
+    Q("q_kmeans_step",
+      (s, d) => Similarity.kmeansStep(embeddings(s, d), centroidMod = 97),
+      Some(s"""WITH $QuantCte,
+        |cents AS (SELECT vec_id AS centroid_id, v AS cv, list_dot_product(v, v) AS cn
+        |          FROM q WHERE vec_id % 97 = 0),
+        |vecs AS (SELECT vec_id, v, list_dot_product(v, v) AS n FROM q),
+        |s0 AS (SELECT vec_id, centroid_id,
+        |              round(list_dot_product(v, cv) / (sqrt(n) * sqrt(cn)), 6) AS cos_sim
+        |       FROM vecs, cents),
+        |assign AS (SELECT vec_id, centroid_id FROM (
+        |             SELECT *, row_number() OVER (PARTITION BY vec_id
+        |                          ORDER BY cos_sim DESC, centroid_id) AS rn
+        |             FROM s0) WHERE rn = 1),
+        |ex AS (SELECT vec_id, CAST(t.i AS INTEGER) AS dim, v[t.i + 1] AS x
+        |       FROM q, range(0, 64) t(i))
+        |SELECT a.centroid_id, ex.dim, count(*) AS n_members,
+        |       round(sum(x) / count(*), 6) AS mean_x
+        |FROM ex JOIN assign a USING (vec_id)
+        |GROUP BY 1, 2""".stripMargin)),
 
     Q("q_ivf_assign",
       (s, d) => Similarity.ivfAssign(embeddings(s, d), centroidMod = 97),

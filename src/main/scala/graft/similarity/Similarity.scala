@@ -236,4 +236,55 @@ object Similarity {
       .where(col("rn") === 1)
       .select("vec_id", "centroid_id", "cos_sim")
   }
+
+  /** Int8 scalar quantization of the embedding column — the standard
+    * 4× storage/bandwidth compression before ANN indexing: per-vector
+    * scale `maxabs/127`, codes `q_i = round(127·x_i/maxabs)` ∈ [−127,127].
+    * The reported squared reconstruction error is computed in SCALED
+    * INTEGER space — `Σ (127·x_i − q_i·maxabs)²` over the
+    * integer-quantized inputs — so the sum is exact (< 2^53) and
+    * order-independent; only the final relative-error division touches
+    * floating point. Zero shuffles: one narrow pass, all per-row array
+    * kernels. */
+  def quantizeInt8(embeddings: DataFrame): DataFrame = {
+    val v = quantize(col("embedding"))
+    embeddings
+      .select(col("vec_id"), v.as("v"))
+      .withColumn("maxabs", array_max(transform(col("v"), x => abs(x))))
+      // all-zero vectors quantize to all-zero codes with scale 1
+      .withColumn("maxabs", when(col("maxabs") === 0, 1.0).otherwise(col("maxabs")))
+      .withColumn("q", transform(col("v"), x => round(x * 127 / col("maxabs"), 0)))
+      .withColumn("err_num",
+        aggregate(
+          zip_with(col("v"), col("q"),
+            (x, q) => (x * 127 - q * col("maxabs")) * (x * 127 - q * col("maxabs"))),
+          lit(0.0), (acc, e) => acc + e))
+      .withColumn("norm2", dot(col("v"), col("v")))
+      .select(
+        col("vec_id"),
+        col("maxabs").cast("long").as("max_abs"),
+        col("err_num").cast("long").as("sq_err_scaled"),
+        when(col("norm2") === 0, 0.0)
+          .otherwise(round(col("err_num") / (col("norm2") * 16129), 9))
+          .as("rel_err"))
+  }
+
+  /** One Lloyd iteration of k-means over the quantized embeddings:
+    * members assigned by [[ivfAssign]], then the new centroid is the
+    * per-dimension mean of its members. Sums are over integer-valued
+    * doubles — exact, order-independent — and the single mean division
+    * is rounded for engine portability. Shuffle shape: the assignment's
+    * broadcast-centroid pass plus ONE (centroid, dim) aggregate whose
+    * key count is `k × dims` — metadata-scale output regardless of
+    * corpus size, the canonical distributed-k-means step. */
+  def kmeansStep(embeddings: DataFrame, centroidMod: Int = 97): DataFrame = {
+    val assign = ivfAssign(embeddings, centroidMod).select("vec_id", "centroid_id")
+    embeddings
+      .select(col("vec_id"), posexplode(quantize(col("embedding"))).as(Seq("dim", "x")))
+      .join(assign, "vec_id")
+      .groupBy("centroid_id", "dim")
+      .agg(
+        count(lit(1)).as("n_members"),
+        round(sum("x") / count(lit(1)), 6).as("mean_x"))
+  }
 }

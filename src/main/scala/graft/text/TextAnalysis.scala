@@ -205,4 +205,79 @@ object TextAnalysis {
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
         (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
   }
+
+  /** Top-k characteristic terms per document by TF-IDF. The idf factor
+    * is kept RATIONAL — `(N+1)/(df+1)` instead of its logarithm — so the
+    * score is one exact-integer product divided once (engine-portable;
+    * log(x) last-ulp behavior is libm-specific and would break the
+    * cross-engine hash gate; the induced ranking is identical since log
+    * is monotone). Shuffles: term-count aggregate, doc-frequency
+    * aggregate keyed by term (vocabulary-scale, balanced — Zipf skew is
+    * bounded because df counts DISTINCT docs via the pre-aggregated tf
+    * table, never raw occurrences), one top-k window per doc. */
+  def tfIdf(docs: DataFrame, k: Int = 3): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(words(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val win = Window.partitionBy("doc_id")
+      .orderBy(col("tfidf").desc, col("term").asc)
+    tf.join(df, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        round(col("tf") * (col("n_docs") + 1) / (col("df") + 1), 6))
+      .withColumn("rank", row_number().over(win))
+      .where(col("rank") <= k)
+      .select("doc_id", "term", "tf", "df", "tfidf", "rank")
+  }
+
+  /** GPT-style sequence packing: documents are concatenated in doc_id
+    * order WITHIN each source shard and split into fixed
+    * `capacity`-token bins (documents may straddle a bin boundary —
+    * the standard concat-then-chunk packing used to build training
+    * batches). Emits each document's global token offset in its shard,
+    * its bin, and its position inside the bin. Partitioning by `source`
+    * keeps the running-sum window distributed (one shuffle, no global
+    * window); at 100 TB shards are the natural packing unit anyway —
+    * bins never span a shard. Pure integer arithmetic. */
+  def packSequences(docs: DataFrame, capacity: Long = 256L): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("doc_id")
+    docs
+      .select(col("doc_id"), col("source"),
+        size(words(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("tok_offset",
+        coalesce(
+          sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .withColumn("bin_id", expr(s"tok_offset div $capacity"))
+      .withColumn("bin_pos", col("tok_offset") % capacity)
+  }
+
+  /** The standard corpus-cleaning funnel, counted in ONE pass: total
+    * docs → long enough (≥ minWords) → target language → distinct text
+    * (exact-dedup survivors). A single aggregate computes all four
+    * stage counts (conditional sums + one conditional count-distinct),
+    * then a 4-row literal frame labels them — no per-stage rescan of
+    * the corpus, which is the difference between 1× and 4× input I/O at
+    * 100 TB. */
+  def cleaningFunnel(
+      docs: DataFrame,
+      minWords: Int = 20,
+      lang: String = "en"): DataFrame = {
+    val lenOk = size(words(col("text"))) >= minWords
+    val langOk = lenOk && col("lang") === lang
+    val agg = docs.agg(
+      count(lit(1)).as("total"),
+      sum(when(lenOk, 1L).otherwise(0L)).as("len_ok"),
+      sum(when(langOk, 1L).otherwise(0L)).as("lang_ok"),
+      countDistinct(when(langOk, col("text"))).as("uniq"))
+    agg.select(explode(array(
+      struct(lit(1).as("stage"), lit("total").as("stage_name"), col("total").as("n_docs")),
+      struct(lit(2).as("stage"), lit("min_length").as("stage_name"), col("len_ok").as("n_docs")),
+      struct(lit(3).as("stage"), lit("language").as("stage_name"), col("lang_ok").as("n_docs")),
+      struct(lit(4).as("stage"), lit("exact_dedup").as("stage_name"), col("uniq").as("n_docs")))).as("s"))
+      .select(col("s.stage").as("stage"), col("s.stage_name").as("stage_name"),
+        col("s.n_docs").as("n_docs"))
+  }
 }
