@@ -53,9 +53,16 @@ object Clustering {
     // (exponential analysis cost, stack overflow by ~10 rounds). On a
     // real cluster use spark.sparkContext.setCheckpointDir + .checkpoint
     // for fault tolerance; locally the memory-backed variant suffices.
+    //
+    // Initialization IS propagation round 1: each node starts from the
+    // min over itself and its direct neighbors (one aggregate on the
+    // edge list — no extra shuffle vs a plain-self init, which would
+    // need the same groupBy to dedup nodes). Near-dup components are
+    // near-cliques, so most of the graph is already at fixpoint here
+    // and the loop usually runs a single confirming round.
     var labels = edges
-      .select(col("src").as("doc_id"), col("src").as("label"))
-      .distinct()
+      .groupBy(col("src").as("doc_id"))
+      .agg(least(col("src"), min("dst")).as("label"))
       .localCheckpoint()
     var prevSum = labels.agg(sum("label")).head().getLong(0)
     var converged = false
