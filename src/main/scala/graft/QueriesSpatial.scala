@@ -229,6 +229,22 @@ object QueriesSpatial {
           .agg(round(sum("value"), 6).as("total"),
             count(col("value")).as("n_sources"))
       },
+      None),
+
+    // No SQL oracle (driver rows-only check): DuckDB cannot read HDF5.
+    // Reads the repo-committed byte-level GFED4 fixture through the full
+    // pure-JVM HDF5 path (superblock -> group B-trees -> chunked+deflate
+    // datasets) and the reference's DM × partitioning × cell-area
+    // semantics; byte-level correctness is Hdf5Spec/GfedSpec.
+    Q("q_gfed4",
+      (s, _) => {
+        val inv = graft.sources.GfedLoader.readGfed4(
+          s, "/root/repo/fixtures/gfed4.hdf5", "DM")
+        inv.annual
+          .groupBy("category", "substance")
+          .agg(round(sum("value"), 6).as("total"),
+            count(col("value")).as("n_cells"))
+      },
       None)
   )
 }

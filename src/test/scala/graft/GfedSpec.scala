@@ -71,4 +71,67 @@ class GfedSpec extends SparkSpec {
       GfedLoader.read(spark, dir.toString, 2023, Seq("NOPE"))
     }
   }
+
+  // ---- GFED4 over the pure-JVM HDF5 reader -----------------------------
+
+  test("GFED4: DM × partitioning × area, category prefix stripped") {
+    val f = java.nio.file.Files.createTempFile("gfed4", ".hdf5")
+    java.nio.file.Files.write(f, Hdf5Fixtures.gfed4Fixture())
+    val inv = GfedLoader.readGfed4(spark, f.toString, "DM")
+
+    assert(inv.grid.nx == 2 && inv.grid.ny == 2)
+    assert(inv.grid.dx == 2.0 && inv.grid.dy == 2.0)
+
+    // hand products over the fixture (cellId = j*nLat + i, lon-major):
+    // m1 DM=[[1,2],[3,4]], SAVA=[[.5,1],[.25,0]], TEMF=[[.5,0],[.75,1]]
+    // m2 DM=[[5,0],[0,8]], SAVA=[[1,0],[0,.5]], TEMF=[[0,0],[0,.5]]
+    // area=[[10,10],[20,20]]
+    val ann = inv.annual.collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(3)).toMap
+    assert(ann((0L, "SAVA")) == 1 * 0.5 * 10 + 5 * 1.0 * 10) // 55
+    assert(ann((2L, "SAVA")) == 2 * 1.0 * 10) // 20
+    assert(ann((1L, "SAVA")) == 3 * 0.25 * 20) // 15
+    assert(ann((3L, "SAVA")) == 8 * 0.5 * 20) // 80
+    assert(ann((0L, "TEMF")) == 1 * 0.5 * 10) // 5
+    assert(ann((1L, "TEMF")) == 3 * 0.75 * 20) // 45
+    assert(ann((3L, "TEMF")) == 4 * 1.0 * 20 + 8 * 0.5 * 20) // 160
+    assert(!ann.contains((2L, "TEMF"))) // zero product drops
+    assert(inv.annual.select("substance").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("DM"))
+
+    val mon = inv.monthly.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)) -> r.getDouble(3)).toMap
+    assert(mon((0L, "SAVA", 1)) == 5.0 && mon((0L, "SAVA", 2)) == 50.0)
+    assert(mon((3L, "TEMF", 1)) == 80.0 && mon((3L, "TEMF", 2)) == 80.0)
+  }
+
+  test("GFED4: day-of-year ratios normalize per cell; 96-slot diurnal") {
+    val f = java.nio.file.Files.createTempFile("gfed4", ".hdf5")
+    java.nio.file.Files.write(f, Hdf5Fixtures.gfed4Fixture())
+    val inv = GfedLoader.readGfed4(spark, f.toString)
+
+    // cell0 day fractions: m1 d1=0.25, d2=0.75; m2 d1=1 -> /2
+    val doy = inv.dayOfYear.collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(doy((0L, 1)) == 0.125 && doy((0L, 2)) == 0.375 && doy((0L, 3)) == 0.5)
+    assert(doy((2L, 1)) == 1.0) // single emitting day -> ratio 1
+    assert(doy((1L, 2)) == 1.0)
+    assert(doy((3L, 3)) == 1.0)
+    // per-cell ratios sum to 1 across the year
+    val sums = doy.toSeq.groupBy(_._1._1).map { case (c, xs) => c -> xs.map(_._2).sum }
+    sums.values.foreach(s => assert(math.abs(s - 1.0) < 1e-12))
+
+    // diurnal: cell0 month-1 slots 0 and 7 carry 0.5 each
+    val di = inv.diurnal.collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(di == Map((0L, 0) -> 0.5, (0L, 7) -> 0.5))
+  }
+
+  test("GFED4: committed fixture file parses identically") {
+    val path = "/root/repo/fixtures/gfed4.hdf5"
+    assume(java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
+    val inv = GfedLoader.readGfed4(spark, path)
+    assert(inv.annual.count() == 7)
+    assert(inv.monthly.count() == 9)
+  }
 }
