@@ -36,6 +36,10 @@ object Hdf5Classic {
       dims: Seq[Int],
       data: Array[Double])
 
+  /** Attribute decoded from a v1 attribute message: `text` for string
+    * payloads, `nums` for numeric ones. */
+  final case class H5Attr(name: String, text: String, nums: Seq[Double])
+
   def open(bytes: Array[Byte]): H5 = new H5(bytes)
 
   final class H5(bytes: Array[Byte]) {
@@ -105,6 +109,7 @@ object Hdf5Classic {
     private sealed trait Msg
     private case class DataspaceMsg(dims: Seq[Long]) extends Msg
     private case class DatatypeMsg(clazz: Int, size: Int, littleEndian: Boolean) extends Msg
+    private case class AttributeMsg(attr: H5Attr) extends Msg
     private case class LayoutContiguous(addr: Long, size: Long) extends Msg
     private case class LayoutChunked(btree: Long, chunkDims: Seq[Int], elemSize: Int) extends Msg
     private case class LayoutCompact(data: Array[Byte]) extends Msg
@@ -143,6 +148,7 @@ object Hdf5Classic {
             case 0x0003 => out += parseDatatype(mb)
             case 0x0008 => out += parseLayout(mb)
             case 0x000B => out += parseFilters(mb)
+            case 0x000C => parseAttribute(mb).foreach(a => out += AttributeMsg(a))
             case 0x0010 =>
               val cOff = mb.getLong(); val cLen = mb.getLong()
               blocks = blocks :+ ((sb.base + cOff, cLen))
@@ -198,6 +204,52 @@ object Hdf5Classic {
           LayoutChunked(btree, dims.dropRight(1), dims.last)
         case other =>
           throw new IllegalArgumentException(s"layout class $other unsupported")
+      }
+    }
+
+    /** V1 attribute message: (name, datatype, dataspace) headers each
+      * padded to 8 bytes, then raw data. Decodes scalar/vector numerics
+      * and fixed-length strings — the CF metadata set (`units`,
+      * `scale_factor`, `add_offset`, `_FillValue`, `CLASS`). Exotic
+      * payloads (vlen, references — e.g. netCDF-4's DIMENSION_LIST)
+      * are skipped, not errors. */
+    private def parseAttribute(b: ByteBuffer): Option[H5Attr] = {
+      val version = b.get().toInt
+      if (version != 1) return None
+      b.get() // reserved
+      val nameSize = b.getShort() & 0xFFFF
+      val dtSize = b.getShort() & 0xFFFF
+      val dsSize = b.getShort() & 0xFFFF
+      def pad8(n: Int): Int = (n + 7) & ~7
+      val nameRaw = new Array[Byte](pad8(nameSize)); b.get(nameRaw)
+      val name = new String(nameRaw, 0, math.max(0, nameSize - 1), "UTF-8")
+        .takeWhile(_ != 0)
+      val dtPos = b.position()
+      val dtype = parseDatatype(b)
+      b.position(dtPos + pad8(dtSize))
+      val dsPos = b.position()
+      val space = parseDataspace(b)
+      b.position(dsPos + pad8(dsSize))
+      val n = if (space.dims.isEmpty) 1 else space.dims.product.toInt
+      dtype.clazz match {
+        case 3 => // string (fixed length)
+          val raw = new Array[Byte](dtype.size * n); b.get(raw)
+          Some(H5Attr(name, new String(raw, "UTF-8").takeWhile(_ != 0), Nil))
+        case 0 | 1 =>
+          val raw = new Array[Byte](dtype.size * n); b.get(raw)
+          val vb = ByteBuffer.wrap(raw).order(
+            if (dtype.littleEndian) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
+          val nums = (0 until n).map(i => (dtype.clazz, dtype.size) match {
+            case (1, 4) => vb.getFloat(i * 4).toDouble
+            case (1, 8) => vb.getDouble(i * 8)
+            case (0, 1) => raw(i).toDouble
+            case (0, 2) => vb.getShort(i * 2).toDouble
+            case (0, 4) => vb.getInt(i * 4).toDouble
+            case (0, 8) => vb.getLong(i * 8).toDouble
+            case _ => Double.NaN
+          })
+          Some(H5Attr(name, "", nums))
+        case _ => None // vlen/reference/compound — not CF metadata
       }
     }
 
@@ -312,6 +364,11 @@ object Hdf5Classic {
 
     def exists(path: String): Boolean =
       try { lookup(path); true } catch { case _: NoSuchElementException => false }
+
+    /** Attributes of the object (group or dataset) at `path`. */
+    def attributes(path: String): Seq[H5Attr] =
+      readObjectHeader(sb.base + lookup(path))
+        .collect { case AttributeMsg(a) => a }
 
     // ---- datasets -------------------------------------------------------
 

@@ -46,13 +46,23 @@ object NetcdfRaster {
     (centers(0) - d / 2, d)
   }
 
-  /** PURE parser: classic raster bytes → (grid, `(lon_idx, lat_idx,
-    * variable, flux)` rows), NaN cells dropped. No Spark involved, so it
-    * runs equally on the driver (single file) or inside `binaryFile`
-    * tasks (file fleets — [[GlobalRasters.readEdgarDirDistributed]]). */
+  /** True when the bytes are an HDF5 container (NetCDF-4 files — the
+    * `\x89HDF\r\n\x1a\n` signature) rather than classic CDF-1/2. */
+  def isHdf5(bytes: Array[Byte]): Boolean =
+    bytes.length >= 8 && bytes(0) == 0x89.toByte &&
+      bytes(1) == 'H' && bytes(2) == 'D' && bytes(3) == 'F'
+
+  /** PURE parser: raster bytes → (grid, `(lon_idx, lat_idx,
+    * variable, flux)` rows), NaN cells dropped. Dispatches on the magic
+    * number: classic CDF-1/2 via [[NetcdfClassic]], NetCDF-4/HDF5
+    * containers via [[Hdf5Classic]] — the same CF semantics either way.
+    * No Spark involved, so it runs equally on the driver (single file)
+    * or inside `binaryFile` tasks (file fleets —
+    * [[GlobalRasters.readEdgarDirDistributed]]). */
   def parseRaster(
       bytes: Array[Byte],
       variables: Option[Seq[String]] = None): (RegularGrid, Seq[(Int, Int, String, Double)]) = {
+    if (isHdf5(bytes)) return parseRasterHdf5(bytes, variables)
     val f = readHeader(bytes)
     val latVar = findCoord(f, LatNames, "degrees_north")
     val lonVar = findCoord(f, LonNames, "degrees_east")
@@ -80,6 +90,61 @@ object NetcdfRaster {
         j <- 0 until nLon
         flux = if (latFirst) data(i * nLon + j) else data(j * nLat + i)
         if !flux.isNaN
+      } yield (j, i, name, flux)
+    }
+    (grid, rows)
+  }
+
+  /** NetCDF-4 (HDF5 container) raster path: coordinate variables found
+    * by name or `units` attribute among the ROOT group's datasets (the
+    * reference's netcdf_raster.py works on flat CF rasters), CF
+    * `scale_factor`/`add_offset`/`_FillValue` applied from HDF5
+    * attributes. Orientation: `(lat, lon)` when the shape matches that
+    * order — CF's standard layout — else `(lon, lat)`. */
+  private def parseRasterHdf5(
+      bytes: Array[Byte],
+      variables: Option[Seq[String]]): (RegularGrid, Seq[(Int, Int, String, Double)]) = {
+    val h5 = Hdf5Classic.open(bytes)
+    val names = h5.list("/")
+    def unitsAttr(n: String): String =
+      h5.attributes(s"/$n").find(_.name == "units").map(_.text).getOrElse("")
+    def findCoord(cands: Set[String], units: String): String =
+      names.find(n => cands.contains(n.toLowerCase))
+        .orElse(names.find(n => unitsAttr(n).startsWith(units)))
+        .getOrElse(throw new NoSuchElementException(
+          s"no coordinate variable among ${cands.mkString("/")}"))
+    val latName = findCoord(LatNames, "degrees_north")
+    val lonName = findCoord(LonNames, "degrees_east")
+    val lats = h5.readDataset(s"/$latName").data
+    val lons = h5.readDataset(s"/$lonName").data
+    val (ymin, dy) = regularAxis(lats)
+    val (xmin, dx) = regularAxis(lons)
+    val grid = RegularGrid(lons.length, lats.length, xmin, ymin, dx, dy)
+    val nLat = lats.length; val nLon = lons.length
+
+    val wanted = variables.getOrElse(
+      names.filter { n =>
+        n != latName && n != lonName && {
+          val d = h5.readDataset(s"/$n").dims
+          d.length == 2 && d.toSet == Set(nLat, nLon)
+        }
+      })
+    val rows = wanted.flatMap { name =>
+      val ds = h5.readDataset(s"/$name")
+      require(ds.dims.length == 2, s"$name: only 2-D rasters supported")
+      val latFirst = ds.dims == Seq(nLat, nLon)
+      val atts = h5.attributes(s"/$name")
+      def num(a: String): Option[Double] =
+        atts.find(_.name == a).flatMap(_.nums.headOption)
+      val fill = num("_FillValue").orElse(num("missing_value"))
+      val scale = num("scale_factor").getOrElse(1.0)
+      val offset = num("add_offset").getOrElse(0.0)
+      for {
+        i <- 0 until nLat
+        j <- 0 until nLon
+        raw = if (latFirst) ds.data(i * nLon + j) else ds.data(j * nLat + i)
+        if !raw.isNaN && !fill.contains(raw)
+        flux = if (scale != 1.0 || offset != 0.0) raw * scale + offset else raw
       } yield (j, i, name, flux)
     }
     (grid, rows)

@@ -17,6 +17,10 @@ object Hdf5Fixtures {
 
   val Undef = -1L // 0xFFFF_FFFF_FFFF_FFFF
 
+  sealed trait AttrVal
+  final case class AStr(s: String) extends AttrVal
+  final case class ANum(xs: Seq[Double]) extends AttrVal
+
   sealed trait Node
   final case class Dset(
       dims: Seq[Int],
@@ -24,9 +28,12 @@ object Hdf5Fixtures {
       elemSize: Int,
       raw: Array[Byte], // row-major little-endian payload
       chunkDims: Option[Seq[Int]] = None,
-      filters: Seq[Int] = Nil // filter ids in WRITE order (e.g. shuffle=2 then deflate=1)
+      filters: Seq[Int] = Nil, // filter ids in WRITE order (e.g. shuffle=2 then deflate=1)
+      attrs: Seq[(String, AttrVal)] = Nil
   ) extends Node
-  final case class Group(children: Seq[(String, Node)]) extends Node
+  final case class Group(
+      children: Seq[(String, Node)],
+      attrs: Seq[(String, AttrVal)] = Nil) extends Node
 
   def f64(dims: Seq[Int], data: Seq[Double]): Dset = {
     val b = ByteBuffer.allocate(data.length * 8).order(ByteOrder.LITTLE_ENDIAN)
@@ -197,6 +204,46 @@ object Hdf5Fixtures {
       b.array()
     }
 
+    /** V1 attribute message: name/datatype/dataspace headers each padded
+      * to 8, then the raw data. */
+    def attributeMsg(name: String, v: AttrVal): Array[Byte] = {
+      val nameBytes = name.getBytes("UTF-8") :+ 0.toByte
+      val (dtMsg, dsRank, data) = v match {
+        case AStr(s) =>
+          val payload = s.getBytes("UTF-8") :+ 0.toByte
+          val dt = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+          dt.put(((1 << 4) | 3).toByte) // class 3: string, version 1
+          dt.put(0.toByte).put(0.toByte).put(0.toByte)
+          dt.putInt(payload.length)
+          (dt.array(), Seq.empty[Int], payload)
+        case ANum(xs) =>
+          val payload = ByteBuffer.allocate(xs.length * 8).order(ByteOrder.LITTLE_ENDIAN)
+          xs.foreach(payload.putDouble)
+          (datatypeMsg(1, 8), if (xs.length == 1) Seq.empty[Int] else Seq(xs.length),
+            payload.array())
+      }
+      val dsMsg = {
+        val b = ByteBuffer.allocate(8 + dsRank.length * 8).order(ByteOrder.LITTLE_ENDIAN)
+        b.put(1.toByte).put(dsRank.length.toByte).put(0.toByte)
+        b.put(0.toByte); b.putInt(0)
+        dsRank.foreach(d => b.putLong(d.toLong))
+        b.array()
+      }
+      val total = 8 + pad8(nameBytes.length) + pad8(dtMsg.length) +
+        pad8(dsMsg.length) + data.length
+      val b = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
+      b.put(1.toByte).put(0.toByte)
+      b.putShort(nameBytes.length.toShort)
+      b.putShort(dtMsg.length.toShort)
+      b.putShort(dsMsg.length.toShort)
+      def padded(a: Array[Byte]): Unit = {
+        b.put(a); (a.length until pad8(a.length)).foreach(_ => b.put(0.toByte))
+      }
+      padded(nameBytes); padded(dtMsg); padded(dsMsg)
+      b.put(data)
+      b.array()
+    }
+
     // ---- filters (write-side) -------------------------------------------
 
     def shuffleBytes(raw: Array[Byte], elemSize: Int): Array[Byte] = {
@@ -231,7 +278,8 @@ object Hdf5Fixtures {
         writeObjectHeader(Seq(
           0x0001 -> dataspaceMsg(d.dims),
           0x0003 -> datatypeMsg(d.clazz, d.elemSize),
-          0x0008 -> layoutContiguousMsg(dataAddr, d.raw.length.toLong)))
+          0x0008 -> layoutContiguousMsg(dataAddr, d.raw.length.toLong)) ++
+          d.attrs.map { case (n, v) => 0x000C -> attributeMsg(n, v) })
       case Some(cd) =>
         val rank = d.dims.length
         // split into full-shape chunks (edge chunks zero-padded), apply
@@ -301,7 +349,8 @@ object Hdf5Fixtures {
           0x0001 -> dataspaceMsg(d.dims),
           0x0003 -> datatypeMsg(d.clazz, d.elemSize)) ++
           (if (d.filters.nonEmpty) Seq(0x000B -> filterMsg(d.filters, d.elemSize)) else Nil) ++
-          Seq(0x0008 -> layoutChunkedMsg(btreeAddr, cd, d.elemSize))
+          Seq(0x0008 -> layoutChunkedMsg(btreeAddr, cd, d.elemSize)) ++
+          d.attrs.map { case (n, v) => 0x000C -> attributeMsg(n, v) }
         writeObjectHeader(msgs)
     }
 
@@ -351,7 +400,8 @@ object Hdf5Fixtures {
       buf.putLong(0L) // key 0: offset of the empty string
       buf.putLong(snodAddr)
       buf.putLong(nameOffs.lastOption.getOrElse(0L)) // key 1: last name
-      writeObjectHeader(Seq(0x0011 -> symbolTableMsg(btreeAddr, heapAddr)))
+      writeObjectHeader(Seq(0x0011 -> symbolTableMsg(btreeAddr, heapAddr)) ++
+        g.attrs.map { case (n, v) => 0x000C -> attributeMsg(n, v) })
     }
 
     def writeNode(n: Node): Long = n match {

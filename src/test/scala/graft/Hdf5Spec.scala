@@ -74,6 +74,45 @@ class Hdf5Spec extends SparkSpec {
       Hdf5Classic.open("nope".getBytes ++ new Array[Byte](2000)))
   }
 
+  test("attributes: strings, scalars and vectors decode; exotic skipped") {
+    val file = build(Group(
+      Seq("flux" -> f32(Seq(2, 2), Seq(1f, 2f, 3f, 4f)).copy(attrs = Seq(
+        "units" -> AStr("kg m-2 s-1"),
+        "scale_factor" -> ANum(Seq(0.5)),
+        "valid_range" -> ANum(Seq(-1.0, 1.0))))),
+      attrs = Seq("Conventions" -> AStr("CF-1.8"))))
+    val h5 = Hdf5Classic.open(file)
+    val as = h5.attributes("/flux").map(a => a.name -> a).toMap
+    assert(as("units").text == "kg m-2 s-1")
+    assert(as("scale_factor").nums == Seq(0.5))
+    assert(as("valid_range").nums == Seq(-1.0, 1.0))
+    assert(h5.attributes("/").map(_.name) == Seq("Conventions"))
+  }
+
+  test("NetCDF-4 raster: parseRaster dispatches on the HDF5 magic") {
+    // a CF raster as netCDF-4 would store it: 1-D coords with units
+    // attributes, a chunked+deflated (lat, lon) flux with packing + fill
+    val file = build(Group(Seq(
+      "y" -> f64(Seq(2), Seq(10.0, 12.0)).copy(attrs = Seq(
+        "units" -> AStr("degrees_north"))),
+      "x" -> f64(Seq(3), Seq(100.0, 102.0, 104.0)).copy(attrs = Seq(
+        "units" -> AStr("degrees_east"))),
+      "co2_flux" -> f32(Seq(2, 3), Seq(1f, 2f, 9999f, 4f, 5f, 6f),
+        chunkDims = Some(Seq(2, 2)), filters = Seq(1)).copy(attrs = Seq(
+        "_FillValue" -> ANum(Seq(9999.0)),
+        "scale_factor" -> ANum(Seq(0.5)),
+        "add_offset" -> ANum(Seq(100.0)))))))
+    assert(graft.sources.NetcdfRaster.isHdf5(file))
+    val (grid, rows) = graft.sources.NetcdfRaster.parseRaster(file)
+    assert(grid.nx == 3 && grid.ny == 2 && grid.dx == 2.0 && grid.dy == 2.0)
+    val m = rows.map(r => (r._1, r._2) -> r._4).toMap
+    assert(rows.forall(_._3 == "co2_flux"))
+    assert(m.size == 5) // fill value dropped
+    assert(m((0, 0)) == 100.5 && m((1, 0)) == 101.0)
+    assert(!m.contains((2, 0)))
+    assert(m((0, 1)) == 102.0 && m((2, 1)) == 103.0)
+  }
+
   test("large group spills across one SNOD correctly (many children)") {
     val kids = (0 until 40).map(i => f"v$i%02d" -> f64(Seq(1), Seq(i.toDouble)))
     val h5 = Hdf5Classic.open(build(Group(kids)))
