@@ -126,6 +126,27 @@ object ScaleBench {
         .agg(count(lit(1)), sum("value")).collect()(0).getLong(0)
     }
 
+    // B9: connected components at scale — 8M edges over 8M nodes:
+    // 2M size-4 near-cliques (dedup-shaped, diameter 2) plus a
+    // 1000-node chain to force multi-round propagation. Labels are
+    // node-count-scale; rounds bounded by diameter.
+    val cliqueEdges = spark.range(2000000L).select(
+      explode(array(
+        struct((col("id") * 4).as("doc_a"), (col("id") * 4 + 1).as("doc_b")),
+        struct((col("id") * 4).as("doc_a"), (col("id") * 4 + 2).as("doc_b")),
+        struct((col("id") * 4 + 1).as("doc_a"), (col("id") * 4 + 3).as("doc_b")),
+        struct((col("id") * 4 + 2).as("doc_a"), (col("id") * 4 + 3).as("doc_b")))).as("e"))
+      .select(col("e.doc_a"), col("e.doc_b"))
+    val chainBase = 100000000L
+    val chainEdges = spark.range(999L).select(
+      (col("id") + chainBase).as("doc_a"), (col("id") + chainBase + 1).as("doc_b"))
+    val (b9s, b9n) = time {
+      graft.dedup.Clustering.connectedComponents(
+        cliqueEdges.unionByName(chainEdges))
+        .groupBy("cluster_id").count()
+        .agg(count(lit(1))).collect()(0).getLong(0)
+    }
+
     val b1rate = "%.1f".format(src.ncells * 32 / b1s / 1e6)
     val b3rate = "%.1f".format(b3n / b3s / 1e6)
     println(
@@ -134,7 +155,8 @@ object ScaleBench {
         s""""b3_explode_sec":$b3s,"b3_rows":$b3n,"b3_mrows_per_s":$b3rate,""" +
         s""""b6_poly_grid_sec":$b6s,"b6_weights":$b6n,""" +
         s""""b7_tile_join_sec":$b7s,"b7_pairs":$b7n,""" +
-        s""""b8_dist_ingest_sec":$b8s,"b8_files":64,"b8_rows":$b8n}""")
+        s""""b8_dist_ingest_sec":$b8s,"b8_files":64,"b8_rows":$b8n,""" +
+        s""""b9_conncomp_sec":$b9s,"b9_edges":8000999,"b9_clusters":$b9n}""")
     spark.stop()
   }
 }

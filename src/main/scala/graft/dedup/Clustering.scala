@@ -18,15 +18,14 @@ import org.apache.spark.sql.functions._
   * label of a node is the minimum doc_id of its component, which we use
   * directly as the canonical/cluster id.
   *
-  * Scale design: one shuffle per round (an aggregate keyed by node id
-  * after an edge join), rounds bounded by the component DIAMETER — for
-  * near-dup clusters (dense cliques-ish, diameter ~1-3) a handful of
-  * rounds suffices; `maxIter` is a hard stop. Labels and edges are
-  * persisted per round and the previous round unpersisted, so lineage
-  * stays O(1) instead of growing per iteration (the classic iterative-
-  * Spark trap). Convergence is detected with a bounded single-row
-  * aggregate (sum of labels strictly decreases until fixpoint), not a
-  * full collect.
+  * Scale design: two shuffles per round (edge-hop aggregate keyed by
+  * node id, then a pointer-doubling self-join), rounds bounded by the
+  * LOG of the component diameter — near-dup clusters (dense
+  * cliques-ish) converge in 1-2 rounds, adversarial chains in
+  * log₂(diameter). Lineage is truncated per round with localCheckpoint
+  * (the classic iterative-Spark trap is plan growth, not data), and
+  * convergence is detected with a bounded single-row aggregate (the
+  * label sum strictly decreases until fixpoint), never a collect.
   */
 object Clustering {
 
@@ -42,10 +41,13 @@ object Clustering {
       aCol: String = "doc_a",
       bCol: String = "doc_b",
       maxIter: Int = 20): DataFrame = {
-    // Symmetric edge list, persisted once — reused every round.
+    // Symmetric edge list, persisted once — reused every round. Both
+    // directions project straight off `pairs` (never off each other):
+    // Catalyst's union-constraint rewriting cannot handle a plan
+    // unioned with a projection of itself.
     val fwd = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-    val edges = graft.Caching.cache(
-      fwd.unionByName(fwd.select(col("dst").as("src"), col("src").as("dst"))).distinct())
+    val rev = pairs.select(col(bCol).as("src"), col(aCol).as("dst"))
+    val edges = graft.Caching.cache(fwd.unionByName(rev).distinct())
 
     // localCheckpoint (eager) TRUNCATES LINEAGE each round — the labels
     // plan references itself twice per iteration (join side + union
@@ -69,12 +71,32 @@ object Clustering {
     var iter = 0
     while (!converged && iter < maxIter) {
       // neighbor labels flow along edges; keep the min of (own, neighbors)
-      val next = edges
+      // neighbor labels flow along edges; merge with the node's own label
+      // via an outer join (NOT a union — Catalyst's union-constraint
+      // rewriting breaks when one union child embeds the other's
+      // attributes through the edge join). Checkpointed before the
+      // doubling self-join below, which also truncates loop lineage.
+      val msgs = edges
         .join(labels.withColumnRenamed("doc_id", "src"), "src")
-        .select(col("dst").as("doc_id"), col("label"))
-        .unionByName(labels)
-        .groupBy("doc_id")
-        .agg(min("label").as("label"))
+        .groupBy(col("dst").as("doc_id"))
+        .agg(min("label").as("nbr"))
+      val prop = labels.join(msgs, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
+        .localCheckpoint()
+      // POINTER DOUBLING: l(v) ← l(l(v)). Every label is itself a node id
+      // (it is the min of a set of node ids), so one self-join shortcuts
+      // each pointer chain to half its length — combined with the edge
+      // hop above, distance-to-root shrinks geometrically and ANY graph
+      // converges in O(log diameter) rounds, not O(diameter). Without
+      // this a path graph needs one round per hop (a 1000-chain would
+      // exhaust maxIter and fragment).
+      val next = prop.as("a")
+        .join(
+          prop.select(col("doc_id").as("label"), col("label").as("label2")),
+          Seq("label"), "left")
+        .select(col("doc_id"),
+          coalesce(col("label2"), col("label")).as("label"))
         .localCheckpoint()
       val nextSum = next.agg(sum("label")).head().getLong(0)
       labels = next
@@ -82,6 +104,9 @@ object Clustering {
       prevSum = nextSum
       iter += 1
     }
+    require(converged,
+      s"connectedComponents did not converge in $maxIter rounds — " +
+        "raise maxIter (rounds needed ≈ log2 of the largest component diameter)")
     graft.Caching.release(edges)
     labels.withColumnRenamed("label", "cluster_id")
   }

@@ -32,6 +32,16 @@ class ClusteringSpec extends SparkSpec {
     assert(cc.keySet == (0L to 8L).toSet)
   }
 
+  test("pointer doubling: a 1000-node chain converges in <= 20 rounds") {
+    // plain per-hop propagation would need 999 rounds and fragment at
+    // the maxIter cap; the l(l(v)) shortcut makes it O(log diameter)
+    val es = (0L until 999L).map(i => (i, i + 1))
+    val cc = Clustering.connectedComponents(pairs(es: _*))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.size == 1000)
+    assert(cc.values.toSet == Set(0L))
+  }
+
   test("dedupAssign: singletons keep themselves; clusters keep min id") {
     val docs = spark.createDataFrame(Seq(
       (1L, "x"), (2L, "x"), (3L, "y"), (7L, "z"))).toDF("doc_id", "text")
