@@ -302,6 +302,26 @@ object QueriesML {
         |                 JOIN wb b ON b.vec_id = vec_b)
         |SELECT vec_a, vec_b, cos_sim FROM s WHERE cos_sim >= 0.35""".stripMargin)),
 
+    Q("q_bigram_lm",
+      (s, d) => TextAnalysis.bigramNovelty(documents(s, d), rareMax = 1),
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |bg AS (SELECT doc_id,
+        |         unnest(list_transform(range(0, greatest(0, len(w) - 1)),
+        |                i -> w[i+1] || ' ' || w[i+2])) AS bigram
+        |       FROM w),
+        |bc AS (SELECT bigram, count(*) AS cab FROM bg GROUP BY 1),
+        |lc AS (SELECT split_part(bigram, ' ', 1) AS lft, count(*) AS ca
+        |       FROM bg GROUP BY 1),
+        |j AS (SELECT doc_id, cab, ca
+        |      FROM bg JOIN bc USING (bigram)
+        |      JOIN lc ON split_part(bg.bigram, ' ', 1) = lc.lft)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |       CAST(sum(CASE WHEN cab <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        |       round(CAST(sum(CASE WHEN cab <= 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |             / count(*), 6) AS novelty_ratio,
+        |       round(CAST(sum(cab) AS BIGINT) / CAST(sum(ca) AS BIGINT), 6) AS support
+        |FROM j GROUP BY 1""".stripMargin)),
+
     Q("q_tfidf",
       (s, d) => TextAnalysis.tfIdf(documents(s, d), k = 3),
       Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term

@@ -152,6 +152,94 @@ object StreamingOps {
       }
   }
 
+  final case class BandedDoc(band_key: String, doc_id: Long, sig: Array[Long])
+  final case class NearDupCandidate(doc_a: Long, doc_b: Long, est_jaccard: Double)
+
+  /** Streaming NEAR-dup candidate detection — the incremental form of
+    * the batch MinHash→LSH pipeline ([[graft.dedup.Dedup]]): each
+    * incoming document's signature is computed ROW-LOCALLY (shingle →
+    * portable-hash → k minhashes, same parameters as the batch path, no
+    * shuffle), exploded into one row per LSH band, and matched against
+    * the per-bucket state of previously seen signatures with
+    * `flatMapGroupsWithState` keyed by (band, band-key).
+    *
+    * State is bounded two ways: the state key space is the LSH bucket
+    * space (occupancy-scale, like the batch band join), and each bucket
+    * retains at most `maxBucketSize` recent signatures (drop-oldest) —
+    * the same degenerate-bucket guard as the batch `lshCandidatePairs`,
+    * doubling as the memory bound. A pair sharing several bands can be
+    * emitted once per shared band; distinct downstream (the batch
+    * verify stage does this anyway). */
+  def lshCandidateStream(
+      docs: DataFrame,
+      numHashes: Int = 8,
+      rowsPerBand: Int = 2,
+      shingleN: Int = 3,
+      threshold: Double = 0.5,
+      maxBucketSize: Int = 50): Dataset[NearDupCandidate] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val prime = graft.text.TextAnalysis.Prime
+    val k = numHashes
+
+    def signature(text: String): Array[Long] = {
+      val words = text.split(" ")
+      val shingles = (if (words.length < shingleN) Seq.empty[String]
+        else words.sliding(shingleN).map(_.mkString(" ")).toSeq).distinct
+      val sig = Array.fill(k)(Long.MaxValue)
+      shingles.foreach { s =>
+        var h = 0L
+        var i = 0
+        while (i < s.length) { h = (h * 31 + s.charAt(i)) % prime; i += 1 }
+        var j = 0
+        while (j < k) {
+          val v = ((37L + 101L * j) * h + (17L + 91L * j)) % prime
+          if (v < sig(j)) sig(j) = v
+          j += 1
+        }
+      }
+      sig
+    }
+
+    def update(
+        key: String,
+        it: Iterator[BandedDoc],
+        state: GroupState[Seq[(Long, Array[Long])]]): Iterator[NearDupCandidate] = {
+      var seen = state.getOption.getOrElse(Seq.empty)
+      val out = scala.collection.mutable.Buffer[NearDupCandidate]()
+      it.toSeq.sortBy(_.doc_id).foreach { d =>
+        seen.foreach { case (otherId, otherSig) =>
+          if (otherId != d.doc_id) {
+            var eq = 0
+            var j = 0
+            while (j < k) { if (otherSig(j) == d.sig(j)) eq += 1; j += 1 }
+            val est = eq.toDouble / k
+            if (est >= threshold)
+              out += NearDupCandidate(
+                math.min(otherId, d.doc_id), math.max(otherId, d.doc_id), est)
+          }
+        }
+        seen = (seen :+ (d.doc_id -> d.sig)).takeRight(maxBucketSize)
+      }
+      state.update(seen)
+      out.iterator
+    }
+
+    docs
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val sig = signature(text)
+        (0 until k / rowsPerBand).map { b =>
+          val bandKey = (b * rowsPerBand until (b + 1) * rowsPerBand)
+            .map(sig).mkString(s"$b:", ",", "")
+          BandedDoc(bandKey, id, sig)
+        }
+      }
+      .groupByKey(_.band_key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
+  }
+
   /** Stream-static join: scale each event by the static hourly profile
     * factor of its event type (missing profile → 1.0) — the streaming form
     * of the temporal explode's factor application (T3). The profile table

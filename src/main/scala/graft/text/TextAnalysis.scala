@@ -206,6 +206,47 @@ object TextAnalysis {
         (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** Corpus-supported bigram novelty — the language-model-proxy quality
+    * signal used in corpus filtering (gibberish has mostly corpus-unique
+    * bigrams; boilerplate has none): per document, the count of bigram
+    * OCCURRENCES whose corpus frequency is ≤ `rareMax`, the novelty
+    * ratio, and the total corpus support of its bigrams relative to
+    * their left-unigram counts (`Σ C(ab) / Σ C(a·)` — an aggregate
+    * conditional-probability proxy computed as ONE division of two
+    * exact integer sums, so it is engine-portable where a per-bigram
+    * p(b|a) average would drift with summation order).
+    *
+    * Shuffles: corpus bigram counts + left-unigram counts (both keyed by
+    * vocabulary-scale ngrams, pre-aggregated before joining back), one
+    * per-doc aggregate. */
+  def bigramNovelty(docs: DataFrame, rareMax: Long = 1): DataFrame = {
+    val w = words(col("text"))
+    val bigrams = docs.select(
+      col("doc_id"),
+      explode(zip_with(
+        slice(w, lit(1), greatest(size(w) - 1, lit(0))),
+        slice(w, lit(2), greatest(size(w) - 1, lit(0))),
+        (a, b) => concat_ws(" ", a, b))).as("bigram"))
+    val bigramCounts = bigrams.groupBy("bigram").agg(count(lit(1)).as("cab"))
+    val leftCounts = bigrams
+      .withColumn("left", substring_index(col("bigram"), " ", 1))
+      .groupBy("left").agg(count(lit(1)).as("ca"))
+    bigrams
+      .join(bigramCounts, "bigram")
+      .withColumn("left", substring_index(col("bigram"), " ", 1))
+      .join(leftCounts, "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(when(col("cab") <= rareMax, 1L).otherwise(0L)).as("n_novel"),
+        sum("cab").as("sum_cab"),
+        sum("ca").as("sum_ca"))
+      .select(
+        col("doc_id"), col("n_bigrams"), col("n_novel"),
+        round(col("n_novel") / col("n_bigrams"), 6).as("novelty_ratio"),
+        round(col("sum_cab") / col("sum_ca"), 6).as("support"))
+  }
+
   /** Top-k characteristic terms per document by TF-IDF. The idf factor
     * is kept RATIONAL — `(N+1)/(df+1)` instead of its logarithm — so the
     * score is one exact-integer product divided once (engine-portable;

@@ -159,6 +159,29 @@ class PlanSpec extends SparkSpec {
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
 
+  test("cleaningFunnel scans the documents table exactly once") {
+    val dir = java.nio.file.Files.createTempDirectory("planspec").toString
+    spark.createDataFrame(Seq(
+      (1L, ("w " * 25).trim, "en"), (2L, "short", "en")))
+      .toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$dir/docs_planspec")
+    val docs = spark.read.parquet(s"$dir/docs_planspec")
+    val out = graft.text.TextAnalysis.cleaningFunnel(docs, 20, "en")
+    assert(scansOf(out, "docs_planspec") == 1,
+      "the 4 stage counts must come from ONE pass, not one scan per stage")
+    assert(out.count() == 4)
+  }
+
+  test("quantizeInt8 plans ZERO shuffle exchanges (narrow per-row kernels)") {
+    val emb = spark.createDataFrame(Seq(
+      (1L, Array(0.1f, -0.2f)), (2L, Array(0.3f, 0.4f))))
+      .toDF("vec_id", "embedding")
+    val out = graft.similarity.Similarity.quantizeInt8(emb)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+    assert(out.count() == 2)
+  }
+
   test("exactDuplicates pre-hashes and still groups exactly") {
     val docs = spark.createDataFrame(Seq(
       (1L, "alpha"), (2L, "beta"), (3L, "alpha"), (4L, "gamma"), (5L, "beta")))

@@ -134,4 +134,29 @@ class StreamingSpec extends SparkSpec {
       assert(ids == Set(1L, 2L, 5L))
     } finally q.stop()
   }
+
+  test("lshCandidateStream flags near-dup docs across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val q = StreamingOps.lshCandidateStream(docs, threshold = 0.5)
+      .writeStream.format("memory").queryName("lsh_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, base),
+        (2L, "completely different words about spark shuffles and joins here"))
+      q.processAllAvailable()
+      // batch 2: a near-identical copy of doc 1 (one word changed at the
+      // end) must pair with the doc-1 signature held in bucket state
+      mem.addData((3L, base.replace("today", "tomorrow")))
+      q.processAllAvailable()
+      val pairs = spark.table("lsh_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      assert(pairs.keySet == Set((1L, 3L)))
+      assert(pairs((1L, 3L)) >= 0.5)
+    } finally q.stop()
+  }
 }
