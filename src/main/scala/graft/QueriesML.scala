@@ -302,6 +302,25 @@ object QueriesML {
         |                 JOIN wb b ON b.vec_id = vec_b)
         |SELECT vec_a, vec_b, cos_sim FROM s WHERE cos_sim >= 0.35""".stripMargin)),
 
+    Q("q_training_pipeline",
+      (s, d) => TextAnalysis.trainingPipeline(documents(s, d),
+        minWords = 20, lang = "en", capacity = 256L),
+      Some("""WITH f AS (SELECT * FROM documents
+        |       WHERE len(string_split(text, ' ')) >= 20 AND lang = 'en'),
+        |k AS (SELECT * FROM (
+        |        SELECT *, min(doc_id) OVER (PARTITION BY text) AS canon FROM f)
+        |      WHERE doc_id = canon),
+        |t AS (SELECT doc_id, source,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |      FROM k),
+        |o AS (SELECT *, CAST(coalesce(sum(n_tokens) OVER (
+        |              PARTITION BY source ORDER BY doc_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
+        |      FROM t)
+        |SELECT doc_id, source, n_tokens, tok_offset,
+        |       tok_offset // 256 AS bin_id, tok_offset % 256 AS bin_pos
+        |FROM o""".stripMargin)),
+
     Q("q_bigram_lm",
       (s, d) => TextAnalysis.bigramNovelty(documents(s, d), rareMax = 1),
       Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

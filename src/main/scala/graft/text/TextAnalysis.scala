@@ -206,6 +206,30 @@ object TextAnalysis {
         (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** The canonical training-data preprocessing pipeline in ONE
+    * declarative plan — the composition a 100 TB corpus actually runs:
+    * quality/length filter → target language → exact-dedup keep-canonical
+    * (pre-hashed, the [[graft.dedup.Dedup.exactDuplicates]] shape) →
+    * GPT-style sequence packing per source shard. Because it is one
+    * DataFrame expression, Catalyst pushes the length/lang filters into
+    * the scan and the whole thing is two shuffles (the dedup window,
+    * the packing window) regardless of corpus size. */
+  def trainingPipeline(
+      docs: DataFrame,
+      minWords: Int = 20,
+      lang: String = "en",
+      capacity: Long = 256L): DataFrame = {
+    val filtered = docs
+      .where(size(words(col("text"))) >= minWords && col("lang") === lang)
+    val byText = Window.partitionBy(col("_th"), col("text"))
+    val canonical = filtered
+      .withColumn("_th", xxhash64(col("text")))
+      .withColumn("_canon", min("doc_id").over(byText))
+      .where(col("doc_id") === col("_canon"))
+      .drop("_th", "_canon")
+    packSequences(canonical, capacity)
+  }
+
   /** Corpus-supported bigram novelty — the language-model-proxy quality
     * signal used in corpus filtering (gibberish has mostly corpus-unique
     * bigrams; boilerplate has none): per document, the count of bigram
@@ -221,12 +245,14 @@ object TextAnalysis {
     * per-doc aggregate. */
   def bigramNovelty(docs: DataFrame, rareMax: Long = 1): DataFrame = {
     val w = words(col("text"))
-    val bigrams = docs.select(
+    // three consumers below (corpus counts ×2 + the join-back) — persist
+    // so the split+zip+explode runs once, not three times
+    val bigrams = graft.Caching.cache(docs.select(
       col("doc_id"),
       explode(zip_with(
         slice(w, lit(1), greatest(size(w) - 1, lit(0))),
         slice(w, lit(2), greatest(size(w) - 1, lit(0))),
-        (a, b) => concat_ws(" ", a, b))).as("bigram"))
+        (a, b) => concat_ws(" ", a, b))).as("bigram")))
     val bigramCounts = bigrams.groupBy("bigram").agg(count(lit(1)).as("cab"))
     val leftCounts = bigrams
       .withColumn("left", substring_index(col("bigram"), " ", 1))
@@ -257,9 +283,11 @@ object TextAnalysis {
     * bounded because df counts DISTINCT docs via the pre-aggregated tf
     * table, never raw occurrences), one top-k window per doc. */
   def tfIdf(docs: DataFrame, k: Int = 3): DataFrame = {
-    val tf = docs
+    // tf feeds both the doc-frequency aggregate and the score join —
+    // persist so the token explode + count runs once
+    val tf = graft.Caching.cache(docs
       .select(col("doc_id"), explode(words(col("text"))).as("term"))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val win = Window.partitionBy("doc_id")

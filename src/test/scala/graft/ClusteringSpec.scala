@@ -99,6 +99,24 @@ class ClusteringSpec extends SparkSpec {
       "total" -> 4L, "min_length" -> 3L, "language" -> 2L, "exact_dedup" -> 1L))
   }
 
+  test("trainingPipeline: filter -> dedup-keep -> pack composes correctly") {
+    val long = ("w " * 25).trim // 25 tokens
+    val docs = spark.createDataFrame(Seq(
+      (1L, long, "en", "s1"),          // kept, offset 0
+      (2L, long, "en", "s1"),          // exact dup of 1 -> dropped
+      (3L, long + " extra", "en", "s1"), // kept (26 tokens), offset 25
+      (4L, "too short", "en", "s1"),   // length-filtered
+      (5L, long, "de", "s1")))         // language-filtered
+      .toDF("doc_id", "text", "lang", "source")
+    val out = TextAnalysis.trainingPipeline(docs, minWords = 20, lang = "en",
+      capacity = 30L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(out.keySet == Set(1L, 3L))
+    assert(out(1L) == ((25L, 0L, 0L, 0L)))
+    assert(out(3L) == ((26L, 25L, 0L, 25L))) // straddles into bin 1
+  }
+
   test("quantizeInt8: exact codes for a hand vector") {
     // embedding [0.1, -0.2, 0.05] -> v = [100, -200, 50], maxabs 200
     // q = round(127*v/200) = [64, -127, 32]
