@@ -66,6 +66,30 @@ class GlobalRastersSpec extends SparkSpec {
     assert(driverInv.count() > 0)
   }
 
+  test("mixed classic + netCDF-4/HDF5 directory parses identically on both paths") {
+    import Hdf5Fixtures.{AStr, Group => H5Group, f32 => h5f32, f64 => h5f64}
+    val dir = java.nio.file.Files.createTempDirectory("edgarMixed")
+    val vals1 = Seq(1f, 0f, 3f, 4f, 5f, 6f)
+    val vals2 = Seq(2f, 4f, 0f, 8f, 10f, 12f)
+    // same grid, one classic container + one HDF5 container
+    java.nio.file.Files.write(dir.resolve("CO2_ENE.nc"), fluxFile(vals1))
+    java.nio.file.Files.write(dir.resolve("CH4_TRO.nc"), Hdf5Fixtures.build(H5Group(Seq(
+      "latitude" -> h5f64(Seq(2), Seq(10.0, 12.0)).copy(attrs = Seq(
+        "units" -> AStr("degrees_north"))),
+      "longitude" -> h5f64(Seq(3), Seq(100.0, 102.0, 104.0)).copy(attrs = Seq(
+        "units" -> AStr("degrees_east"))),
+      "flux" -> h5f32(Seq(2, 3), vals2, chunkDims = Some(Seq(2, 2)), filters = Seq(1))))))
+
+    val (grid, drv) = GlobalRasters.readEdgarDir(spark, dir.toString)
+    val dist = GlobalRasters.readEdgarDirDistributed(spark, dir.toString, grid)
+    assert(grid.nx == 3 && grid.ny == 2)
+    assert(collectSet(dist) == collectSet(drv))
+    val bySub = drv.collect().groupBy(_.getAs[String]("substance"))
+    assert(bySub.keySet == Set("CO2", "CH4"))
+    // zero cells dropped in both containers
+    assert(bySub("CO2").length == 5 && bySub("CH4").length == 5)
+  }
+
   test("monthly loader: day-weighted annual total + month-of-year series") {
     // (time=12, lev=1, lat=2, lon=2); fluxes only at (lat0, lon0):
     // 3 g/m2/day in January, 1.5 in February
