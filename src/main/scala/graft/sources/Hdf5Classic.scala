@@ -379,8 +379,9 @@ object Hdf5Classic {
         .getOrElse(throw new IllegalArgumentException(s"$path: no dataspace (a group?)"))
       val dtype = msgs.collectFirst { case d: DatatypeMsg => d }
         .getOrElse(throw new IllegalArgumentException(s"$path: no datatype"))
-      require(dtype.clazz == 0 || dtype.clazz == 1,
-        s"$path: datatype class ${dtype.clazz} unsupported (fixed/float only)")
+      require(dtype.clazz == 0 || dtype.clazz == 1 ||
+        (dtype.clazz == 3 && dtype.size == 1),
+        s"$path: datatype class ${dtype.clazz} unsupported (fixed/float/char only)")
       val filters = msgs.collectFirst { case FilterMsg(f) => f }.getOrElse(Nil)
       val dims = space.dims.map(_.toInt)
       val n = if (dims.isEmpty) 1 else dims.product
@@ -398,6 +399,7 @@ object Hdf5Classic {
             case (0, 2) => vb.getShort(i * 2).toDouble
             case (0, 4) => vb.getInt(i * 4).toDouble
             case (0, 8) => vb.getLong(i * 8).toDouble
+            case (3, 1) => (raw(i) & 0xFF).toDouble // NC_CHAR cell
             case other => throw new IllegalArgumentException(
               s"$path: datatype $other unsupported")
           }

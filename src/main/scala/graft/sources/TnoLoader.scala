@@ -5,8 +5,9 @@ import org.apache.spark.sql.functions._
 import graft.model.RegularGrid
 
 /** TNO inventory loader — reference `TNO_Inventory`
-  * (emiproc/inventories/tno.py:30-402) over the pure-JVM
-  * [[NetcdfClassic]] parser. The TNO NetCDF layout:
+  * (emiproc/inventories/tno.py:30-402) over the container-independent
+  * [[NcAdapter]] (classic CDF-1/2 via [[NetcdfClassic]], NetCDF-4/HDF5
+  * via [[Hdf5Classic]] — dispatched on the magic). The TNO layout:
   *
   *  - `longitude`/`latitude` coordinate vars → the (regular) TNOGrid;
   *  - a `source` dimension with per-source vars: `longitude_index`/
@@ -40,35 +41,35 @@ object TnoLoader {
       spark: SparkSession,
       path: String,
       substancesMapping: Map[String, String] = DefaultMapping): TnoInventory = {
-    import NetcdfClassic._
     val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
-    val f = readHeader(bytes)
+    // container-independent: classic CDF-1/2 or NetCDF-4/HDF5 dispatch
+    val f = NcAdapter.open(bytes)
 
-    val lons = readVarDoubles(bytes, f, "longitude")
-    val lats = readVarDoubles(bytes, f, "latitude")
+    val lons = f.doubles("longitude")
+    val lats = f.doubles("latitude")
     val (xmin, dx) = NetcdfRaster.regularAxis(lons)
     val (ymin, dy) = NetcdfRaster.regularAxis(lats)
     val grid = RegularGrid(lons.length, lats.length, xmin, ymin, dx, dy)
 
-    val typeCodes = readVarStrings(bytes, f, "source_type_code")
+    val typeCodes = f.strings("source_type_code")
     typeCodes.foreach(t => require(t == "a" || t == "p",
       s"Unknown source_type_code $t (tno.py:155)"))
-    val catCodes = readVarStrings(bytes, f, "emis_cat_code")
+    val catCodes = f.strings("emis_cat_code")
 
-    val lonIdx = readVarDoubles(bytes, f, "longitude_index")
-    val latIdx = readVarDoubles(bytes, f, "latitude_index")
-    val typeIdx = readVarDoubles(bytes, f, "source_type_index")
-    val catIdx = readVarDoubles(bytes, f, "emission_category_index")
+    val lonIdx = f.doubles("longitude_index")
+    val latIdx = f.doubles("latitude_index")
+    val typeIdx = f.doubles("source_type_index")
+    val catIdx = f.doubles("emission_category_index")
     val n = typeIdx.length
 
     // substance variables: long_name starts with "emission of"
-    val fileSubs = f.vars.filter(_.atts.exists(a =>
-      a.name == "long_name" && a.text.startsWith("emission of"))).map(_.name)
+    val fileSubs = f.varNames.filter(v =>
+      f.attText(v, "long_name").startsWith("emission of"))
     val wanted = fileSubs.filter(substancesMapping.contains)
     val missing = substancesMapping.keySet -- fileSubs.toSet
     require(missing.isEmpty,
       s"Substances $missing in the mapping are not in the nc file (tno.py:186-191)")
-    val subData = wanted.map(s => s -> readVarDoubles(bytes, f, s)).toMap
+    val subData = wanted.map(s => s -> f.doubles(s)).toMap
 
     val isPoint = (i: Int) => typeCodes(typeIdx(i).toInt - 1) == "p"
     val areaRows = for {
@@ -81,8 +82,7 @@ object TnoLoader {
 
     val (pLon, pLat) =
       if ((0 until n).exists(isPoint))
-        (readVarDoubles(bytes, f, "longitude_source"),
-          readVarDoubles(bytes, f, "latitude_source"))
+        (f.doubles("longitude_source"), f.doubles("latitude_source"))
       else (Array.empty[Double], Array.empty[Double])
     val pointRows = for {
       i <- 0 until n if isPoint(i)

@@ -51,6 +51,16 @@ object Hdf5Fixtures {
     data.foreach(b.putInt)
     Dset(dims, 0, 4, b.array())
   }
+  /** An (n, strlen) NC_CHAR matrix — how netCDF-4 stores char vars
+    * (H5T_C_S1 size-1 elements): each string NUL-padded to `strlen`. */
+  def chars(strlen: Int, strings: Seq[String]): Dset = {
+    val raw = new Array[Byte](strings.length * strlen)
+    strings.zipWithIndex.foreach { case (s, i) =>
+      val b = s.getBytes("UTF-8")
+      System.arraycopy(b, 0, raw, i * strlen, math.min(b.length, strlen))
+    }
+    Dset(Seq(strings.length, strlen), 3, 1, raw)
+  }
 
   /** The repo's committed GFED4-shaped fixture (fixtures/gfed4.hdf5):
     * 2×2 grid, 12 month groups with DM/partitioning/daily_fraction/
@@ -137,9 +147,11 @@ object Hdf5Fixtures {
 
     def datatypeMsg(clazz: Int, size: Int): Array[Byte] = {
       // version 1 in the high nibble; bit field 0 = 0 (little-endian);
-      // properties per class (fixed: offset+precision; float: full IEEE)
+      // properties per class (fixed: offset+precision; float: full IEEE;
+      // string: none)
       val props: Array[Byte] =
-        if (clazz == 0) {
+        if (clazz == 3) Array.empty[Byte]
+        else if (clazz == 0) {
           val b = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
           b.putShort(0).putShort((size * 8).toShort); b.array()
         } else {
@@ -151,8 +163,13 @@ object Hdf5Fixtures {
         }
       val b = ByteBuffer.allocate(8 + props.length).order(ByteOrder.LITTLE_ENDIAN)
       b.put(((1 << 4) | clazz).toByte)
-      // fixed-point: sign bit (bit 3); float: IEEE flag bits as libhdf5 (unused by reader)
-      b.put((if (clazz == 0) 0x08 else 0x20).toByte)
+      // fixed-point: sign bit (bit 3); float: IEEE flag bits as libhdf5;
+      // string: null-padded (0) — only bit 0 (byte order) matters to the reader
+      b.put((clazz match {
+        case 0 => 0x08
+        case 1 => 0x20
+        case _ => 0x00
+      }).toByte)
       b.put(0.toByte).put(0.toByte)
       b.putInt(size)
       b.put(props)

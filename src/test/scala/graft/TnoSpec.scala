@@ -122,6 +122,42 @@ class TnoSpec extends SparkSpec {
     assert(pts.size == 2)
   }
 
+  test("TNO loader: the SAME inventory from a netCDF-4/HDF5 container") {
+    import Hdf5Fixtures.{AStr, Group => H5G, chars => h5chars, f32 => h5f32, f64 => h5f64, i32 => h5i32}
+    val file = Hdf5Fixtures.build(H5G(Seq(
+      "longitude" -> h5f64(Seq(3), Seq(100.0, 100.5, 101.0)).copy(
+        attrs = Seq("units" -> AStr("degrees_east"))),
+      "latitude" -> h5f64(Seq(2), Seq(10.0, 12.0)).copy(
+        attrs = Seq("units" -> AStr("degrees_north"))),
+      "emis_cat_code" -> h5chars(3, Seq("A", "B")),
+      "source_type_code" -> h5chars(1, Seq("a", "p")),
+      "longitude_index" -> h5i32(Seq(4), Seq(1, 2, 3, 1)),
+      "latitude_index" -> h5i32(Seq(4), Seq(1, 1, 2, 1)),
+      "source_type_index" -> h5i32(Seq(4), Seq(1, 1, 1, 2)),
+      "emission_category_index" -> h5i32(Seq(4), Seq(1, 2, 1, 1)),
+      "longitude_source" -> h5f64(Seq(4), Seq(0, 0, 0, 100.7)),
+      "latitude_source" -> h5f64(Seq(4), Seq(0, 0, 0, 11.3)),
+      "co2_ff" -> h5f32(Seq(4), Seq(1f, 2f, 3f, 4f)).copy(
+        attrs = Seq("long_name" -> AStr("emission of substance"))),
+      "co2_bf" -> h5f32(Seq(4), Seq(10f, 20f, 30f, 40f)).copy(
+        attrs = Seq("long_name" -> AStr("emission of substance"))),
+      "ch4" -> h5f32(Seq(4), Seq(0.5f, 0f, 0f, 0.25f)).copy(
+        attrs = Seq("long_name" -> AStr("emission of substance"))))))
+    val path = java.nio.file.Files.createTempFile("tno", ".h5")
+    java.nio.file.Files.write(path, file)
+    val inv = TnoLoader.read(spark, path.toString,
+      Map("co2_ff" -> "CO2", "co2_bf" -> "CO2", "ch4" -> "CH4"))
+    val area = inv.area.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)) -> r.getDouble(3)).toMap
+    assert(area == Map(
+      (0L, "A", "CO2") -> 11.0, (0L, "A", "CH4") -> 0.5,
+      (2L, "B", "CO2") -> 22.0, (5L, "A", "CO2") -> 33.0))
+    val pts = inv.points.collect()
+      .map(r => (r.getDouble(0), r.getDouble(1), r.getString(2), r.getString(3)) -> r.getDouble(4)).toMap
+    assert(pts == Map(
+      (100.7, 11.3, "A", "CO2") -> 44.0, (100.7, 11.3, "A", "CH4") -> 0.25))
+  }
+
   test("TNO loader rejects mappings naming substances absent from the file") {
     val path = java.nio.file.Files.createTempFile("tno", ".nc")
     java.nio.file.Files.write(path, tnoBytes)
