@@ -114,17 +114,16 @@ object GlobalRasters {
       category: String,
       substance: String = "CH4",
       fluxVar: String = "flux"): MonthlyInventory = {
-    import NetcdfClassic._
     val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
-    val f = readHeader(bytes)
-    val lats = readVarDoubles(bytes, f, "latitude")
-    val lons = readVarDoubles(bytes, f, "longitude")
+    // container-independent: classic CDF-1/2 or NetCDF-4/HDF5 dispatch
+    val f = NcAdapter.open(bytes)
+    val lats = f.doubles("latitude")
+    val lons = f.doubles("longitude")
     val (ymin, dy) = NetcdfRaster.regularAxis(lats)
     val (xmin, dx) = NetcdfRaster.regularAxis(lons)
     val grid = RegularGrid(lons.length, lats.length, xmin, ymin, dx, dy)
 
-    val v = f.variable(fluxVar)
-    val shape = f.shape(v)
+    val shape = f.shape(fluxVar)
     // (time, lat, lon) or (time, lev=1, lat, lon)
     val core = if (shape.length == 4) {
       require(shape(1) == 1, s"$fluxVar: lev dimension must be 1 (saunois.py:50)")
@@ -132,7 +131,7 @@ object GlobalRasters {
     } else shape
     require(core == Seq(12, lats.length, lons.length),
       s"$fluxVar: expected (12, lat, lon), got $shape")
-    val data = readVarDoubles(bytes, f, fluxVar)
+    val data = f.doubles(fluxVar)
     val perMonth = lats.length * lons.length
 
     val annualRows = scala.collection.mutable.ListBuffer.empty[(Long, String, String, Double)]

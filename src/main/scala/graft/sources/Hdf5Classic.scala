@@ -370,6 +370,12 @@ object Hdf5Classic {
       readObjectHeader(sb.base + lookup(path))
         .collect { case AttributeMsg(a) => a }
 
+    /** Shape of the dataset at `path` WITHOUT reading its data. */
+    def datasetDims(path: String): Seq[Int] =
+      readObjectHeader(sb.base + lookup(path))
+        .collectFirst { case d: DataspaceMsg => d.dims.map(_.toInt) }
+        .getOrElse(throw new IllegalArgumentException(s"$path: no dataspace"))
+
     // ---- datasets -------------------------------------------------------
 
     /** Read the dataset at `path` as row-major doubles. */

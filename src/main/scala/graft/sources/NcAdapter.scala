@@ -18,6 +18,8 @@ trait NcAdapter {
   def attText(variable: String, att: String): String
   /** full variable as row-major doubles */
   def doubles(name: String): Array[Double]
+  /** variable shape (record dim resolved), without reading the data */
+  def shape(name: String): Seq[Int]
   /** a 2-D (n, strlen) NC_CHAR variable as n trimmed strings */
   def strings(name: String): Seq[String]
 }
@@ -37,6 +39,7 @@ object NcAdapter {
       f.vars.find(_.name == variable)
         .flatMap(_.atts.find(_.name == att)).map(_.text).getOrElse("")
     def doubles(name: String): Array[Double] = readVarDoubles(bytes, f, name)
+    def shape(name: String): Seq[Int] = f.shape(f.variable(name))
     def strings(name: String): Seq[String] = readVarStrings(bytes, f, name)
   }
 
@@ -48,6 +51,7 @@ object NcAdapter {
     def attText(variable: String, att: String): String =
       h5.attributes(s"/$variable").find(_.name == att).map(_.text).getOrElse("")
     def doubles(name: String): Array[Double] = h5.readDataset(s"/$name").data
+    def shape(name: String): Seq[Int] = h5.datasetDims(s"/$name")
     def strings(name: String): Seq[String] = {
       val ds = h5.readDataset(s"/$name")
       val (n, m) = ds.dims match {

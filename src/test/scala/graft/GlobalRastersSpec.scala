@@ -66,6 +66,29 @@ class GlobalRastersSpec extends SparkSpec {
     assert(driverInv.count() > 0)
   }
 
+  test("monthly loader reads the same inventory from an HDF5 container") {
+    import Hdf5Fixtures.{Group => H5G, f32 => h5f32, f64 => h5f64}
+    // (12, 2, 2): 3 in January and 1.5 in February at (lat0, lon0)
+    val flux = new Array[Float](12 * 4)
+    flux(0) = 3f; flux(4) = 1.5f
+    val file = Hdf5Fixtures.build(H5G(Seq(
+      "latitude" -> h5f64(Seq(2), Seq(10.0, 12.0)),
+      "longitude" -> h5f64(Seq(2), Seq(100.0, 102.0)),
+      "flux" -> h5f32(Seq(12, 2, 2), flux.toSeq,
+        chunkDims = Some(Seq(4, 2, 2)), filters = Seq(1)))))
+    val p = java.nio.file.Files.createTempFile("monthly", ".h5")
+    java.nio.file.Files.write(p, file)
+    val inv = GlobalRasters.readMonthly(spark, p.toString, "wetlands")
+    val ann = inv.annual.collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val a0 = GfasLoader.sphericalCellArea(9.0, 11.0, 2.0)
+    assert(ann.keySet == Set(0L))
+    assert(math.abs(ann(0L) / ((3.0 * 31 + 1.5 * 28) * 1e-3 * a0) - 1.0) < 1e-6)
+    val mon = inv.monthly.collect()
+      .map(r => (r.getLong(2), r.getInt(3)) -> r.getDouble(4)).toMap
+    assert(mon == Map((0L, 0) -> 3.0, (0L, 1) -> 1.5))
+  }
+
   test("mixed classic + netCDF-4/HDF5 directory parses identically on both paths") {
     import Hdf5Fixtures.{AStr, Group => H5Group, f32 => h5f32, f64 => h5f64}
     val dir = java.nio.file.Files.createTempDirectory("edgarMixed")
