@@ -16,7 +16,7 @@ import graft.model.RegularGrid
   *
   * Output: long `(cell_id, category, substance, value)` in kg/y, zero
   * cells dropped (sparse long format). Files parse through the pure
-  * [[NetcdfClassic]] reader; a large fleet runs the same parse inside
+  * container-independent [[NcAdapter]]; a large fleet runs the same parse inside
   * `binaryFile` tasks like [[GlobalRasters.readEdgarDirDistributed]].
   */
 object CamsRegLoader {
@@ -40,7 +40,6 @@ object CamsRegLoader {
       year: Int = 2022,
       substancesMapping: Map[String, String] = DefaultSubstances,
       categoriesMapping: Map[String, String] = DefaultCategories): (RegularGrid, DataFrame) = {
-    import NetcdfClassic._
     val pattern =
       (s"CAMS-REG-ANT_EUR_0\\.05x0\\.1_anthro_(\\w+)_v6\\.1-Ref2_yearly_$year\\.nc").r
     val d = new java.io.File(dir)
@@ -60,9 +59,10 @@ object CamsRegLoader {
         throw new IllegalArgumentException(
           s"No substance mapping found for $subCams"))
       val bytes = java.nio.file.Files.readAllBytes(file.toPath)
-      val f = readHeader(bytes)
-      val lats = readVarDoubles(bytes, f, "lat")
-      val lons = readVarDoubles(bytes, f, "lon")
+      // container-independent: classic CDF-1/2 or NetCDF-4/HDF5 dispatch
+      val f = NcAdapter.open(bytes)
+      val lats = f.doubles("lat")
+      val lons = f.doubles("lon")
       if (grid.isEmpty) {
         val (ymin, dy) = NetcdfRaster.regularAxis(lats)
         val (xmin, dx) = NetcdfRaster.regularAxis(lons)
@@ -70,19 +70,18 @@ object CamsRegLoader {
       }
       val nLat = lats.length; val nLon = lons.length
       categoriesMapping.toSeq.sortBy(_._1).foreach { case (varName, cat) =>
-        require(f.vars.exists(_.name == varName),
+        require(f.hasVar(varName),
           s"Category $varName not found in the file ${file.getName}.")
-        val v = f.variable(varName)
-        val units = v.atts.find(_.name == "units").map(_.text).getOrElse("")
+        val units = f.attText(varName, "units")
         require(units == "Tg", s"Units are $units, expected Tg")
-        val shape = f.shape(v)
+        val shape = f.shape(varName)
         val core = shape match { // yearly files: optional time=1 dim
           case Seq(1, a, b) => Seq(a, b)
           case s => s
         }
         require(core == Seq(nLat, nLon),
           s"$varName: expected (lat, lon), got $shape")
-        val data = readVarDoubles(bytes, f, varName)
+        val data = f.doubles(varName)
         var i = 0
         while (i < nLat) {
           var j = 0

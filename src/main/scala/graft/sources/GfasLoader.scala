@@ -36,17 +36,17 @@ object GfasLoader {
       spark: SparkSession,
       path: String,
       variables: Option[Seq[String]] = None): GfasInventory = {
-    import NetcdfClassic._
     val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
-    val f = readHeader(bytes)
-    val lats = readVarDoubles(bytes, f, "latitude")
-    val lons = readVarDoubles(bytes, f, "longitude")
+    // container-independent: classic CDF-1/2 or NetCDF-4/HDF5 dispatch
+    val f = NcAdapter.open(bytes)
+    val lats = f.doubles("latitude")
+    val lons = f.doubles("longitude")
     val (ymin, dy) = NetcdfRaster.regularAxis(lats)
     val (xmin, dx) = NetcdfRaster.regularAxis(lons)
     val grid = RegularGrid(lons.length, lats.length, xmin, ymin, dx, dy)
 
     val fireVars = variables.getOrElse(
-      f.vars.filter(_.name.endsWith("fire")).map(_.name).toSeq)
+      f.varNames.filter(_.endsWith("fire")))
     require(fireVars.nonEmpty, "no *fire variables in the GFAS file")
 
     val nLat = lats.length
@@ -57,15 +57,14 @@ object GfasLoader {
     val annualRows = scala.collection.mutable.ListBuffer.empty[(Long, String, String, Double)]
     val dailyRows = scala.collection.mutable.ListBuffer.empty[(String, Long, Int, Double)]
     fireVars.foreach { name =>
-      val v = f.variable(name)
-      val shape = f.shape(v)
+      val shape = f.shape(name)
       require(shape.length == 3 && shape(1) == nLat && shape(2) == nLon,
         s"$name: expected (time, latitude, longitude), got $shape")
       val days = shape.head
       require(days == 365 || days == 366,
         s"$name: expected one full year of daily data, got $days steps (gfas.py:63-69)")
       val sub = name.stripSuffix("fire").toUpperCase
-      val data = readVarDoubles(bytes, f, name)
+      val data = f.doubles(name)
       for (i <- 0 until nLat; j <- 0 until nLon) {
         val cellId = j.toLong * nLat + i
         var s = 0.0

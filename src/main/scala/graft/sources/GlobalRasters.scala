@@ -4,7 +4,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model.RegularGrid
 
-/** Directory-level global raster inventories over [[NetcdfClassic]]:
+/** Directory-level global raster inventories over the magic-dispatching
+  * parsers ([[NetcdfRaster.parseRaster]] / [[NcAdapter]] — classic
+  * CDF-1/2 and NetCDF-4/HDF5 containers both load):
   *
   *  - S2 EDGAR-style: one classic NetCDF flux raster per
   *    (substance, category), named `<SUB>_<CAT>.nc`

@@ -10,7 +10,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Corners of cell n are `vlon[vertex_of_cell[:, n] - 1]`
   * (grids.py:869-872), converted to degrees.
   *
-  * Classic-format files parse through the pure [[NetcdfClassic]] reader;
+  * Files parse through the container-independent [[NcAdapter]]
+  * (classic CDF-1/2 or NetCDF-4/HDF5, dispatched on the magic);
   * the result is the engine's standard polygon table `(poly_id, xs, ys
   * [, clon, clat, cell_area])` feeding
   * [[graft.ops.SpatialJoin.polyPolyWeights]] /
@@ -29,24 +30,23 @@ object IconGridFile {
     * the reference's `np.rad2deg` (grids.py:860-863); disable for planar
     * test meshes authored directly in target units. */
   def parse(bytes: Array[Byte], toDegrees: Boolean = true): Seq[IconCell] = {
-    import NetcdfClassic._
-    val f = readHeader(bytes)
+    // container-independent: classic CDF-1/2 or NetCDF-4/HDF5 dispatch
+    val f = NcAdapter.open(bytes)
     def deg(a: Array[Double]): Array[Double] =
       if (toDegrees) a.map(math.toDegrees) else a
-    val clon = deg(readVarDoubles(bytes, f, "clon"))
-    val clat = deg(readVarDoubles(bytes, f, "clat"))
-    val vlon = deg(readVarDoubles(bytes, f, "vlon"))
-    val vlat = deg(readVarDoubles(bytes, f, "vlat"))
-    val vocVar = f.variable("vertex_of_cell")
-    val voc = readVarDoubles(bytes, f, "vertex_of_cell")
-    val shape = f.shape(vocVar) // (nv, cell)
+    val clon = deg(f.doubles("clon"))
+    val clat = deg(f.doubles("clat"))
+    val vlon = deg(f.doubles("vlon"))
+    val vlat = deg(f.doubles("vlat"))
+    val voc = f.doubles("vertex_of_cell")
+    val shape = f.shape("vertex_of_cell") // (nv, cell)
     require(shape.length == 2, s"vertex_of_cell: expected 2-D, got $shape")
     val nv = shape.head
     val ncell = shape(1)
     require(clon.length == ncell, s"clon length ${clon.length} != ncell $ncell")
-    val areas = f.vars.find(_.name == "cell_area")
-      .map(_ => readVarDoubles(bytes, f, "cell_area"))
-      .getOrElse(Array.fill(ncell)(Double.NaN))
+    val areas =
+      if (f.hasVar("cell_area")) f.doubles("cell_area")
+      else Array.fill(ncell)(Double.NaN)
     (0 until ncell).map { n =>
       val vids = (0 until nv).map(k => voc(k * ncell + n).toInt - 1) // 1-based
       IconCell(n.toLong,

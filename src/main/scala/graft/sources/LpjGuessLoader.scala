@@ -30,7 +30,6 @@ object LpjGuessLoader {
       spark: SparkSession,
       paths: Seq[String],
       year: Int): LpjInventory = {
-    import NetcdfClassic._
     require(paths.nonEmpty, "no LPJ-GUESS files given")
     var grid: Option[RegularGrid] = None
     val annualRows = scala.collection.mutable.ListBuffer.empty[(Long, String, String, Double)]
@@ -38,9 +37,10 @@ object LpjGuessLoader {
 
     paths.foreach { path =>
       val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
-      val f = readHeader(bytes)
-      val lats = readVarDoubles(bytes, f, "latitude")
-      val lons = readVarDoubles(bytes, f, "longitude")
+      // container-independent: classic CDF-1/2 or NetCDF-4/HDF5 dispatch
+      val f = NcAdapter.open(bytes)
+      val lats = f.doubles("latitude")
+      val lons = f.doubles("longitude")
       val (ymin, dy) = NetcdfRaster.regularAxis(lats)
       val (xmin, dx) = NetcdfRaster.regularAxis(lons)
       val g = RegularGrid(lons.length, lats.length, xmin, ymin, dx, dy)
@@ -49,19 +49,19 @@ object LpjGuessLoader {
       val nLat = lats.length; val nLon = lons.length
       val perDay = nLat * nLon
 
-      val dataVars = f.vars
-        .filter(v => !Seq("longitude", "latitude", "time").contains(v.name))
-      dataVars.foreach { v =>
-        val units = v.atts.find(_.name == "units").map(_.text).getOrElse("")
+      val dataVars = f.varNames
+        .filterNot(Seq("longitude", "latitude", "time").contains)
+      dataVars.foreach { name =>
+        val units = f.attText(name, "units")
         require(units == ExpectedUnits,
-          s"${v.name} has units $units instead of $ExpectedUnits")
-        val parts = v.name.split("_")
+          s"$name has units $units instead of $ExpectedUnits")
+        val parts = name.split("_")
         val (sub, cat) = (parts.head, parts.tail.mkString("_"))
-        val shape = f.shape(v)
+        val shape = f.shape(name)
         require(shape.length == 3 && shape(1) == nLat && shape(2) == nLon,
-          s"${v.name}: expected (time, latitude, longitude), got $shape")
+          s"$name: expected (time, latitude, longitude), got $shape")
         val days = shape.head
-        val data = readVarDoubles(bytes, f, v.name)
+        val data = f.doubles(name)
         for (i <- 0 until nLat; j <- 0 until nLon) {
           val cellId = j.toLong * nLat + i
           var total = 0.0
