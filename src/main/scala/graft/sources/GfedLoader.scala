@@ -13,14 +13,11 @@ import graft.model.RegularGrid
   * `DayOfYearProfile` ratios from the same stack — normalize the
   * returned series with `Profiles.normalize`).
   *
-  * Container format: this reader parses NetCDF CLASSIC files via the
-  * pure-JVM [[NetcdfClassic]]. GFED5 Beta distributions are produced
-  * with modern netCDF tooling and may ship as NetCDF-4/HDF5 — byte-level
-  * confirmation needs the actual download (no network in this
-  * environment; FIXTURES.md records the finding). HDF5 containers are
-  * out of scope (same documented limit as GFED4); `nccopy -k classic`
-  * conversion, a standard step, makes any of them loadable here.
-  * Semantics above are container-independent.
+  * Container format: files parse through the container-independent
+  * [[NcAdapter]] — classic CDF-1/2 via [[NetcdfClassic]], NetCDF-4/HDF5
+  * via [[Hdf5Classic]], dispatched on the magic — so whichever container
+  * a given GFED5 Beta distribution ships as (unconfirmable offline;
+  * FIXTURES.md §6), it loads without conversion.
   */
 object GfedLoader {
 
@@ -34,7 +31,6 @@ object GfedLoader {
       dir: String,
       year: Int,
       substances: Seq[String]): GfedInventory = {
-    import NetcdfClassic._
     val files = (1 to 12).map(m => f"$dir/GFED5_Beta_daily_$year$m%02d.nc")
     files.foreach(p => require(java.nio.file.Files.exists(java.nio.file.Paths.get(p)),
       s"File $p does not exist.")) // gfed.py:328-330
@@ -47,9 +43,10 @@ object GfedLoader {
 
     files.foreach { path =>
       val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
-      val f = readHeader(bytes)
-      val la = readVarDoubles(bytes, f, "lat")
-      val lo = readVarDoubles(bytes, f, "lon")
+      // container-independent: classic CDF-1/2 or NetCDF-4/HDF5 dispatch
+      val f = NcAdapter.open(bytes)
+      val la = f.doubles("lat")
+      val lo = f.doubles("lon")
       val (ymin, dy) = NetcdfRaster.regularAxis(la)
       val (xmin, dx) = NetcdfRaster.regularAxis(lo)
       val g = RegularGrid(lo.length, la.length, xmin, ymin, dx, dy)
@@ -60,15 +57,14 @@ object GfedLoader {
 
       var fileDays = 0
       substances.foreach { sub =>
-        require(f.vars.exists(_.name == sub),
+        require(f.hasVar(sub),
           s"Substance $sub not in the dataset.") // gfed.py:343-345
-        val v = f.variable(sub)
-        val shape = f.shape(v)
+        val shape = f.shape(sub)
         require(shape.length == 3 && shape(1) == nLat && shape(2) == nLon,
           s"$sub: expected (time, lat, lon), got $shape")
         val days = shape.head
         fileDays = days
-        val data = readVarDoubles(bytes, f, sub)
+        val data = f.doubles(sub)
         var d = 0
         while (d < days) {
           var i = 0
