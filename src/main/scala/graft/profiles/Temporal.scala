@@ -69,6 +69,9 @@ object Temporal {
     "day_of_week" -> 7,
     "hour_of_day" -> 24,
     "hour3_of_day" -> 8,
+    // 8 three-hour slots × 12 months — the reference's Hour3OfDayPerMonth
+    // (profiles.py), the GFED4 diurnal-cycle layout (gfed.py:232-268)
+    "hour3_of_day_per_month" -> 96,
     "day_of_year" -> 365,
     "hour_of_year" -> 8760)
 
@@ -78,6 +81,7 @@ object Temporal {
     case "day_of_week" => dayOfWeek0(ts)
     case "hour_of_day" => hourOfDay(ts)
     case "hour3_of_day" => hour3OfDay(ts)
+    case "hour3_of_day_per_month" => month0(ts) * 8 + hour3OfDay(ts)
     case "day_of_year" => dayOfYear0(ts)
     case "hour_of_year" => hourOfYear(ts)
     case other => throw new IllegalArgumentException(s"unknown kind: $other")

@@ -127,6 +127,32 @@ class GfedSpec extends SparkSpec {
     assert(di == Map((0L, 0) -> 0.5, (0L, 7) -> 0.5))
   }
 
+  test("GFED4 profiles drive the composite machinery end-to-end " +
+    "(DayOfYear × Hour3OfDayPerMonth, the reference's profile set)") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val f = java.nio.file.Files.createTempFile("gfed4", ".hdf5")
+    java.nio.file.Files.write(f, Hdf5Fixtures.gfed4Fixture())
+    val inv = GfedLoader.readGfed4(spark, f.toString)
+    // cell 0's series, positions shifted to the kind's 0-based cycle
+    val doy = inv.dayOfYear.where(col("cell_id") === 0)
+      .select((col("doy") - 1).as("pos"), col("ratio"))
+    val diurnal = inv.diurnal.where(col("cell_id") === 0)
+      .select(col("slot").as("pos"), col("ratio"))
+    val sf = graft.profiles.Temporal.compositeScalingFactors(
+      spark, "2023-01-01 00:00:00", 24,
+      Seq("day_of_year" -> doy, "hour3_of_day_per_month" -> diurnal))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    // Jan 1 = doy pos 0: ratio 0.125 × 365; diurnal slots 0 and 7 carry
+    // 0.5 × 96 = 48, missing slots contribute 1.0
+    val day = 0.125 * 365
+    assert(math.abs(sf(0) - day * 48) < 1e-9)
+    assert(math.abs(sf(2) - day * 48) < 1e-9)
+    assert(math.abs(sf(3) - day) < 1e-9) // slot 1 absent -> factor 1
+    assert(math.abs(sf(12) - day) < 1e-9)
+    assert(math.abs(sf(21) - day * 48) < 1e-9)
+    assert(math.abs(sf(23) - day * 48) < 1e-9)
+  }
+
   test("GFED4: committed fixture file parses identically") {
     val path = "/root/repo/fixtures/gfed4.hdf5"
     assume(java.nio.file.Files.exists(java.nio.file.Paths.get(path)))

@@ -172,6 +172,21 @@ class PlanSpec extends SparkSpec {
     assert(out.count() == 4)
   }
 
+  test("trainingPipeline pushes the language filter into the parquet scan") {
+    val dir = java.nio.file.Files.createTempDirectory("planspec").toString
+    spark.createDataFrame(Seq(
+      (1L, ("w " * 25).trim, "en", "s1"), (2L, ("v " * 25).trim, "de", "s1")))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$dir/tp_planspec")
+    val docs = spark.read.parquet(s"$dir/tp_planspec")
+    val out = graft.text.TextAnalysis.trainingPipeline(docs, 20, "en")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.replaceAll("\\s", "").contains("EqualTo(lang,en)"),
+      s"lang filter not pushed to the scan:\n$plan")
+    assert(out.count() == 1)
+  }
+
   test("quantizeInt8 plans ZERO shuffle exchanges (narrow per-row kernels)") {
     val emb = spark.createDataFrame(Seq(
       (1L, Array(0.1f, -0.2f)), (2L, Array(0.3f, 0.4f))))
