@@ -410,6 +410,32 @@ object Queries {
         |LEFT JOIN dly ON hour(lts) = dly.pos
         |LEFT JOIN sd ON isodow(lts) - 1 = sd.dow AND hour(lts) = sd.pos""".stripMargin)),
 
+    Q("q_hour3_month_sf",
+      (s, _) => {
+        // the GFED4 profile pair: 96-slot Hour3OfDayPerMonth × DayOfYear,
+        // both sparse so the missing-kind=1.0 rule is exercised
+        val h3m = s.range(96).where(col("id") % 5 =!= 0).select(
+          col("id").cast("int").as("pos"), ((col("id") + 1) / lit(4656.0)).as("ratio"))
+        val doy = s.range(365).where(col("id") % 3 === 0).select(
+          col("id").cast("int").as("pos"), ((col("id") + 1) / lit(66795.0)).as("ratio"))
+        Temporal.compositeScalingFactors(s,
+          "2023-01-01 00:00:00", 2160,
+          Seq("hour3_of_day_per_month" -> h3m, "day_of_year" -> doy))
+      },
+      Some("""WITH spine AS (SELECT CAST(i AS INT) AS h,
+        |              TIMESTAMP '2023-01-01 00:00:00' + to_hours(i) AS lts
+        |       FROM range(2160) t(i)),
+        |h3m AS (SELECT i AS pos, (i+1)/4656.0 AS ratio FROM range(96) t(i)
+        |        WHERE i % 5 <> 0),
+        |doy AS (SELECT i AS pos, (i+1)/66795.0 AS ratio FROM range(365) t(i)
+        |        WHERE i % 3 = 0),
+        |SEL AS (SELECT h,
+        |          coalesce(h3m.ratio*96.0, 1.0) * coalesce(doy.ratio*365.0, 1.0) AS sf
+        |        FROM spine
+        |        LEFT JOIN h3m ON (month(lts) - 1) * 8 + hour(lts) // 3 = h3m.pos
+        |        LEFT JOIN doy ON dayofyear(lts) - 1 = doy.pos)
+        |SELECT h, sf FROM SEL""".stripMargin)),
+
     Q("q_temporal_explode",
       (s, d) => {
         val emi = emissionsAgg(s, d).where(col("cell_id") < 256)

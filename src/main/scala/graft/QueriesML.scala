@@ -445,6 +445,16 @@ object QueriesML {
         |            ELSE round(err_num / (norm2 * 16129), 9) END AS rel_err
         |FROM e""".stripMargin)),
 
+    Q("q_random_project",
+      (s, d) => Similarity.randomProject(s, embeddings(s, d), outDims = 8),
+      Some(s"""WITH $QuantCte,
+        |dims AS (SELECT CAST(j AS INTEGER) AS j FROM range(8) t(j)),
+        |expl AS (SELECT vec_id, t.i, v[t.i + 1] AS x FROM q, range(0, 64) t(i))
+        |SELECT vec_id, j,
+        |       sum((CASE WHEN ((i * 131 + j * 137) % 97) % 2 = 0
+        |                 THEN 1 ELSE -1 END) * x) AS value
+        |FROM expl, dims GROUP BY 1, 2""".stripMargin)),
+
     Q("q_kmeans_step",
       (s, d) => Similarity.kmeansStep(embeddings(s, d), centroidMod = 97),
       Some(s"""WITH $QuantCte,

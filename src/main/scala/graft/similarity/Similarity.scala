@@ -237,6 +237,31 @@ object Similarity {
       .select("vec_id", "centroid_id", "cos_sim")
   }
 
+  /** Random-projection dimensionality reduction (Johnson–Lindenstrauss
+    * with a ±1 Achlioptas-style matrix): project each quantized vector
+    * onto `outDims` deterministic sign patterns — the same arithmetic
+    * sign matrix as [[signBuckets]], but emitting the projection VALUES
+    * (exact integer sums, engine-portable) instead of their sign bits.
+    * The standard 4×-compression preprocessing before clustering or
+    * coarse ANN when int8 per-dimension is still too wide. One bounded
+    * shuffle ((vec, out-dim) aggregate). */
+  def randomProject(
+      spark: SparkSession,
+      embeddings: DataFrame,
+      outDims: Int = 8): DataFrame = {
+    val dimsDf = spark.createDataFrame(
+      Seq.tabulate(outDims)(j => Tuple1(j))).toDF("j")
+    embeddings
+      .select(col("vec_id"), posexplode(quantize(col("embedding"))))
+      .withColumnRenamed("pos", "i")
+      .withColumnRenamed("col", "x")
+      .crossJoin(broadcast(dimsDf))
+      .withColumn("s",
+        when(((col("i") * 131 + col("j") * 137) % 97) % 2 === 0, 1).otherwise(-1))
+      .groupBy("vec_id", "j")
+      .agg(sum(col("s") * col("x")).as("value"))
+  }
+
   /** Int8 scalar quantization of the embedding column — the standard
     * 4× storage/bandwidth compression before ANN indexing: per-vector
     * scale `maxabs/127`, codes `q_i = round(127·x_i/maxabs)` ∈ [−127,127].
