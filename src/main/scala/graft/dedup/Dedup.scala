@@ -189,6 +189,60 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Paragraph-level (sub-document) exact deduplication — the C4/Dolma
+    * cleaning pass that removes boilerplate repeated ACROSS documents
+    * (navigation chrome, license footers, templated headers) while
+    * keeping each document's unique content. Documents are split into
+    * fixed-size word chunks (the stand-in for newline paragraphs — the
+    * synthetic corpus has no line structure); a chunk whose text occurs
+    * in ≥ `minDocs` distinct documents is dropped everywhere, and each
+    * document's surviving chunks are re-joined in order.
+    *
+    * Scale shape: one aggregate keyed by chunk text (cardinality grows
+    * with the corpus — balanced), one join back on the same key, one
+    * per-document re-assembly aggregate. The re-assembly collect_list is
+    * bounded by document length, never corpus size, and ordering is
+    * restored explicitly via array_sort on (idx, chunk) structs —
+    * collect_list order after a shuffle is undefined.
+    *
+    * Output: (doc_id, clean_text, n_chunks, n_dropped); documents whose
+    * every chunk was boilerplate survive with empty clean_text. */
+  def paragraphDedup(
+      docs: DataFrame,
+      chunkWords: Int = 3,
+      minDocs: Int = 3): DataFrame = {
+    val w = split(col("text"), " ")
+    val nChunks = ceil(size(w) / lit(chunkWords.toDouble)).cast("int")
+    val chunks = docs
+      .select(
+        col("doc_id"),
+        posexplode(transform(sequence(lit(0), nChunks - 1),
+          i => array_join(slice(w, i * chunkWords + 1, chunkWords), " ")))
+          .as(Seq("idx", "chunk")))
+    val dupChunks = chunks
+      .groupBy("chunk")
+      .agg(countDistinct("doc_id").as("nd"))
+      .where(col("nd") >= minDocs)
+      .select(col("chunk"), lit(1).as("_dup"))
+    val marked = chunks.join(dupChunks, Seq("chunk"), "left")
+    val rebuilt = marked
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("_dup").isNotNull, 1).otherwise(0)).as("n_dropped"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("_dup").isNull, struct(col("idx"), col("chunk"))))),
+            s => s.getField("chunk")),
+          " ").as("clean_text"))
+    rebuilt.select(
+      col("doc_id"),
+      col("clean_text"),
+      col("n_chunks").cast("long").as("n_chunks"),
+      col("n_dropped").cast("long").as("n_dropped"))
+  }
+
   /** SimHash fingerprints: per token-occurrence hash, each of `bits` bit
     * positions votes ±1; the fingerprint sets bits with positive vote sum.
     * Two bounded shuffles ((doc, bit) then doc). Bit extraction is integer

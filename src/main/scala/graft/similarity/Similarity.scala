@@ -294,6 +294,48 @@ object Similarity {
           .as("rel_err"))
   }
 
+  /** Semantic deduplication (the SemDeDup recipe — Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embeddings with the coarse quantizer,
+    * compute pairwise cosine similarity ONLY within each cluster, and
+    * drop every member that is ≥ `threshold`-similar to a lower-id
+    * member of its cluster (deterministic keep-min-id rule; the paper's
+    * keep-farthest-from-centroid variant differs only in which member of
+    * a duplicate set survives). Output: one row per vector with its
+    * cluster and a `keep` flag.
+    *
+    * Scale shape: `centroidMod` makes the centroid count a FIXED
+    * FRACTION of the corpus (k = N/centroidMod), so expected cluster
+    * occupancy is ~centroidMod regardless of N — the within-cluster
+    * self-join stays O(N·centroidMod), linear in corpus size, never
+    * O(N²). This is the property that makes SemDeDup the standard
+    * embedding-dedup pass at 100 TB where exact all-pairs cosine is
+    * impossible. */
+  def semanticDedup(
+      embeddings: DataFrame,
+      threshold: Double,
+      centroidMod: Int = 97): DataFrame = {
+    val assigned = graft.Caching.cache(
+      ivfAssign(embeddings, centroidMod)
+        .select(col("vec_id"), col("centroid_id"))
+        .join(embeddings.select(col("vec_id"), quantize(col("embedding")).as("v")), "vec_id")
+        .withColumn("n", dot(col("v"), col("v"))))
+    val dropped = assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.centroid_id") === col("b.centroid_id") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .where(round(dot(col("a.v"), col("b.v")) /
+        (sqrt(col("a.n")) * sqrt(col("b.n"))), 6) >= threshold)
+      .select(col("b.vec_id").as("vec_id"))
+      .distinct()
+      .withColumn("_dup", lit(1))
+    assigned
+      .join(dropped, Seq("vec_id"), "left")
+      .select(
+        col("vec_id"),
+        col("centroid_id"),
+        when(col("_dup").isNull, 1).otherwise(0).as("keep"))
+  }
+
   /** One Lloyd iteration of k-means over the quantized embeddings:
     * members assigned by [[ivfAssign]], then the new centroid is the
     * per-dimension mean of its members. Sums are over integer-valued

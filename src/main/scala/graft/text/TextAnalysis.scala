@@ -160,6 +160,39 @@ object TextAnalysis {
         regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""),
         " +", " ")).as("norm_text"))
 
+  /** PII redaction — the standard pre-training scrub pass: emails,
+    * phone numbers, and IPv4 addresses replaced with typed placeholder
+    * tokens, with per-type match counts reported so a pipeline can also
+    * FILTER on PII density (documents that are mostly PII are usually
+    * scraped directories, not prose). Pure per-row regexp work — narrow,
+    * codegen'd, zero shuffles, and the patterns use only character
+    * classes and bounded repetition so Java regex (Spark) and RE2
+    * (DuckDB, the gate oracle) agree exactly.
+    *
+    * Counts are taken BEFORE replacement, and the three replacements are
+    * ordered email → IP → phone so a match consumed by an earlier type
+    * is not double-redacted by a later one (an IPv4 would otherwise also
+    * match the digit-run phone pattern). */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
+  val Ipv4Re = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+  val PhoneRe = "\\+?[0-9][0-9()./ -]{6,}[0-9]"
+
+  def redactPii(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.withColumns(Map(
+      "n_emails" -> regexp_count(col(textCol), lit(EmailRe)).cast("long"),
+      "n_ips" -> regexp_count(col(textCol), lit(Ipv4Re)).cast("long"),
+      "n_phones" ->
+        regexp_count(
+          regexp_replace(regexp_replace(col(textCol), EmailRe, "<EMAIL>"),
+            Ipv4Re, "<IP>"),
+          lit(PhoneRe)).cast("long"),
+      "redacted" ->
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col(textCol), EmailRe, "<EMAIL>"),
+            Ipv4Re, "<IP>"),
+          PhoneRe, "<PHONE>")))
+
   /** Repetition / diversity signals (the Gopher-style reference-free
     * quality rules applied at word level): duplicate-word ratio
     * `1 − distinct/total` and top-word fraction `max_count/total`. High
