@@ -217,7 +217,7 @@ object Dedup {
       .select(
         col("doc_id"),
         posexplode(transform(sequence(lit(0), nChunks - 1),
-          i => array_join(slice(w, i * chunkWords + 1, chunkWords), " ")))
+          i => array_join(slice(w, i * chunkWords + 1, lit(chunkWords)), " ")))
           .as(Seq("idx", "chunk")))
     val dupChunks = chunks
       .groupBy("chunk")
