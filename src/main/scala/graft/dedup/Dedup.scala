@@ -54,13 +54,15 @@ object Dedup {
     val params = spark.createDataFrame(
       (0 until numHashes).map(j => (j, 37L + 101L * j, 17L + 91L * j)))
       .toDF("hash_id", "a", "b")
-    // Shingle strings repeat heavily across documents: hash the DISTINCT
-    // shingle set once (the char-fold is the expensive kernel), then join
-    // hashes back — ~10x less hashing for typical corpora.
-    val hashes = shingleDf.select("shingle").distinct()
-      .withColumn("h", TextAnalysis.portableHash(col("shingle")))
+    // Hash every (doc, shingle) row inline: portableHash is a native
+    // codegen'd Expression, so the char-fold stays inside the scan's
+    // whole-stage pipeline. (A "hash the distinct shingle set once and
+    // join back" variant saves some hashing on repetitive corpora but
+    // needs either a corpus-proportional broadcast — executor OOM at
+    // scale — or an extra shuffle join; the inline pass is strictly one
+    // narrow stage.) The only broadcast left is the k-row param table.
     shingleDf
-      .join(broadcast(hashes), "shingle")
+      .withColumn("h", TextAnalysis.portableHash(col("shingle")))
       .crossJoin(broadcast(params))
       .groupBy("doc_id", "hash_id")
       .agg(min((col("a") * col("h") + col("b")) % Prime).as("minhash"))
