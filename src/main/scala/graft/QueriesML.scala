@@ -161,6 +161,23 @@ object QueriesML {
         |FROM cm JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
         |WHERE common / (sa.sz + sb.sz - common) >= 0.5""".stripMargin)),
 
+    Q("q_paragraph_dedup",
+      (s, d) => Dedup.paragraphDedup(documents(s, d), chunkWords = 3, minDocs = 2),
+      Some("""WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |chunks AS (SELECT doc_id,
+        |                  unnest(range(0, CAST(ceil(len(w) / 3.0) AS INT))) AS idx,
+        |                  unnest(list_transform(range(0, CAST(ceil(len(w) / 3.0) AS INT)),
+        |                         i -> array_to_string(w[i*3+1:i*3+3], ' '))) AS chunk
+        |           FROM words),
+        |dup AS (SELECT chunk FROM chunks GROUP BY chunk HAVING count(DISTINCT doc_id) >= 2),
+        |marked AS (SELECT c.doc_id, c.idx, c.chunk, d.chunk IS NOT NULL AS isdup
+        |           FROM chunks c LEFT JOIN dup d USING (chunk))
+        |SELECT doc_id,
+        |       coalesce(array_to_string(list(chunk ORDER BY idx) FILTER (WHERE NOT isdup), ' '), '') AS clean_text,
+        |       count(*) AS n_chunks,
+        |       CAST(sum(CASE WHEN isdup THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+        |FROM marked GROUP BY doc_id""".stripMargin)),
+
     Q("q_simhash",
       (s, d) => Dedup.simhash(s, documents(s, d), bits = 16),
       Some(s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word

@@ -254,10 +254,12 @@ object Dedup {
       Seq.tabulate(bits)(b => (b, 1L << b))).toDF("bit", "p2")
     val occurrences = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-    // hash the distinct vocabulary once, join back to occurrences
-    val wordHashes = occurrences.select("word").distinct()
-      .withColumn("h", TextAnalysis.portableHash(col("word")))
-    val tok = occurrences.join(broadcast(wordHashes), "word")
+    // Hash every occurrence inline: portableHash is a native codegen'd
+    // Expression, so this stays one narrow stage. (A "hash the distinct
+    // vocabulary once, join back" variant would need a broadcast whose
+    // size grows with the corpus vocabulary — unbounded on noisy text at
+    // 100 TB — or an extra shuffle join.)
+    val tok = occurrences.withColumn("h", TextAnalysis.portableHash(col("word")))
     tok
       .crossJoin(broadcast(bitsDf))
       .withColumn("c", (expr("h div p2") % 2) * 2 - 1)

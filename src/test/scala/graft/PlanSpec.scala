@@ -197,6 +197,33 @@ class PlanSpec extends SparkSpec {
     assert(out.count() == 2)
   }
 
+  test("minhash/simhash broadcast only constant-size tables, never the corpus") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    val dir = java.nio.file.Files.createTempDirectory("planspec").toString
+    spark.createDataFrame(
+      (0L until 50L).map(i => (i, s"alpha beta w${i % 9} gamma w${i % 5} delta epsilon")))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/docs_bcast")
+    val docs = spark.read.parquet(s"$dir/docs_bcast")
+    // A BroadcastExchange whose subtree scans the docs relation would ship
+    // a corpus-proportional table to every executor — the 100 TB OOM the
+    // inline-hash formulation exists to avoid. Only the k-row param /
+    // bit tables may broadcast.
+    def corpusBroadcasts(df: DataFrame): Seq[String] =
+      df.queryExecution.executedPlan.collect {
+        case b: BroadcastExchangeExec
+          if b.collect { case s: FileSourceScanExec => s }
+            .exists(_.relation.location.rootPaths.exists(_.toString.contains("docs_bcast"))) =>
+          b.toString
+      }
+    val mh = Dedup.minhashSignatures(spark, Dedup.shingles(docs), numHashes = 4)
+    assert(corpusBroadcasts(mh).isEmpty, "minhash broadcasts the corpus")
+    val sh = Dedup.simhash(spark, docs, bits = 8)
+    assert(corpusBroadcasts(sh).isEmpty, "simhash broadcasts the corpus")
+    assert(mh.count() == 50 * 4 && sh.count() == 50)
+  }
+
   test("exactDuplicates pre-hashes and still groups exactly") {
     val docs = spark.createDataFrame(Seq(
       (1L, "alpha"), (2L, "beta"), (3L, "alpha"), (4L, "gamma"), (5L, "beta")))

@@ -183,4 +183,32 @@ class TextDedupSpec extends SparkSpec {
     assert(capped.contains((10L, 11L))) // small buckets survive
     assert(!capped.exists { case (a, b) => a < 6 && b < 6 }) // giant bucket dropped
   }
+
+  test("paragraphDedup drops cross-document boilerplate chunks, keeps order") {
+    // chunkWords=2: doc 1 = [shared footer][alpha beta][gamma delta],
+    // docs 2,3 carry the same "shared footer" chunk -> dropped everywhere.
+    val d = docs(
+      (1L, "shared footer alpha beta gamma delta"),
+      (2L, "shared footer own content two here"),
+      (3L, "unique body words shared footer"))
+    // doc 3: chunks [unique body][words shared][footer] — its "shared footer"
+    // is NOT chunk-aligned, so only docs 1 and 2 share the boilerplate chunk.
+    val out = Dedup.paragraphDedup(d, chunkWords = 2, minDocs = 2)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out(1L) == (("alpha beta gamma delta", 3L, 1L)))
+    assert(out(2L) == (("own content two here", 3L, 1L)))
+    assert(out(3L) == (("unique body words shared footer", 3L, 0L)))
+  }
+
+  test("paragraphDedup: a fully-boilerplate document survives with empty text") {
+    val d = docs((1L, "same text"), (2L, "same text"), (3L, "same text"))
+    val out = Dedup.paragraphDedup(d, chunkWords = 2, minDocs = 2)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out == Map(
+      1L -> (("", 1L, 1L)), 2L -> (("", 1L, 1L)), 3L -> (("", 1L, 1L))))
+  }
 }
