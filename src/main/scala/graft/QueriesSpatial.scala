@@ -245,6 +245,89 @@ object QueriesSpatial {
           .agg(round(sum("value"), 6).as("total"),
             count(col("value")).as("n_cells"))
       },
+      None),
+
+    // No SQL oracle (driver rows-only check): DuckDB cannot read the
+    // committed NetCDF fixtures. Each loader query below runs the full
+    // byte-level read path (container dispatch -> axis/grid inference ->
+    // reference unit/index semantics) over fixtures/; value-level
+    // correctness is the loader's ScalaTest spec on identical byte
+    // layouts (TnoSpec, GfasSpec, CamsRegSpec, LpjGuessSpec,
+    // GlobalRastersSpec).
+
+    // TNO source list (tno.py:30-402): area/point split, 1-based grid
+    // indexes, substance-variable merge (co2_ff + co2_bf -> CO2).
+    Q("q_tno",
+      (s, _) => {
+        val inv = graft.sources.TnoLoader.read(s, "/root/repo/fixtures/tno.nc",
+          Map("co2_ff" -> "CO2", "co2_bf" -> "CO2", "ch4" -> "CH4"))
+        inv.area
+          .select(lit("area").as("kind"), col("category"), col("substance"),
+            col("value"))
+          .unionByName(inv.points
+            .select(lit("point").as("kind"), col("category"), col("substance"),
+              col("value")))
+          .groupBy("kind", "category", "substance")
+          .agg(round(sum("value"), 6).as("total"), count(lit(1)).as("n_rows"))
+      },
+      None),
+
+    // GFAS daily fluxes (gfas.py:25-127): annual mean x SEC_PER_YR x
+    // spherical cell area, sparse daily series preserved.
+    Q("q_gfas",
+      (s, _) => {
+        val inv = graft.sources.GfasLoader.read(s, "/root/repo/fixtures/gfas.nc")
+        inv.annual
+          .select(lit("annual").as("kind"), col("substance"),
+            col("value"))
+          .unionByName(inv.dailySeries
+            .select(lit("daily").as("kind"), col("substance"),
+              col("flux").as("value")))
+          .groupBy("kind", "substance")
+          .agg(round(sum("value"), 6).as("total"), count(lit(1)).as("n_rows"))
+      },
+      None),
+
+    // CAMS-REG-AQ directory (cams_reg_aq.py:14-146): filename substance
+    // capture, per-category variables, Tg -> kg.
+    Q("q_cams",
+      (s, _) => {
+        val (_, inv) = graft.sources.CamsRegLoader.read(
+          s, "/root/repo/fixtures/cams",
+          categoriesMapping = Map("A_PublicPower" -> "A", "B_Industry" -> "B"))
+        inv.groupBy("category", "substance")
+          .agg(round(sum("value"), 6).as("total"), count(lit(1)).as("n_cells"))
+      },
+      None),
+
+    // LPJ-GUESS wetland output (lpjguess.py:13-132): <sub>_<cat> variable
+    // split, mg m-2 d-1 -> kg/y, per-day ratio series.
+    Q("q_lpj",
+      (s, _) => {
+        val inv = graft.sources.LpjGuessLoader.read(
+          s, Seq("/root/repo/fixtures/lpjguess.nc"), 2023)
+        inv.annual
+          .select(lit("annual").as("kind"), col("category"), col("substance"),
+            col("value"))
+          .unionByName(inv.dailyRatios
+            .select(lit("ratio").as("kind"), col("category"), col("substance"),
+              col("ratio").as("value")))
+          .groupBy("kind", "category", "substance")
+          .agg(round(sum("value"), 6).as("total"), count(lit(1)).as("n_rows"))
+      },
+      None),
+
+    // EDGAR v8 directory (edgar/edgarv8.py:32-137) through the
+    // DISTRIBUTED one-task-per-file read — the 100 TB ingestion path.
+    Q("q_edgar_dir",
+      (s, _) => {
+        val (grid, _) = graft.sources.GlobalRasters.readEdgarDir(
+          s, "/root/repo/fixtures/edgar")
+        graft.sources.GlobalRasters.readEdgarDirDistributed(
+          s, "/root/repo/fixtures/edgar", grid)
+          .groupBy("category", "substance")
+          .agg(round(sum("value"), 6).as("total"), count(lit(1)).as("n_cells"))
+      },
       None)
   )
 }
