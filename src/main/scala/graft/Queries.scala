@@ -436,6 +436,34 @@ object Queries {
         |        LEFT JOIN doy ON dayofyear(lts) - 1 = doy.pos)
         |SELECT h, sf FROM SEL""".stripMargin)),
 
+    Q("q_how_month_sf",
+      (s, _) => {
+        // hour_of_week (168) × hour_of_week_per_month (2016) — the two
+        // profile kinds the reference's composite path supports beyond
+        // the per-day/per-month family; both sparse so missing-kind=1.0
+        // is exercised across month boundaries
+        val how = s.range(168).where(col("id") % 4 =!= 1).select(
+          col("id").cast("int").as("pos"), ((col("id") + 1) / lit(14196.0)).as("ratio"))
+        val howm = s.range(2016).where(col("id") % 7 =!= 3).select(
+          col("id").cast("int").as("pos"), ((col("id") + 1) / lit(2033136.0)).as("ratio"))
+        Temporal.compositeScalingFactors(s,
+          "2023-01-01 00:00:00", 2160,
+          Seq("hour_of_week" -> how, "hour_of_week_per_month" -> howm))
+      },
+      Some("""WITH spine AS (SELECT CAST(i AS INT) AS h,
+        |              TIMESTAMP '2023-01-01 00:00:00' + to_hours(i) AS lts
+        |       FROM range(2160) t(i)),
+        |how AS (SELECT i AS pos, (i+1)/14196.0 AS ratio FROM range(168) t(i)
+        |        WHERE i % 4 <> 1),
+        |howm AS (SELECT i AS pos, (i+1)/2033136.0 AS ratio FROM range(2016) t(i)
+        |         WHERE i % 7 <> 3)
+        |SELECT h,
+        |       coalesce(how.ratio*168.0, 1.0) * coalesce(howm.ratio*2016.0, 1.0) AS sf
+        |FROM spine
+        |LEFT JOIN how ON (isodow(lts) - 1) * 24 + hour(lts) = how.pos
+        |LEFT JOIN howm ON (month(lts) - 1) * 168 + (isodow(lts) - 1) * 24 + hour(lts)
+        |                  = howm.pos""".stripMargin)),
+
     Q("q_temporal_explode",
       (s, d) => {
         val emi = emissionsAgg(s, d).where(col("cell_id") < 256)

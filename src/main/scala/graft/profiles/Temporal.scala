@@ -72,6 +72,10 @@ object Temporal {
     // 8 three-hour slots × 12 months — the reference's Hour3OfDayPerMonth
     // (profiles.py), the GFED4 diurnal-cycle layout (gfed.py:232-268)
     "hour3_of_day_per_month" -> 96,
+    "hour_of_week" -> 168,
+    // 168 hours-of-week × 12 months — the reference's HourOfWeekPerMonth
+    // (profiles.py:23-267), position = hour + 24·dow + 168·(month−1)
+    "hour_of_week_per_month" -> 2016,
     "day_of_year" -> 365,
     "hour_of_year" -> 8760)
 
@@ -82,6 +86,8 @@ object Temporal {
     case "hour_of_day" => hourOfDay(ts)
     case "hour3_of_day" => hour3OfDay(ts)
     case "hour3_of_day_per_month" => month0(ts) * 8 + hour3OfDay(ts)
+    case "hour_of_week" => hourOfWeek(ts)
+    case "hour_of_week_per_month" => month0(ts) * 168 + hourOfWeek(ts)
     case "day_of_year" => dayOfYear0(ts)
     case "hour_of_year" => hourOfYear(ts)
     case other => throw new IllegalArgumentException(s"unknown kind: $other")

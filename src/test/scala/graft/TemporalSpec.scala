@@ -128,4 +128,19 @@ class TemporalSpec extends SparkSpec {
     assert(before == 11.0 * 24)
     assert(after == 12.0 * 24)
   }
+
+  test("hour_of_week kinds: position = hour + 24·dow (+ 168·month0)") {
+    // 2023-02-15 was a Wednesday (dow0 = 2), month0 = 1
+    val expectedHow = 2 * 24 + 13
+    val expectedHowm = 1 * 168 + expectedHow
+    val how = spark.range(168).select(
+      col("id").cast("int").as("pos"), (col("id") * 1.0).as("ratio"))
+    val howm = spark.range(2016).select(
+      col("id").cast("int").as("pos"), (col("id") * 1.0).as("ratio"))
+    val sf = Temporal.compositeScalingFactors(spark,
+      "2023-02-15 13:00:00", 1,
+      Seq("hour_of_week" -> how, "hour_of_week_per_month" -> howm))
+      .collect()(0).getDouble(1)
+    assert(sf == expectedHow * 168.0 * expectedHowm * 2016.0)
+  }
 }
