@@ -317,6 +317,17 @@ object QueriesSpatial {
       },
       None),
 
+    // OSM Overpass JSON (utils/osm.py:18-179): node/way/relation
+    // resolution with ring stitching and outer/inner roles over the
+    // committed fixture; value-level correctness is OsmSpec.
+    Q("q_osm",
+      (s, _) => graft.sources.OsmJson.read(s, "/root/repo/fixtures/osm.json")
+        .select(col("id"), col("el_type"), col("name"), col("part"),
+          col("role"), col("kind"), size(col("xs")).as("n_vertices"),
+          round(element_at(col("xs"), 1), 6).as("x0"),
+          round(element_at(col("ys"), 1), 6).as("y0")),
+      None),
+
     // EDGAR v8 directory (edgar/edgarv8.py:32-137) through the
     // DISTRIBUTED one-task-per-file read — the 100 TB ingestion path.
     Q("q_edgar_dir",

@@ -147,6 +147,19 @@ object ScaleBench {
         .agg(count(lit(1))).collect()(0).getLong(0)
     }
 
+    // B10: EDGAR-sized single-file raster export — the full 207M-row
+    // fact aggregate laid out as per-substance planes + all-sector totals
+    // through the PER-PLANE collect path (each collect ≤ 6.48M rows,
+    // ~52 MB of doubles per plane; the old full-aggregate collect held
+    // >200M Rows on the driver and died here).
+    val b10path = java.nio.file.Files.createTempDirectory("scale_raster")
+      .resolve("edgar_export.nc").toString
+    val (b10s, b10n) = time {
+      graft.sinks.Exports.rasterExportNc(emi, src, b10path, addTotals = true)
+      java.nio.file.Files.size(java.nio.file.Paths.get(b10path))
+    }
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(b10path))
+
     val b1rate = "%.1f".format(src.ncells * 32 / b1s / 1e6)
     val b3rate = "%.1f".format(b3n / b3s / 1e6)
     println(
@@ -156,7 +169,8 @@ object ScaleBench {
         s""""b6_poly_grid_sec":$b6s,"b6_weights":$b6n,""" +
         s""""b7_tile_join_sec":$b7s,"b7_pairs":$b7n,""" +
         s""""b8_dist_ingest_sec":$b8s,"b8_files":64,"b8_rows":$b8n,""" +
-        s""""b9_conncomp_sec":$b9s,"b9_edges":8000999,"b9_clusters":$b9n}""")
+        s""""b9_conncomp_sec":$b9s,"b9_edges":8000999,"b9_clusters":$b9n,""" +
+        s""""b10_raster_export_sec":$b10s,"b10_file_bytes":$b10n}""")
     spark.stop()
   }
 }

@@ -127,28 +127,61 @@ object Exports {
       addTotals: Boolean = false,
       varPerCatSub: Boolean = false): Unit = {
     val conv = if (perArea) 1.0 / (grid.cellArea * SecPerYear) else 1.0
-    val rows = emissions
+    // ONE distributed aggregate to (cell, substance, category), persisted;
+    // planes are then collected ONE AT A TIME as grid-bounded filtered
+    // aggregates (≤ ncell rows each) — never the full fact aggregate.
+    // At EDGAR scale (6.48M cells × 8 cat × 4 sub) the full aggregate is
+    // >200M driver-side Rows; a single plane is ~52 MB of doubles, the
+    // same footprint the reference holds per np array before `to_netcdf`.
+    val agg = emissions
       .groupBy("cell_id", "substance", "category")
       .agg(sum(col("value") * conv).as("v"))
-      .collect()
-    val subs = rows.map(_.getString(1)).distinct.sorted
-    val cats = rows.map(_.getString(2)).distinct.sorted
+      .persist()
+    val subs = agg.select("substance").distinct()
+      .collect().map(_.getString(0)).sorted
+    val cats = agg.select("category").distinct()
+      .collect().map(_.getString(0)).sorted
     val ncell = grid.ny * grid.nx
     def flat(cid: Long): Int = {
       val ix = (cid / grid.ny).toInt; val iy = (cid % grid.ny).toInt
       iy * grid.nx + ix
     }
+    def planeOf(rows: Array[org.apache.spark.sql.Row]): Array[Double] = {
+      val arr = new Array[Double](ncell)
+      rows.foreach(r => arr(flat(r.getLong(0))) += r.getDouble(1))
+      arr
+    }
+    def catPlane(s: String, c: String): Array[Double] = planeOf(
+      agg.where(col("substance") === s && col("category") === c)
+        .select(col("cell_id"), col("v")).collect())
     // per-substance summed plane (the default layout + the all-sectors
     // totals); per-(substance, category) planes for the group mode
-    val data = subs.map(s => s -> new Array[Double](ncell)).toMap
-    val byCat = if (groupCategories || addTotals || varPerCatSub)
-      subs.map(s => s -> cats.map(c => c -> new Array[Double](ncell)).toMap).toMap
-    else Map.empty[String, Map[String, Array[Double]]]
-    rows.foreach { r =>
-      val i = flat(r.getLong(0)); val v = r.getDouble(3)
-      data(r.getString(1))(i) += v
-      if (byCat.nonEmpty) byCat(r.getString(1))(r.getString(2))(i) += v
-    }
+    val needCatPlanes = groupCategories || varPerCatSub
+    val data: Map[String, Array[Double]] =
+      if (addTotals || !needCatPlanes) {
+        // fold the category dim once distributed, so each per-substance
+        // plane collect filters nsub× fewer rows than the full aggregate
+        val subAgg = agg.groupBy("cell_id", "substance")
+          .agg(sum("v").as("pv")).persist()
+        subAgg.count()
+        val planes = subs.map(s => s -> planeOf(
+          subAgg.where(col("substance") === s)
+            .select(col("cell_id"), col("pv")).collect())).toMap
+        subAgg.unpersist()
+        planes
+      } else Map.empty
+    val byCat: Map[String, Map[String, Array[Double]]] =
+      if (needCatPlanes)
+        subs.map(s => s -> cats.map(c => c -> catPlane(s, c)).toMap).toMap
+      else Map.empty
+    // per-(substance, category) totals come from a DISTRIBUTED sum —
+    // subs × cats rows on the driver, no plane materialization needed
+    val catTotals: Map[(String, String), Double] =
+      if (addTotals)
+        agg.groupBy("substance", "category").agg(sum("v").as("t")).collect()
+          .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+      else Map.empty
+    agg.unpersist()
     val unitStr = if (perArea) "kg m-2 s-1" else "kg year-1 cell-1"
     val dims = Seq(
       NcDim("lat", grid.ny), NcDim("lon", grid.nx),
@@ -218,7 +251,8 @@ object Exports {
             textAtt("long_name", s"Total Emissions of $s"),
             textAtt("units", "kg yr-1"),
             textAtt("comment", "annual total emission")),
-          doubles = cats.map(c => byCat(s)(c).sum * backToKg).toArray))
+          doubles = cats.map(c =>
+            catTotals.getOrElse((s, c), 0.0) * backToKg).toArray))
     }
     val areaCellVars = if (!addTotals) Nil else Seq(
       WriteVar("cell_area", Seq("lat", "lon"), NetcdfClassicDouble,
