@@ -515,6 +515,89 @@ object Exports {
           .as("mole_km2_h"))
   }
 
+  /** K4 full form — WRF-chemi hourly files (reference
+    * `export_wrf_hourly_emissions`, emiproc/exports/wrf.py:129-240):
+    * one `wrfchemi_d01_<yyyy-MM-dd_HH:mm:ss>` NetCDF per hour holding a
+    * `E_{substance}_{category}` variable per pair over dims
+    * (Time, emissions_zdim, south_north, west_east) — the reference's
+    * cell→(x, y) unstack (wrf.py:183-196: x = cell div ny repeated,
+    * y = cell mod ny tiled) — plus the `Times` char variable
+    * (wrf.py:231-233) and the moles/km2/h unit attribute block.
+    *
+    * The hourly series is base-plane × hour factor (the same
+    * `get_temporally_scaled_array` product the reference applies): each
+    * (substance, category) MOLE plane is collected ONCE, grid-bounded,
+    * through [[wrfMoleFlux]]'s distributed unit math; per-hour files then
+    * scale the in-memory plane by the (substance, category, hour) factor
+    * (missing profile → 1.0) — no per-hour Spark jobs, `hours` × vars
+    * driver-side array multiplies. Returns the written file names. */
+  def wrfChemiExport(
+      spark: SparkSession,
+      emissions: DataFrame,
+      grid: RegularGrid,
+      molarMasses: Seq[(String, Double)],
+      scalingFactors: DataFrame, // (category, substance, hour_of_day, sf)
+      startTs: String,
+      hours: Int,
+      outDir: String,
+      variableName: String = "E_{substance}_{category}"): Seq[String] = {
+    val cellAreaKm2 = grid.cellArea * 1e-6
+    val agg = wrfMoleFlux(spark, emissions, molarMasses, cellAreaKm2)
+      .groupBy("cell_id", "category", "substance")
+      .agg(sum("mole_km2_h").as("v"))
+      .persist()
+    val pairs = agg.select("category", "substance").distinct().collect()
+      .map(r => (r.getString(0), r.getString(1))).sortBy(p => (p._2, p._1))
+    val ncell = grid.ny * grid.nx
+    def flat(cid: Long): Int = {
+      val ix = (cid / grid.ny).toInt; val iy = (cid % grid.ny).toInt
+      iy * grid.nx + ix
+    }
+    val planes = pairs.map { case (c, s) =>
+      val arr = new Array[Double](ncell)
+      agg.where(col("category") === c && col("substance") === s)
+        .select(col("cell_id"), col("v")).collect()
+        .foreach(r => arr(flat(r.getLong(0))) += r.getDouble(1))
+      (c, s) -> arr
+    }.toMap
+    agg.unpersist()
+    val sfMap = scalingFactors
+      .select(col("category"), col("substance"),
+        col("hour_of_day").cast("int"), col("sf").cast("double"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2)) -> r.getDouble(3))
+      .toMap
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd_HH:mm:ss")
+    val t0 = java.time.LocalDateTime.parse(
+      startTs, java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
+    val dims = Seq(
+      NcDim("Time", 1), NcDim("emissions_zdim", 1),
+      NcDim("south_north", grid.ny), NcDim("west_east", grid.nx),
+      NcDim("DateStrLen", 19))
+    (0 until hours).map { h =>
+      val ts = fmt.format(t0.plusHours(h.toLong))
+      val hod = t0.plusHours(h.toLong).getHour
+      val dataVars = pairs.map { case (c, s) =>
+        val f = sfMap.getOrElse((c, s, hod), 1.0)
+        WriteVar(
+          variableName.replace("{substance}", s).replace("{category}", c),
+          Seq("Time", "emissions_zdim", "south_north", "west_east"),
+          NetcdfClassicDouble,
+          atts = Seq(textAtt("units", "moles/km2/h"),
+            textAtt("substance", s), textAtt("category", c)),
+          doubles = planes((c, s)).map(_ * f))
+      }
+      val timesVar = WriteVar("Times", Seq("Time", "DateStrLen"),
+        graft.sources.NetcdfClassic.NcChar, strings = Seq(ts))
+      val fname = s"wrfchemi_d01_$ts"
+      writeBytes(s"$outDir/$fname", NetcdfWriter.write(
+        dims, ncCfAttrs("graft wrfchemi export") :+ textAtt("unit", "moles/km2/h"),
+        (timesVar +: dataVars).toSeq))
+      fname
+    }
+  }
+
   /** Plain text sink (the GRAL-style text writers of reference
     * emiproc/exports/gral.py:65-349 reduced to their Spark-native form):
     * rows rendered with a separator, written as partitioned text. */

@@ -302,4 +302,50 @@ class NetcdfWriterSpec extends SparkSpec {
     assert(f1.gatts.exists(a => a.name == "valid_hour" &&
       a.text == "2023-01-01 01:00:00"))
   }
+
+  test("wrfChemiExport: per-hour files, cell->(x,y) unstack, Times var, " +
+    "mole/km2/h units (wrf.py:129-240)") {
+    val grid = RegularGrid(3, 2, 0.0, 0.0, 1000.0, 1000.0) // 1 km2 cells
+    val dir = tmpDir()
+    val hpy = 365.25 * 24.0
+    val emi = spark.createDataFrame(Seq(
+      // cell_id = ix*ny + iy; kg/y chosen so mole flux is exact
+      (0L, "adf", "CO2", hpy), // (x0, y0) -> plane index 0
+      (2L, "adf", "CO2", 2 * hpy), // (x1, y0) -> plane index 1
+      (5L, "adf", "CO2", 4 * hpy), // (x2, y1) -> plane index 5
+      (0L, "adf", "CH4", 8 * hpy)))
+      .toDF("cell_id", "category", "substance", "value")
+    // hour 1 scales CO2_adf by 3; CH4 has no profile -> 1.0
+    val sf = spark.createDataFrame(Seq(("adf", "CO2", 1, 3.0)))
+      .toDF("category", "substance", "hour_of_day", "sf")
+    val files = Exports.wrfChemiExport(spark, emi, grid,
+      molarMasses = Seq("CO2" -> 1000.0, "CH4" -> 1000.0), sf,
+      "2024-01-01 00:00:00", hours = 2, outDir = dir)
+    assert(files == Seq(
+      "wrfchemi_d01_2024-01-01_00:00:00", "wrfchemi_d01_2024-01-01_01:00:00"))
+    val b0 = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/${files(0)}"))
+    val f0 = NetcdfClassic.readHeader(b0)
+    assert(f0.dim("south_north").length == 2 && f0.dim("west_east").length == 3)
+    assert(f0.dim("Time").length == 1 && f0.dim("emissions_zdim").length == 1)
+    assert(NetcdfClassic.readVarStrings(b0, f0, "Times") ==
+      Seq("2024-01-01_00:00:00"))
+    // molar mass 1000 g/mol and 1 km2 cells make flux = value / hpy
+    assert(NetcdfClassic.readVarDoubles(b0, f0, "E_CO2_adf").toSeq ==
+      Seq(1.0, 2.0, 0.0, 0.0, 0.0, 4.0))
+    assert(NetcdfClassic.readVarDoubles(b0, f0, "E_CH4_adf").toSeq ==
+      Seq(8.0, 0.0, 0.0, 0.0, 0.0, 0.0))
+    val units = f0.variable("E_CO2_adf").atts.find(_.name == "units").get
+    assert(units.text == "moles/km2/h")
+    // hour 1: the CO2 profile applies, CH4 falls back to 1.0
+    val b1 = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/${files(1)}"))
+    val f1 = NetcdfClassic.readHeader(b1)
+    assert(NetcdfClassic.readVarStrings(b1, f1, "Times") ==
+      Seq("2024-01-01_01:00:00"))
+    assert(NetcdfClassic.readVarDoubles(b1, f1, "E_CO2_adf").toSeq ==
+      Seq(3.0, 6.0, 0.0, 0.0, 0.0, 12.0))
+    assert(NetcdfClassic.readVarDoubles(b1, f1, "E_CH4_adf").toSeq ==
+      Seq(8.0, 0.0, 0.0, 0.0, 0.0, 0.0))
+  }
 }
