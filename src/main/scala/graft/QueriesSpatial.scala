@@ -317,6 +317,26 @@ object QueriesSpatial {
       },
       None),
 
+    // Real-shape country mask (S13): the committed Natural-Earth-style
+    // extract (.shp/.dbf with simplified alpine outlines) through the
+    // byte-level Shapefile reader into polygonMask, joined to the TNO
+    // country_tz table layout — cells per country × timezone offset.
+    Q("q_country_real",
+      (s, _) => {
+        val countries = graft.sources.Shapefile.countryPolygons(
+          s, "/root/repo/fixtures/ne_extract/ne_extract.shp",
+          "/root/repo/fixtures/ne_extract/ne_extract.dbf")
+        // 0.25° cells over the alpine window of the fixture outlines
+        val grid = graft.model.RegularGrid(96, 40, -5.0, 42.0, 0.25, 0.25)
+        val mask = SpatialJoin.polygonMask(s, grid, countries)
+        val tz = graft.sources.CountryTz.read(
+          s, "/root/repo/fixtures/country_tz.csv")
+        mask.groupBy("country").agg(count(lit(1)).as("n_cells"))
+          .join(tz.select(col("iso3").as("country"), col("tz_hours"),
+            col("summertime")), Seq("country"))
+      },
+      None),
+
     // OSM Overpass JSON (utils/osm.py:18-179): node/way/relation
     // resolution with ring stitching and outer/inner roles over the
     // committed fixture; value-level correctness is OsmSpec.

@@ -107,4 +107,23 @@ class ShapefileSpec extends SparkSpec {
     assert(mask(3L * 4 + 3) == "BBB")
     assert(mask.size == 16)
   }
+
+  test("committed NE extract parses: outer rings, ISO_A3 attrs, CW orientation") {
+    val countries = Shapefile.countryPolygons(
+      spark, "fixtures/ne_extract/ne_extract.shp",
+      "fixtures/ne_extract/ne_extract.dbf")
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1).length).toMap
+    assert(countries.keySet == Set("CHE", "AUT", "ITA", "FRA", "LIE"))
+    assert(countries("CHE") == 10 && countries("LIE") == 4)
+  }
+
+  test("country_tz table: comment preamble skipped, padded cells trimmed") {
+    val tz = graft.sources.CountryTz.read(spark, "fixtures/country_tz.csv")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getInt(2), r.getInt(3),
+        r.getInt(4), r.getInt(5)))).toMap
+    assert(tz.size == 6)
+    assert(tz("CHE") == (("Switzerland", 1, 1, 1, 0)))
+    assert(tz("ATL") == (("Atlantic Ocean", 0, 0, 2, 1))) // sea row
+  }
 }
