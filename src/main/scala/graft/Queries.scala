@@ -652,6 +652,35 @@ object Queries {
         |       event_type, count(*) AS n, round(sum(value), 6) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin)),
 
+    // M12 streaming gate: the SAME hourly tumbling-window aggregate, but
+    // executed as a real Structured Streaming query — events.parquet read
+    // through readStream, StreamingOps.hourlyWindows (window() + 2h
+    // watermark), memory sink in Complete mode, drained with
+    // processAllAvailable. The DuckDB oracle is the batch equivalent, so
+    // the incremental execution is hash-verified against it.
+    Q("q_stream_hourly",
+      (s, d) => {
+        // events.parquet is a single file: stream the parent dir with a
+        // glob filter (the streaming file source wants a directory)
+        val schema = s.read.parquet(s"$d/events.parquet").schema
+        val stream = s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(d)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        val windowed = graft.streaming.StreamingOps.hourlyWindows(stream)
+        val mem = "stream_hourly_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        val q = windowed.writeStream
+          .outputMode("complete").format("memory").queryName(mem).start()
+        try { q.processAllAvailable() } finally { q.stop() }
+        s.table(mem).select(
+          date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("event_type"), col("n"),
+          round(col("total_value"), 6).as("total_value"))
+      },
+      Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        |       event_type, count(*) AS n, round(sum(value), 6) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin)),
+
     Q("q_asof_join",
       (s, d) => {
         val ev = events(s, d)
