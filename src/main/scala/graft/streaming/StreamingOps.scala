@@ -111,8 +111,10 @@ object StreamingOps {
     * completeness guaranteed by the watermark instead of batch order.
     *
     * Input: the output of [[hourlyCellWindows]]. Each hour's rows are
-    * grid-sized per variable; the foreachBatch collect is bounded by
-    * hours-per-batch × variables × cells. */
+    * grid-sized per variable; the batch persists once and each collect
+    * pulls ONE hour (≤ variables × cells rows) — a stalled stream that
+    * closes many hours in one batch still never concentrates more than a
+    * single hour on the driver. */
   def hourlyNcSink(
       windowed: DataFrame,
       grid: graft.model.RegularGrid,
@@ -124,13 +126,18 @@ object StreamingOps {
       .ofPattern("yyyyMMdd'T'HHmmss'Z'").withZone(java.time.ZoneOffset.UTC)
     windowed.writeStream
       .outputMode(OutputMode.Append())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val rows = batch
+      .foreachBatch { (batch0: DataFrame, _: Long) =>
+        // per-HOUR collect (the rasterExportNc per-plane pattern): a batch
+        // can close many hours at once after a stall; each collect below
+        // is bounded by vars × cells for ONE hour, never the whole batch.
+        val batch = batch0
           .withColumn("cell_id", col("cell_id").cast("long"))
           .withColumn("total_value", col("total_value").cast("double"))
-          .collect()
-        rows.groupBy(_.getAs[java.sql.Timestamp]("hour")).foreach {
-          case (hourTs, hrRows) =>
+          .persist()
+        val hours = batch.select("hour").distinct().collect()
+          .map(_.getAs[java.sql.Timestamp]("hour"))
+        hours.foreach { hourTs =>
+            val hrRows = batch.where(col("hour") === hourTs).collect()
             val vars = hrRows.map(_.getAs[String]("event_type")).distinct.sorted
             val ncells = grid.ncells.toInt
             val data = vars.map(v => v -> new Array[Double](ncells)).toMap
@@ -149,6 +156,8 @@ object StreamingOps {
               Exports.ncCfAttrs("graft streaming hourly export"),
               dataVars))
         }
+        batch.unpersist()
+        () // foreachBatch wants the Unit-returning overload
       }
   }
 
