@@ -657,7 +657,10 @@ object Queries {
     // through readStream, StreamingOps.hourlyWindows (window() + 2h
     // watermark), memory sink in Complete mode, drained with
     // processAllAvailable. The DuckDB oracle is the batch equivalent, so
-    // the incremental execution is hash-verified against it.
+    // the incremental execution is hash-verified against it. Complete
+    // mode is gate-only (bounded input, re-emits every window): the
+    // production path is Append + watermark into hourlyNcSink, where
+    // state stays watermark-bounded.
     Q("q_stream_hourly",
       (s, d) => {
         // events.parquet is a single file: stream the parent dir with a
