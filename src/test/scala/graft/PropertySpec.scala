@@ -146,4 +146,49 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("property: paragraphDedup accounting and lossless high-threshold pass") {
+    import graft.dedup.Dedup
+    (1 to 4).foreach { round =>
+      val vocab = 5 + round // small vocab forces cross-doc chunk collisions
+      val docs = spark.createDataFrame((0L until 25L).map { i =>
+        val n = 4 + rnd.nextInt(12)
+        (i, Seq.fill(n)(s"w${rnd.nextInt(vocab)}").mkString(" "))
+      }).toDF("doc_id", "text")
+      val chunkWords = 1 + rnd.nextInt(3)
+      val out = Dedup.paragraphDedup(docs, chunkWords, minDocs = 2).collect()
+        .map(r => r.getLong(0) ->
+          ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+      val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      // every doc survives; chunk accounting matches the text length;
+      // clean_text is a subsequence of the original chunks in order
+      assert(out.keySet == texts.keySet)
+      out.foreach { case (id, (clean, nChunks, nDropped)) =>
+        val words = texts(id).split(" ")
+        val expChunks = math.ceil(words.length.toDouble / chunkWords).toLong
+        assert(nChunks == expChunks, s"doc $id")
+        val chunks = words.grouped(chunkWords).map(_.mkString(" ")).toSeq
+        val kept = if (clean.isEmpty) Seq.empty else {
+          // reconstruct kept chunks by matching greedily in order
+          var rest = chunks
+          val keptChunks = scala.collection.mutable.Buffer[String]()
+          var remaining = clean
+          while (remaining.nonEmpty) {
+            val c = rest.find(ch => remaining == ch ||
+              remaining.startsWith(ch + " ")).getOrElse(
+              fail(s"doc $id: '$remaining' not prefixed by any chunk"))
+            keptChunks += c
+            rest = rest.drop(rest.indexOf(c) + 1)
+            remaining = remaining.drop(c.length).stripPrefix(" ")
+          }
+          keptChunks.toSeq
+        }
+        assert(kept.size + nDropped == nChunks, s"doc $id accounting")
+      }
+      // with an impossible minDocs the pass is lossless
+      val lossless = Dedup.paragraphDedup(docs, chunkWords, minDocs = 1000)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(lossless == texts, "minDocs beyond corpus size must keep all text")
+    }
+  }
 }
