@@ -160,6 +160,72 @@ object ScaleBench {
     }
     java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(b10path))
 
+    // B11: OSM-shaped geometry resolution at scale — 2M coordinate
+    // nodes, 200k tagged 10-node ways, 50k tagged relations (2 ways
+    // stitched into a closed ring each) fed to OsmJson.fromElements:
+    // the node-id coordinate join is the corpus-scale shuffle, the
+    // stitch UDF runs per relation (bounded).
+    val nNodes = 2000000L
+    val emptyMembers = typedLit(
+      Seq.empty[(String, Long, String)]).cast(
+      "array<struct<type:string,ref:bigint,role:string>>")
+    val nodeEls = spark.range(nNodes).select(
+      lit("node").as("type"), col("id"),
+      (col("id") % 3600 / 10.0 - 180.0).as("lon"),
+      (col("id") / 3600 % 1700 / 10.0 - 85.0).as("lat"),
+      lit(null).cast("array<bigint>").as("nodes"),
+      emptyMembers.as("members"),
+      lit(null).cast("map<string,string>").as("tags"))
+    val wayBase = 10000000L
+    val wayEls = spark.range(200000).select(
+      lit("way").as("type"), (col("id") + wayBase).as("id"),
+      lit(null).cast("double").as("lon"), lit(null).cast("double").as("lat"),
+      sequence(col("id") * 10, col("id") * 10 + 9).as("nodes"),
+      emptyMembers.as("members"),
+      map(lit("highway"), lit("residential")).as("tags"))
+    // ring ways: relation r uses ring nodes (base, b+1, b+2, b+3, base)
+    val ringWayBase = 20000000L
+    val ringBase = 100000000L
+    val nRel = 50000L
+    val ringNodeEls = spark.range(nRel * 4).select(
+      lit("node").as("type"), (col("id") + ringBase).as("id"),
+      (col("id") % 1000 / 100.0).as("lon"), (col("id") % 997 / 100.0).as("lat"),
+      lit(null).cast("array<bigint>").as("nodes"),
+      emptyMembers.as("members"),
+      lit(null).cast("map<string,string>").as("tags"))
+    val ringWayEls = spark.range(nRel).select(
+      lit("way").as("type"), (col("id") + ringWayBase).as("id"),
+      lit(null).cast("double").as("lon"), lit(null).cast("double").as("lat"),
+      array(col("id") * 4 + ringBase, col("id") * 4 + 1 + ringBase,
+        col("id") * 4 + 2 + ringBase).as("nodes"),
+      emptyMembers.as("members"),
+      lit(null).cast("map<string,string>").as("tags"))
+    val ringWay2Els = spark.range(nRel).select(
+      lit("way").as("type"), (col("id") + ringWayBase + nRel).as("id"),
+      lit(null).cast("double").as("lon"), lit(null).cast("double").as("lat"),
+      array(col("id") * 4 + 2 + ringBase, col("id") * 4 + 3 + ringBase,
+        col("id") * 4 + ringBase).as("nodes"),
+      emptyMembers.as("members"),
+      lit(null).cast("map<string,string>").as("tags"))
+    val relEls = spark.range(nRel).select(
+      lit("relation").as("type"), (col("id") + 30000000L).as("id"),
+      lit(null).cast("double").as("lon"), lit(null).cast("double").as("lat"),
+      lit(null).cast("array<bigint>").as("nodes"),
+      array(
+        struct(lit("way").as("type"), (col("id") + ringWayBase).as("ref"),
+          lit("outer").as("role")),
+        struct(lit("way").as("type"), (col("id") + ringWayBase + nRel).as("ref"),
+          lit("outer").as("role"))).as("members"),
+      map(lit("type"), lit("multipolygon")).as("tags"))
+    val allEls = Seq(nodeEls, wayEls, ringNodeEls, ringWayEls, ringWay2Els, relEls)
+      .reduce(_ unionByName _)
+    val (b11s, b11n) = time {
+      val out = graft.sources.OsmJson.fromElements(allEls)
+        .agg(count(lit(1)), sum(size(col("xs")))).collect()(0).getLong(0)
+      Caching.release()
+      out
+    }
+
     val b1rate = "%.1f".format(src.ncells * 32 / b1s / 1e6)
     val b3rate = "%.1f".format(b3n / b3s / 1e6)
     println(
@@ -170,7 +236,8 @@ object ScaleBench {
         s""""b7_tile_join_sec":$b7s,"b7_pairs":$b7n,""" +
         s""""b8_dist_ingest_sec":$b8s,"b8_files":64,"b8_rows":$b8n,""" +
         s""""b9_conncomp_sec":$b9s,"b9_edges":8000999,"b9_clusters":$b9n,""" +
-        s""""b10_raster_export_sec":$b10s,"b10_file_bytes":$b10n}""")
+        s""""b10_raster_export_sec":$b10s,"b10_file_bytes":$b10n,""" +
+        s""""b11_osm_resolve_sec":$b11s,"b11_parts":$b11n}""")
     spark.stop()
   }
 }

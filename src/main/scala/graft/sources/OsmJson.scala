@@ -115,11 +115,17 @@ object OsmJson {
       lit("}"))
 
   /** Read one Overpass JSON file into geometry-part rows. */
-  def read(spark: SparkSession, path: String): DataFrame = {
-    val elements = spark.read.schema(fileSchema)
+  def read(spark: SparkSession, path: String): DataFrame =
+    fromElements(spark.read.schema(fileSchema)
       .option("multiLine", "true").json(path)
       .select(explode(col("elements")).as("e"))
-      .select(col("e.*"))
+      .select(col("e.*")))
+
+  /** Resolve an element table (schema = [[elementSchema]], however
+    * produced — JSON parse, parquet of a planet extract, …) into
+    * geometry-part rows. This is the scale path: ScaleBench B11 feeds it
+    * millions of synthetic elements directly. */
+  def fromElements(elements: DataFrame): DataFrame = {
     val els = graft.Caching.cache(elements)
 
     val nodeCoords = els.where(col("type") === "node")
