@@ -381,6 +381,22 @@ object QueriesExtra {
       },
       None),
 
+    // No SQL oracle (driver rows-only check): WRF_Grid corner
+    // reconstruction (wrf.py:23-126) over the committed wrfinput fixture;
+    // closed-form corner/area correctness is WrfGridSpec.
+    Q("q_wrf_grid",
+      (s, _) => {
+        val wrf = graft.sources.WrfGrid.read(s, "/root/repo/fixtures/wrfinput.nc")
+        wrf.cells.select(
+          col("cell_id"),
+          round(element_at(col("xs"), 1), 9).as("bl_lon"),
+          round(element_at(col("ys"), 1), 9).as("bl_lat"),
+          round(element_at(col("xs"), 3), 9).as("tr_lon"),
+          round(element_at(col("ys"), 3), 9).as("tr_lat"),
+          round(col("area_km2"), 6).as("area_km2"))
+      },
+      None),
+
     Q("q_interp_anchors_hourly",
       (s, _) => Temporal.interpolateAnchorsToHourly(s,
         s.range(36).select(

@@ -515,6 +515,28 @@ object Exports {
           .as("mole_km2_h"))
   }
 
+  /** [[wrfMoleFlux]] with PER-CELL areas — the reference's
+    * `spatial_conversion = 1e-6 / grid.cell_areas` DataArray
+    * (wrf.py:178-180) for pseudo-regular WRF grids where every cell has
+    * its own projected area. `cellAreasKm2(cell_id, area_km2)` is
+    * grid-sized → broadcast join. */
+  def wrfMoleFluxPerCell(
+      spark: SparkSession,
+      emissions: DataFrame,
+      molarMasses: Seq[(String, Double)],
+      cellAreasKm2: DataFrame): DataFrame = {
+    val dim = spark.createDataFrame(molarMasses).toDF("substance", "molar_mass")
+    val hoursPerYear = 365.25 * 24.0
+    emissions
+      .join(broadcast(dim), "substance")
+      .join(broadcast(cellAreasKm2.select(col("cell_id"), col("area_km2"))),
+        "cell_id")
+      .select(
+        col("cell_id"), col("category"), col("substance"),
+        (col("value") * (lit(1000.0) / col("molar_mass")) / col("area_km2") /
+          hoursPerYear).as("mole_km2_h"))
+  }
+
   /** K4 full form — WRF-chemi hourly files (reference
     * `export_wrf_hourly_emissions`, emiproc/exports/wrf.py:129-240):
     * one `wrfchemi_d01_<yyyy-MM-dd_HH:mm:ss>` NetCDF per hour holding a
@@ -540,18 +562,55 @@ object Exports {
       startTs: String,
       hours: Int,
       outDir: String,
-      variableName: String = "E_{substance}_{category}"): Seq[String] = {
-    val cellAreaKm2 = grid.cellArea * 1e-6
-    val agg = wrfMoleFlux(spark, emissions, molarMasses, cellAreaKm2)
+      variableName: String = "E_{substance}_{category}"): Seq[String] =
+    wrfChemiWrite(spark,
+      wrfMoleFlux(spark, emissions, molarMasses, grid.cellArea * 1e-6),
+      grid.nx, grid.ny, scalingFactors, startTs, hours, outDir, variableName,
+      ncCfAttrs("graft wrfchemi export"))
+
+  /** The same export on a TRUE WRF grid read from a `wrfinput` file:
+    * per-cell areas from the reconstructed corner polygons (the
+    * reference's `1e-6 / grid.cell_areas` DataArray, wrf.py:178-180) and
+    * the wrfinput global attribute block propagated onto every output
+    * file (wrf.py:219 `assign_attrs(grid.attributes)`). */
+  def wrfChemiExport(
+      spark: SparkSession,
+      emissions: DataFrame,
+      wrf: graft.sources.WrfGrid.WrfGridData,
+      molarMasses: Seq[(String, Double)],
+      scalingFactors: DataFrame,
+      startTs: String,
+      hours: Int,
+      outDir: String,
+      variableName: String): Seq[String] =
+    wrfChemiWrite(spark,
+      wrfMoleFluxPerCell(spark, emissions, molarMasses,
+        wrf.cells.select(col("cell_id"), col("area_km2"))),
+      wrf.nx, wrf.ny, scalingFactors, startTs, hours, outDir, variableName,
+      wrf.atts.map { case (n, v) => textAtt(n, v) } :+
+        textAtt("emiproc", "graft wrfchemi export"))
+
+  private def wrfChemiWrite(
+      spark: SparkSession,
+      mole: DataFrame,
+      nx: Int,
+      ny: Int,
+      scalingFactors: DataFrame,
+      startTs: String,
+      hours: Int,
+      outDir: String,
+      variableName: String,
+      gatts: Seq[NcAtt]): Seq[String] = {
+    val agg = mole
       .groupBy("cell_id", "category", "substance")
       .agg(sum("mole_km2_h").as("v"))
       .persist()
     val pairs = agg.select("category", "substance").distinct().collect()
       .map(r => (r.getString(0), r.getString(1))).sortBy(p => (p._2, p._1))
-    val ncell = grid.ny * grid.nx
+    val ncell = ny * nx
     def flat(cid: Long): Int = {
-      val ix = (cid / grid.ny).toInt; val iy = (cid % grid.ny).toInt
-      iy * grid.nx + ix
+      val ix = (cid / ny).toInt; val iy = (cid % ny).toInt
+      iy * nx + ix
     }
     val planes = pairs.map { case (c, s) =>
       val arr = new Array[Double](ncell)
@@ -573,7 +632,7 @@ object Exports {
       startTs, java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
     val dims = Seq(
       NcDim("Time", 1), NcDim("emissions_zdim", 1),
-      NcDim("south_north", grid.ny), NcDim("west_east", grid.nx),
+      NcDim("south_north", ny), NcDim("west_east", nx),
       NcDim("DateStrLen", 19))
     (0 until hours).map { h =>
       val ts = fmt.format(t0.plusHours(h.toLong))
@@ -592,7 +651,7 @@ object Exports {
         graft.sources.NetcdfClassic.NcChar, strings = Seq(ts))
       val fname = s"wrfchemi_d01_$ts"
       writeBytes(s"$outDir/$fname", NetcdfWriter.write(
-        dims, ncCfAttrs("graft wrfchemi export") :+ textAtt("unit", "moles/km2/h"),
+        dims, gatts :+ textAtt("unit", "moles/km2/h"),
         (timesVar +: dataVars).toSeq))
       fname
     }

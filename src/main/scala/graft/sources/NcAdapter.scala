@@ -16,6 +16,8 @@ trait NcAdapter {
   def hasVar(name: String): Boolean
   /** text attribute of a variable, "" when absent */
   def attText(variable: String, att: String): String
+  /** global (file-level) attributes as (name, text) */
+  def globalAtts: Seq[(String, String)]
   /** full variable as row-major doubles */
   def doubles(name: String): Array[Double]
   /** variable shape (record dim resolved), without reading the data */
@@ -38,6 +40,7 @@ object NcAdapter {
     def attText(variable: String, att: String): String =
       f.vars.find(_.name == variable)
         .flatMap(_.atts.find(_.name == att)).map(_.text).getOrElse("")
+    def globalAtts: Seq[(String, String)] = f.gatts.map(a => a.name -> a.text)
     def doubles(name: String): Array[Double] = readVarDoubles(bytes, f, name)
     def shape(name: String): Seq[Int] = f.shape(f.variable(name))
     def strings(name: String): Seq[String] = readVarStrings(bytes, f, name)
@@ -50,6 +53,8 @@ object NcAdapter {
     def hasVar(name: String): Boolean = names.contains(name)
     def attText(variable: String, att: String): String =
       h5.attributes(s"/$variable").find(_.name == att).map(_.text).getOrElse("")
+    def globalAtts: Seq[(String, String)] =
+      h5.attributes("/").map(a => a.name -> a.text)
     def doubles(name: String): Array[Double] = h5.readDataset(s"/$name").data
     def shape(name: String): Seq[Int] = h5.datasetDims(s"/$name")
     def strings(name: String): Seq[String] = {
