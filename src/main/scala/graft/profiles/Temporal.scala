@@ -93,6 +93,27 @@ object Temporal {
     case other => throw new IllegalArgumentException(s"unknown kind: $other")
   }
 
+  /** SpecificDay name → pandas day numbers, Monday = 0 (reference
+    * emiproc/profiles/temporal/specific_days.py:5-98: the 7 day names
+    * plus the WEEKDAY (Mon–Fri), WEEKDAY_4 (Mon–Thu) and WEEKEND
+    * (Sat–Sun) groups). Callers expand a grouped SpecificDayProfile into
+    * the per-dow rows [[compositeScalingFactors]]'s `specificDaily`
+    * table expects. */
+  def specificDays(name: String): Seq[Int] = name.toLowerCase match {
+    case "monday" => Seq(0)
+    case "tuesday" => Seq(1)
+    case "wednesday" => Seq(2)
+    case "thursday" => Seq(3)
+    case "friday" => Seq(4)
+    case "saturday" => Seq(5)
+    case "sunday" => Seq(6)
+    case "weekday" => 0 to 4
+    case "weekday_4" => 0 to 3
+    case "weekend" => Seq(5, 6)
+    case other =>
+      throw new IllegalArgumentException(s"unknown specific day: $other")
+  }
+
   /** T2 (general form) + T4 — composite scaling factors over an ARBITRARY
     * kind set with missing-kind = 1.0 product semantics (reference
     * `get_scaling_factors_at_time`, emiproc/profiles/temporal/

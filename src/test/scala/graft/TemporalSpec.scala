@@ -129,6 +129,33 @@ class TemporalSpec extends SparkSpec {
     assert(after == 12.0 * 24)
   }
 
+  test("specificDays groups match the reference enum") {
+    assert(Temporal.specificDays("monday") == Seq(0))
+    assert(Temporal.specificDays("SUNDAY") == Seq(6))
+    assert(Temporal.specificDays("weekday") == (0 to 4))
+    assert(Temporal.specificDays("weekday_4") == (0 to 3))
+    assert(Temporal.specificDays("weekend") == Seq(5, 6))
+    intercept[IllegalArgumentException] { Temporal.specificDays("holiday") }
+  }
+
+  test("grouped specific-day profile overrides all its days in the composite") {
+    // a WEEKEND-grouped daily override expands to dows 5 and 6
+    val daily = spark.range(24).select(
+      col("id").cast("int").as("pos"), lit(1.0 / 24.0).as("ratio"))
+    val weekendRows = Temporal.specificDays("weekend")
+    val sd = spark.createDataFrame(
+      weekendRows.flatMap(d => (0 until 24).map(h => (d, h, 2.0 / 24.0))))
+      .toDF("dow", "pos", "ratio")
+    // 2023-01-07 Sat, 2023-01-08 Sun, 2023-01-09 Mon
+    val sf = Temporal.compositeScalingFactors(spark,
+      "2023-01-07 12:00:00", 49, Seq("hour_of_day" -> daily),
+      specificDaily = Some(sd))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(sf(0) == 2.0) // Saturday noon: override
+    assert(sf(24) == 2.0) // Sunday noon: override
+    assert(sf(48) == 1.0) // Monday noon: base profile
+  }
+
   test("hour_of_week kinds: position = hour + 24·dow (+ 168·month0)") {
     // 2023-02-15 was a Wednesday (dow0 = 2), month0 = 1
     val expectedHow = 2 * 24 + 13
