@@ -11,6 +11,12 @@ object RunOne {
     val reps = if (args.length > 2) args(2).toInt else 3
     val spark = GraftSession.build(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     val fn = SparkEntry.queries(name)
+    if (sys.env.get("SPARK_GRAFT_EXPLAIN").contains("1")) {
+      println(s"[runone] $name plan:")
+      println(fn(spark, sfDir).queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+      Caching.release()
+    }
     (1 to reps).foreach { i =>
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).count()
