@@ -381,6 +381,57 @@ object QueriesExtra {
       },
       None),
 
+    // No SQL oracle (driver rows-only checks): REAL multimodal decode on
+    // the JDK's own codecs over committed fixtures — DuckDB has no image/
+    // audio reader. Value-level correctness is JvmMediaSpec (known dims,
+    // hash equality of identical files, sine RMS closed form).
+
+    // PNG decode: binaryFile scan -> mapPartitions ImageIO decode ->
+    // dims + perceptual hashes + luminance stats.
+    Q("q_image_decode",
+      (s, _) => {
+        val media = s.read.format("binaryFile")
+          .option("pathGlobFilter", "*.png")
+          .load("/root/repo/fixtures/images")
+          .select(
+            regexp_extract(col("path"), "img_(\\d+)", 1).cast("long").as("doc_id"),
+            col("content").as("payload"))
+        graft.multimodal.JvmMedia.decodeImages(s, media).toDF()
+          .select(col("doc_id"), col("width"), col("height"),
+            col("a_hash"), col("d_hash"), round(col("mean_lum"), 6).as("mean_lum"))
+      },
+      None),
+
+    // Image near-dup: dHash 16-bit band join + exact Hamming verify —
+    // the image analogue of the text MinHash->LSH pipeline.
+    Q("q_image_neardup",
+      (s, _) => {
+        val media = s.read.format("binaryFile")
+          .option("pathGlobFilter", "*.png")
+          .load("/root/repo/fixtures/images")
+          .select(
+            regexp_extract(col("path"), "img_(\\d+)", 1).cast("long").as("doc_id"),
+            col("content").as("payload"))
+        graft.multimodal.JvmMedia.imageNearDups(
+          graft.multimodal.JvmMedia.decodeImages(s, media).toDF(), maxHamming = 3)
+      },
+      None),
+
+    // RIFF/WAVE PCM parse: rate, duration, RMS of the committed tone.
+    Q("q_wav_decode",
+      (s, _) => {
+        val media = s.read.format("binaryFile")
+          .option("pathGlobFilter", "*.wav")
+          .load("/root/repo/fixtures/audio")
+          .select(lit(0L).as("doc_id"), col("content").as("payload"))
+        graft.multimodal.JvmMedia.decodeWavs(s, media).toDF()
+          .select(col("doc_id"), col("sample_rate"), col("channels"),
+            col("bits"), col("n_samples"),
+            round(col("duration_s"), 6).as("duration_s"),
+            round(col("rms"), 6).as("rms"))
+      },
+      None),
+
     // No SQL oracle (driver rows-only check): WRF_Grid corner
     // reconstruction (wrf.py:23-126) over the committed wrfinput fixture;
     // closed-form corner/area correctness is WrfGridSpec.

@@ -1,0 +1,210 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** REAL multimodal decode kernels on the JDK's own codecs — no external
+  * libraries: `javax.imageio` (PNG/JPEG/BMP/GIF) and the RIFF/WAVE PCM
+  * layout (hand-parsed; `javax.sound` would also read it). This replaces
+  * [[Multimodal.FakeCodec]] for every format the JDK can decode; video
+  * stays behind the documented stub (no JVM-built-in codec).
+  *
+  * Reference surface: the training-data pipeline's image dedup /
+  * preprocess stages (decode → perceptual hash → near-dup band join →
+  * resize), the same shape as the text MinHash path ([[graft.dedup.Dedup]])
+  * with dHash bands in place of minhash bands.
+  *
+  * Scale design: decode runs in `mapPartitions` (one codec context per
+  * partition, rows streamed); hashes/features are a few doubles per image
+  * — the heavy payload column never shuffles. Near-dup candidates come
+  * from a band join on 16-bit slices of the 64-bit dHash (Hamming ≤ 3
+  * per 4-band pigeonhole ⇒ at least one identical band), verified by
+  * exact Hamming distance — fan-out is band-bucket occupancy, corpus².
+  */
+object JvmMedia {
+
+  final case class ImageRow(
+      doc_id: Long,
+      width: Int,
+      height: Int,
+      a_hash: Long,
+      d_hash: Long,
+      mean_lum: Double,
+      hist: Array[Double])
+
+  final case class WavRow(
+      doc_id: Long,
+      sample_rate: Int,
+      channels: Int,
+      bits: Int,
+      n_samples: Int,
+      duration_s: Double,
+      rms: Double)
+
+  // ---- pure kernels (bytes in, numbers out — unit-testable off-Spark)
+
+  def readImage(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(img != null, "undecodable image payload")
+    img
+  }
+
+  /** Nearest-neighbor luminance downsample to (w, h) — deterministic
+    * across JVMs (no Graphics2D filtering involved). */
+  def grayDownsample(
+      img: java.awt.image.BufferedImage, w: Int, h: Int): Array[Double] = {
+    val out = new Array[Double](w * h)
+    var y = 0
+    while (y < h) {
+      val sy = y * img.getHeight / h
+      var x = 0
+      while (x < w) {
+        val sx = x * img.getWidth / w
+        val rgb = img.getRGB(sx, sy)
+        val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+        out(y * w + x) = 0.299 * r + 0.587 * g + 0.114 * b
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Average hash: 8×8 gray, bit set where pixel > mean. */
+  def aHash(img: java.awt.image.BufferedImage): Long = {
+    val px = grayDownsample(img, 8, 8)
+    val mean = px.sum / 64.0
+    px.zipWithIndex.foldLeft(0L) { case (acc, (v, i)) =>
+      if (v > mean) acc | (1L << i) else acc
+    }
+  }
+
+  /** Difference hash: 9×8 gray, bit set where left < right neighbor. */
+  def dHash(img: java.awt.image.BufferedImage): Long = {
+    val px = grayDownsample(img, 9, 8)
+    var acc = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (px(y * 9 + x) < px(y * 9 + x + 1)) acc |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    acc
+  }
+
+  /** 8-bin luminance histogram, normalized. */
+  def lumHistogram(img: java.awt.image.BufferedImage): Array[Double] = {
+    val hist = new Array[Double](8)
+    val px = grayDownsample(img, math.min(img.getWidth, 64),
+      math.min(img.getHeight, 64))
+    px.foreach(v => hist(math.min(7, (v / 32).toInt)) += 1.0)
+    hist.map(_ / px.length)
+  }
+
+  /** Nearest-neighbor resize re-encoded as PNG (deterministic bytes for a
+    * given JDK encoder — the preprocessing op of an image pipeline). */
+  def resizePng(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val src = readImage(bytes)
+    val dst = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      val sy = y * src.getHeight / h
+      var x = 0
+      while (x < w) {
+        dst.setRGB(x, y, src.getRGB(x * src.getWidth / w, sy))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(dst, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Minimal RIFF/WAVE PCM parser (the public WAV layout: RIFF header,
+    * `fmt ` chunk with rate/channels/bits, `data` chunk with interleaved
+    * little-endian PCM). */
+  def parseWav(bytes: Array[Byte]): (Int, Int, Int, Array[Double]) = {
+    val b = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    require(bytes.length > 44 && new String(bytes, 0, 4, "ASCII") == "RIFF" &&
+      new String(bytes, 8, 4, "ASCII") == "WAVE", "not a RIFF/WAVE file")
+    var pos = 12
+    var rate = 0; var channels = 0; var bits = 0
+    var samples: Array[Double] = null
+    while (pos + 8 <= bytes.length) {
+      val id = new String(bytes, pos, 4, "ASCII")
+      val size = b.getInt(pos + 4)
+      if (id == "fmt ") {
+        channels = b.getShort(pos + 10)
+        rate = b.getInt(pos + 12)
+        bits = b.getShort(pos + 22)
+      } else if (id == "data") {
+        require(bits == 16, s"only PCM s16le supported, got $bits-bit")
+        val n = size / 2
+        samples = Array.tabulate(n)(i => b.getShort(pos + 8 + 2 * i) / 32768.0)
+      }
+      pos += 8 + size + (size & 1)
+    }
+    require(rate > 0 && samples != null, "missing fmt/data chunk")
+    (rate, channels, bits, samples)
+  }
+
+  // ---- Spark stages
+
+  /** Decode stage over (doc_id, payload) image rows: one pass, narrow. */
+  def decodeImages(spark: SparkSession, media: DataFrame): Dataset[ImageRow] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val img = readImage(bytes)
+        ImageRow(id, img.getWidth, img.getHeight, aHash(img), dHash(img),
+          grayDownsample(img, 8, 8).sum / 64.0, lumHistogram(img))
+      })
+  }
+
+  /** Image near-duplicate pairs: 4×16-bit dHash band join (pigeonhole:
+    * Hamming ≤ 3 guarantees a shared band) + exact Hamming verify. */
+  def imageNearDups(decoded: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val bands = decoded.select(col("doc_id"), col("d_hash"))
+      .select(col("doc_id"), col("d_hash"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("band_key", expr("(d_hash >> (band * 16)) & 65535"))
+    val pairs = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.d_hash").as("h_a"), col("b.d_hash").as("h_b"))
+      .distinct()
+    pairs
+      .withColumn("hamming", expr("bit_count(h_a ^ h_b)"))
+      .where(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
+  /** Resize stage: payload → resized PNG payload, narrow mapPartitions. */
+  def resizeImages(
+      spark: SparkSession, media: DataFrame, w: Int, h: Int): DataFrame = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => (id, resizePng(bytes, w, h)) })
+      .toDF("doc_id", "payload")
+  }
+
+  /** Decode stage over (doc_id, payload) WAV rows. */
+  def decodeWavs(spark: SparkSession, media: DataFrame): Dataset[WavRow] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val (rate, channels, bits, samples) = parseWav(bytes)
+        val n = samples.length / math.max(1, channels)
+        val rms = math.sqrt(samples.map(s => s * s).sum / math.max(1, samples.length))
+        WavRow(id, rate, channels, bits, n, n.toDouble / rate, rms)
+      })
+  }
+}

@@ -7,14 +7,14 @@ import org.apache.spark.sql.functions._
   * `BinaryType` columns with typed metadata, plus decode / feature-extract
   * / frame-sample stages.
   *
-  * The real decode kernels (JPEG/PNG/audio codecs) are NOT available in
-  * this environment — [[FakeCodec]] is a clearly-marked deterministic STUB
-  * standing in for them. Everything around the stub is real and tested:
-  * the schema contract, the typed `Dataset` batch shape, the
-  * `mapPartitions` execution pattern (one codec instance per partition —
-  * the Scala analogue of a Pandas-UDF `mapInPandas` batch), and the
-  * partitioning story (payloads hash-partition by id; feature extraction
-  * is narrow, shuffle-free).
+  * REAL decode lives in [[JvmMedia]] (JDK-built-in codecs: PNG/JPEG/BMP/
+  * GIF via javax.imageio, RIFF/WAVE PCM) — perceptual hashes, near-dup
+  * band join, resize, audio stats, all gate-checked over committed
+  * fixtures. [[FakeCodec]] remains ONLY for formats with no JVM-built-in
+  * codec (video frame decode): a clearly-marked deterministic stub whose
+  * surrounding contract — schema, typed `Dataset` batch shape, the
+  * `mapPartitions` one-codec-per-partition pattern, narrow shuffle-free
+  * feature extraction — is identical to the real [[JvmMedia]] stages.
   */
 object Multimodal {
 

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.multimodal.JvmMedia
+import graft.sources.LoaderFixtures
+
+/** Real JDK-codec multimodal path: PNG decode, perceptual hashes,
+  * near-dup band join, resize, WAV PCM parse. */
+class JvmMediaSpec extends SparkSpec {
+
+  private def mediaDf(files: Seq[(Long, Array[Byte])]) =
+    spark.createDataFrame(files).toDF("doc_id", "payload")
+
+  private lazy val images = mediaDf(
+    LoaderFixtures.imageFiles.zipWithIndex.map { case ((_, b), i) => (i.toLong, b) })
+
+  test("decodeImages: real PNG dims, identical images share hashes") {
+    val rows = JvmMedia.decodeImages(spark, images).collect()
+      .map(r => r.doc_id -> r).toMap
+    assert(rows.values.forall(r => r.width == 32 && r.height == 24))
+    // img_0 and img_5 are byte-identical
+    assert(rows(0L).a_hash == rows(5L).a_hash)
+    assert(rows(0L).d_hash == rows(5L).d_hash)
+    assert(rows(0L).mean_lum == rows(5L).mean_lum)
+    // different seeds give different hashes
+    assert(rows(0L).d_hash != rows(2L).d_hash)
+    assert(rows(0L).hist.sum > 0.999 && rows(0L).hist.sum < 1.001)
+  }
+
+  test("imageNearDups: copy families found, distinct seeds are far apart") {
+    val decoded = JvmMedia.decodeImages(spark, images).toDF()
+    val pairs = JvmMedia.imageNearDups(decoded, maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs.contains((0L, 5L)) && pairs((0L, 5L)) == 0) // exact copy
+    assert(pairs.contains((0L, 1L))) // one hot pixel
+    assert(pairs.contains((2L, 3L)))
+    // no cross-family pair
+    assert(!pairs.keys.exists { case (a, b) =>
+      Set(a, b).subsetOf(Set(0L, 1L, 5L, 2L, 3L)) &&
+        Set(a, b).intersect(Set(0L, 1L, 5L)).nonEmpty &&
+        Set(a, b).intersect(Set(2L, 3L)).nonEmpty
+    })
+    assert(!pairs.keys.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("resizeImages emits decodable PNGs at the target size") {
+    val out = JvmMedia.resizeImages(spark, images.limit(2), 8, 6).collect()
+    out.foreach { r =>
+      val img = JvmMedia.readImage(r.getAs[Array[Byte]](1))
+      assert(img.getWidth == 8 && img.getHeight == 6)
+    }
+  }
+
+  test("parseWav: rate, duration and sine RMS of the committed tone") {
+    val wav = mediaDf(Seq((7L, LoaderFixtures.wavBytes)))
+    val row = JvmMedia.decodeWavs(spark, wav).collect()(0)
+    assert(row.sample_rate == 8000 && row.channels == 1 && row.bits == 16)
+    assert(row.n_samples == 4000)
+    assert(math.abs(row.duration_s - 0.5) < 1e-12)
+    assert(math.abs(row.rms - 0.5 / math.sqrt(2.0)) < 1e-3)
+  }
+
+  test("non-image payload fails loudly, not silently") {
+    intercept[org.apache.spark.SparkException] {
+      JvmMedia.decodeImages(spark,
+        mediaDf(Seq((1L, Array[Byte](1, 2, 3))))).collect()
+    }
+  }
+}
