@@ -381,6 +381,42 @@ object QueriesExtra {
       },
       None),
 
+    // No SQL oracle (driver rows-only check): the DuckDB-export inventory
+    // loader (zurich/duck.py semantics over duckdb's parquet EXPORT
+    // DATABASE form) — fixture tables written by Spark at query time
+    // (parquet bytes aren't committable across writer versions), then
+    // read back through the WKB codec; value-level correctness is
+    // DuckInventorySpec.
+    Q("q_duck_inventory",
+      (s, d) => {
+        import graft.sources.Wkb
+        val dir = java.nio.file.Files.createTempDirectory("duckinv").toString
+        val nat = nation(s, d).limit(10).collect()
+        val traffic = s.createDataFrame(nat.map { r =>
+          val k = r.getAs[Number]("n_nationkey").longValue()
+          val x = (k % 5).toDouble
+          (if (k % 3 == 0) 2022 else 2023,
+            Wkb.encodePolygon(Seq((Array(x, x + 2, x + 2, x, x),
+              Array(0.0, 0.0, 1.0, 1.0, 0.0)))),
+            (k + 1).toDouble,
+            if (k % 2 == 0) Double.box((k + 1) / 2.0)
+            else null.asInstanceOf[java.lang.Double])
+        }.toSeq).toDF("jahr", "geom", "emission_co2", "emission_nox")
+        traffic.write.mode("overwrite").parquet(s"$dir/traffic.parquet")
+        val pts = s.createDataFrame(nat.map { r =>
+          val k = r.getAs[Number]("n_nationkey").longValue()
+          (2023, Wkb.encodePoint(k.toDouble, k.toDouble), k * 2.0)
+        }.toSeq).toDF("jahr", "geom", "emission_ch4")
+        pts.write.mode("overwrite").parquet(s"$dir/heating.parquet")
+        pts.write.mode("overwrite").parquet(s"$dir/heating_ef.parquet")
+        val inv = graft.sources.DuckInventory.read(s, dir, year = 2023)
+        inv.emissions.join(inv.geoms, Seq("category", "source_id"))
+          .groupBy("category", "substance", "kind")
+          .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("total"),
+            sum(size(col("xs"))).as("n_vertices"))
+      },
+      None),
+
     // No SQL oracle (driver rows-only checks): REAL multimodal decode on
     // the JDK's own codecs over committed fixtures — DuckDB has no image/
     // audio reader. Value-level correctness is JvmMediaSpec (known dims,

@@ -681,9 +681,16 @@ object Exports {
       col("xmax"), lit(" "), col("ymax"), lit(", "),
       col("xmin"), lit(" "), col("ymax"), lit(", "),
       col("xmin"), lit(" "), col("ymin"), lit("))"))
+    // geometry both ways: WKT for humans/engines without binary geo, WKB
+    // (the actual GeoParquet encoding) via the byte-level Wkb codec
+    val wkbUdf = udf((x0: Double, y0: Double, x1: Double, y1: Double) =>
+      graft.sources.Wkb.encodePolygon(Seq((
+        Array(x0, x1, x1, x0, x0), Array(y0, y0, y1, y1, y0)))))
     val out = emissions
       .join(cells, "cell_id")
       .withColumn("geometry_wkt", wkt)
+      .withColumn("geometry",
+        wkbUdf(col("xmin"), col("ymin"), col("xmax"), col("ymax")))
     path.foreach(p => out.write.mode("overwrite").parquet(p))
     out
   }

@@ -112,6 +112,11 @@ class IoSpec extends SparkSpec {
     assert(out.getAs[String]("geometry_wkt") ==
       "POLYGON((0.0 0.0, 2.0 0.0, 2.0 2.0, 0.0 2.0, 0.0 0.0))")
     assert(out.getAs[Double]("xmax") == 2.0)
+    // the WKB column decodes back to the same box (GeoParquet encoding)
+    val g = graft.sources.Wkb.decode(out.getAs[Array[Byte]]("geometry"))
+    assert(g.kind == "polygon")
+    assert(g.parts.head.xs.toSeq == Seq(0.0, 2.0, 2.0, 0.0, 0.0))
+    assert(g.parts.head.ys.toSeq == Seq(0.0, 0.0, 2.0, 2.0, 0.0))
   }
 
   test("multimodal decode stub: typed mapPartitions batch shape + features") {
