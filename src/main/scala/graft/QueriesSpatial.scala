@@ -348,6 +348,27 @@ object QueriesSpatial {
           round(element_at(col("ys"), 1), 6).as("y0")),
       None),
 
+    // EDGAR auxiliary temporal profiles (edgar/temporal.py:26-171):
+    // weekly factors + the hour-of-week-per-month composition with
+    // per-country weekend-day routing, over committed CSV fixtures.
+    Q("q_edgar_profiles",
+      (s, _) => {
+        val dir = "/root/repo/fixtures/edgar_profiles"
+        val weekly = graft.sources.EdgarProfiles.weeklyProfiles(s, dir)
+          .select(lit("weekly").as("kind"), col("country"), col("category"),
+            col("dow0").cast("long").as("pos"), col("ratio"))
+        val howm = graft.sources.EdgarProfiles
+          .hourOfWeekPerMonthProfiles(s, dir)
+          .select(lit("howm").as("kind"), col("country"), col("category"),
+            col("pos").cast("long").as("pos"), col("ratio"))
+        weekly.unionByName(howm)
+          .groupBy("kind", "country", "category")
+          .agg(count(lit(1)).as("n_pos"),
+            round(sum("ratio"), 6).as("ratio_sum"),
+            round(max("ratio"), 9).as("ratio_max"))
+      },
+      None),
+
     // EDGAR v8 directory (edgar/edgarv8.py:32-137) through the
     // DISTRIBUTED one-task-per-file read — the 100 TB ingestion path.
     Q("q_edgar_dir",
