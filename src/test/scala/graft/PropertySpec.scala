@@ -147,6 +147,72 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: WKB round-trips random multi-ring polygons bit-exactly") {
+    import graft.sources.Wkb
+    (1 to 8).foreach { _ =>
+      val nPolys = 1 + rnd.nextInt(3)
+      val polys = Seq.fill(nPolys) {
+        val nRings = 1 + rnd.nextInt(3)
+        Seq.fill(nRings) {
+          val n = 3 + rnd.nextInt(6)
+          val xs = Array.fill(n)(rnd.nextDouble() * 360 - 180)
+          val ys = Array.fill(n)(rnd.nextDouble() * 180 - 90)
+          (xs :+ xs.head, ys :+ ys.head) // close the ring
+        }
+      }
+      val g = Wkb.decode(Wkb.encodeMultiPolygon(polys))
+      assert(g.kind == "multipolygon")
+      val got = g.parts.map(p => (p.part, p.ring, p.xs.toSeq, p.ys.toSeq))
+      val want = polys.zipWithIndex.flatMap { case (rings, pi) =>
+        rings.zipWithIndex.map { case ((xs, ys), ri) =>
+          (pi, ri, xs.toSeq, ys.toSeq)
+        }
+      }
+      assert(got == want)
+    }
+  }
+
+  test("property: OSM stitcher reassembles a segmented ring under reversals") {
+    import graft.sources.OsmJson
+    (1 to 10).foreach { _ =>
+      val n = 6 + rnd.nextInt(10)
+      val ringNodes = (0 until n).map(i => 100L + i) :+ 100L // closed
+      // cut into consecutive segments of >= 2 nodes (shared endpoints)
+      val cuts = (1 until n).filter(_ => rnd.nextBoolean()).take(3).sorted
+      val bounds = (0 +: cuts :+ n).distinct
+      val segments = bounds.sliding(2).map { case Seq(a, b) =>
+        ringNodes.slice(a, b + 1)
+      }.toSeq
+      // randomly reverse segments after the first (the stitcher matches
+      // either endpoint and reverses as needed, osm.py:105-133)
+      val ways = segments.head +: segments.tail.map(s =>
+        if (rnd.nextBoolean()) s.reverse else s)
+      val json =
+        ("""{"elements": [""" +
+          ringNodes.distinct.map(id =>
+            s"""{"type": "node", "id": $id, "lon": ${(id % 37) / 10.0}, "lat": ${(id % 23) / 10.0}}""")
+            .mkString(",") + "," +
+          ways.zipWithIndex.map { case (w, i) =>
+            s"""{"type": "way", "id": ${500 + i}, "nodes": [${w.mkString(",")}]}"""
+          }.mkString(",") + "," +
+          s"""{"type": "relation", "id": 900, "members": [""" +
+          ways.indices.map(i =>
+            s"""{"type": "way", "ref": ${500 + i}, "role": "outer"}""")
+            .mkString(",") +
+          """], "tags": {"type": "multipolygon"}}]}""")
+      val dir = java.nio.file.Files.createTempDirectory("osmprop")
+      val p = dir.resolve("ring.json")
+      java.nio.file.Files.write(p, json.getBytes("UTF-8"))
+      val parts = OsmJson.read(spark, p.toString).collect()
+      Caching.release()
+      assert(parts.length == 1, s"segments=$segments ways=$ways")
+      val r = parts.head
+      assert(r.getString(6) == "polygon")
+      // the ring visits every node exactly once plus the closing vertex
+      assert(r.getSeq[Double](7).length == n + 1)
+    }
+  }
+
   test("property: paragraphDedup accounting and lossless high-threshold pass") {
     import graft.dedup.Dedup
     (1 to 4).foreach { round =>
