@@ -167,12 +167,30 @@ object JvmMedia {
   }
 
   /** Image near-duplicate pairs: 4×16-bit dHash band join (pigeonhole:
-    * Hamming ≤ 3 guarantees a shared band) + exact Hamming verify. */
-  def imageNearDups(decoded: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val bands = decoded.select(col("doc_id"), col("d_hash"))
+    * Hamming ≤ 3 guarantees a shared band) + exact Hamming verify.
+    *
+    * `maxBucketSize` caps degenerate buckets exactly like the text path
+    * ([[graft.dedup.Dedup.lshCandidatePairs]]): a corpus of near-black
+    * thumbnails shares one dHash and would otherwise explode the
+    * self-join quadratically; buckets above the cap are dropped. 0 = no
+    * cap. */
+  def imageNearDups(
+      decoded: DataFrame,
+      maxHamming: Int = 3,
+      maxBucketSize: Int = 0): DataFrame = {
+    val bands0 = decoded.select(col("doc_id"), col("d_hash"))
       .select(col("doc_id"), col("d_hash"),
         explode(sequence(lit(0), lit(3))).as("band"))
       .withColumn("band_key", expr("(d_hash >> (band * 16)) & 65535"))
+    val bands =
+      if (maxBucketSize <= 0) bands0
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("band", "band_key")
+        bands0.withColumn("_bsz", count(lit(1)).over(w))
+          .where(col("_bsz") <= maxBucketSize)
+          .drop("_bsz")
+      }
     val pairs = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") &&

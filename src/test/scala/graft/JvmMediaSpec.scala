@@ -43,6 +43,23 @@ class JvmMediaSpec extends SparkSpec {
     assert(!pairs.keys.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("imageNearDups bucket cap drops a degenerate identical-image flood") {
+    // 8 byte-identical images (one giant dHash bucket) + one near-dup
+    // pair; seeds 2 and 5 are dHash-far (the seed term is a near-constant
+    // shift, so SOME seed pairs collide — 1/2/5 are verified-far in the
+    // fixture family test above)
+    val flood = (0L until 8L).map(i => (i, LoaderFixtures.pngBytes(2)))
+    val pair = Seq(
+      (100L, LoaderFixtures.pngBytes(5)),
+      (101L, LoaderFixtures.pngBytes(5, hot = Seq((5, 5)))))
+    val decoded = JvmMedia.decodeImages(spark, mediaDf(flood ++ pair)).toDF()
+    val uncapped = JvmMedia.imageNearDups(decoded).collect()
+    assert(uncapped.length == 8 * 7 / 2 + 1)
+    val capped = JvmMedia.imageNearDups(decoded, maxBucketSize = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((100L, 101L))) // flood dropped, real pair kept
+  }
+
   test("resizeImages emits decodable PNGs at the target size") {
     val out = JvmMedia.resizeImages(spark, images.limit(2), 8, 6).collect()
     out.foreach { r =>
