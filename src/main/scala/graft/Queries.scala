@@ -684,6 +684,55 @@ object Queries {
         |       event_type, count(*) AS n, round(sum(value), 6) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin)),
 
+    // M21 streaming near-dup gate (rows-only): the stateful LSH candidate
+    // stream over documents read as a stream — row-local signatures,
+    // flatMapGroupsWithState keyed by band bucket. Deterministic on
+    // bounded input: one file → one batch, per-bucket processing sorts by
+    // doc_id. Distinct output (a pair can surface once per shared band).
+    Q("q_stream_neardup",
+      (s, d) => {
+        val schema = s.read.parquet(s"$d/documents.parquet").schema
+        val stream = s.readStream.schema(schema)
+          .option("pathGlobFilter", "documents.parquet").parquet(d)
+        val cand = graft.streaming.StreamingOps.lshCandidateStream(
+          stream, numHashes = 8, rowsPerBand = 2, threshold = 0.5,
+          maxBucketSize = 50)
+        val mem = "stream_neardup_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        val q = cand.toDF().writeStream
+          .outputMode("append").format("memory").queryName(mem).start()
+        try { q.processAllAvailable() } finally { q.stop() }
+        s.table(mem).select("doc_a", "doc_b", "est_jaccard").distinct()
+      },
+      None),
+
+    // M12 stateful-session gate (rows-only): flatMapGroupsWithState
+    // sessionization over the events stream. Only sessions CLOSED by a
+    // later event emit (the open tail per user stays in state) — a
+    // deterministic subset of the batch q_sessionize result.
+    Q("q_stream_sessions",
+      (s, d) => {
+        require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true")
+        val schema = s.read.parquet(s"$d/events.parquet").schema
+        val stream = s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(d)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        val sessions = graft.streaming.StreamingOps.sessionizeStream(
+          stream, gapMinutes = 30)
+        val mem = "stream_sessions_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        val q = sessions.toDF().writeStream
+          .outputMode("append").format("memory").queryName(mem).start()
+        try { q.processAllAvailable() } finally { q.stop() }
+        s.table(mem)
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_sessions"),
+            sum("n_events").as("n_events"),
+            sum("duration_us").as("total_duration_us"),
+            min("first_event").as("first_event"))
+      },
+      None),
+
     Q("q_asof_join",
       (s, d) => {
         val ev = events(s, d)
