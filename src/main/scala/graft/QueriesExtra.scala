@@ -605,6 +605,19 @@ object QueriesExtra {
         |       16 + byte_len % 64 AS width,
         |       16 + (byte_len * 7) % 64 AS height,
         |       1 + byte_len // 100 AS n_frames
-        |FROM m""".stripMargin))
+        |FROM m""".stripMargin)),
+
+    // frame sampling over the decode stage (stride positions through
+    // n_frames) — the declarative explode is engine-portable, so the
+    // whole typed mapPartitions -> sequence/explode path oracle-checks.
+    Q("q_frame_sample",
+      (s, d) => Multimodal.sampleFrames(
+        Multimodal.decodeFeatures(s, Multimodal.attachBinary(documents(s, d))),
+        stride = 2)
+        .select(col("doc_id"), col("frame_idx").cast("int").as("frame_idx")),
+      Some("""SELECT doc_id,
+        |       CAST(unnest(range(0, 1 + octet_length(encode(text)) // 100, 2)) AS INT)
+        |         AS frame_idx
+        |FROM documents""".stripMargin))
   )
 }
