@@ -176,6 +176,47 @@ object QueriesSpatial {
         |       sum(value * 1.0 / 8.0) AS emission
         |FROM hit GROUP BY 1, 2, 3""".stripMargin)),
 
+    // per-category EmissionInfo point writer with the building-height
+    // rule — string rows render identically in both engines (dyadic
+    // coordinates/heights, no exponent-form doubles)
+    Q("q_gral_points",
+      (s, d) => {
+        import graft.sinks.GralExport
+        val grid = graft.model.RegularGrid(8, 4, 0.0, 0.0, 5.0, 10.0)
+        val pts = nation(s, d).select(col("n_nationkey").cast("long").as("k"))
+          .select(
+            ((col("k") % 8) * 5 + 2.5).as("x"),
+            ((col("k") % 4) * 10 + 2.5).as("y"),
+            ((col("k") + 1) * 0.5).as("value"),
+            when(col("k") % 2 === 0, "chimneys").otherwise("ground").as("category"),
+            (col("k") % 3).cast("int").as("source_group"))
+        val bh = s.range(32).select(col("id").as("cell_id"),
+          ((col("id") % 3) * 2.0).as("bh"))
+        GralExport.pointRowsInfo(s, pts, Seq(
+          "chimneys" -> GralExport.EmissionInfo(height = 10.0, speed = 7.0,
+            width = 1.25, temperature = 300.0),
+          "ground" -> GralExport.EmissionInfo(height = 0.5,
+            heightOverBuildings = false)), grid, bh)
+      },
+      Some("""WITH n AS (SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation),
+        |pts AS (SELECT (k%8)*5 + 2.5 AS x, (k%4)*10 + 2.5 AS y,
+        |               (k+1)*0.5 AS value,
+        |               CASE WHEN k%2=0 THEN 'chimneys' ELSE 'ground' END AS category,
+        |               k%3 AS source_group FROM n),
+        |bh AS (SELECT i AS cell_id, (i%3)*2.0 AS bh FROM range(32) t(i)),
+        |j AS (SELECT p.*, CAST(floor(x/5)*4 + floor(y/10) AS BIGINT) AS cell
+        |      FROM pts p),
+        |z AS (SELECT j.*,
+        |        CAST(CASE WHEN category='chimneys' THEN 10.0 + coalesce(bh.bh, 0)
+        |             ELSE 0.5 END AS DOUBLE) AS z,
+        |        CAST(CASE WHEN category='chimneys' THEN 7.0 ELSE 5.0 END AS DOUBLE) AS speed,
+        |        CAST(CASE WHEN category='chimneys' THEN 1.25 ELSE 0.5 END AS DOUBLE) AS width,
+        |        CAST(CASE WHEN category='chimneys' THEN 300.0 ELSE 353.0 END AS DOUBLE) AS temp
+        |      FROM j LEFT JOIN bh ON bh.cell_id = j.cell)
+        |SELECT concat_ws(',', x, y, z, value, 0, 0, 0, speed, width, temp,
+        |                 source_group) AS line
+        |FROM z""".stripMargin)),
+
     Q("q_country_poly_mask",
       (s, _) => SpatialJoin.polygonMask(s, srcGrid, countryPolys(s)),
       Some(s"""WITH $CellsCte,

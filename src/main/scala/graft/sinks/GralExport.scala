@@ -50,6 +50,100 @@ object GralExport {
         lit(speed), lit(diameter), lit(temperature),
         col("source_group")).as("line"))
 
+  /** Per-category emission metadata — the reference's `EmissionInfo`
+    * record (emiproc/inventories/__init__.py:44-72) with the fields the
+    * GRAL writers consume. */
+  final case class EmissionInfo(
+      height: Double = 0.0,
+      heightOverBuildings: Boolean = true,
+      width: Double = 0.5,
+      verticalExtension: Double = 3.0,
+      temperature: Double = 353.0,
+      speed: Double = 5.0)
+
+  /** Broadcastable (category → EmissionInfo) dim table. */
+  def infoTable(
+      spark: SparkSession, infos: Seq[(String, EmissionInfo)]): DataFrame =
+    spark.createDataFrame(infos.map { case (c, i) =>
+      (c, i.height, i.heightOverBuildings, i.width, i.verticalExtension,
+        i.temperature, i.speed)
+    }).toDF("category", "ei_height", "ei_hob", "ei_width", "ei_vext",
+      "ei_temp", "ei_speed")
+
+  private def cellAt(grid: graft.model.RegularGrid,
+      x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+    floor((x - grid.xmin) / grid.dx).cast("long") * grid.ny +
+      floor((y - grid.ymin) / grid.dy).cast("long")
+
+  /** point.dat rows with PER-CATEGORY EmissionInfo and the reference's
+    * building-height rule (gral.py:197-224): z = info.height, plus the
+    * building height at the source's grid cell when
+    * `height_over_buildings`. `buildingHeights(cell_id, bh)` is the
+    * GRAL grid's building raster; the join is keyed by cell id (AQE
+    * picks broadcast vs shuffle by its size). */
+  def pointRowsInfo(
+      spark: SparkSession,
+      points: DataFrame, // (x, y, value, category, source_group)
+      infos: Seq[(String, EmissionInfo)],
+      grid: graft.model.RegularGrid,
+      buildingHeights: DataFrame): DataFrame = {
+    val bh = buildingHeights.select(col("cell_id").as("_bc"), col("bh").as("_bh"))
+    points
+      .join(broadcast(infoTable(spark, infos)), "category")
+      .withColumn("_cell", cellAt(grid, col("x"), col("y")))
+      .join(bh, col("_cell") === col("_bc"), "left")
+      .withColumn("z", col("ei_height") +
+        when(col("ei_hob"), coalesce(col("_bh"), lit(0.0))).otherwise(0.0))
+      .select(
+        concat_ws(",",
+          col("x"), col("y"), col("z"), col("value"),
+          lit(0), lit(0), lit(0),
+          col("ei_speed"), col("ei_width"), col("ei_temp"),
+          col("source_group")).as("line"))
+  }
+
+  /** line.dat rows with PER-CATEGORY EmissionInfo: each segment's start
+    * and end z carry the building height at their own endpoint cell
+    * (gral.py:264-286). */
+  def lineRowsInfo(
+      spark: SparkSession,
+      lines: DataFrame, // (line_id, xs, ys, value, category, source_group)
+      infos: Seq[(String, EmissionInfo)],
+      grid: graft.model.RegularGrid,
+      buildingHeights: DataFrame): DataFrame = {
+    val n = size(col("xs"))
+    val seg = lines
+      .join(broadcast(infoTable(spark, infos)), "category")
+      .withColumn("_i", explode(sequence(lit(0), n - 2)))
+      .withColumn("_x1", element_at(col("xs"), col("_i") + 1))
+      .withColumn("_y1", element_at(col("ys"), col("_i") + 1))
+      .withColumn("_x2", element_at(col("xs"), col("_i") + 2))
+      .withColumn("_y2", element_at(col("ys"), col("_i") + 2))
+      .withColumn("_len", sqrt(
+        (col("_x2") - col("_x1")) * (col("_x2") - col("_x1")) +
+          (col("_y2") - col("_y1")) * (col("_y2") - col("_y1"))))
+    val tot = org.apache.spark.sql.expressions.Window.partitionBy("line_id")
+    val bh1 = buildingHeights.select(col("cell_id").as("_bc1"), col("bh").as("_bh1"))
+    val bh2 = buildingHeights.select(col("cell_id").as("_bc2"), col("bh").as("_bh2"))
+    seg
+      .withColumn("_em", col("value") * col("_len") / sum("_len").over(tot))
+      .withColumn("_c1", cellAt(grid, col("_x1"), col("_y1")))
+      .withColumn("_c2", cellAt(grid, col("_x2"), col("_y2")))
+      .join(bh1, col("_c1") === col("_bc1"), "left")
+      .join(bh2, col("_c2") === col("_bc2"), "left")
+      .withColumn("_z1", col("ei_height") +
+        when(col("ei_hob"), coalesce(col("_bh1"), lit(0.0))).otherwise(0.0))
+      .withColumn("_z2", col("ei_height") +
+        when(col("ei_hob"), coalesce(col("_bh2"), lit(0.0))).otherwise(0.0))
+      .select(
+        concat_ws(",",
+          lit("unnamed"), col("_i"), col("source_group"),
+          col("_x1"), col("_y1"), col("_z1"),
+          col("_x2"), col("_y2"), col("_z2"),
+          col("ei_width"), concat(lit("-"), col("ei_vext")), lit(0), lit(0),
+          col("_em"), lit(0), lit(0), lit(0), lit(0)).as("line"))
+  }
+
   /** line.dat rows: `lines(line_id, xs, ys, value, source_group)` with
     * vertex arrays; each consecutive vertex pair becomes a section whose
     * emission is value × segLen / totalLen. */

@@ -73,4 +73,38 @@ class GralSpec extends SparkSpec {
     val c = GralExport.readCadastre(spark, cad.toString).collect()(0)
     assert(c.getDouble(1) == 1.0 && c.getDouble(4) == 4.0 && c.getInt(5) == 3)
   }
+
+  test("per-category EmissionInfo + building heights (gral.py:197-286)") {
+    import GralExport.EmissionInfo
+    val grid = graft.model.RegularGrid(4, 4, 0.0, 0.0, 10.0, 10.0)
+    // building height 6 in cell (ix=0, iy=0) = id 0, 2 in (1,1) = id 5
+    val bh = spark.createDataFrame(Seq((0L, 6.0), (5L, 2.0)))
+      .toDF("cell_id", "bh")
+    val infos = Seq(
+      "chimneys" -> EmissionInfo(height = 10.0, heightOverBuildings = true,
+        speed = 7.0, width = 1.25, temperature = 300.0),
+      "ground" -> EmissionInfo(height = 0.5, heightOverBuildings = false))
+    val pts = spark.createDataFrame(Seq(
+      (5.0, 5.0, 4.0, "chimneys", 1), // in cell 0 -> z = 10 + 6
+      (15.0, 15.0, 8.0, "chimneys", 1), // in cell 5 -> z = 10 + 2
+      (5.0, 5.0, 2.0, "ground", 2))) // hob=false -> z = 0.5
+      .toDF("x", "y", "value", "category", "source_group")
+    val rows = GralExport.pointRowsInfo(spark, pts, infos, grid, bh)
+      .collect().map(_.getString(0)).toSet
+    assert(rows == Set(
+      "5.0,5.0,16.0,4.0,0,0,0,7.0,1.25,300.0,1",
+      "15.0,15.0,12.0,8.0,0,0,0,7.0,1.25,300.0,1",
+      "5.0,5.0,0.5,2.0,0,0,0,5.0,0.5,353.0,2"))
+    // a line from cell 0 to cell 5: endpoint z carry their own cells
+    val lines = spark.createDataFrame(Seq(
+      (1L, Seq(5.0, 15.0), Seq(5.0, 15.0), 12.0, "chimneys", 1)))
+      .toDF("line_id", "xs", "ys", "value", "category", "source_group")
+      .select(col("line_id"), col("xs").cast("array<double>").as("xs"),
+        col("ys").cast("array<double>").as("ys"), col("value"),
+        col("category"), col("source_group"))
+    val l = GralExport.lineRowsInfo(spark, lines, infos, grid, bh)
+      .collect().map(_.getString(0))
+    assert(l.toSeq == Seq(
+      "unnamed,0,1,5.0,5.0,16.0,15.0,15.0,12.0,1.25,-3.0,0,0,12.0,0,0,0,0"))
+  }
 }
