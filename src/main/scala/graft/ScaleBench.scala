@@ -228,7 +228,7 @@ object ScaleBench {
 
     val b1rate = "%.1f".format(src.ncells * 32 / b1s / 1e6)
     val b3rate = "%.1f".format(b3n / b3s / 1e6)
-    println(
+    val json =
       s"""{"metric":"scale_bench","b1_remap_sec":$b1s,"b1_rows_in":${src.ncells * 32},"b1_rows_out":$b1n,"b1_mrows_per_s":$b1rate,""" +
         s""""b2_group_rollup_sec":$b2s,"b2_rows_out":$b2n,""" +
         s""""b3_explode_sec":$b3s,"b3_rows":$b3n,"b3_mrows_per_s":$b3rate,""" +
@@ -237,7 +237,12 @@ object ScaleBench {
         s""""b8_dist_ingest_sec":$b8s,"b8_files":64,"b8_rows":$b8n,""" +
         s""""b9_conncomp_sec":$b9s,"b9_edges":8000999,"b9_clusters":$b9n,""" +
         s""""b10_raster_export_sec":$b10s,"b10_file_bytes":$b10n,""" +
-        s""""b11_osm_resolve_sec":$b11s,"b11_parts":$b11n}""")
+        s""""b11_osm_resolve_sec":$b11s,"b11_parts":$b11n}"""
+    println(json)
+    // durable copy for the round artifacts (same pattern as BENCH_LAST)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_SCALE.json"),
+      (json + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }
