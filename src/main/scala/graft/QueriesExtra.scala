@@ -353,21 +353,29 @@ object QueriesExtra {
         |       value * (1000.0 / molar_mass) / 0.25 / 8766.0 AS mole_km2_h
         |FROM emi JOIN mm ON emi.substance = mm.substance""".stripMargin)),
 
-    // No SQL oracle (driver rows-only check): round-trips the wrfchemi
-    // per-hour file layout (wrf.py:129-240) — export 3 hours, read every
-    // file back through NcAdapter, and report per-(file, variable) plane
-    // totals; value-level correctness is NetcdfWriterSpec's wrfchemi case.
+    // Round-trips the wrfchemi per-hour file layout (wrf.py:129-240) —
+    // export 3 hours THROUGH A DAY BOUNDARY with a composite
+    // (hour_of_day × day_of_week) scaling table so the full-profile
+    // path (get_temporally_scaled_array, wrf.py:150-176) is exercised,
+    // read every file back through NcAdapter, and report per-(file,
+    // variable) plane totals; value-level correctness is
+    // NetcdfWriterSpec's wrfchemi cases.
     Q("q_wrf_chemi",
       (s, d) => {
         val grid = graft.model.RegularGrid(3, 2, 0.0, 0.0, 1000.0, 1000.0)
         val emi = emissionsAgg(s, d).where(col("cell_id") < 6)
-        val sf = s.range(24).select(
+        val sfHod = s.range(24).select(
           lit("A").as("category"), lit("F").as("substance"),
-          col("id").cast("int").as("hour_of_day"),
+          lit("hour_of_day").as("kind"), col("id").cast("int").as("position"),
           (lit(1.0) + col("id") / lit(48.0)).as("sf"))
+        val sfDow = s.range(7).select(
+          lit("A").as("category"), lit("F").as("substance"),
+          lit("day_of_week").as("kind"), col("id").cast("int").as("position"),
+          (lit(0.5) + col("id") * lit(0.25)).as("sf"))
+        val sf = sfHod.unionByName(sfDow)
         val dir = java.nio.file.Files.createTempDirectory("wrfchemi").toString
         val files = Exports.wrfChemiExport(s, emi, grid,
-          Seq(("F", 46.0), ("O", 30.0)), sf, "2024-01-01 00:00:00", 3, dir)
+          Seq(("F", 46.0), ("O", 30.0)), sf, "2024-01-01 23:00:00", 3, dir)
         val rows = files.flatMap { f =>
           val bytes = java.nio.file.Files.readAllBytes(
             java.nio.file.Paths.get(s"$dir/$f"))

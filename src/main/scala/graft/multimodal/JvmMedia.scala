@@ -134,22 +134,30 @@ object JvmMedia {
       new String(bytes, 8, 4, "ASCII") == "WAVE", "not a RIFF/WAVE file")
     var pos = 12
     var rate = 0; var channels = 0; var bits = 0
-    var samples: Array[Double] = null
+    var dataPos = -1; var dataSize = -1
     while (pos + 8 <= bytes.length) {
       val id = new String(bytes, pos, 4, "ASCII")
       val size = b.getInt(pos + 4)
+      // a corrupt negative size would make pos stall or move backwards —
+      // fail loudly instead of looping forever on an executor
+      require(size >= 0, s"corrupt WAV chunk '$id' at $pos: negative size $size")
       if (id == "fmt ") {
         channels = b.getShort(pos + 10)
         rate = b.getInt(pos + 12)
         bits = b.getShort(pos + 22)
       } else if (id == "data") {
-        require(bits == 16, s"only PCM s16le supported, got $bits-bit")
-        val n = size / 2
-        samples = Array.tabulate(n)(i => b.getShort(pos + 8 + 2 * i) / 32768.0)
+        dataPos = pos + 8; dataSize = size
       }
       pos += 8 + size + (size & 1)
     }
-    require(rate > 0 && samples != null, "missing fmt/data chunk")
+    require(rate > 0 && dataPos >= 0, "missing fmt/data chunk")
+    // deferred until both chunks are seen: a data chunk ordered before
+    // fmt must not trip the bits check while bits is still 0
+    require(bits == 16, s"only PCM s16le supported, got $bits-bit")
+    require(dataPos + dataSize <= bytes.length,
+      s"data chunk (size $dataSize at $dataPos) overruns file of ${bytes.length} bytes")
+    val samples =
+      Array.tabulate(dataSize / 2)(i => b.getShort(dataPos + 2 * i) / 32768.0)
     (rate, channels, bits, samples)
   }
 

@@ -93,6 +93,27 @@ object Temporal {
     case other => throw new IllegalArgumentException(s"unknown kind: $other")
   }
 
+  /** Scalar twin of [[kindPos]] for driver-side per-hour loops (the
+    * single-file NetCDF sinks iterate hours on the driver): position of
+    * a JVM LocalDateTime inside a named kind's cycle, same Monday=0
+    * convention. Kept in lockstep with [[kindPos]] by TemporalSpec. */
+  def kindPosScalar(kind: String, t: java.time.LocalDateTime): Int = {
+    val dow0 = t.getDayOfWeek.getValue - 1 // java Monday=1 → pandas Monday=0
+    val how = dow0 * 24 + t.getHour
+    kind match {
+      case "month" => t.getMonthValue - 1
+      case "day_of_week" => dow0
+      case "hour_of_day" => t.getHour
+      case "hour3_of_day" => t.getHour / 3
+      case "hour3_of_day_per_month" => (t.getMonthValue - 1) * 8 + t.getHour / 3
+      case "hour_of_week" => how
+      case "hour_of_week_per_month" => (t.getMonthValue - 1) * 168 + how
+      case "day_of_year" => t.getDayOfYear - 1
+      case "hour_of_year" => (t.getDayOfYear - 1) * 24 + t.getHour
+      case other => throw new IllegalArgumentException(s"unknown kind: $other")
+    }
+  }
+
   /** SpecificDay name → pandas day numbers, Monday = 0 (reference
     * emiproc/profiles/temporal/specific_days.py:5-98: the 7 day names
     * plus the WEEKDAY (Mon–Fri), WEEKDAY_4 (Mon–Thu) and WEEKEND

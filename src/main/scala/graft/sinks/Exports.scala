@@ -558,7 +558,7 @@ object Exports {
       emissions: DataFrame,
       grid: RegularGrid,
       molarMasses: Seq[(String, Double)],
-      scalingFactors: DataFrame, // (category, substance, hour_of_day, sf)
+      scalingFactors: DataFrame, // (category,substance,hour_of_day,sf) or composite (category,substance,kind,position,sf)
       startTs: String,
       hours: Int,
       outDir: String,
@@ -620,12 +620,34 @@ object Exports {
       (c, s) -> arr
     }.toMap
     agg.unpersist()
-    val sfMap = scalingFactors
-      .select(col("category"), col("substance"),
-        col("hour_of_day").cast("int"), col("sf").cast("double"))
-      .collect()
-      .map(r => (r.getString(0), r.getString(1), r.getInt(2)) -> r.getDouble(3))
-      .toMap
+    // Two accepted scaling-factor schemas (reference
+    // get_temporally_scaled_array composes the inventory's FULL temporal
+    // profiles, wrf.py:150-176 — an hour-of-day-only key would silently
+    // flatten day-of-week/monthly variation over multi-day ranges):
+    //  - legacy (category, substance, hour_of_day, sf) — shorthand for
+    //    kind='hour_of_day';
+    //  - composite (category, substance, kind, position, sf) with kind ∈
+    //    Temporal.kindSizes (hour_of_week, hour_of_week_per_month, …);
+    //    the hourly factor is the PRODUCT over that pair's kinds at the
+    //    hour's position, missing position → 1.0 (the composite-profile
+    //    product semantics of Temporal.compositeScalingFactors).
+    val sfLong =
+      (if (scalingFactors.columns.contains("hour_of_day"))
+         scalingFactors.select(col("category"), col("substance"),
+           lit("hour_of_day").as("kind"),
+           col("hour_of_day").cast("int").as("position"),
+           col("sf").cast("double").as("sf"))
+       else
+         scalingFactors.select(col("category"), col("substance"),
+           col("kind"), col("position").cast("int"),
+           col("sf").cast("double").as("sf")))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2),
+          r.getInt(3)) -> r.getDouble(4))
+        .toMap
+    val kindsFor: Map[(String, String), Seq[String]] = sfLong.keys
+      .groupBy(k => (k._1, k._2))
+      .map { case (cs, ks) => cs -> ks.map(_._3).toSeq.distinct.sorted }
     val fmt = java.time.format.DateTimeFormatter
       .ofPattern("yyyy-MM-dd_HH:mm:ss")
     val t0 = java.time.LocalDateTime.parse(
@@ -635,10 +657,12 @@ object Exports {
       NcDim("south_north", ny), NcDim("west_east", nx),
       NcDim("DateStrLen", 19))
     (0 until hours).map { h =>
-      val ts = fmt.format(t0.plusHours(h.toLong))
-      val hod = t0.plusHours(h.toLong).getHour
+      val t = t0.plusHours(h.toLong)
+      val ts = fmt.format(t)
       val dataVars = pairs.map { case (c, s) =>
-        val f = sfMap.getOrElse((c, s, hod), 1.0)
+        val f = kindsFor.getOrElse((c, s), Nil).map { k =>
+          sfLong.getOrElse((c, s, k, graft.profiles.Temporal.kindPosScalar(k, t)), 1.0)
+        }.product
         WriteVar(
           variableName.replace("{substance}", s).replace("{category}", c),
           Seq("Time", "emissions_zdim", "south_north", "west_east"),

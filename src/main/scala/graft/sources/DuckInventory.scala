@@ -27,8 +27,9 @@ import org.apache.spark.sql.functions._
   * format and `geoms(category, source_id, kind, part, ring, xs, ys)` —
   * the `(gdfs)` shape every downstream operator (poly weights, crop,
   * remap) already consumes. Scale: one distributed parquet scan per
-  * category table, geometry decode is a narrow per-row kernel, nothing
-  * collects on the driver.
+  * category table plus one balanced shuffle (64-bit content-hash key)
+  * for the duplicate-row rank; geometry decode is a narrow per-row
+  * kernel, nothing collects on the driver.
   */
 object DuckInventory {
 
@@ -60,14 +61,25 @@ object DuckInventory {
       require(raw.columns.contains(geometryColumn),
         s"Geometry column '$geometryColumn' not found in table '$category'.")
       val emissionCols = raw.columns.filter(_.startsWith("emission_")).sorted
-      // deterministic per-source id: hash of geometry + values — narrow
-      // (no global window, no caching needed for emissions↔geoms
-      // consistency). Byte-identical duplicate rows would share an id;
-      // the reference's pandas index has the same join role.
+      // deterministic per-source id playing the reference's pandas row
+      // index role (duck.py keys each row uniquely). A pure content hash
+      // would collapse byte-identical duplicate rows (two equal road
+      // segments are plausible inventory data) and the downstream
+      // emissions↔geoms join on (category, source_id) would then
+      // cross-multiply them (k duplicates → k² joined rows, inflating
+      // totals). Disambiguate with a rank within each content-hash
+      // group: the window partitions by a 64-bit hash, so groups are
+      // size ~1 (only true duplicates are larger) — one balanced
+      // shuffle per table, no global window, still deterministic.
+      val dupW = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("_chash")).orderBy(col("_chash"))
       val withId = raw
         .where(col(yearColumn) === year)
-        .withColumn("source_id",
+        .withColumn("_chash",
           xxhash64((geometryColumn +: emissionCols.toSeq).map(col): _*))
+        .withColumn("source_id",
+          xxhash64(col("_chash"), row_number().over(dupW)))
+        .drop("_chash")
       val emissions = emissionCols.map { c =>
         withId.select(
           lit(category).as("category"), col("source_id"),

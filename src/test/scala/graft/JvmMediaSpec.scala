@@ -77,6 +77,40 @@ class JvmMediaSpec extends SparkSpec {
     assert(math.abs(row.rms - 0.5 / math.sqrt(2.0)) < 1e-3)
   }
 
+  test("parseWav: corrupt negative chunk size fails instead of looping forever") {
+    val bad = LoaderFixtures.wavBytes.clone()
+    // fmt chunk size field lives at byte 16; -8 would stall pos forever
+    java.nio.ByteBuffer.wrap(bad).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(16, -8)
+    val e = intercept[IllegalArgumentException](JvmMedia.parseWav(bad))
+    assert(e.getMessage.contains("negative size"))
+  }
+
+  test("parseWav: data chunk ordered before fmt still decodes") {
+    val rate = 8000; val n = 4
+    val b = java.nio.ByteBuffer.allocate(44 + 2 * n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("ASCII")).putInt(36 + 2 * n)
+      .put("WAVE".getBytes("ASCII"))
+    b.put("data".getBytes("ASCII")).putInt(2 * n)
+    Seq[Short](0, 16384, 0, -16384).foreach(b.putShort)
+    b.put("fmt ".getBytes("ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(rate).putInt(rate * 2)
+      .putShort(2).putShort(16)
+    val (r, ch, bits, samples) = JvmMedia.parseWav(b.array())
+    assert(r == rate && ch == 1 && bits == 16)
+    assert(samples.toSeq == Seq(0.0, 0.5, 0.0, -0.5))
+  }
+
+  test("parseWav: data chunk overrunning the file fails loudly") {
+    val bad = LoaderFixtures.wavBytes.clone()
+    // data chunk size field lives at byte 40; claim more than the file has
+    java.nio.ByteBuffer.wrap(bad).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(40, 1 << 28)
+    val e = intercept[IllegalArgumentException](JvmMedia.parseWav(bad))
+    assert(e.getMessage.contains("overruns"))
+  }
+
   test("non-image payload fails loudly, not silently") {
     intercept[org.apache.spark.SparkException] {
       JvmMedia.decodeImages(spark,

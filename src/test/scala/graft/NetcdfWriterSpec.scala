@@ -303,6 +303,34 @@ class NetcdfWriterSpec extends SparkSpec {
       a.text == "2023-01-01 01:00:00"))
   }
 
+  test("wrfChemiExport composite scaling: day-of-week survives a midnight " +
+    "crossing (wrf.py:150-176 full-profile semantics)") {
+    val grid = RegularGrid(3, 2, 0.0, 0.0, 1000.0, 1000.0)
+    val dir = tmpDir()
+    val hpy = 365.25 * 24.0
+    val emi = spark.createDataFrame(Seq((0L, "adf", "CO2", hpy)))
+      .toDF("cell_id", "category", "substance", "value") // flux 1.0
+    // hour_of_day × day_of_week product; 2024-01-01 is a Monday
+    val sf = spark.createDataFrame(Seq(
+      ("adf", "CO2", "hour_of_day", 23, 2.0),
+      ("adf", "CO2", "hour_of_day", 0, 3.0),
+      ("adf", "CO2", "day_of_week", 0, 10.0),
+      ("adf", "CO2", "day_of_week", 1, 100.0)))
+      .toDF("category", "substance", "kind", "position", "sf")
+    val files = Exports.wrfChemiExport(spark, emi, grid,
+      molarMasses = Seq("CO2" -> 1000.0), sf,
+      "2024-01-01 23:00:00", hours = 2, outDir = dir)
+    val planes = files.map { f =>
+      val b = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$dir/$f"))
+      NetcdfClassic.readVarDoubles(b, NetcdfClassic.readHeader(b),
+        "E_CO2_adf")(0)
+    }
+    // Mon 23h: 2·10 = 20; Tue 00h: 3·100 = 300 — an hour-of-day-only
+    // key would have flattened the 10× day change
+    assert(planes == Seq(20.0, 300.0))
+  }
+
   test("wrfChemiExport: per-hour files, cell->(x,y) unstack, Times var, " +
     "mole/km2/h units (wrf.py:129-240)") {
     val grid = RegularGrid(3, 2, 0.0, 0.0, 1000.0, 1000.0) // 1 km2 cells

@@ -24,6 +24,25 @@ class TemporalSpec extends SparkSpec {
     assert(r.getInt(6) == 5) // Monday 05h
   }
 
+  test("kindPosScalar stays in lockstep with the kindPos column for every kind") {
+    // spans: leap day, year end, midnight/noon, every month boundary
+    val stamps = Seq(
+      "2024-01-01 00:00:00", "2024-02-29 23:00:00", "2024-06-15 12:30:00",
+      "2024-12-31 23:00:00", "2023-03-01 07:00:00", "2023-11-05 01:00:00")
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss")
+    val df = spark.createDataFrame(stamps.map(Tuple1(_))).toDF("s")
+      .withColumn("ts", to_timestamp(col("s")))
+    Temporal.kindSizes.keys.foreach { kind =>
+      val colVals = df.select(col("s"), Temporal.kindPos(kind, col("ts")))
+        .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+      stamps.foreach { s =>
+        val scalar = Temporal.kindPosScalar(kind, java.time.LocalDateTime.parse(s, fmt))
+        assert(scalar == colVals(s), s"kind=$kind ts=$s")
+      }
+    }
+  }
+
   test("hourOfWeekScalingFactors average to 1 for normalized profiles") {
     val daily = spark.range(24).select(
       col("id").cast("int").as("pos"), lit(1.0 / 24.0).as("ratio"))
