@@ -1,0 +1,121 @@
+package graft
+
+/** Pinned-literal regression oracles for gate queries whose inputs are
+  * committed byte fixtures (LoaderFixtures-generated; scale-factor
+  * INDEPENDENT — verified identical at sf0.001 and sf0.01). The loaders
+  * have no DuckDB-expressible relational form (NetCDF/HDF5/FileGDB/
+  * PNG/WAV/Overpass-JSON byte decoding), so the oracle pins the verified
+  * output values as SQL literals: the driver's hash compare then guards
+  * schema, row count AND every value against regressions, where a
+  * rows-only check guarded only non-emptiness. Value-level correctness
+  * of each decode is established by the corresponding ScalaTest spec
+  * (TnoSpec, GfasSpec, CamsRegSpec, LpjGuessSpec, GfedSpec, MapLuftSpec,
+  * OsmSpec, JvmMediaSpec, WrfGridSpec, DuckInventorySpec,
+  * EdgarProfilesSpec) and by LoaderFixturesSpec's byte-drift guard. */
+object OraclePins {
+  val pins: Map[String, String] = Map(
+    "q_cams" ->
+      """SELECT * FROM (VALUES
+      ('A', 'NOx', '625000000.0'::DOUBLE, 2::BIGINT),
+      ('B', 'CH4', '1000000000.0'::DOUBLE, 2::BIGINT)
+      ) AS t(category, substance, total, n_cells)""",
+    "q_country_real" ->
+      """SELECT * FROM (VALUES
+      ('AUT', 192::BIGINT, 1::BIGINT, 1::BIGINT),
+      ('CHE', 92::BIGINT, 1::BIGINT, 1::BIGINT),
+      ('FRA', 1243::BIGINT, 1::BIGINT, 1::BIGINT),
+      ('ITA', 307::BIGINT, 1::BIGINT, 1::BIGINT)
+      ) AS t(country, n_cells, tz_hours, summertime)""",
+    "q_duck_inventory" ->
+      """SELECT * FROM (VALUES
+      ('heating', 'ch4', 'point', 10::BIGINT, '90.0'::DOUBLE, 10::BIGINT),
+      ('traffic', 'co2', 'polygon', 6::BIGINT, '33.0'::DOUBLE, 30::BIGINT),
+      ('traffic', 'nox', 'polygon', 6::BIGINT, '8.5'::DOUBLE, 30::BIGINT)
+      ) AS t(category, substance, kind, n, total, n_vertices)""",
+    "q_edgar_dir" ->
+      """SELECT * FROM (VALUES
+      ('ENE', 'CH4', '3.221384972505391e+19'::DOUBLE, 6::BIGINT),
+      ('ENE', 'CO2', '3.221384972505391e+19'::DOUBLE, 6::BIGINT),
+      ('TRO', 'CH4', '3.221384972505391e+19'::DOUBLE, 6::BIGINT),
+      ('TRO', 'CO2', '3.221384972505391e+19'::DOUBLE, 6::BIGINT)
+      ) AS t(category, substance, total, n_cells)""",
+    "q_edgar_profiles" ->
+      """SELECT * FROM (VALUES
+      ('howm', 'CHE', 'TRO', 336::BIGINT, '1.0'::DOUBLE, '0.006206897'::DOUBLE),
+      ('howm', 'EGY', 'TRO', 336::BIGINT, '1.0'::DOUBLE, '0.006206897'::DOUBLE),
+      ('weekly', 'CHE', 'TRO', 7::BIGINT, '98.0'::DOUBLE, '17.0'::DOUBLE),
+      ('weekly', 'EGY', 'TRO', 7::BIGINT, '168.0'::DOUBLE, '27.0'::DOUBLE)
+      ) AS t(kind, country, category, n_pos, ratio_sum, ratio_max)""",
+    "q_gfas" ->
+      """SELECT * FROM (VALUES
+      ('annual', 'CO2', '5.663298185715117e+16'::DOUBLE, 2::BIGINT),
+      ('daily', 'CO2', '13.5'::DOUBLE, 3::BIGINT)
+      ) AS t(kind, substance, total, n_rows)""",
+    "q_gfed4" ->
+      """SELECT * FROM (VALUES
+      ('SAVA', 'DM', '170.0'::DOUBLE, 4::BIGINT),
+      ('TEMF', 'DM', '210.0'::DOUBLE, 3::BIGINT)
+      ) AS t(category, substance, total, n_cells)""",
+    "q_image_decode" ->
+      """SELECT * FROM (VALUES
+      (0::BIGINT, 32::BIGINT, 24::BIGINT, -6154919347574127275::BIGINT, -5344265964282882726::BIGINT, '99.489797'::DOUBLE),
+      (1::BIGINT, 32::BIGINT, 24::BIGINT, -6154919485013080747::BIGINT, -5344265964282882726::BIGINT, '100.990312'::DOUBLE),
+      (2::BIGINT, 32::BIGINT, 24::BIGINT, -6148727039149299115::BIGINT, -5929739487521426090::BIGINT, '103.766906'::DOUBLE),
+      (3::BIGINT, 32::BIGINT, 24::BIGINT, -6148727039149299115::BIGINT, -5929739487521426090::BIGINT, '105.61575'::DOUBLE),
+      (4::BIGINT, 32::BIGINT, 24::BIGINT, 6148973332102731562::BIGINT, 6222474632622402221::BIGINT, '123.628219'::DOUBLE),
+      (5::BIGINT, 32::BIGINT, 24::BIGINT, -6154919347574127275::BIGINT, -5344265964282882726::BIGINT, '99.489797'::DOUBLE)
+      ) AS t(doc_id, width, height, a_hash, d_hash, mean_lum)""",
+    "q_image_neardup" ->
+      """SELECT * FROM (VALUES
+      (0::BIGINT, 1::BIGINT, 0::BIGINT),
+      (0::BIGINT, 5::BIGINT, 0::BIGINT),
+      (1::BIGINT, 5::BIGINT, 0::BIGINT),
+      (2::BIGINT, 3::BIGINT, 0::BIGINT)
+      ) AS t(doc_a, doc_b, hamming)""",
+    "q_lpj" ->
+      """SELECT * FROM (VALUES
+      ('annual', 'peatland', 'CH4', '120935.078313'::DOUBLE, 1::BIGINT),
+      ('annual', 'wetland_nat', 'CH4', '194813.62959'::DOUBLE, 1::BIGINT),
+      ('ratio', 'peatland', 'CH4', '1.0'::DOUBLE, 1::BIGINT),
+      ('ratio', 'wetland_nat', 'CH4', '1.0'::DOUBLE, 2::BIGINT)
+      ) AS t(kind, category, substance, total, n_rows)""",
+    "q_mapluft" ->
+      """SELECT * FROM (VALUES
+      ('c1301_Strassenverkehr_Linien', 'CO2', '246.0'::DOUBLE, 4::BIGINT),
+      ('c1301_Strassenverkehr_Linien', 'NOx', NULL, 0::BIGINT),
+      ('c2201_BHKW_Punkt', 'CO2', '750.0'::DOUBLE, 6::BIGINT),
+      ('c2201_BHKW_Punkt', 'NOx', '45.0'::DOUBLE, 6::BIGINT)
+      ) AS t(category, substance, total, n_sources)""",
+    "q_osm" ->
+      """SELECT * FROM (VALUES
+      (1::BIGINT, 'node', 'Brunnen', 0::BIGINT, NULL, 'point', 1::BIGINT, '8.5401'::DOUBLE, '47.3782'::DOUBLE),
+      (100::BIGINT, 'way', 'Teststrasse', 0::BIGINT, NULL, 'line', 3::BIGINT, '8.5'::DOUBLE, '47.35'::DOUBLE),
+      (101::BIGINT, 'way', NULL, 0::BIGINT, NULL, 'polygon', 4::BIGINT, '8.53'::DOUBLE, '47.37'::DOUBLE),
+      (200::BIGINT, 'relation', 'Stadtpark', 0::BIGINT, 'outer', 'polygon', 5::BIGINT, '8.55'::DOUBLE, '47.38'::DOUBLE),
+      (200::BIGINT, 'relation', 'Stadtpark', 1::BIGINT, 'inner', 'polygon', 4::BIGINT, '8.553'::DOUBLE, '47.383'::DOUBLE),
+      (200::BIGINT, 'relation', 'Stadtpark', 2::BIGINT, NULL, 'point', 1::BIGINT, '8.5401'::DOUBLE, '47.3782'::DOUBLE)
+      ) AS t(id, el_type, name, part, role, kind, n_vertices, x0, y0)""",
+    "q_tno" ->
+      """SELECT * FROM (VALUES
+      ('area', 'A', 'CH4', '0.5'::DOUBLE, 1::BIGINT),
+      ('area', 'A', 'CO2', '44.0'::DOUBLE, 2::BIGINT),
+      ('area', 'B', 'CO2', '22.0'::DOUBLE, 1::BIGINT),
+      ('point', 'A', 'CH4', '0.25'::DOUBLE, 1::BIGINT),
+      ('point', 'A', 'CO2', '44.0'::DOUBLE, 1::BIGINT),
+      ('point', 'B', 'CO2', '55.0'::DOUBLE, 1::BIGINT)
+      ) AS t(kind, category, substance, total, n_rows)""",
+    "q_wav_decode" ->
+      """SELECT * FROM (VALUES
+      (0::BIGINT, 8000::BIGINT, 1::BIGINT, 16::BIGINT, 4000::BIGINT, '0.5'::DOUBLE, '0.353526'::DOUBLE)
+      ) AS t(doc_id, sample_rate, channels, bits, n_samples, duration_s, rms)""",
+    "q_wrf_grid" ->
+      """SELECT * FROM (VALUES
+      (0::BIGINT, '9.89'::DOUBLE, '44.9'::DOUBLE, '10.11'::DOUBLE, '45.1'::DOUBLE, '350.502717'::DOUBLE),
+      (1::BIGINT, '9.91'::DOUBLE, '45.1'::DOUBLE, '10.13'::DOUBLE, '45.3'::DOUBLE, '349.277099'::DOUBLE),
+      (2::BIGINT, '10.09'::DOUBLE, '44.9'::DOUBLE, '10.31'::DOUBLE, '45.1'::DOUBLE, '350.502717'::DOUBLE),
+      (3::BIGINT, '10.11'::DOUBLE, '45.1'::DOUBLE, '10.33'::DOUBLE, '45.3'::DOUBLE, '349.277099'::DOUBLE),
+      (4::BIGINT, '10.29'::DOUBLE, '44.9'::DOUBLE, '10.51'::DOUBLE, '45.1'::DOUBLE, '350.502717'::DOUBLE),
+      (5::BIGINT, '10.31'::DOUBLE, '45.1'::DOUBLE, '10.53'::DOUBLE, '45.3'::DOUBLE, '349.277099'::DOUBLE)
+      ) AS t(cell_id, bl_lon, bl_lat, tr_lon, tr_lat, area_km2)"""
+  )
+}

@@ -40,7 +40,9 @@ object SparkEntry {
     Queries.all.map(q => q.name -> q.run).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    * Byte-fixture loader queries whose output is scale-factor-independent
+    * carry pinned-literal regression oracles ([[OraclePins]]). */
   def oracleSql: Map[String, String] =
-    Queries.all.flatMap(q => q.oracle.map(q.name -> _)).toMap
+    Queries.all.flatMap(q => q.oracle.map(q.name -> _)).toMap ++ OraclePins.pins
 }
