@@ -389,7 +389,7 @@ object QueriesExtra {
       },
       None),
 
-    // No SQL oracle (driver rows-only check): the DuckDB-export inventory
+    // Pinned-literal oracle (OraclePins): the DuckDB-export inventory
     // loader (zurich/duck.py semantics over duckdb's parquet EXPORT
     // DATABASE form) — fixture tables written by Spark at query time
     // (parquet bytes aren't committable across writer versions), then
@@ -425,9 +425,9 @@ object QueriesExtra {
       },
       None),
 
-    // No SQL oracle (driver rows-only checks): REAL multimodal decode on
+    // Pinned-literal oracles (OraclePins): REAL multimodal decode on
     // the JDK's own codecs over committed fixtures — DuckDB has no image/
-    // audio reader. Value-level correctness is JvmMediaSpec (known dims,
+    // audio reader, so the verified outputs are pinned as VALUES literals. Value-level correctness is JvmMediaSpec (known dims,
     // hash equality of identical files, sine RMS closed form).
 
     // PNG decode: binaryFile scan -> mapPartitions ImageIO decode ->
@@ -476,7 +476,7 @@ object QueriesExtra {
       },
       None),
 
-    // No SQL oracle (driver rows-only check): WRF_Grid corner
+    // Pinned-literal oracle (OraclePins): WRF_Grid corner
     // reconstruction (wrf.py:23-126) over the committed wrfinput fixture;
     // closed-form corner/area correctness is WrfGridSpec.
     Q("q_wrf_grid",

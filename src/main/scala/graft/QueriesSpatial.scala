@@ -249,8 +249,8 @@ object QueriesSpatial {
       },
       None),
 
-    // No SQL oracle (driver rows-only check): DuckDB cannot read the
-    // FileGDB container. Reads the repo-committed byte-level .gdb
+    // Pinned-literal oracle (OraclePins): DuckDB cannot read the
+    // FileGDB container, so the verified output is pinned as VALUES literals. Reads the repo-committed byte-level .gdb
     // fixture through the full MapLuftZurich path (catalog -> layers ->
     // Emission_* selection) and rolls up per category × substance —
     // deterministic totals; byte-level correctness is GdbSpec/MapLuftSpec.
@@ -272,7 +272,8 @@ object QueriesSpatial {
       },
       None),
 
-    // No SQL oracle (driver rows-only check): DuckDB cannot read HDF5.
+    // Pinned-literal oracle (OraclePins): DuckDB cannot read HDF5, so
+    // the verified output is pinned as VALUES literals.
     // Reads the repo-committed byte-level GFED4 fixture through the full
     // pure-JVM HDF5 path (superblock -> group B-trees -> chunked+deflate
     // datasets) and the reference's DM × partitioning × cell-area
@@ -288,8 +289,8 @@ object QueriesSpatial {
       },
       None),
 
-    // No SQL oracle (driver rows-only check): DuckDB cannot read the
-    // committed NetCDF fixtures. Each loader query below runs the full
+    // Pinned-literal oracles (OraclePins): DuckDB cannot read the
+    // committed NetCDF fixtures, so verified outputs pin as VALUES literals. Each loader query below runs the full
     // byte-level read path (container dispatch -> axis/grid inference ->
     // reference unit/index semantics) over fixtures/; value-level
     // correctness is the loader's ScalaTest spec on identical byte
