@@ -684,11 +684,15 @@ object Queries {
         |       event_type, count(*) AS n, round(sum(value), 6) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin)),
 
-    // M21 streaming near-dup gate (rows-only): the stateful LSH candidate
-    // stream over documents read as a stream — row-local signatures,
+    // M21 streaming near-dup gate: the stateful LSH candidate stream over
+    // documents read as a stream — row-local signatures,
     // flatMapGroupsWithState keyed by band bucket. Deterministic on
     // bounded input: one file → one batch, per-bucket processing sorts by
     // doc_id. Distinct output (a pair can surface once per shared band).
+    // The DuckDB oracle is the batch LSH-pair SQL (q_lsh_pairs) plus the
+    // stream's est ≥ threshold filter — exact because the bucket cap (50)
+    // never trips at gate scale (max bucket 4), so the incremental path
+    // is hash-verified against the batch semantics.
     Q("q_stream_neardup",
       (s, d) => {
         val schema = s.read.parquet(s"$d/documents.parquet").schema
@@ -704,12 +708,27 @@ object Queries {
         try { q.processAllAvailable() } finally { q.stop() }
         s.table(mem).select("doc_a", "doc_b", "est_jaccard").distinct()
       },
-      None),
+      Some(s"""WITH ${QueriesML.ShingleHashCte},
+        |keys AS (SELECT doc_id, hash_id // 2 AS band,
+        |                string_agg(hash_id || ':' || minhash, ',' ORDER BY hash_id) AS band_key
+        |         FROM mh GROUP BY 1, 2),
+        |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |          FROM keys a JOIN keys b
+        |            ON a.band = b.band AND a.band_key = b.band_key
+        |           AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b,
+        |       sum(CASE WHEN ma.minhash = mb.minhash THEN 1 ELSE 0 END) / 8.0 AS est_jaccard
+        |FROM pairs
+        |JOIN mh ma ON ma.doc_id = doc_a
+        |JOIN mh mb ON mb.doc_id = doc_b AND mb.hash_id = ma.hash_id
+        |GROUP BY 1, 2
+        |HAVING sum(CASE WHEN ma.minhash = mb.minhash THEN 1 ELSE 0 END) / 8.0 >= 0.5""".stripMargin)),
 
-    // M12 stateful-session gate (rows-only): flatMapGroupsWithState
-    // sessionization over the events stream. Only sessions CLOSED by a
-    // later event emit (the open tail per user stays in state) — a
-    // deterministic subset of the batch q_sessionize result.
+    // M12 stateful-session gate: flatMapGroupsWithState sessionization
+    // over the events stream. Only sessions CLOSED by a later event emit
+    // (the open tail per user stays in state) — a deterministic subset of
+    // the batch q_sessionize result, so the DuckDB oracle is the batch
+    // session SQL minus each user's last session.
     Q("q_stream_sessions",
       (s, d) => {
         require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true")
@@ -731,7 +750,21 @@ object Queries {
             sum("duration_us").as("total_duration_us"),
             min("first_event").as("first_event"))
       },
-      None),
+      Some("""WITH e AS (SELECT user_id, ts, event_id,
+        |              lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |       FROM events),
+        |m AS (SELECT *, CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000
+        |                     THEN 1 ELSE 0 END AS new_session FROM e),
+        |se AS (SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq FROM m),
+        |sess AS (SELECT user_id, session_seq, count(*) AS n_events, min(event_id) AS first_event,
+        |                max(epoch_us(ts)) - min(epoch_us(ts)) AS duration_us
+        |         FROM se GROUP BY 1, 2),
+        |mx AS (SELECT user_id, max(session_seq) AS last_seq FROM sess GROUP BY 1)
+        |SELECT s.user_id, count(*) AS n_sessions, CAST(sum(s.n_events) AS BIGINT) AS n_events,
+        |       CAST(sum(s.duration_us) AS BIGINT) AS total_duration_us, min(s.first_event) AS first_event
+        |FROM sess s JOIN mx USING (user_id) WHERE s.session_seq < mx.last_seq
+        |GROUP BY 1""".stripMargin)),
 
     Q("q_asof_join",
       (s, d) => {

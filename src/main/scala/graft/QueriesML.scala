@@ -38,7 +38,7 @@ object QueriesML {
       |                 i -> array_to_string(w[i+1:i+3], ' '))) AS shingle
       |       FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))""".stripMargin
 
-  private val ShingleHashCte: String =
+  private[graft] val ShingleHashCte: String =
     s"""$ShingleCte,
        |shh AS (SELECT doc_id, shingle, ${hashSql("shingle")} AS h FROM sh),
        |params AS (SELECT j AS hash_id, 37 + 101 * j AS a, 17 + 91 * j AS b
