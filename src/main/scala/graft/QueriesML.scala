@@ -505,6 +505,92 @@ object QueriesML {
         |  SELECT *, row_number() OVER (PARTITION BY vec_id
         |                               ORDER BY cos_sim DESC, centroid_id) AS rn
         |  FROM s)
-        |WHERE rn = 1""".stripMargin))
+        |WHERE rn = 1""".stripMargin)),
+
+    // M24 PII scrub: PII synthesized deterministically from doc_id (the
+    // corpus itself is PII-free synthetic text) appended to each doc, so
+    // the scrub chain sees real matches; the oracle reruns the identical
+    // RE2-subset regex chain in DuckDB and compares per-type counts and
+    // an md5 of the scrubbed text.
+    Q("q_pii_scrub",
+      (s, d) => {
+        val pii = documents(s, d).withColumn("t",
+          concat(col("text"), lit(" contact user"), col("doc_id"),
+            lit("+tag@example.com or +41791234567 at 10.0."),
+            col("doc_id") % 256, lit(".7")))
+        graft.text.PiiScrub.scrub(pii, "t")
+          .select(col("doc_id"), col("n_emails").cast("long").as("n_emails"),
+            col("n_ips").cast("long").as("n_ips"),
+            col("n_phones").cast("long").as("n_phones"),
+            md5(col("clean")).as("clean_md5"))
+      },
+      Some("""WITH p AS (SELECT doc_id,
+        |         text || ' contact user' || doc_id || '+tag@example.com or +41791234567 at 10.0.' || (doc_id % 256) || '.7' AS t
+        |       FROM documents),
+        |s1 AS (SELECT doc_id, t,
+        |         regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1 FROM p),
+        |s2 AS (SELECT *, regexp_replace(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS t2 FROM s1),
+        |s3 AS (SELECT *, regexp_replace(t2, '\+\d{9,15}', '<PHONE>', 'g') AS t3 FROM s2)
+        |SELECT doc_id,
+        |       len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |       len(regexp_extract_all(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
+        |       len(regexp_extract_all(t2, '\+\d{9,15}')) AS n_phones,
+        |       md5(t3) AS clean_md5
+        |FROM s3""".stripMargin)),
+
+    // M25 canonical-URL dedup: crawl-style URL variants synthesized from
+    // doc_id (scheme/host case, default port, tracking params, fragment,
+    // param order); the Spark side canonicalizes through the regex/
+    // split/sort chain, the oracle asserts the EXPECTED canonical string
+    // closed-form — an end-to-end check of the canonicalizer, not a
+    // re-implementation of it.
+    Q("q_url_canonical",
+      (s, d) => {
+        val urls = documents(s, d).select(col("doc_id"),
+          concat(
+            when(col("doc_id") % 2 === 0, lit("HTTP://Example"))
+              .otherwise(lit("http://example")),
+            col("doc_id") % 5, lit(".COM"),
+            when(col("doc_id") % 4 === 0, lit(":80")).otherwise(lit("")),
+            lit("/p/"), col("doc_id") % 100,
+            lit("?utm_source=x&b="), col("doc_id") % 3,
+            lit("&a=1#frag")).as("url"))
+        graft.text.UrlOps.dedupByCanonicalUrl(urls)
+      },
+      Some("""WITH u AS (SELECT doc_id,
+        |         (CASE WHEN doc_id % 2 = 0 THEN 'HTTP://Example' ELSE 'http://example' END)
+        |           || (doc_id % 5) || '.COM' || (CASE WHEN doc_id % 4 = 0 THEN ':80' ELSE '' END)
+        |           || '/p/' || (doc_id % 100) || '?utm_source=x&b=' || (doc_id % 3) || '&a=1#frag' AS url,
+        |         'http://example' || (doc_id % 5) || '.com/p/' || (doc_id % 100)
+        |           || '?a=1&b=' || (doc_id % 3) AS canonical_url
+        |       FROM documents)
+        |SELECT canonical_url, min(doc_id) AS keep_doc,
+        |       count(*) AS n_docs, count(DISTINCT url) AS n_variants
+        |FROM u GROUP BY 1""".stripMargin)),
+
+    // M26 per-domain corpus stats over the same canonicalized URLs:
+    // document count, unique canonical pages and total characters per
+    // domain — the quality-rollup half of crawl curation.
+    Q("q_domain_stats",
+      (s, d) => {
+        val urls = documents(s, d).select(col("doc_id"), col("n_chars"),
+          concat(
+            when(col("doc_id") % 2 === 0, lit("HTTP://Example"))
+              .otherwise(lit("http://example")),
+            col("doc_id") % 5, lit(".COM"),
+            when(col("doc_id") % 4 === 0, lit(":80")).otherwise(lit("")),
+            lit("/p/"), col("doc_id") % 100,
+            lit("?utm_source=x&b="), col("doc_id") % 3,
+            lit("&a=1#frag")).as("url"))
+        graft.text.UrlOps.domainStats(urls)
+      },
+      Some("""WITH u AS (SELECT doc_id, n_chars,
+        |         'example' || (doc_id % 5) || '.com' AS domain,
+        |         'http://example' || (doc_id % 5) || '.com/p/' || (doc_id % 100)
+        |           || '?a=1&b=' || (doc_id % 3) AS canonical_url
+        |       FROM documents)
+        |SELECT domain, count(*) AS n_docs, count(DISTINCT canonical_url) AS n_pages,
+        |       CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM u GROUP BY 1""".stripMargin))
   )
 }
