@@ -226,6 +226,33 @@ object ScaleBench {
       out
     }
 
+    // B12: crawl-curation pass at scale — 5M synthetic docs (~120 B of
+    // text + a URL each) through the full PII scrub chain (3 regex
+    // replaces + 3 counts), URL canonicalization and the per-domain
+    // rollup: everything narrow codegen except the single domain
+    // hash-aggregate, so the pass is scan-bound like M6 normalization.
+    val nDocs = 5000000L
+    val crawlDocs = spark.range(nDocs).select(
+      col("id").as("doc_id"),
+      concat(lit("lorem ipsum dolor sit amet user"), col("id"),
+        lit("+x@example.com via 10.1."), col("id") % 256,
+        lit(".9 call +4179"), col("id") % 1000000, lit(" tail")).as("text"),
+      concat(lit("HTTP://Host"), col("id") % 1000, lit(".COM:80/p/"),
+        col("id") % 10000, lit("?utm_source=a&b="), col("id") % 7,
+        lit("&a=1#f")).as("url"),
+      (col("id") % 1000 + 50).as("n_chars"))
+    val (b12s, b12n) = time {
+      val scrubbed = graft.text.PiiScrub.scrub(crawlDocs, "text")
+      scrubbed
+        .withColumn("canonical_url",
+          graft.text.UrlOps.canonical(col("url")))
+        .groupBy(graft.text.UrlOps.domain(col("canonical_url")).as("domain"))
+        .agg(sum(col("n_emails") + col("n_ips") + col("n_phones")).as("pii"),
+          count(lit(1)).as("n"))
+        .agg(sum("n"), sum("pii")).collect()(0).getLong(0)
+    }
+    require(b12n == nDocs, s"B12 lost rows: $b12n")
+
     val b1rate = "%.1f".format(src.ncells * 32 / b1s / 1e6)
     val b3rate = "%.1f".format(b3n / b3s / 1e6)
     val json =
@@ -237,7 +264,9 @@ object ScaleBench {
         s""""b8_dist_ingest_sec":$b8s,"b8_files":64,"b8_rows":$b8n,""" +
         s""""b9_conncomp_sec":$b9s,"b9_edges":8000999,"b9_clusters":$b9n,""" +
         s""""b10_raster_export_sec":$b10s,"b10_file_bytes":$b10n,""" +
-        s""""b11_osm_resolve_sec":$b11s,"b11_parts":$b11n}"""
+        s""""b11_osm_resolve_sec":$b11s,"b11_parts":$b11n,""" +
+        s""""b12_pii_url_sec":$b12s,"b12_docs":$nDocs,""" +
+        s""""b12_mdocs_per_s":"${"%.1f".format(nDocs / b12s / 1e6)}"}"""
     println(json)
     // durable copy for the round artifacts (same pattern as BENCH_LAST)
     java.nio.file.Files.write(
