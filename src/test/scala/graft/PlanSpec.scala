@@ -142,6 +142,35 @@ class PlanSpec extends SparkSpec {
     assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$plan")
   }
 
+  test("PiiScrub.scrub plans ZERO shuffles (narrow codegen chain)") {
+    val docs = spark.range(64).select(col("id").as("doc_id"),
+      concat(lit("u"), col("id"), lit("@x.co at 10.0.0."), col("id") % 9)
+        .as("text"))
+    val out = graft.text.PiiScrub.scrub(docs)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+    // '*(n)' marks operators fused into a WholeStageCodegen stage
+    assert(plan.contains("*(1) Project"), s"fell out of codegen:\n$plan")
+  }
+
+  test("UrlOps.canonical stays a narrow projection; dedup shuffles only on keys") {
+    val docs = spark.range(64).select(col("id").as("doc_id"),
+      concat(lit("http://h"), col("id") % 7, lit(".com/p?x="), col("id") % 3)
+        .as("url"))
+    val canonOnly = docs.select(graft.text.UrlOps.canonical(col("url")))
+    assert(!canonOnly.queryExecution.executedPlan.toString.contains("Exchange"))
+    // dedup: the exact-distinct aggregate — exchanges keyed on the
+    // canonical url (±1 for the distinct pre-aggregate, planner's
+    // choice), never a global repartition
+    val plan = graft.text.UrlOps.dedupByCanonicalUrl(docs)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges <= 2 && exchanges >= 1,
+      s"expected 1-2 key-partitioned exchanges, got $exchanges:\n$plan")
+    assert(!plan.contains("RoundRobinPartitioning") &&
+      !plan.contains("SinglePartition"), s"non-key partitioning:\n$plan")
+  }
+
   test("source hygiene: no global windows, no RDD text reads in src/main") {
     import scala.jdk.CollectionConverters._
     val srcRoot = java.nio.file.Paths.get("src/main/scala/graft")
