@@ -358,8 +358,10 @@ object QueriesExtra {
     // (hour_of_day × day_of_week) scaling table so the full-profile
     // path (get_temporally_scaled_array, wrf.py:150-176) is exercised,
     // read every file back through NcAdapter, and report per-(file,
-    // variable) plane totals; value-level correctness is
-    // NetcdfWriterSpec's wrfchemi cases.
+    // variable) plane totals. The DuckDB oracle recomputes each plane
+    // total closed-form (flux aggregate × the composite factor for that
+    // file's hour) — the 6-dp round absorbs summation-order FP noise;
+    // per-cell layout correctness is NetcdfWriterSpec's wrfchemi cases.
     Q("q_wrf_chemi",
       (s, d) => {
         val grid = graft.model.RegularGrid(3, 2, 0.0, 0.0, 1000.0, 1000.0)
@@ -387,7 +389,22 @@ object QueriesExtra {
         }
         s.createDataFrame(rows).toDF("file", "var", "total")
       },
-      None),
+      Some(s"""$EmiAggCte,
+        |mm AS (SELECT substance, CAST(m AS DOUBLE) AS molar_mass
+        |       FROM (VALUES ('F', 46.0), ('O', 30.0)) t(substance, m)),
+        |flux AS (SELECT category, emi.substance AS substance,
+        |                sum(value * (1000.0 / molar_mass) / 1.0 / 8766.0) AS tot
+        |         FROM emi JOIN mm ON emi.substance = mm.substance
+        |         WHERE cell_id < 6 GROUP BY 1, 2),
+        |hrs AS (SELECT * FROM (VALUES
+        |         ('wrfchemi_d01_2024-01-01_23:00:00', 23, 0),
+        |         ('wrfchemi_d01_2024-01-02_00:00:00', 0, 1),
+        |         ('wrfchemi_d01_2024-01-02_01:00:00', 1, 1)) h(file, hod, dow))
+        |SELECT hrs.file, 'E_' || substance || '_' || category AS var,
+        |       round(tot * (CASE WHEN category = 'A' AND substance = 'F'
+        |                         THEN (1.0 + hod / 48.0) * (0.5 + dow * 0.25)
+        |                         ELSE 1.0 END), 6) AS total
+        |FROM flux, hrs""".stripMargin)),
 
     // Pinned-literal oracle (OraclePins): the DuckDB-export inventory
     // loader (zurich/duck.py semantics over duckdb's parquet EXPORT
