@@ -257,4 +257,55 @@ class PropertySpec extends SparkSpec {
       assert(lossless == texts, "minDocs beyond corpus size must keep all text")
     }
   }
+
+  test("property: PII scrub is idempotent and counts match placeholders") {
+    val words = Seq("alpha", "beta", "a.b+c@mail-x.org", "10.20.30.40",
+      "+4179123456789", "1.2.3", "gamma@no", "+12", "x@y.io")
+    val docs = spark.createDataFrame((0L until 40L).map { i =>
+      val r = new Random(i)
+      (i, Seq.fill(12)(words(r.nextInt(words.length))).mkString(" "))
+    }).toDF("doc_id", "text")
+    val once = graft.text.PiiScrub.scrub(docs).select(
+      col("doc_id"), col("clean"), col("n_emails"), col("n_ips"), col("n_phones"))
+    val rows = once.collect()
+    rows.foreach { r =>
+      val clean = r.getString(1)
+      // every removal left exactly one typed placeholder
+      assert("<EMAIL>".r.findAllIn(clean).length == r.getInt(2))
+      assert("<IP>".r.findAllIn(clean).length == r.getInt(3))
+      assert("<PHONE>".r.findAllIn(clean).length == r.getInt(4))
+    }
+    // scrubbing scrubbed text changes nothing and finds nothing
+    val twice = graft.text.PiiScrub.scrub(
+      once.select(col("doc_id"), col("clean").as("text"))).collect()
+    val cleanById = rows.map(r => r.getLong(0) -> r.getString(1)).toMap
+    twice.foreach { r =>
+      assert(r.getAs[String]("clean") == cleanById(r.getLong(0)))
+      assert(r.getAs[Int]("n_emails") + r.getAs[Int]("n_ips") +
+        r.getAs[Int]("n_phones") == 0)
+    }
+  }
+
+  test("property: URL canonicalization is idempotent over crawl variants") {
+    val urls = (0L until 60L).map { i =>
+      val r = new Random(i)
+      val scheme = Seq("http", "HTTP", "https", "HTTPS")(r.nextInt(4))
+      val port = Seq("", ":80", ":443", ":8080")(r.nextInt(4))
+      val params = Random.javaRandomToRandom(new java.util.Random(i))
+        .shuffle(Seq("utm_source=x", "b=2", "a=1", "fbclid=z", "z=9"))
+        .take(1 + r.nextInt(4)).mkString("&")
+      val frag = Seq("", "#sec")(r.nextInt(2))
+      (i, s"$scheme://Host${i % 7}.Example.COM$port/p/${i % 13}?$params$frag")
+    }
+    val docs = spark.createDataFrame(urls).toDF("doc_id", "url")
+    val c1 = docs.select(col("doc_id"), graft.text.UrlOps.canonical(col("url")).as("url"))
+    val c2 = c1.select(col("doc_id"), graft.text.UrlOps.canonical(col("url")).as("url"))
+    val m1 = c1.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val m2 = c2.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m1 == m2, "canonical must be a fixpoint")
+    m1.values.foreach { u =>
+      assert(!u.contains("#") && !u.contains("utm_") && !u.contains("fbclid"))
+      assert(u.startsWith("http://host") || u.startsWith("https://host"))
+    }
+  }
 }
