@@ -643,6 +643,29 @@ object QueriesExtra {
       Some("""SELECT doc_id,
         |       CAST(unnest(range(0, 1 + octet_length(encode(text)) // 100, 2)) AS INT)
         |         AS frame_idx
-        |FROM documents""".stripMargin))
+        |FROM documents""".stripMargin)),
+
+    // R8 with the reference's PUBLISHED regroup table: TNO sub-sector
+    // labels synthesized from cell_id, grouped through the shipped
+    // TNO_2_GNFR mapping (model/CategoryGroups, the data a switching
+    // user calls group_categories with —
+    // emiproc/inventories/categories_groups.py:100-154).
+    Q("q_gnfr_group",
+      (s, d) => {
+        val cats = Seq("A", "B", "C", "F1", "F2", "F3", "F4", "G", "K")
+        val emi = emissions(s, d).withColumn("category",
+          element_at(array(cats.map(lit): _*),
+            (col("cell_id") % 9 + 1).cast("int")))
+        graft.ops.Grouping.groupCategories(
+          s, emi, graft.model.CategoryGroups.Tno2Gnfr)
+      },
+      Some(s"""$EmiCte
+        |SELECT cell_id,
+        |       CASE WHEN cell_id % 9 IN (3, 4, 5, 6) THEN 'GNFR_F'
+        |            ELSE 'GNFR_' || (CASE cell_id % 9 WHEN 0 THEN 'A'
+        |                 WHEN 1 THEN 'B' WHEN 2 THEN 'C' WHEN 7 THEN 'G'
+        |                 ELSE 'K' END) END AS category,
+        |       substance, sum(value) AS value
+        |FROM emissions GROUP BY 1, 2, 3""".stripMargin))
   )
 }

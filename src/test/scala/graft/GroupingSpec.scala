@@ -4,6 +4,24 @@ import graft.ops.Grouping
 
 class GroupingSpec extends SparkSpec {
 
+  test("shipped CategoryGroups mappings: codes disjoint, official shapes") {
+    import graft.model.CategoryGroups._
+    // a source code must map to exactly one GNFR sector
+    val chCodes = Ch2Gnfr.values.flatten.toSeq
+    assert(chCodes.distinct.size == chCodes.size)
+    assert(Ch2Gnfr.keySet == Tno2Gnfr.keySet) // both cover GNFR_A..L,R
+    assert(Tno2Gnfr("GNFR_F") == Seq("F1", "F2", "F3", "F4"))
+    assert(Tno2Gnfr("GNFR_R").isEmpty) // reference keeps the empty group
+    assert(Ch2Gnfr("GNFR_A") == Seq("eipkv"))
+    // the mapping drives groupCategories directly
+    val emi = spark.createDataFrame(Seq(
+      (0L, "evstr", "CO2", 1.0), (0L, "evzon", "CO2", 2.0),
+      (0L, "eipkv", "CO2", 4.0))).toDF("cell_id", "category", "substance", "value")
+    val out = Grouping.groupCategories(spark, emi, Ch2Gnfr)
+      .collect().map(r => r.getString(1) -> r.getDouble(3)).toMap
+    assert(out == Map("GNFR_F" -> 3.0, "GNFR_A" -> 4.0))
+  }
+
   test("groupCategories sums member categories per (cell, substance)") {
     val out = Grouping.groupCategories(spark, basicInv,
       Map("gA" -> Seq("adf", "liku"), "gB" -> Seq("test")))
