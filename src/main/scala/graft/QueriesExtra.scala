@@ -666,6 +666,57 @@ object QueriesExtra {
         |                 WHEN 1 THEN 'B' WHEN 2 THEN 'C' WHEN 7 THEN 'G'
         |                 ELSE 'K' END) END AS category,
         |       substance, sum(value) AS value
-        |FROM emissions GROUP BY 1, 2, 3""".stripMargin))
+        |FROM emissions GROUP BY 1, 2, 3""".stripMargin)),
+
+    // R15 with the reference's PUBLISHED Zurich CO2 fossil/bio ratios
+    // (model/ZurichData + Speciation.co2BioTable,
+    // speciation_co2_bio.py): four Zurich categories with distinct
+    // biogenic fractions synthesized onto the fact table, split through
+    // the shipped ratio map; integer-valued sums keep the ratio
+    // multiplies FP-exact across engines.
+    Q("q_co2_bio",
+      (s, d) => {
+        val keys = Seq(
+          "c2301_KHKWKehricht_Emissionen_Kanton",
+          "c3410_Bierbrauereien_Emissionen_Kanton",
+          "c1301_Personenwagen_Emissionen_Kanton",
+          "c2102_Gasheizungen_Emissionen_Kanton")
+        val emi = emissions(s, d)
+          .withColumn("category",
+            element_at(array(keys.map(lit): _*),
+              (col("cell_id") % 4 + 1).cast("int")))
+          .withColumn("substance",
+            when(col("substance") === "F", lit("CO2"))
+              .otherwise(col("substance")))
+          .groupBy("cell_id", "category", "substance")
+          .agg(sum("value").as("value"))
+        val table = graft.ops.Speciation.co2BioTable(
+          s, graft.model.ZurichData.Co2BioRatios)
+        val noFractions = s.createDataFrame(
+          Seq.empty[(Long, String, Double)])
+          .toDF("cell_id", "country", "fraction")
+        graft.ops.Speciation.speciateFromTable(
+          s, emi, noFractions, table, substance = "CO2")
+      },
+      Some(s"""$EmiCte,
+        |keys AS (SELECT * FROM (VALUES
+        |  (0, 'c2301_KHKWKehricht_Emissionen_Kanton', CAST(0.52 AS DOUBLE)),
+        |  (1, 'c3410_Bierbrauereien_Emissionen_Kanton', CAST(1.0 AS DOUBLE)),
+        |  (2, 'c1301_Personenwagen_Emissionen_Kanton', CAST(0.023984 AS DOUBLE)),
+        |  (3, 'c2102_Gasheizungen_Emissionen_Kanton', CAST(0.0 AS DOUBLE)))
+        |  k(i, category, r)),
+        |emi AS (SELECT cell_id, k.category AS category,
+        |               CASE WHEN substance = 'F' THEN 'CO2' ELSE substance END AS substance,
+        |               sum(value) AS value, any_value(r) AS r
+        |        FROM emissions JOIN keys k ON k.i = cell_id % 4
+        |        GROUP BY 1, 2, 3)
+        |SELECT cell_id, category, 'CO2_bio' AS substance, value * r AS value
+        |FROM emi WHERE substance = 'CO2'
+        |UNION ALL
+        |SELECT cell_id, category, 'CO2_fos', value * (1.0 - r)
+        |FROM emi WHERE substance = 'CO2'
+        |UNION ALL
+        |SELECT cell_id, category, substance, value
+        |FROM emi WHERE substance <> 'CO2'""".stripMargin))
   )
 }

@@ -191,6 +191,22 @@ object Speciation {
           .otherwise(lit(1.0))).as("value"))
   }
 
+  /** CO2 fossil/biogenic split table from per-category biogenic
+    * fractions — the reference's `ZH_CO2_BIO_RATIOS` construction
+    * (emiproc/inventories/zurich/speciation_co2_bio.py:76-85:
+    * row_stack([r, 1 - r]) over substances (CO2_bio, CO2_fos)), emitted
+    * in [[speciateFromTable]]'s long layout with the `-99` country
+    * wildcard. Pair with [[graft.model.ZurichData.Co2BioRatios]] for the
+    * published Zurich table. */
+  def co2BioTable(
+      spark: SparkSession,
+      ratios: Map[String, Double],
+      bioSubstance: String = "CO2_bio",
+      fossilSubstance: String = "CO2_fos"): DataFrame =
+    spark.createDataFrame(ratios.toSeq.flatMap { case (c, r) =>
+      Seq((c, "-99", bioSubstance, r), (c, "-99", fossilSubstance, 1.0 - r))
+    }).toDF("category", "country", "new_substance", "ratio")
+
   /** Sum several substances into one — reference `merge_substances`
     * (emiproc/speciation.py:504-569). */
   def mergeSubstances(

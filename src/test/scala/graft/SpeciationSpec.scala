@@ -6,6 +6,28 @@ import org.apache.spark.sql.functions.col
 
 class SpeciationSpec extends SparkSpec {
 
+  test("co2BioTable mirrors the reference [r, 1-r] construction; Zurich " +
+    "table ships complete") {
+    import graft.model.ZurichData
+    assert(ZurichData.Co2BioRatios.size == 65)
+    assert(ZurichData.Co2BioRatios("c2301_KHKWKehricht_Emissionen_Kanton") == 0.52)
+    assert(ZurichData.Co2BioRatios("c1301_Personenwagen_Emissionen_Kanton") == 0.023984)
+    assert(ZurichData.Co2BioRatios.values.forall(r => r >= 0.0 && r <= 1.0))
+    val t = Speciation.co2BioTable(spark, Map("cat" -> 0.52)).collect()
+      .map(r => r.getString(2) -> (r.getString(1), r.getDouble(3))).toMap
+    assert(t("CO2_bio") == (("-99", 0.52)))
+    assert(t("CO2_fos") == (("-99", 1.0 - 0.52)))
+    // applied through speciateFromTable: daughters sum back to parent
+    val emi = spark.createDataFrame(Seq((0L, "cat", "CO2", 100.0)))
+      .toDF("cell_id", "category", "substance", "value")
+    val noFr = spark.createDataFrame(Seq.empty[(Long, String, Double)])
+      .toDF("cell_id", "country", "fraction")
+    val out = Speciation.speciateFromTable(spark, emi, noFr,
+      Speciation.co2BioTable(spark, Map("cat" -> 0.52)), "CO2")
+      .collect().map(r => r.getString(2) -> r.getDouble(3)).toMap
+    assert(out == Map("CO2_bio" -> 52.0, "CO2_fos" -> 48.0))
+  }
+
   test("speciate splits mapped pairs and passes others through") {
     val out = Speciation.speciate(spark, basicInv, Seq(
       ("adf", "CO2", "CO2b", 0.25), ("adf", "CO2", "CO2f", 0.75)))
