@@ -1,6 +1,7 @@
 package graft
 
 import graft.ops.Grouping
+import org.apache.spark.sql.functions.col
 
 class GroupingSpec extends SparkSpec {
 
@@ -20,6 +21,25 @@ class GroupingSpec extends SparkSpec {
     val out = Grouping.groupCategories(spark, emi, Ch2Gnfr)
       .collect().map(r => r.getString(1) -> r.getDouble(3)).toMap
     assert(out == Map("GNFR_F" -> 3.0, "GNFR_A" -> 4.0))
+  }
+
+  test("shipped Zurich tables: cross-consistent with each other") {
+    import graft.model.ZurichData._
+    val gnfrCodes = Zh2Gnfr.values.flatten.toSeq
+    assert(gnfrCodes.distinct.size == gnfrCodes.size) // one sector per code
+    // the GNFR mapping and the CO2-bio ratio table cover the SAME 65
+    // Zurich categories; categories_info adds exactly one more (the
+    // compost category, which has metadata but no CO2 split)
+    assert(gnfrCodes.toSet == Co2BioRatios.keySet)
+    val gralCodes = ZhCo2GralGroups.values.flatten.toSet
+    assert(gralCodes.subsetOf(gnfrCodes.toSet))
+    assert(ZurichSources.map(_._1).toSet -- gnfrCodes.toSet ==
+      Set("c3415_Kompostierung_Emissionen_Kanton"))
+    // metadata plugs straight into the GRAL writers' dim table
+    val info = graft.sinks.GralExport.infoTable(spark, ZurichSources)
+    assert(info.count() == 66)
+    assert(info.where(col("category") === "c1301_Personenwagen_Emissionen_Kanton")
+      .select("ei_width").head.getDouble(0) == 7.0)
   }
 
   test("groupCategories sums member categories per (cell, substance)") {
