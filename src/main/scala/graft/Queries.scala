@@ -54,6 +54,18 @@ object Queries {
         |       substance, sum(value) AS value
         |FROM emissions GROUP BY 1, 2, 3""".stripMargin)),
 
+    // The fused regroup+rollup (groupedTotals): same result as
+    // totals(groupCategories(...)) but without the (cell, group,
+    // substance) data-scale aggregate — see ScaleBench B2 vs B2b.
+    Q("q_grouped_totals",
+      (s, d) => Grouping.groupedTotals(s, emissions(s, d), catGroups),
+      Some(s"""$EmiCte,
+        |g AS (SELECT CASE WHEN category IN ('A','R') THEN 'grp_ret' ELSE 'grp_cur' END AS category,
+        |             substance, value
+        |      FROM emissions)
+        |SELECT substance, coalesce(category, '__total__') AS category, sum(value) AS total
+        |FROM g GROUP BY GROUPING SETS ((substance, category), (substance))""".stripMargin)),
+
     Q("q_group_substances",
       (s, d) => Grouping.groupSubstances(s, emissions(s, d), subGroups),
       Some(s"""$EmiCte

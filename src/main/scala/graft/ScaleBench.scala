@@ -58,6 +58,15 @@ object ScaleBench {
     }
     Caching.release() // totals registers its pair-level cache
 
+    // B2b: the SAME rollup through the fused groupedTotals — skips the
+    // (cell, group, substance) data-scale aggregate when only the
+    // report is wanted; map-side combine leaves a metadata-scale shuffle
+    val (b2bs, b2bn) = time {
+      Grouping.groupedTotals(spark, emi, catMap, ignoreMissing = true).count()
+    }
+    require(b2bn == b2n, s"groupedTotals row count drift: $b2bn vs $b2n")
+    Caching.release()
+
     val emi3 = emissions(1000, 4, 2)
     val sf = spark.range(24).select(
       lit("c0").as("category"), lit("s0").as("substance"),
@@ -258,6 +267,7 @@ object ScaleBench {
     val json =
       s"""{"metric":"scale_bench","b1_remap_sec":$b1s,"b1_rows_in":${src.ncells * 32},"b1_rows_out":$b1n,"b1_mrows_per_s":$b1rate,""" +
         s""""b2_group_rollup_sec":$b2s,"b2_rows_out":$b2n,""" +
+        s""""b2b_fused_totals_sec":$b2bs,""" +
         s""""b3_explode_sec":$b3s,"b3_rows":$b3n,"b3_mrows_per_s":$b3rate,""" +
         s""""b6_poly_grid_sec":$b6s,"b6_weights":$b6n,""" +
         s""""b7_tile_join_sec":$b7s,"b7_pairs":$b7n,""" +

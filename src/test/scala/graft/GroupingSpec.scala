@@ -23,6 +23,16 @@ class GroupingSpec extends SparkSpec {
     assert(out == Map("GNFR_F" -> 3.0, "GNFR_A" -> 4.0))
   }
 
+  test("groupedTotals equals totals-of-groupCategories exactly") {
+    val m = Map("gA" -> Seq("adf", "liku"), "gB" -> Seq("test"))
+    val slow = Grouping.totals(Grouping.groupCategories(spark, basicInv, m))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val fused = Grouping.groupedTotals(spark, basicInv, m)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(fused == slow)
+    assert(fused.keys.exists(_._2 == "__total__"))
+  }
+
   test("shipped Zurich tables: cross-consistent with each other") {
     import graft.model.ZurichData._
     val gnfrCodes = Zh2Gnfr.values.flatten.toSeq
