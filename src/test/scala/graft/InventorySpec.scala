@@ -116,5 +116,23 @@ class InventorySpec extends SparkSpec {
     val mol = df.select(Units.kgPerYearToMolPerYear(lit(46.0), 46.0))
       .collect()(0).getDouble(0)
     assert(mol == 1000.0)
+    // reference tests/utils/test_molar_mass.py + test_unit_conversion.py
+    assert(Units.molarMass("CH4") == 16.04 && Units.molarMass("CO2") == 44.009)
+    assert(Units.molarMass("N2O") == 44.013 && Units.molarMass("C") == 12.01)
+    intercept[IllegalArgumentException](Units.molarMass("SOMETHING UNKNOWN"))
+    assert(Units.scalingFactorToEmiproc("kg/m2/s") ==
+      ((365.25 * 86400.0, true)))
+    Seq("kg/y/cell", "kg y-1 cell-1", "kg/year/cell").foreach { u =>
+      assert(Units.scalingFactorToEmiproc(u) == ((1.0, false)))
+    }
+    assert(Units.scalingFactorToEmiproc("kg/year/m2") == ((1.0, true)))
+    intercept[IllegalArgumentException](
+      Units.scalingFactorToEmiproc("PgC/yr", Some("CH4")))
+    assert(Units.scalingFactorToEmiproc("PgC/yr", Some("CO2")) ==
+      ((1e12 * (44.009 / 12.01), false)))
+    assert(Units.scalingFactorToEmiproc("micromol/m2/s", Some("CH4")) ==
+      ((1e-3 * 16.04 * 1e-6 * 86400.0 * 365.25, true)))
+    intercept[NotImplementedError](
+      Units.scalingFactorToEmiproc("unsupported_unit"))
   }
 }
