@@ -40,13 +40,55 @@ object Clustering {
       pairs: DataFrame,
       aCol: String = "doc_a",
       bCol: String = "doc_b",
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 20,
+      driverEdgeLimit: Long = 200000L): DataFrame = {
+    val spark = pairs.sparkSession
+    // The pair list is cached before branching: counting it and then
+    // re-reading it must not recompute the (often expensive) upstream
+    // candidate pipeline.
+    val p = graft.Caching.cache(
+      pairs.select(col(aCol).as("src"), col(bCol).as("dst")))
+    val nEdges = p.count()
+
+    // ADAPTIVE small-graph path: near-dup edge lists are usually TINY
+    // relative to the corpus (pairs survive LSH banding + verification),
+    // so below `driverEdgeLimit` edges (~a few MB of longs) a
+    // driver-side union-find with path compression answers in
+    // milliseconds, where each distributed round costs several Spark
+    // jobs of fixed latency. Exact same result: union always attaches
+    // the larger root under the smaller, so every component's final
+    // root IS its minimum doc_id. The distributed pointer-doubling loop
+    // below remains the path for real graphs (ScaleBench B9: 8M edges)
+    // and is what a 100 TB corpus takes; set driverEdgeLimit = 0 to
+    // force it (the specs pin both paths against each other).
+    if (nEdges <= driverEdgeLimit) {
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      p.collect().foreach { row =>
+        val a = row.getLong(0); val b = row.getLong(1)
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) {
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        }
+      }
+      val labels = parent.keys.toSeq.sorted.map(k => (k, find(k)))
+      graft.Caching.release(p)
+      return spark.createDataFrame(labels).toDF("doc_id", "cluster_id")
+    }
+
     // Symmetric edge list, persisted once — reused every round. Both
     // directions project straight off `pairs` (never off each other):
     // Catalyst's union-constraint rewriting cannot handle a plan
     // unioned with a projection of itself.
-    val fwd = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-    val rev = pairs.select(col(bCol).as("src"), col(aCol).as("dst"))
+    val fwd = p
+    val rev = p.select(col("dst").as("src"), col("src").as("dst"))
     val edges = graft.Caching.cache(fwd.unionByName(rev).distinct())
 
     // localCheckpoint (eager) TRUNCATES LINEAGE each round — the labels
@@ -108,6 +150,7 @@ object Clustering {
       s"connectedComponents did not converge in $maxIter rounds — " +
         "raise maxIter (rounds needed ≈ log2 of the largest component diameter)")
     graft.Caching.release(edges)
+    graft.Caching.release(p)
     labels.withColumnRenamed("label", "cluster_id")
   }
 

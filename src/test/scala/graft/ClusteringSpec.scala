@@ -14,7 +14,7 @@ class ClusteringSpec extends SparkSpec {
     val cc = Clustering.connectedComponents(pairs(
       (1L, 2L), (2L, 3L), (3L, 4L),
       (10L, 11L),
-      (20L, 21L), (21L, 22L), (20L, 22L)))
+      (20L, 21L), (21L, 22L), (20L, 22L)), driverEdgeLimit = 0)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(cc == Map(
       1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
@@ -26,7 +26,7 @@ class ClusteringSpec extends SparkSpec {
     // a 9-node path 0-1-2-...-8: min-label needs ~log rounds with the
     // self-label union, but must still land everything on 0
     val es = (0L until 8L).map(i => (i, i + 1))
-    val cc = Clustering.connectedComponents(pairs(es: _*))
+    val cc = Clustering.connectedComponents(pairs(es: _*), driverEdgeLimit = 0)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(cc.values.toSet == Set(0L))
     assert(cc.keySet == (0L to 8L).toSet)
@@ -36,10 +36,22 @@ class ClusteringSpec extends SparkSpec {
     // plain per-hop propagation would need 999 rounds and fragment at
     // the maxIter cap; the l(l(v)) shortcut makes it O(log diameter)
     val es = (0L until 999L).map(i => (i, i + 1))
-    val cc = Clustering.connectedComponents(pairs(es: _*))
+    val cc = Clustering.connectedComponents(pairs(es: _*), driverEdgeLimit = 0)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(cc.size == 1000)
     assert(cc.values.toSet == Set(0L))
+  }
+
+  test("driver union-find path equals the distributed path exactly") {
+    val rnd = new scala.util.Random(7)
+    val es = (0 until 300).map(_ =>
+      (rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+      .filter { case (a, b) => a != b }
+    val fast = Clustering.connectedComponents(pairs(es: _*))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = Clustering.connectedComponents(pairs(es: _*), driverEdgeLimit = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast == dist)
   }
 
   test("dedupAssign: singletons keep themselves; clusters keep min id") {
