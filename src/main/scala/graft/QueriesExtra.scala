@@ -416,7 +416,9 @@ object QueriesExtra {
       (s, d) => {
         import graft.sources.Wkb
         val dir = java.nio.file.Files.createTempDirectory("duckinv").toString
-        val nat = nation(s, d).limit(10).collect()
+        // explicit order: a bare limit(10) depends on file/partition
+        // order, and the pinned-literal oracle needs stable row choice
+        val nat = nation(s, d).orderBy("n_nationkey").limit(10).collect()
         val traffic = s.createDataFrame(nat.map { r =>
           val k = r.getAs[Number]("n_nationkey").longValue()
           val x = (k % 5).toDouble
