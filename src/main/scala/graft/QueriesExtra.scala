@@ -719,6 +719,33 @@ object QueriesExtra {
         |FROM emi WHERE substance = 'CO2'
         |UNION ALL
         |SELECT cell_id, category, substance, value
-        |FROM emi WHERE substance <> 'CO2'""".stripMargin))
+        |FROM emi WHERE substance <> 'CO2'""".stripMargin)),
+
+    // R19 hole-aware country fractions (the Lesotho rule): a shell
+    // country with an interior ring plus the enclave filling it —
+    // polygonMask's ring path nets area(cell ∩ shell) − area(cell ∩
+    // hole); the oracle recomputes the fractions closed-form with box
+    // overlap arithmetic (dyadic values, FP-exact).
+    Q("q_country_holes",
+      (s, _) => {
+        val g = graft.model.RegularGrid(4, 4, 0.0, 0.0, 1.0, 1.0)
+        val countries = s.createDataFrame(Seq(
+          ("AA", 0, Array(0.0, 4.0, 4.0, 0.0), Array(0.0, 0.0, 4.0, 4.0)),
+          ("AA", 1, Array(1.0, 2.5, 2.5, 1.0), Array(1.0, 1.0, 1.5, 1.5)),
+          ("BB", 0, Array(1.0, 2.5, 2.5, 1.0), Array(1.0, 1.0, 1.5, 1.5))))
+          .toDF("country", "ring", "xs", "ys")
+        graft.ops.SpatialJoin.polygonMask(s, g, countries, fractions = true)
+      },
+      Some("""WITH cells AS (SELECT i AS cell_id,
+        |               CAST(i // 4 AS DOUBLE) AS cxmin, CAST(i % 4 AS DOUBLE) AS cymin
+        |        FROM range(16) t(i)),
+        |ov AS (SELECT cell_id,
+        |         greatest(0.0::DOUBLE, least(cxmin + 1.0, 2.5::DOUBLE) - greatest(cxmin, 1.0::DOUBLE)) *
+        |         greatest(0.0::DOUBLE, least(cymin + 1.0, 1.5::DOUBLE) - greatest(cymin, 1.0::DOUBLE)) AS hole
+        |       FROM cells)
+        |SELECT cell_id, 'AA' AS country, 1.0 - hole AS fraction
+        |FROM ov WHERE 1.0 - hole > 1e-12
+        |UNION ALL
+        |SELECT cell_id, 'BB', hole FROM ov WHERE hole > 1e-12""".stripMargin))
   )
 }

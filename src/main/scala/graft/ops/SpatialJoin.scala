@@ -35,6 +35,59 @@ import graft.model.RegularGrid
   */
 object SpatialJoin {
 
+  /** [[polyGridWeights]] for polygons WITH INTERIOR RINGS (holes): input
+    * rows are (poly_id, ring, xs, ys) with ring 0 = shell, ring > 0 = a
+    * hole (the [[graft.sources.Wkb]] / shapefile part layout). The net
+    * cell intersection is area(cell ∩ shell) − Σ area(cell ∩ hole) —
+    * exact for holes contained in the shell (the OGC polygon contract).
+    * Matters for real country masks: an enclave country (Lesotho
+    * pattern) must EXCLUDE the surrounding country from its cells, which
+    * single-ring masks cannot express (the shell would tie the enclave
+    * at full area). Reference country geometries carry holes implicitly
+    * through shapely (emiproc/utilities.py:317-470).
+    *
+    * One shuffle (the per-(poly, cell) ring aggregate) vs the join-free
+    * single-ring path — keyed on (poly_id, cell_id), cardinality grows
+    * with the grid, balanced. */
+  def polyGridWeightsRings(
+      spark: SparkSession,
+      grid: RegularGrid,
+      polys: DataFrame,
+      normalizeByPoly: Boolean = false): DataFrame = {
+    val p = withBBox(polys)
+    val jx0 = greatest(lit(0), floor((col("_bxmin") - grid.xmin) / grid.dx).cast("int"))
+    val jx1 = least(lit(grid.nx - 1), floor((col("_bxmax") - grid.xmin) / grid.dx).cast("int"))
+    val jy0 = greatest(lit(0), floor((col("_bymin") - grid.ymin) / grid.dy).cast("int"))
+    val jy1 = least(lit(grid.ny - 1), floor((col("_bymax") - grid.ymin) / grid.dy).cast("int"))
+    val sign = when(col("ring") === 0, lit(1.0)).otherwise(lit(-1.0))
+    val cand = p
+      .where(jx1 >= jx0 && jy1 >= jy0)
+      .select(col("*"), explode(sequence(jx0, jx1)).as("_jx"))
+      .select(col("*"), explode(sequence(jy0, jy1)).as("_jy"))
+    val cxmin = lit(grid.xmin) + col("_jx") * grid.dx
+    val cymin = lit(grid.ymin) + col("_jy") * grid.dy
+    val net = cand
+      .withColumn("_a", sign * PolyClipAreaExpr.col(
+        cxmin, cymin, cxmin + grid.dx, cymin + grid.dy, col("xs"), col("ys")))
+      .groupBy(col("poly_id"),
+        (col("_jx").cast("long") * grid.ny + col("_jy")).as("cell_id"))
+      .agg(sum("_a").as("area"))
+      .where(col("area") > 1e-12)
+    val out =
+      if (normalizeByPoly) {
+        val polyArea = polys
+          .groupBy("poly_id")
+          .agg(sum(when(col("ring") === 0, lit(1.0)).otherwise(lit(-1.0)) *
+            PolyAreaExpr.col(col("xs"), col("ys"))).as("_pa"))
+        net.join(broadcast(polyArea), "poly_id")
+          .select(col("poly_id"), col("cell_id"), col("area"),
+            (col("area") / col("_pa")).as("weight"))
+      } else
+        net.select(col("poly_id"), col("cell_id"), col("area"),
+          (col("area") / grid.cellArea).as("weight"))
+    out
+  }
+
   /** Attach bbox columns derived from the vertex arrays. */
   def withBBox(polys: DataFrame): DataFrame =
     polys
@@ -252,8 +305,12 @@ object SpatialJoin {
       grid: RegularGrid,
       countries: DataFrame,
       fractions: Boolean = false): DataFrame = {
-    val w = polyGridWeights(spark, grid,
-      countries.withColumnRenamed("country", "poly_id"))
+    // a `ring` column switches to the hole-aware path (ring 0 = shell,
+    // ring > 0 = hole): enclave countries then exclude their host
+    val renamed = countries.withColumnRenamed("country", "poly_id")
+    val w = (if (countries.columns.contains("ring"))
+               polyGridWeightsRings(spark, grid, renamed)
+             else polyGridWeights(spark, grid, renamed))
       .select(col("cell_id"), col("poly_id").as("country"), col("area"))
     if (fractions)
       w.select(col("cell_id"), col("country"),

@@ -132,6 +132,40 @@ class SpatialJoinSpec extends SparkSpec {
     assert(!fr.contains((13L, "AA"))) // ix=3 outside AA
   }
 
+  test("hole-aware mask: an enclave country excludes its host (Lesotho rule)") {
+    val g = RegularGrid(4, 4, 0.0, 0.0, 1.0, 1.0)
+    // AA: 4x4 shell with a hole over [1,2.5]x[1,1.5]; BB fills the hole
+    val countries = spark.createDataFrame(Seq(
+      ("AA", 0, Array(0.0, 4.0, 4.0, 0.0), Array(0.0, 0.0, 4.0, 4.0)),
+      ("AA", 1, Array(1.0, 2.5, 2.5, 1.0), Array(1.0, 1.0, 1.5, 1.5)),
+      ("BB", 0, Array(1.0, 2.5, 2.5, 1.0), Array(1.0, 1.0, 1.5, 1.5))))
+      .toDF("country", "ring", "xs", "ys")
+    val fr = SpatialJoin.polygonMask(spark, g, countries, fractions = true)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(2)).toMap
+    // cell (1,1) = id 1*4+1 = 5: hole covers [1,2]x[1,1.5] of it ->
+    // AA net 0.5, BB 0.5; cell (2,1) = id 9: hole covers [2,2.5]x[1,1.5]
+    // -> AA 0.75, BB 0.25; untouched cell keeps AA 1.0
+    assert(math.abs(fr((5L, "AA")) - 0.5) < 1e-12)
+    assert(math.abs(fr((5L, "BB")) - 0.5) < 1e-12)
+    assert(math.abs(fr((9L, "AA")) - 0.75) < 1e-12)
+    assert(math.abs(fr((9L, "BB")) - 0.25) < 1e-12)
+    assert(fr((0L, "AA")) == 1.0 && !fr.contains((0L, "BB")))
+    // argmax: the 0.75 cell goes to AA, the balanced cell ties to AA
+    // (area tie-break by name); a cell where the hole dominates -> BB
+    val g2 = RegularGrid(4, 4, 0.0, 0.0, 1.0, 1.0)
+    val c2 = spark.createDataFrame(Seq(
+      ("AA", 0, Array(0.0, 4.0, 4.0, 0.0), Array(0.0, 0.0, 4.0, 4.0)),
+      ("AA", 1, Array(1.0, 2.0, 2.0, 1.0), Array(1.0, 1.0, 2.0, 2.0)),
+      ("BB", 0, Array(1.0, 2.0, 2.0, 1.0), Array(1.0, 1.0, 2.0, 2.0))))
+      .toDF("country", "ring", "xs", "ys")
+    val mask = SpatialJoin.polygonMask(spark, g2, c2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // cell (1,1) is EXACTLY the hole: AA net 0 drops out, BB wins —
+    // the single-ring path would have tied AA at full area
+    assert(mask(5L) == "BB")
+    assert(mask(0L) == "AA")
+  }
+
   test("remap onto an ICON-style triangle mesh: halves cells, conserves mass") {
     val g = RegularGrid(3, 2, 0.0, 0.0, 1.0, 1.0)
     val tris = SpatialJoin.triangulateGrid(spark, g)
