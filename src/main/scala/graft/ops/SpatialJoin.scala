@@ -46,6 +46,12 @@ object SpatialJoin {
     * at full area). Reference country geometries carry holes implicitly
     * through shapely (emiproc/utilities.py:317-470).
     *
+    * MULTIPOLYGONS work through the same aggregate: feed one row per
+    * (part, ring) with ring 0 per part's shell — the signed sum over all
+    * of a poly_id's rows is Σ_parts (shell − holes), which is the
+    * multipolygon area contract (the [[graft.sources.Wkb]] decode layout
+    * maps straight onto this).
+    *
     * One shuffle (the per-(poly, cell) ring aggregate) vs the join-free
     * single-ring path — keyed on (poly_id, cell_id), cardinality grows
     * with the grid, balanced. */

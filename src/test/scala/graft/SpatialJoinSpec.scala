@@ -166,6 +166,22 @@ class SpatialJoinSpec extends SparkSpec {
     assert(mask(0L) == "AA")
   }
 
+  test("ring weights: a two-shell multipolygon sums its parts") {
+    val g = RegularGrid(4, 1, 0.0, 0.0, 1.0, 1.0)
+    // two disjoint half-cell shells of the same polygon in cells 0 and 2
+    val mp = spark.createDataFrame(Seq(
+      ("MM", 0, Array(0.0, 0.5, 0.5, 0.0), Array(0.0, 0.0, 1.0, 1.0)),
+      ("MM", 0, Array(2.0, 2.5, 2.5, 2.0), Array(0.0, 0.0, 1.0, 1.0))))
+      .toDF("poly_id", "ring", "xs", "ys")
+    val w = SpatialJoin.polyGridWeightsRings(spark, g, mp)
+      .collect().map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    assert(w == Map(0L -> 0.5, 2L -> 0.5))
+    // normalizeByPoly divides by the summed part area (1.0 total)
+    val wn = SpatialJoin.polyGridWeightsRings(spark, g, mp, normalizeByPoly = true)
+      .collect().map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    assert(wn == Map(0L -> 0.5, 2L -> 0.5))
+  }
+
   test("remap onto an ICON-style triangle mesh: halves cells, conserves mass") {
     val g = RegularGrid(3, 2, 0.0, 0.0, 1.0, 1.0)
     val tris = SpatialJoin.triangulateGrid(spark, g)
