@@ -365,7 +365,10 @@ object QueriesSpatial {
     // country_tz table layout — cells per country × timezone offset.
     Q("q_country_real",
       (s, _) => {
-        val countries = graft.sources.Shapefile.countryPolygons(
+        // ring-keeping read: exercises the hole-aware mask path on real
+        // shapefile data (identical result while the extract is
+        // hole-free — the pinned oracle guards that equivalence)
+        val countries = graft.sources.Shapefile.countryPolygonsWithRings(
           s, "/root/repo/fixtures/ne_extract/ne_extract.shp",
           "/root/repo/fixtures/ne_extract/ne_extract.dbf")
         // 0.25° cells over the alpine window of the fixture outlines

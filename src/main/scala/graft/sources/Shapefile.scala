@@ -151,4 +151,17 @@ object Shapefile {
     readPolygons(spark, shpPath, dbfPath, attr)
       .where(!col("is_hole"))
       .select(col("name").as("country"), col("xs"), col("ys"))
+
+  /** [[countryPolygons]] KEEPING interior rings, in the layout
+    * [[graft.ops.SpatialJoin.polyGridWeightsRings]] consumes (ring 0 =
+    * shell, 1 = hole) — enclave-correct country masks over real
+    * shapefile data; reduces to the single-ring result when no shape
+    * has holes. */
+  def countryPolygonsWithRings(
+      spark: SparkSession, shpPath: String, dbfPath: String,
+      attr: String = "ISO_A3"): DataFrame =
+    readPolygons(spark, shpPath, dbfPath, attr)
+      .select(col("name").as("country"),
+        when(col("is_hole"), lit(1)).otherwise(lit(0)).as("ring"),
+        col("xs"), col("ys"))
 }
