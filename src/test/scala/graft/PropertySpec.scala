@@ -258,6 +258,29 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: ring weights conserve net polygon area inside the grid") {
+    val g = RegularGrid(8, 8, 0.0, 0.0, 1.0, 1.0)
+    (1 to 6).foreach { seed =>
+      val r = new Random(seed)
+      // random shell within the grid, dyadic coords; random hole inside
+      def d(lo: Double, hi: Double) = lo + r.nextInt(((hi - lo) * 4).toInt) / 4.0
+      val (sx0, sy0) = (d(0, 4), d(0, 4))
+      val (sx1, sy1) = (d(sx0 + 1, 8), d(sy0 + 1, 8))
+      val (hx0, hy0) = (d(sx0, sx1 - 0.25), d(sy0, sy1 - 0.25))
+      val (hx1, hy1) = (d(hx0 + 0.25, sx1), d(hy0 + 0.25, sy1))
+      val rows = Seq(
+        ("P", 0, Array(sx0, sx1, sx1, sx0), Array(sy0, sy0, sy1, sy1)),
+        ("P", 1, Array(hx0, hx1, hx1, hx0), Array(hy0, hy0, hy1, hy1)))
+      val df = spark.createDataFrame(rows).toDF("poly_id", "ring", "xs", "ys")
+      val total = graft.ops.SpatialJoin.polyGridWeightsRings(spark, g, df)
+        .agg(org.apache.spark.sql.functions.sum("area")).head.getDouble(0)
+      val expected =
+        (sx1 - sx0) * (sy1 - sy0) - (hx1 - hx0) * (hy1 - hy0)
+      assert(math.abs(total - expected) < 1e-9,
+        s"seed=$seed total=$total expected=$expected")
+    }
+  }
+
   test("property: PII scrub is idempotent and counts match placeholders") {
     val words = Seq("alpha", "beta", "a.b+c@mail-x.org", "10.20.30.40",
       "+4179123456789", "1.2.3", "gamma@no", "+12", "x@y.io")
