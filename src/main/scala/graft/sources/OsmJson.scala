@@ -131,6 +131,20 @@ object OsmJson {
       .select(explode(col("elements")).as("e"))
       .select(col("e.*")))
 
+  /** Bridge S14 → R19: polygon parts in the ring layout
+    * [[graft.ops.SpatialJoin.polyGridWeightsRings]] consumes. OSM
+    * multipolygon relations mark holes with the `inner` member role
+    * (osm.py:105-133 carries the closing member's role) — `inner`
+    * closed rings become ring 1, everything else (closed ways,
+    * `outer` relation rings) ring 0, so a lake inside a land-use
+    * polygon subtracts from its mask area. poly_id is the OSM element
+    * id as a string. */
+  def toRingPolys(parts: DataFrame): DataFrame =
+    parts.where(col("kind") === "polygon")
+      .select(col("id").cast("string").as("poly_id"),
+        when(col("role") === "inner", lit(1)).otherwise(lit(0)).as("ring"),
+        col("xs"), col("ys"))
+
   /** Resolve an element table (schema = [[elementSchema]], however
     * produced — JSON parse, parquet of a planet extract, …) into
     * geometry-part rows. This is the scale path: ScaleBench B11 feeds it

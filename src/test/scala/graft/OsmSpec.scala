@@ -47,6 +47,42 @@ class OsmSpec extends SparkSpec {
     assert(label._6 == "point" && label._7 == Seq(8.5401))
   }
 
+  test("toRingPolys: inner roles become holes; mask area nets them out") {
+    import graft.model.RegularGrid
+    // synthetic elements: a 2x2 closed way at [0,2]^2 with a [0.5,1.5]^2
+    // inner relation hole — net area 4 - 1 = 3 over a 4x4 unit grid
+    val nodes = (0 until 8).map { i =>
+      val (x, y) = i match {
+        case 0 => (0.0, 0.0); case 1 => (2.0, 0.0)
+        case 2 => (2.0, 2.0); case 3 => (0.0, 2.0)
+        case 4 => (0.5, 0.5); case 5 => (1.5, 0.5)
+        case 6 => (1.5, 1.5); case 7 => (0.5, 1.5)
+      }
+      s"""{"type": "node", "id": ${i + 1}, "lon": $x, "lat": $y}"""
+    }
+    val json =
+      s"""{"elements": [
+         |  ${nodes.mkString(",\n  ")},
+         |  {"type": "way", "id": 50, "nodes": [1, 2, 3, 4, 1],
+         |   "tags": {"landuse": "forest"}},
+         |  {"type": "way", "id": 51, "nodes": [5, 6, 7, 8, 5]},
+         |  {"type": "relation", "id": 60,
+         |   "members": [{"type": "way", "ref": 50, "role": "outer"},
+         |               {"type": "way", "ref": 51, "role": "inner"}],
+         |   "tags": {"type": "multipolygon"}}
+         |]}""".stripMargin
+    val dir = java.nio.file.Files.createTempDirectory("osmring")
+    java.nio.file.Files.write(dir.resolve("rel.json"), json.getBytes("UTF-8"))
+    val parts = OsmJson.read(spark, dir.resolve("rel.json").toString)
+    val rel60 = OsmJson.toRingPolys(parts.where(col("id") === 60))
+    val rings = rel60.collect().map(r => r.getInt(1)).sorted
+    assert(rings.toSeq == Seq(0, 1)) // outer shell + inner hole
+    val total = graft.ops.SpatialJoin.polyGridWeightsRings(
+      spark, RegularGrid(4, 4, 0.0, 0.0, 1.0, 1.0), rel60)
+      .agg(sum("area")).head.getDouble(0)
+    assert(math.abs(total - 3.0) < 1e-12) // 2x2 shell minus 1x1 hole
+  }
+
   test("relation name and python-dict tag rendering match the reference") {
     val rel = out.find(r => r._2 == "relation").get
     val names = OsmJson.read(spark, "fixtures/osm.json")
