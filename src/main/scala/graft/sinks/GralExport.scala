@@ -240,6 +240,10 @@ object GralExport {
         col("f").getItem(i).as(c) }: _*)
   }
 
+  // portals.dat is intentionally ABSENT: the reference detects the file
+  // but raises "reading portals is not implemented" (gral.py:318-325) —
+  // mirrored here like R14 combine_inventories.
+
   /** point.dat reader (2 header lines ignored — gral.py:104). */
   def readPoints(spark: SparkSession, path: String): DataFrame =
     readSkipping(spark, path, 2, Seq(
