@@ -195,14 +195,9 @@ object QueriesExtra {
     Q("q_corpus_stats",
       // per-language length distribution: Spark's exact `percentile`
       // and DuckDB's quantile_cont share the linear-interpolation
-      // definition, so even the interpolated values hash-match
-      (s, d) => documents(s, d).groupBy("lang").agg(
-        count(lit(1)).as("n_docs"),
-        min("n_chars").as("min_chars"),
-        expr("percentile(n_chars, 0.5)").as("p50_chars"),
-        expr("percentile(n_chars, 0.9)").as("p90_chars"),
-        max("n_chars").as("max_chars"),
-        sum("n_chars").as("total_chars")),
+      // definition, so even the interpolated values hash-match.
+      // CorpusStats.approx is the documented 100 TB swap (spec-bounded).
+      (s, d) => graft.ops.CorpusStats.exact(documents(s, d)),
       Some("""SELECT lang, count(*) AS n_docs, min(n_chars) AS min_chars,
         |       quantile_cont(n_chars, 0.5) AS p50_chars,
         |       quantile_cont(n_chars, 0.9) AS p90_chars,
