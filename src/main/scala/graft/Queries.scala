@@ -222,6 +222,17 @@ object Queries {
         |SELECT cell_id, category, 'TOT' AS substance, sum(value) AS value
         |FROM emi GROUP BY 1, 2, 3""".stripMargin)),
 
+    // merge_substances drop=False (speciation.py:504-569): the merged
+    // total is ADDED while the source substances stay.
+    Q("q_merge_nodrop",
+      (s, d) => Speciation.mergeSubstancesMap(s, emissionsAgg(s, d),
+        Map("TOT" -> Seq("F", "O")), drop = false),
+      Some(s"""$EmiAggCte
+        |SELECT cell_id, category, substance, value FROM emi
+        |UNION ALL
+        |SELECT cell_id, category, 'TOT', sum(value)
+        |FROM emi WHERE substance IN ('F', 'O') GROUP BY 1, 2""".stripMargin)),
+
     Q("q_swiss_scale",
       (s, d) => {
         val totals = s.createDataFrame(Seq(

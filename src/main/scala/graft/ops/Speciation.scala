@@ -213,12 +213,44 @@ object Speciation {
       spark: SparkSession,
       emissions: DataFrame,
       merged: String,
-      parts: Seq[String]): DataFrame = {
-    val renamed = emissions.withColumn(
-      "substance",
-      when(col("substance").isin(parts: _*), lit(merged)).otherwise(col("substance")))
-    renamed
-      .groupBy("cell_id", "category", "substance")
-      .agg(sum("value").as("value"))
+      parts: Seq[String]): DataFrame =
+    mergeSubstancesMap(spark, emissions, Map(merged -> parts))
+
+  /** The reference's FULL `merge_substances` surface
+    * (emiproc/speciation.py:504-569 + tests/test_speciation.py:312-371):
+    * several merge groups at once, `drop = false` KEEPS the source
+    * substances alongside the merged ones, and the reference's two
+    * validation errors are mirrored — a merge target may not be used as
+    * a source of another group (`{"GHG": [...], "GHG2": ["GHG"]}` and
+    * `{"CO2": [...], "GHG2": ["CO2"]}` both raise). One broadcast dim
+    * join + one hash aggregate either way. */
+  def mergeSubstancesMap(
+      spark: SparkSession,
+      emissions: DataFrame,
+      substances: Map[String, Seq[String]],
+      drop: Boolean = true): DataFrame = {
+    val newNames = substances.keySet
+    substances.foreach { case (m, parts) =>
+      parts.foreach { p =>
+        require(!(newNames - m).contains(p),
+          s"substance '$p' is both a merge target and a merge source " +
+            "(reference merge_substances raises here)")
+      }
+    }
+    val flat = substances.toSeq.flatMap { case (m, ps) => ps.map(p => (p, m)) }
+    require(flat.map(_._1).distinct.size == flat.size,
+      s"a substance is mapped into more than one merged group")
+    val mdf = spark.createDataFrame(flat).toDF("substance", "_m")
+    val joined = emissions.join(broadcast(mdf), Seq("substance"), "left")
+    if (drop)
+      joined
+        .withColumn("substance", coalesce(col("_m"), col("substance")))
+        .groupBy("cell_id", "category", "substance")
+        .agg(sum("value").as("value"))
+    else
+      emissions.unionByName(
+        joined.where(col("_m").isNotNull)
+          .groupBy(col("cell_id"), col("category"), col("_m").as("substance"))
+          .agg(sum("value").as("value")))
   }
 }

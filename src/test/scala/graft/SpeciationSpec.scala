@@ -6,6 +6,31 @@ import org.apache.spark.sql.functions.col
 
 class SpeciationSpec extends SparkSpec {
 
+  test("mergeSubstancesMap: no-drop keeps sources, rename preserves totals, " +
+    "target-as-source raises (test_speciation.py:312-371)") {
+    val emi = spark.createDataFrame(Seq(
+      (0L, "c", "CO2", 10.0), (0L, "c", "CH4", 2.0), (0L, "c", "NOx", 1.0)))
+      .toDF("cell_id", "category", "substance", "value")
+    val noDrop = Speciation.mergeSubstancesMap(spark, emi,
+      Map("GHG" -> Seq("CO2", "CH4")), drop = false)
+      .collect().map(r => r.getString(2) -> r.getDouble(3)).toMap
+    assert(noDrop == Map(
+      "CO2" -> 10.0, "CH4" -> 2.0, "NOx" -> 1.0, "GHG" -> 12.0))
+    val renamed = Speciation.mergeSubstancesMap(spark, emi,
+      Map("co2" -> Seq("CO2")))
+      .collect().map(r => r.getString(2) -> r.getDouble(3)).toMap
+    assert(renamed == Map("co2" -> 10.0, "CH4" -> 2.0, "NOx" -> 1.0))
+    intercept[IllegalArgumentException](Speciation.mergeSubstancesMap(
+      spark, emi, Map("GHG" -> Seq("CO2", "CH4"), "GHG2" -> Seq("GHG"))))
+    intercept[IllegalArgumentException](Speciation.mergeSubstancesMap(
+      spark, emi, Map("CO2" -> Seq("CO2", "CH4"), "GHG2" -> Seq("CO2"))))
+    // a merged group may reuse its own name (merge INTO an existing one)
+    val self = Speciation.mergeSubstancesMap(spark, emi,
+      Map("CO2" -> Seq("CO2", "CH4")))
+      .collect().map(r => r.getString(2) -> r.getDouble(3)).toMap
+    assert(self == Map("CO2" -> 12.0, "NOx" -> 1.0))
+  }
+
   test("co2BioTable mirrors the reference [r, 1-r] construction; Zurich " +
     "table ships complete") {
     import graft.model.ZurichData
