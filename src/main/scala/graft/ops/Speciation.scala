@@ -86,7 +86,13 @@ object Speciation {
     * daughters — grid-scale metadata) is grouped to a per-(cell,
     * substance) map and broadcast; the fact table is scanned once, with
     * the default daughters exploded and the per-daughter cell override
-    * looked up in the map. */
+    * looked up in the map.
+    *
+    * Divergence note: the reference RAISES when a cell has emissions but
+    * no country and no default (test_speciation.py:92-104); here
+    * `defaultRatios` is a required argument, so that state is
+    * unrepresentable — pass the `-99` default rows the reference would
+    * fall back to. */
   def speciateByCountry(
       spark: SparkSession,
       emissions: DataFrame,
