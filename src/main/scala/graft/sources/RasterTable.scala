@@ -29,15 +29,34 @@ object RasterTable {
       raster: DataFrame,
       grid: RegularGrid,
       mapping: Seq[(String, String, String)],
-      fluxUnits: Boolean = true): DataFrame = {
-    val dim = spark.createDataFrame(mapping)
-      .toDF("variable", "category", "substance")
-    val conv = if (fluxUnits) grid.cellArea * SecPerYear else 1.0
+      fluxUnits: Boolean = true): DataFrame =
+    toInventoryWithUnit(spark, raster, grid, mapping,
+      unit = if (fluxUnits) "kg/m2/s" else "kg/y/cell")
+
+  /** [[toInventory]] for ANY unit string the reference's
+    * `get_scaling_factor_to_emiproc` accepts
+    * ([[graft.functions.Units.scalingFactorToEmiproc]]; netcdf_raster.py
+    * resolves the variable's `units` attribute the same way, incl. the
+    * substance-dependent micromol and CO2-only PgC/yr paths). The
+    * per-variable factor is resolved driver-side from the mapping
+    * (metadata-scale), so the fact scan stays one narrow projection. */
+  def toInventoryWithUnit(
+      spark: SparkSession,
+      raster: DataFrame,
+      grid: RegularGrid,
+      mapping: Seq[(String, String, String)],
+      unit: String): DataFrame = {
+    val withFactor = mapping.map { case (v, c, s) =>
+      val (f, byArea) = graft.functions.Units.scalingFactorToEmiproc(unit, Some(s))
+      (v, c, s, if (byArea) f * grid.cellArea else f)
+    }
+    val dim = spark.createDataFrame(withFactor)
+      .toDF("variable", "category", "substance", "_conv")
     raster
       .join(broadcast(dim), "variable")
       .select(
         (col("lon_idx").cast("long") * grid.ny + col("lat_idx")).as("cell_id"),
         col("category"), col("substance"),
-        (col("flux") * conv).as("value"))
+        (col("flux") * col("_conv")).as("value"))
   }
 }

@@ -135,4 +135,23 @@ class InventorySpec extends SparkSpec {
     intercept[NotImplementedError](
       Units.scalingFactorToEmiproc("unsupported_unit"))
   }
+
+  test("toInventoryWithUnit resolves any reference unit per variable") {
+    import graft.sources.RasterTable
+    import graft.model.RegularGrid
+    val g = RegularGrid(2, 2, 0.0, 0.0, 1000.0, 1000.0) // 1e6 m2 cells
+    val raster = spark.createDataFrame(Seq((0, 0, "ch4_flux", 2.0)))
+      .toDF("lon_idx", "lat_idx", "variable", "flux")
+    val out = RasterTable.toInventoryWithUnit(spark, raster, g,
+      Seq(("ch4_flux", "agri", "CH4")), unit = "micromol/m2/s").collect()(0)
+    val expected = 2.0 * (1e-3 * 16.04 * 1e-6 * 86400.0 * 365.25) * 1e6
+    assert(out.getDouble(3) == expected)
+    // the kg/m2/s path through the generic resolver equals the legacy one
+    val legacy = RasterTable.toInventory(spark, raster, g,
+      Seq(("ch4_flux", "agri", "CH4"))).collect()(0).getDouble(3)
+    assert(legacy == 2.0 * g.cellArea * RasterTable.SecPerYear)
+    // CO2-only unit errors for the wrong substance at plan-build time
+    intercept[IllegalArgumentException](RasterTable.toInventoryWithUnit(
+      spark, raster, g, Seq(("ch4_flux", "agri", "CH4")), unit = "PgC/yr"))
+  }
 }
