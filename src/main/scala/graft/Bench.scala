@@ -35,6 +35,27 @@ object Bench {
         java.nio.file.Paths.get("BENCH_LAST.json"),
         (line + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () }
+    // The driver keeps only a ~2000-char stdout TAIL and parses a JSON
+    // line out of it. The full 128-query line is ~4.3KB — it can never
+    // sit whole inside that window, which is why every BENCH_r*.json so
+    // far has parsed:null (the window starts mid-line). Emit a COMPACT
+    // variant (suite total + the 20 slowest queries, ~700 chars) as the
+    // last lines this JVM prints — once from main and once from a
+    // shutdown hook, so even with sbt's trailing "[success]" (~70 chars)
+    // a complete JSON line is guaranteed inside the tail. The full
+    // per-query map stays durable in BENCH_LAST.json.
+    val top = results.sortBy(-_._2).take(20)
+    val qsTop = top.map { case (k, v) => "\"" + k + "\":" + d3(v) }
+      .mkString("{", ",", "}")
+    val compact =
+      s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":$qsTop,""" +
+        s""""queries_shown":${top.size},"queries_total":${results.size},""" +
+        s""""queries_full":"BENCH_LAST.json","sf":"$sfDir"}"""
+    println(compact)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      System.out.println(compact)
+      System.out.flush()
+    }))
     spark.stop()
   }
 }

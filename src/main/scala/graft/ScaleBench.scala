@@ -38,6 +38,12 @@ object ScaleBench {
       ((System.nanoTime() - t0) / 1e9, n)
     }
 
+    def deleteRecursive(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+
     spark.range(1000000).agg(sum("id")).collect() // warmup
 
     // persist the synthetic fact table so B1/B2 time the operator, not
@@ -262,6 +268,39 @@ object ScaleBench {
     }
     require(b12n == nDocs, s"B12 lost rows: $b12n")
 
+    // B13: EDGAR-size monthly fluxie export — 6.48M cells × 12 months ×
+    // 2 substances (155M fact rows) through the per-(substance, time)-
+    // plane collect path: each collect ≤ 6.48M rows. The pre-fix code
+    // collected the full 155M-Row aggregate on the driver and would OOM
+    // here at default heap.
+    val fluxFact = spark.range(src.ncells * 12 * 2).select(
+      (col("id") % src.ncells).as("cell_id"),
+      concat(lit("s"), expr(s"id div ${src.ncells * 12}")).as("substance"),
+      expr(s"(id div ${src.ncells}) % 12").as("time_idx"),
+      (col("id") % 89 + 1).cast("double").as("value"))
+    val b13dir = java.nio.file.Files.createTempDirectory("scale_fluxie")
+    val (b13s, b13n) = time {
+      val written = graft.sinks.Exports.fluxieExportNc(
+        fluxFact, src, b13dir.toString, frequency = "monthly")
+      written.map(n => java.nio.file.Files.size(b13dir.resolve(n))).sum
+    }
+    deleteRecursive(b13dir)
+
+    // B13b: EDGAR-grid hourly export — 6.48M cells × 24 h through the
+    // per-HOUR collect path (one 6.48M-row plane per file; the pre-fix
+    // code collected the whole 168-h chunk — 1.1B rows at this grid).
+    val hourFact = spark.range(src.ncells).select(
+      col("id").as("cell_id"), lit("c0").as("category"),
+      lit("s0").as("substance"),
+      (col("id") % 83 + 1).cast("double").as("value"))
+    val b13bdir = java.nio.file.Files.createTempDirectory("scale_hourly")
+    val (b13bs, b13bn) = time {
+      graft.sinks.Exports.hourlyExportNc(
+        hourFact, sf, "2024-01-01 00:00:00", 24, src,
+        b13bdir.toString).size.toLong
+    }
+    deleteRecursive(b13bdir)
+
     val b1rate = "%.1f".format(src.ncells * 32 / b1s / 1e6)
     val b3rate = "%.1f".format(b3n / b3s / 1e6)
     val json =
@@ -276,7 +315,9 @@ object ScaleBench {
         s""""b10_raster_export_sec":$b10s,"b10_file_bytes":$b10n,""" +
         s""""b11_osm_resolve_sec":$b11s,"b11_parts":$b11n,""" +
         s""""b12_pii_url_sec":$b12s,"b12_docs":$nDocs,""" +
-        s""""b12_mdocs_per_s":"${"%.1f".format(nDocs / b12s / 1e6)}"}"""
+        s""""b12_mdocs_per_s":${"%.1f".format(nDocs / b12s / 1e6)},""" +
+        s""""b13_fluxie_export_sec":$b13s,"b13_file_bytes":$b13n,""" +
+        s""""b13b_hourly_export_sec":$b13bs,"b13b_files":$b13bn}"""
     println(json)
     // durable copy for the round artifacts (same pattern as BENCH_LAST)
     java.nio.file.Files.write(

@@ -282,8 +282,12 @@ object Exports {
     * cells, hourly.py:181-199) with one NC_DOUBLE variable per
     * `substance_category` in kg/h.
     *
-    * The explode runs distributed per chunk; only the hour being written
-    * is collected (grid-sized). Returns the written file names. */
+    * The explode + (var, cell) fold run distributed per chunk (the
+    * reference's 168-hour chunking, hourly.py:167-169, is a single-node
+    * numpy memory idiom — here the chunk stays a persisted DataFrame);
+    * only the ONE hour being written is ever collected, ≤ nvars × ncells
+    * rows. At a 6.48M-cell grid that bounds driver memory to one hour's
+    * planes instead of a whole week's. Returns the written file names. */
   def hourlyExportNc(
       emissions: DataFrame,
       scalingFactors: DataFrame,
@@ -297,6 +301,21 @@ object Exports {
       .ofPattern("yyyyMMdd'T'HHmmss'Z'").withZone(java.time.ZoneOffset.UTC)
     val t0 = java.time.LocalDateTime.parse(startTs.replace(' ', 'T'))
     val names = scala.collection.mutable.ArrayBuffer.empty[String]
+    // hour-independent file furniture, built once (6.48M-element coord
+    // arrays per hour would be pure GC churn at EDGAR grids)
+    val ncells = grid.ncells.toInt
+    val dims = Seq(NcDim("cell", ncells))
+    val coords = Seq(
+      WriteVar("lon", Seq("cell"), NetcdfClassicDouble,
+        atts = Seq(textAtt("standard_name", "longitude"),
+          textAtt("units", "degrees_east")),
+        doubles = Array.tabulate(ncells)(c =>
+          grid.xmin + (c / grid.ny + 0.5) * grid.dx)),
+      WriteVar("lat", Seq("cell"), NetcdfClassicDouble,
+        atts = Seq(textAtt("standard_name", "latitude"),
+          textAtt("units", "degrees_north")),
+        doubles = Array.tabulate(ncells)(c =>
+          grid.ymin + (c % grid.ny + 0.5) * grid.dy)))
     (0 until hours).grouped(chunkSize).foreach { chunk =>
       val chunkStart = t0.plusHours(chunk.head)
       val exploded = Temporal.temporalExplode(
@@ -304,31 +323,19 @@ object Exports {
         chunkStart.format(java.time.format.DateTimeFormatter
           .ofPattern("yyyy-MM-dd HH:mm:ss")), chunk.size)
         .withColumn("var", concat_ws("_", col("substance"), col("category")))
-        .withColumn("cell_id", col("cell_id").cast("long"))
-        .withColumn("value", col("value").cast("double"))
-        .collect()
-      exploded.groupBy(_.getAs[String]("ts_str")).toSeq.sortBy(_._1)
-        .foreach { case (ts, rows) =>
+        .groupBy(col("ts_str"), col("var"), col("cell_id").cast("long").as("cell_id"))
+        .agg(sum(col("value").cast("double")).as("value"))
+        .persist()
+      val tss = exploded.select("ts_str").distinct()
+        .collect().map(_.getString(0)).sorted
+      tss.foreach { ts =>
+          val rows = exploded.where(col("ts_str") === ts).collect()
           val vars = rows.map(_.getAs[String]("var")).distinct.sorted
-          val ncells = grid.ncells.toInt
           val data = vars.map(v => v -> new Array[Double](ncells)).toMap
           rows.foreach { r =>
             data(r.getAs[String]("var"))(r.getAs[Long]("cell_id").toInt) +=
               r.getAs[Double]("value")
           }
-          val dims = Seq(NcDim("cell", ncells))
-          val cellIds = 0 until ncells
-          val coords = Seq(
-            WriteVar("lon", Seq("cell"), NetcdfClassicDouble,
-              atts = Seq(textAtt("standard_name", "longitude"),
-                textAtt("units", "degrees_east")),
-              doubles = cellIds.map(c =>
-                grid.xmin + (c / grid.ny + 0.5) * grid.dx).toArray),
-            WriteVar("lat", Seq("cell"), NetcdfClassicDouble,
-              atts = Seq(textAtt("standard_name", "latitude"),
-                textAtt("units", "degrees_north")),
-              doubles = cellIds.map(c =>
-                grid.ymin + (c % grid.ny + 0.5) * grid.dy).toArray))
           val dataVars = vars.map { v =>
             WriteVar(v, Seq("cell"), NetcdfClassicDouble,
               atts = Seq(textAtt("units", "kg h-1"),
@@ -343,6 +350,7 @@ object Exports {
             NetcdfWriter.write(dims, gatts, coords ++ dataVars))
           names += s"$fname.nc"
         }
+      exploded.unpersist()
     }
     names.toSeq
   }
@@ -399,7 +407,17 @@ object Exports {
     *
     * `emissions` = `(cell_id, substance, time_idx, value)` with
     * `time_idx` 0-based (months for monthly, one step for yearly);
-    * `countryFractions` = `(cell_id, country, fraction)`. */
+    * `countryFractions` = `(cell_id, country, fraction)`.
+    *
+    * Scale: the (substance × time × cell) aggregate is PERSISTED and each
+    * (substance, time) plane is collected on its own — ≤ ncell rows per
+    * collect, the K1 `rasterExportNc` pattern — never the full aggregate
+    * (6.48M cells × 12 months × nsub ≈ 300M+ Rows at EDGAR scale).
+    * `country_flux_total_prior` = Σ_cells flux × fraction is a DISTRIBUTED
+    * join + sum (nsub × nT × ncountry result rows), not a driver loop over
+    * the dense cube. Only the sparse fraction rows (≈ ncells × avg
+    * countries-per-cell) are collected, to lay out the file's dense
+    * `country_fraction(country, lat, lon)` variable. */
   def fluxieExportNc(
       emissions: DataFrame,
       grid: RegularGrid,
@@ -408,24 +426,36 @@ object Exports {
       frequency: String = "monthly",
       countryFractions: Option[DataFrame] = None,
       atts: Seq[NcAtt] = Nil): Seq[String] = {
-    val rows = emissions
-      .groupBy("substance", "time_idx", "cell_id")
+    val agg = emissions
+      .groupBy(
+        col("substance"),
+        col("time_idx").cast("int").as("time_idx"),
+        col("cell_id").cast("long").as("cell_id"))
       .agg(sum("value").as("v"))
-      .withColumn("time_idx", col("time_idx").cast("int"))
-      .withColumn("cell_id", col("cell_id").cast("long"))
-      .collect()
-    val subs = rows.map(_.getAs[String]("substance")).distinct.sorted
-    val nT = rows.map(_.getAs[Int]("time_idx")).max + 1
+      .persist()
+    val subs = agg.select("substance").distinct()
+      .collect().map(_.getString(0)).sorted
+    val nT = agg.agg(max("time_idx")).collect()(0).getInt(0) + 1
     val (nx, ny) = (grid.nx, grid.ny)
     val area = grid.cellArea
 
-    val countries = countryFractions.map { cf =>
-      cf.withColumn("cell_id", col("cell_id").cast("long"))
-        .withColumn("fraction", col("fraction").cast("double"))
+    val cfNorm = countryFractions.map(cf => cf.select(
+      col("cell_id").cast("long").as("cell_id"),
+      col("country"),
+      col("fraction").cast("double").as("fraction")).persist())
+    val countryNames = cfNorm.map(_.select("country").distinct()
+      .collect().map(_.getString(0)).sorted).getOrElse(Array.empty)
+    // country totals distributed: Σ_cells (v / area) × fraction per
+    // (substance, time, country) — small result, no dense-cube driver loop
+    val countryFlux: Map[(String, Int, String), Double] = cfNorm.map { cf =>
+      agg.join(cf, "cell_id")
+        .groupBy("substance", "time_idx", "country")
+        .agg(sum(col("v") / area * col("fraction")).as("cv"))
         .collect()
-    }
-    val countryNames = countries.map(
-      _.map(_.getAs[String]("country")).distinct.sorted).getOrElse(Array.empty)
+        .map(r => (r.getAs[String]("substance"), r.getAs[Int]("time_idx"),
+          r.getAs[String]("country")) -> r.getAs[Double]("cv")).toMap
+    }.getOrElse(Map.empty)
+    val countries = cfNorm.map(_.collect())
 
     def axis(name: String, n: Int, v0: Double, dv: Double, std: String,
         units: String, ax: String): WriteVar =
@@ -435,13 +465,16 @@ object Exports {
           textAtt("units", units), textAtt("axis", ax)),
         doubles = Array.tabulate(n)(i => v0 + (i + 0.5) * dv))
 
-    subs.toIndexedSeq.map { sub =>
+    val written = subs.toIndexedSeq.map { sub =>
       val flux = new Array[Double](nT * ny * nx)
-      rows.filter(_.getAs[String]("substance") == sub).foreach { r =>
-        val cid = r.getAs[Long]("cell_id")
-        val t = r.getAs[Int]("time_idx")
-        val ix = (cid / ny).toInt; val iy = (cid % ny).toInt
-        flux(t * ny * nx + iy * nx + ix) += r.getAs[Double]("v") / area
+      // one grid-bounded plane collect per (substance, time) — ≤ ncell rows
+      (0 until nT).foreach { t =>
+        agg.where(col("substance") === sub && col("time_idx") === t)
+          .select(col("cell_id"), col("v")).collect().foreach { r =>
+            val cid = r.getLong(0)
+            val ix = (cid / ny).toInt; val iy = (cid % ny).toInt
+            flux(t * ny * nx + iy * nx + ix) += r.getDouble(1) / area
+          }
       }
       val baseDims = Seq(NcDim("time", nT), NcDim("latitude", ny),
         NcDim("longitude", nx))
@@ -467,9 +500,9 @@ object Exports {
             r.getAs[Double]("fraction")
         }
         val cflux = new Array[Double](nT * nC)
-        for (t <- 0 until nT; c <- 0 until nC; iy <- 0 until ny; ix <- 0 until nx)
-          cflux(t * nC + c) +=
-            flux(t * ny * nx + iy * nx + ix) * frac(c * ny * nx + iy * nx + ix)
+        for (t <- 0 until nT; c <- 0 until nC)
+          cflux(t * nC + c) =
+            countryFlux.getOrElse((sub, t, countryNames(c)), 0.0)
         Seq(
           WriteVar("country", Seq("country", "str_len"),
             graft.sources.NetcdfClassic.NcChar, strings = countryNames.toSeq),
@@ -494,6 +527,9 @@ object Exports {
         NetcdfWriter.write(dims, gatts, coordVars ++ Seq(fluxVar) ++ countryBlock))
       fname
     }
+    agg.unpersist()
+    cfNorm.foreach(_.unpersist())
+    written
   }
 
   /** WRF-chemi unit path (reference `export_wrf_hourly_emissions`,
