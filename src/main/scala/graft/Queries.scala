@@ -628,7 +628,36 @@ object Queries {
         |SELECT profile_id, sum(r) AS ratio_sum,
         |       CAST(sum(CASE WHEN r < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_negative
         |FROM prof GROUP BY 1
-        |HAVING abs(sum(r) - 1.0) > 1e-9 OR sum(CASE WHEN r < 0 THEN 1 ELSE 0 END) > 0""".stripMargin))
+        |HAVING abs(sum(r) - 1.0) > 1e-9 OR sum(CASE WHEN r < 0 THEN 1 ELSE 0 END) > 0""".stripMargin)),
+
+    // S11 YAML temporal profiles (reference from_yaml, emiproc/profiles/
+    // temporal/io.py:211-281) over the committed hand-authored fixture.
+    // The oracle is INDEPENDENT (not an engine-output pin): it re-derives
+    // the expected long table from the fixture's by-hand contents — key
+    // aliasing (daily→hour_of_day, weekly→day_of_week, monthly→month),
+    // diurn_saturday as a specific-day profile, block + flow lists, and
+    // the unknown-key skip. All ratios dyadic → FP-exact compare.
+    Q("q_profile_yaml",
+      (s, _) => graft.sources.ProfilesYaml
+        .read(s, "/root/repo/fixtures/profiles.yaml")
+        .select(col("kind"),
+          coalesce(col("specific_day"), lit("all")).as("specific_day"),
+          col("pos"), col("ratio")),
+      Some("""SELECT 'hour_of_day' AS kind, 'all' AS specific_day, i::INT AS pos,
+        |       CASE WHEN i < 16 THEN 0.03125 ELSE 0.0625 END AS ratio
+        |FROM range(24) t(i)
+        |UNION ALL
+        |SELECT 'day_of_week', 'all', i::INT,
+        |       CASE WHEN i < 2 THEN 0.25 WHEN i < 5 THEN 0.125 ELSE 0.0625 END
+        |FROM range(7) t(i)
+        |UNION ALL
+        |SELECT 'month', 'all', i::INT,
+        |       CASE WHEN i < 8 THEN 0.0625 ELSE 0.125 END
+        |FROM range(12) t(i)
+        |UNION ALL
+        |SELECT 'hour_of_day', 'saturday', i::INT,
+        |       CASE WHEN i < 8 THEN 0.0625 ELSE 0.03125 END
+        |FROM range(24) t(i)""".stripMargin))
   )
 
   /** Event-stream operator queries (SURVEY §2.6 additions). */

@@ -43,6 +43,14 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops.
     * Byte-fixture loader queries whose output is scale-factor-independent
     * carry pinned-literal regression oracles ([[OraclePins]]). */
-  def oracleSql: Map[String, String] =
-    Queries.all.flatMap(q => q.oracle.map(q.name -> _)).toMap ++ OraclePins.pins
+  def oracleSql: Map[String, String] = {
+    val inline = Queries.all.flatMap(q => q.oracle.map(q.name -> _)).toMap
+    // A pinned regression oracle is strictly weaker than an independent
+    // relational one: if a query ever gains an inline oracle, the pin
+    // must be deleted, not silently shadowed by the ++ merge order.
+    val overlap = inline.keySet.intersect(OraclePins.pins.keySet)
+    require(overlap.isEmpty,
+      s"queries with BOTH an inline oracle and an OraclePins pin: $overlap")
+    inline ++ OraclePins.pins
+  }
 }
