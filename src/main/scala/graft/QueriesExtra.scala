@@ -401,6 +401,118 @@ object QueriesExtra {
         |                         ELSE 1.0 END), 6) AS total
         |FROM flux, hrs""".stripMargin)),
 
+    // K6 fluxie export round-trip (export_fluxie, emiproc/exports/
+    // fluxie.py:24-199) with a CLOSED-FORM oracle, the q_wrf_chemi
+    // pattern: export per-substance monthly files over a 3×2 grid with
+    // a dyadic cell area (1024² = 2^20 m² → v/area is FP-exact), read
+    // every file back through NcAdapter, and report per-time flux-plane
+    // totals plus per-country flux totals. DuckDB recomputes both from
+    // the same relational input: Σv/area per (substance, time) and
+    // Σ v·fraction/area per (substance, country). All terms dyadic —
+    // no rounding needed on either side.
+    Q("q_fluxie_export",
+      (s, d) => {
+        val grid = graft.model.RegularGrid(3, 2, 0.0, 0.0, 1024.0, 1024.0)
+        val emi = emissionsAgg(s, d).where(col("cell_id") < 6)
+          .select(col("cell_id"), col("substance"),
+            (col("cell_id") % 3).cast("int").as("time_idx"), col("value"))
+        val cf = s.createDataFrame(Seq(
+          (0L, "XA", 0.25), (0L, "XB", 0.75), (1L, "XA", 1.0),
+          (2L, "XB", 0.5), (3L, "XA", 0.5), (3L, "XB", 0.5),
+          (4L, "XB", 1.0), (5L, "XA", 0.25)))
+          .toDF("cell_id", "country", "fraction")
+        val dir = java.nio.file.Files.createTempDirectory("fluxie").toString
+        val files = Exports.fluxieExportNc(
+          emi, grid, dir, countryFractions = Some(cf))
+        val countries = Seq("XA", "XB") // sorted, as the writer lays out
+        val rows = files.flatMap { f =>
+          val nc = graft.sources.NcAdapter.open(
+            java.nio.file.Files.readAllBytes(
+              java.nio.file.Paths.get(s"$dir/$f")))
+          val flux = nc.doubles("flux_total_prior") // (time, lat, lon)
+          val nT = flux.length / 6
+          val planes = (0 until nT).map(t =>
+            (f, s"flux_t$t", flux.slice(t * 6, t * 6 + 6).sum))
+          val cfl = nc.doubles("country_flux_total_prior") // (time, country)
+          val ctry = countries.zipWithIndex.map { case (cn, c) =>
+            (f, s"country_$cn",
+              (0 until nT).map(t => cfl(t * countries.length + c)).sum)
+          }
+          planes ++ ctry
+        }
+        s.createDataFrame(rows).toDF("file", "var", "total")
+      },
+      Some(s"""$EmiAggCte,
+        |e2 AS (SELECT substance, cell_id % 3 AS t, cell_id, sum(value) AS v
+        |       FROM emi WHERE cell_id < 6 GROUP BY 1, 2, 3),
+        |cf AS (SELECT * FROM (VALUES (0, 'XA', 0.25), (0, 'XB', 0.75),
+        |        (1, 'XA', 1.0), (2, 'XB', 0.5), (3, 'XA', 0.5),
+        |        (3, 'XB', 0.5), (4, 'XB', 1.0), (5, 'XA', 0.25))
+        |       c(cell_id, country, fraction)),
+        |subs AS (SELECT DISTINCT substance FROM e2),
+        |ts AS (SELECT i AS t FROM range(3) t(i)
+        |       WHERE i <= (SELECT max(t) FROM e2)),
+        |planes AS (SELECT subs.substance, 'flux_t' || ts.t AS var,
+        |                  coalesce(sum(v), 0.0) / 1048576.0 AS total
+        |           FROM subs CROSS JOIN ts
+        |           LEFT JOIN e2 ON e2.substance = subs.substance AND e2.t = ts.t
+        |           GROUP BY 1, 2),
+        |ctrys AS (SELECT DISTINCT country FROM cf),
+        |ctry AS (SELECT subs.substance, 'country_' || ctrys.country AS var,
+        |                coalesce(sum(v * fraction), 0.0) / 1048576.0 AS total
+        |         FROM subs CROSS JOIN ctrys
+        |         LEFT JOIN (SELECT substance, country, v, fraction
+        |                    FROM e2 JOIN cf USING (cell_id)) j
+        |           ON j.substance = subs.substance AND j.country = ctrys.country
+        |         GROUP BY 1, 2)
+        |SELECT substance || '/icon_' || substance || '_monthly.nc' AS file, var, total
+        |FROM (SELECT * FROM planes UNION ALL SELECT * FROM ctry)""".stripMargin)),
+
+    // K8 standalone vertical-profile NetCDF (export_inventory_profiles,
+    // emiproc/exports/profiles.py:22-121) with a closed-form oracle:
+    // per-category normalized level ratios written through
+    // writeVerticalNc, read back via NcAdapter, and compared against the
+    // same normalization recomputed in SQL (one division q/tq on both
+    // engines → bit-identical), including the dense zero-fill for
+    // missing (category, level) pairs and the dyadic layer_mid ladder.
+    Q("q_vertical_nc",
+      (s, d) => {
+        val heights = Seq(32.0, 64.0, 128.0, 256.0, 512.0, 1024.0, 2048.0)
+        val prof = lineitem(s, d).groupBy(
+          col("l_returnflag").as("category"),
+          (col("l_linenumber") - 1).cast("int").as("level"))
+          .agg(sum("l_quantity").as("q"))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("category")
+        val vert = prof.select(col("category"), col("level"),
+          (col("q") / sum("q").over(w)).as("r"))
+        val dir = java.nio.file.Files.createTempDirectory("vertnc").toString
+        IconExport.writeVerticalNc(vert, heights, dir)
+        val nc = graft.sources.NcAdapter.open(
+          java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(s"$dir/vertical_profiles.nc")))
+        val mids = nc.doubles("layer_mid")
+        val cats = nc.varNames
+          .filterNot(Set("layer_top", "layer_bot", "layer_mid")).sorted
+        val rows = cats.flatMap { c =>
+          nc.doubles(c).zipWithIndex.map { case (r, lvl) =>
+            (c, lvl, r, mids(lvl))
+          }
+        }
+        s.createDataFrame(rows).toDF("category", "level", "r", "layer_mid")
+      },
+      Some("""WITH prof AS (SELECT l_returnflag AS category,
+        |              l_linenumber - 1 AS level, sum(l_quantity) AS q
+        |       FROM lineitem GROUP BY 1, 2),
+        |tot AS (SELECT category, sum(q) AS tq FROM prof GROUP BY 1),
+        |hts AS (SELECT * FROM (VALUES (0, 32.0, 0.0), (1, 64.0, 32.0),
+        |         (2, 128.0, 64.0), (3, 256.0, 128.0), (4, 512.0, 256.0),
+        |         (5, 1024.0, 512.0), (6, 2048.0, 1024.0)) h(level, top, bot))
+        |SELECT tot.category, hts.level::INT AS level,
+        |       coalesce(q / tq, 0.0) AS r, (top + bot) / 2.0 AS layer_mid
+        |FROM tot CROSS JOIN hts
+        |LEFT JOIN prof ON prof.category = tot.category
+        |               AND prof.level = hts.level""".stripMargin)),
+
     // Pinned-literal oracle (OraclePins): the DuckDB-export inventory
     // loader (zurich/duck.py semantics over duckdb's parquet EXPORT
     // DATABASE form) — fixture tables written by Spark at query time
