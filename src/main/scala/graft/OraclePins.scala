@@ -46,6 +46,34 @@ object OraclePins {
       ('weekly', 'CHE', 'TRO', 7::BIGINT, '98.0'::DOUBLE, '17.0'::DOUBLE),
       ('weekly', 'EGY', 'TRO', 7::BIGINT, '168.0'::DOUBLE, '27.0'::DOUBLE)
       ) AS t(kind, country, category, n_pos, ratio_sum, ratio_max)""",
+    "q_saunois" ->
+      """SELECT * FROM (VALUES
+      ('rice', 0::BIGINT, '2651392697.116885'::DOUBLE, 9::BIGINT),
+      ('rice', 1::BIGINT, '5570878608.197494'::DOUBLE, 9::BIGINT),
+      ('rice', 2::BIGINT, '3634630172.626362'::DOUBLE, 9::BIGINT),
+      ('rice', 3::BIGINT, '6672310489.883599'::DOUBLE, 9::BIGINT),
+      ('rice', 4::BIGINT, '4593515017.163467'::DOUBLE, 9::BIGINT),
+      ('rice', 5::BIGINT, '6638933766.196142'::DOUBLE, 9::BIGINT),
+      ('wetland', 0::BIGINT, '2499188753.5395675'::DOUBLE, 9::BIGINT),
+      ('wetland', 1::BIGINT, '5285659333.050127'::DOUBLE, 9::BIGINT),
+      ('wetland', 2::BIGINT, '3066909463.0829644'::DOUBLE, 9::BIGINT),
+      ('wetland', 3::BIGINT, '5989604778.09469'::DOUBLE, 9::BIGINT),
+      ('wetland', 4::BIGINT, '3634630172.626362'::DOUBLE, 9::BIGINT),
+      ('wetland', 5::BIGINT, '6672310489.883599'::DOUBLE, 9::BIGINT)
+      ) AS t(category, cell_id, value, n_months)""",
+    "q_wetcharts" ->
+      """SELECT * FROM (VALUES
+      ('m2913', 1::BIGINT, '1871058.826481162'::DOUBLE, '0.07017543859649122'::DOUBLE),
+      ('m2913', 2::BIGINT, '1887748.6007259723'::DOUBLE, '0.07017543859649122'::DOUBLE),
+      ('m2913', 3::BIGINT, '2658873.0692100725'::DOUBLE, '0.07407407407407407'::DOUBLE),
+      ('m2913', 4::BIGINT, '2682590.1168211186'::DOUBLE, '0.07407407407407407'::DOUBLE),
+      ('m2913', 5::BIGINT, '3446687.3119389834'::DOUBLE, '0.0761904761904762'::DOUBLE),
+      ('mean', 1::BIGINT, '1903884.4199281998'::DOUBLE, '0.06896551724137931'::DOUBLE),
+      ('mean', 2::BIGINT, '1920866.9972299365'::DOUBLE, '0.06896551724137931'::DOUBLE),
+      ('mean', 3::BIGINT, '2691698.6626571105'::DOUBLE, '0.07317073170731707'::DOUBLE),
+      ('mean', 4::BIGINT, '2715708.513325083'::DOUBLE, '0.07317073170731707'::DOUBLE),
+      ('mean', 5::BIGINT, '3479512.905386021'::DOUBLE, '0.07547169811320754'::DOUBLE)
+      ) AS t(mode, cell_id, value, ratio0)""",
     "q_gfas" ->
       """SELECT * FROM (VALUES
       ('annual', 'CO2', '5.663298185715117e+16'::DOUBLE, 2::BIGINT),

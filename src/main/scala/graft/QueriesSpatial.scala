@@ -330,6 +330,42 @@ object QueriesSpatial {
       },
       None),
 
+    // Saunois multi-file inventory (saunois.py:24-56): one file per
+    // category (stem-named), day-weighted month sum × 1e-3 × spherical
+    // area. Per-cell values are bit-deterministic (fixed-order driver
+    // loop, no cross-row sums) → pinned exactly; value-level math is
+    // GlobalRastersSpec's hand-computed cases.
+    Q("q_saunois",
+      (s, _) => {
+        val inv = graft.sources.GlobalRasters.readSaunois(s, Seq(
+          "/root/repo/fixtures/saunois/wetland.nc",
+          "/root/repo/fixtures/saunois/rice.nc"))
+        val nm = inv.monthly.groupBy("category", "cell_id")
+          .agg(count(lit(1)).as("n_months"))
+        inv.annual.join(nm, Seq("category", "cell_id"))
+          .select(col("category"), col("cell_id"), col("value"), col("n_months"))
+      },
+      None),
+
+    // WetCHARTs cube (wetcharts.py:35-106): model COORDINATE selection
+    // and the NaN-skipping all-model mean, mg m-2 d-1 → kg/y/cell via
+    // month mean × area × 1e-6 × 365.25, month-of-year ratio profiles.
+    Q("q_wetcharts",
+      (s, _) => {
+        val path = "/root/repo/fixtures/wetcharts.nc"
+        def slice(mode: String, model: Option[Int]) = {
+          val inv = graft.sources.GlobalRasters.readWetCharts(s, path, model)
+          inv.annual.join(
+            inv.monthly.where(col("pos") === 0)
+              .select(col("cell_id"), col("ratio").as("ratio0")),
+            "cell_id")
+            .select(lit(mode).as("mode"), col("cell_id"), col("value"),
+              col("ratio0"))
+        }
+        slice("mean", None).unionByName(slice("m2913", Some(2913)))
+      },
+      None),
+
     // CAMS-REG-AQ directory (cams_reg_aq.py:14-146): filename substance
     // capture, per-category variables, Tg -> kg.
     Q("q_cams",

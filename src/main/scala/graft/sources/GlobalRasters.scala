@@ -107,7 +107,15 @@ object GlobalRasters {
   final case class MonthlyInventory(
       grid: RegularGrid,
       annual: DataFrame, // (cell_id, category, substance, value) kg/y
-      monthly: DataFrame) // (category, substance, cell_id, pos, flux)
+      monthly: DataFrame) // (category, substance, cell_id, pos, flux|ratio)
+
+  /** Coordinate axis under either its long or short CF name — the real
+    * Saunois/WetCHARTs downloads use `lat`/`lon` (saunois.py:63-64,
+    * wetcharts.py:57-58), other raster products spell them out. */
+  private def axis(f: NcAdapter, names: String*): Array[Double] =
+    names.find(f.hasVar).map(f.doubles)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no coordinate variable named any of ${names.mkString("/")}"))
 
   /** Read one Saunois/WetCHARTs-style monthly flux file. */
   def readMonthly(
@@ -119,8 +127,8 @@ object GlobalRasters {
     val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
     // container-independent: classic CDF-1/2 or NetCDF-4/HDF5 dispatch
     val f = NcAdapter.open(bytes)
-    val lats = f.doubles("latitude")
-    val lons = f.doubles("longitude")
+    val lats = axis(f, "latitude", "lat")
+    val lons = axis(f, "longitude", "lon")
     val (ymin, dy) = NetcdfRaster.regularAxis(lats)
     val (xmin, dx) = NetcdfRaster.regularAxis(lons)
     val grid = RegularGrid(lons.length, lats.length, xmin, ymin, dx, dy)
@@ -162,5 +170,112 @@ object GlobalRasters {
         .toDF("cell_id", "category", "substance", "value"),
       spark.createDataFrame(monthlyRows.toSeq)
         .toDF("category", "substance", "cell_id", "pos", "flux"))
+  }
+
+  /** S9 Saunois multi-file option (reference `SaunoisInventory`,
+    * emiproc/inventories/saunois.py:24-56): one NetCDF per CATEGORY —
+    * each file's stem names the category (saunois.py:40-45's
+    * `rename(file.stem)` + `expand_dims(category=...)`) — concatenated
+    * into one inventory on a shared grid. Per-file semantics (g CH₄
+    * m⁻² d⁻¹ monthly flux → kg/y/cell via day-weighted month sum ×
+    * 10⁻³ × spherical area, saunois.py:70-87) are [[readMonthly]]'s. */
+  def readSaunois(
+      spark: SparkSession,
+      paths: Seq[String],
+      substance: String = "CH4"): MonthlyInventory = {
+    require(paths.nonEmpty, "no saunois files")
+    val parts = paths.map { p =>
+      val category = new java.io.File(p).getName.stripSuffix(".nc")
+      readMonthly(spark, p, category, substance)
+    }
+    val grid = parts.head.grid
+    parts.zip(paths).foreach { case (m, p) =>
+      require(m.grid == grid, s"$p: grid ${m.grid} differs from $grid")
+    }
+    MonthlyInventory(
+      grid,
+      parts.map(_.annual).reduce(_ unionByName _),
+      parts.map(_.monthly).reduce(_ unionByName _))
+  }
+
+  /** S9 WetCHARTs option (reference `WetCHARTs`,
+    * emiproc/inventories/wetcharts.py:35-106): the
+    * `wetland_CH4_emissions(time=12, model, lat, lon)` cube in
+    * mg m⁻² d⁻¹. `model = Some(n)` selects that model COORDINATE VALUE
+    * (xarray `.sel`, wetcharts.py:47-52 — raises when absent);
+    * `model = None` takes the NaN-skipping mean over the model axis
+    * (`.mean(dim="model")`, :45-46). NaNs then fill to 0
+    * (:66-73), annual value = mean over the 12 months ×
+    * area × 10⁻⁶ kg/mg × 365.25 d/y (:89-90 with
+    * DAY_PER_YR = 365.25, utils/constants.py:2), and the monthly series
+    * normalizes to month-of-year RATIO profiles (:84-88) — the returned
+    * `monthly` column is `ratio`, not raw flux. Cells whose filled
+    * 12-month sum is 0 carry neither value nor profile. */
+  def readWetCharts(
+      spark: SparkSession,
+      path: String,
+      model: Option[Int] = None,
+      category: String = "wetcharts",
+      substance: String = "CH4"): MonthlyInventory = {
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    val f = NcAdapter.open(bytes)
+    val lats = axis(f, "lat", "latitude")
+    val lons = axis(f, "lon", "longitude")
+    val (ymin, dy) = NetcdfRaster.regularAxis(lats)
+    val (xmin, dx) = NetcdfRaster.regularAxis(lons)
+    val grid = RegularGrid(lons.length, lats.length, xmin, ymin, dx, dy)
+    val models = f.doubles("model").map(_.toInt).toSeq
+    val v = "wetland_CH4_emissions"
+    val shape = f.shape(v)
+    require(shape == Seq(12, models.length, lats.length, lons.length),
+      s"$v: expected (12, model, lat, lon), got $shape (wetcharts.py:62)")
+    val data = f.doubles(v)
+    val nM = models.length; val nLat = lats.length; val nLon = lons.length
+    def raw(t: Int, mo: Int, i: Int, j: Int): Double =
+      data(((t * nM + mo) * nLat + i) * nLon + j)
+    val sel: (Int, Int, Int) => Double = model match {
+      case Some(m) =>
+        val k = models.indexOf(m)
+        require(k >= 0, s"Model $m not found in the dataset. " +
+          s"Available models: $models (wetcharts.py:48-52)")
+        (t, i, j) => raw(t, k, i, j)
+      case None => (t, i, j) => {
+        // xarray .mean(dim="model") skips NaN entries per element
+        var s = 0.0; var n = 0; var mo = 0
+        while (mo < nM) {
+          val x = raw(t, mo, i, j)
+          if (!x.isNaN) { s += x; n += 1 }
+          mo += 1
+        }
+        if (n == 0) Double.NaN else s / n
+      }
+    }
+    val annualRows =
+      scala.collection.mutable.ListBuffer.empty[(Long, String, String, Double)]
+    val ratioRows =
+      scala.collection.mutable.ListBuffer.empty[(String, String, Long, Int, Double)]
+    for (i <- lats.indices; j <- lons.indices) {
+      val cellId = j.toLong * nLat + i
+      val flux = Array.tabulate(12) { t =>
+        val x = sel(t, i, j); if (x.isNaN) 0.0 else x // fillna(0.0)
+      }
+      val s = flux.sum
+      if (s != 0.0) {
+        val area = GfasLoader.sphericalCellArea(
+          lats(i) - dy / 2, lats(i) + dy / 2, dx)
+        annualRows += ((cellId, category, substance,
+          (s / 12.0) * area * 1e-6 * 365.25))
+        var t = 0
+        while (t < 12) {
+          ratioRows += ((category, substance, cellId, t, flux(t) / s)); t += 1
+        }
+      }
+    }
+    MonthlyInventory(
+      grid,
+      spark.createDataFrame(annualRows.toSeq)
+        .toDF("cell_id", "category", "substance", "value"),
+      spark.createDataFrame(ratioRows.toSeq)
+        .toDF("category", "substance", "cell_id", "pos", "ratio"))
   }
 }

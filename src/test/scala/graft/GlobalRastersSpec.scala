@@ -141,4 +141,51 @@ class GlobalRastersSpec extends SparkSpec {
     assert(months((0L, 0)) == 3.0 && months((0L, 1)) == 1.5)
     assert(months.size == 2)
   }
+
+  test("readSaunois: one category per file stem, concatenated (saunois.py:38-56)") {
+    val inv = GlobalRasters.readSaunois(spark, Seq(
+      "fixtures/saunois/wetland.nc", "fixtures/saunois/rice.nc"))
+    val ann = inv.annual.collect()
+      .map(r => (r.getString(1), r.getLong(0)) -> r.getDouble(3)).toMap
+    // both categories present, every cell emits (3 of 12 months are 0)
+    assert(ann.keys.map(_._1).toSet == Set("wetland", "rice"))
+    assert(ann.size == 12)
+    // hand-computed cell (i=0, j=0) of wetland (seed 1): flux(t) =
+    // (t+1)/8 except t ∈ {3,7,11} zeroed; Σ flux·days = 205.25 g/m²/y
+    val area = GfasLoader.sphericalCellArea(9.5, 10.5, 1.0)
+    assert(math.abs(ann(("wetland", 0L)) / (205.25e-3 * area) - 1.0) < 1e-12)
+    assert(inv.monthly.where("substance = 'CH4'").count() == 12 * 9)
+  }
+
+  test("readWetCharts: model select, NaN-skipping mean, fillna, ratios (wetcharts.py:35-106)") {
+    val path = "fixtures/wetcharts.nc"
+    // model selection by coordinate VALUE (.sel semantics)
+    val sel = GlobalRasters.readWetCharts(spark, path, model = Some(2913))
+    val selAnn = sel.annual.collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    // all-zero cell (i=0, j=0) = cell 0 emits nothing
+    assert(!selAnn.contains(0L) && selAnn.size == 5)
+    // hand-computed cell (i=1, j=0) = cell 1: flux(t) = (t%4)·0.25 + 2,
+    // Σ = 28.5, value = 28.5/12 × area × 1e-6 × 365.25
+    val area1 = GfasLoader.sphericalCellArea(45.5, 46.0, 0.5)
+    assert(math.abs(
+      selAnn(1L) / (28.5 / 12.0 * area1 * 1e-6 * 365.25) - 1.0) < 1e-12)
+    // NaN-skipping model mean: cell (i=0, j=1) = cell 2 has NaN holes in
+    // model 1601 at t ∈ {4, 9} → those months mean only models 2913/2914
+    val mean = GlobalRasters.readWetCharts(spark, path)
+    val meanAnn = mean.annual.collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val area0 = GfasLoader.sphericalCellArea(45.0, 45.5, 0.5)
+    assert(math.abs(
+      meanAnn(2L) / (29.0 / 12.0 * area0 * 1e-6 * 365.25) - 1.0) < 1e-12)
+    // monthly output is normalized ratios
+    val ratios = mean.monthly.where("cell_id = 2").collect()
+      .map(r => r.getInt(3) -> r.getDouble(4)).toMap
+    assert(ratios.size == 12 && math.abs(ratios(4) - 2.25 / 29.0) < 1e-15)
+    // unknown model id raises like the reference
+    val err = intercept[IllegalArgumentException] {
+      GlobalRasters.readWetCharts(spark, path, model = Some(9999))
+    }
+    assert(err.getMessage.contains("9999"))
+  }
 }
