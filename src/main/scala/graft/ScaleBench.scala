@@ -301,6 +301,38 @@ object ScaleBench {
     }
     deleteRecursive(b13bdir)
 
+    // B14: the SURVEY §3 100 TB fact layout, followed through — the
+    // 207M-row fact AND the data-scale weight table both written
+    // bucketed+sorted by cell id, so the recurring cell_id join reads
+    // co-located buckets. The physical plan is REQUIREd to have zero
+    // Exchanges below the final aggregate: the fact side never
+    // shuffles, which is the property that keeps this join viable when
+    // the fact table is 100 TB instead of 8 GB.
+    spark.sql("DROP TABLE IF EXISTS b14_fact")
+    spark.sql("DROP TABLE IF EXISTS b14_w")
+    val (b14ws, b14wn) = time {
+      graft.ops.Bucketing.writeBucketed(emi, "b14_fact", "cell_id")
+      graft.ops.Bucketing.writeBucketed(
+        Regrid.weights(spark, src, dst).withColumnRenamed("src_cell", "cell_id"),
+        "b14_w", "cell_id")
+      spark.table("b14_w").count()
+    }
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val b14joined = spark.table("b14_fact")
+      .join(spark.table("b14_w"), "cell_id")
+      .groupBy(col("dst_cell"), col("category"), col("substance"))
+      .agg(sum(col("value") * col("weight")).as("value"))
+    val b14plan = b14joined.queryExecution.executedPlan.toString
+    require(!b14plan.split("HashAggregate").last.contains("Exchange"),
+      s"bucketed fact join must not shuffle; plan:\n$b14plan")
+    val (b14s, b14n) = time {
+      b14joined.agg(count(lit(1)), sum("value")).collect()(0).getLong(0)
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+    spark.sql("DROP TABLE IF EXISTS b14_fact")
+    spark.sql("DROP TABLE IF EXISTS b14_w")
+
     val b1rate = "%.1f".format(src.ncells * 32 / b1s / 1e6)
     val b3rate = "%.1f".format(b3n / b3s / 1e6)
     val json =
@@ -317,7 +349,9 @@ object ScaleBench {
         s""""b12_pii_url_sec":$b12s,"b12_docs":$nDocs,""" +
         s""""b12_mdocs_per_s":${"%.1f".format(nDocs / b12s / 1e6)},""" +
         s""""b13_fluxie_export_sec":$b13s,"b13_file_bytes":$b13n,""" +
-        s""""b13b_hourly_export_sec":$b13bs,"b13b_files":$b13bn}"""
+        s""""b13b_hourly_export_sec":$b13bs,"b13b_files":$b13bn,""" +
+        s""""b14_layout_write_sec":$b14ws,"b14_weight_rows":$b14wn,""" +
+        s""""b14_bucketed_join_sec":$b14s,"b14_rows_out":$b14n}"""
     println(json)
     // durable copy for the round artifacts (same pattern as BENCH_LAST)
     java.nio.file.Files.write(

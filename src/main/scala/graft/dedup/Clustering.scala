@@ -46,8 +46,11 @@ object Clustering {
     // The pair list is cached before branching: counting it and then
     // re-reading it must not recompute the (often expensive) upstream
     // candidate pipeline.
-    val p = graft.Caching.cache(
-      pairs.select(col(aCol).as("src"), col(bCol).as("dst")))
+    // cast("long") up front: integer doc-id columns must behave the same
+    // on the driver union-find path (row.getLong) as on the distributed
+    // path (where Spark would widen them implicitly in joins anyway)
+    val p = graft.Caching.cache(pairs.select(
+      col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst")))
     val nEdges = p.count()
 
     // ADAPTIVE small-graph path: near-dup edge lists are usually TINY
@@ -83,10 +86,13 @@ object Clustering {
       return spark.createDataFrame(labels).toDF("doc_id", "cluster_id")
     }
 
-    // Symmetric edge list, persisted once — reused every round. Both
-    // directions project straight off `pairs` (never off each other):
-    // Catalyst's union-constraint rewriting cannot handle a plan
-    // unioned with a projection of itself.
+    // Symmetric edge list, persisted once — reused every round. `rev`
+    // is a projection of the cached `p`, which is exactly the
+    // "plan unioned with a projection of itself" shape Catalyst's
+    // union-constraint rewriting cannot analyze on a LAZY plan — it is
+    // safe here ONLY because `p` is already force-materialized (the
+    // count() above) so the union reads cached blocks, not the rewritten
+    // logical plan. Keep the cache+count above if touching this.
     val fwd = p
     val rev = p.select(col("dst").as("src"), col("src").as("dst"))
     val edges = graft.Caching.cache(fwd.unionByName(rev).distinct())

@@ -229,12 +229,22 @@ object Speciation {
     * validation errors are mirrored — a merge target may not be used as
     * a source of another group (`{"GHG": [...], "GHG2": ["GHG"]}` and
     * `{"CO2": [...], "GHG2": ["CO2"]}` both raise). One broadcast dim
-    * join + one hash aggregate either way. */
+    * join + one hash aggregate either way.
+    *
+    * Edge semantics match the reference exactly: a pre-existing target
+    * substance's rows are OVERWRITTEN by the merged result, never summed
+    * into it (`inv_df[new_sub] = sum(...)` assigns the column) — unless
+    * the target is also one of its own sources, in which case its old
+    * values feed the sum like any other source. A source absent from the
+    * inventory raises (pandas KeyError at `inv_df[sub]`); that check
+    * needs a distinct-substance scan, so `validate = false` lets the
+    * 100 TB path skip the extra job. */
   def mergeSubstancesMap(
       spark: SparkSession,
       emissions: DataFrame,
       substances: Map[String, Seq[String]],
-      drop: Boolean = true): DataFrame = {
+      drop: Boolean = true,
+      validate: Boolean = true): DataFrame = {
     val newNames = substances.keySet
     substances.foreach { case (m, parts) =>
       parts.foreach { p =>
@@ -246,17 +256,31 @@ object Speciation {
     val flat = substances.toSeq.flatMap { case (m, ps) => ps.map(p => (p, m)) }
     require(flat.map(_._1).distinct.size == flat.size,
       s"a substance is mapped into more than one merged group")
+    if (validate) {
+      val present = emissions.select("substance").distinct()
+        .collect().map(_.getString(0)).toSet
+      for ((_, parts) <- substances; p <- parts)
+        require(present.contains(p),
+          s"merge source substance '$p' not in the inventory " +
+            "(reference merge_substances KeyError, speciation.py:504-569)")
+    }
+    val allTargets = newNames.toSeq
     val mdf = spark.createDataFrame(flat).toDF("substance", "_m")
     val joined = emissions.join(broadcast(mdf), Seq("substance"), "left")
     if (drop)
       joined
+        // overwrite semantics: a pre-existing target row that is not
+        // itself a source never survives into the merged result
+        .where(col("_m").isNotNull || !col("substance").isin(allTargets: _*))
         .withColumn("substance", coalesce(col("_m"), col("substance")))
         .groupBy("cell_id", "category", "substance")
         .agg(sum("value").as("value"))
     else
-      emissions.unionByName(
-        joined.where(col("_m").isNotNull)
-          .groupBy(col("cell_id"), col("category"), col("_m").as("substance"))
-          .agg(sum("value").as("value")))
+      emissions
+        .where(!col("substance").isin(allTargets: _*))
+        .unionByName(
+          joined.where(col("_m").isNotNull)
+            .groupBy(col("cell_id"), col("category"), col("_m").as("substance"))
+            .agg(sum("value").as("value")))
   }
 }

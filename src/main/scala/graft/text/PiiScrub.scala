@@ -39,7 +39,11 @@ object PiiScrub {
   /** Per-type match-count columns, evaluated BEFORE any replacement on
     * the intermediate state the rule actually sees (email counts on raw
     * text, ip counts after email removal, …) so counts sum to the number
-    * of placeholders inserted. */
+    * of placeholders inserted. The afterEmail/afterIp chains are
+    * re-derived per count column on purpose: they are pure expressions,
+    * so Catalyst fuses every count into the SAME single codegen'd
+    * projection (PlanSpec asserts one Project, one stage) — threading
+    * materialized intermediate columns through would add nothing. */
   def counts(text: Column): Seq[(String, Column)] = {
     val afterEmail = regexp_replace(text, EmailRe, "<EMAIL>")
     val afterIp = regexp_replace(afterEmail, Ipv4Re, "<IP>")

@@ -54,6 +54,17 @@ class ClusteringSpec extends SparkSpec {
     assert(fast == dist)
   }
 
+  test("integer doc-id columns work on both paths (cast in projection)") {
+    val intPairs = spark.createDataFrame(Seq((1, 2), (2, 3), (5, 6)))
+      .toDF("doc_a", "doc_b") // IntegerType, not LongType
+    val fast = Clustering.connectedComponents(intPairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
+    val dist = Clustering.connectedComponents(intPairs, driverEdgeLimit = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast == dist)
+  }
+
   test("dedupAssign: singletons keep themselves; clusters keep min id") {
     val docs = spark.createDataFrame(Seq(
       (1L, "x"), (2L, "x"), (3L, "y"), (7L, "z"))).toDF("doc_id", "text")

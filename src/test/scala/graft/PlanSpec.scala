@@ -151,6 +151,18 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
     // '*(n)' marks operators fused into a WholeStageCodegen stage
     assert(plan.contains("*(1) Project"), s"fell out of codegen:\n$plan")
+    // counts() re-derives the afterEmail/afterIp intermediate chains per
+    // count column (each rule counts on the state it actually rewrites);
+    // all of them must collapse into ONE codegen'd projection stage —
+    // no second stage, no extra Project node materializing intermediates
+    assert(!plan.contains("*(2)"), s"second codegen stage appeared:\n$plan")
+    // all four output columns must come from the SAME Project node — the
+    // re-derived intermediate chains never materialize a separate stage
+    val scrubProjects = plan.linesIterator
+      .filter(l => l.contains("Project") && l.contains("n_emails")).toSeq
+    assert(scrubProjects.size == 1 && Seq("clean", "n_ips", "n_phones")
+      .forall(scrubProjects.head.contains),
+      s"scrub columns split across Project nodes:\n$plan")
   }
 
   test("UrlOps.canonical stays a narrow projection; dedup shuffles only on keys") {

@@ -31,6 +31,37 @@ class SpeciationSpec extends SparkSpec {
     assert(self == Map("CO2" -> 12.0, "NOx" -> 1.0))
   }
 
+  test("mergeSubstancesMap edge semantics: pre-existing target is " +
+    "OVERWRITTEN not summed; absent source raises (speciation.py:504-569)") {
+    val emi = spark.createDataFrame(Seq(
+      (0L, "c", "GHG", 99.0), (0L, "c", "CO2", 10.0), (0L, "c", "CH4", 2.0)))
+      .toDF("cell_id", "category", "substance", "value")
+    // reference: inv_df["GHG"] = CO2 + CH4 assigns the column — the old
+    // GHG value 99 must vanish, never be summed into 12
+    val drop = Speciation.mergeSubstancesMap(spark, emi,
+      Map("GHG" -> Seq("CO2", "CH4")))
+      .collect().map(r => r.getString(2) -> r.getDouble(3)).toMap
+    assert(drop == Map("GHG" -> 12.0))
+    // drop = false: sources kept, old GHG still overwritten — and no
+    // duplicate (cell, category, substance) keys
+    val noDrop = Speciation.mergeSubstancesMap(spark, emi,
+      Map("GHG" -> Seq("CO2", "CH4")), drop = false)
+      .collect().map(r => r.getString(2) -> r.getDouble(3))
+    assert(noDrop.map(_._1).sorted.toSeq == Seq("CH4", "CO2", "GHG"))
+    assert(noDrop.toMap == Map("CO2" -> 10.0, "CH4" -> 2.0, "GHG" -> 12.0))
+    // pandas KeyError parity: a source absent from the inventory raises
+    val err = intercept[IllegalArgumentException](
+      Speciation.mergeSubstancesMap(spark, emi,
+        Map("X" -> Seq("CO2", "N2O"))))
+    assert(err.getMessage.contains("N2O"))
+    // validate = false skips the presence scan (the 100 TB path): the
+    // absent source then just contributes nothing
+    val lax = Speciation.mergeSubstancesMap(spark, emi,
+      Map("X" -> Seq("CO2", "N2O")), validate = false)
+      .collect().map(r => r.getString(2) -> r.getDouble(3)).toMap
+    assert(lax == Map("X" -> 10.0, "GHG" -> 99.0, "CH4" -> 2.0))
+  }
+
   test("co2BioTable mirrors the reference [r, 1-r] construction; Zurich " +
     "table ships complete") {
     import graft.model.ZurichData
