@@ -128,6 +128,19 @@ object Queries {
       (s, _) => Regrid.weights(s, srcGrid, dstGrid),
       Some(s"WITH $WeightsCte SELECT src_cell, dst_cell, weight FROM w")),
 
+    // R2 weight cache (emiproc/regrid.py:42-101 get_weights_mapping):
+    // first call computes + writes the parquet cache, second call READS
+    // it back — the gate row checks the cached table against the same
+    // closed-form weight SQL as q_regrid_weights (dyadic weights survive
+    // the parquet round-trip bit-exactly).
+    Q("q_weight_cache",
+      (s, _) => {
+        val dir = java.nio.file.Files.createTempDirectory("wcache").toString
+        Regrid.cachedWeights(s, srcGrid, dstGrid, dir).count() // write path
+        Regrid.cachedWeights(s, srcGrid, dstGrid, dir) // read-back path
+      },
+      Some(s"WITH $WeightsCte SELECT src_cell, dst_cell, weight FROM w")),
+
     Q("q_remap",
       (s, d) => Regrid.remapInventory(s, emissionsAgg(s, d), srcGrid, dstGrid),
       Some(s"""$EmiAggCte,
@@ -629,6 +642,154 @@ object Queries {
         |       CAST(sum(CASE WHEN r < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_negative
         |FROM prof GROUP BY 1
         |HAVING abs(sum(r) - 1.0) > 1e-9 OR sum(CASE WHEN r < 0 THEN 1 ELSE 0 END) > 0""".stripMargin)),
+
+    // T7 leap-year rules, both of them: the profile code path's
+    // intentional %4-only check (profiles.py:277-284) and
+    // get_day_per_year's full Gregorian rule (utilities.py:38-46) —
+    // the 1900/2100 rows are exactly where they diverge.
+    Q("q_leap_days",
+      (s, _) => s.range(1896, 2105)
+        .select(col("id").cast("int").as("year"))
+        .select(col("year"),
+          Temporal.isLeapRef(col("year")).as("leap_ref"),
+          Temporal.dayPerYear(col("year")).cast("int").as("days")),
+      Some("""SELECT i::INT AS year, (i % 4 = 0) AS leap_ref,
+        |       (CASE WHEN i % 4 = 0 AND (i % 100 <> 0 OR i % 400 = 0)
+        |             THEN 366 ELSE 365 END)::INT AS days
+        |FROM range(1896, 2105) t(i)""".stripMargin)),
+
+    // P3 group_profiles_indexes (profiles/operators.py group+combine):
+    // per-(group, key) weighted combine of the member categories'
+    // profiles, renormalized, with dense 1-based ids ordered by
+    // (group, key) and -1 for combinations that have no profile. All
+    // aggregation is over integer-valued doubles → the single final
+    // division is bit-identical on both engines.
+    Q("q_group_profiles",
+      (s, d) => {
+        val profiles = profileTable(s, d)
+          .withColumnRenamed("w", "ratio")
+        val index = supplier(s, d)
+          .groupBy(concat(lit("c"), col("s_suppkey") % 4).as("category"),
+            col("s_nationkey").as("key"))
+          .agg(max(col("s_suppkey") % 20).as("profile_id"))
+        val weights = supplier(s, d)
+          .groupBy(concat(lit("c"), col("s_suppkey") % 4).as("category"),
+            col("s_nationkey").as("key"))
+          .agg(sum(col("s_suppkey") % 7 + 1).as("weight"))
+        val groups = Map("g0" -> Seq("c0", "c1"), "g1" -> Seq("c2", "c3"))
+        val (np, ni) = Profiles.groupProfilesIndexes(
+          profiles, index, weights, groups)
+        ni.join(np, Seq("profile_id"), "left")
+          .select(col("category"), col("key"), col("profile_id"),
+            coalesce(col("pos"), lit(-1)).as("pos"),
+            coalesce(col("ratio"), lit(0.0)).as("ratio"))
+      },
+      Some(s"""$ProfCte,
+        |idx AS (SELECT 'c' || (s_suppkey % 4) AS category, s_nationkey AS key,
+        |               max(s_suppkey % 20) AS profile_id
+        |        FROM supplier GROUP BY 1, 2),
+        |wts AS (SELECT 'c' || (s_suppkey % 4) AS category, s_nationkey AS key,
+        |               sum(s_suppkey % 7 + 1) AS weight
+        |        FROM supplier GROUP BY 1, 2),
+        |gd AS (SELECT * FROM (VALUES ('c0', 'g0'), ('c1', 'g0'),
+        |        ('c2', 'g1'), ('c3', 'g1')) g(category, grp)),
+        |comb AS (SELECT grp, key, pos, sum(p.w * w.weight) AS rw
+        |         FROM idx i JOIN gd USING (category)
+        |         JOIN wts w USING (category, key)
+        |         JOIN prof p ON p.profile_id = i.profile_id
+        |         WHERE i.profile_id <> -1 GROUP BY 1, 2, 3),
+        |norm AS (SELECT grp, key, pos,
+        |                rw / sum(rw) OVER (PARTITION BY grp, key) AS ratio
+        |         FROM comb),
+        |ids AS (SELECT grp, key,
+        |               (dense_rank() OVER (ORDER BY grp, key))::INT AS profile_id
+        |        FROM (SELECT DISTINCT grp, key FROM norm)),
+        |np AS (SELECT ids.profile_id, norm.pos, norm.ratio
+        |       FROM norm JOIN ids USING (grp, key)),
+        |nidx AS (SELECT gs.grp AS category, ks.key,
+        |                coalesce(ids.profile_id, -1) AS profile_id
+        |         FROM (SELECT DISTINCT key FROM idx) ks
+        |         CROSS JOIN (SELECT DISTINCT grp FROM gd) gs
+        |         LEFT JOIN ids ON ids.grp = gs.grp AND ids.key = ks.key)
+        |SELECT nidx.category, nidx.key, nidx.profile_id,
+        |       coalesce(np.pos, -1) AS pos, coalesce(np.ratio, 0.0) AS ratio
+        |FROM nidx LEFT JOIN np USING (profile_id)""".stripMargin)),
+
+    // P7 add_profiles (operators.py:700-713): weighted union of two
+    // profile sets, renormalized per category. Integer ratio sources and
+    // dyadic per-category weights keep every aggregate exact; the single
+    // final division matches bit-for-bit.
+    Q("q_add_profiles",
+      (s, d) => {
+        def side(parity: Int) = lineitem(s, d)
+          .where(col("l_partkey") % 2 === parity)
+          .groupBy(col("l_returnflag").as("category"),
+            col("l_linenumber").as("pos"))
+          .agg(sum("l_quantity").as("ratio"))
+        val w1 = s.createDataFrame(Seq(("A", 1.0), ("N", 2.0), ("R", 4.0)))
+          .toDF("category", "w")
+        val w2 = s.createDataFrame(Seq(("A", 2.0), ("N", 1.0), ("R", 1.0)))
+          .toDF("category", "w")
+        Profiles.addProfiles(side(0), w1, side(1), w2)
+      },
+      Some("""WITH s0 AS (SELECT l_returnflag AS category, l_linenumber AS pos,
+        |              sum(l_quantity) AS ratio
+        |       FROM lineitem WHERE l_partkey % 2 = 0 GROUP BY 1, 2),
+        |s1 AS (SELECT l_returnflag AS category, l_linenumber AS pos,
+        |              sum(l_quantity) AS ratio
+        |       FROM lineitem WHERE l_partkey % 2 = 1 GROUP BY 1, 2),
+        |w1 AS (SELECT * FROM (VALUES ('A', 1.0), ('N', 2.0), ('R', 4.0)) t(category, w)),
+        |w2 AS (SELECT * FROM (VALUES ('A', 2.0), ('N', 1.0), ('R', 1.0)) t(category, w)),
+        |m AS (SELECT category, pos, sum(rw) AS cw FROM (
+        |        SELECT s0.category, pos, ratio * w AS rw FROM s0 JOIN w1 USING (category)
+        |        UNION ALL
+        |        SELECT s1.category, pos, ratio * w AS rw FROM s1 JOIN w2 USING (category))
+        |      GROUP BY 1, 2)
+        |SELECT category, pos,
+        |       cw / sum(cw) OVER (PARTITION BY category) AS ratio
+        |FROM m""".stripMargin)),
+
+    // P12 composite pack/unpack (composite.py:375-436): long → ordered
+    // ratio vectors → long again must be the identity on the input.
+    Q("q_composite_roundtrip",
+      (s, d) => Profiles.fromComposite(Profiles.toComposite(
+        lineitem(s, d)
+          .groupBy((col("l_suppkey") % 10).as("profile_id"),
+            col("l_linestatus").as("kind"),
+            (col("l_linenumber") - 1).cast("int").as("pos"))
+          .agg(sum("l_quantity").as("ratio")))),
+      Some("""SELECT l_suppkey % 10 AS profile_id, l_linestatus AS kind,
+        |       (l_linenumber - 1)::INT AS pos, sum(l_quantity) AS ratio
+        |FROM lineitem GROUP BY 1, 2, 3""".stripMargin)),
+
+    // P14 index validation + most-specific lookup (profiles/utils.py:
+    // 54-93 check_valid_indexes, :95-151 get_desired_profile_index) over
+    // a literal index cube — the oracle is the hand-derived answer.
+    Q("q_index_lookup",
+      (s, _) => {
+        val index = s.createDataFrame(Seq[(String, String, Int)](
+          (null, null, 0), ("heating", null, 1), (null, "CO2", 2),
+          ("heating", "CO2", 3), ("traffic", "NOx", 9)))
+          .toDF("category", "substance", "profile_id")
+        val profiles = s.range(4).select(
+          col("id").cast("int").as("profile_id"),
+          lit(0).as("pos"), lit(1.0).as("ratio"))
+        val inv = Profiles.invalidIndexes(index, profiles)
+          .select(lit("invalid").as("src"), col("category"),
+            col("substance"), col("profile_id"),
+            lit(-1).as("specificity"))
+        val lk = Profiles.lookupIndex(index, Some("heating"), Some("CO2"))
+          .select(lit("lookup").as("src"), col("category"),
+            col("substance"), col("profile_id"), col("specificity"))
+        inv.unionByName(lk)
+      },
+      Some("""SELECT * FROM (VALUES
+        |  ('invalid', 'traffic', 'NOx', 9, -1),
+        |  ('lookup', NULL, NULL, 0, 0),
+        |  ('lookup', 'heating', NULL, 1, 1),
+        |  ('lookup', NULL, 'CO2', 2, 1),
+        |  ('lookup', 'heating', 'CO2', 3, 2)
+        |) AS t(src, category, substance, profile_id, specificity)""".stripMargin)),
 
     // S11 YAML temporal profiles (reference from_yaml, emiproc/profiles/
     // temporal/io.py:211-281) over the committed hand-authored fixture.

@@ -292,6 +292,15 @@ object Temporal {
     * emiproc/utilities.py:38-46); we replicate the documented behavior. */
   def isLeapRef(year: Column): Column = year % 4 === 0
 
+  /** The reference's `get_day_per_year` (emiproc/utilities.py:38-46):
+    * the FULL Gregorian rule — 366 iff `year % 4 == 0 && (year % 100 !=
+    * 0 || year % 400 == 0)`, else 365 (the `year = None → 365.25` branch
+    * is the caller's concern). Kept separate from [[isLeapRef]], which
+    * deliberately replicates the profile code path's %4-only check. */
+  def dayPerYear(year: Column): Column =
+    when(year % 4 === 0 && (year % 100 =!= 0 || year % 400 === 0),
+      lit(366)).otherwise(lit(365))
+
   /** T6 — fold the `day_type` dimension into hour-of-week factors
     * (reference emiproc/profiles/temporal/operators.py:345-437
     * `resolve_daytype`): each hour of the week selects the profile row of
