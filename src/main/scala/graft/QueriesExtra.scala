@@ -513,6 +513,64 @@ object QueriesExtra {
         |LEFT JOIN prof ON prof.category = tot.category
         |               AND prof.level = hts.level""".stripMargin)),
 
+    // K7 geopackage substitute (export_to_geopackage, emiproc/exports/
+    // geopackage.py:9-60 — documented GeoParquet/WKT substitute): write
+    // the export, read the parquet back, and check the WKT ring text
+    // and the WKB byte length (1+4+4+4+5·16 = 93 for one closed 5-point
+    // ring) against SQL that rebuilds both from cell arithmetic.
+    Q("q_geoparquet",
+      (s, d) => {
+        val dir = java.nio.file.Files.createTempDirectory("geopq")
+          .toString + "/out"
+        Exports.geoParquetExport(s,
+          emissionsAgg(s, d).where(col("cell_id") < 10), srcGrid, Some(dir))
+        s.read.parquet(dir).select(
+          col("cell_id"), col("category"), col("substance"), col("value"),
+          col("geometry_wkt"), length(col("geometry")).as("wkb_bytes"))
+      },
+      Some(s"""$EmiAggCte,
+        |g AS (SELECT cell_id, category, substance, value,
+        |             (cell_id // 64) * 1.0 AS x0, (cell_id % 64) * 1.0 AS y0,
+        |             (cell_id // 64) + 1.0 AS x1, (cell_id % 64) + 1.0 AS y1
+        |      FROM emi WHERE cell_id < 10)
+        |SELECT cell_id, category, substance, value,
+        |       'POLYGON((' || x0 || ' ' || y0 || ', ' || x1 || ' ' || y0 ||
+        |       ', ' || x1 || ' ' || y1 || ', ' || x0 || ' ' || y1 ||
+        |       ', ' || x0 || ' ' || y0 || '))' AS geometry_wkt,
+        |       93::INT AS wkb_bytes
+        |FROM g""".stripMargin)),
+
+    // K9 CF global attributes (nc_cf_attributes, emiproc/exports/
+    // netcdf.py:6-71): write a raster export through the default-attrs
+    // path, read the file's global attributes back through NcAdapter,
+    // and compare to the hand-derived reference attribute set. The
+    // creation time is the documented reproducible epoch default.
+    Q("q_cf_attrs",
+      (s, _) => {
+        val dir = java.nio.file.Files.createTempDirectory("cfnc").toString
+        val emi = s.createDataFrame(Seq(
+          (0L, "A", "CO2", 1.0), (3L, "A", "CO2", 2.0)))
+          .toDF("cell_id", "category", "substance", "value")
+        val grid = graft.model.RegularGrid(2, 2, 0.0, 0.0, 1.0, 1.0)
+        Exports.rasterExportNc(emi, grid, s"$dir/out.nc")
+        val nc = graft.sources.NcAdapter.open(
+          java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(s"$dir/out.nc")))
+        s.createDataFrame(nc.globalAtts).toDF("att", "value")
+      },
+      Some("""SELECT * FROM (VALUES
+        |  ('Conventions', 'CF-1.10'),
+        |  ('title', 'graft raster export'),
+        |  ('comment', ''),
+        |  ('source', 'graft emission inventory export'),
+        |  ('history', '1970-01-01 00:00:00: created by graft ;' || chr(10)),
+        |  ('references', 'Produced by graft.'),
+        |  ('institution', 'graft'),
+        |  ('author', 'graft'),
+        |  ('contact', ''),
+        |  ('creation_time', '1970-01-01 00:00:00')
+        |) AS t(att, value)""".stripMargin)),
+
     // Pinned-literal oracle (OraclePins): the DuckDB-export inventory
     // loader (zurich/duck.py semantics over duckdb's parquet EXPORT
     // DATABASE form) — fixture tables written by Spark at query time
