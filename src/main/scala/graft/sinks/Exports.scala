@@ -106,6 +106,23 @@ object Exports {
     java.nio.file.Files.write(p, bytes)
   }
 
+  /** Stream a NetCDF file to `path` through [[NetcdfWriter.writeTo]] —
+    * driver memory stays chunk-bounded instead of file-bounded, and
+    * CDF-2 files past 2 GiB are writable. */
+  private[graft] def writeNcStreamed(
+      path: String,
+      dims: Seq[NcDim],
+      gatts: Seq[NcAtt],
+      vars: Seq[NetcdfWriter.WriteVar]): Long = {
+    val p = java.nio.file.Paths.get(path)
+    Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    val ch = java.nio.channels.FileChannel.open(p,
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.TRUNCATE_EXISTING,
+      java.nio.file.StandardOpenOption.WRITE)
+    try NetcdfWriter.writeTo(ch, dims, gatts, vars) finally ch.close()
+  }
+
   /** K1 as a REAL NetCDF file — the reference's `export_raster_netcdf`
     * layout (emiproc/exports/rasters.py:109-246): one NC_DOUBLE variable
     * per substance over dims (lat, lon) with CF var attributes, center
@@ -155,25 +172,34 @@ object Exports {
       agg.where(col("substance") === s && col("category") === c)
         .select(col("cell_id"), col("v")).collect())
     // per-substance summed plane (the default layout + the all-sectors
-    // totals); per-(substance, category) planes for the group mode
+    // totals); per-(substance, category) planes for the group mode.
+    // Planes are NOT materialized up front: each WriteVar carries a
+    // `chunks` closure that collects its plane(s) only while that
+    // variable streams to disk, so driver memory is ONE plane — never
+    // nsub planes + the encoded file buffer.
     val needCatPlanes = groupCategories || varPerCatSub
-    val data: Map[String, Array[Double]] =
-      if (addTotals || !needCatPlanes) {
-        // fold the category dim once distributed, so each per-substance
-        // plane collect filters nsub× fewer rows than the full aggregate
-        val subAgg = agg.groupBy("cell_id", "substance")
-          .agg(sum("v").as("pv")).persist()
-        subAgg.count()
-        val planes = subs.map(s => s -> planeOf(
-          subAgg.where(col("substance") === s)
-            .select(col("cell_id"), col("pv")).collect())).toMap
-        subAgg.unpersist()
-        planes
-      } else Map.empty
-    val byCat: Map[String, Map[String, Array[Double]]] =
-      if (needCatPlanes)
-        subs.map(s => s -> cats.map(c => c -> catPlane(s, c)).toMap).toMap
-      else Map.empty
+    val needSubPlanes = addTotals || !needCatPlanes
+    // fold the category dim once distributed, so each per-substance
+    // plane collect filters nsub× fewer rows than the full aggregate
+    val subAgg = if (needSubPlanes) {
+      val sa = agg.groupBy("cell_id", "substance")
+        .agg(sum("v").as("pv")).persist()
+      sa.count()
+      Some(sa)
+    } else None
+    def subPlane(s: String): Array[Double] = planeOf(
+      subAgg.get.where(col("substance") === s)
+        .select(col("cell_id"), col("pv")).collect())
+    // which (substance, category) planes are non-empty — decided from a
+    // DISTRIBUTED scan (agg has one row per (cell, sub, cat), so a plane
+    // has a nonzero cell iff some row's v != 0), not from materialized
+    // planes
+    val nonEmptyPairs: Set[(String, String)] =
+      if (varPerCatSub)
+        agg.where(col("v") =!= 0.0).select("substance", "category")
+          .distinct().collect()
+          .map(r => (r.getString(0), r.getString(1))).toSet
+      else Set.empty
     // per-(substance, category) totals come from a DISTRIBUTED sum —
     // subs × cats rows on the driver, no plane materialization needed
     val catTotals: Map[(String, String), Double] =
@@ -181,7 +207,6 @@ object Exports {
         agg.groupBy("substance", "category").agg(sum("v").as("t")).collect()
           .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
       else Map.empty
-    agg.unpersist()
     val unitStr = if (perArea) "kg m-2 s-1" else "kg year-1 cell-1"
     val dims = Seq(
       NcDim("lat", grid.ny), NcDim("lon", grid.nx),
@@ -207,14 +232,14 @@ object Exports {
         "latitude", "degrees_north", "Y", centers = false))
     val dataVars =
       if (varPerCatSub) // rasters.py default var_name_format "{sub}_{cat}"
-        (for (s <- subs.toSeq; c <- cats if byCat(s)(c).exists(_ != 0.0)) yield
+        (for (s <- subs.toSeq; c <- cats if nonEmptyPairs((s, c))) yield
           WriteVar(s"${s}_$c", Seq("lat", "lon"), NetcdfClassicDouble,
             atts = Seq(
               textAtt("standard_name", s"${s}_$c"),
               textAtt("long_name", s"${s}_$c"), textAtt("units", unitStr),
               textAtt("comment", s"emissions of $s from $c"),
               textAtt("substance", s), textAtt("category", c)),
-            doubles = byCat(s)(c)))
+            chunks = () => Iterator(catPlane(s, c))))
       else if (!groupCategories) subs.toSeq.map { s =>
         WriteVar(s, Seq("lat", "lon"), NetcdfClassicDouble,
           atts = Seq(
@@ -222,7 +247,7 @@ object Exports {
               s"tendency_of_atmosphere_mass_content_of_${s}_due_to_emission"),
             textAtt("long_name", s), textAtt("units", unitStr),
             textAtt("comment", s"emissions of $s"), textAtt("substance", s)),
-          doubles = data(s))
+          chunks = () => Iterator(subPlane(s)))
       } else subs.toSeq.map { s => // rasters.py:137-160 category-dim layout
         WriteVar(s, Seq("category", "lat", "lon"), NetcdfClassicDouble,
           atts = Seq(
@@ -230,7 +255,7 @@ object Exports {
               s"tendency_of_atmosphere_mass_content_of_${s}_due_to_emission"),
             textAtt("long_name", s), textAtt("units", unitStr),
             textAtt("comment", s"emissions of $s"), textAtt("substance", s)),
-          doubles = cats.flatMap(c => byCat(s)(c)).toArray)
+          chunks = () => cats.iterator.map(c => catPlane(s, c)))
       }
     // add_totals block (rasters.py:246-303): per-substance all-sectors
     // plane + per-category kg/yr totals; always kg/yr for the totals —
@@ -245,7 +270,7 @@ object Exports {
             textAtt("long_name", s"Aggregated Emissions of $s from all sectors"),
             textAtt("units", unitStr),
             textAtt("comment", "annual mean emission rate")),
-          doubles = data(s)),
+          chunks = () => Iterator(subPlane(s))),
         WriteVar(s"emi_${s}_total", Seq("category"), NetcdfClassicDouble,
           atts = Seq(
             textAtt("long_name", s"Total Emissions of $s"),
@@ -267,8 +292,10 @@ object Exports {
       WriteVar("category", Seq("category", "str_len"),
         graft.sources.NetcdfClassic.NcChar, strings = cats.toSeq))
     val gatts = if (atts.nonEmpty) atts else ncCfAttrs("graft raster export")
-    writeBytes(path, NetcdfWriter.write(dims ++ catDims, gatts,
-      coordVars ++ catVars ++ dataVars ++ totalVars ++ areaCellVars))
+    writeNcStreamed(path, dims ++ catDims, gatts,
+      coordVars ++ catVars ++ dataVars ++ totalVars ++ areaCellVars)
+    subAgg.foreach(_.unpersist())
+    agg.unpersist()
   }
 
   private val NetcdfClassicDouble = graft.sources.NetcdfClassic.NcDouble
@@ -466,15 +493,19 @@ object Exports {
         doubles = Array.tabulate(n)(i => v0 + (i + 0.5) * dv))
 
     val written = subs.toIndexedSeq.map { sub =>
-      val flux = new Array[Double](nT * ny * nx)
-      // one grid-bounded plane collect per (substance, time) — ≤ ncell rows
-      (0 until nT).foreach { t =>
+      // one grid-bounded plane per (substance, time), COLLECTED LAZILY
+      // while the file streams to disk — driver memory is one plane,
+      // not the nT × ny × nx flux cube (622 MB/substance at EDGAR-
+      // monthly), and not the encoded file either (writeNcStreamed).
+      def fluxPlane(t: Int): Array[Double] = {
+        val arr = new Array[Double](ny * nx)
         agg.where(col("substance") === sub && col("time_idx") === t)
           .select(col("cell_id"), col("v")).collect().foreach { r =>
             val cid = r.getLong(0)
             val ix = (cid / ny).toInt; val iy = (cid % ny).toInt
-            flux(t * ny * nx + iy * nx + ix) += r.getDouble(1) / area
+            arr(iy * nx + ix) += r.getDouble(1) / area
           }
+        arr
       }
       val baseDims = Seq(NcDim("time", nT), NcDim("latitude", ny),
         NcDim("longitude", nx))
@@ -488,16 +519,22 @@ object Exports {
       val fluxVar = WriteVar("flux_total_prior",
         Seq("time", "latitude", "longitude"),
         graft.sources.NetcdfClassic.NcDouble,
-        atts = Seq(textAtt("units", "kg m-2 yr-1")), doubles = flux)
+        atts = Seq(textAtt("units", "kg m-2 yr-1")),
+        chunks = () => (0 until nT).iterator.map(fluxPlane))
       val countryBlock = countries.toSeq.flatMap { cf =>
         val nC = countryNames.length
         val cIdx = countryNames.zipWithIndex.toMap
-        val frac = new Array[Double](nC * ny * nx)
-        cf.foreach { r =>
-          val cid = r.getAs[Long]("cell_id")
-          val ix = (cid / ny).toInt; val iy = (cid % ny).toInt
-          frac(cIdx(r.getAs[String]("country")) * ny * nx + iy * nx + ix) =
-            r.getAs[Double]("fraction")
+        // sparse rows grouped per country once; each country's dense
+        // (lat, lon) plane is built only while its chunk streams
+        val byCountry = cf.groupBy(_.getAs[String]("country"))
+        def fracPlane(c: Int): Array[Double] = {
+          val arr = new Array[Double](ny * nx)
+          byCountry.getOrElse(countryNames(c), Array.empty).foreach { r =>
+            val cid = r.getAs[Long]("cell_id")
+            val ix = (cid / ny).toInt; val iy = (cid % ny).toInt
+            arr(iy * nx + ix) = r.getAs[Double]("fraction")
+          }
+          arr
         }
         val cflux = new Array[Double](nT * nC)
         for (t <- 0 until nT; c <- 0 until nC)
@@ -511,7 +548,7 @@ object Exports {
             atts = Seq(
               textAtt("long_name", "fraction of grid cell associated to country"),
               textAtt("units", "1")),
-            doubles = frac),
+            chunks = () => (0 until nC).iterator.map(fracPlane)),
           WriteVar("country_flux_total_prior", Seq("time", "country"),
             graft.sources.NetcdfClassic.NcDouble,
             atts = Seq(textAtt("units", "kg m-2 yr-1")), doubles = cflux))
@@ -523,8 +560,8 @@ object Exports {
       val gatts = if (atts.nonEmpty) atts
         else ncCfAttrs(s"$transportModel $frequency flux export")
       val fname = s"$sub/${transportModel}_${sub}_$frequency.nc"
-      writeBytes(s"$outDir/$fname",
-        NetcdfWriter.write(dims, gatts, coordVars ++ Seq(fluxVar) ++ countryBlock))
+      writeNcStreamed(s"$outDir/$fname", dims, gatts,
+        coordVars ++ Seq(fluxVar) ++ countryBlock)
       fname
     }
     agg.unpersist()

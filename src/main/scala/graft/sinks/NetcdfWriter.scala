@@ -1,6 +1,7 @@
 package graft.sinks
 
 import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.channels.WritableByteChannel
 import graft.sources.NetcdfClassic
 import graft.sources.NetcdfClassic.{NcAtt, NcDim}
 
@@ -17,10 +18,14 @@ import graft.sources.NetcdfClassic.{NcAtt, NcDim}
   * format spec only; CDF-1 (32-bit offsets) and CDF-2 (64-bit offsets)
   * both supported.
   *
-  * Driver/task-side by design: a single exported raster or profile file
-  * is grid-sized (≪ fact tables); the encoder is pure `Array[Byte]` in /
-  * out, so per-hour file fan-out can run inside `foreachPartition` with
-  * one task per file at scale.
+  * Two entry points share one layout/encoder:
+  *  - [[write]] returns the whole file as `Array[Byte]` (small files,
+  *    per-hour fan-out inside `foreachPartition`);
+  *  - [[writeTo]] STREAMS to a channel through a fixed 8 MB buffer, so
+  *    driver memory for a big export is bounded by one data CHUNK (a
+  *    grid plane), not the file size — a variable may supply its data
+  *    lazily via `WriteVar.chunks` (e.g. one (substance, time) plane
+  *    collected per chunk), and files past 2 GiB are fine under CDF-2.
   */
 object NetcdfWriter {
 
@@ -29,14 +34,18 @@ object NetcdfWriter {
   /** A variable to write. `dims` are names resolved against the dim list.
     * Numeric data row-major in `doubles` (record dim outermost, unrolled
     * over numrecs); NC_CHAR data as one string per outer-dim entry,
-    * padded/truncated to the final dim's length. */
+    * padded/truncated to the final dim's length. `chunks` (non-record
+    * numeric vars only) streams the row-major data lazily as consecutive
+    * arrays instead of one `doubles` allocation — total element count
+    * must equal the variable's size. */
   final case class WriteVar(
       name: String,
       dims: Seq[String],
       ncType: Int,
       atts: Seq[NcAtt] = Nil,
       doubles: Array[Double] = Array.emptyDoubleArray,
-      strings: Seq[String] = Nil)
+      strings: Seq[String] = Nil,
+      chunks: () => Iterator[Array[Double]] = null)
 
   /** Text attribute (NC_CHAR). */
   def textAtt(name: String, value: String): NcAtt =
@@ -56,15 +65,31 @@ object NetcdfWriter {
 
   private def pad4(n: Long): Long = (n + 3) & ~3L
 
-  /** Encode a complete classic-format file. Dim order in `dims` defines
-    * dim ids; at most one record dim (length 0), which must be each
-    * record variable's FIRST dim; `numrecs` gives its unrolled length. */
+  /** Encode a complete classic-format file in memory (small files). */
   def write(
       dims: Seq[NcDim],
       gatts: Seq[NcAtt],
       vars: Seq[WriteVar],
       numrecs: Int = 0,
       version: Int = 2): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    writeTo(java.nio.channels.Channels.newChannel(bos), dims, gatts, vars,
+      numrecs, version)
+    bos.toByteArray
+  }
+
+  /** Stream a complete classic-format file to `ch` through a bounded
+    * buffer; returns the total bytes written. Dim order in `dims`
+    * defines dim ids; at most one record dim (length 0), which must be
+    * each record variable's FIRST dim; `numrecs` gives its unrolled
+    * length. The caller owns (and closes) the channel. */
+  def writeTo(
+      ch: WritableByteChannel,
+      dims: Seq[NcDim],
+      gatts: Seq[NcAtt],
+      vars: Seq[WriteVar],
+      numrecs: Int = 0,
+      version: Int = 2): Long = {
     require(version == 1 || version == 2, s"classic CDF-1/2 only (got $version)")
     require(dims.count(_.isRecord) <= 1, "at most one record dimension")
     val dimId = dims.map(_.name).zipWithIndex.toMap
@@ -93,6 +118,8 @@ object NetcdfWriter {
     def isRec(v: WriteVar): Boolean =
       v.dims.headOption.exists(n => dims(dimId(n)).isRecord)
     val recVars = vars.filter(isRec)
+    vars.foreach(v => require(v.chunks == null || (!isRec(v) && v.ncType != NcChar),
+      s"${v.name}: chunked data is for non-record numeric variables"))
     val singleSmallRec = recVars.size == 1 &&
       Seq(NcChar, NcByte, NcShort).contains(recVars.head.ncType)
     def slabElems(v: WriteVar): Long =
@@ -112,58 +139,83 @@ object NetcdfWriter {
     recVars.foreach { v => begins(v.name) = offset; offset += vsize(v) }
     val recSize = recVars.map(vsize).sum
     val totalSize = recBase + recSize * numrecs
+    require(version == 2 || totalSize <= Int.MaxValue,
+      s"CDF-1 cannot address $totalSize bytes — use version = 2")
 
-    require(totalSize <= Int.MaxValue, s"file too large for in-memory encode: $totalSize")
-    val out = ByteBuffer.allocate(totalSize.toInt).order(ByteOrder.BIG_ENDIAN)
+    // bounded streaming buffer: everything below goes through `out`,
+    // flushed to the channel whenever fewer than 16 bytes remain
+    val out = ByteBuffer.allocate(8 << 20).order(ByteOrder.BIG_ENDIAN)
+    var written = 0L
+    def flush(): Unit = {
+      out.flip()
+      while (out.hasRemaining) written += ch.write(out)
+      out.clear()
+    }
+    def ensure(n: Int): Unit = if (out.remaining() < n) flush()
+    def pos(): Long = written + out.position()
 
     def putName(s: String): Unit = {
       val b = s.getBytes("UTF-8")
-      out.putInt(b.length); out.put(b)
-      (b.length until pad4(b.length.toLong).toInt).foreach(_ => out.put(0.toByte))
+      ensure(4); out.putInt(b.length)
+      var i = 0
+      while (i < b.length) { ensure(1); out.put(b(i)); i += 1 }
+      (b.length until pad4(b.length.toLong).toInt)
+        .foreach { _ => ensure(1); out.put(0.toByte) }
+    }
+    def putScalar(t: Int, d: Double): Unit = {
+      ensure(8)
+      t match {
+        case NcByte | NcChar => out.put(d.toByte)
+        case NcShort => out.putShort(d.toShort)
+        case NcInt => out.putInt(d.toInt)
+        case NcFloat => out.putFloat(d.toFloat)
+        case NcDouble => out.putDouble(d)
+      }
     }
     def putAtts(as: Seq[NcAtt]): Unit = {
+      ensure(8)
       out.putInt(if (as.isEmpty) 0 else 0x0C); out.putInt(as.length)
       as.foreach { a =>
-        putName(a.name); out.putInt(a.ncType)
+        putName(a.name); ensure(4); out.putInt(a.ncType)
         if (a.ncType == NcChar) {
           val b = a.text.getBytes("UTF-8")
-          out.putInt(b.length); out.put(b)
-          (b.length until pad4(b.length.toLong).toInt).foreach(_ => out.put(0.toByte))
+          ensure(4); out.putInt(b.length)
+          var i = 0
+          while (i < b.length) { ensure(1); out.put(b(i)); i += 1 }
+          (b.length until pad4(b.length.toLong).toInt)
+            .foreach { _ => ensure(1); out.put(0.toByte) }
         } else {
-          out.putInt(a.nums.length)
-          val start = out.position()
+          ensure(4); out.putInt(a.nums.length)
+          val start = pos()
           a.nums.foreach(d => putScalar(a.ncType, d))
-          val written = out.position() - start
-          (written until pad4(written.toLong).toInt).foreach(_ => out.put(0.toByte))
+          val w = pos() - start
+          (w until pad4(w)).foreach { _ => ensure(1); out.put(0.toByte) }
         }
       }
     }
-    def putScalar(t: Int, d: Double): Unit = t match {
-      case NcByte | NcChar => out.put(d.toByte)
-      case NcShort => out.putShort(d.toShort)
-      case NcInt => out.putInt(d.toInt)
-      case NcFloat => out.putFloat(d.toFloat)
-      case NcDouble => out.putDouble(d)
-    }
 
     // ---- header
+    ensure(8)
     out.put('C'.toByte).put('D'.toByte).put('F'.toByte).put(version.toByte)
     out.putInt(numrecs)
+    ensure(8)
     out.putInt(if (dims.isEmpty) 0 else 0x0A); out.putInt(dims.length)
-    dims.foreach { d => putName(d.name); out.putInt(d.length) }
+    dims.foreach { d => putName(d.name); ensure(4); out.putInt(d.length) }
     putAtts(gatts)
+    ensure(8)
     out.putInt(if (vars.isEmpty) 0 else 0x0B); out.putInt(vars.length)
     vars.foreach { v =>
       putName(v.name)
-      out.putInt(v.dims.length)
-      v.dims.foreach(n => out.putInt(dimId(n)))
+      ensure(4); out.putInt(v.dims.length)
+      v.dims.foreach { n => ensure(4); out.putInt(dimId(n)) }
       putAtts(v.atts)
+      ensure(8 + beginWidth)
       out.putInt(v.ncType)
       out.putInt(math.min(vsize(v), Int.MaxValue.toLong).toInt)
       if (version == 1) out.putInt(begins(v.name).toInt)
       else out.putLong(begins(v.name))
     }
-    require(out.position() == headerSize, s"header size mismatch: ${out.position()} vs $headerSize")
+    require(pos() == headerSize, s"header size mismatch: ${pos()} vs $headerSize")
 
     // ---- data
     def charSlab(v: WriteVar): Array[Byte] = {
@@ -179,25 +231,36 @@ object NetcdfWriter {
       }
       buf
     }
+    def padTo(target: Long, start: Long): Unit =
+      ((pos() - start) until target).foreach { _ => ensure(1); out.put(0.toByte) }
 
     def writeSlab(v: WriteVar, rec: Int): Unit = {
-      val n = slabElems(v).toInt
-      val start = out.position()
+      val start = pos()
       if (v.ncType == NcChar) {
+        val n = slabElems(v).toInt
         val all = charSlab(v)
-        out.put(all, rec * n, n)
+        var i = 0
+        while (i < n) { ensure(1); out.put(all(rec * n + i)); i += 1 }
+      } else if (v.chunks != null) {
+        var n = 0L
+        v.chunks().foreach { arr =>
+          var i = 0
+          while (i < arr.length) { putScalar(v.ncType, arr(i)); i += 1 }
+          n += arr.length
+        }
+        require(n == slabElems(v),
+          s"${v.name}: chunked data has $n elements, dims need ${slabElems(v)}")
       } else {
+        val n = slabElems(v).toInt
         val base = rec * n
         var i = 0
         while (i < n) { putScalar(v.ncType, v.doubles(base + i)); i += 1 }
       }
-      val written = (out.position() - start).toLong
-      (written until vsize(v)).foreach(_ => out.put(0.toByte))
+      padTo(vsize(v), start)
     }
 
     vars.filterNot(isRec).foreach { v =>
-      require(out.position() == begins(v.name).toInt,
-        s"layout mismatch at ${v.name}")
+      require(pos() == begins(v.name), s"layout mismatch at ${v.name}")
       writeSlab(v, 0)
     }
     var r = 0
@@ -205,6 +268,8 @@ object NetcdfWriter {
       recVars.foreach(v => writeSlab(v, r))
       r += 1
     }
-    out.array()
+    flush()
+    require(written == totalSize, s"size mismatch: $written vs $totalSize")
+    written
   }
 }

@@ -59,6 +59,32 @@ class NetcdfWriterSpec extends SparkSpec {
     assert(NetcdfClassic.readVarDoubles(bytes, f, "rec").toSeq == recs.toSeq)
   }
 
+  test("chunked variables stream the exact bytes of monolithic ones") {
+    val dims = Seq(NcDim("t", 3), NcDim("y", 2), NcDim("x", 4))
+    val cube = Array.tabulate(3 * 2 * 4)(i => i * 1.25 - 7.0)
+    val mono = NetcdfWriter.write(dims, Seq(textAtt("title", "m")), Seq(
+      WriteVar("y", Seq("y"), NcDouble, doubles = Array(0.5, 1.5)),
+      WriteVar("flux", Seq("t", "y", "x"), NcDouble,
+        atts = Seq(textAtt("units", "1")), doubles = cube)))
+    var pulls = 0
+    val chunked = NetcdfWriter.write(dims, Seq(textAtt("title", "m")), Seq(
+      WriteVar("y", Seq("y"), NcDouble, doubles = Array(0.5, 1.5)),
+      WriteVar("flux", Seq("t", "y", "x"), NcDouble,
+        atts = Seq(textAtt("units", "1")),
+        chunks = () => (0 until 3).iterator.map { t =>
+          pulls += 1; cube.slice(t * 8, t * 8 + 8) // one plane per pull
+        })))
+    assert(java.util.Arrays.equals(mono, chunked))
+    assert(pulls == 3) // planes were pulled lazily, one at a time
+    // element-count mismatch is refused, not silently padded
+    val err = intercept[IllegalArgumentException] {
+      NetcdfWriter.write(dims, Nil, Seq(
+        WriteVar("flux", Seq("t", "y", "x"), NcDouble,
+          chunks = () => Iterator(Array(1.0, 2.0)))))
+    }
+    assert(err.getMessage.contains("chunked data has 2 elements"))
+  }
+
   test("CDF-1 (32-bit offsets) round-trips too") {
     val dims = Seq(NcDim("x", 3))
     val vars = Seq(WriteVar("v", Seq("x"), NcDouble, doubles = Array(1.0, 2.0, 3.0)))
