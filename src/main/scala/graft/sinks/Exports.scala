@@ -355,26 +355,34 @@ object Exports {
         .persist()
       val tss = exploded.select("ts_str").distinct()
         .collect().map(_.getString(0)).sorted
+      // variables present per hour — metadata-scale (ts × var)
+      val varsByTs = exploded.select("ts_str", "var").distinct()
+        .collect().map(r => r.getString(0) -> r.getString(1))
+        .groupBy(_._1).view.mapValues(_.map(_._2).distinct.sorted).toMap
       tss.foreach { ts =>
-          val rows = exploded.where(col("ts_str") === ts).collect()
-          val vars = rows.map(_.getAs[String]("var")).distinct.sorted
-          val data = vars.map(v => v -> new Array[Double](ncells)).toMap
-          rows.foreach { r =>
-            data(r.getAs[String]("var"))(r.getAs[Long]("cell_id").toInt) +=
-              r.getAs[Double]("value")
+          val vars = varsByTs(ts)
+          // each variable collects ITS one (hour, var) plane only while
+          // it streams — driver memory is a single plane of rows, not
+          // the hour's nvars planes at once
+          def plane(v: String): Array[Double] = {
+            val arr = new Array[Double](ncells)
+            exploded.where(col("ts_str") === ts && col("var") === v)
+              .select(col("cell_id"), col("value")).collect()
+              .foreach(r => arr(r.getLong(0).toInt) += r.getDouble(1))
+            arr
           }
           val dataVars = vars.map { v =>
             WriteVar(v, Seq("cell"), NetcdfClassicDouble,
               atts = Seq(textAtt("units", "kg h-1"),
                 textAtt("long_name", v)),
-              doubles = data(v))
+              chunks = () => Iterator(plane(v)))
           }
           val gatts = (if (atts.nonEmpty) atts
             else ncCfAttrs("graft hourly export")) :+ textAtt("valid_hour", ts)
           val fname = fmtOut.format(java.time.LocalDateTime
             .parse(ts.replace(' ', 'T')).toInstant(java.time.ZoneOffset.UTC))
-          writeBytes(s"$outDir/$fname.nc",
-            NetcdfWriter.write(dims, gatts, coords ++ dataVars))
+          writeNcStreamed(s"$outDir/$fname.nc", dims, gatts,
+            coords ++ dataVars.toSeq)
           names += s"$fname.nc"
         }
       exploded.unpersist()
