@@ -14,7 +14,7 @@ object DataQuality {
 
   def profile(df: DataFrame): DataFrame = {
     val stacked = df.select(
-      explode(array(df.columns.map(c =>
+      explode(array(df.columns.toIndexedSeq.map(c =>
         struct(lit(c).as("column"), col(c).cast("string").as("value"))): _*)).as("s"))
       .select(col("s.column").as("column"), col("s.value").as("value"))
     stacked

@@ -766,7 +766,7 @@ object Exports {
     * emiproc/exports/gral.py:65-349 reduced to their Spark-native form):
     * rows rendered with a separator, written as partitioned text. */
   def textExport(df: DataFrame, path: String, sep: String = ","): Unit =
-    df.select(concat_ws(sep, df.columns.map(col): _*).as("value"))
+    df.select(concat_ws(sep, df.columns.toIndexedSeq.map(col): _*).as("value"))
       .write.mode("overwrite").text(path)
 
   /** GeoParquet-style export (reference `export_to_geopackage`,

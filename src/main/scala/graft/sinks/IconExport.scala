@@ -217,7 +217,7 @@ object IconExport {
         doubles = heights.zip(layerBot).map { case (t, b) => (t + b) / 2.0 }.toArray))
     val gatts = if (atts.nonEmpty) atts else Exports.ncCfAttrs("Vertical profiles")
     Exports.writeBytes(s"$outDir/vertical_profiles.nc",
-      NetcdfWriter.write(dims, gatts, catVars ++ layers))
+      NetcdfWriter.write(dims, gatts, catVars.toSeq ++ layers))
   }
 
   /** K8 — standalone profile export (reference

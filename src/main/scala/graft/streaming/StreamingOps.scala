@@ -154,7 +154,7 @@ object StreamingOps {
             Exports.writeBytes(s"$outDir/$fname.nc", NetcdfWriter.write(
               Seq(NcDim("cell", ncells)),
               Exports.ncCfAttrs("graft streaming hourly export"),
-              dataVars))
+              dataVars.toSeq))
         }
         batch.unpersist()
         () // foreachBatch wants the Unit-returning overload
