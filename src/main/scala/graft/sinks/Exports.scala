@@ -361,22 +361,41 @@ object Exports {
         .groupBy(_._1).view.mapValues(_.map(_._2).distinct.sorted).toMap
       tss.foreach { ts =>
           val vars = varsByTs(ts)
-          // each variable collects ITS one (hour, var) plane only while
-          // it streams — driver memory is a single plane of rows, not
-          // the hour's nvars planes at once
-          def plane(v: String): Array[Double] = {
-            val arr = new Array[Double](ncells)
-            exploded.where(col("ts_str") === ts && col("var") === v)
-              .select(col("cell_id"), col("value")).collect()
-              .foreach(r => arr(r.getLong(0).toInt) += r.getDouble(1))
-            arr
-          }
-          val dataVars = vars.map { v =>
-            WriteVar(v, Seq("cell"), NetcdfClassicDouble,
-              atts = Seq(textAtt("units", "kg h-1"),
-                textAtt("long_name", v)),
-              chunks = () => Iterator(plane(v)))
-          }
+          // Hybrid collect granularity: one job per hour when the hour's
+          // (var × cell) rows are modest (a year-long export on a small
+          // grid is THOUSANDS of hours — per-var jobs would multiply the
+          // fixed job latency); one job per (hour, var) at big grids,
+          // where driver memory for the hour's nvars planes of Rows is
+          // the binding constraint, not job count.
+          val dataVars: Seq[WriteVar] =
+            if (vars.length.toLong * ncells <= 8000000L) {
+              val rows = exploded.where(col("ts_str") === ts).collect()
+              val data = vars.map(v => v -> new Array[Double](ncells)).toMap
+              rows.foreach { r =>
+                data(r.getAs[String]("var"))(r.getAs[Long]("cell_id").toInt) +=
+                  r.getAs[Double]("value")
+              }
+              vars.toSeq.map { v =>
+                WriteVar(v, Seq("cell"), NetcdfClassicDouble,
+                  atts = Seq(textAtt("units", "kg h-1"),
+                    textAtt("long_name", v)),
+                  doubles = data(v))
+              }
+            } else {
+              def plane(v: String): Array[Double] = {
+                val arr = new Array[Double](ncells)
+                exploded.where(col("ts_str") === ts && col("var") === v)
+                  .select(col("cell_id"), col("value")).collect()
+                  .foreach(r => arr(r.getLong(0).toInt) += r.getDouble(1))
+                arr
+              }
+              vars.toSeq.map { v =>
+                WriteVar(v, Seq("cell"), NetcdfClassicDouble,
+                  atts = Seq(textAtt("units", "kg h-1"),
+                    textAtt("long_name", v)),
+                  chunks = () => Iterator(plane(v)))
+              }
+            }
           val gatts = (if (atts.nonEmpty) atts
             else ncCfAttrs("graft hourly export")) :+ textAtt("valid_hour", ts)
           val fname = fmtOut.format(java.time.LocalDateTime
