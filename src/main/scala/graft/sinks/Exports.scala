@@ -769,14 +769,18 @@ object Exports {
           NetcdfClassicDouble,
           atts = Seq(textAtt("units", "moles/km2/h"),
             textAtt("substance", s), textAtt("category", c)),
-          doubles = planes((c, s)).map(_ * f))
+          // the scaled copy materializes one variable at a time while
+          // the file streams — the base planes are shared across hours,
+          // so per hour only (1 scaled plane + the 8 MB buffer) is live,
+          // not every pair's scaled plane plus a whole-file byte array
+          chunks = () => Iterator(planes((c, s)).map(_ * f)))
       }
       val timesVar = WriteVar("Times", Seq("Time", "DateStrLen"),
         graft.sources.NetcdfClassic.NcChar, strings = Seq(ts))
       val fname = s"wrfchemi_d01_$ts"
-      writeBytes(s"$outDir/$fname", NetcdfWriter.write(
+      writeNcStreamed(s"$outDir/$fname",
         dims, gatts :+ textAtt("unit", "moles/km2/h"),
-        (timesVar +: dataVars).toSeq))
+        (timesVar +: dataVars).toSeq)
       fname
     }
   }
