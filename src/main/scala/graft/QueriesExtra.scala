@@ -513,6 +513,41 @@ object QueriesExtra {
         |LEFT JOIN prof ON prof.category = tot.category
         |               AND prof.level = hts.level""".stripMargin)),
 
+    // K2 distributed per-hour fan-out: hourlyExportNcDistributed writes
+    // every hour file from executor tasks (byte-identical to the driver
+    // writer — NetcdfWriterSpec pins that); the gate reads each file
+    // back and checks per-variable plane totals against the closed-form
+    // explode semantics (integer cell values × a dyadic 1 + h/64 hourly
+    // factor → FP-exact on both engines).
+    Q("q_hourly_dist",
+      (s, d) => {
+        val sf = s.range(24).select(
+          lit("A").as("category"), lit("F").as("substance"),
+          col("id").cast("int").as("hour_of_day"),
+          (lit(1.0) + col("id") / lit(64.0)).as("sf"))
+        val dir = java.nio.file.Files.createTempDirectory("hourlydist").toString
+        val files = Exports.hourlyExportNcDistributed(
+          emissionsAgg(s, d), sf, "2024-03-01 00:00:00", 6, srcGrid, dir)
+        val rows = files.flatMap { f =>
+          val nc = graft.sources.NcAdapter.open(
+            java.nio.file.Files.readAllBytes(
+              java.nio.file.Paths.get(s"$dir/$f")))
+          nc.varNames.filterNot(Set("lon", "lat")).map { v =>
+            (f, v, nc.doubles(v).sum)
+          }
+        }
+        s.createDataFrame(rows).toDF("file", "var", "total")
+      },
+      Some(s"""$EmiAggCte,
+        |t AS (SELECT category, substance, sum(value) AS tot
+        |      FROM emi GROUP BY 1, 2),
+        |hrs AS (SELECT i AS h FROM range(6) t(i))
+        |SELECT printf('20240301T%02d0000Z.nc', h) AS file,
+        |       substance || '_' || category AS var,
+        |       tot * (CASE WHEN category = 'A' AND substance = 'F'
+        |              THEN 1.0 + h / 64.0 ELSE 1.0 END) AS total
+        |FROM t, hrs""".stripMargin)),
+
     // K7 geopackage substitute (export_to_geopackage, emiproc/exports/
     // geopackage.py:9-60 — documented GeoParquet/WKT substitute): write
     // the export, read the parquet back, and check the WKT ring text

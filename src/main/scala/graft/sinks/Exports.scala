@@ -409,6 +409,87 @@ object Exports {
     names.toSeq
   }
 
+  /** K2 at CLUSTER scale: distributed per-hour file fan-out. The hourly
+    * explode + (ts, var, cell) fold runs as one Spark job partitioned by
+    * hour, and each TASK streams its hours' `.nc` files from its own
+    * sorted partition — the one-task-per-file `foreachPartition` shape a
+    * 1000-executor cluster needs (8760 hour files encode concurrently
+    * instead of sequentially on the driver). The driver touches only
+    * metadata (the per-hour variable lists). `outDir` must be writable
+    * from every executor (a shared filesystem on a real cluster; any
+    * local dir under local[*]). Task memory is ONE plane: rows arrive
+    * sorted (ts, var, cell) and each variable's chunk consumes exactly
+    * its contiguous run off the shared cursor while the file streams.
+    * Output is byte-identical to [[hourlyExportNc]] (spec-pinned).
+    * Returns the file names (sorted). */
+  def hourlyExportNcDistributed(
+      emissions: DataFrame,
+      scalingFactors: DataFrame,
+      startTs: String,
+      hours: Int,
+      grid: RegularGrid,
+      outDir: String,
+      atts: Seq[NcAtt] = Nil): Seq[String] = {
+    val folded = Temporal.temporalExplode(emissions, scalingFactors, startTs, hours)
+      .withColumn("var", concat_ws("_", col("substance"), col("category")))
+      .groupBy(col("ts_str"), col("var"), col("cell_id").cast("long").as("cell_id"))
+      .agg(sum(col("value").cast("double")).as("value"))
+      .persist()
+    val varsByTs: Map[String, Seq[String]] = folded
+      .select("ts_str", "var").distinct()
+      .collect().map(r => r.getString(0) -> r.getString(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.sorted.toSeq).toMap
+    val gatts = (if (atts.nonEmpty) atts else ncCfAttrs("graft hourly export"))
+    val ncells = grid.ncells.toInt
+    val (gxmin, gymin, gdx, gdy, gny) = (grid.xmin, grid.ymin, grid.dx, grid.dy, grid.ny)
+    def fnameOf(ts: String): String = {
+      val fmtOut = java.time.format.DateTimeFormatter
+        .ofPattern("yyyyMMdd'T'HHmmss'Z'").withZone(java.time.ZoneOffset.UTC)
+      fmtOut.format(java.time.LocalDateTime
+        .parse(ts.replace(' ', 'T')).toInstant(java.time.ZoneOffset.UTC)) + ".nc"
+    }
+    folded
+      .repartition(col("ts_str"))
+      .sortWithinPartitions("ts_str", "var", "cell_id")
+      .foreachPartition { (it: java.util.Iterator[org.apache.spark.sql.Row]) =>
+        import scala.jdk.CollectionConverters._
+        val buf = it.asScala.buffered
+        val dims = Seq(NcDim("cell", ncells))
+        lazy val coords = Seq(
+          WriteVar("lon", Seq("cell"), NetcdfClassicDouble,
+            atts = Seq(textAtt("standard_name", "longitude"),
+              textAtt("units", "degrees_east")),
+            doubles = Array.tabulate(ncells)(c => gxmin + (c / gny + 0.5) * gdx)),
+          WriteVar("lat", Seq("cell"), NetcdfClassicDouble,
+            atts = Seq(textAtt("standard_name", "latitude"),
+              textAtt("units", "degrees_north")),
+            doubles = Array.tabulate(ncells)(c => gymin + (c % gny + 0.5) * gdy)))
+        while (buf.hasNext) {
+          val ts = buf.head.getString(0)
+          def varChunk(v: String): Array[Double] = {
+            val arr = new Array[Double](ncells)
+            while (buf.hasNext && buf.head.getString(0) == ts &&
+              buf.head.getString(1) == v) {
+              val r = buf.next(); arr(r.getLong(2).toInt) += r.getDouble(3)
+            }
+            arr
+          }
+          val dataVars = varsByTs(ts).map { v =>
+            WriteVar(v, Seq("cell"), NetcdfClassicDouble,
+              atts = Seq(textAtt("units", "kg h-1"), textAtt("long_name", v)),
+              chunks = () => Iterator(varChunk(v)))
+          }
+          writeNcStreamed(s"$outDir/${fnameOf(ts)}", dims,
+            gatts :+ textAtt("valid_hour", ts), coords ++ dataVars)
+          // defensive: skip any residue of this hour (none when varsByTs
+          // and the sorted rows agree)
+          while (buf.hasNext && buf.head.getString(0) == ts) buf.next()
+        }
+      }
+    folded.unpersist()
+    varsByTs.keys.toSeq.sorted.map(fnameOf)
+  }
+
   /** The totals block of the raster export (reference rasters.py:247-306):
     * per-substance per-category sums plus grand totals — a rollup. */
   def rasterTotals(emissions: DataFrame): DataFrame =

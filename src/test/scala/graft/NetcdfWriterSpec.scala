@@ -329,6 +329,24 @@ class NetcdfWriterSpec extends SparkSpec {
       a.text == "2023-01-01 01:00:00"))
   }
 
+  test("hourlyExportNcDistributed: task-side files byte-identical to the " +
+    "driver-side writer") {
+    val grid = RegularGrid(5, 1, 0.0, 0.0, 1.0, 1.0)
+    val sfs = spark.createDataFrame(Seq(("adf", "CH4", 0, 2.0)))
+      .toDF("category", "substance", "hour_of_day", "sf")
+    val (dirA, dirB) = (tmpDir(), tmpDir())
+    val driver = Exports.hourlyExportNc(
+      basicInv, sfs, "2023-01-01 00:00:00", 30, grid, dirA, chunkSize = 7)
+    val dist = Exports.hourlyExportNcDistributed(
+      basicInv, sfs, "2023-01-01 00:00:00", 30, grid, dirB)
+    assert(dist == driver.sorted)
+    driver.foreach { f =>
+      val a = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$dirA/$f"))
+      val b = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$dirB/$f"))
+      assert(java.util.Arrays.equals(a, b), s"$f differs")
+    }
+  }
+
   test("wrfChemiExport composite scaling: day-of-week survives a midnight " +
     "crossing (wrf.py:150-176 full-profile semantics)") {
     val grid = RegularGrid(3, 2, 0.0, 0.0, 1000.0, 1000.0)
