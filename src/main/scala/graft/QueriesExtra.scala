@@ -233,6 +233,31 @@ object QueriesExtra {
         |            ELSE 'test' END AS split
         |FROM documents""".stripMargin)),
 
+    // M10×M8 composed op: decontamination-aware split — train docs that
+    // share a 5-gram with any held-out doc are flagged so memorized
+    // eval text can't enter training. The oracle re-derives shingling,
+    // the held-out shingle set, and the leak join in SQL.
+    Q("q_decon_split",
+      (s, d) => graft.ops.Sampling.decontaminatedSplit(
+        documents(s, d), trainPct = 80, valPct = 10),
+      Some("""WITH s AS (SELECT doc_id,
+        |         CASE WHEN doc_id % 100 < 80 THEN 'train'
+        |              WHEN doc_id % 100 < 90 THEN 'val'
+        |              ELSE 'test' END AS split
+        |       FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |          unnest(list_transform(range(0, greatest(0, len(w) - 4)),
+        |                 i -> array_to_string(w[i+1:i+5], ' '))) AS shingle
+        |       FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+        |held AS (SELECT DISTINCT shingle
+        |         FROM sh JOIN s USING (doc_id) WHERE split <> 'train'),
+        |lk AS (SELECT DISTINCT sh.doc_id
+        |       FROM sh JOIN s USING (doc_id)
+        |       JOIN held ON sh.shingle = held.shingle
+        |       WHERE s.split = 'train')
+        |SELECT s.doc_id, s.split, lk.doc_id IS NOT NULL AS leaked
+        |FROM s LEFT JOIN lk ON s.doc_id = lk.doc_id""".stripMargin)),
+
     Q("q_country_box_mask",
       (s, _) => CountryMask.boxMask(s, srcGrid, Seq(
         ("C1", 0.0, 0.0, 32.5, 32.5), ("C2", 32.5, 0.0, 64.0, 32.5),

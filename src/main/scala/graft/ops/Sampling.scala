@@ -47,4 +47,33 @@ object Sampling {
         .when(slot < trainPct + valPct, "val")
         .otherwise("test"))
   }
+
+  /** Decontamination-aware holdout split (M10 × M8 composition — the
+    * cross-split leakage scrub an eval pipeline runs before training):
+    * deterministic id-slot split, then mark every TRAIN doc sharing an
+    * n-gram shingle with any held-out (val/test) doc. The shingle
+    * equi-join is keyed by shingle — a corpus-scale shuffle, never
+    * all-pairs — and the held-out shingle set is the small side at real
+    * split ratios (≤ 20% of the corpus). Returns `(doc_id, split,
+    * leaked)`; training consumers keep `split = 'train' AND NOT leaked`
+    * so memorized eval text can't enter the training set. */
+  def decontaminatedSplit(
+      docs: DataFrame,
+      trainPct: Int,
+      valPct: Int,
+      n: Int = 5): DataFrame = {
+    val split = holdoutSplit(docs, "doc_id", trainPct, valPct)
+      .select(col("doc_id"), col("split"))
+    val sh = graft.dedup.Dedup.shingles(docs, n)
+    val withSide = sh.join(split, "doc_id")
+    val heldSh = withSide.where(col("split") =!= "train")
+      .select("shingle").distinct()
+    val leakedIds = withSide.where(col("split") === "train")
+      .join(heldSh, "shingle")
+      .select("doc_id").distinct()
+      .withColumn("leaked", lit(true))
+    split.join(leakedIds, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("split"),
+        coalesce(col("leaked"), lit(false)).as("leaked"))
+  }
 }

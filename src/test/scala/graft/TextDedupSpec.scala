@@ -116,6 +116,21 @@ class TextDedupSpec extends SparkSpec {
     assert(split == Map("train" -> 80L, "val" -> 10L, "test" -> 10L))
   }
 
+  test("decontaminatedSplit flags train docs sharing an n-gram with holdout") {
+    // ids chosen so 95 lands in 'test' (95 % 100 >= 90) and the rest in
+    // 'train'; doc 1 shares the test doc's 3-gram, doc 2 does not
+    val d = docs(
+      (1L, "alpha beta gamma delta"), // train, leaks "alpha beta gamma"
+      (2L, "epsilon zeta eta theta"), // train, clean
+      (95L, "alpha beta gamma omega")) // test
+    val out = graft.ops.Sampling.decontaminatedSplit(d, 80, 10, n = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getBoolean(2))))
+      .toMap
+    assert(out(1L) == (("train", true)))
+    assert(out(2L) == (("train", false)))
+    assert(out(95L) == (("test", false))) // held-out docs are never flagged
+  }
+
   test("exactDuplicates maps copies to the smallest doc_id") {
     val d = docs((5L, "aaa"), (2L, "bbb"), (9L, "aaa"))
     val out = Dedup.exactDuplicates(d).collect()
