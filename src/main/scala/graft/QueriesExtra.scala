@@ -25,6 +25,61 @@ object QueriesExtra {
       |              (least(ymax, bymax) - greatest(ymin, bymin)) / 1.0 AS fraction
       |       FROM cellsf, bands WHERE least(ymax, bymax) - greatest(ymin, bymin) > 0)""".stripMargin
 
+  /** One Sutherland–Hodgman clip stage as SQL: clip the vertex list `vs`
+    * by the half-plane `dExpr(V) >= 0` (V = a vertex struct), mirroring
+    * `BoxPolyClipAreaExpr.clipArea`'s emit order and arithmetic exactly:
+    * keep v_i when d_i >= 0, then add the intersection when the edge
+    * strictly crosses, with t = d_i / (d_i - d_j) and
+    * p = v_i + t * (v_j - v_i). Stages shorter than 3 vertices pass
+    * through unchanged (the kernel's guard). */
+  private def shClipStage(prev: String, next: String, dExpr: String): String = {
+    def d(v: String) = dExpr.replace("V", v)
+    val (da, db) = (d("(e.a)"), d("(e.b)"))
+    s"""$next AS MATERIALIZED (SELECT cell_id, bx0, by0, bx1, by1,
+       |  CASE WHEN len(vs) < 3 THEN vs ELSE flatten(list_transform(
+       |    list_transform(range(1, len(vs) + 1),
+       |      i -> {'a': vs[i], 'b': vs[(i % len(vs)) + 1]}),
+       |    e -> CASE
+       |      WHEN $da >= 0 AND (($da > 0 AND $db < 0) OR ($da < 0 AND $db > 0))
+       |        THEN [e.a, {'x': (e.a).x + ($da / ($da - $db)) * ((e.b).x - (e.a).x),
+       |                    'y': (e.a).y + ($da / ($da - $db)) * ((e.b).y - (e.a).y)}]
+       |      WHEN $da >= 0 THEN [e.a]
+       |      WHEN ($da > 0 AND $db < 0) OR ($da < 0 AND $db > 0)
+       |        THEN [{'x': (e.a).x + ($da / ($da - $db)) * ((e.b).x - (e.a).x),
+       |               'y': (e.a).y + ($da / ($da - $db)) * ((e.b).y - (e.a).y)}]
+       |      ELSE [] END)) END AS vs
+       |  FROM $prev)""".stripMargin
+  }
+
+  /** Full SQL oracle for q_crop_polygon: per-cell clip area of the fixed
+    * triangle against each unit cell (4 half-plane stages + shoelace),
+    * joined back onto the emissions — the exact computation
+    * `PolygonCrop.cropWithPolygon` runs, in the same IEEE order. */
+  private lazy val CropPolygonOracle: String =
+    s"""$EmiAggCte,
+       |cells AS MATERIALIZED (SELECT cell_id,
+       |            (cell_id // 64) * 1.0 AS bx0, (cell_id % 64) * 1.0 AS by0,
+       |            (cell_id // 64) + 1.0 AS bx1, (cell_id % 64) + 1.0 AS by1
+       |          FROM (SELECT DISTINCT cell_id FROM emi)),
+       |p0 AS MATERIALIZED (SELECT cell_id, bx0, by0, bx1, by1,
+       |         [{'x': 5.0, 'y': 5.0}, {'x': 55.0, 'y': 10.0},
+       |          {'x': 30.0, 'y': 60.0}] AS vs
+       |       FROM cells),
+       |${shClipStage("p0", "p1", "(V.x - bx0)")},
+       |${shClipStage("p1", "p2", "(bx1 - V.x)")},
+       |${shClipStage("p2", "p3", "(V.y - by0)")},
+       |${shClipStage("p3", "p4", "(by1 - V.y)")},
+       |w AS MATERIALIZED (SELECT cell_id,
+       |        CASE WHEN len(vs) < 3 THEN 0.0 ELSE
+       |          abs(list_sum(list_transform(range(1, len(vs) + 1),
+       |            i -> vs[i].x * vs[(i % len(vs)) + 1].y
+       |               - vs[(i % len(vs)) + 1].x * vs[i].y))) / 2.0
+       |        END AS weight
+       |      FROM p4)
+       |SELECT emi.cell_id, category, substance, value * weight AS value
+       |FROM emi JOIN w ON emi.cell_id = w.cell_id
+       |WHERE weight > 0 AND value * weight <> 0""".stripMargin
+
   val extra: Seq[Q] = Seq(
     Q("q_speciate_by_country",
       (s, d) => {
@@ -841,14 +896,17 @@ object QueriesExtra {
         |       sum(n_people * ef * 0.5) AS value
         |FROM pop JOIN f USING (people_kind) GROUP BY 1, 2, 3""".stripMargin)),
 
-    // No SQL oracle (driver rows-only check): polygon clipping is the one
-    // operator that is genuinely not plain-SQL-expressible — the custom
-    // Expression path; exactness is covered by PolygonCropSpec against the
-    // reference's hand-computed triangle×square tables.
+    // The Sutherland–Hodgman clip itself, REPLICATED IN SQL: each clip
+    // stage is a DuckDB list-lambda pass over the vertex list using the
+    // kernel's exact IEEE formulas (d = signed distance, t = d_i /
+    // (d_i - d_j), vertex-then-intersection emit order), followed by the
+    // same shoelace — so the oracle is value-level and independent, not
+    // rows-only. PolygonCropSpec additionally pins the kernel against
+    // the reference's hand-computed triangle×square tables.
     Q("q_crop_polygon",
       (s, d) => PolygonCrop.cropWithPolygon(s, emissionsAgg(s, d), srcGrid,
         Seq((5.0, 5.0), (55.0, 10.0), (30.0, 60.0))),
-      None),
+      Some(CropPolygonOracle)),
 
     Q("q_multimodal_meta",
       (s, d) => Multimodal.metadata(documents(s, d)),

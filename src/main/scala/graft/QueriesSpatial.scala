@@ -12,11 +12,98 @@ import graft.ops.SpatialJoin
   * as box∩box arithmetic. Rect sizes are powers of two and offsets sit on
   * the 1/4 lattice, so every clip intersection coordinate and shoelace
   * product is dyadic-exact → bit-identical across engines (the same trick
-  * q_line_weights uses for Liang–Barsky). Non-axis-aligned shapes
-  * (triangles, diamonds) are covered by SpatialJoinSpec against the
-  * reference's hand-computed tables, where no SQL oracle is possible.
+  * q_line_weights uses for Liang–Barsky). Non-axis-aligned shapes are
+  * ALSO oracle-checked: q_crop_polygon and q_hex_remap replicate the
+  * Sutherland–Hodgman kernel itself in DuckDB list lambdas (see
+  * [[HexRemapOracle]]); SpatialJoinSpec additionally pins the kernels
+  * against the reference's hand-computed tables.
   */
 object QueriesSpatial {
+
+  /** One Sutherland–Hodgman clip stage against hex edge `k` (kernel
+    * iteration order, i.e. AFTER the CCW reversal): half-plane
+    * d(V) = edx·(V.y − ey0) − edy·(V.x − ex0) ≥ 0, with the edge taken
+    * from the carried corner list `cs`. Emit order and arithmetic mirror
+    * `PolyClipKernel.convexClipArea` exactly. */
+  private def hexClipStage(prev: String, next: String, k: Int): String = {
+    val i = k + 1 // 1-based list index of the edge start
+    val j = (k + 1) % 6 + 1
+    def d(v: String) =
+      s"((cs[$j].x - cs[$i].x) * ($v.y - cs[$i].y) - (cs[$j].y - cs[$i].y) * ($v.x - cs[$i].x))"
+    val (da, db) = (d("(e.a)"), d("(e.b)"))
+    s"""$next AS MATERIALIZED (SELECT cell_id, dst_id, cs,
+       |  CASE WHEN len(vs) < 3 THEN vs ELSE flatten(list_transform(
+       |    list_transform(range(1, len(vs) + 1),
+       |      i -> {'a': vs[i], 'b': vs[(i % len(vs)) + 1]}),
+       |    e -> CASE
+       |      WHEN $da >= 0 AND (($da > 0 AND $db < 0) OR ($da < 0 AND $db > 0))
+       |        THEN [e.a, {'x': (e.a).x + ($da / ($da - $db)) * ((e.b).x - (e.a).x),
+       |                    'y': (e.a).y + ($da / ($da - $db)) * ((e.b).y - (e.a).y)}]
+       |      WHEN $da >= 0 THEN [e.a]
+       |      WHEN ($da > 0 AND $db < 0) OR ($da < 0 AND $db > 0)
+       |        THEN [{'x': (e.a).x + ($da / ($da - $db)) * ((e.b).x - (e.a).x),
+       |               'y': (e.a).y + ($da / ($da - $db)) * ((e.b).y - (e.a).y)}]
+       |      ELSE [] END)) END AS vs
+       |  FROM $prev)""".stripMargin
+  }
+
+  /** Full SQL oracle for q_hex_remap: hex corner lattice rebuilt with the
+    * SAME Scala-computed double constants the HexGrid Columns bake in,
+    * corners listed in the kernel's post-reversal (CCW) order, 6 SH clip
+    * stages, shoelace, then the fact join + rollup. The only
+    * non-bit-exact step is the cross-cell sum, absorbed by round(…, 6)
+    * on both engines. */
+  private lazy val HexRemapOracle: String = {
+    val grid = graft.model.HexGrid.fromSpacing(-4.0, -4.0, nx = 20, ny = 22,
+      spacing = 4.0)
+    val (dx, dy, ny) = (grid.dx, grid.dy, grid.ny)
+    val h = 1.0 / math.sqrt(3.0)
+    val offX = Seq(0.0, 1.0, 1.0, 0.0, -1.0, -1.0)
+    val offY = Seq(2 - h, h, -h, -(2 - h), -h, h)
+    // the same constant folding the Column code performs
+    val xBase = grid.xmin + dx / 2
+    val yBase = grid.ymin + dy / 2
+    val xOffs = offX.map(o => o * dx / 2)
+    val yOffs = offY.map(o => o * dy / 2)
+    // the offset ring is clockwise (signed shoelace < 0), so the kernel
+    // reverses it — list corners in the post-reversal order 5,4,3,2,1,0
+    val order = Seq(5, 4, 3, 2, 1, 0)
+    def cornerX(k: Int) = s"(hcx + ${xOffs(k)})"
+    def cornerY(k: Int) = s"(hcy + ${yOffs(k)})"
+    val cornerList = order
+      .map(k => s"{'x': ${cornerX(k)}, 'y': ${cornerY(k)}}")
+      .mkString("[", ",\n       |        ", "]")
+    val yAbs = yOffs.head // largest |y| offset (corner 0 / 3)
+    s"""cells AS MATERIALIZED (SELECT cell_id,
+       |            (cell_id // 64) * 1.0 AS bx0, (cell_id % 64) * 1.0 AS by0,
+       |            (cell_id // 64) + 1.0 AS bx1, (cell_id % 64) + 1.0 AS by1
+       |          FROM (SELECT DISTINCT cell_id FROM emi)),
+       |hexes AS MATERIALIZED (SELECT i AS dst_id,
+       |            (($xBase + (i // $ny) * $dx) +
+       |             (CASE WHEN (i % $ny) % 2 = 1 THEN ${dx / 2} ELSE 0.0 END)) AS hcx,
+       |            ($yBase + (i % $ny) * $dy) AS hcy
+       |          FROM range(${grid.ncells}) t(i)),
+       |pairs AS MATERIALIZED (SELECT cell_id, dst_id,
+       |            [{'x': bx0, 'y': by0}, {'x': bx1, 'y': by0},
+       |             {'x': bx1, 'y': by1}, {'x': bx0, 'y': by1}] AS vs,
+       |            $cornerList AS cs
+       |          FROM cells, hexes
+       |          WHERE bx0 < hcx + ${xOffs(1)} AND bx1 > hcx - ${xOffs(1)}
+       |            AND by0 < hcy + $yAbs AND by1 > hcy - $yAbs),
+       |${(0 until 6).map(k => hexClipStage(if (k == 0) "pairs" else s"h$k", s"h${k + 1}", k)).mkString(",\n")},
+       |w AS MATERIALIZED (SELECT cell_id, dst_id,
+       |        CASE WHEN len(vs) < 3 THEN 0.0 ELSE
+       |          abs(list_sum(list_transform(range(1, len(vs) + 1),
+       |            i -> vs[i].x * vs[(i % len(vs)) + 1].y
+       |               - vs[(i % len(vs)) + 1].x * vs[i].y))) / 2.0
+       |        END AS weight
+       |      FROM h6)
+       |SELECT w.dst_id AS cell_id, category, substance,
+       |       round(sum(value * weight), 6) AS value
+       |FROM emi JOIN w ON emi.cell_id = w.cell_id
+       |WHERE weight > 0
+       |GROUP BY 1, 2, 3""".stripMargin
+  }
 
   /** 25 rect polygons derived from nation (4×2, quarter-offset). */
   private def nationPolys(s: SparkSession, d: String): DataFrame =
@@ -240,14 +327,21 @@ object QueriesSpatial {
     // exactness is covered by HexGridSpec (corner offsets vs the
     // reference pattern, exact dx·dy shoelace area, conservation under
     // remap); this entry runs the full hex remap in the driver contract.
+    // Hex remap WITH a full value-level oracle: the convex clip kernel
+    // (orientation normalization, 6 half-plane stages, shoelace) is
+    // replicated in DuckDB list lambdas over the same Scala-folded
+    // corner constants; only the cross-cell rollup sum is FP-order
+    // sensitive, absorbed by round(…, 6) on both engines.
     Q("q_hex_remap",
       (s, d) => {
         val hex = graft.model.HexGrid.fromSpacing(-4.0, -4.0, nx = 20, ny = 22,
           spacing = 4.0)
         SpatialJoin.remapAcrossPolygons(s, emissionsAgg(s, d),
           SpatialJoin.gridAsPolygons(s, srcGrid), hex.cells(s), tileSize = 8.0)
+          .withColumn("value", round(col("value"), 6))
       },
-      None),
+      Some(s"""$EmiAggCte,
+        |$HexRemapOracle""".stripMargin)),
 
     // Pinned-literal oracle (OraclePins): DuckDB cannot read the
     // FileGDB container, so the verified output is pinned as VALUES literals. Reads the repo-committed byte-level .gdb
