@@ -775,6 +775,43 @@ object QueriesExtra {
       },
       None),
 
+    // MJPEG/AVI container parse: stream dims, frame count, fps, duration —
+    // real video metadata decode, no frame decompression.
+    Q("q_video_decode",
+      (s, _) => {
+        val media = s.read.format("binaryFile")
+          .option("pathGlobFilter", "*.avi")
+          .load("/root/repo/fixtures/video")
+          .select(
+            regexp_extract(col("path"), "clip_(\\d+)", 1).cast("long").as("doc_id"),
+            col("content").as("payload"))
+        graft.multimodal.JvmMedia.decodeVideos(s, media).toDF()
+          .select(col("doc_id"), col("width"), col("height"), col("n_frames"),
+            round(col("fps"), 6).as("fps"),
+            round(col("duration_s"), 6).as("duration_s"), col("handler"))
+      },
+      None),
+
+    // Real frame decode + shot detection: every frame's JPEG payload is
+    // decoded (ImageIO), dHashed, and cut-flagged via the lag window —
+    // the keyframe-extraction stage of a video pipeline.
+    Q("q_video_frames",
+      (s, _) => {
+        val media = s.read.format("binaryFile")
+          .option("pathGlobFilter", "*.avi")
+          .load("/root/repo/fixtures/video")
+          .select(
+            regexp_extract(col("path"), "clip_(\\d+)", 1).cast("long").as("doc_id"),
+            col("content").as("payload"))
+        val frames = graft.multimodal.JvmMedia
+          .sampleVideoFrames(s, media, stride = 2).toDF()
+        graft.multimodal.JvmMedia.sceneCuts(frames)
+          .select(col("doc_id"), col("frame_idx"), col("d_hash"),
+            round(col("mean_lum"), 6).as("mean_lum"),
+            col("hamming").cast("long").as("hamming"), col("is_cut"))
+      },
+      None),
+
     // Pinned-literal oracle (OraclePins): WRF_Grid corner
     // reconstruction (wrf.py:23-126) over the committed wrfinput fixture;
     // closed-form corner/area correctness is WrfGridSpec.

@@ -4,10 +4,11 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** REAL multimodal decode kernels on the JDK's own codecs — no external
-  * libraries: `javax.imageio` (PNG/JPEG/BMP/GIF) and the RIFF/WAVE PCM
-  * layout (hand-parsed; `javax.sound` would also read it). This replaces
-  * [[Multimodal.FakeCodec]] for every format the JDK can decode; video
-  * stays behind the documented stub (no JVM-built-in codec).
+  * libraries: `javax.imageio` (PNG/JPEG/BMP/GIF), the RIFF/WAVE PCM
+  * layout, and MJPEG-in-AVI video (hand-parsed RIFF/AVI container whose
+  * frame payloads are JPEGs `javax.imageio` decodes). This replaces
+  * [[Multimodal.FakeCodec]] for every format expressible with JDK codecs;
+  * only inter-frame-compressed video (H.264 etc.) has no pure-JVM path.
   *
   * Reference surface: the training-data pipeline's image dedup /
   * preprocess stages (decode → perceptual hash → near-dup band join →
@@ -161,6 +162,66 @@ object JvmMedia {
     (rate, channels, bits, samples)
   }
 
+  /** Parsed MJPEG AVI: stream metadata + the raw JPEG bytes per frame. */
+  final case class AviVideo(
+      width: Int,
+      height: Int,
+      fps: Double,
+      handler: String,
+      frames: IndexedSeq[Array[Byte]])
+
+  /** Minimal RIFF/AVI parser for MJPEG video (the public AVI 1.0 layout:
+    * LIST hdrl{avih, LIST strl{strh, strf}}, LIST movi{00dc/00db frame
+    * chunks, possibly nested in LIST rec}, optional idx1 — frame payloads
+    * are plain JPEGs for the MJPG handler). Walks the chunk tree
+    * iteratively; fails loudly on corrupt sizes like [[parseWav]]. */
+  def parseAvi(bytes: Array[Byte]): AviVideo = {
+    val b = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    require(bytes.length > 24 && new String(bytes, 0, 4, "ASCII") == "RIFF" &&
+      new String(bytes, 8, 4, "ASCII") == "AVI ", "not a RIFF/AVI file")
+    var width = 0; var height = 0
+    var scale = 0; var rate = 0; var usPerFrame = 0
+    var handler = ""
+    var sawVids = false
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    def isFrameId(id: String): Boolean =
+      id.length == 4 && id(0).isDigit && id(1).isDigit &&
+        (id.endsWith("dc") || id.endsWith("db"))
+    def walk(start: Int, end: Int): Unit = {
+      var pos = start
+      while (pos + 8 <= end) {
+        val id = new String(bytes, pos, 4, "ASCII")
+        val size = b.getInt(pos + 4)
+        require(size >= 0 && pos + 8 + size <= bytes.length,
+          s"corrupt AVI chunk '$id' at $pos: size $size")
+        if (id == "LIST") walk(pos + 12, pos + 8 + size)
+        else if (id == "avih") {
+          usPerFrame = b.getInt(pos + 8)
+          width = b.getInt(pos + 40)
+          height = b.getInt(pos + 44)
+        } else if (id == "strh") {
+          val fccType = new String(bytes, pos + 8, 4, "ASCII")
+          if (fccType == "vids") {
+            sawVids = true
+            handler = new String(bytes, pos + 12, 4, "ASCII")
+            scale = b.getInt(pos + 28)
+            rate = b.getInt(pos + 32)
+          }
+        } else if (isFrameId(id)) {
+          frames += java.util.Arrays.copyOfRange(bytes, pos + 8, pos + 8 + size)
+        }
+        pos += 8 + size + (size & 1)
+      }
+    }
+    walk(12, bytes.length)
+    require(sawVids, "no vids stream header")
+    require(width > 0 && height > 0, "missing avih dimensions")
+    val fps =
+      if (scale > 0 && rate > 0) rate.toDouble / scale
+      else { require(usPerFrame > 0, "no frame rate"); 1e6 / usPerFrame }
+    AviVideo(width, height, fps, handler, frames.toIndexedSeq)
+  }
+
   // ---- Spark stages
 
   /** Decode stage over (doc_id, payload) image rows: one pass, narrow. */
@@ -220,6 +281,68 @@ object JvmMedia {
     media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) => (id, resizePng(bytes, w, h)) })
       .toDF("doc_id", "payload")
+  }
+
+  final case class VideoRow(
+      doc_id: Long,
+      width: Int,
+      height: Int,
+      n_frames: Int,
+      fps: Double,
+      duration_s: Double,
+      handler: String)
+
+  final case class FrameRow(
+      doc_id: Long,
+      frame_idx: Int,
+      d_hash: Long,
+      mean_lum: Double)
+
+  /** Video metadata decode over (doc_id, payload) AVI rows: container
+    * parse only (no frame decode) — one pass, narrow. */
+  def decodeVideos(spark: SparkSession, media: DataFrame): Dataset[VideoRow] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val v = parseAvi(bytes)
+        VideoRow(id, v.width, v.height, v.frames.length, v.fps,
+          v.frames.length / v.fps, v.handler)
+      })
+  }
+
+  /** Frame sampling with REAL decode: every `stride`-th frame's JPEG is
+    * decoded and hashed (the keyframe-extraction stage of a video
+    * pipeline). Narrow mapPartitions; only sampled frames are decoded, and
+    * the heavy payload never shuffles — downstream ops see a few numbers
+    * per frame. */
+  def sampleVideoFrames(
+      spark: SparkSession, media: DataFrame, stride: Int = 1): Dataset[FrameRow] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        val v = parseAvi(bytes)
+        (0 until v.frames.length by stride).iterator.map { i =>
+          val img = readImage(v.frames(i))
+          FrameRow(id, i, dHash(img), grayDownsample(img, 8, 8).sum / 64.0)
+        }
+      })
+  }
+
+  /** Shot-boundary detection over sampled frame hashes: a cut is a frame
+    * whose dHash Hamming distance to the previous sampled frame exceeds
+    * `threshold`. Declarative lag window per video — single shuffle on
+    * doc_id, no payload involved. */
+  def sceneCuts(frames: DataFrame, threshold: Int = 16): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("frame_idx")
+    frames
+      .withColumn("prev_hash", lag(col("d_hash"), 1).over(w))
+      .withColumn("hamming",
+        when(col("prev_hash").isNull, lit(null))
+          .otherwise(expr("bit_count(d_hash ^ prev_hash)")))
+      .withColumn("is_cut",
+        coalesce(col("hamming") > threshold, lit(false)))
+      .drop("prev_hash")
   }
 
   /** Decode stage over (doc_id, payload) WAV rows. */

@@ -8,11 +8,13 @@ import org.apache.spark.sql.functions._
   * / frame-sample stages.
   *
   * REAL decode lives in [[JvmMedia]] (JDK-built-in codecs: PNG/JPEG/BMP/
-  * GIF via javax.imageio, RIFF/WAVE PCM) — perceptual hashes, near-dup
-  * band join, resize, audio stats, all gate-checked over committed
-  * fixtures. [[FakeCodec]] remains ONLY for formats with no JVM-built-in
-  * codec (video frame decode): a clearly-marked deterministic stub whose
-  * surrounding contract — schema, typed `Dataset` batch shape, the
+  * GIF via javax.imageio, RIFF/WAVE PCM, MJPEG-in-AVI video with
+  * per-frame decode + shot detection) — perceptual hashes, near-dup band
+  * join, resize, audio stats, frame sampling, all gate-checked over
+  * committed fixtures. [[FakeCodec]] remains ONLY as the documented
+  * integration contract for codecs the JVM cannot host (inter-frame
+  * video such as H.264): a clearly-marked deterministic stand-in whose
+  * surrounding shape — schema, typed `Dataset` batch shape, the
   * `mapPartitions` one-codec-per-partition pattern, narrow shuffle-free
   * feature extraction — is identical to the real [[JvmMedia]] stages.
   */

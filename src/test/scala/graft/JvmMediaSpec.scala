@@ -111,6 +111,63 @@ class JvmMediaSpec extends SparkSpec {
     assert(e.getMessage.contains("overruns"))
   }
 
+  private lazy val videos = mediaDf(
+    LoaderFixtures.videoFiles.zipWithIndex.map { case ((_, b), i) => (i.toLong, b) })
+
+  test("parseAvi: container metadata and per-frame JPEG payloads") {
+    val v = JvmMedia.parseAvi(LoaderFixtures.videoFiles.head._2)
+    assert(v.width == 32 && v.height == 24)
+    assert(v.fps == 10.0 && v.handler == "MJPG")
+    assert(v.frames.length == 12)
+    // frame 7 repeats frame 0 exactly (same (seed, hot) args)
+    assert(v.frames(7).toSeq == v.frames(0).toSeq)
+    // every frame payload is a decodable JPEG at the stream dims
+    v.frames.foreach { f =>
+      val img = JvmMedia.readImage(f)
+      assert(img.getWidth == 32 && img.getHeight == 24)
+    }
+  }
+
+  test("decodeVideos: fps, frame count and duration per clip") {
+    val rows = JvmMedia.decodeVideos(spark, videos).collect()
+      .map(r => r.doc_id -> r).toMap
+    assert(rows(0L).n_frames == 12 && rows(0L).fps == 10.0)
+    assert(math.abs(rows(0L).duration_s - 1.2) < 1e-12)
+    assert(rows(1L).n_frames == 6 && rows(1L).fps == 5.0)
+    assert(rows(1L).handler == "MJPG")
+  }
+
+  test("sampleVideoFrames + sceneCuts: the hard cut at frame 8 is found") {
+    val frames = JvmMedia.sampleVideoFrames(spark, videos, stride = 1).toDF()
+    val cuts = JvmMedia.sceneCuts(frames).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("frame_idx")) ->
+        r.getAs[Boolean]("is_cut")).toMap
+    assert(cuts((0L, 8)), "seed change at frame 8 must register as a cut")
+    // within-scene hot-pixel drift and the clip_1 pan are not cuts
+    assert(cuts.count { case ((d, _), c) => d == 0L && c } == 1)
+    assert(!cuts.exists { case ((d, _), c) => d == 1L && c })
+    // duplicate frames hash identically
+    val h = frames.where(col("doc_id") === 0).collect()
+      .map(r => r.getAs[Int]("frame_idx") -> r.getAs[Long]("d_hash")).toMap
+    assert(h(0) == h(7))
+  }
+
+  test("sampleVideoFrames stride decodes only sampled positions") {
+    val idx = JvmMedia.sampleVideoFrames(spark, videos, stride = 3).toDF()
+      .where(col("doc_id") === 0)
+      .select("frame_idx").collect().map(_.getInt(0)).sorted.toSeq
+    assert(idx == Seq(0, 3, 6, 9))
+  }
+
+  test("parseAvi: corrupt chunk size fails instead of looping forever") {
+    val bad = LoaderFixtures.videoFiles.head._2.clone()
+    // first chunk inside AVI body: LIST hdrl size field at byte 16
+    java.nio.ByteBuffer.wrap(bad).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(16, -8)
+    val e = intercept[IllegalArgumentException](JvmMedia.parseAvi(bad))
+    assert(e.getMessage.contains("corrupt"))
+  }
+
   test("non-image payload fails loudly, not silently") {
     intercept[org.apache.spark.SparkException] {
       JvmMedia.decodeImages(spark,
