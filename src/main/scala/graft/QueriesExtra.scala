@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.Tables._
 import graft.ops.{CountryMask, HumanRespiration, PolygonCrop, SourceWeights, Vprm}
-import graft.sinks.Exports
+import graft.sinks.{Exports, GeoPackage}
 import graft.profiles.{Profiles, Temporal}
 import graft.multimodal.Multimodal
 import graft.sources.RasterTable
@@ -654,6 +654,66 @@ object QueriesExtra {
         |       ', ' || x0 || ' ' || y0 || '))' AS geometry_wkt,
         |       93::INT AS wkb_bytes
         |FROM g""".stripMargin)),
+
+    // K7 REAL GeoPackage (export_to_geopackage, emiproc/exports/
+    // geopackage.py:9-60): write an actual SQLite-container .gpkg via
+    // the dependency-free Sqlite writer — gridded layer with the
+    // reference's "_"-joined tuple columns plus a shaped point layer —
+    // read it back through the byte-level reader, and emit every
+    // feature's attributes AND decoded geometry checks long-form. The
+    // oracle recomputes all of it relationally from the same parquet.
+    Q("q_geopackage",
+      (s, d) => {
+        val grid = graft.model.RegularGrid(3, 2, 0.0, 0.0, 1024.0, 1024.0)
+        val emi = emissionsAgg(s, d).where(col("cell_id") < 6)
+        val pointUdf = udf((x: Double, y: Double) =>
+          graft.sources.Wkb.encodePoint(x, y))
+        val sup = graft.Tables.supplier(s, d).where(col("s_suppkey") <= 50)
+          .select(col("s_suppkey").cast("long").as("fid"),
+            pointUdf((col("s_suppkey") % 100).cast("double"),
+              (col("s_suppkey") % 7).cast("double")).as("geom"),
+            col("s_nationkey").cast("long").as("nation"))
+        val path = java.nio.file.Files.createTempDirectory("gpkg")
+          .toString + "/inv.gpkg"
+        GeoPackage.exportToGeopackage(s, path,
+          gdfs = Map("suppliers" -> sup),
+          gridded = Some(GeoPackage.griddedLayer(s, emi, grid)),
+          geometryTypes = Map("suppliers" -> "POINT"))
+        val layers = GeoPackage.readGeopackage(s, path)
+          .map(l => l.name -> l).toMap
+        val xminUdf = udf((wkb: Array[Byte]) =>
+          graft.sources.Wkb.decode(wkb).parts.head.xs.min)
+        val g = layers("gridded_emissions").df
+        val catCols = g.columns.filterNot(c => c == "fid" || c == "geom")
+        val gridRows = g.select(col("fid"), col("geom"),
+          explode(map(catCols.toIndexedSeq.flatMap(c =>
+            Seq(lit(c), col(c))): _*)).as(Seq("col", "value")))
+          .where(col("value").isNotNull)
+          .select(lit("gridded_emissions").as("layer"), col("fid"),
+            col("col"), col("value"))
+        val gridGeom = g.select(lit("gridded_emissions").as("layer"),
+          col("fid"), lit("_xmin").as("col"),
+          xminUdf(col("geom")).as("value"))
+        val supDf = layers("suppliers").df
+        val supRows = supDf.select(lit("suppliers").as("layer"), col("fid"),
+          lit("nation").as("col"), col("nation").cast("double").as("value"))
+        val supGeom = supDf.select(lit("suppliers").as("layer"), col("fid"),
+          lit("_x").as("col"), xminUdf(col("geom")).as("value"))
+        gridRows.union(gridGeom).union(supRows).union(supGeom)
+      },
+      Some(s"""$EmiAggCte
+        |SELECT 'gridded_emissions' AS layer, cell_id + 1 AS fid,
+        |       category || '_' || substance AS col, value
+        |FROM emi WHERE cell_id < 6
+        |UNION ALL
+        |SELECT 'gridded_emissions', cell_id + 1, '_xmin', (cell_id // 2) * 1024.0
+        |FROM (SELECT DISTINCT cell_id FROM emi WHERE cell_id < 6)
+        |UNION ALL
+        |SELECT 'suppliers', s_suppkey, 'nation', s_nationkey * 1.0
+        |FROM supplier WHERE s_suppkey <= 50
+        |UNION ALL
+        |SELECT 'suppliers', s_suppkey, '_x', (s_suppkey % 100) * 1.0
+        |FROM supplier WHERE s_suppkey <= 50""".stripMargin)),
 
     // K9 CF global attributes (nc_cf_attributes, emiproc/exports/
     // netcdf.py:6-71): write a raster export through the default-attrs
