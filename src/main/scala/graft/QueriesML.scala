@@ -402,6 +402,76 @@ object QueriesML {
         |UNION ALL SELECT 3, 'language', lang_ok_n FROM a
         |UNION ALL SELECT 4, 'exact_dedup', uniq FROM a""".stripMargin)),
 
+    // M27 exact-substring span dedup (the suffix-array recipe of the
+    // public dedup literature, distributively: dup 4-gram hashes →
+    // marked positions → gaps-and-islands maximal spans).
+    Q("q_span_dedup",
+      (s, d) => TextAnalysis.duplicatedSpans(documents(s, d), n = 4, minDocs = 2),
+      Some(s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT doc_id, unnest(range(0, len(w) - 3)) AS pos, w
+        |      FROM w WHERE len(w) >= 4),
+        |gh AS (SELECT doc_id, pos,
+        |              ${hashSqlOf("array_to_string(w[pos+1:pos+4], ' ')")} AS h
+        |       FROM g),
+        |dup AS (SELECT h FROM gh GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+        |m AS (SELECT doc_id, pos FROM gh WHERE h IN (SELECT h FROM dup)),
+        |isl AS (SELECT doc_id, pos,
+        |               CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 4
+        |                    THEN 0 ELSE 1 END AS brk
+        |        FROM m),
+        |grp AS (SELECT doc_id, pos,
+        |               sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+        |                              ROWS UNBOUNDED PRECEDING) AS grp
+        |        FROM isl)
+        |SELECT doc_id, min(pos) AS span_start, max(pos) + 4 AS span_end
+        |FROM grp GROUP BY doc_id, grp""".stripMargin)),
+
+    // Per-document span-dedup accounting: how much of each doc the
+    // removal keeps.
+    Q("q_span_clean",
+      (s, d) => TextAnalysis.spanDedupStats(documents(s, d), n = 4, minDocs = 2),
+      Some(s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT doc_id, unnest(range(0, len(w) - 3)) AS pos, w
+        |      FROM w WHERE len(w) >= 4),
+        |gh AS (SELECT doc_id, pos,
+        |              ${hashSqlOf("array_to_string(w[pos+1:pos+4], ' ')")} AS h
+        |       FROM g),
+        |dup AS (SELECT h FROM gh GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+        |m AS (SELECT doc_id, pos FROM gh WHERE h IN (SELECT h FROM dup)),
+        |isl AS (SELECT doc_id, pos,
+        |               CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 4
+        |                    THEN 0 ELSE 1 END AS brk
+        |        FROM m),
+        |grp AS (SELECT doc_id, pos,
+        |               sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+        |                              ROWS UNBOUNDED PRECEDING) AS grp
+        |        FROM isl),
+        |spans AS (SELECT doc_id, min(pos) AS s0, max(pos) + 4 AS s1
+        |          FROM grp GROUP BY doc_id, grp),
+        |agg AS (SELECT doc_id, count(*) AS n_spans,
+        |               CAST(sum(s1 - s0) AS BIGINT) AS dup_tokens
+        |        FROM spans GROUP BY 1)
+        |SELECT d.doc_id, len(string_split(d.text, ' ')) AS n_tokens,
+        |       coalesce(a.n_spans, 0) AS n_spans,
+        |       coalesce(a.dup_tokens, 0) AS dup_tokens,
+        |       len(string_split(d.text, ' ')) - coalesce(a.dup_tokens, 0) AS clean_tokens
+        |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin)),
+
+    // M28 overlapping token-window chunking (context-window prep): pure
+    // narrow sequence/slice/array_join chain, zero shuffles.
+    Q("q_chunk_docs",
+      (s, d) => TextAnalysis.chunkDocuments(documents(s, d), chunkTokens = 16, overlap = 4),
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w,
+        |              len(string_split(text, ' ')) AS n
+        |       FROM documents),
+        |c AS (SELECT doc_id, w, n,
+        |             unnest(range(0, greatest(1, (n - 4 + 11) // 12))) AS chunk_idx
+        |      FROM w)
+        |SELECT doc_id, chunk_idx,
+        |       array_to_string(w[chunk_idx * 12 + 1 : chunk_idx * 12 + 16], ' ') AS chunk_text,
+        |       least(16, n - chunk_idx * 12) AS chunk_tokens
+        |FROM c""".stripMargin)),
+
     Q("q_dedup_clusters",
       (s, d) => Clustering.dedupAssign(
         documents(s, d),

@@ -333,6 +333,32 @@ object ScaleBench {
     spark.sql("DROP TABLE IF EXISTS b14_fact")
     spark.sql("DROP TABLE IF EXISTS b14_w")
 
+    // B15: GeoPackage sink at scale — a 1M-cell gridded layer (6 wide
+    // substance columns + a polygon GPB per feature, ~200 MB file)
+    // streamed through toLocalIterator into the pure-JVM SQLite writer.
+    // Proves the sink's driver memory stays O(file), never O(job): the
+    // Spark side is a pivot shuffle; the write itself is the inherent
+    // single-file tail, like the NetCDF sinks.
+    val gpkgGrid = graft.model.RegularGrid(1000, 1000, 0.0, 0.0, 1.0, 1.0)
+    val gpkgEmi = spark.range(gpkgGrid.ncells * 6).select(
+      (col("id") % gpkgGrid.ncells).as("cell_id"),
+      concat(lit("c"), expr(s"id div ${gpkgGrid.ncells * 2}")).as("category"),
+      concat(lit("s"), expr(s"(id div ${gpkgGrid.ncells}) % 2")).as("substance"),
+      (col("id") % 97 + 1).cast("double").as("value"))
+    val b15dir = java.nio.file.Files.createTempDirectory("scale_gpkg")
+    val (b15s, b15n) = time {
+      val p = b15dir.resolve("inv.gpkg").toString
+      graft.sinks.GeoPackage.exportToGeopackage(
+        spark, p, gdfs = Map.empty,
+        gridded = Some(graft.sinks.GeoPackage.griddedLayer(spark, gpkgEmi, gpkgGrid)))
+      java.nio.file.Files.size(java.nio.file.Paths.get(p))
+    }
+    val b15layer = graft.sinks.GeoPackage.readGeopackage(
+      spark, b15dir.resolve("inv.gpkg").toString).head
+    require(b15layer.df.count() == gpkgGrid.ncells,
+      "B15 gpkg must hold every cell feature")
+    deleteRecursive(b15dir)
+
     val b1rate = "%.1f".format(src.ncells * 32 / b1s / 1e6)
     val b3rate = "%.1f".format(b3n / b3s / 1e6)
     val json =
@@ -351,7 +377,8 @@ object ScaleBench {
         s""""b13_fluxie_export_sec":$b13s,"b13_file_bytes":$b13n,""" +
         s""""b13b_hourly_export_sec":$b13bs,"b13b_files":$b13bn,""" +
         s""""b14_layout_write_sec":$b14ws,"b14_weight_rows":$b14wn,""" +
-        s""""b14_bucketed_join_sec":$b14s,"b14_rows_out":$b14n}"""
+        s""""b14_bucketed_join_sec":$b14s,"b14_rows_out":$b14n,""" +
+        s""""b15_gpkg_export_sec":$b15s,"b15_file_bytes":$b15n}"""
     println(json)
     // durable copy for the round artifacts (same pattern as BENCH_LAST)
     java.nio.file.Files.write(

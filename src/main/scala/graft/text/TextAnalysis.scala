@@ -382,4 +382,98 @@ object TextAnalysis {
       .select(col("s.stage").as("stage"), col("s.stage_name").as("stage_name"),
         col("s.n_docs").as("n_docs"))
   }
+
+  /** Exact duplicated-substring spans across the corpus — the public
+    * suffix-array dedup recipe ("Deduplicating Training Data Makes
+    * Language Models Better": remove substrings repeated verbatim across
+    * documents), re-expressed distributively: any token `n`-gram whose
+    * portable hash appears in ≥ `minDocs` distinct documents marks its
+    * positions; overlapping/adjacent marked n-grams merge into maximal
+    * spans (gaps-and-islands). Returns `(doc_id, span_start, span_end)`
+    * token ranges, end-exclusive.
+    *
+    * Scale: the positioned n-gram table is data-scale but narrow
+    * (codegen'd rolling hash, no arrays shuffled — only (doc_id, pos,
+    * hash64) rows); one hash-keyed aggregate finds the duplicate set,
+    * one hash join marks positions, one doc-keyed window merges islands.
+    * No all-pairs stage anywhere, so the plan survives corpus scale the
+    * way the suffix-array original (a single-machine sort) cannot. */
+  def duplicatedSpans(docs: DataFrame, n: Int = 4, minDocs: Int = 2): DataFrame = {
+    require(n >= 1 && minDocs >= 1, s"bad span-dedup params n=$n minDocs=$minDocs")
+    val grams = docs
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .where(size(col("w")) >= n)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), size(col("w")) - n),
+        i => portableHash(concat_ws(" ", slice(col("w"), i + 1, lit(n)))))))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("h"))
+    val dup = grams.groupBy("h")
+      .agg(countDistinct("doc_id").as("nd"))
+      .where(col("nd") >= minDocs).select("h")
+    val marked = grams.join(dup, "h").select("doc_id", "pos")
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    marked
+      .withColumn("brk",
+        when(col("pos") - lag("pos", 1).over(win) <= n, 0L).otherwise(1L))
+      .withColumn("grp", sum("brk").over(win))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min("pos").as("span_start"), (max("pos") + n).as("span_end"))
+      .select("doc_id", "span_start", "span_end")
+  }
+
+  /** Per-document accounting of [[duplicatedSpans]] removal: total,
+    * duplicated and surviving token counts — the corpus-level effect of
+    * span dedup without materializing cleaned text. */
+  def spanDedupStats(docs: DataFrame, n: Int = 4, minDocs: Int = 2): DataFrame = {
+    val perDoc = duplicatedSpans(docs, n, minDocs)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("span_end") - col("span_start")).as("dup_tokens"))
+    docs.select(col("doc_id"), size(words(col("text"))).cast("long").as("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_spans", "dup_tokens"))
+      .withColumn("clean_tokens", col("n_tokens") - col("dup_tokens"))
+  }
+
+  /** Rebuild cleaned text with the duplicated spans cut out: tokens whose
+    * position falls inside any span are dropped, the rest re-join. One
+    * broadcast-able join + a narrow indexed-lambda filter. */
+  def removeSpans(docs: DataFrame, spans: DataFrame): DataFrame = {
+    val spanArr = spans.groupBy("doc_id").agg(collect_list(
+      struct(col("span_start"), col("span_end"))).as("sp"))
+    docs.join(spanArr, Seq("doc_id"), "left")
+      .withColumn("clean_text", array_join(
+        filter(words(col("text")), (tok, i) =>
+          !coalesce(exists(col("sp"), s =>
+            i.cast("long") >= s("span_start") && i.cast("long") < s("span_end")),
+            lit(false))),
+        " "))
+      .drop("sp")
+  }
+
+  /** Chunk documents into overlapping token windows (the context-window
+    * prep step of a training/RAG pipeline): windows of `chunkTokens`
+    * tokens advancing by `chunkTokens - overlap`; a document shorter than
+    * one window yields exactly one chunk. Pure narrow projection —
+    * sequence/slice/array_join inside whole-stage codegen, ZERO shuffles,
+    * so chunking 100 TB is a single map pass. */
+  def chunkDocuments(
+      docs: DataFrame, chunkTokens: Int = 16, overlap: Int = 4): DataFrame = {
+    require(chunkTokens > overlap && overlap >= 0,
+      s"need chunkTokens > overlap >= 0, got $chunkTokens/$overlap")
+    val stride = chunkTokens - overlap
+    docs
+      .select(col("doc_id"), words(col("text")).as("w"),
+        size(words(col("text"))).cast("long").as("n"))
+      .withColumn("n_chunks",
+        greatest(lit(1L), expr(s"(n - $overlap + ${stride - 1}) div $stride")))
+      .select(col("doc_id"), col("w"), col("n"),
+        explode(sequence(lit(0L), expr("n_chunks - 1"))).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        array_join(slice(col("w"), (col("chunk_idx") * stride + 1).cast("int"),
+          lit(chunkTokens)), " ").as("chunk_text"),
+        least(lit(chunkTokens.toLong), col("n") - col("chunk_idx") * stride)
+          .as("chunk_tokens"))
+  }
 }

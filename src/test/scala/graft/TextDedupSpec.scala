@@ -226,4 +226,71 @@ class TextDedupSpec extends SparkSpec {
     assert(out == Map(
       1L -> (("", 1L, 1L)), 2L -> (("", 1L, 1L)), 3L -> (("", 1L, 1L))))
   }
+
+  // ---- exact-substring span dedup (M27)
+
+  private val spanDocs = docs(
+    // docs 1 and 2 share "p q r s t u" (6 tokens → three 4-grams at
+    // positions 2,3,4 in doc 1 / 0,1,2 in doc 2 → one merged span each);
+    // doc 3 shares nothing 4 tokens long with any other doc.
+    (1L, "a b p q r s t u c d"),
+    (2L, "p q r s t u x y"),
+    (3L, "a b c p q r z z z"))
+
+  test("duplicatedSpans finds the maximal shared span, end-exclusive") {
+    val spans = TextAnalysis.duplicatedSpans(spanDocs, n = 4, minDocs = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(spans == Set((1L, 2L, 8L), (2L, 0L, 6L)))
+  }
+
+  test("spanDedupStats accounts removed vs surviving tokens") {
+    val st = TextAnalysis.spanDedupStats(spanDocs, n = 4, minDocs = 2)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(st(1L) == ((10L, 1L, 6L, 4L)))
+    assert(st(2L) == ((8L, 1L, 6L, 2L)))
+    assert(st(3L) == ((9L, 0L, 0L, 9L)))
+  }
+
+  test("removeSpans cuts exactly the span tokens out of the text") {
+    val spans = TextAnalysis.duplicatedSpans(spanDocs, n = 4, minDocs = 2)
+    val clean = TextAnalysis.removeSpans(spanDocs, spans)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("clean_text")).toMap
+    assert(clean(1L) == "a b c d")
+    assert(clean(2L) == "x y")
+    assert(clean(3L) == "a b c p q r z z z")
+  }
+
+  test("duplicatedSpans ignores repeats within a single document") {
+    val d = docs(
+      (1L, "m n o p m n o p"), // self-repeat only
+      (2L, "q r s t"))
+    assert(TextAnalysis.duplicatedSpans(d, n = 4, minDocs = 2).count() == 0)
+  }
+
+  // ---- overlapping chunking (M28)
+
+  test("chunkDocuments windows with overlap; short docs yield one chunk") {
+    val d = docs(
+      (1L, (1 to 20).map(i => s"t$i").mkString(" ")), // 20 tokens
+      (2L, "a b c")) // shorter than one window
+    val out = TextAnalysis.chunkDocuments(d, chunkTokens = 16, overlap = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getString(2), r.getLong(3)))).toMap
+    assert(out((1L, 0L))._1 == (1 to 16).map(i => s"t$i").mkString(" "))
+    assert(out((1L, 0L))._2 == 16L)
+    // second window starts at token 13 (stride 12) and is partial
+    assert(out((1L, 1L))._1 == (13 to 20).map(i => s"t$i").mkString(" "))
+    assert(out((1L, 1L))._2 == 8L)
+    assert(out((2L, 0L)) == (("a b c", 3L)))
+    assert(out.size == 3)
+  }
+
+  test("chunkDocuments plans zero shuffles (narrow chain)") {
+    val d = docs((1L, "a b c d e f"))
+    val plan = TextAnalysis.chunkDocuments(d).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
 }
