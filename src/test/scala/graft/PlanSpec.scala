@@ -274,4 +274,24 @@ class PlanSpec extends SparkSpec {
     assert(out == Set((1L, 1L, 0), (3L, 1L, 1), (2L, 2L, 0), (5L, 2L, 1),
       (4L, 4L, 0)))
   }
+
+  test("duplicatedSpans: hash-keyed shuffles only, no broadcast of the " +
+    "corpus, no nested-loop join") {
+    val docs = spark.createDataFrame(
+      (1L to 50L).map(i => (i, s"common prefix tokens here tail_$i x y z")))
+      .toDF("doc_id", "text")
+    val plan = graft.text.TextAnalysis.duplicatedSpans(docs)
+      .queryExecution.executedPlan
+    val planStr = plan.toString
+    assert(!planStr.contains("CartesianProduct") &&
+      !planStr.contains("BroadcastNestedLoopJoin"), planStr)
+    // the whole pipeline is: gram aggregate + mark join + island window
+    // — nothing may shuffle the raw token arrays, only (doc_id,pos,hash)
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.forall(e =>
+      !e.child.schema.fieldNames.contains("w")),
+      "token arrays must never shuffle:\n" + planStr)
+  }
 }
