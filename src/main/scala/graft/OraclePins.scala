@@ -135,8 +135,13 @@ object OraclePins {
     "q_video_decode" ->
       """SELECT * FROM (VALUES
       (0::BIGINT, 32::BIGINT, 24::BIGINT, 12::BIGINT, '10.0'::DOUBLE, '1.2'::DOUBLE, 'MJPG'),
-      (1::BIGINT, 32::BIGINT, 24::BIGINT, 6::BIGINT, '5.0'::DOUBLE, '1.2'::DOUBLE, 'MJPG')
+      (1::BIGINT, 32::BIGINT, 24::BIGINT, 6::BIGINT, '5.0'::DOUBLE, '1.2'::DOUBLE, 'MJPG'),
+      (2::BIGINT, 32::BIGINT, 24::BIGINT, 8::BIGINT, '10.0'::DOUBLE, '0.8'::DOUBLE, 'MJPG')
       ) AS t(doc_id, width, height, n_frames, fps, duration_s, handler)""",
+    "q_video_neardup" ->
+      """SELECT * FROM (VALUES
+      (0::BIGINT, 2::BIGINT, 1::BIGINT, 2::BIGINT, 1::BIGINT, '1.0'::DOUBLE)
+      ) AS t(doc_a, doc_b, shared, n_a, n_b, overlap)""",
     "q_video_frames" ->
       """SELECT * FROM (VALUES
       (0::BIGINT, 0::BIGINT, -5344265964282882726::BIGINT, '101.723531'::DOUBLE, NULL::BIGINT, false),
@@ -147,7 +152,11 @@ object OraclePins {
       (0::BIGINT, 10::BIGINT, 7759057115518053845::BIGINT, '147.298187'::DOUBLE, 0::BIGINT, false),
       (1::BIGINT, 0::BIGINT, 6222474632622398123::BIGINT, '116.205297'::DOUBLE, NULL::BIGINT, false),
       (1::BIGINT, 2::BIGINT, 6222474632622398123::BIGINT, '115.547984'::DOUBLE, 0::BIGINT, false),
-      (1::BIGINT, 4::BIGINT, 6222474632622398123::BIGINT, '115.953359'::DOUBLE, 0::BIGINT, false)
+      (1::BIGINT, 4::BIGINT, 6222474632622398123::BIGINT, '115.953359'::DOUBLE, 0::BIGINT, false),
+      (2::BIGINT, 0::BIGINT, -5344265964282882726::BIGINT, '101.723531'::DOUBLE, NULL::BIGINT, false),
+      (2::BIGINT, 2::BIGINT, -5344265964282882726::BIGINT, '101.143453'::DOUBLE, 0::BIGINT, false),
+      (2::BIGINT, 4::BIGINT, -5344265964282882726::BIGINT, '103.351109'::DOUBLE, 0::BIGINT, false),
+      (2::BIGINT, 6::BIGINT, -5344265964282882726::BIGINT, '100.962984'::DOUBLE, 0::BIGINT, false)
       ) AS t(doc_id, frame_idx, d_hash, mean_lum, hamming, is_cut)""",
     "q_wav_decode" ->
       """SELECT * FROM (VALUES

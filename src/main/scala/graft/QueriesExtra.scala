@@ -872,6 +872,25 @@ object QueriesExtra {
       },
       None),
 
+    // Clip-level near-dup over sampled frame hashes: clip_2 is a re-cut
+    // of clip_0's first scene (byte-identical frame JPEGs), so their
+    // distinct dHash sets overlap fully on the smaller side.
+    Q("q_video_neardup",
+      (s, _) => {
+        val media = s.read.format("binaryFile")
+          .option("pathGlobFilter", "*.avi")
+          .load("/root/repo/fixtures/video")
+          .select(
+            regexp_extract(col("path"), "clip_(\\d+)", 1).cast("long").as("doc_id"),
+            col("content").as("payload"))
+        val frames = graft.multimodal.JvmMedia
+          .sampleVideoFrames(s, media, stride = 2).toDF()
+        graft.multimodal.JvmMedia.clipNearDups(frames, minOverlap = 0.5)
+          .select(col("doc_a"), col("doc_b"), col("shared"),
+            col("n_a"), col("n_b"), round(col("overlap"), 6).as("overlap"))
+      },
+      None),
+
     // Pinned-literal oracle (OraclePins): WRF_Grid corner
     // reconstruction (wrf.py:23-126) over the committed wrfinput fixture;
     // closed-form corner/area correctness is WrfGridSpec.

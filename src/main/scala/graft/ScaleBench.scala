@@ -268,6 +268,34 @@ object ScaleBench {
     }
     require(b12n == nDocs, s"B12 lost rows: $b12n")
 
+    // B12b: exact-substring span dedup at crawl scale — 2M docs of 21
+    // tokens: a group marker + 13 boilerplate tokens shared corpus-wide
+    // + a unique 7-token tail. ~36M positioned 4-gram rows through the
+    // dup-hash aggregate, mark join and island window. The shared
+    // prefix occupies token positions 0..13, so duplicated gram starts
+    // are exactly 0..10 and every doc must come back with ONE maximal
+    // span [0, 14); the unique tails contribute none.
+    val nSpanDocs = 2000000L
+    val spanDocs = spark.range(nSpanDocs).select(
+      col("id").as("doc_id"),
+      concat(
+        lit("bp"), col("id") % 1000,
+        lit(" the quick brown fox jumps over the lazy dog again and again today"),
+        lit(" u"), col("id"), lit("a u"), col("id"), lit("b u"), col("id"),
+        lit("c u"), col("id"), lit("d u"), col("id"), lit("e u"), col("id"),
+        lit("f u"), col("id"), lit("g")).as("text"))
+    val (b12bs, b12bn) = time {
+      val spans = graft.text.TextAnalysis.duplicatedSpans(
+        spanDocs, n = 4, minDocs = 2)
+      val agg = spans.agg(count(lit(1)), min("span_start"),
+        max("span_end"), sum(col("span_end") - col("span_start"))).collect()(0)
+      require(agg.getLong(1) == 0L && agg.getLong(2) == 14L &&
+        agg.getLong(3) == nSpanDocs * 14L,
+        s"B12b spans wrong: $agg")
+      agg.getLong(0)
+    }
+    require(b12bn == nSpanDocs, s"B12b expected one span per doc: $b12bn")
+
     // B13: EDGAR-size monthly fluxie export — 6.48M cells × 12 months ×
     // 2 substances (155M fact rows) through the per-(substance, time)-
     // plane collect path: each collect ≤ 6.48M rows. The pre-fix code
@@ -374,6 +402,7 @@ object ScaleBench {
         s""""b11_osm_resolve_sec":$b11s,"b11_parts":$b11n,""" +
         s""""b12_pii_url_sec":$b12s,"b12_docs":$nDocs,""" +
         s""""b12_mdocs_per_s":${"%.1f".format(nDocs / b12s / 1e6)},""" +
+        s""""b12b_span_dedup_sec":$b12bs,"b12b_docs":$nSpanDocs,""" +
         s""""b13_fluxie_export_sec":$b13s,"b13_file_bytes":$b13n,""" +
         s""""b13b_hourly_export_sec":$b13bs,"b13b_files":$b13bn,""" +
         s""""b14_layout_write_sec":$b14ws,"b14_weight_rows":$b14wn,""" +

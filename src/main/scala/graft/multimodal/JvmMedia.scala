@@ -345,6 +345,27 @@ object JvmMedia {
       .drop("prev_hash")
   }
 
+  /** Clip-level near-duplicate detection over sampled frame hashes: two
+    * videos are near-dups when the overlap of their distinct frame-hash
+    * SETS (shared ÷ smaller set) reaches `minOverlap` — the re-encode /
+    * re-cut case where frames hash identically. The join keys on the
+    * 64-bit hash itself (exact-match banding), so candidate pairs are
+    * bounded by genuinely shared content, never all-pairs; payloads are
+    * long gone by this stage (a few longs per frame). */
+  def clipNearDups(frames: DataFrame, minOverlap: Double = 0.5): DataFrame = {
+    val f = frames.select(col("doc_id"), col("d_hash")).distinct()
+    val counts = f.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    f.as("a").join(f.as("b"),
+        col("a.d_hash") === col("b.d_hash") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+      .join(counts.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
+      .join(counts.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
+      .withColumn("overlap", col("shared") / least(col("n_a"), col("n_b")))
+      .where(col("overlap") >= minOverlap)
+      .select("doc_a", "doc_b", "shared", "n_a", "n_b", "overlap")
+  }
+
   /** Decode stage over (doc_id, payload) WAV rows. */
   def decodeWavs(spark: SparkSession, media: DataFrame): Dataset[WavRow] = {
     import spark.implicits._

@@ -159,6 +159,17 @@ class JvmMediaSpec extends SparkSpec {
     assert(idx == Seq(0, 3, 6, 9))
   }
 
+  test("clipNearDups: the scene-A re-cut matches clip_0, clip_1 nothing") {
+    // stride=1: scene A hashes to 2 distinct dHashes, scene B to 1, so
+    // clip_0 holds 3 and clip_2 (scene A only) 2 — a strict subset:
+    // shared=2, overlap = 2/min(3,2) = 1.0. clip_1 shares nothing.
+    val frames = JvmMedia.sampleVideoFrames(spark, videos, stride = 1).toDF()
+    val nd = JvmMedia.clipNearDups(frames).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getDouble(5))).toSeq
+    assert(nd == Seq((0L, 2L, 2L, 3L, 2L, 1.0)))
+  }
+
   test("parseAvi: corrupt chunk size fails instead of looping forever") {
     val bad = LoaderFixtures.videoFiles.head._2.clone()
     // first chunk inside AVI body: LIST hdrl size field at byte 16

@@ -97,6 +97,50 @@ class SqliteSpec extends AnyFunSuite {
     assert(db.scan(db.tableRoot("t")).head._2(1).asInstanceOf[VBlob].v.length == 5000)
   }
 
+  test("seeded fuzz: random typed tables round-trip through a real engine") {
+    val rnd = new scala.util.Random(20260813L)
+    def randV(): V = rnd.nextInt(5) match {
+      case 0 => VNull
+      case 1 => VInt(rnd.nextLong() >> rnd.nextInt(56))
+      case 2 => VReal(rnd.nextDouble() * math.pow(10, rnd.nextInt(8)))
+      case 3 => VText(rnd.alphanumeric.take(rnd.nextInt(40)).mkString)
+      case 4 => val b = new Array[Byte](rnd.nextInt(60)); rnd.nextBytes(b); VBlob(b)
+    }
+    val nCols = 5
+    val rows = (1 to 3000).map { i =>
+      (i.toLong, Seq[V](VInt(i)) ++ (1 until nCols).map(_ => randV()))
+    }
+    val t = TableDef("fuzz",
+      "CREATE TABLE fuzz (fid INTEGER PRIMARY KEY, c1, c2, c3, c4)",
+      rowidAlias = 0)
+    val bytes = Sqlite.build(Seq(t -> rows), pageSize = 1024)
+    // our reader reproduces every value
+    val db = Sqlite.open(bytes)
+    val back = db.scan(db.tableRoot("fuzz"))
+    assert(back.size == 3000)
+    back.zip(rows).foreach { case ((rid, got), (erid, want)) =>
+      assert(rid == erid)
+      got.zip(want.updated(0, VNull)).foreach {
+        case (VBlob(a), VBlob(b)) => assert(java.util.Arrays.equals(a, b))
+        case (a, b) => assert(a == b, s"row $rid")
+      }
+    }
+    // and a real engine agrees on the aggregate shape
+    val python = Seq("/bin/sh", "-c", "command -v python3").!!.trim
+    assume(python.nonEmpty, "python3 not on PATH")
+    val path = java.nio.file.Files.createTempDirectory("fuzz").toString + "/fuzz.db"
+    Sqlite.writeFile(path, bytes)
+    val script =
+      s"""import sqlite3
+         |c = sqlite3.connect("$path")
+         |assert c.execute("PRAGMA integrity_check").fetchone()[0] == "ok"
+         |n, lo, hi = c.execute("SELECT count(*), min(fid), max(fid) FROM fuzz").fetchone()
+         |assert (n, lo, hi) == (3000, 1, 3000), (n, lo, hi)
+         |print("PYOK")
+         |""".stripMargin
+    assert(runPython(script).contains("PYOK"))
+  }
+
   test("deterministic: same input builds identical bytes") {
     val t = TableDef("t", "CREATE TABLE t (a INTEGER, b TEXT)")
     val rows = Seq((1L, Seq[V](VInt(5), VText("x"))), (2L, Seq[V](VInt(6), VText("y"))))
