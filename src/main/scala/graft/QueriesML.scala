@@ -406,7 +406,8 @@ object QueriesML {
     // public dedup literature, distributively: dup 4-gram hashes →
     // marked positions → gaps-and-islands maximal spans).
     Q("q_span_dedup",
-      (s, d) => TextAnalysis.duplicatedSpans(documents(s, d), n = 4, minDocs = 2),
+      (s, d) => TextAnalysis.duplicatedSpans(documents(s, d), n = 4, minDocs = 2,
+        hashFn = TextAnalysis.portableHash),
       Some(s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |g AS (SELECT doc_id, unnest(range(0, len(w) - 3)) AS pos, w
         |      FROM w WHERE len(w) >= 4),
@@ -429,7 +430,8 @@ object QueriesML {
     // Per-document span-dedup accounting: how much of each doc the
     // removal keeps.
     Q("q_span_clean",
-      (s, d) => TextAnalysis.spanDedupStats(documents(s, d), n = 4, minDocs = 2),
+      (s, d) => TextAnalysis.spanDedupStats(documents(s, d), n = 4, minDocs = 2,
+        hashFn = TextAnalysis.portableHash),
       Some(s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |g AS (SELECT doc_id, unnest(range(0, len(w) - 3)) AS pos, w
         |      FROM w WHERE len(w) >= 4),
@@ -541,6 +543,32 @@ object QueriesML {
         |       sum((CASE WHEN ((i * 131 + j * 137) % 97) % 2 = 0
         |                 THEN 1 ELSE -1 END) * x) AS value
         |FROM expl, dims GROUP BY 1, 2""".stripMargin)),
+
+    // M30 semantic dedup (SemDeDup): coarse-quantizer assignment, then
+    // within-cluster cosine pair-drop with the keep-min-id rule; the
+    // oracle replays assignment + pair-drop relationally in DuckDB.
+    Q("q_semantic_dedup",
+      (s, d) => Similarity.semanticDedup(embeddings(s, d), threshold = 0.35, centroidMod = 97),
+      Some(s"""WITH $QuantCte,
+        |cents AS (SELECT vec_id AS centroid_id, v AS cv, list_dot_product(v, v) AS cn
+        |          FROM q WHERE vec_id % 97 = 0),
+        |vecs AS (SELECT vec_id, v, list_dot_product(v, v) AS n FROM q),
+        |s0 AS (SELECT vec_id, centroid_id,
+        |              round(list_dot_product(v, cv) / (sqrt(n) * sqrt(cn)), 6) AS cos_sim
+        |       FROM vecs, cents),
+        |assign AS (SELECT vec_id, centroid_id FROM (
+        |             SELECT *, row_number() OVER (PARTITION BY vec_id
+        |                          ORDER BY cos_sim DESC, centroid_id) AS rn
+        |             FROM s0) WHERE rn = 1),
+        |av AS (SELECT vec_id, centroid_id, v, n FROM assign JOIN vecs USING (vec_id)),
+        |dropped AS (SELECT DISTINCT b.vec_id
+        |            FROM av a JOIN av b ON a.centroid_id = b.centroid_id
+        |                               AND a.vec_id < b.vec_id
+        |            WHERE round(list_dot_product(a.v, b.v) /
+        |                        (sqrt(a.n) * sqrt(b.n)), 6) >= 0.35)
+        |SELECT av.vec_id, av.centroid_id,
+        |       CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS keep
+        |FROM av LEFT JOIN dropped d USING (vec_id)""".stripMargin)),
 
     Q("q_kmeans_step",
       (s, d) => Similarity.kmeansStep(embeddings(s, d), centroidMod = 97),

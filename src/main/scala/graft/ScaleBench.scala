@@ -274,7 +274,9 @@ object ScaleBench {
     // dup-hash aggregate, mark join and island window. The shared
     // prefix occupies token positions 0..13, so duplicated gram starts
     // are exactly 0..10 and every doc must come back with ONE maximal
-    // span [0, 14); the unique tails contribute none.
+    // span [0, 14); the unique tails contribute none. Uses the default
+    // xxhash64 gram hash — the 30-bit portable hash provably false-marks
+    // at this gram count (birthday collisions), which this case guards.
     val nSpanDocs = 2000000L
     val spanDocs = spark.range(nSpanDocs).select(
       col("id").as("doc_id"),

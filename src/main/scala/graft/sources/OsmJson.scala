@@ -105,13 +105,20 @@ object OsmJson {
     parts.toSeq
   }
 
+  /** Returns plain Tuple7 rows, not [[RelPart]]: an encoder over a
+    * user-defined class makes the downstream UnsafeProjection codegen
+    * reference that class, which Janino cannot resolve under layered
+    * classloaders (sbt run) and falls back to interpreted mode; the
+    * scala Tuple encoder lives on Spark's own classpath and stays
+    * codegen'd. Field names are restored via struct() at the call site. */
   private val stitchUdf = udf(
     (ms: Seq[org.apache.spark.sql.Row]) =>
       stitch(ms.map(r => (
         r.getString(0), r.getString(1),
         Option(r.getSeq[Long](2)).orNull,
         if (r.isNullAt(3)) null else java.lang.Double.valueOf(r.getDouble(3)),
-        if (r.isNullAt(4)) null else java.lang.Double.valueOf(r.getDouble(4))))))
+        if (r.isNullAt(4)) null else java.lang.Double.valueOf(r.getDouble(4)))))
+        .map(p => (p.part, p.role, p.closed, p.nodeIds, p.px, p.py, p.isPoint)))
 
   /** Tags rendered like the reference's `str(element["tags"])` python-dict
     * string (osm.py:172). Entries are KEY-SORTED: Spark's JSON map does
@@ -205,7 +212,12 @@ object OsmJson {
           col("wnodes").as("wnodes"), col("nx").as("nx"), col("ny").as("ny"))
           .as("mm")))).as("ms"))
       .select(col("id"), col("tags"),
-        explode(stitchUdf(transform(col("ms"), s => s.getField("mm")))).as("p"))
+        explode(stitchUdf(transform(col("ms"), s => s.getField("mm")))).as("pt"))
+      .select(col("id"), col("tags"), struct(
+        col("pt._1").as("part"), col("pt._2").as("role"),
+        col("pt._3").as("closed"), col("pt._4").as("nodeIds"),
+        col("pt._5").as("px"), col("pt._6").as("py"),
+        col("pt._7").as("isPoint")).as("p"))
     val rels = graft.Caching.cache(relMembers)
 
     val relPoints = rels.where(col("p.isPoint"))

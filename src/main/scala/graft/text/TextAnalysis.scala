@@ -394,18 +394,28 @@ object TextAnalysis {
     *
     * Scale: the positioned n-gram table is data-scale but narrow
     * (codegen'd rolling hash, no arrays shuffled — only (doc_id, pos,
-    * hash64) rows); one hash-keyed aggregate finds the duplicate set,
+    * hash) rows); one hash-keyed aggregate finds the duplicate set,
     * one hash join marks positions, one doc-keyed window merges islands.
     * No all-pairs stage anywhere, so the plan survives corpus scale the
-    * way the suffix-array original (a single-machine sort) cannot. */
-  def duplicatedSpans(docs: DataFrame, n: Int = 4, minDocs: Int = 2): DataFrame = {
+    * way the suffix-array original (a single-machine sort) cannot.
+    *
+    * `hashFn` defaults to 64-bit xxhash64 — collision-safe at corpus
+    * scale (the 30-bit portable hash starts marking false duplicate
+    * grams past ~10M n-grams by birthday arithmetic). Pass
+    * [[portableHash]] only when a cross-engine SQL oracle must replay
+    * the hash on a small corpus. */
+  def duplicatedSpans(
+      docs: DataFrame,
+      n: Int = 4,
+      minDocs: Int = 2,
+      hashFn: Column => Column = xxhash64(_)): DataFrame = {
     require(n >= 1 && minDocs >= 1, s"bad span-dedup params n=$n minDocs=$minDocs")
     val grams = docs
       .select(col("doc_id"), words(col("text")).as("w"))
       .where(size(col("w")) >= n)
       .select(col("doc_id"), posexplode(transform(
         sequence(lit(0), size(col("w")) - n),
-        i => portableHash(concat_ws(" ", slice(col("w"), i + 1, lit(n)))))))
+        i => hashFn(concat_ws(" ", slice(col("w"), i + 1, lit(n)))))))
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("h"))
     val dup = grams.groupBy("h")
       .agg(countDistinct("doc_id").as("nd"))
@@ -425,8 +435,12 @@ object TextAnalysis {
   /** Per-document accounting of [[duplicatedSpans]] removal: total,
     * duplicated and surviving token counts — the corpus-level effect of
     * span dedup without materializing cleaned text. */
-  def spanDedupStats(docs: DataFrame, n: Int = 4, minDocs: Int = 2): DataFrame = {
-    val perDoc = duplicatedSpans(docs, n, minDocs)
+  def spanDedupStats(
+      docs: DataFrame,
+      n: Int = 4,
+      minDocs: Int = 2,
+      hashFn: Column => Column = xxhash64(_)): DataFrame = {
+    val perDoc = duplicatedSpans(docs, n, minDocs, hashFn)
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_spans"),
         sum(col("span_end") - col("span_start")).as("dup_tokens"))

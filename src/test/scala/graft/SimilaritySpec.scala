@@ -63,6 +63,18 @@ class SimilaritySpec extends SparkSpec {
     assert(out(3L) == 0L) // cos 0.8 vs 0.6 -> centroid 0
   }
 
+  test("semanticDedup drops every >=threshold lower-id in-cluster dup") {
+    // centroidMod default 97 -> single centroid (vec 0), one cluster of 4.
+    // Pairs over threshold 0.7: (0,1) cos 1.0, (0,3) 0.8, (1,3) 0.8 ->
+    // dropped = {1, 3}; keep-min-id keeps 0 and the orthogonal 2.
+    val out = Similarity.semanticDedup(e, threshold = 0.7).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    assert(out.size == 4)
+    assert(out.values.forall(_._1 == 0L))
+    assert(out.view.mapValues(_._2).toMap ==
+      Map(0L -> 1, 1L -> 0, 2L -> 1, 3L -> 0))
+  }
+
   test("ivfSearch ranks only within the query's cluster") {
     // centroidMod = 2: centroids are vec 0 and 2; vecs 0,1 cluster to 0,
     // vecs 2 to itself; 3 lands with 0's cluster (cos 0.8 vs 0.6)
