@@ -689,6 +689,80 @@ object QueriesML {
         |       FROM documents)
         |SELECT domain, count(*) AS n_docs, count(DISTINCT canonical_url) AS n_pages,
         |       CAST(sum(n_chars) AS BIGINT) AS total_chars
-        |FROM u GROUP BY 1""".stripMargin))
+        |FROM u GROUP BY 1""".stripMargin)),
+
+    // ---- M30: real BPE tokenizer (graft.text.Bpe) ----------------------
+    // The train/encode/stats oracles below are CLOSED-FORM, hand-derived
+    // from the Sennrich et al. 2016 §3.2 example corpus
+    // {low:5, lower:2, newest:6, widest:3} under the library's
+    // deterministic tie-break (highest pair count, then lexicographically
+    // smallest pair) — independent oracles, not regression pins. The
+    // derivation is spelled out merge-by-merge in BpeSpec.handMerges.
+    Q("q_bpe_train",
+      (s, _) => {
+        val merges = graft.text.Bpe.train(bpeCorpus(s), "text", 10)
+        s.createDataFrame(merges.zipWithIndex.map { case ((l, r), i) =>
+          (i.toLong, l, r)
+        }).toDF("mrank", "lhs", "rhs")
+      },
+      Some("""SELECT * FROM (VALUES
+        |(0::BIGINT, 'e', 's'), (1::BIGINT, 'es', 't'),
+        |(2::BIGINT, 'est', '</w>'), (3::BIGINT, 'l', 'o'),
+        |(4::BIGINT, 'lo', 'w'), (5::BIGINT, 'e', 'w'),
+        |(6::BIGINT, 'ew', 'est</w>'), (7::BIGINT, 'n', 'ewest</w>'),
+        |(8::BIGINT, 'low', '</w>'), (9::BIGINT, 'd', 'est</w>')
+        |) AS t(mrank, lhs, rhs)""".stripMargin)),
+
+    Q("q_bpe_encode",
+      (s, _) => {
+        val docs = bpeCorpus(s)
+        val merges = graft.text.Bpe.train(docs, "text", 10)
+        docs.select(explode(graft.text.Bpe.encode(col("text"), merges)).as("token"))
+          .groupBy("token").agg(count(lit(1)).as("n"))
+      },
+      Some("""SELECT * FROM (VALUES
+        |('</w>', 2::BIGINT), ('dest</w>', 3::BIGINT), ('e', 2::BIGINT),
+        |('i', 3::BIGINT), ('low', 2::BIGINT), ('low</w>', 5::BIGINT),
+        |('newest</w>', 6::BIGINT), ('r', 2::BIGINT), ('w', 3::BIGINT)
+        |) AS t(token, n)""".stripMargin)),
+
+    Q("q_bpe_stats",
+      (s, _) => {
+        val docs = bpeCorpus(s)
+        val merges = graft.text.Bpe.train(docs, "text", 10)
+        graft.text.Bpe.tokenStats(docs, merges)
+      },
+      Some("""SELECT doc_id, n_bpe_tokens, n_chars,
+        |       n_chars::DOUBLE / n_bpe_tokens AS chars_per_token
+        |FROM (VALUES (0::BIGINT, 5::BIGINT, 19::BIGINT),
+        |             (1::BIGINT, 8::BIGINT, 11::BIGINT),
+        |             (2::BIGINT, 6::BIGINT, 41::BIGINT),
+        |             (3::BIGINT, 9::BIGINT, 20::BIGINT)
+        |) t(doc_id, n_bpe_tokens, n_chars)""".stripMargin)),
+
+    // Round-trip on the real corpus at ANY scale factor: decode∘encode is
+    // the identity on single-space-separated text whatever table was
+    // learned, so the oracle needs no BPE at all — a genuinely
+    // independent SQL check that the encoder is a lossless tokenization
+    // of every document (merge-level values are gated by q_bpe_train/
+    // q_bpe_encode above).
+    Q("q_bpe_roundtrip",
+      (s, d) => {
+        val docs = documents(s, d)
+        val merges = graft.text.Bpe.train(docs, "text", 32)
+        docs.select(col("doc_id"),
+          graft.text.Bpe.decode(
+            graft.text.Bpe.encode(col("text"), merges)).as("decoded"))
+      },
+      Some("SELECT doc_id, text AS decoded FROM documents"))
   )
+
+  /** The Sennrich example corpus as documents (word multiplicities
+    * {low:5, lower:2, newest:6, widest:3}). */
+  private def bpeCorpus(s: org.apache.spark.sql.SparkSession) =
+    s.createDataFrame(Seq(
+      (0L, "low low low low low"),
+      (1L, "lower lower"),
+      (2L, "newest newest newest newest newest newest"),
+      (3L, "widest widest widest"))).toDF("doc_id", "text")
 }
