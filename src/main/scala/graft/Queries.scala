@@ -1000,5 +1000,5 @@ object Queries {
 
   def all: Seq[Q] =
     relational ++ profileTemporal ++ eventOps ++ QueriesML.ml ++
-      QueriesExtra.extra ++ QueriesSpatial.spatial
+      QueriesML.curation ++ QueriesExtra.extra ++ QueriesSpatial.spatial
 }

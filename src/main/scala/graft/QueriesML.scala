@@ -260,6 +260,28 @@ object QueriesML {
         |       coalesce(h.n_hits, 0) > 0 AS contaminated
         |FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id""".stripMargin)),
 
+    // M8 scale path: Bloom-prefilter + exact verify join. Bloom filters
+    // have no false negatives and the verify join removes every false
+    // positive, so the SAME exact-decontamination SQL is the oracle —
+    // the gate proves the prefilter is lossless, not just plausible.
+    Q("q_decontaminate_bloom",
+      (s, d) => TextAnalysis.decontaminateBloom(documents(s, d), Seq(
+        "key agg row scan slow", "batch window spark order data",
+        "the quick brown fox jumps"), n = 5, fpp = 0.01),
+      Some("""WITH sh AS (SELECT DISTINCT doc_id,
+        |          unnest(list_transform(range(0, greatest(0, len(w) - 4)),
+        |                 i -> array_to_string(w[i+1:i+5], ' '))) AS shingle
+        |       FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+        |p AS (SELECT unnest(['key agg row scan slow',
+        |                     'batch window spark order data',
+        |                     'the quick brown fox jumps']) AS shingle),
+        |h AS (SELECT doc_id, count(DISTINCT sh.shingle) AS n_hits
+        |      FROM sh JOIN p ON sh.shingle = p.shingle GROUP BY 1)
+        |SELECT d.doc_id,
+        |       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+        |       coalesce(h.n_hits, 0) > 0 AS contaminated
+        |FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id""".stripMargin)),
+
     Q("q_ivf_search",
       (s, d) => Similarity.ivfSearch(embeddings(s, d), nQueries = 20, k = 5,
         centroidMod = 97),
@@ -755,6 +777,96 @@ object QueriesML {
             graft.text.Bpe.encode(col("text"), merges)).as("decoded"))
       },
       Some("SELECT doc_id, text AS decoded FROM documents"))
+  )
+
+  // ---- M31–M33: model-based curation (graft.text.Curation, Sampling) --
+  val curation: Seq[Q] = Seq(
+    // M31 DSIR importance resampling: hashed unigram+bigram buckets,
+    // integer-quantized importance weights (exact BIGINT doc sums →
+    // order-independent across partitions and engines), target = the
+    // English slice of the same corpus.
+    Q("q_dsir_resample",
+      (s, d) => {
+        val docs = documents(s, d)
+        graft.text.Curation.dsirScores(docs,
+          docs.where(col("lang") === "en"), buckets = 1024)
+      },
+      Some(s"""WITH wd AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+        |ng AS (SELECT doc_id, lang, unnest(w) AS ngram FROM wd
+        |       UNION ALL
+        |       SELECT doc_id, lang,
+        |              unnest(list_transform(range(0, greatest(0, len(w) - 1)),
+        |                     i -> w[i+1] || ' ' || w[i+2])) AS ngram
+        |       FROM wd),
+        |b AS (SELECT doc_id, lang, ${hashSql("ngram")} % 1024 AS bucket FROM ng),
+        |rc AS (SELECT bucket, count(*) AS cnt_r FROM b GROUP BY 1),
+        |tc AS (SELECT bucket, count(*) AS cnt_t FROM b WHERE lang = 'en' GROUP BY 1),
+        |tots AS (SELECT (SELECT count(*) FROM b) AS rt,
+        |                (SELECT count(*) FROM b WHERE lang = 'en') AS tt),
+        |wt AS (SELECT s.bucket,
+        |         round(((coalesce(cnt_t, 0) + 1)::DOUBLE / (tt + 1024)::DOUBLE)
+        |             / ((coalesce(cnt_r, 0) + 1)::DOUBLE / (rt + 1024)::DOUBLE)
+        |             * 1000000.0::DOUBLE, 0)::BIGINT AS w
+        |       FROM range(1024) s(bucket) CROSS JOIN tots
+        |       LEFT JOIN tc ON s.bucket = tc.bucket
+        |       LEFT JOIN rc ON s.bucket = rc.bucket),
+        |sc AS (SELECT doc_id, count(*) AS n_grams, sum(wt.w) AS w_sum
+        |       FROM b JOIN wt ON b.bucket = wt.bucket GROUP BY 1)
+        |SELECT d.doc_id, coalesce(n_grams, 0)::BIGINT AS n_grams,
+        |       coalesce(w_sum, 0)::BIGINT AS w_sum,
+        |       coalesce(w_sum::DOUBLE / n_grams, 0.0::DOUBLE) AS mean_w,
+        |       coalesce(w_sum::DOUBLE / n_grams >= 1000000.0::DOUBLE, false) AS keep
+        |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id""".stripMargin)),
+
+    // M32 linear quality classifier: fixed-order IEEE logit over
+    // deterministic surface features; keep = logit > 0 (sigmoid is
+    // monotone, so this IS the probability threshold, minus the libm
+    // exp() portability hazard).
+    Q("q_quality_classifier",
+      (s, d) => graft.text.Curation.qualityClassifier(documents(s, d),
+        Stopwords, wTtr = 2.0, wStop = -1.5, wLen = 0.25, wWords = 1.0,
+        bias = -2.5),
+      Some("""WITH f AS (SELECT doc_id, string_split(text, ' ') AS w,
+        |              length(text)::DOUBLE AS nc FROM documents),
+        |g AS (SELECT doc_id, len(w)::DOUBLE AS nw,
+        |        len(list_distinct(w))::DOUBLE / len(w) AS ttr,
+        |        len(list_filter(w, x -> list_contains(['the','a','of','and','to','in'], x)))::DOUBLE
+        |          / len(w) AS stop_ratio,
+        |        (nc - len(w) + 1.0::DOUBLE) / len(w) AS mean_wlen
+        |      FROM f)
+        |SELECT doc_id, ttr, stop_ratio, mean_wlen,
+        |       -2.5::DOUBLE + 2.0::DOUBLE * ttr + (-1.5::DOUBLE) * stop_ratio
+        |         + 0.25::DOUBLE * mean_wlen
+        |         + 1.0::DOUBLE * (least(nw, 64.0::DOUBLE) / 64.0::DOUBLE) AS logit,
+        |       (-2.5::DOUBLE + 2.0::DOUBLE * ttr + (-1.5::DOUBLE) * stop_ratio
+        |         + 0.25::DOUBLE * mean_wlen
+        |         + 1.0::DOUBLE * (least(nw, 64.0::DOUBLE) / 64.0::DOUBLE)) > 0 AS keep
+        |FROM g""".stripMargin)),
+
+    // M33 domain-reweighted mix: dyadic target shares over the lang
+    // column, whole-epoch upsampling + slot-sampled fractional epoch —
+    // the oracle recomputes the per-domain epoch plan from scratch.
+    Q("q_domain_mix",
+      (s, d) => ops.Sampling.domainMix(documents(s, d), "lang", Map(
+        "en" -> 0.5, "de" -> 0.125, "es" -> 0.125, "fr" -> 0.125,
+        "zh" -> 0.125)),
+      Some("""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        |t AS (SELECT sum(n)::DOUBLE AS tot FROM c),
+        |e AS (SELECT lang, n,
+        |        (CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.125
+        |                   WHEN 'es' THEN 0.125 WHEN 'fr' THEN 0.125
+        |                   WHEN 'zh' THEN 0.125 ELSE 0.0 END)::DOUBLE
+        |          * tot / n AS ep
+        |      FROM c CROSS JOIN t),
+        |ec AS (SELECT lang, floor(ep)::BIGINT AS copies,
+        |         floor((ep - floor(ep)) * 1000003.0::DOUBLE)::BIGINT AS thresh
+        |       FROM e),
+        |k AS (SELECT doc_id, d.lang,
+        |        copies + CASE WHEN ((doc_id % 1000003) * 48271) % 1000003 < thresh
+        |                      THEN 1 ELSE 0 END AS n_copies
+        |      FROM documents d JOIN ec ON d.lang = ec.lang)
+        |SELECT doc_id, lang, unnest(range(n_copies)) AS epoch
+        |FROM k WHERE n_copies > 0""".stripMargin))
   )
 
   /** The Sennrich example corpus as documents (word multiplicities

@@ -76,4 +76,59 @@ object Sampling {
       .select(col("doc_id"), col("split"),
         coalesce(col("leaked"), lit(false)).as("leaked"))
   }
+
+  /** Slot modulus for [[domainMix]] — prime, and the Lehmer multiplier
+    * decorrelates the mix slots from [[slotSample]]/[[holdoutSplit]]'s
+    * plain `id % 100` slots so stacked samplers don't alias. */
+  val MixSlotMod = 1000003L
+  private val MixSlotMul = 48271L
+
+  /** Materialize a domain-reweighted training mix (the DoReMi/Pile-style
+    * "domain weights" step): `weights` gives each domain's target share
+    * of the output (must sum to 1), `totalOut` the target output size
+    * (default: the input size). A domain needing more than its corpus
+    * repeats whole epochs (the standard upsampling semantics — epoch k
+    * is copy k of the domain) plus a deterministic slot-sampled
+    * fractional epoch; a domain needing less keeps a slot-sampled
+    * fraction of epoch 0. Rows: `(doc_id, <domainCol>, epoch)`.
+    *
+    * Deterministic and engine-portable: the only per-row state is
+    * `((doc_id % p) · 48271) % p` integer arithmetic; per-domain epoch
+    * counts come from one tiny domain-count aggregate (collected —
+    * domains are O(10), never corpus-sized). Everything else is narrow:
+    * no shuffle of the corpus, and the epoch explode is the output
+    * itself. */
+  def domainMix(
+      docs: DataFrame,
+      domainCol: String,
+      weights: Map[String, Double],
+      totalOut: Option[Long] = None): DataFrame = {
+    require(math.abs(weights.values.sum - 1.0) < 1e-9,
+      s"domain weights must sum to 1, got ${weights.values.sum}")
+    val counts = docs.groupBy(domainCol).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = totalOut.getOrElse(counts.values.sum).toDouble
+    val plans = counts.map { case (dom, n) =>
+      // epochs = target share of output over available rows; Scala and
+      // the oracle SQL evaluate this identical op-for-op (w·T then /n)
+      val e = weights.getOrElse(dom, 0.0) * total / n
+      val copies = math.floor(e)
+      val thresh = math.floor((e - copies) * MixSlotMod)
+      (dom, copies.toLong, thresh.toLong)
+    }.toSeq
+    val copiesCol = plans.foldLeft(lit(0L)) { case (acc, (dom, c, _)) =>
+      when(col(domainCol) === dom, lit(c)).otherwise(acc)
+    }
+    val threshCol = plans.foldLeft(lit(0L)) { case (acc, (dom, _, t)) =>
+      when(col(domainCol) === dom, lit(t)).otherwise(acc)
+    }
+    val slot = pmod(pmod(col("doc_id"), lit(MixSlotMod)) * lit(MixSlotMul),
+      lit(MixSlotMod))
+    docs.select(col("doc_id"), col(domainCol),
+        (copiesCol + when(slot < threshCol, lit(1L)).otherwise(lit(0L)))
+          .as("n_copies"))
+      .where(col("n_copies") > 0)
+      .select(col("doc_id"), col(domainCol),
+        explode(sequence(lit(0L), col("n_copies") - 1)).as("epoch"))
+  }
 }

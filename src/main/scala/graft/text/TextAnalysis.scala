@@ -239,6 +239,62 @@ object TextAnalysis {
         (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** [[decontaminate]] at benchmark-suite scale: instead of joining every
+    * corpus shingle against the probe table, prefilter with a
+    * [[graft.functions.StringBloom]] built over the probes — a ~10-bit-
+    * per-probe bit set probed by a codegen'd expression, so pass 1 over
+    * the corpus is narrow and shuffle-free and only Bloom survivors
+    * (true hits + the fpp tail) reach the exact verify join. Bloom
+    * filters have NO false negatives, so the output is bit-identical to
+    * [[decontaminate]] — the gate runs both against the same oracle.
+    *
+    * At 100 TB: a 10M-n-gram benchmark suite is a ~12 MB filter riding
+    * the expression vs a multi-GB probe-string broadcast, and the verify
+    * join's corpus side shrinks from every shingle to roughly
+    * `fpp × corpus_shingles`, which AQE then broadcast-joins. */
+  def decontaminateBloom(
+      docs: DataFrame,
+      probes: Seq[String],
+      n: Int = 5,
+      fpp: Double = 0.01): DataFrame = {
+    import graft.functions.{BloomMightContainExpr, StringBloom}
+    val spark = docs.sparkSession
+    val distinctProbes = probes.distinct
+    val bloom = StringBloom.create(distinctProbes.size.toLong.max(1L), fpp)
+    distinctProbes.foreach(bloom.put)
+    val probeDf = spark.createDataFrame(distinctProbes.map(Tuple1(_)))
+      .toDF("shingle")
+    val candidates = graft.dedup.Dedup.shingles(docs, n)
+      .where(BloomMightContainExpr.mightContain(col("shingle"), bloom))
+    val hits = candidates
+      .join(probeDf, "shingle") // exact verify: kills the fpp tail
+      .groupBy("doc_id")
+      .agg(countDistinct("shingle").as("n_hits"))
+    docs.select("doc_id")
+      .join(hits, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  /** Distributed Bloom build over a probe COLUMN (when the benchmark
+    * n-gram set is itself a DataFrame too big to collect as strings):
+    * per-partition local filters OR-merged by `treeAggregate`, driver
+    * memory = one filter regardless of probe count. */
+  def bloomFromColumn(probes: DataFrame, colName: String,
+      expected: Long, fpp: Double = 0.01): graft.functions.StringBloom = {
+    import graft.functions.StringBloom
+    val proto = StringBloom.create(expected, fpp)
+    val geometry = (proto.bits.length, proto.k)
+    probes.select(col(colName)).na.drop().rdd
+      .map(_.getString(0))
+      .treeAggregate(new StringBloom(
+        new Array[Long](geometry._1), geometry._2))(
+        seqOp = (b, s) => { b.put(s); b },
+        combOp = (a, b) => a.merge(b))
+  }
+
   /** The canonical training-data preprocessing pipeline in ONE
     * declarative plan — the composition a 100 TB corpus actually runs:
     * quality/length filter → target language → exact-dedup keep-canonical

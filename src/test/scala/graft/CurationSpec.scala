@@ -1,0 +1,93 @@
+package graft
+
+import graft.ops.Sampling
+import graft.text.Curation
+import org.apache.spark.sql.functions._
+
+class CurationSpec extends SparkSpec {
+
+  private def mixedDocs = {
+    import spark.implicits._
+    // two disjoint vocabularies: "science" docs (target-like) and
+    // "spam" docs
+    val sci = Seq("atoms bond into stable molecules",
+      "energy flows through the reaction",
+      "molecules exchange energy in collisions",
+      "stable atoms resist the reaction")
+    val spam = Seq("click here buy now cheap",
+      "cheap deals click now here",
+      "buy cheap now click deals")
+    (sci ++ spam).zipWithIndex
+      .map { case (t, i) => (i.toLong, t, if (i < sci.length) "sci" else "spam") }
+      .toDF("doc_id", "text", "lang")
+  }
+
+  test("dsirScores prefers target-like documents") {
+    val docs = mixedDocs
+    val out = Curation.dsirScores(docs, docs.where(col("lang") === "sci"),
+        buckets = 256)
+      .join(docs.select("doc_id", "lang"), "doc_id")
+      .collect().map(r => (r.getAs[String]("lang"), r.getAs[Boolean]("keep"),
+        r.getAs[Double]("mean_w")))
+    val sciMean = out.filter(_._1 == "sci").map(_._3).sum / out.count(_._1 == "sci")
+    val spamMean = out.filter(_._1 == "spam").map(_._3).sum / out.count(_._1 == "spam")
+    assert(sciMean > spamMean, s"sci $sciMean should outscore spam $spamMean")
+    assert(out.filter(_._1 == "sci").forall(_._2), "all sci docs kept")
+    assert(!out.filter(_._1 == "spam").exists(_._2), "no spam doc kept")
+  }
+
+  test("dsirWeights covers every bucket exactly once") {
+    val docs = mixedDocs
+    val w = Curation.dsirWeights(docs, docs.where(col("lang") === "sci"), 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(w.keySet === (0L until 64L).toSet)
+    assert(w.values.forall(_ > 0L))
+  }
+
+  test("qualityClassifier logit matches hand arithmetic") {
+    import spark.implicits._
+    val docs = Seq((1L, "the the cat")).toDF("doc_id", "text")
+    val r = Curation.qualityClassifier(docs, Seq("the", "a"),
+      wTtr = 2.0, wStop = -1.5, wLen = 0.25, wWords = 1.0, bias = -2.5)
+      .collect().head
+    val nw = 3.0
+    val ttr = 2.0 / nw
+    val stop = 2.0 / nw
+    val mwl = (11.0 - nw + 1.0) / nw
+    val capped = math.min(nw, 64.0) / 64.0
+    val logit = -2.5 + 2.0 * ttr + -1.5 * stop + 0.25 * mwl + 1.0 * capped
+    assert(r.getAs[Double]("ttr") === ttr)
+    assert(r.getAs[Double]("stop_ratio") === stop)
+    assert(r.getAs[Double]("mean_wlen") === mwl)
+    assert(r.getAs[Double]("logit") === logit)
+    assert(r.getAs[Boolean]("keep") === (logit > 0))
+  }
+
+  test("domainMix reproduces the per-domain epoch plan") {
+    import spark.implicits._
+    val docs = ((0L until 8L).map(i => (i, s"a doc $i", "a")) ++
+      (8L until 10L).map(i => (i, s"b doc $i", "b")))
+      .toDF("doc_id", "text", "lang")
+    val out = Sampling.domainMix(docs, "lang", Map("a" -> 0.5, "b" -> 0.5))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // expected, by the documented formula: total=10
+    def plan(n: Long, w: Double) = {
+      val e = w * 10.0 / n
+      (math.floor(e).toLong, math.floor((e - math.floor(e)) * Sampling.MixSlotMod).toLong)
+    }
+    val expect = (0L until 10L).flatMap { id =>
+      val dom = if (id < 8) "a" else "b"
+      val (copies, thresh) = if (id < 8) plan(8, 0.5) else plan(2, 0.5)
+      val slot = ((id % Sampling.MixSlotMod) * 48271L) % Sampling.MixSlotMod
+      val n = copies + (if (slot < thresh) 1L else 0L)
+      (0L until n).map(e => (id, dom, e))
+    }
+    assert(out.toSet === expect.toSet)
+    // domain b upsamples: every b doc appears at least twice (2.5 epochs)
+    assert((8L until 10L).forall(id => out.count(_._1 == id) >= 2))
+    // weights must sum to 1
+    intercept[IllegalArgumentException] {
+      Sampling.domainMix(docs, "lang", Map("a" -> 0.5, "b" -> 0.1))
+    }
+  }
+}
