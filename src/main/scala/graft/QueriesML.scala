@@ -713,7 +713,7 @@ object QueriesML {
         |       CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM u GROUP BY 1""".stripMargin)),
 
-    // ---- M30: real BPE tokenizer (graft.text.Bpe) ----------------------
+    // ---- M31: real BPE tokenizer (graft.text.Bpe) ----------------------
     // The train/encode/stats oracles below are CLOSED-FORM, hand-derived
     // from the Sennrich et al. 2016 §3.2 example corpus
     // {low:5, lower:2, newest:6, widest:3} under the library's
@@ -779,9 +779,9 @@ object QueriesML {
       Some("SELECT doc_id, text AS decoded FROM documents"))
   )
 
-  // ---- M31–M33: model-based curation (graft.text.Curation, Sampling) --
+  // ---- M32–M34: model-based curation (graft.text.Curation, Sampling) --
   val curation: Seq[Q] = Seq(
-    // M31 DSIR importance resampling: hashed unigram+bigram buckets,
+    // M32 DSIR importance resampling: hashed unigram+bigram buckets,
     // integer-quantized importance weights (exact BIGINT doc sums →
     // order-independent across partitions and engines), target = the
     // English slice of the same corpus.
@@ -818,7 +818,7 @@ object QueriesML {
         |       coalesce(w_sum::DOUBLE / n_grams >= 1000000.0::DOUBLE, false) AS keep
         |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id""".stripMargin)),
 
-    // M32 linear quality classifier: fixed-order IEEE logit over
+    // M33 linear quality classifier: fixed-order IEEE logit over
     // deterministic surface features; keep = logit > 0 (sigmoid is
     // monotone, so this IS the probability threshold, minus the libm
     // exp() portability hazard).
@@ -843,7 +843,7 @@ object QueriesML {
         |         + 1.0::DOUBLE * (least(nw, 64.0::DOUBLE) / 64.0::DOUBLE)) > 0 AS keep
         |FROM g""".stripMargin)),
 
-    // M33 domain-reweighted mix: dyadic target shares over the lang
+    // M34 domain-reweighted mix: dyadic target shares over the lang
     // column, whole-epoch upsampling + slot-sampled fractional epoch —
     // the oracle recomputes the per-domain epoch plan from scratch.
     Q("q_domain_mix",
