@@ -389,6 +389,42 @@ object ScaleBench {
       "B15 gpkg must hold every cell feature")
     deleteRecursive(b15dir)
 
+    // B16: BPE tokenizer at corpus scale — 1M 50-word docs (50M words,
+    // 9973-type vocabulary). Train = one histogram shuffle + the
+    // incremental driver loop; encode = the codegen'd kernel over every
+    // doc (memo-hit path after the Zipf head warms). Rates in Mtok/s.
+    val b16docs = spark.range(1000000).select(col("id").as("doc_id"),
+      concat_ws(" ", expr(
+        "transform(sequence(1, 50), i -> concat('w', (id * i) % 9973))"))
+        .as("text")).persist()
+    b16docs.count()
+    val (b16ts, b16tn) = time {
+      graft.text.Bpe.train(b16docs, "text", 200).length.toLong
+    }
+    val b16merges = graft.text.Bpe.train(b16docs, "text", 200)
+    val (b16s, b16n) = time {
+      b16docs.select(sum(size(graft.text.Bpe.encode(col("text"), b16merges)))
+        .as("n")).collect()(0).getLong(0)
+    }
+
+    // B17: Bloom-prefiltered decontamination at benchmark-suite scale —
+    // 100k probe 5-grams (1k planted in the corpus, 99k absent) over the
+    // same 1M docs (~46M corpus shingles). The Bloom probe filter runs
+    // below the shingle-distinct shuffle (predicate on grouping keys
+    // pushes through the Aggregate), so the shuffle and verify join see
+    // only survivors.
+    val b17probes: Seq[String] = (0 until 100000).map { i =>
+      if (i < 1000) {
+        val id = (i + 1).toLong
+        (1 to 5).map(j => "w" + (id * j % 9973)).mkString(" ")
+      } else s"x${i}_1 x${i}_2 x${i}_3 x${i}_4 x${i}_5"
+    }
+    val (b17s, b17n) = time {
+      graft.text.TextAnalysis.decontaminateBloom(b16docs, b17probes, n = 5)
+        .agg(sum(col("contaminated").cast("long"))).collect()(0).getLong(0)
+    }
+    b16docs.unpersist()
+
     val b1rate = "%.1f".format(src.ncells * 32 / b1s / 1e6)
     val b3rate = "%.1f".format(b3n / b3s / 1e6)
     val json =
@@ -409,7 +445,11 @@ object ScaleBench {
         s""""b13b_hourly_export_sec":$b13bs,"b13b_files":$b13bn,""" +
         s""""b14_layout_write_sec":$b14ws,"b14_weight_rows":$b14wn,""" +
         s""""b14_bucketed_join_sec":$b14s,"b14_rows_out":$b14n,""" +
-        s""""b15_gpkg_export_sec":$b15s,"b15_file_bytes":$b15n}"""
+        s""""b15_gpkg_export_sec":$b15s,"b15_file_bytes":$b15n,""" +
+        s""""b16_bpe_train_sec":$b16ts,"b16_merges":$b16tn,""" +
+        s""""b16_bpe_encode_sec":$b16s,"b16_tokens":$b16n,""" +
+        s""""b16_mtok_per_s":${"%.1f".format(b16n / b16s / 1e6)},""" +
+        s""""b17_bloom_decon_sec":$b17s,"b17_contaminated":$b17n,"b17_probes":100000}"""
     println(json)
     // durable copy for the round artifacts (same pattern as BENCH_LAST)
     java.nio.file.Files.write(

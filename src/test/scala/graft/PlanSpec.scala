@@ -294,4 +294,63 @@ class PlanSpec extends SparkSpec {
       !e.child.schema.fieldNames.contains("w")),
       "token arrays must never shuffle:\n" + planStr)
   }
+
+  /** Unwrap the AQE wrapper so collect() sees the physical operators
+    * (AdaptiveSparkPlanExec has no children of its own). */
+  private def concretePlan(df: DataFrame) =
+    df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+
+  test("decontaminateBloom probes BELOW the shingle-distinct shuffle") {
+    val docs = spark.createDataFrame(
+      (1L to 40L).map(i => (i, s"alpha beta gamma delta tail_$i x y z")))
+      .toDF("doc_id", "text")
+    val out = graft.text.TextAnalysis.decontaminateBloom(
+      docs, Seq("alpha beta gamma"), n = 3)
+    val plan = concretePlan(out)
+    // the probe is a predicate on the distinct's grouping keys, so
+    // Catalyst must push it through the Aggregate: every shuffle that
+    // moves shingles has the bloom filter inside its subtree (the
+    // corpus is prefiltered BEFORE it is ever exchanged)
+    val shingleExchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+        if e.child.schema.fieldNames.contains("shingle") => e
+    }
+    assert(shingleExchanges.nonEmpty, plan.toString)
+    assert(shingleExchanges.forall(_.child.toString.contains("bloom_might_contain")),
+      "bloom probe must run pre-shuffle:\n" + plan)
+  }
+
+  test("qualityClassifier and domainMix output plans are shuffle-free") {
+    val docs = spark.createDataFrame(
+      (1L to 30L).map(i => (i, s"some words here number_$i", "en")))
+      .toDF("doc_id", "text", "lang")
+    val q = graft.text.Curation.qualityClassifier(docs, Seq("some"),
+      2.0, -1.5, 0.25, 1.0, -2.5)
+    assert(!q.queryExecution.executedPlan.toString.contains("Exchange"),
+      q.queryExecution.executedPlan.toString)
+    // domainMix collects the tiny domain-count aggregate at build time;
+    // the RETURNED plan (slot filter + epoch explode) must stay narrow
+    val m = graft.ops.Sampling.domainMix(docs, "lang", Map("en" -> 1.0))
+    assert(!m.queryExecution.executedPlan.toString.contains("Exchange"),
+      m.queryExecution.executedPlan.toString)
+  }
+
+  test("dsirScores broadcasts only the bucket-weight table, not the corpus") {
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    val docs = spark.createDataFrame(
+      (1L to 30L).map(i => (i, s"alpha beta gamma delta_$i", "en")))
+      .toDF("doc_id", "text", "lang")
+    val out = graft.text.Curation.dsirScores(docs,
+      docs.where(col("lang") === "en"), buckets = 64)
+    val plan = concretePlan(out)
+    val broadcasts = plan.collect { case b: BroadcastExchangeExec => b }
+    assert(broadcasts.nonEmpty, plan.toString)
+    val bad = broadcasts.filter(_.child.schema.fieldNames.contains("text"))
+    assert(bad.isEmpty, "corpus must never be broadcast; offending " +
+      s"broadcast children: ${bad.map(_.child.schema.fieldNames.mkString(","))}\n$plan")
+  }
 }
