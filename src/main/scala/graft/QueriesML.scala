@@ -843,6 +843,25 @@ object QueriesML {
         |         + 1.0::DOUBLE * (least(nw, 64.0::DOUBLE) / 64.0::DOUBLE)) > 0 AS keep
         |FROM g""".stripMargin)),
 
+    // M35 Aho-Corasick blocklist filter: every-end-position match
+    // semantics replayed by the oracle as a literal position scan per
+    // pattern (overlapping included) — no regex semantics to diverge on.
+    Q("q_blocklist",
+      (s, d) => TextAnalysis.blocklistFilter(documents(s, d),
+        Seq("slow", "agg row", "spark")),
+      Some {
+        def cnt(p: String) =
+          s"len(list_filter(range(1, length(text) - ${p.length} + 2), " +
+            s"i -> text[i:i+${p.length - 1}] = '$p'))"
+        val (c1, c2, c3) = (cnt("slow"), cnt("agg row"), cnt("spark"))
+        s"""WITH m AS (SELECT doc_id, $c1 AS c1, $c2 AS c2, $c3 AS c3
+          |           FROM documents)
+          |SELECT doc_id, (c1 + c2 + c3)::BIGINT AS n_matches,
+          |       ((c1 > 0)::INT + (c2 > 0)::INT + (c3 > 0)::INT)::BIGINT AS n_patterns,
+          |       (c1 + c2 + c3) >= 1 AS blocked
+          |FROM m""".stripMargin
+      }),
+
     // M34 domain-reweighted mix: dyadic target shares over the lang
     // column, whole-epoch upsampling + slot-sampled fractional epoch —
     // the oracle recomputes the per-domain epoch plan from scratch.

@@ -278,6 +278,27 @@ object TextAnalysis {
         (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** Blocklist filter via one Aho–Corasick pass (M35): every pattern of
+    * the blocklist matched simultaneously in O(|text| + matches) per
+    * document — a regex alternation degrades with blocklist size and a
+    * per-pattern scan is O(N·|text|). Occurrences are counted at every
+    * end position (overlapping included), `n_patterns` is the count of
+    * DISTINCT blocklist entries present, `blocked` fires at
+    * `threshold` total matches. Zero shuffles: the automaton (int
+    * tables, a few MB at 100k entries) rides the codegen'd expression
+    * to every executor. */
+  def blocklistFilter(docs: DataFrame, blocklist: Seq[String],
+      threshold: Long = 1L): DataFrame = {
+    import graft.functions.{AcAutomaton, AhoCorasickExpr}
+    val ac = AcAutomaton(blocklist.distinct)
+    val scan = AhoCorasickExpr.acScan(col("text"), ac)
+    docs.select(col("doc_id"), scan.as("_s"))
+      .select(col("doc_id"),
+        col("_s").getItem(0).as("n_matches"),
+        col("_s").getItem(1).as("n_patterns"))
+      .withColumn("blocked", col("n_matches") >= threshold)
+  }
+
   /** Distributed Bloom build over a probe COLUMN (when the benchmark
     * n-gram set is itself a DataFrame too big to collect as strings):
     * per-partition local filters OR-merged by `treeAggregate`, driver
