@@ -843,6 +843,19 @@ object QueriesML {
         |         + 1.0::DOUBLE * (least(nw, 64.0::DOUBLE) / 64.0::DOUBLE)) > 0 AS keep
         |FROM g""".stripMargin)),
 
+    // M36 deterministic shard shuffle: content-stable pseudo-random
+    // permutation into training shards (one shuffle + per-shard sort).
+    Q("q_shard_shuffle",
+      (s, d) => ops.Sampling.shardShuffle(documents(s, d), nShards = 16),
+      Some(s"""WITH k AS (SELECT doc_id, ${hashSql("'shuf' || doc_id")} AS shuffle_key
+        |            FROM documents),
+        |s AS (SELECT doc_id, shuffle_key, shuffle_key % 16 AS shard FROM k)
+        |SELECT doc_id, shard,
+        |       row_number() OVER (PARTITION BY shard
+        |                          ORDER BY shuffle_key, doc_id)::BIGINT AS pos,
+        |       shuffle_key
+        |FROM s""".stripMargin)),
+
     // M35 Aho-Corasick blocklist filter: every-end-position match
     // semantics replayed by the oracle as a literal position scan per
     // pattern (overlapping included) — no regex semantics to diverge on.

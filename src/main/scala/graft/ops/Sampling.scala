@@ -131,4 +131,27 @@ object Sampling {
       .select(col("doc_id"), col(domainCol),
         explode(sequence(lit(0L), col("n_copies") - 1)).as("epoch"))
   }
+
+  /** Deterministic global shuffle into training shards: every doc gets a
+    * content-stable pseudo-random key (portable hash of a salted id), a
+    * shard (key mod `nShards`) and its position within the shard (rank
+    * by key). The training loader then reads shards in any order and
+    * rows within a shard by `pos` — a reproducible corpus permutation
+    * with no RNG state to coordinate across executors.
+    *
+    * Scale: ONE shuffle (by shard) + a per-shard sort. Choose `nShards`
+    * so a shard fits an executor (100 TB / 16k shards ≈ 6 GB); the sort
+    * is per-shard, never global. Ties cannot happen (doc_id breaks any
+    * hash collision in the rank order). */
+  def shardShuffle(docs: DataFrame, nShards: Int): DataFrame = {
+    require(nShards > 0)
+    val key = graft.text.TextAnalysis.portableHash(
+      concat(lit("shuf"), col("doc_id")))
+    val win = Window.partitionBy(col("shard"))
+      .orderBy(col("shuffle_key"), col("doc_id"))
+    docs.select(col("doc_id"), key.as("shuffle_key"))
+      .withColumn("shard", pmod(col("shuffle_key"), lit(nShards.toLong)))
+      .withColumn("pos", row_number().over(win).cast("long"))
+      .select("doc_id", "shard", "pos", "shuffle_key")
+  }
 }
