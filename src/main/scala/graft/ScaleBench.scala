@@ -425,6 +425,17 @@ object ScaleBench {
     }
     b16docs.unpersist()
 
+    // B18: deterministic shard shuffle of 50M docs into 512 shards —
+    // one hash shuffle + per-shard sort (the reproducible training
+    // permutation). Verifies the window never globalizes: rank runs
+    // per shard (~100k rows each here; size nShards so a shard fits an
+    // executor at 100 TB).
+    val b18docs = spark.range(50000000).select(col("id").as("doc_id"))
+    val (b18s, b18n) = time {
+      graft.ops.Sampling.shardShuffle(b18docs, nShards = 512)
+        .agg(count(lit(1)), max("pos")).collect()(0).getLong(0)
+    }
+
     val b1rate = "%.1f".format(src.ncells * 32 / b1s / 1e6)
     val b3rate = "%.1f".format(b3n / b3s / 1e6)
     val json =
@@ -449,7 +460,9 @@ object ScaleBench {
         s""""b16_bpe_train_sec":$b16ts,"b16_merges":$b16tn,""" +
         s""""b16_bpe_encode_sec":$b16s,"b16_tokens":$b16n,""" +
         s""""b16_mtok_per_s":${"%.1f".format(b16n / b16s / 1e6)},""" +
-        s""""b17_bloom_decon_sec":$b17s,"b17_contaminated":$b17n,"b17_probes":100000}"""
+        s""""b17_bloom_decon_sec":$b17s,"b17_contaminated":$b17n,"b17_probes":100000,""" +
+        s""""b18_shard_shuffle_sec":$b18s,"b18_rows":$b18n,""" +
+        s""""b18_mrows_per_s":${"%.1f".format(b18n / b18s / 1e6)}}"""
     println(json)
     // durable copy for the round artifacts (same pattern as BENCH_LAST)
     java.nio.file.Files.write(
