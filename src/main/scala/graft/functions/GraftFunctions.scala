@@ -27,6 +27,13 @@ object GraftFunctions {
     "dot_product" -> { exprs =>
       require(exprs.length == 2, "dot_product(array<double>, array<double>)")
       DotProductExpr(exprs.head, exprs(1))
+    },
+    "ac_scan" -> { exprs =>
+      require(exprs.length == 2, "ac_scan(text, 'pat1,pat2,...')")
+      val pats = exprs(1).eval(null)
+        .asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+        .toString.split(',').toSeq.filter(_.nonEmpty)
+      AhoCorasickExpr(exprs.head, AcAutomaton(pats))
     })
 
   /** Register on a live session (test/REPL convenience). */

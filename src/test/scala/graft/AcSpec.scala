@@ -47,6 +47,13 @@ class AcSpec extends SparkSpec {
     }
   }
 
+  test("ac_scan is callable from SQL via GraftFunctions") {
+    graft.functions.GraftFunctions.register(spark)
+    val a = spark.sql("SELECT ac_scan('ushers', 'he,she,his,hers') AS a")
+      .collect()(0).getSeq[Long](0)
+    assert(a === Seq(3L, 3L))
+  }
+
   test("blocklistFilter end-to-end over a DataFrame") {
     import spark.implicits._
     val docs = Seq(

@@ -107,6 +107,38 @@ class BpeSpec extends SparkSpec {
     assert(Bpe.train(docs, "text", 10) === handMerges)
   }
 
+  test("roundtrip property: decode(encode(t)) = t on random corpora, any table") {
+    import spark.implicits._
+    var seed = 777L
+    def next(): Long = { seed = (seed * 6364136223846793005L + 1442695040888963407L); seed >>> 33 }
+    val alpha = "abcdeé中ß" // includes non-ASCII symbols
+    val docs = (0L until 40L).map { id =>
+      val nw = 1 + (next() % 8).toInt
+      val text = (0 until nw).map { _ =>
+        (0 until 1 + (next() % 6).toInt)
+          .map(_ => alpha((next() % alpha.length).toInt)).mkString
+      }.mkString(" ")
+      (id, text)
+    }
+    val df = docs.toDF("doc_id", "text")
+    val merges = Bpe.train(df, "text", 25)
+    val out = df.select(col("doc_id"),
+        Bpe.decode(Bpe.encode(col("text"), merges)).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    docs.foreach { case (id, t) => assert(out(id) === t, s"doc $id") }
+  }
+
+  test("empty corpus and empty merge table degrade gracefully") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Bpe.train(empty, "text", 10) === Seq.empty)
+    // empty table: encode splits to chars + </w>
+    val enc = Seq((1L, "ab c")).toDF("doc_id", "text")
+      .select(Bpe.encode(col("text"), Seq.empty).as("t"))
+      .collect()(0).getSeq[String](0)
+    assert(enc === Seq("a", "b", "</w>", "c", "</w>"))
+  }
+
   test("tokenStats counts tokens under the learned table") {
     import spark.implicits._
     val docs = Seq((7L, "newest widest")).toDF("doc_id", "text")
