@@ -11,7 +11,8 @@ package graft
   * of each decode is established by the corresponding ScalaTest spec
   * (TnoSpec, GfasSpec, CamsRegSpec, LpjGuessSpec, GfedSpec, MapLuftSpec,
   * OsmSpec, JvmMediaSpec, WrfGridSpec, DuckInventorySpec,
-  * EdgarProfilesSpec) and by LoaderFixturesSpec's byte-drift guard. */
+  * EdgarProfilesSpec, WarcSpec, HtmlExtractSpec) and by
+  * LoaderFixturesSpec's byte-drift guard. */
 object OraclePins {
   val pins: Map[String, String] = Map(
     "q_cams" ->
@@ -170,6 +171,26 @@ object OraclePins {
       (3::BIGINT, '10.11'::DOUBLE, '45.1'::DOUBLE, '10.33'::DOUBLE, '45.3'::DOUBLE, '349.277099'::DOUBLE),
       (4::BIGINT, '10.29'::DOUBLE, '44.9'::DOUBLE, '10.51'::DOUBLE, '45.1'::DOUBLE, '350.502717'::DOUBLE),
       (5::BIGINT, '10.31'::DOUBLE, '45.1'::DOUBLE, '10.53'::DOUBLE, '45.3'::DOUBLE, '349.277099'::DOUBLE)
-      ) AS t(cell_id, bl_lon, bl_lat, tr_lon, tr_lat, area_km2)"""
+      ) AS t(cell_id, bl_lon, bl_lat, tr_lon, tr_lat, area_km2)""",
+    "q_warc_read" ->
+      """SELECT * FROM (VALUES
+      ('shard_000.warc', 0::BIGINT, 'warcinfo', '', '2026-01-02T03:04:05Z', -1::BIGINT, '', 29::BIGINT, 29::BIGINT),
+      ('shard_000.warc', 1::BIGINT, 'request', 'http://example.test/', '2026-01-02T03:04:06Z', -1::BIGINT, '', 38::BIGINT, 38::BIGINT),
+      ('shard_000.warc', 2::BIGINT, 'response', 'http://example.test/', '2026-01-02T03:04:06Z', 200::BIGINT, 'text/html; charset=UTF-8', 563::BIGINT, 483::BIGINT),
+      ('shard_000.warc', 3::BIGINT, 'response', 'http://example.test/two', '2026-01-02T03:04:07Z', 200::BIGINT, 'text/html', 274::BIGINT, 209::BIGINT),
+      ('shard_000.warc', 4::BIGINT, 'response', 'http://example.test/miss', '2026-01-02T03:04:08Z', 404::BIGINT, 'text/plain', 76::BIGINT, 5::BIGINT),
+      ('shard_001.warc.gz', 0::BIGINT, 'warcinfo', '', '2026-01-02T03:04:05Z', -1::BIGINT, '', 29::BIGINT, 29::BIGINT),
+      ('shard_001.warc.gz', 1::BIGINT, 'request', 'http://example.test/', '2026-01-02T03:04:06Z', -1::BIGINT, '', 38::BIGINT, 38::BIGINT),
+      ('shard_001.warc.gz', 2::BIGINT, 'response', 'http://example.test/', '2026-01-02T03:04:06Z', 200::BIGINT, 'text/html; charset=UTF-8', 563::BIGINT, 483::BIGINT),
+      ('shard_001.warc.gz', 3::BIGINT, 'response', 'http://example.test/two', '2026-01-02T03:04:07Z', 200::BIGINT, 'text/html', 274::BIGINT, 209::BIGINT),
+      ('shard_001.warc.gz', 4::BIGINT, 'response', 'http://example.test/miss', '2026-01-02T03:04:08Z', 404::BIGINT, 'text/plain', 76::BIGINT, 5::BIGINT)
+      ) AS t(file, seq, warc_type, target_uri, warc_date, http_status, http_content_type, content_length, body_bytes)""",
+    "q_crawl_extract" ->
+      """SELECT * FROM (VALUES
+      ('shard_000.warc', 2::BIGINT, 'http://example.test/', 6::BIGINT, 4::BIGINT, 145::BIGINT, 20::BIGINT, 27::BIGINT, 781751::BIGINT),
+      ('shard_000.warc', 3::BIGINT, 'http://example.test/two', 4::BIGINT, 3::BIGINT, 56::BIGINT, 2::BIGINT, 10::BIGINT, 184471179::BIGINT),
+      ('shard_001.warc.gz', 2::BIGINT, 'http://example.test/', 6::BIGINT, 4::BIGINT, 145::BIGINT, 20::BIGINT, 27::BIGINT, 781751::BIGINT),
+      ('shard_001.warc.gz', 3::BIGINT, 'http://example.test/two', 4::BIGINT, 3::BIGINT, 56::BIGINT, 2::BIGINT, 10::BIGINT, 184471179::BIGINT)
+      ) AS t(file, seq, url, n_blocks, n_kept, n_chars, n_link_chars, n_words, text_hash)"""
   )
 }

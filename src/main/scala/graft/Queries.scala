@@ -1000,5 +1000,6 @@ object Queries {
 
   def all: Seq[Q] =
     relational ++ profileTemporal ++ eventOps ++ QueriesML.ml ++
-      QueriesML.curation ++ QueriesExtra.extra ++ QueriesSpatial.spatial
+      QueriesML.curation ++ QueriesML.crawl ++
+      QueriesExtra.extra ++ QueriesSpatial.spatial
 }

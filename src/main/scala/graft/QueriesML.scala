@@ -901,6 +901,114 @@ object QueriesML {
         |FROM k WHERE n_copies > 0""".stripMargin))
   )
 
+  /** Crawl ingestion (M37 WARC reader) and HTML extraction (M38):
+    * WARC → HTML → main text, the front end of the 100 TB pipeline
+    * whose downstream stages (lang-id, quality, dedup) are M1-M36. */
+  val crawl: Seq[Q] = Seq(
+
+    // html_strip over synthesized markup on the documents table — the
+    // oracle replays the documented fixed pipeline (comment/script/
+    // style removal, tag strip, 6 entity decodes, whitespace collapse)
+    // step for step in ANSI SQL.
+    Q("q_html_strip",
+      (s, dir) => {
+        val html = concat(
+          lit("<html><head><title>D&amp;C "), col("doc_id"),
+          lit("</title><style>p{x:1}</style></head><body><!-- b --><h1>Doc &#39;"),
+          col("doc_id"),
+          lit("&#39;</h1><p>"), col("text"),
+          lit("</p><script>var a=1<2;</script>" +
+            "<div>&nbsp;tail&quot;q&quot;</div></body></html>"))
+        documents(s, dir)
+          .select(col("doc_id"),
+            graft.text.HtmlExtract.htmlStrip(html).as("clean"))
+      },
+      Some("""WITH h AS (SELECT doc_id,
+        |  '<html><head><title>D&amp;C ' || doc_id ||
+        |  '</title><style>p{x:1}</style></head><body><!-- b --><h1>Doc &#39;'
+        |  || doc_id || '&#39;</h1><p>' || text ||
+        |  '</p><script>var a=1<2;</script><div>&nbsp;tail&quot;q&quot;</div></body></html>'
+        |    AS html FROM documents)
+        |SELECT doc_id,
+        |  trim(regexp_replace(
+        |    replace(replace(replace(replace(replace(replace(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(
+        |            regexp_replace(html, '(?s)<!--.*?-->', ' ', 'g'),
+        |            '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
+        |          '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
+        |        '<[^>]*>', ' ', 'g'),
+        |      '&lt;','<'),'&gt;','>'),'&quot;','"'),'&#39;',''''),
+        |      '&nbsp;',' '),'&amp;','&'),
+        |    '\s+', ' ', 'g')) AS clean
+        |FROM h""".stripMargin)),
+
+    // html_main_text with a CLOSED-FORM oracle: the markup is
+    // constructed so the boilerplate outcome is knowable without a
+    // parser — nav (density 1) and footer (7/12 > 1/3) drop, heading
+    // and body keep — and the oracle computes the kept text and all
+    // four counters directly from `text`.
+    Q("q_html_main",
+      (s, dir) => {
+        val html = concat(
+          lit("<nav><a href=\"/\">Home</a> <a href=\"/a\">About</a></nav>" +
+            "<h1>Doc "), col("doc_id"),
+          lit("</h1><p>"), col("text"),
+          lit("</p><div class=\"f\"><a href=\"/i\">Imprint</a> legal</div>"))
+        documents(s, dir)
+          .select(col("doc_id"),
+            graft.text.HtmlExtract.htmlMainText(html).as("m"))
+          .select(col("doc_id"), col("m.text").as("main_text"),
+            col("m.n_blocks").cast("long").as("n_blocks"),
+            col("m.n_kept").cast("long").as("n_kept"),
+            col("m.n_chars").cast("long").as("n_chars"),
+            col("m.n_link_chars").cast("long").as("n_link_chars"))
+      },
+      Some("""SELECT doc_id,
+        |  'Doc ' || doc_id || chr(10) || text AS main_text,
+        |  4::BIGINT AS n_blocks, 2::BIGINT AS n_kept,
+        |  (3 + length(doc_id::VARCHAR) + length(replace(text,' ','')))::BIGINT
+        |    AS n_chars,
+        |  16::BIGINT AS n_link_chars
+        |FROM documents""".stripMargin)),
+
+    // Pinned-literal oracles (OraclePins): WARC record walk and the
+    // end-to-end crawl→text extraction over the committed fixture
+    // shards (plain + multi-member gzip decode identically — WarcSpec).
+    Q("q_warc_read",
+      (s, _) => {
+        import s.implicits._
+        graft.sources.Warc.read(s, "/root/repo/fixtures/crawl")
+          .map(r => (r.file, r.seq, r.warc_type, r.target_uri,
+            r.warc_date, r.http_status, r.http_content_type,
+            r.content_length, r.body.length.toLong))
+          .toDF("file", "seq", "warc_type", "target_uri", "warc_date",
+            "http_status", "http_content_type", "content_length",
+            "body_bytes")
+          .withColumn("seq", col("seq").cast("long"))
+          .withColumn("http_status", col("http_status").cast("long"))
+      },
+      None),
+
+    Q("q_crawl_extract",
+      (s, _) => {
+        val html = graft.sources.Warc.htmlResponses(
+          graft.sources.Warc.read(s, "/root/repo/fixtures/crawl"))
+        html.select(col("file"), col("seq").cast("long").as("seq"),
+          col("url"),
+          graft.text.HtmlExtract.htmlMainText(col("html")).as("m"))
+          .select(col("file"), col("seq"), col("url"),
+            col("m.n_blocks").cast("long").as("n_blocks"),
+            col("m.n_kept").cast("long").as("n_kept"),
+            col("m.n_chars").cast("long").as("n_chars"),
+            col("m.n_link_chars").cast("long").as("n_link_chars"),
+            size(split(regexp_replace(col("m.text"), "\n", " "), " "))
+              .cast("long").as("n_words"),
+            TextAnalysis.portableHash(col("m.text")).as("text_hash"))
+      },
+      None))
+
   /** The Sennrich example corpus as documents (word multiplicities
     * {low:5, lower:2, newest:6, widest:3}). */
   private def bpeCorpus(s: org.apache.spark.sql.SparkSession) =

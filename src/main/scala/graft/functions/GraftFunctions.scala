@@ -34,6 +34,20 @@ object GraftFunctions {
         .asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
         .toString.split(',').toSeq.filter(_.nonEmpty)
       AhoCorasickExpr(exprs.head, AcAutomaton(pats))
+    },
+    "html_strip" -> { exprs =>
+      require(exprs.length == 1, "html_strip(html)")
+      graft.text.HtmlStripExpr(exprs.head)
+    },
+    "html_main_text" -> { exprs =>
+      require(exprs.length == 1 || exprs.length == 3,
+        "html_main_text(html[, max_link_density, min_chars])")
+      if (exprs.length == 1)
+        graft.text.HtmlMainExpr(exprs.head, 0.33, 2)
+      else
+        graft.text.HtmlMainExpr(exprs.head,
+          exprs(1).eval(null).asInstanceOf[Number].doubleValue(),
+          exprs(2).eval(null).asInstanceOf[Number].intValue())
     })
 
   /** Register on a live session (test/REPL convenience). */
