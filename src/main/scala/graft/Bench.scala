@@ -4,28 +4,53 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.build(cpus)
-    // Warm up the JVM/codegen/parquet-footer paths so the first measured
-    // query doesn't absorb session startup cost.
+    // Warm up the JVM/codegen/parquet paths so the first measured query
+    // doesn't absorb session startup cost. FULL-scan the hot tables (an
+    // all-column hash-sum forces every page through the decoder and the OS
+    // page cache) — a bare count() is metadata-only and left the first
+    // alphabetical queries (b–d cluster) paying the cold-IO cost on the
+    // contended driver box.
     spark.range(1000000).selectExpr("sum(id)").collect()
     Seq("lineitem", "events", "documents", "embeddings").foreach { t =>
-      try Tables.table(spark, sfDir, t).count() catch { case _: Throwable => () }
+      try {
+        import org.apache.spark.sql.functions.{col, xxhash64, sum}
+        val df = Tables.table(spark, sfDir, t)
+        df.select(df.columns.map(c => xxhash64(col(c)).cast("long"))
+          .reduce(_ + _).as("h")).agg(sum("h")).collect()
+      } catch { case _: Throwable => () }
     }
+    val benchT0 = System.currentTimeMillis()
+    // Per-query: wall seconds, start offset (ms since bench start — lets a
+    // post-hoc reader line timings up against driver-box contention
+    // windows), and an explicit error marker. A failed query records
+    // timing -1 so a regression can never masquerade as a speedup
+    // (r11: 11 analysis-failed queries read as ~0.1s "improvements").
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val startMs = System.currentTimeMillis() - benchT0
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      finally Caching.release() // no cached blocks leak across queries
-      name -> (System.nanoTime() - t0) / 1e9
+      val err: Option[String] =
+        try { fn(spark, sfDir).count(); None }
+        catch { case t: Throwable => Some(t.getClass.getSimpleName) }
+        finally Caching.release() // no cached blocks leak across queries
+      val secs = (System.nanoTime() - t0) / 1e9
+      (name, if (err.isDefined) -1.0 else secs, startMs, err)
     }
     // 3-decimal timings keep the JSON line compact: the harness that
     // collects stdout only retains a trailing window, so every byte of
     // the line improves the chance it survives intact.
     def d3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + d3(v) }
+    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + d3(v) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val starts = results.map { case (k, _, st, _) => "\"" + k + "\":" + st }
+      .mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, _, Some(e)) =>
+      "\"" + k + "\":\"" + e + "\"" }.mkString("{", ",", "}")
+    val errCount = results.count(_._4.isDefined)
+    val total = results.filter(_._4.isEmpty).map(_._2).sum
     val line =
-      s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":$qs,""" +
+        s""""errors":$errs,"error_count":$errCount,"start_ms":$starts,"sf":"$sfDir"}"""
     println(line)
     // Also persist the line to a file in the repo so per-query numbers
     // remain recoverable even when the stdout capture truncates
@@ -36,20 +61,19 @@ object Bench {
         (line + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () }
     // The driver keeps only a ~2000-char stdout TAIL and parses a JSON
-    // line out of it. The full 128-query line is ~4.3KB — it can never
-    // sit whole inside that window, which is why every BENCH_r*.json so
-    // far has parsed:null (the window starts mid-line). Emit a COMPACT
-    // variant (suite total + the 20 slowest queries, ~700 chars) as the
-    // last lines this JVM prints — once from main and once from a
-    // shutdown hook, so even with sbt's trailing "[success]" (~70 chars)
-    // a complete JSON line is guaranteed inside the tail. The full
-    // per-query map stays durable in BENCH_LAST.json.
-    val top = results.sortBy(-_._2).take(20)
-    val qsTop = top.map { case (k, v) => "\"" + k + "\":" + d3(v) }
+    // line out of it. The full per-query line is >4KB — it can never sit
+    // whole inside that window. Emit a COMPACT variant (suite total + the
+    // 20 slowest queries + error count, ~700 chars) as the last lines this
+    // JVM prints — once from main and once from a shutdown hook, so even
+    // with sbt's trailing "[success]" (~70 chars) a complete JSON line is
+    // guaranteed inside the tail. The full map stays in BENCH_LAST.json.
+    val top = results.filter(_._4.isEmpty).sortBy(-_._2).take(20)
+    val qsTop = top.map { case (k, v, _, _) => "\"" + k + "\":" + d3(v) }
       .mkString("{", ",", "}")
     val compact =
       s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":$qsTop,""" +
         s""""queries_shown":${top.size},"queries_total":${results.size},""" +
+        s""""error_count":$errCount,""" +
         s""""queries_full":"BENCH_LAST.json","sf":"$sfDir"}"""
     println(compact)
     Runtime.getRuntime.addShutdownHook(new Thread(() => {

@@ -879,9 +879,8 @@ object Queries {
         // events.parquet is a single file: stream the parent dir with a
         // glob filter (the streaming file source wants a directory)
         val schema = s.read.parquet(s"$d/events.parquet").schema
-        val stream = s.readStream.schema(schema)
-          .option("pathGlobFilter", "events.parquet").parquet(d)
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        val stream = Tables.normalizeEventTs(s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(d))
         val windowed = graft.streaming.StreamingOps.hourlyWindows(stream)
         val mem = "stream_hourly_" +
           java.util.UUID.randomUUID().toString.replace("-", "")
@@ -944,11 +943,9 @@ object Queries {
     // session SQL minus each user's last session.
     Q("q_stream_sessions",
       (s, d) => {
-        require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true")
         val schema = s.read.parquet(s"$d/events.parquet").schema
-        val stream = s.readStream.schema(schema)
-          .option("pathGlobFilter", "events.parquet").parquet(d)
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        val stream = Tables.normalizeEventTs(s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(d))
         val sessions = graft.streaming.StreamingOps.sessionizeStream(
           stream, gapMinutes = 30)
         val mem = "stream_sessions_" +

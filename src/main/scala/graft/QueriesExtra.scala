@@ -1145,6 +1145,105 @@ object QueriesExtra {
         |SELECT cell_id, 'AA' AS country, 1.0 - hole AS fraction
         |FROM ov WHERE 1.0 - hole > 1e-12
         |UNION ALL
-        |SELECT cell_id, 'BB', hole FROM ov WHERE hole > 1e-12""".stripMargin))
+        |SELECT cell_id, 'BB', hole FROM ov WHERE hole > 1e-12""".stripMargin)),
+
+    // R14 combine_inventories (emiproc/inventories/utils.py:687-711 —
+    // NotImplementedError in the reference; semantics from its docstring):
+    // inside = the 64×64 fine inventory, outside = an independent 32×32
+    // coarse inventory (different lineitem hash), boundary = the diagonal
+    // triangle (0,0)-(64,0)-(0,64), output = the 33×33 offset grid. The
+    // diagonal boundary yields dyadic crop fractions and the grid pairs
+    // yield dyadic remap weights, so all products are FP-exact; the final
+    // round(6) only guards the union-sum ordering. Oracle replays the
+    // Sutherland–Hodgman crop (same IEEE order as BoxPolyClipAreaExpr) on
+    // BOTH grids plus both closed-form remap weight tables.
+    Q("q_combine_inventories",
+      (s, d) => {
+        val grid2 = graft.model.RegularGrid(32, 32, 0.0, 0.0, 2.0, 2.0)
+        val outsideInv = lineitem(s, d).select(
+          (col("l_orderkey") % 1024).as("cell_id"),
+          col("l_returnflag").as("category"),
+          col("l_linestatus").as("substance"),
+          col("l_quantity").as("value"))
+          .groupBy("cell_id", "category", "substance")
+          .agg(sum("value").as("value"))
+        val tri = Seq((0.0, 0.0), (64.0, 0.0), (0.0, 64.0))
+        graft.ops.Regrid.combineInventories(
+          s, emissionsAgg(s, d), srcGrid, outsideInv, grid2, tri, dstGrid)
+          .select(col("cell_id"), col("category"), col("substance"),
+            round(col("value"), 6).as("value"))
+      },
+      Some(CombineInventoriesOracle))
   )
+
+  /** Triangle-crop weight CTEs for a regular grid, parametrized by CTE
+    * prefix: mirrors PolygonCrop.cellWeights(grid, triangle) — the same
+    * 4 half-plane stages + shoelace as [[CropPolygonOracle]], divided by
+    * the grid's cell area. */
+  private def triClipCtes(
+      p: String, ncells: Int, nyCells: Int, cellSize: Double): String = {
+    val cs = cellSize
+    s"""${p}cells AS MATERIALIZED (SELECT i AS cell_id,
+       |            (i // $nyCells) * $cs AS bx0, (i % $nyCells) * $cs AS by0,
+       |            (i // $nyCells) * $cs + $cs AS bx1, (i % $nyCells) * $cs + $cs AS by1
+       |          FROM range($ncells) t(i)),
+       |${p}p0 AS MATERIALIZED (SELECT cell_id, bx0, by0, bx1, by1,
+       |         [{'x': 0.0, 'y': 0.0}, {'x': 64.0, 'y': 0.0},
+       |          {'x': 0.0, 'y': 64.0}] AS vs
+       |       FROM ${p}cells),
+       |${shClipStage(s"${p}p0", s"${p}p1", "(V.x - bx0)")},
+       |${shClipStage(s"${p}p1", s"${p}p2", "(bx1 - V.x)")},
+       |${shClipStage(s"${p}p2", s"${p}p3", "(V.y - by0)")},
+       |${shClipStage(s"${p}p3", s"${p}p4", "(by1 - V.y)")},
+       |${p}w AS MATERIALIZED (SELECT cell_id,
+       |        CASE WHEN len(vs) < 3 THEN 0.0 ELSE
+       |          abs(list_sum(list_transform(range(1, len(vs) + 1),
+       |            i -> vs[i].x * vs[(i % len(vs)) + 1].y
+       |               - vs[(i % len(vs)) + 1].x * vs[i].y))) / 2.0
+       |        END / ${cs * cs} AS weight
+       |      FROM ${p}p4)""".stripMargin
+  }
+
+  /** Full SQL oracle for q_combine_inventories: crop replay on both grids,
+    * closed-form remap weights for both grid→output pairs, union + sum. */
+  private lazy val CombineInventoriesOracle: String =
+    s"""$EmiAggCte,
+       |emi2 AS (SELECT l_orderkey % 1024 AS cell_id, l_returnflag AS category,
+       |                l_linestatus AS substance, sum(l_quantity) AS value
+       |         FROM lineitem GROUP BY 1, 2, 3),
+       |${triClipCtes("a", 4096, 64, 1.0)},
+       |${triClipCtes("b", 1024, 32, 2.0)},
+       |cin AS (SELECT e.cell_id, category, substance,
+       |               e.value * coalesce(w.weight, 0.0) AS value
+       |        FROM emi e LEFT JOIN aw w ON w.cell_id = e.cell_id
+       |        WHERE e.value * coalesce(w.weight, 0.0) <> 0),
+       |cout AS (SELECT e.cell_id, category, substance,
+       |                e.value * (1.0 - coalesce(w.weight, 0.0)) AS value
+       |         FROM emi2 e LEFT JOIN bw w ON w.cell_id = e.cell_id
+       |         WHERE e.value * (1.0 - coalesce(w.weight, 0.0)) <> 0),
+       |dstc AS (SELECT j AS dst_cell,
+       |               -0.5 + (j // 33) * 2.0 AS dxmin, -0.5 + (j % 33) * 2.0 AS dymin,
+       |               -0.5 + (j // 33) * 2.0 + 2.0 AS dxmax, -0.5 + (j % 33) * 2.0 + 2.0 AS dymax
+       |         FROM range(1089) t(j)),
+       |arw AS (SELECT cell_id AS src_cell, dst_cell,
+       |              (least(bx1, dxmax) - greatest(bx0, dxmin)) *
+       |              (least(by1, dymax) - greatest(by0, dymin)) / 1.0 AS weight
+       |        FROM acells s JOIN dstc d
+       |          ON s.bx0 < d.dxmax AND s.bx1 > d.dxmin
+       |         AND s.by0 < d.dymax AND s.by1 > d.dymin),
+       |brw AS (SELECT cell_id AS src_cell, dst_cell,
+       |              (least(bx1, dxmax) - greatest(bx0, dxmin)) *
+       |              (least(by1, dymax) - greatest(by0, dymin)) / 4.0 AS weight
+       |        FROM bcells s JOIN dstc d
+       |          ON s.bx0 < d.dxmax AND s.bx1 > d.dxmin
+       |         AND s.by0 < d.dymax AND s.by1 > d.dymin),
+       |rin AS (SELECT dst_cell AS cell_id, category, substance,
+       |               sum(value * weight) AS value
+       |        FROM cin JOIN arw ON cin.cell_id = arw.src_cell GROUP BY 1, 2, 3),
+       |rout AS (SELECT dst_cell AS cell_id, category, substance,
+       |                sum(value * weight) AS value
+       |         FROM cout JOIN brw ON cout.cell_id = brw.src_cell GROUP BY 1, 2, 3)
+       |SELECT cell_id, category, substance, round(sum(value), 6) AS value
+       |FROM (SELECT * FROM rin UNION ALL SELECT * FROM rout)
+       |GROUP BY 1, 2, 3""".stripMargin
 }

@@ -175,6 +175,24 @@ object ScaleBench {
     }
     java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(b10path))
 
+    // B10b: the 10× plane — a 64.8M-cell grid (0.0316°-ish) exported
+    // through the SEGMENT-STREAMED plane path (ncell > PlaneCollectMax):
+    // one substance × 2 categories = 129.6M fact rows, a 518 MB double
+    // plane per variable. The driver never holds a plane: segments arrive
+    // ~4 MB at a time via toLocalIterator. Proves the single-file sink
+    // survives a 10× grid scale-up without a driver ceiling.
+    val srcXL = RegularGrid(11400, 5700, -180.0, -90.0, 360.0 / 11400, 180.0 / 5700)
+    val emiXL = emissions(srcXL.ncells, 2, 1).persist()
+    emiXL.count()
+    val b10bPath = java.nio.file.Files.createTempDirectory("scale_raster_xl")
+      .resolve("edgar10x_export.nc").toString
+    val (b10bs, b10bn) = time {
+      graft.sinks.Exports.rasterExportNc(emiXL, srcXL, b10bPath)
+      java.nio.file.Files.size(java.nio.file.Paths.get(b10bPath))
+    }
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(b10bPath))
+    emiXL.unpersist()
+
     // B11: OSM-shaped geometry resolution at scale — 2M coordinate
     // nodes, 200k tagged 10-node ways, 50k tagged relations (2 ways
     // stitched into a closed ring each) fed to OsmJson.fromElements:
@@ -448,6 +466,7 @@ object ScaleBench {
         s""""b8_dist_ingest_sec":$b8s,"b8_files":64,"b8_rows":$b8n,""" +
         s""""b9_conncomp_sec":$b9s,"b9_edges":8000999,"b9_clusters":$b9n,""" +
         s""""b10_raster_export_sec":$b10s,"b10_file_bytes":$b10n,""" +
+        s""""b10b_raster10x_streamed_sec":$b10bs,"b10b_file_bytes":$b10bn,""" +
         s""""b11_osm_resolve_sec":$b11s,"b11_parts":$b11n,""" +
         s""""b12_pii_url_sec":$b12s,"b12_docs":$nDocs,""" +
         s""""b12_mdocs_per_s":${"%.1f".format(nDocs / b12s / 1e6)},""" +

@@ -26,20 +26,29 @@ object Tables {
   def region(s: SparkSession, dir: String): DataFrame = table(s, dir, "region")
   def supplier(s: SparkSession, dir: String): DataFrame = table(s, dir, "supplier")
   def part(s: SparkSession, dir: String): DataFrame = table(s, dir, "part")
-  /** The driver's events table stores ns-precision timestamps, which the
-    * Parquet reader rejects ([PARQUET_TYPE_ILLEGAL]); read them as raw
-    * longs and truncate to µs — exactly what DuckDB's ns→µs TIMESTAMP
-    * coercion does, so both engines see identical timestamps. The
-    * `nanosAsLong` flag is session configuration (GraftSession / test
-    * session builders), NOT set here — a side-effecting getter would be a
-    * race under concurrent queries. */
-  def events(s: SparkSession, dir: String): DataFrame = {
-    require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-      "set spark.sql.legacy.parquet.nanosAsLong=true at session build " +
-        "(GraftSession.build does) before reading the ns-timestamped events table")
-    table(s, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
+  /** Normalize the events `ts` column across driver-testdata eras by
+    * branching on the OBSERVED read-back type, so the loader works against
+    * any vintage of events.parquet:
+    *  - ns-precision TIMESTAMP (rounds ≤10 data): with
+    *    `spark.sql.legacy.parquet.nanosAsLong=true` (GraftSession sets it)
+    *    the column reads back as LongType ns — truncate to µs, exactly
+    *    DuckDB's ns→µs coercion, so both engines see identical micros.
+    *  - plain µs TIMESTAMP (current data): reads back as TIMESTAMP_NTZ —
+    *    cast to the session TimestampType. Session time is UTC
+    *    (GraftSession), so the cast reinterprets the same micros and
+    *    matches DuckDB's native read bit-for-bit.
+    * Never applies the div-1000 rewrite to an already-timestamp column
+    * (that was the r11 breakage: DATATYPE_MISMATCH on every events query). */
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampType => df
+      case _ => df.withColumn("ts", col("ts").cast("timestamp"))
+    }
+
+  def events(s: SparkSession, dir: String): DataFrame =
+    normalizeEventTs(table(s, dir, "events"))
   def documents(s: SparkSession, dir: String): DataFrame = table(s, dir, "documents")
   def embeddings(s: SparkSession, dir: String): DataFrame = table(s, dir, "embeddings")
 

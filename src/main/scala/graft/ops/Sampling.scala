@@ -97,7 +97,14 @@ object Sampling {
     * counts come from one tiny domain-count aggregate (collected —
     * domains are O(10), never corpus-sized). Everything else is narrow:
     * no shuffle of the corpus, and the epoch explode is the output
-    * itself. */
+    * itself.
+    *
+    * Bound: the per-row copy/threshold lookup compiles to a when-chain
+    * whose expression DEPTH is O(#distinct domains) — fine for mixture
+    * weighting (DoReMi/Pile use ~10-30 domains), pathological past ~1000
+    * (codegen blowup, 64KB method limits). Guarded below; reweighting by
+    * a high-cardinality key (per-host, per-url) is a different operator —
+    * use a broadcast-join factor table (see dsirResample). */
   def domainMix(
       docs: DataFrame,
       domainCol: String,
@@ -107,6 +114,10 @@ object Sampling {
       s"domain weights must sum to 1, got ${weights.values.sum}")
     val counts = docs.groupBy(domainCol).count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(counts.size <= 1000,
+      s"domainMix builds an O(#domains)-deep expression; got ${counts.size} " +
+        "distinct domains (max 1000) — for high-cardinality reweighting " +
+        "use a broadcast-joined factor table instead")
     val total = totalOut.getOrElse(counts.values.sum).toDouble
     val plans = counts.map { case (dom, n) =>
       // epochs = target share of output over available rows; Scala and

@@ -123,6 +123,70 @@ object Exports {
     try NetcdfWriter.writeTo(ch, dims, gatts, vars) finally ch.close()
   }
 
+  /** Upper bound on a single driver-side plane collect (#cells ≈ Rows).
+    * Planes larger than this stream through [[streamPlane]] — at a 10×
+    * EDGAR grid (64.8M cells) a Row-based plane collect is multiple GB of
+    * driver objects; the segment stream holds one ~4 MB packed segment. */
+  private[sinks] val PlaneCollectMax = 16L * 1000 * 1000
+  private[sinks] val PlaneSegSize = 1 << 19 // 512k cells = 4 MB of doubles
+
+  /** Stream a dense plane of `n` doubles to the driver in index order
+    * with O(segment) driver memory: a distributed fold of `(idx, v)`
+    * rows into contiguous `segSize`-cell dense arrays (executor-side
+    * groupByKey — segment-aligned by construction), range-partitioned and
+    * sorted by segment id, then pulled one partition at a time
+    * (`toLocalIterator`), zero-filling segments that have no rows. The
+    * JVM-native equivalent of an Arrow-batched collect: every element
+    * crosses the wire exactly once as a packed primitive inside an
+    * UnsafeArrayData, never as a driver-side Row object, so the driver
+    * ceiling moves from O(plane) to O(segment) and a 100× grid export
+    * can stream planes bigger than driver memory. */
+  private[graft] def streamPlane(
+      plane: DataFrame, n: Long, segSize: Int = PlaneSegSize): Iterator[Array[Double]] = {
+    val spark = plane.sparkSession
+    import spark.implicits._
+    val nseg = ((n + segSize - 1) / segSize).toInt
+    val segs = plane.toDF("idx", "v").as[(Long, Double)]
+      .groupByKey(_._1 / segSize)
+      .mapGroups { (seg, rows) =>
+        val base = seg * segSize
+        val len = math.min(segSize.toLong, n - base).toInt
+        val arr = new Array[Double](len)
+        rows.foreach(t => arr((t._1 - base).toInt) += t._2)
+        (seg, arr)
+      }
+      .toDF("seg", "arr")
+      .repartitionByRange(math.max(1, math.min(nseg, 64)), col("seg"))
+      .sortWithinPartitions("seg")
+      .as[(Long, Array[Double])]
+    val it = segs.toLocalIterator()
+    new scala.collection.AbstractIterator[Array[Double]] {
+      private var nextSeg = 0L
+      private var pending: (Long, Array[Double]) = _
+      def hasNext: Boolean = nextSeg < nseg
+      def next(): Array[Double] = {
+        if (pending == null && it.hasNext) pending = it.next()
+        val out =
+          if (pending != null && pending._1 == nextSeg) {
+            val a = pending._2; pending = null; a
+          } else // no rows landed in this segment: all-zero plane stripe
+            new Array[Double](
+              math.min(segSize.toLong, n - nextSeg * segSize).toInt)
+        nextSeg += 1
+        out
+      }
+    }
+  }
+
+  /** Chunked generator for an analytic (index-defined) plane — coord and
+    * constant variables at big grids, O(segment) memory instead of an
+    * eager n-sized driver array. */
+  private[sinks] def tabulateChunks(
+      n: Int, f: Int => Double, segSize: Int = PlaneSegSize): () => Iterator[Array[Double]] =
+    () => (0 until n by segSize).iterator.map { base =>
+      Array.tabulate(math.min(segSize, n - base))(i => f(base + i))
+    }
+
   /** K1 as a REAL NetCDF file — the reference's `export_raster_netcdf`
     * layout (emiproc/exports/rasters.py:109-246): one NC_DOUBLE variable
     * per substance over dims (lat, lon) with CF var attributes, center
@@ -142,7 +206,8 @@ object Exports {
       atts: Seq[NcAtt] = Nil,
       groupCategories: Boolean = false,
       addTotals: Boolean = false,
-      varPerCatSub: Boolean = false): Unit = {
+      varPerCatSub: Boolean = false,
+      planeCollectMax: Long = PlaneCollectMax): Unit = {
     val conv = if (perArea) 1.0 / (grid.cellArea * SecPerYear) else 1.0
     // ONE distributed aggregate to (cell, substance, category), persisted;
     // planes are then collected ONE AT A TIME as grid-bounded filtered
@@ -168,9 +233,20 @@ object Exports {
       rows.foreach(r => arr(flat(r.getLong(0))) += r.getDouble(1))
       arr
     }
+    // flat (lat, lon) index computed distributed for the streaming path
+    val flatIdx = expr(
+      s"cell_id % ${grid.ny} * ${grid.nx} + cell_id div ${grid.ny}")
+    val segStream = ncell > planeCollectMax
     def catPlane(s: String, c: String): Array[Double] = planeOf(
       agg.where(col("substance") === s && col("category") === c)
         .select(col("cell_id"), col("v")).collect())
+    // Chunk providers: Row-collect planes below PlaneCollectMax (one job,
+    // minimal latency), segment-streamed above it (driver holds ~4 MB).
+    def catChunks(s: String, c: String): Iterator[Array[Double]] =
+      if (!segStream) Iterator(catPlane(s, c))
+      else streamPlane(
+        agg.where(col("substance") === s && col("category") === c)
+          .select(flatIdx.as("idx"), col("v")), ncell)
     // per-substance summed plane (the default layout + the all-sectors
     // totals); per-(substance, category) planes for the group mode.
     // Planes are NOT materialized up front: each WriteVar carries a
@@ -190,6 +266,11 @@ object Exports {
     def subPlane(s: String): Array[Double] = planeOf(
       subAgg.get.where(col("substance") === s)
         .select(col("cell_id"), col("pv")).collect())
+    def subChunks(s: String): Iterator[Array[Double]] =
+      if (!segStream) Iterator(subPlane(s))
+      else streamPlane(
+        subAgg.get.where(col("substance") === s)
+          .select(flatIdx.as("idx"), col("pv")), ncell)
     // which (substance, category) planes are non-empty — decided from a
     // DISTRIBUTED scan (agg has one row per (cell, sub, cat), so a plane
     // has a nonzero cell iff some row's v != 0), not from materialized
@@ -239,7 +320,7 @@ object Exports {
               textAtt("long_name", s"${s}_$c"), textAtt("units", unitStr),
               textAtt("comment", s"emissions of $s from $c"),
               textAtt("substance", s), textAtt("category", c)),
-            chunks = () => Iterator(catPlane(s, c))))
+            chunks = () => catChunks(s, c)))
       else if (!groupCategories) subs.toSeq.map { s =>
         WriteVar(s, Seq("lat", "lon"), NetcdfClassicDouble,
           atts = Seq(
@@ -247,7 +328,7 @@ object Exports {
               s"tendency_of_atmosphere_mass_content_of_${s}_due_to_emission"),
             textAtt("long_name", s), textAtt("units", unitStr),
             textAtt("comment", s"emissions of $s"), textAtt("substance", s)),
-          chunks = () => Iterator(subPlane(s)))
+          chunks = () => subChunks(s))
       } else subs.toSeq.map { s => // rasters.py:137-160 category-dim layout
         WriteVar(s, Seq("category", "lat", "lon"), NetcdfClassicDouble,
           atts = Seq(
@@ -255,7 +336,7 @@ object Exports {
               s"tendency_of_atmosphere_mass_content_of_${s}_due_to_emission"),
             textAtt("long_name", s), textAtt("units", unitStr),
             textAtt("comment", s"emissions of $s"), textAtt("substance", s)),
-          chunks = () => cats.iterator.map(c => catPlane(s, c)))
+          chunks = () => cats.iterator.flatMap(c => catChunks(s, c)))
       }
     // add_totals block (rasters.py:246-303): per-substance all-sectors
     // plane + per-category kg/yr totals; always kg/yr for the totals —
@@ -270,7 +351,7 @@ object Exports {
             textAtt("long_name", s"Aggregated Emissions of $s from all sectors"),
             textAtt("units", unitStr),
             textAtt("comment", "annual mean emission rate")),
-          chunks = () => Iterator(subPlane(s))),
+          chunks = () => subChunks(s)),
         WriteVar(s"emi_${s}_total", Seq("category"), NetcdfClassicDouble,
           atts = Seq(
             textAtt("long_name", s"Total Emissions of $s"),
@@ -284,7 +365,7 @@ object Exports {
         atts = Seq(textAtt("standard_name", "cell_area"),
           textAtt("units", "m2"),
           textAtt("comment", "area of the cell (planar analytic grid)")),
-        doubles = Array.fill(ncell)(grid.cellArea)))
+        chunks = tabulateChunks(ncell, _ => grid.cellArea)))
     val strLen = 32
     val catDims = if (groupCategories || addTotals)
       Seq(NcDim("category", cats.length), NcDim("str_len", strLen)) else Nil
@@ -336,12 +417,12 @@ object Exports {
       WriteVar("lon", Seq("cell"), NetcdfClassicDouble,
         atts = Seq(textAtt("standard_name", "longitude"),
           textAtt("units", "degrees_east")),
-        doubles = Array.tabulate(ncells)(c =>
+        chunks = tabulateChunks(ncells, c =>
           grid.xmin + (c / grid.ny + 0.5) * grid.dx)),
       WriteVar("lat", Seq("cell"), NetcdfClassicDouble,
         atts = Seq(textAtt("standard_name", "latitude"),
           textAtt("units", "degrees_north")),
-        doubles = Array.tabulate(ncells)(c =>
+        chunks = tabulateChunks(ncells, c =>
           grid.ymin + (c % grid.ny + 0.5) * grid.dy)))
     (0 until hours).grouped(chunkSize).foreach { chunk =>
       val chunkStart = t0.plusHours(chunk.head)
@@ -382,18 +463,16 @@ object Exports {
                   doubles = data(v))
               }
             } else {
-              def plane(v: String): Array[Double] = {
-                val arr = new Array[Double](ncells)
-                exploded.where(col("ts_str") === ts && col("var") === v)
-                  .select(col("cell_id"), col("value")).collect()
-                  .foreach(r => arr(r.getLong(0).toInt) += r.getDouble(1))
-                arr
-              }
+              // big-grid path: per-(hour, var) planes stream in dense
+              // segments (hourly dim `cell` IS cell_id order — no remap)
               vars.toSeq.map { v =>
                 WriteVar(v, Seq("cell"), NetcdfClassicDouble,
                   atts = Seq(textAtt("units", "kg h-1"),
                     textAtt("long_name", v)),
-                  chunks = () => Iterator(plane(v)))
+                  chunks = () => streamPlane(
+                    exploded.where(col("ts_str") === ts && col("var") === v)
+                      .select(col("cell_id").as("idx"), col("value").as("v")),
+                    ncells))
               }
             }
           val gatts = (if (atts.nonEmpty) atts

@@ -90,4 +90,15 @@ class CurationSpec extends SparkSpec {
       Sampling.domainMix(docs, "lang", Map("a" -> 0.5, "b" -> 0.1))
     }
   }
+
+  test("domainMix rejects high-cardinality domain columns (>1000)") {
+    import spark.implicits._
+    val docs = (0L until 1200L).map(i => (i, s"host$i"))
+      .toDF("doc_id", "host")
+    val w = (0L until 1200L).map(i => s"host$i" -> 1.0 / 1200.0).toMap
+    val e = intercept[IllegalArgumentException] {
+      Sampling.domainMix(docs, "host", w)
+    }
+    assert(e.getMessage.contains("broadcast-joined factor table"))
+  }
 }

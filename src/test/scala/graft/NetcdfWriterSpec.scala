@@ -234,6 +234,36 @@ class NetcdfWriterSpec extends SparkSpec {
     assert(week(3 * 2 + 0) == 3.0 * 7 && week(3 * 2 + 1) == 3.0 * 7)
   }
 
+  test("streamPlane reproduces the dense plane, zero-filling empty segments") {
+    import spark.implicits._
+    // 100-cell plane, segSize 16 (7 segments, last short); segments 2 and
+    // 4 get no rows at all
+    val rows = (0 until 100).filter(i => i / 16 != 2 && i / 16 != 4)
+      .map(i => (i.toLong, i * 0.5))
+    val df = rows.toDF("idx", "v")
+    val segs = Exports.streamPlane(df, 100L, segSize = 16).toSeq
+    assert(segs.map(_.length) == Seq(16, 16, 16, 16, 16, 16, 4))
+    val dense = segs.flatten
+    (0 until 100).foreach { i =>
+      val expect = if (i / 16 == 2 || i / 16 == 4) 0.0 else i * 0.5
+      assert(dense(i) == expect, s"idx $i")
+    }
+  }
+
+  test("segment-streamed raster export is byte-identical to the collect path") {
+    val grid = RegularGrid(20, 10, 0.0, 0.0, 1.0, 1.0) // 200 cells
+    val emi = basicInv
+    val p1 = s"${tmpDir()}/collect.nc"
+    val p2 = s"${tmpDir()}/streamed.nc"
+    val atts = Exports.ncCfAttrs("ab", creationTime = "t0")
+    Exports.rasterExportNc(emi, grid, p1, addTotals = true, atts = atts)
+    Exports.rasterExportNc(emi, grid, p2, addTotals = true, atts = atts,
+      planeCollectMax = 0L) // force streamPlane on every plane
+    val b1 = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p1))
+    val b2 = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p2))
+    assert(java.util.Arrays.equals(b1, b2))
+  }
+
   test("exported raster re-ingests through the CF reader (full interop loop)") {
     val grid = RegularGrid(3, 2, 10.0, 20.0, 0.5, 0.25)
     val path = s"${tmpDir()}/loop.nc"

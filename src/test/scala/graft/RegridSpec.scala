@@ -90,4 +90,36 @@ class RegridSpec extends SparkSpec {
       .select("cell_id").collect().map(_.getLong(0)).toSet
     assert(kept == Set(1L, 2L))
   }
+
+  // R14 combine_inventories (emiproc/inventories/utils.py:687-711)
+
+  test("combineInventories conserves mass: total = inside-crop + outside-crop") {
+    val tri = Seq((0.0, 0.0), (64.0, 0.0), (0.0, 64.0))
+    val inside = basicInv
+    val outside = basicInv.withColumn("value", col("value") * 3.0)
+    val combined = Regrid.combineInventories(
+      spark, inside, Tables.srcGrid, outside, Tables.srcGrid, tri, Tables.dstGrid)
+    val inPart = graft.ops.PolygonCrop.cropWithPolygon(
+      spark, inside, Tables.srcGrid, tri)
+    val outPart = graft.ops.PolygonCrop.cropWithPolygon(
+      spark, outside, Tables.srcGrid, tri, keepOutside = true)
+    val expect = totalsBySub(inPart.unionByName(outPart))
+    val got = totalsBySub(combined)
+    assert(got.keySet == expect.keySet)
+    got.foreach { case (k, v) => assert(math.abs(v - expect(k)) < 1e-9, k.toString) }
+  }
+
+  test("combineInventories with identical halves equals a plain remap") {
+    // w + (1 - w) = 1 per cell, so stitching an inventory with itself must
+    // reproduce the straight remap of that inventory (seam invisibility).
+    val tri = Seq((0.0, 0.0), (64.0, 0.0), (0.0, 64.0))
+    val emi = basicInv
+    val combined = Regrid.combineInventories(
+      spark, emi, Tables.srcGrid, emi, Tables.srcGrid, tri, Tables.dstGrid)
+    val direct = Regrid.remapInventory(spark, emi, Tables.srcGrid, Tables.dstGrid)
+    val got = combined.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)) -> r.getDouble(3)).toMap
+    val exp = direct.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)) -> r.getDouble(3)).toMap
+    assert(got.keySet == exp.keySet)
+    got.foreach { case (k, v) => assert(math.abs(v - exp(k)) < 1e-9, k.toString) }
+  }
 }
