@@ -48,9 +48,15 @@ object Bench {
       "\"" + k + "\":\"" + e + "\"" }.mkString("{", ",", "}")
     val errCount = results.count(_._4.isDefined)
     val total = results.filter(_._4.isEmpty).map(_._2).sum
+    // environment stamp: box contention (not plan regressions) explained
+    // the r11 cross-round timing noise — record enough to tell them apart
+    val loadAvg = d3(java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage)
+    val env =
+      s""""cpus":"$cpus","host_cores":${Runtime.getRuntime.availableProcessors},"load_avg":$loadAvg"""
     val line =
       s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":$qs,""" +
-        s""""errors":$errs,"error_count":$errCount,"start_ms":$starts,"sf":"$sfDir"}"""
+        s""""errors":$errs,"error_count":$errCount,"start_ms":$starts,$env,"sf":"$sfDir"}"""
     println(line)
     // Also persist the line to a file in the repo so per-query numbers
     // remain recoverable even when the stdout capture truncates

@@ -34,23 +34,50 @@ object PolygonCrop {
       .select("cell_id", "weight")
   }
 
+  /** Above this vertex count the O(V) Sutherland–Hodgman clip is
+    * amortized per distinct CELL through the broadcast weight table;
+    * at or below it the clip is evaluated inline per emission row. */
+  val InlineClipMaxVertices = 64
+
   /** Crop an inventory by the polygon: value × inside-fraction, boundary
     * cells partial, zero-weight cells dropped; `keepOutside` keeps the
-    * complement instead. */
+    * complement instead.
+    *
+    * Scale shape: for small polygons (≤ [[InlineClipMaxVertices]]
+    * vertices — study boxes, admin outlines) the clip weight is computed
+    * INLINE on each row's analytic cell box: a narrow codegen'd map with
+    * no weight table, no broadcast, no join — zero-shuffle at ANY grid
+    * size, where the broadcast weight table would grow with the grid
+    * (hundreds of millions of rows for a continent polygon on a 100×
+    * grid). Many-vertex polygons keep the per-cell weight table
+    * (clip cost amortizes over rows sharing a cell). Both paths use the
+    * same expressions on the same inputs — numerically identical. */
   def cropWithPolygon(
       spark: SparkSession,
       emissions: DataFrame,
       grid: RegularGrid,
       poly: Seq[(Double, Double)],
       keepOutside: Boolean = false): DataFrame = {
-    val w = cellWeights(spark, grid, poly)
-    val joined = emissions.join(broadcast(w), Seq("cell_id"), "left")
-    val inside = coalesce(col("weight"), lit(0.0))
-    val frac = if (keepOutside) lit(1.0) - inside else inside
-    joined
-      .withColumn("value", col("value") * frac)
-      .drop("weight")
-      .where(col("value") =!= 0.0)
+    if (poly.length <= InlineClipMaxVertices) {
+      val cid = col("cell_id")
+      val area = BoxPolyClipAreaExpr.clipAreaCol(
+        grid.cellXmin(cid), grid.cellYmin(cid),
+        grid.cellXmax(cid), grid.cellYmax(cid), poly)
+      val inside = area / grid.cellArea
+      val frac = if (keepOutside) lit(1.0) - inside else inside
+      emissions
+        .withColumn("value", col("value") * frac)
+        .where(col("value") =!= 0.0)
+    } else {
+      val w = cellWeights(spark, grid, poly)
+      val joined = emissions.join(broadcast(w), Seq("cell_id"), "left")
+      val inside = coalesce(col("weight"), lit(0.0))
+      val frac = if (keepOutside) lit(1.0) - inside else inside
+      joined
+        .withColumn("value", col("value") * frac)
+        .drop("weight")
+        .where(col("value") =!= 0.0)
+    }
   }
 
   /** Crop POINT sources by the polygon with the reference's boundary

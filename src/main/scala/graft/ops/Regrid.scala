@@ -108,6 +108,20 @@ object Regrid {
   def remapDirect(
       emissions: DataFrame,
       src: RegularGrid,
+      dst: RegularGrid): DataFrame =
+    remapExplode(emissions, src, dst)
+      .groupBy(col("cell_id"), col("category"), col("substance"))
+      .agg(sum(col("contrib")).as("value"))
+      .select(col("cell_id"), col("category"), col("substance"), col("value"))
+
+  /** The narrow half of [[remapDirect]]: per-row candidate destination
+    * cells with their weighted contributions, BEFORE the aggregate —
+    * composable (e.g. [[combineInventories]] unions two of these and
+    * aggregates once, halving the shuffled volume vs aggregating each
+    * branch and re-aggregating the union). */
+  private def remapExplode(
+      emissions: DataFrame,
+      src: RegularGrid,
       dst: RegularGrid): DataFrame = {
     val cid = col("cell_id")
     val xmin = src.cellXmin(cid)
@@ -140,11 +154,10 @@ object Regrid {
     withCand
       .withColumn("_w", weight)
       .where(ovx > 0 && ovy > 0)
-      .groupBy(
+      .select(
         (col("_jx").cast("long") * dst.ny + col("_jy")).as("cell_id"),
-        col("category"), col("substance"))
-      .agg(sum(col("value") * col("_w")).as("value"))
-      .select(col("cell_id"), col("category"), col("substance"), col("value"))
+        col("category"), col("substance"),
+        (col("value") * col("_w")).as("contrib"))
   }
 
   /** End-to-end remap (emiproc/regrid.py:421-597 `remap_inventory`) for
@@ -188,11 +201,12 @@ object Regrid {
     * one side are implicitly 0 on the other (long format: the union just
     * carries them through).
     *
-    * Plan shape at scale: two zero-shuffle crop maps (the boundary weights
-    * are a broadcast-joined per-cell table), two single-shuffle
-    * [[remapDirect]] aggregates, then ONE final hash aggregate on the
-    * unioned parts — Spark runs the two branches as independent stages, so
-    * the seam stitch adds no extra exchange beyond the remaps themselves. */
+    * Plan shape at scale: two zero-shuffle crop maps (inline clip for
+    * small boundaries — see cropWithPolygon), two narrow candidate
+    * explodes, then exactly ONE exchange: the unioned pre-aggregate
+    * contributions hash-aggregate on (cell, category, substance) with
+    * map-side partial aggregation — the whole stitch costs a single
+    * shuffle of the exploded rows. */
   def combineInventories(
       spark: SparkSession,
       inside: DataFrame, insideGrid: RegularGrid,
@@ -202,10 +216,13 @@ object Regrid {
     val inPart = PolygonCrop.cropWithPolygon(spark, inside, insideGrid, boundary)
     val outPart = PolygonCrop.cropWithPolygon(
       spark, outside, outsideGrid, boundary, keepOutside = true)
-    remapDirect(inPart, insideGrid, output)
-      .unionByName(remapDirect(outPart, outsideGrid, output))
+    // union the pre-aggregate exploded contributions and aggregate ONCE:
+    // the seam costs a single exchange over the exploded rows instead of
+    // per-branch aggregates plus a re-aggregate of the union
+    remapExplode(inPart, insideGrid, output)
+      .unionByName(remapExplode(outPart, outsideGrid, output))
       .groupBy("cell_id", "category", "substance")
-      .agg(sum("value").as("value"))
+      .agg(sum("contrib").as("value"))
   }
 
   /** Hard clip: keep cells INTERSECTING the index box — the reference's

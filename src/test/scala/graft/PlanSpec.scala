@@ -142,6 +142,17 @@ class PlanSpec extends SparkSpec {
     assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$plan")
   }
 
+  test("combineInventories plans exactly ONE shuffle (the stitched aggregate)") {
+    import graft.ops.Regrid
+    val tri = Seq((0.0, 0.0), (64.0, 0.0), (0.0, 64.0))
+    val emi = basicInv
+    val out = Regrid.combineInventories(
+      spark, emi, Tables.srcGrid, emi, Tables.srcGrid, tri, Tables.dstGrid)
+    val plan = out.queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$plan")
+  }
+
   test("PiiScrub.scrub plans ZERO shuffles (narrow codegen chain)") {
     val docs = spark.range(64).select(col("id").as("doc_id"),
       concat(lit("u"), col("id"), lit("@x.co at 10.0.0."), col("id") % 9)

@@ -3,6 +3,7 @@ package graft
 import graft.functions.BoxPolyClipAreaExpr
 import graft.model.RegularGrid
 import graft.ops.PolygonCrop
+import org.apache.spark.sql.functions._
 
 /** Ports the reference's polygon weight oracles
   * (tests/test_weights_mapping.py:57-97: squares grid × triangles). */
@@ -101,5 +102,29 @@ class PolygonCropSpec extends SparkSpec {
     val sumIn = in.groupBy().sum("value").collect()(0).getDouble(0)
     val sumOut = out.groupBy().sum("value").collect()(0).getDouble(0)
     assert(math.abs(sumIn + sumOut - total) < 1e-9)
+  }
+
+  test("inline clip path is bit-identical to the weight-table join path") {
+    val tri = triangles(0)
+    val emi = basicInv
+    // inline (poly.length <= InlineClipMaxVertices)
+    val inline = PolygonCrop.cropWithPolygon(spark, emi, grid, tri)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)) -> r.getDouble(3)).toMap
+    // the join path, replicated manually (what >64-vertex polygons run)
+    val w = PolygonCrop.cellWeights(spark, grid, tri)
+    val joined = emi.join(broadcast(w), Seq("cell_id"), "left")
+      .withColumn("value", col("value") * coalesce(col("weight"), lit(0.0)))
+      .drop("weight").where(col("value") =!= 0.0)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)) -> r.getDouble(3)).toMap
+    assert(inline.keySet == joined.keySet)
+    inline.foreach { case (k, v) => assert(v == joined(k), k.toString) }
+  }
+
+  test("small-polygon crop plan has no join and no shuffle") {
+    val tri = triangles(0)
+    val plan = PolygonCrop.cropWithPolygon(spark, basicInv, grid, tri)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("Exchange"), plan)
   }
 }
