@@ -843,6 +843,75 @@ object QueriesML {
         |         + 1.0::DOUBLE * (least(nw, 64.0::DOUBLE) / 64.0::DOUBLE)) > 0 AS keep
         |FROM g""".stripMargin)),
 
+    // M40 Gopher-style rule flags: every heuristic is an auditable
+    // integer column; keep = conjunction. All-rational arithmetic.
+    Q("q_gopher_rules",
+      (s, d) => graft.text.Curation.gopherRules(documents(s, d), Stopwords),
+      Some("""WITH f AS (SELECT doc_id, text, string_split(text, ' ') AS w,
+        |              len(string_split(text, ' '))::DOUBLE AS nw FROM documents),
+        |g AS (SELECT doc_id, nw,
+        |        (length(text)::DOUBLE - nw + 1.0::DOUBLE) / nw AS mean_wlen,
+        |        list_max(list_transform(w, x -> length(x))) AS max_wlen,
+        |        len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]')))::DOUBLE / nw AS alpha_frac,
+        |        len(list_distinct(list_intersect(list_distinct(w),
+        |            ['the','a','of','and','to','in']))) AS stop_hits,
+        |        len(list_distinct(w))::DOUBLE / nw AS ttr,
+        |        (len(regexp_extract_all(text, '#'))
+        |          + len(regexp_extract_all(text, '\.\.\.')))::DOUBLE / nw AS symbol_ratio
+        |      FROM f)
+        |SELECT doc_id,
+        |       CAST(nw >= 10 AND nw <= 100000 AS INT) AS r_word_count,
+        |       CAST(mean_wlen >= 3.0 AND mean_wlen <= 10.0 AS INT) AS r_mean_wlen,
+        |       CAST(max_wlen <= 20 AS INT) AS r_max_wlen,
+        |       CAST(alpha_frac >= 0.8 AS INT) AS r_alpha,
+        |       CAST(stop_hits >= 2 AS INT) AS r_stop,
+        |       CAST(ttr >= 0.2 AS INT) AS r_ttr,
+        |       CAST(symbol_ratio <= 0.1 AS INT) AS r_symbol,
+        |       CAST(nw >= 10 AND nw <= 100000 AND mean_wlen >= 3.0
+        |            AND mean_wlen <= 10.0 AND max_wlen <= 20
+        |            AND alpha_frac >= 0.8 AND stop_hits >= 2
+        |            AND ttr >= 0.2 AND symbol_ratio <= 0.1 AS INT) AS keep
+        |FROM g""".stripMargin)),
+
+    // M41 BM25 retrieval: broadcast query terms prune the token explode,
+    // idf quantized to micro-units, contributions to nano-units so the
+    // per-doc score is an exact BIGINT sum (order-independent).
+    Q("q_bm25",
+      (s, d) => graft.text.Bm25.search(s, documents(s, d), Seq(
+        (0, "hash join table"), (1, "stream window agg"),
+        (2, "scan filter column"), (3, "sort merge dup"))),
+      Some("""WITH q(query_id, qtext) AS (VALUES
+        |         (0, 'hash join table'), (1, 'stream window agg'),
+        |         (2, 'scan filter column'), (3, 'sort merge dup')),
+        |qt AS (SELECT DISTINCT query_id,
+        |              unnest(string_split(qtext, ' ')) AS term FROM q),
+        |d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |stats AS (SELECT count(*)::DOUBLE AS n,
+        |                 sum(len(w))::DOUBLE / count(*)::DOUBLE AS avgdl FROM d),
+        |tok AS (SELECT doc_id, len(w)::DOUBLE AS dl, unnest(w) AS term FROM d),
+        |tf AS (SELECT doc_id, term, max(dl) AS dl, count(*)::DOUBLE AS tf
+        |       FROM tok WHERE term IN (SELECT DISTINCT term FROM qt)
+        |       GROUP BY 1, 2),
+        |idf AS (SELECT term,
+        |               round(ln(1.0 + (n - count(*)::DOUBLE + 0.5)
+        |                 / (count(*)::DOUBLE + 0.5)) * 1000000.0)::BIGINT AS idf_micro
+        |        FROM tf, stats GROUP BY term, n),
+        |sc AS (SELECT qt.query_id, tf.doc_id,
+        |              round(idf_micro * (tf * (1.2 + 1.0)
+        |                / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)))
+        |                * 1000.0)::BIGINT AS contrib_nanos
+        |       FROM tf JOIN idf USING (term) JOIN qt USING (term), stats),
+        |s AS (SELECT query_id, doc_id,
+        |             sum(contrib_nanos)::BIGINT AS score_nanos
+        |      FROM sc GROUP BY 1, 2),
+        |r AS (SELECT query_id, doc_id, score_nanos,
+        |             row_number() OVER (PARTITION BY query_id
+        |               ORDER BY score_nanos DESC, doc_id) AS rank
+        |      FROM s)
+        |SELECT query_id, rank, doc_id, score_nanos,
+        |       score_nanos / 1000000000.0 AS score
+        |FROM r WHERE rank <= 10""".stripMargin)),
+
     // M36 deterministic shard shuffle: content-stable pseudo-random
     // permutation into training shards (one shuffle + per-shard sort).
     Q("q_shard_shuffle",

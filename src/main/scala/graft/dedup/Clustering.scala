@@ -1,7 +1,6 @@
 package graft.dedup
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Duplicate-cluster resolution: turn the near-duplicate PAIR list
@@ -168,16 +167,27 @@ object Clustering {
     * `dedupAssign(docs, verifiedNearDups(...))` followed by
     * `where(col("keep") === 1)`. */
   def dedupAssign(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    // Every non-singleton cluster member appears in the CC output (it
+    // was an endpoint of some verified pair), so cluster stats can be
+    // computed on the CC table ALONE — pairs-sized, tiny next to the
+    // corpus — and joined back. Docs absent from CC are singletons:
+    // cluster_id = doc_id, size 1, keep 1. This replaces the previous
+    // full-corpus window over cluster_id (a corpus-wide shuffle) with
+    // one aggregate + one join whose build side is near-dup-sized and
+    // broadcastable at any corpus scale.
     val cc = connectedComponents(pairs)
-    val assigned = docs
+    val stats = cc.groupBy("cluster_id").agg(
+      count(lit(1)).as("cluster_size"),
+      min("doc_id").as("_keeper"))
+    val enriched = cc.join(stats, Seq("cluster_id"))
+    docs
       .select(col("doc_id"))
-      .join(cc, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
-    val byCluster = Window.partitionBy("cluster_id")
-    assigned
-      .withColumn("cluster_size", count(lit(1)).over(byCluster))
-      .withColumn("keep",
-        (col("doc_id") === min("doc_id").over(byCluster)).cast("int"))
+      .join(enriched, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
+        coalesce(col("cluster_size"), lit(1L)).as("cluster_size"),
+        coalesce((col("doc_id") === col("_keeper")).cast("int"), lit(1))
+          .as("keep"))
   }
 }

@@ -105,4 +105,56 @@ object Curation {
     docs.select(col("doc_id"), ttr.as("ttr"), stopRatio.as("stop_ratio"),
       meanWlen.as("mean_wlen"), logit.as("logit"), (logit > 0).as("keep"))
   }
+
+  /** Gopher-style rule-flag quality filter (Rae et al. 2021, "Scaling
+    * Language Models: ... Gopher", table A1; reference corpus-cleaning
+    * intent mirrored from emiproc's category-filter surface, not code).
+    * Each named heuristic becomes an explicit boolean column so a
+    * pipeline can audit WHICH rule dropped a document — the operational
+    * difference from a single learned score — and `keep` is their
+    * conjunction. Rules are adapted to the whitespace-token corpus
+    * (line-based rules become word-based):
+    *
+    *  - r_word_count: minWords ≤ #words ≤ maxWords
+    *  - r_mean_wlen:  mean word length in [minMeanWlen, maxMeanWlen]
+    *  - r_max_wlen:   longest word ≤ maxWordLen chars
+    *  - r_alpha:      ≥ minAlphaFrac of words contain a letter
+    *  - r_stop:       ≥ minStopHits DISTINCT stopwords present
+    *  - r_ttr:        type-token ratio ≥ minTtr (duplicate-text proxy)
+    *  - r_symbol:     '#'/ellipsis occurrences per word ≤ maxSymbolRatio
+    *
+    * Determinism: every ratio is one IEEE division of integer-valued
+    * doubles and every flag an exact comparison, so any engine replays
+    * the gate bit-for-bit. Zero shuffles — a single narrow projection
+    * the optimizer can pipeline into the scan. */
+  def gopherRules(docs: DataFrame, stopwords: Seq[String],
+      minWords: Int = 10, maxWords: Int = 100000,
+      minMeanWlen: Double = 3.0, maxMeanWlen: Double = 10.0,
+      maxWordLen: Int = 20, minAlphaFrac: Double = 0.8,
+      minStopHits: Int = 2, minTtr: Double = 0.2,
+      maxSymbolRatio: Double = 0.1): DataFrame = {
+    val w = split(col("text"), " ")
+    val nWords = size(w).cast("double")
+    val meanWlen = (length(col("text")).cast("double") - nWords + lit(1.0)) / nWords
+    val maxWlen = array_max(transform(w, x => length(x)))
+    val alphaFrac = size(filter(w, x => x.rlike("[a-zA-Z]"))).cast("double") / nWords
+    val stopHits = size(array_intersect(array_distinct(w),
+      array(stopwords.map(lit): _*)))
+    val ttr = size(array_distinct(w)).cast("double") / nWords
+    val symbolRatio =
+      (regexp_count(col("text"), lit("#")) +
+        regexp_count(col("text"), lit("\\.\\.\\."))).cast("double") / nWords
+    val flags = Seq(
+      "r_word_count" -> (nWords >= minWords && nWords <= maxWords),
+      "r_mean_wlen" -> (meanWlen >= minMeanWlen && meanWlen <= maxMeanWlen),
+      "r_max_wlen" -> (maxWlen <= maxWordLen),
+      "r_alpha" -> (alphaFrac >= minAlphaFrac),
+      "r_stop" -> (stopHits >= minStopHits),
+      "r_ttr" -> (ttr >= minTtr),
+      "r_symbol" -> (symbolRatio <= maxSymbolRatio))
+    docs.select(
+      col("doc_id") +:
+        flags.map { case (n, c) => c.cast("int").as(n) } :+
+        flags.map(_._2).reduce(_ && _).cast("int").as("keep"): _*)
+  }
 }

@@ -91,6 +91,33 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("gopherRules flags each heuristic independently; keep is the conjunction") {
+    import spark.implicits._
+    val docs = Seq(
+      // passes everything: 10 words, mean wlen 3.8, 2 stopwords, distinct
+      (1L, "the quick brown fox jumps over a lazy dog today"),
+      // too short (3 words) — r_word_count=0
+      (2L, "the cat sat"),
+      // one pathological 25-char word — r_max_wlen=0
+      (3L, "the of one two three four five six seven " + "x" * 25),
+      // numeric soup — r_alpha=0 (2/12 words alphabetic < 0.8)
+      (4L, "the of 1 2 3 4 5 6 7 8 9 10"),
+      // massive repetition — r_ttr=0 (3 distinct / 20 = 0.15 < 0.2)
+      (5L, "the of " + Seq.fill(18)("x").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Curation.gopherRules(docs,
+        Seq("the", "a", "of", "and", "to", "in"))
+      .collect()
+      .map(r => r.getLong(0) -> (1 to 8).map(r.getInt).toList).toMap
+    // list indices: 0=r_word_count 1=r_mean_wlen 2=r_max_wlen 3=r_alpha
+    //               4=r_stop 5=r_ttr 6=r_symbol 7=keep
+    assert(out(1L).forall(_ == 1), s"doc1 should pass all: ${out(1L)}")
+    assert(out(2L).head == 0 && out(2L).last == 0, s"doc2: ${out(2L)}")
+    assert(out(3L)(2) == 0 && out(3L).last == 0, s"doc3: ${out(3L)}")
+    assert(out(4L)(3) == 0 && out(4L).last == 0, s"doc4: ${out(4L)}")
+    assert(out(5L)(5) == 0 && out(5L).last == 0, s"doc5: ${out(5L)}")
+  }
+
   test("domainMix rejects high-cardinality domain columns (>1000)") {
     import spark.implicits._
     val docs = (0L until 1200L).map(i => (i, s"host$i"))

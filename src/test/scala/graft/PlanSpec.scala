@@ -335,6 +335,27 @@ class PlanSpec extends SparkSpec {
       "bloom probe must run pre-shuffle:\n" + plan)
   }
 
+  test("dedupAssign joins cluster stats — no corpus-wide window") {
+    val docs = spark.createDataFrame(
+      (1L to 30L).map(i => (i, s"text_$i"))).toDF("doc_id", "text")
+    val pairs = spark.createDataFrame(Seq((1L, 2L), (2L, 3L)))
+      .toDF("doc_a", "doc_b")
+    val out = graft.dedup.Clustering.dedupAssign(docs, pairs)
+    // cluster_size/keep must come from an aggregate over the TINY cc
+    // table joined back, never a window partitioned over every doc's
+    // cluster_id (that window was a full-corpus shuffle + sort)
+    val windows = concretePlan(out).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.isEmpty, "dedupAssign must not use a window:\n" +
+      concretePlan(out).toString)
+    val got = out.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getInt(3))))
+      .toMap
+    assert(got(1L) == ((1L, 3L, 1)) && got(2L) == ((1L, 3L, 0)) &&
+      got(3L) == ((1L, 3L, 0)) && got(10L) == ((10L, 1L, 1)))
+  }
+
   test("qualityClassifier and domainMix output plans are shuffle-free") {
     val docs = spark.createDataFrame(
       (1L to 30L).map(i => (i, s"some words here number_$i", "en")))
