@@ -178,6 +178,122 @@ object QueriesML {
         |       CAST(sum(CASE WHEN isdup THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
         |FROM marked GROUP BY doc_id""".stripMargin)),
 
+    // M43 intra-document repeated-chunk removal: zero-shuffle narrow
+    // chain; the oracle replays the first-occurrence filter with
+    // DuckDB's index-aware list lambda (1-based where Spark's is
+    // 0-based, hence `= i` vs `= i+1`).
+    Q("q_intradoc_dedup",
+      (s, d) => Dedup.intraDocDedup(documents(s, d), chunkWords = 3),
+      Some("""WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |c AS (SELECT doc_id,
+        |             list_transform(range(0, CAST(ceil(len(w) / 3.0) AS INT)),
+        |                            i -> array_to_string(w[i*3+1:i*3+3], ' ')) AS ch
+        |      FROM words),
+        |k AS (SELECT doc_id, ch,
+        |             list_filter(ch, (x, i) -> list_position(ch, x) = i) AS kept
+        |      FROM c)
+        |SELECT doc_id,
+        |       array_to_string(kept, ' ') AS clean_text,
+        |       len(ch)::BIGINT AS n_chunks,
+        |       (len(ch) - len(kept))::BIGINT AS n_dropped
+        |FROM k""".stripMargin)),
+
+    // M42 stupid-backoff bigram LM scoring (CCNet/KenLM-style
+    // perplexity filter): trained on the even-id half, scores every
+    // doc; ln quantized to micro-units so per-doc sums are exact
+    // BIGINT (the q_bm25 portability device).
+    Q("q_lm_score",
+      (s, d) => graft.text.LangModel.bigramScore(
+        documents(s, d), trainMod = 2, keepAvgLogpMicro = -8000000L),
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |bg AS (SELECT doc_id, unnest(w[1:len(w)-1]) AS w1, unnest(w[2:len(w)]) AS w2 FROM d),
+        |tbg AS (SELECT * FROM bg WHERE doc_id % 2 = 0),
+        |cabt AS (SELECT w1, w2, count(*)::BIGINT AS cab FROM tbg GROUP BY 1, 2),
+        |cat AS (SELECT w1, count(*)::BIGINT AS ca FROM tbg GROUP BY 1),
+        |cwt AS (SELECT w2, count(*)::BIGINT AS cw
+        |        FROM (SELECT unnest(w) AS w2 FROM d WHERE doc_id % 2 = 0) GROUP BY 1),
+        |nt AS (SELECT sum(len(w))::DOUBLE AS n FROM d WHERE doc_id % 2 = 0),
+        |sc AS (SELECT g.doc_id,
+        |              CASE WHEN cabt.cab IS NOT NULL THEN cabt.cab / cat.ca
+        |                   WHEN cwt.cw IS NOT NULL THEN 0.4::DOUBLE * cwt.cw / nt.n
+        |                   ELSE 0.4::DOUBLE / (nt.n + 1.0::DOUBLE) END AS s,
+        |              cabt.cab AS cab
+        |       FROM bg g
+        |       LEFT JOIN cabt ON g.w1 = cabt.w1 AND g.w2 = cabt.w2
+        |       LEFT JOIN cat ON g.w1 = cat.w1
+        |       LEFT JOIN cwt ON g.w2 = cwt.w2
+        |       CROSS JOIN nt),
+        |lp AS (SELECT doc_id, round(ln(s) * 1000000.0)::BIGINT AS lp, cab FROM sc),
+        |pd AS (SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+        |              sum(CASE WHEN cab IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_backoff,
+        |              sum(lp)::BIGINT AS logp_micro_sum
+        |       FROM lp GROUP BY 1)
+        |SELECT d.doc_id,
+        |       coalesce(n_bigrams, 0)::BIGINT AS n_bigrams,
+        |       coalesce(n_backoff, 0)::BIGINT AS n_backoff,
+        |       coalesce(logp_micro_sum, 0)::BIGINT AS logp_micro_sum,
+        |       CAST(coalesce(logp_micro_sum, 0) >= -8000000 * coalesce(n_bigrams, 0) AS INT) AS keep
+        |FROM d LEFT JOIN pd USING (doc_id)""".stripMargin)),
+
+    // M44 incremental cross-corpus dedup: new batch (odd ids) deduped
+    // against the existing corpus (even ids) — exact hash join, then
+    // LSH band-key match + shingle-Jaccard verification for the rest.
+    Q("q_incremental_dedup",
+      (s, d) => Dedup.incrementalDedup(s,
+        documents(s, d).where(col("doc_id") % 2 === 0),
+        documents(s, d).where(col("doc_id") % 2 === 1)),
+      Some(s"""WITH ex AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+        |inc AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
+        |exh AS (SELECT ${hashSql("text")} AS h, text, min(doc_id) AS exact_id
+        |        FROM ex GROUP BY 1, 2),
+        |exact AS (SELECT i.doc_id, e.exact_id
+        |          FROM inc i JOIN exh e ON ${hashSql("i.text")} = e.h AND i.text = e.text),
+        |inn AS (SELECT * FROM inc WHERE doc_id NOT IN (SELECT doc_id FROM exact)),
+        |shi AS (SELECT DISTINCT doc_id, unnest(list_transform(range(0, greatest(0, len(w) - 2)),
+        |               i -> array_to_string(w[i+1:i+3], ' '))) AS shingle
+        |        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM inn)),
+        |she AS (SELECT DISTINCT doc_id, unnest(list_transform(range(0, greatest(0, len(w) - 2)),
+        |               i -> array_to_string(w[i+1:i+3], ' '))) AS shingle
+        |        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM ex)),
+        |params AS (SELECT j AS hash_id, 37 + 101 * j AS a, 17 + 91 * j AS b
+        |           FROM range(8) t(j)),
+        |mhi AS (SELECT doc_id, hash_id, min((a * ${hashSql("shingle")} + b) % 1000000007) AS minhash
+        |        FROM shi, params GROUP BY 1, 2),
+        |mhe AS (SELECT doc_id, hash_id, min((a * ${hashSql("shingle")} + b) % 1000000007) AS minhash
+        |        FROM she, params GROUP BY 1, 2),
+        |keysi AS (SELECT doc_id, hash_id // 2 AS band,
+        |                 string_agg(hash_id || ':' || minhash, ',' ORDER BY hash_id) AS band_key
+        |          FROM mhi GROUP BY 1, 2),
+        |keyse AS (SELECT doc_id, hash_id // 2 AS band,
+        |                 string_agg(hash_id || ':' || minhash, ',' ORDER BY hash_id) AS band_key
+        |          FROM mhe GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.doc_id AS in_id, b.doc_id AS ex_id
+        |         FROM keysi a JOIN keyse b ON a.band = b.band AND a.band_key = b.band_key),
+        |szi AS (SELECT doc_id, count(*)::BIGINT AS sz_in FROM shi GROUP BY 1),
+        |sze AS (SELECT doc_id, count(*)::BIGINT AS sz_ex FROM she GROUP BY 1),
+        |com AS (SELECT c.in_id, c.ex_id, count(*)::BIGINT AS common
+        |        FROM cand c JOIN shi ON shi.doc_id = c.in_id
+        |                    JOIN she ON she.doc_id = c.ex_id AND she.shingle = shi.shingle
+        |        GROUP BY 1, 2),
+        |q AS (SELECT in_id, ex_id,
+        |             common / (sz_in + sz_ex - common) AS jaccard
+        |      FROM com JOIN szi ON szi.doc_id = com.in_id
+        |               JOIN sze ON sze.doc_id = com.ex_id
+        |      WHERE common / (sz_in + sz_ex - common) >= 0.5),
+        |best AS (SELECT in_id, ex_id AS near_id, jaccard,
+        |                row_number() OVER (PARTITION BY in_id ORDER BY ex_id) AS rn
+        |         FROM q)
+        |SELECT i.doc_id,
+        |       CASE WHEN e.exact_id IS NOT NULL THEN 'exact_dup'
+        |            WHEN b.near_id IS NOT NULL THEN 'near_dup'
+        |            ELSE 'new' END AS status,
+        |       coalesce(e.exact_id, b.near_id, -1)::BIGINT AS match_id,
+        |       round(CASE WHEN e.exact_id IS NOT NULL THEN 1.0::DOUBLE
+        |                  WHEN b.near_id IS NOT NULL THEN b.jaccard
+        |                  ELSE 0.0::DOUBLE END, 6) AS jaccard
+        |FROM inc i LEFT JOIN exact e ON e.doc_id = i.doc_id
+        |           LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.in_id = i.doc_id""".stripMargin)),
+
     Q("q_simhash",
       (s, d) => Dedup.simhash(s, documents(s, d), bits = 16),
       Some(s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word

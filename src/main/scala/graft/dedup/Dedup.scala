@@ -191,6 +191,90 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Incremental cross-corpus deduplication — the production INGESTION
+    * path: dedup a NEW batch of documents against an EXISTING corpus
+    * without re-clustering the corpus. (Re-running full-corpus dedup per
+    * ingest is O(corpus) every batch; this is O(batch + matched
+    * buckets).) Exact duplicates are found by content-hash join;
+    * near-duplicates by matching the batch's LSH band keys against the
+    * corpus's (identical banding to [[verifiedNearDups]], so the two
+    * compose into one index) and verifying ONLY cross-corpus candidates
+    * with exact shingle Jaccard. Exact dups are anti-joined out BEFORE
+    * the near pipeline — they never pay shingling.
+    *
+    * Scale shape: the existing side's hash + band-key tables are exactly
+    * the index a production system keeps materialized between ingests
+    * (k rows per doc — signature-sized, not text-sized); every join is
+    * keyed by hash / band key / shingle, cardinalities that grow with
+    * the corpus, so shuffles stay balanced at 100 TB. Nothing is
+    * broadcast except the constant k-row minhash parameter table.
+    *
+    * Output: one row per incoming doc — (doc_id, status
+    * 'exact_dup'|'near_dup'|'new', match_id = smallest matching existing
+    * doc id or -1, jaccard of that match — 1.0 exact, 0.0 new). */
+  def incrementalDedup(
+      spark: SparkSession,
+      existing: DataFrame,
+      incoming: DataFrame,
+      numHashes: Int = 8,
+      rowsPerBand: Int = 2,
+      threshold: Double = 0.5): DataFrame = {
+    // exact: group the existing side by (hash, text) — hash leads the
+    // join key so the exchange partitions on 8 bytes; text stays in the
+    // key so collisions cannot alias distinct documents
+    val exHash = existing
+      .select(TextAnalysis.portableHash(col("text")).as("h"),
+        col("text"), col("doc_id"))
+      .groupBy("h", "text").agg(min("doc_id").as("exact_id"))
+    val exact = incoming
+      .select(col("doc_id"), col("text"),
+        TextAnalysis.portableHash(col("text")).as("h"))
+      .join(exHash, Seq("h", "text"))
+      .select(col("doc_id"), col("exact_id"))
+    // near: only the not-exactly-matched remainder is shingled
+    val inNew = incoming.join(exact.select("doc_id"), Seq("doc_id"), "left_anti")
+    val shIn = graft.Caching.cache(shingles(inNew))
+    val shEx = graft.Caching.cache(shingles(existing))
+    val keysIn = lshBandKeys(minhashSignatures(spark, shIn, numHashes), rowsPerBand)
+    val keysEx = lshBandKeys(minhashSignatures(spark, shEx, numHashes), rowsPerBand)
+    val cand = keysIn.as("a")
+      .join(keysEx.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_key") === col("b.band_key"))
+      .select(col("a.doc_id").as("in_id"), col("b.doc_id").as("ex_id"))
+      .distinct()
+    val szIn = shIn.groupBy("doc_id").agg(count(lit(1)).as("sz_in"))
+    val szEx = shEx.groupBy("doc_id").agg(count(lit(1)).as("sz_ex"))
+    val qual = cand
+      .join(shIn.select(col("doc_id").as("in_id"), col("shingle")), "in_id")
+      .join(shEx.select(col("doc_id").as("ex_id"), col("shingle")),
+        Seq("ex_id", "shingle"))
+      .groupBy("in_id", "ex_id").agg(count(lit(1)).as("common"))
+      .join(szIn.withColumnRenamed("doc_id", "in_id"), "in_id")
+      .join(szEx.withColumnRenamed("doc_id", "ex_id"), "ex_id")
+      .withColumn("jaccard",
+        col("common") / (col("sz_in") + col("sz_ex") - col("common")))
+      .where(col("jaccard") >= threshold)
+    // best match = smallest qualifying existing id (struct min carries
+    // its jaccard along without a second join)
+    val best = qual.groupBy("in_id")
+      .agg(min(struct(col("ex_id"), col("jaccard"))).as("m"))
+      .select(col("in_id").as("doc_id"),
+        col("m.ex_id").as("near_id"), col("m.jaccard").as("near_jacc"))
+    incoming.select(col("doc_id"))
+      .join(exact, Seq("doc_id"), "left")
+      .join(best, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        when(col("exact_id").isNotNull, "exact_dup")
+          .when(col("near_id").isNotNull, "near_dup")
+          .otherwise("new").as("status"),
+        coalesce(col("exact_id"), col("near_id"), lit(-1L)).as("match_id"),
+        round(when(col("exact_id").isNotNull, lit(1.0))
+          .when(col("near_id").isNotNull, col("near_jacc"))
+          .otherwise(lit(0.0)), 6).as("jaccard"))
+  }
+
   /** Paragraph-level (sub-document) exact deduplication — the C4/Dolma
     * cleaning pass that removes boilerplate repeated ACROSS documents
     * (navigation chrome, license footers, templated headers) while
@@ -243,6 +327,44 @@ object Dedup {
       col("clean_text"),
       col("n_chunks").cast("long").as("n_chunks"),
       col("n_dropped").cast("long").as("n_dropped"))
+  }
+
+  /** Intra-document repeated-chunk removal — the Dolma/Gopher cleaning
+    * pass for repetition WITHIN a single document (a scraped page whose
+    * template repeats the same block, an OCR loop, a footer pasted after
+    * every section). Documents are split into fixed-size word chunks
+    * (the stand-in for lines/paragraphs — the synthetic corpus has no
+    * line structure); each chunk keeps only its FIRST occurrence inside
+    * its own document, later repeats are dropped, and survivors are
+    * re-joined in order. Cf. the cross-document [[paragraphDedup]],
+    * whose duplicate definition spans the corpus.
+    *
+    * Scale shape: ZERO shuffles — split → chunk transform → index-aware
+    * filter (`array_position(ch, x) == i+1` keeps exactly the first
+    * occurrence) → re-join is one narrow projection, entirely inside
+    * whole-stage codegen. At 100 TB it is scan-bound and composes into
+    * any cleaning chain without adding an exchange; per-row cost is
+    * O(chunks² · chunkWords) string compares, bounded by document
+    * length, never corpus size.
+    *
+    * Output: (doc_id, clean_text, n_chunks, n_dropped). */
+  def intraDocDedup(docs: DataFrame, chunkWords: Int = 3): DataFrame = {
+    val w = split(col("text"), " ")
+    val nChunks = ceil(size(w) / lit(chunkWords.toDouble)).cast("int")
+    val chunksCol = transform(sequence(lit(0), nChunks - 1),
+      i => array_join(slice(w, i * chunkWords + 1, lit(chunkWords)), " "))
+    docs
+      .select(col("doc_id"), chunksCol.as("ch"))
+      .select(
+        col("doc_id"),
+        filter(col("ch"),
+          (x, i) => array_position(col("ch"), x) === (i + 1)).as("kept"),
+        size(col("ch")).as("nc"))
+      .select(
+        col("doc_id"),
+        array_join(col("kept"), " ").as("clean_text"),
+        col("nc").cast("long").as("n_chunks"),
+        (col("nc") - size(col("kept"))).cast("long").as("n_dropped"))
   }
 
   /** SimHash fingerprints: per token-occurrence hash, each of `bits` bit
