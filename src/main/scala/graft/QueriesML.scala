@@ -294,6 +294,76 @@ object QueriesML {
         |FROM inc i LEFT JOIN exact e ON e.doc_id = i.doc_id
         |           LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.in_id = i.doc_id""".stripMargin)),
 
+    // M46 corpus-level MinHash: dataset-pair overlap estimation (which
+    // sources mirror each other) — group signatures, est_jaccard =
+    // agree/16 (dyadic → exact double both engines).
+    Q("q_corpus_similarity",
+      (s, d) => Dedup.corpusSimilarity(s, documents(s, d),
+        groupCol = "source", numHashes = 16),
+      Some(s"""WITH sh AS (SELECT DISTINCT source,
+        |          unnest(list_transform(range(0, greatest(0, len(w) - 2)),
+        |                 i -> array_to_string(w[i+1:i+3], ' '))) AS shingle
+        |       FROM (SELECT source, string_split(text, ' ') AS w FROM documents)),
+        |shh AS (SELECT source, shingle, ${hashSql("shingle")} AS h FROM sh),
+        |params AS (SELECT j AS hash_id, 37 + 101 * j AS a, 17 + 91 * j AS b
+        |           FROM range(16) t(j)),
+        |gm AS (SELECT source, hash_id, min((a * h + b) % 1000000007) AS mh
+        |       FROM shh, params GROUP BY 1, 2)
+        |SELECT x.source AS source_a, y.source AS source_b,
+        |       sum(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) / 16.0 AS est_jaccard
+        |FROM gm x JOIN gm y ON x.hash_id = y.hash_id AND x.source < y.source
+        |GROUP BY 1, 2""".stripMargin)),
+
+    // M45 link-graph centrality (integer-quantized PageRank) for crawl
+    // curation. The gate derives a deterministic doc→doc link graph
+    // from the corpus (3 hash-derived out-links per doc — both engines
+    // replay it exactly); the operator itself takes any (src, dst)
+    // edge list. The global row_number here is gate-only scaffolding —
+    // real crawls carry explicit link targets.
+    Q("q_pagerank",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = documents(s, d).select("doc_id", "text")
+        val cnt = docs.agg(count(lit(1)).as("n"))
+        val ranked = docs.select(col("doc_id"),
+          (row_number().over(Window.orderBy("doc_id")) - 1).as("dst_rnk"))
+        val hashes = docs.crossJoin(broadcast(cnt)).select(
+          col("doc_id").as("src"),
+          explode(array((1 to 3).map(k =>
+            TextAnalysis.portableHash(concat(col("text"), lit(k.toString)))
+              % col("n")): _*)).as("dst_rnk"))
+        val edges = hashes
+          .join(ranked.withColumnRenamed("doc_id", "dst"), "dst_rnk")
+          .where(col("src") =!= col("dst"))
+          .select("src", "dst").distinct()
+        graft.ops.LinkGraph.pageRank(edges, iters = 3)
+      },
+      Some(s"""WITH doc AS (SELECT doc_id, text FROM documents),
+        |cnt AS (SELECT count(*)::BIGINT AS n FROM doc),
+        |h AS (SELECT doc_id AS src, unnest([${hashSql("text || '1'")} % n,
+        |                                    ${hashSql("text || '2'")} % n,
+        |                                    ${hashSql("text || '3'")} % n]) AS dst_rnk
+        |      FROM doc, cnt),
+        |r AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS rnk FROM doc),
+        |e AS (SELECT DISTINCT h.src, r.doc_id AS dst
+        |      FROM h JOIN r ON r.rnk = h.dst_rnk WHERE h.src <> r.doc_id),
+        |od AS (SELECT src, count(*)::BIGINT AS outdeg FROM e GROUP BY 1),
+        |nd AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |pr0 AS (SELECT node, 1000000::BIGINT AS pr FROM nd),
+        |c1 AS (SELECT e.dst AS node, sum(pr0.pr // od.outdeg)::BIGINT AS m
+        |       FROM e JOIN pr0 ON pr0.node = e.src JOIN od ON od.src = e.src GROUP BY 1),
+        |pr1 AS (SELECT nd.node, (150000 + (85 * coalesce(c1.m, 0)) // 100)::BIGINT AS pr
+        |        FROM nd LEFT JOIN c1 USING (node)),
+        |c2 AS (SELECT e.dst AS node, sum(pr1.pr // od.outdeg)::BIGINT AS m
+        |       FROM e JOIN pr1 ON pr1.node = e.src JOIN od ON od.src = e.src GROUP BY 1),
+        |pr2 AS (SELECT nd.node, (150000 + (85 * coalesce(c2.m, 0)) // 100)::BIGINT AS pr
+        |        FROM nd LEFT JOIN c2 USING (node)),
+        |c3 AS (SELECT e.dst AS node, sum(pr2.pr // od.outdeg)::BIGINT AS m
+        |       FROM e JOIN pr2 ON pr2.node = e.src JOIN od ON od.src = e.src GROUP BY 1),
+        |pr3 AS (SELECT nd.node, (150000 + (85 * coalesce(c3.m, 0)) // 100)::BIGINT AS pr
+        |        FROM nd LEFT JOIN c3 USING (node))
+        |SELECT node, pr FROM pr3""".stripMargin)),
+
     Q("q_simhash",
       (s, d) => Dedup.simhash(s, documents(s, d), bits = 16),
       Some(s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word

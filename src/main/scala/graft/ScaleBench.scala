@@ -454,6 +454,68 @@ object ScaleBench {
         .agg(count(lit(1)), max("pos")).collect()(0).getLong(0)
     }
 
+    // B19: incremental dedup at ingest scale — 500k existing docs,
+    // 125k incoming (20% exact copies, 20% near dups with the last
+    // word swapped → shingle Jaccard 27/29 ≈ 0.93, 60% genuinely new).
+    // Exact path is one hash join; near path is the batch×corpus
+    // band-key join + Jaccard verify over ~14M corpus shingles. The
+    // planted counts are REQUIREd: exact recall must be total, near
+    // recall is bounded below by the banding miss rate ((1-s²)⁴ at
+    // s≈0.93 → ~3e-4), so ≥24800/25000 must surface — a wrong join
+    // or band-key drift fails loudly, not as a timing blip.
+    // Word index is QUADRATIC in position: with a linear step the
+    // shingle set of every doc is an arithmetic progression with the
+    // same stride, and ~40 "bad" doc-id differences shift-align two
+    // progressions into ≥0.5 Jaccard — the first run of this benchmark
+    // flagged 99,985 near-dups against 25,000 planted and caught the
+    // degeneracy. With j² the three consecutive-word equations of a
+    // shared shingle force j'=j and doc_a=doc_b: cross-doc overlap is
+    // exactly zero except where planted.
+    val b19vocab = 1000003L
+    def b19text(idExpr: String) = expr(
+      s"concat_ws(' ', transform(sequence(1, 30), j -> concat('w', (($idExpr) * 31 + j * j * 7) % $b19vocab)))")
+    val b19ex = spark.range(500000).select(
+      col("id").as("doc_id"), b19text("id").as("text")).persist()
+    val b19in = spark.range(125000).select(
+      (col("id") + 10000000L).as("doc_id"),
+      when(col("id") % 5 === 0, b19text("id div 5"))
+        .when(col("id") % 5 === 1, expr(
+          s"concat(concat_ws(' ', transform(sequence(1, 29), j -> concat('w', ((id div 5) * 31 + j * j * 7) % $b19vocab))), ' zz', id)"))
+        .otherwise(b19text("id + 600000")).as("text")).persist()
+    b19ex.count(); b19in.count()
+    var b19stat = Map.empty[String, Long]
+    val (b19s, b19n) = time {
+      b19stat = graft.dedup.Dedup.incrementalDedup(spark, b19ex, b19in)
+        .groupBy("status").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      b19stat.values.sum
+    }
+    require(b19n == 125000L, s"B19 lost incoming rows: $b19stat")
+    require(b19stat.getOrElse("exact_dup", 0L) == 25000L,
+      s"B19 exact recall must be total: $b19stat")
+    require(b19stat.getOrElse("near_dup", 0L) >= 24800L &&
+      b19stat.getOrElse("near_dup", 0L) <= 25000L,
+      s"B19 near count outside [24800, 25000]: $b19stat")
+    b19ex.unpersist(); b19in.unpersist(); Caching.release()
+
+    // B20: stupid-backoff LM scoring at corpus scale — 500k 50-word
+    // docs, 4999-type vocabulary, ~24.5M bigram instances over an
+    // ~O(10M)-key bigram space: the count tables exceed any broadcast
+    // threshold, so this exercises the shuffle-join scoring path a
+    // 100 TB reference corpus would take.
+    val b20docs = spark.range(500000).select(col("id").as("doc_id"),
+      concat_ws(" ", expr(
+        "transform(sequence(1, 50), i -> concat('w', (id * i) % 4999))"))
+        .as("text")).persist()
+    b20docs.count()
+    val (b20s, b20n) = time {
+      graft.text.LangModel.bigramScore(b20docs, trainMod = 2)
+        .agg(count(lit(1)).as("n"), sum(col("keep").cast("long")))
+        .collect()(0).getLong(0)
+    }
+    require(b20n == 500000L, s"B20 must score every doc: $b20n")
+    b20docs.unpersist(); Caching.release()
+
     val b1rate = "%.1f".format(src.ncells * 32 / b1s / 1e6)
     val b3rate = "%.1f".format(b3n / b3s / 1e6)
     val json =
@@ -481,7 +543,11 @@ object ScaleBench {
         s""""b16_mtok_per_s":${"%.1f".format(b16n / b16s / 1e6)},""" +
         s""""b17_bloom_decon_sec":$b17s,"b17_contaminated":$b17n,"b17_probes":100000,""" +
         s""""b18_shard_shuffle_sec":$b18s,"b18_rows":$b18n,""" +
-        s""""b18_mrows_per_s":${"%.1f".format(b18n / b18s / 1e6)}}"""
+        s""""b18_mrows_per_s":${"%.1f".format(b18n / b18s / 1e6)},""" +
+        s""""b19_incr_dedup_sec":$b19s,"b19_incoming":$b19n,""" +
+        s""""b19_exact":${b19stat.getOrElse("exact_dup", 0L)},"b19_near":${b19stat.getOrElse("near_dup", 0L)},""" +
+        s""""b20_lm_score_sec":$b20s,"b20_docs":$b20n,""" +
+        s""""b20_kdocs_per_s":${"%.1f".format(b20n / b20s / 1e3)}}"""
     println(json)
     // durable copy for the round artifacts (same pattern as BENCH_LAST)
     java.nio.file.Files.write(

@@ -275,6 +275,46 @@ object Dedup {
           .otherwise(lit(0.0)), 6).as("jaccard"))
   }
 
+  /** Corpus-level MinHash signatures + pairwise dataset similarity —
+    * the dataset-curation question "how much does source A overlap
+    * source B?" answered without any doc×doc work (used to spot
+    * mirrored dumps, re-crawls, and benchmark contamination between
+    * whole corpora before committing to a mix). One k-hash MinHash
+    * signature per GROUP (source/dataset), estimated Jaccard = fraction
+    * of agreeing hash slots (Broder 1997 resemblance sketches).
+    *
+    * Scale shape: the only corpus-scale stage is the narrow shingle
+    * generate + inline hash; the group-signature aggregate outputs
+    * G·k rows (G = #datasets — metadata scale) with full map-side
+    * combine (min is algebraic), so the shuffle moves O(partitions·G·k)
+    * rows, not the corpus. The pair join is G²k on the tiny signature
+    * table. est_jaccard = agree/k is DYADIC (k a power of two) — exact
+    * in binary floating point, engine-portable.
+    *
+    * Output: (source_a, source_b, est_jaccard), source_a < source_b. */
+  def corpusSimilarity(
+      spark: SparkSession,
+      docs: DataFrame,
+      groupCol: String = "source",
+      numHashes: Int = 16): DataFrame = {
+    val params = spark.createDataFrame(
+      (0 until numHashes).map(j => (j, 37L + 101L * j, 17L + 91L * j)))
+      .toDF("hash_id", "a", "b")
+    val sh = docs.select(col(groupCol).as("grp"),
+      graft.functions.ShingleGenerator.shingles(col("text"), 3).as("shingle"))
+    val gm = graft.Caching.cache(sh
+      .withColumn("h", TextAnalysis.portableHash(col("shingle")))
+      .crossJoin(broadcast(params))
+      .groupBy("grp", "hash_id")
+      .agg(min((col("a") * col("h") + col("b")) % Prime).as("mh")))
+    gm.as("x")
+      .join(gm.as("y"),
+        col("x.hash_id") === col("y.hash_id") && col("x.grp") < col("y.grp"))
+      .groupBy(col("x.grp").as("source_a"), col("y.grp").as("source_b"))
+      .agg((sum(when(col("x.mh") === col("y.mh"), 1).otherwise(0))
+        / numHashes.toDouble).as("est_jaccard"))
+  }
+
   /** Paragraph-level (sub-document) exact deduplication — the C4/Dolma
     * cleaning pass that removes boilerplate repeated ACROSS documents
     * (navigation chrome, license footers, templated headers) while

@@ -106,6 +106,23 @@ class LangModelSpec extends SparkSpec {
     assert(out(5L) == (("new", -1L, 0.0)))
   }
 
+  // ---- M46 corpusSimilarity ----------------------------------------------
+
+  test("corpusSimilarity: identical shingle sets → 1.0, disjoint → 0.0") {
+    val df = spark.createDataFrame(Seq(
+      (0L, "a b c d e", "s1"),
+      (1L, "a b c d e", "s2"),   // same shingles as s1 → all slots agree
+      (2L, "p q r s t", "s3")))  // disjoint vocabulary
+      .toDF("doc_id", "text", "source")
+    val out = Dedup.corpusSimilarity(spark, df)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2))
+      .toMap
+    assert(out(("s1", "s2")) == 1.0)
+    assert(out(("s1", "s3")) == 0.0)
+    assert(out(("s2", "s3")) == 0.0)
+    assert(out.size == 3)
+  }
+
   test("incrementalDedup: exact beats near; smallest existing id wins") {
     // incoming 1 is an exact copy of BOTH 0 and 4 → match_id = min = 0
     val existing = docs((0L, "same text here okay"), (4L, "same text here okay"))
