@@ -163,6 +163,16 @@ object OraclePins {
       """SELECT * FROM (VALUES
       (0::BIGINT, 8000::BIGINT, 1::BIGINT, 16::BIGINT, 4000::BIGINT, '0.5'::DOUBLE, '0.353526'::DOUBLE)
       ) AS t(doc_id, sample_rate, channels, bits, n_samples, duration_s, rms)""",
+    "q_audio_fingerprint" ->
+      """SELECT * FROM (VALUES
+      (0::BIGINT, 61::BIGINT, 1::BIGINT, 123141920::BIGINT),
+      (1::BIGINT, 64::BIGINT, 1::BIGINT, 135449600::BIGINT),
+      (2::BIGINT, 61::BIGINT, 2::BIGINT, 121097856::BIGINT)
+      ) AS t(doc_id, n_frames, n_distinct, fp_checksum)""",
+    "q_audio_neardup" ->
+      """SELECT * FROM (VALUES
+      (0::BIGINT, 1::BIGINT, 1::BIGINT, 1::BIGINT, 1::BIGINT, '1.0'::DOUBLE)
+      ) AS t(doc_a, doc_b, shared, n_a, n_b, overlap)""",
     "q_wrf_grid" ->
       """SELECT * FROM (VALUES
       (0::BIGINT, '9.89'::DOUBLE, '44.9'::DOUBLE, '10.11'::DOUBLE, '45.1'::DOUBLE, '350.502717'::DOUBLE),

@@ -824,7 +824,7 @@ object QueriesExtra {
     Q("q_wav_decode",
       (s, _) => {
         val media = s.read.format("binaryFile")
-          .option("pathGlobFilter", "*.wav")
+          .option("pathGlobFilter", "tone.wav") // clip_*.wav feed q_audio_*
           .load("/root/repo/fixtures/audio")
           .select(lit(0L).as("doc_id"), col("content").as("payload"))
         graft.multimodal.JvmMedia.decodeWavs(s, media).toDF()
@@ -832,6 +832,43 @@ object QueriesExtra {
             col("bits"), col("n_samples"),
             round(col("duration_s"), 6).as("duration_s"),
             round(col("rms"), 6).as("rms"))
+      },
+      None),
+
+    // M47 spectral audio fingerprints (Goertzel band energies →
+    // gain-invariant sign features): per-clip frame count, distinct-fp
+    // count, and a position-weighted BIGINT checksum — compact enough
+    // to pin, yet any flipped bit anywhere shifts it.
+    Q("q_audio_fingerprint",
+      (s, _) => {
+        val media = s.read.format("binaryFile")
+          .option("pathGlobFilter", "clip_*.wav")
+          .load("/root/repo/fixtures/audio")
+          .select(
+            regexp_extract(col("path"), "clip_(\\d+)", 1).cast("long").as("doc_id"),
+            col("content").as("payload"))
+        graft.multimodal.JvmMedia.audioFingerprints(s, media).toDF()
+          .groupBy("doc_id")
+          .agg(
+            count(lit(1)).as("n_frames"),
+            countDistinct("fp").as("n_distinct"),
+            sum(col("fp") * (col("frame_idx") + 1)).as("fp_checksum"))
+      },
+      None),
+
+    // M47 audio near-dup: clip_1 is clip_0 re-gained and padded → all
+    // fingerprints shared; clip_2's spectrum orders bands differently.
+    Q("q_audio_neardup",
+      (s, _) => {
+        val media = s.read.format("binaryFile")
+          .option("pathGlobFilter", "clip_*.wav")
+          .load("/root/repo/fixtures/audio")
+          .select(
+            regexp_extract(col("path"), "clip_(\\d+)", 1).cast("long").as("doc_id"),
+            col("content").as("payload"))
+        graft.multimodal.JvmMedia.audioNearDups(
+          graft.multimodal.JvmMedia.audioFingerprints(s, media).toDF(),
+          minOverlap = 0.5)
       },
       None),
 

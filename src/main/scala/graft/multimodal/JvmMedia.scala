@@ -377,4 +377,90 @@ object JvmMedia {
         WavRow(id, rate, channels, bits, n, n.toDouble / rate, rms)
       })
   }
+
+  // ---- audio fingerprinting (spectral-band signature, Goertzel DFT) ----
+
+  final case class AudioFpRow(doc_id: Long, frame_idx: Int, fp: Long)
+
+  /** Signal power at one DFT bin via the Goertzel recurrence — O(len)
+    * per frequency with no FFT library (pure JVM arithmetic; the
+    * standard single-bin DFT used by DTMF detectors). */
+  def goertzelPower(
+      samples: Array[Double], start: Int, len: Int,
+      freq: Double, rate: Int): Double = {
+    val k = math.round(len * freq / rate).toInt
+    val w = 2 * math.Pi * k / len
+    val coeff = 2 * math.cos(w)
+    var s1 = 0.0; var s2 = 0.0
+    var i = 0
+    while (i < len) {
+      val s0 = samples(start + i) + coeff * s1 - s2
+      s2 = s1; s1 = s0; i += 1
+    }
+    s1 * s1 + s2 * s2 - coeff * s1 * s2
+  }
+
+  /** Per-frame 16-bit spectral fingerprints: 17 log-spaced band energies
+    * (200 Hz → 3 kHz), bit m set when E(m) > E(m+1) — the within-frame
+    * half of the Haitsma–Kalker (2002) sign-feature fingerprint. Sign
+    * comparisons make the signature invariant to gain (a re-encoded or
+    * re-normalized copy keeps every bit, since positive scaling
+    * preserves all energy orderings) while distinct spectral content
+    * flips the band ordering. */
+  def spectralFingerprint(
+      samples: Array[Double], rate: Int,
+      frameLen: Int = 256, hop: Int = 128, nBands: Int = 17): Array[Long] = {
+    val nFrames = math.max(0, (samples.length - frameLen) / hop + 1)
+    val freqs = Array.tabulate(nBands)(m =>
+      200.0 * math.pow(15.0, m.toDouble / (nBands - 1)))
+    Array.tabulate(nFrames) { n =>
+      val e = freqs.map(f => goertzelPower(samples, n * hop, frameLen, f, rate))
+      var fp = 0L
+      var m = 0
+      while (m < nBands - 1) {
+        if (e(m) > e(m + 1)) fp |= (1L << m)
+        m += 1
+      }
+      fp
+    }
+  }
+
+  /** Fingerprint stage over (doc_id, payload) WAV rows — the audio
+    * analog of [[sampleVideoFrames]]: mapPartitions decode, one row per
+    * frame, payload bytes never shuffle. */
+  def audioFingerprints(spark: SparkSession, media: DataFrame): Dataset[AudioFpRow] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        val (rate, channels, _, samples) = parseWav(bytes)
+        // mixdown: average interleaved channels (mono fixtures pass through)
+        val mono =
+          if (channels <= 1) samples
+          else Array.tabulate(samples.length / channels)(i =>
+            (0 until channels).map(c => samples(i * channels + c)).sum / channels)
+        spectralFingerprint(mono, rate).zipWithIndex.map {
+          case (fp, idx) => AudioFpRow(id, idx, fp)
+        }
+      })
+  }
+
+  /** Audio near-duplicates by shared frame fingerprints — same overlap
+    * join as [[clipNearDups]] with spectral fps in place of frame
+    * dHashes: candidates come from an equality join on the fp value
+    * (hash-partitioned, fan-out = bucket occupancy), overlap = shared
+    * distinct fps / smaller clip's distinct count. */
+  def audioNearDups(fps: DataFrame, minOverlap: Double = 0.5): DataFrame = {
+    val sets = graft.Caching.cache(fps.select("doc_id", "fp").distinct())
+    val counts = sets.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    sets.as("a")
+      .join(sets.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+      .join(counts.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
+      .join(counts.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
+      .withColumn("overlap", col("shared") / least(col("n_a"), col("n_b")))
+      .where(col("overlap") >= minOverlap)
+      .select("doc_a", "doc_b", "shared", "n_a", "n_b", "overlap")
+  }
 }

@@ -77,6 +77,36 @@ class JvmMediaSpec extends SparkSpec {
     assert(math.abs(row.rms - 0.5 / math.sqrt(2.0)) < 1e-3)
   }
 
+  test("goertzelPower: energy concentrates at the driven frequency") {
+    val rate = 8000
+    val s = Array.tabulate(1024)(i =>
+      0.5 * math.sin(2 * math.Pi * 440.0 * i / rate))
+    val at440 = JvmMedia.goertzelPower(s, 0, 1024, 440.0, rate)
+    val at1000 = JvmMedia.goertzelPower(s, 0, 1024, 1000.0, rate)
+    assert(at440 > 1000 * at1000, s"440=$at440 1000=$at1000")
+  }
+
+  test("spectralFingerprint is gain-invariant; distinct spectra differ") {
+    val rate = 8000
+    def mix(fa: Seq[(Double, Double)]) = Array.tabulate(4000)(i =>
+      fa.map { case (f, a) => a * math.sin(2 * math.Pi * f * i / rate) }.sum)
+    val base = JvmMedia.spectralFingerprint(mix(Seq(440.0 -> 0.5, 880.0 -> 0.25)), rate)
+    val gained = JvmMedia.spectralFingerprint(mix(Seq(440.0 -> 0.25, 880.0 -> 0.125)), rate)
+    val other = JvmMedia.spectralFingerprint(mix(Seq(660.0 -> 0.5, 1320.0 -> 0.25)), rate)
+    assert(base.sameElements(gained)) // halved gain keeps every sign bit
+    assert(!base.sameElements(other))
+  }
+
+  test("audioNearDups: re-gained clip matches, distinct spectrum does not") {
+    val clips = mediaDf(LoaderFixtures.audioClipFiles.zipWithIndex.map {
+      case ((_, b), i) => (i.toLong, b)
+    })
+    val fps = JvmMedia.audioFingerprints(spark, clips).toDF()
+    val pairs = JvmMedia.audioNearDups(fps)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+
   test("parseWav: corrupt negative chunk size fails instead of looping forever") {
     val bad = LoaderFixtures.wavBytes.clone()
     // fmt chunk size field lives at byte 16; -8 would stall pos forever
