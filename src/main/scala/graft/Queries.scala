@@ -997,6 +997,6 @@ object Queries {
 
   def all: Seq[Q] =
     relational ++ profileTemporal ++ eventOps ++ QueriesML.ml ++
-      QueriesML.curation ++ QueriesML.crawl ++
+      QueriesML.curation ++ QueriesML.crawl ++ QueriesML.training ++
       QueriesExtra.extra ++ QueriesSpatial.spatial
 }

@@ -1159,6 +1159,44 @@ object QueriesML {
   /** Crawl ingestion (M37 WARC reader) and HTML extraction (M38):
     * WARC → HTML → main text, the front end of the 100 TB pipeline
     * whose downstream stages (lang-id, quality, dedup) are M1-M36. */
+  // ---- M48+: training-corpus packaging / modeling ops ----------------
+  val training: Seq[Q] = Seq(
+    // M48 WebDataset tar shards: full write→read ROUNDTRIP through real
+    // POSIX tar bytes (sinks/TarShards) — docs staged as .txt + .json
+    // sample pairs into 8 deterministic shards, read back via binaryFile,
+    // entries re-parsed and re-joined per sample. The oracle recomputes
+    // every aggregate straight from the source table, so any header,
+    // padding, ordering, or payload corruption in the container breaks
+    // the hash match.
+    Q("q_webdataset",
+      (s, d) => {
+        val staged = documents(s, d).select(
+          (col("doc_id") % 8).cast("int").as("shard"),
+          format_string("%08d", col("doc_id")).as("key"),
+          map(
+            lit("json"), encode(to_json(struct(col("doc_id"), col("lang"))), "UTF-8"),
+            lit("txt"), encode(col("text"), "UTF-8")).as("files"))
+        val dir = java.nio.file.Files.createTempDirectory("wds").toString
+        graft.sinks.TarShards.writeShards(s, staged, dir)
+        val back = graft.sinks.TarShards.readShards(s, dir)
+        val txt = back.where(col("ext") === "txt").select(col("shard"),
+          col("key"), length(decode(col("content"), "UTF-8")).as("chars"))
+        val js = back.where(col("ext") === "json").select(col("shard"), col("key"),
+          get_json_object(decode(col("content"), "UTF-8"), "$.doc_id")
+            .cast("long").as("jid"),
+          get_json_object(decode(col("content"), "UTF-8"), "$.lang").as("lang"))
+        txt.join(js, Seq("shard", "key"))
+          .groupBy("shard")
+          .agg(count(lit(1)).as("n_docs"), sum("chars").as("chars"),
+            sum("jid").as("sum_id"), countDistinct("lang").as("n_langs"))
+      },
+      Some("""SELECT (doc_id % 8)::INT AS shard, count(*) AS n_docs,
+        |       sum(length(text))::BIGINT AS chars,
+        |       sum(doc_id)::BIGINT AS sum_id,
+        |       count(DISTINCT lang)::BIGINT AS n_langs
+        |FROM documents GROUP BY 1""".stripMargin))
+  )
+
   val crawl: Seq[Q] = Seq(
 
     // html_strip over synthesized markup on the documents table — the

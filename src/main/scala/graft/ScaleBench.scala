@@ -516,6 +516,35 @@ object ScaleBench {
     require(b20n == 500000L, s"B20 must score every doc: $b20n")
     b20docs.unpersist(); Caching.release()
 
+    // B21: WebDataset tar-shard packaging — 2M ~200 B samples (txt+json
+    // entry pair each) into 64 shards (≈13 MB/shard here; the same task
+    // topology carries 100 MB–1 GB shards at corpus scale since task
+    // memory stays O(entry)), then a full read-back parse. Write is one
+    // shard-keyed shuffle + 64 writer tasks; read is one task per shard.
+    val b21dir = java.nio.file.Files.createTempDirectory("b21wds")
+    val b21docs = spark.range(2000000).select(
+      (col("id") % 64).cast("int").as("shard"),
+      format_string("%09d", col("id")).as("key"),
+      map(lit("txt"),
+        encode(concat(lit("document body "), col("id"),
+          lit(" lorem ipsum dolor sit amet consectetur adipiscing elit sed do "),
+          expr("repeat('x', cast(id % 97 as int))")), "UTF-8"),
+        lit("json"),
+        encode(concat(lit("{\"id\":"), col("id"), lit("}")), "UTF-8"))
+        .as("files"))
+    val (b21ws, b21wn) = time {
+      graft.sinks.TarShards.writeShards(spark, b21docs, b21dir.toString)
+        .agg(sum("n_samples"), sum("n_bytes")).collect()(0).getLong(0)
+    }
+    require(b21wn == 2000000L, s"B21 wrote $b21wn samples, expected 2M")
+    val b21bytes = java.nio.file.Files.list(b21dir)
+      .mapToLong(p => java.nio.file.Files.size(p)).sum()
+    val (b21rs, b21rn) = time {
+      graft.sinks.TarShards.readShards(spark, b21dir.toString).count()
+    }
+    require(b21rn == 4000000L, s"B21 read back $b21rn entries, expected 4M")
+    deleteRecursive(b21dir); Caching.release()
+
     val b1rate = "%.1f".format(src.ncells * 32 / b1s / 1e6)
     val b3rate = "%.1f".format(b3n / b3s / 1e6)
     val json =
@@ -547,7 +576,10 @@ object ScaleBench {
         s""""b19_incr_dedup_sec":$b19s,"b19_incoming":$b19n,""" +
         s""""b19_exact":${b19stat.getOrElse("exact_dup", 0L)},"b19_near":${b19stat.getOrElse("near_dup", 0L)},""" +
         s""""b20_lm_score_sec":$b20s,"b20_docs":$b20n,""" +
-        s""""b20_kdocs_per_s":${"%.1f".format(b20n / b20s / 1e3)}}"""
+        s""""b20_kdocs_per_s":${"%.1f".format(b20n / b20s / 1e3)},""" +
+        s""""b21_tar_write_sec":$b21ws,"b21_samples":$b21wn,"b21_tar_bytes":$b21bytes,""" +
+        s""""b21_write_mb_per_s":${"%.1f".format(b21bytes / b21ws / 1e6)},""" +
+        s""""b21_tar_read_sec":$b21rs,"b21_entries":$b21rn}"""
     println(json)
     // durable copy for the round artifacts (same pattern as BENCH_LAST)
     java.nio.file.Files.write(

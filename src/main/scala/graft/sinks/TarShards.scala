@@ -1,0 +1,193 @@
+package graft.sinks
+
+import java.io.{BufferedOutputStream, FileOutputStream, OutputStream}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** WebDataset-style sharded tar export/import for training corpora.
+  *
+  * The de-facto large-scale training-data layout (WebDataset: Aizman et
+  * al. 2019; used by OpenCLIP/LAION pipelines) stores a corpus as a fleet
+  * of POSIX tar shards where each sample is a group of adjacent entries
+  * sharing a basename key (`00001234.txt`, `00001234.json`,
+  * `00001234.jpg`, …). Sequential tar reads give streaming-friendly I/O
+  * on object stores, and the shard is the unit of parallelism for both
+  * writing and training.
+  *
+  * Scale design (100 TB):
+  *  - `writeShards` groups by the caller-assigned shard id — ONE shuffle,
+  *    keyed by shard — and each shard is exactly one task that STREAMS
+  *    its sorted samples through a `FileOutputStream`: task memory is
+  *    O(largest single entry), never O(shard). The caller sizes
+  *    `shard = f(key)` so shards land at the usual 100 MB–1 GB; at
+  *    100 TB that is ~10⁵ shards = ~10⁵ tasks, far above any cluster's
+  *    slot count, so the write saturates all executors.
+  *  - Entries within a shard are written in sorted key order
+  *    (`flatMapSortedGroups` — sorting happens inside Spark's shuffle
+  *    machinery, spillable, not in user memory), making shard bytes a
+  *    pure function of the data: re-runs are byte-identical (headers pin
+  *    mtime=0, uid/gid=0, mode 644), so shard-level checksums can detect
+  *    any corpus drift.
+  *  - `readShards` is the ingest mirror: one task per shard file via
+  *    `binaryFile` (tar has no split points without an index, and shards
+  *    are bounded by construction), yielding one row per entry.
+  *
+  * The tar container is hand-encoded from the POSIX.1-1988 ustar spec
+  * (pax.h header layout) — same dependency-free approach as the
+  * [[Sqlite]]/[[NetcdfWriter]] sinks.
+  */
+object TarShards {
+
+  private val Block = 512
+
+  /** One sample file inside a shard: entry name and payload. */
+  final case class TarEntry(name: String, bytes: Array[Byte])
+
+  /** Serialize one ustar header + payload + zero padding to `out`.
+    * Deterministic: mtime 0, uid/gid 0, mode 0644, no user/group names. */
+  private[sinks] def writeEntry(out: OutputStream, e: TarEntry): Long = {
+    require(e.name.nonEmpty && e.name.length <= 100,
+      s"tar entry name must be 1..100 chars, got '${e.name}'")
+    require(e.bytes.length < (1L << 33),
+      s"ustar octal size field caps one entry at 8 GiB, got ${e.bytes.length}")
+    val h = new Array[Byte](Block)
+    def put(off: Int, s: String): Unit = {
+      val b = s.getBytes("US-ASCII")
+      System.arraycopy(b, 0, h, off, b.length)
+    }
+    def oct(off: Int, width: Int, v: Long): Unit =
+      // POSIX numeric field: (width-1) octal digits then NUL
+      put(off, ("%0" + (width - 1) + "o").format(v))
+    put(0, e.name)                    // name[100]
+    oct(100, 8, 420)                  // mode 0644
+    oct(108, 8, 0)                    // uid
+    oct(116, 8, 0)                    // gid
+    oct(124, 12, e.bytes.length.toLong) // size
+    oct(136, 12, 0)                   // mtime (epoch — deterministic)
+    java.util.Arrays.fill(h, 148, 156, ' '.toByte) // chksum = spaces while summing
+    h(156) = '0'                      // typeflag: regular file
+    put(257, "ustar")                 // magic (NUL-terminated by zero fill)
+    put(263, "00")                    // version
+    var sum = 0L
+    var i = 0
+    while (i < Block) { sum += h(i) & 0xff; i += 1 }
+    put(148, "%06o".format(sum))      // chksum: 6 octal digits NUL space
+    h(154) = 0; h(155) = ' '
+    out.write(h)
+    out.write(e.bytes)
+    val pad = (Block - e.bytes.length % Block) % Block
+    if (pad > 0) out.write(new Array[Byte](pad))
+    (Block + e.bytes.length + pad).toLong
+  }
+
+  /** Close a tar stream: two zero blocks (end-of-archive marker). */
+  private[sinks] def writeTrailer(out: OutputStream): Long = {
+    out.write(new Array[Byte](2 * Block)); 2L * Block
+  }
+
+  /** In-memory archive of `entries` in given order (tests, small shards). */
+  def tarBytes(entries: Iterator[TarEntry]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    entries.foreach(writeEntry(bos, _))
+    writeTrailer(bos)
+    bos.toByteArray
+  }
+
+  /** Parse a tar archive back to its entries. Validates each header
+    * checksum and the octal size field; fails loudly on truncation or
+    * corruption rather than yielding partial samples. */
+  def parseTar(bytes: Array[Byte]): Seq[TarEntry] = {
+    val out = Seq.newBuilder[TarEntry]
+    var pos = 0
+    var done = false
+    while (!done) {
+      require(pos + Block <= bytes.length, s"tar truncated at offset $pos")
+      if (bytes(pos) == 0) { // zero block terminates the archive
+        done = true
+      } else {
+        var stored = 0L
+        var sum = 0L
+        var i = 0
+        while (i < Block) {
+          val b = bytes(pos + i) & 0xff
+          sum += (if (i >= 148 && i < 156) ' '.toInt else b)
+          i += 1
+        }
+        stored = java.lang.Long.parseLong(
+          new String(bytes, pos + 148, 8, "US-ASCII")
+            .takeWhile(c => c >= '0' && c <= '7'), 8)
+        require(stored == sum,
+          s"tar header checksum mismatch at offset $pos: $stored != $sum")
+        val nameLen = (0 until 100).indexWhere(i => bytes(pos + i) == 0) match {
+          case -1 => 100
+          case n => n
+        }
+        val name = new String(bytes, pos, nameLen, "US-ASCII")
+        val size = java.lang.Long.parseLong(
+          new String(bytes, pos + 124, 12, "US-ASCII")
+            .takeWhile(c => c >= '0' && c <= '7'), 8).toInt
+        require(pos + Block + size <= bytes.length,
+          s"tar entry '$name' ($size bytes) overruns archive at $pos")
+        out += TarEntry(name,
+          java.util.Arrays.copyOfRange(bytes, pos + Block, pos + Block + size))
+        pos += Block + size + (Block - size % Block) % Block
+      }
+    }
+    out.result()
+  }
+
+  /** Write `staged` — columns `(shard INT, key STRING,
+    * files MAP<STRING,BINARY>)` — as `dir/shard-NNNNN.tar`, each sample's
+    * files emitted adjacently as `key.ext` in map-key order, samples in
+    * key order. One task per shard; entries stream to disk. Returns the
+    * manifest (shard, n_samples, n_bytes) — an action (the write runs
+    * eagerly, like the other file sinks). */
+  def writeShards(spark: SparkSession, staged: DataFrame, dir: String): DataFrame = {
+    import spark.implicits._
+    val manifest = staged
+      .select(col("shard").cast("int"), col("key"),
+        map_entries(col("files")).as("files"))
+      .as[(Int, String, Seq[(String, Array[Byte])])]
+      .groupByKey(_._1)
+      .flatMapSortedGroups($"key") { (shard, rows) =>
+        val path = f"$dir/shard-$shard%05d.tar"
+        val out = new BufferedOutputStream(new FileOutputStream(path), 1 << 16)
+        var n = 0L
+        var bytes = 0L
+        try {
+          rows.foreach { case (_, key, files) =>
+            files.sortBy(_._1).foreach { case (ext, payload) =>
+              bytes += writeEntry(out, TarEntry(s"$key.$ext", payload))
+            }
+            n += 1
+          }
+          bytes += writeTrailer(out)
+        } finally out.close()
+        Iterator((shard, n, bytes))
+      }
+      .toDF("shard", "n_samples", "n_bytes")
+    manifest.cache().count() // materialize: every shard file is on disk
+    manifest
+  }
+
+  /** Read a shard directory back: one row per tar entry with the shard
+    * id (from the file name), sample `key`, entry `ext`, and payload.
+    * One task per shard file (tar is not block-splittable without an
+    * external index; shards are bounded by construction). */
+  def readShards(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "shard-*.tar").load(dir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        val shard = path.substring(path.lastIndexOf("shard-") + 6,
+          path.lastIndexOf(".tar")).toInt
+        parseTar(bytes).iterator.map { e =>
+          val dot = e.name.lastIndexOf('.')
+          (shard, e.name.substring(0, dot), e.name.substring(dot + 1), e.bytes)
+        }
+      }
+      .toDF("shard", "key", "ext", "content")
+  }
+}
