@@ -1194,7 +1194,97 @@ object QueriesML {
         |       sum(length(text))::BIGINT AS chars,
         |       sum(doc_id)::BIGINT AS sum_id,
         |       count(DISTINCT lang)::BIGINT AS n_langs
-        |FROM documents GROUP BY 1""".stripMargin))
+        |FROM documents GROUP BY 1""".stripMargin)),
+
+    // M49 Naive Bayes TRAINED in-engine (text/NaiveBayes): Laplace-
+    // smoothed multinomial NB over whitespace tokens, lang as the class,
+    // trained on the even-doc slice, applied to all. The oracle replays
+    // counting, µ-unit ln quantization, smoothing floor, priors, and the
+    // tie-broken argmax step for step in SQL.
+    Q("q_naive_bayes",
+      (s, d) => graft.text.NaiveBayes.trainPredict(
+        documents(s, d), labelCol = "lang", trainMod = 2),
+      Some("""WITH tok AS (SELECT doc_id, lang AS true_label,
+        |              unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tr AS (SELECT * FROM tok WHERE doc_id % 2 = 0),
+        |ctc AS (SELECT true_label AS cls, tok, count(*)::BIGINT AS ctc
+        |        FROM tr GROUP BY 1, 2),
+        |tot AS (SELECT true_label AS cls, count(*)::BIGINT AS tot
+        |        FROM tr GROUP BY 1),
+        |v AS (SELECT count(DISTINCT tok)::BIGINT AS v FROM tr),
+        |pd AS (SELECT lang AS cls, count(*)::BIGINT AS nd
+        |       FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+        |nd AS (SELECT sum(nd)::BIGINT AS n FROM pd),
+        |pri AS (SELECT cls,
+        |          round(ln(nd::DOUBLE / n) * 1000000.0)::BIGINT AS prior_micro
+        |        FROM pd, nd),
+        |wt AS (SELECT cls, tok,
+        |         round(ln((ctc + 1)::DOUBLE / (tot + v)) * 1000000.0)::BIGINT AS w
+        |       FROM ctc JOIN tot USING (cls), v),
+        |df AS (SELECT cls,
+        |         round(ln(1.0::DOUBLE / (tot + v)) * 1000000.0)::BIGINT AS dflt
+        |       FROM tot, v),
+        |sc AS (SELECT t.doc_id, t.true_label, c.cls,
+        |              sum(coalesce(w.w, df.dflt))::BIGINT AS like_micro,
+        |              count(*)::BIGINT AS n_toks
+        |       FROM tok t
+        |       CROSS JOIN (SELECT cls FROM tot) c
+        |       LEFT JOIN wt w ON w.cls = c.cls AND w.tok = t.tok
+        |       JOIN df ON df.cls = c.cls
+        |       GROUP BY 1, 2, 3),
+        |fin AS (SELECT doc_id, true_label, sc.cls,
+        |               like_micro + prior_micro AS score_micro, n_toks,
+        |               row_number() OVER (PARTITION BY doc_id
+        |                 ORDER BY like_micro + prior_micro DESC, sc.cls) AS rk
+        |        FROM sc JOIN pri ON pri.cls = sc.cls)
+        |SELECT doc_id, true_label, cls AS pred, score_micro, n_toks,
+        |       (cls = true_label)::INT AS correct
+        |FROM fin WHERE rk = 1""".stripMargin)),
+
+    // M50 leakage-safe holdout: folds assigned per near-dup CLUSTER
+    // (LSH→verify→CC, the q_dedup_clusters pipeline) so a near-duplicate
+    // of an eval doc can never sit in train. Oracle = the recursive-CTE
+    // CC replay + the same cluster-slot fold rule.
+    Q("q_leakage_split",
+      (s, d) => ops.Sampling.leakageSafeSplit(
+        documents(s, d),
+        Dedup.verifiedNearDups(s, documents(s, d),
+          numHashes = 8, rowsPerBand = 2, threshold = 0.5),
+        trainPct = 80, valPct = 10),
+      Some(s"""WITH RECURSIVE $ShingleHashCte,
+        |keys AS (SELECT doc_id, hash_id // 2 AS band,
+        |                string_agg(hash_id || ':' || minhash, ',' ORDER BY hash_id) AS band_key
+        |         FROM mh GROUP BY 1, 2),
+        |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |          FROM keys a JOIN keys b
+        |            ON a.band = b.band AND a.band_key = b.band_key
+        |           AND a.doc_id < b.doc_id),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |cm AS (SELECT p.doc_a, p.doc_b, count(*) AS common
+        |       FROM pairs p
+        |       JOIN sh a ON a.doc_id = p.doc_a
+        |       JOIN sh b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+        |       GROUP BY 1, 2),
+        |vp AS (SELECT doc_a, doc_b
+        |       FROM cm JOIN sz sa ON sa.doc_id = doc_a
+        |               JOIN sz sb ON sb.doc_id = doc_b
+        |       WHERE common / (sa.sz + sb.sz - common) >= 0.5),
+        |e AS (SELECT doc_a AS src, doc_b AS dst FROM vp
+        |      UNION ALL SELECT doc_b, doc_a FROM vp),
+        |r AS (SELECT src AS n, src AS l FROM e
+        |      UNION
+        |      SELECT e.dst, r.l FROM r JOIN e ON e.src = r.n),
+        |cc AS (SELECT n AS doc_id, min(l) AS cluster_id FROM r GROUP BY 1),
+        |st AS (SELECT cluster_id, count(*)::BIGINT AS cluster_size FROM cc GROUP BY 1),
+        |asg AS (SELECT d.doc_id, coalesce(cc.cluster_id, d.doc_id) AS cluster_id,
+        |               coalesce(st.cluster_size, 1)::BIGINT AS cluster_size
+        |        FROM documents d LEFT JOIN cc USING (doc_id)
+        |                         LEFT JOIN st ON st.cluster_id = cc.cluster_id)
+        |SELECT doc_id, cluster_id, cluster_size,
+        |       CASE WHEN cluster_id % 100 < 80 THEN 'train'
+        |            WHEN cluster_id % 100 < 90 THEN 'val'
+        |            ELSE 'test' END AS split
+        |FROM asg""".stripMargin))
   )
 
   val crawl: Seq[Q] = Seq(

@@ -77,6 +77,33 @@ object Sampling {
         coalesce(col("leaked"), lit(false)).as("leaked"))
   }
 
+  /** Dedup-aware (leakage-safe) holdout split: a near-duplicate of a
+    * held-out doc inside the training set IS the held-out doc for
+    * memorization purposes, so the split must assign whole near-dup
+    * CLUSTERS, not docs, to folds (the published eval-contamination
+    * fix — e.g. The Pile and LLaMA dedup eval sets against train).
+    * Composition: [[graft.dedup.Clustering.dedupAssign]] over verified
+    * near-dup `pairs`, then the [[holdoutSplit]] slot rule applied to
+    * `cluster_id` — every member of a cluster inherits the canonical
+    * member's fold, so no cluster can straddle train/eval by
+    * construction. Scale shape: adds nothing to dedupAssign's cost
+    * (one pairs-sized CC + a broadcastable join); the fold rule is a
+    * narrow per-row expression. */
+  def leakageSafeSplit(
+      docs: DataFrame,
+      pairs: DataFrame,
+      trainPct: Int,
+      valPct: Int): DataFrame = {
+    require(trainPct + valPct <= 100, "train+val must be <= 100")
+    val slot = pmod(col("cluster_id"), lit(100))
+    graft.dedup.Clustering.dedupAssign(docs, pairs)
+      .select("doc_id", "cluster_id", "cluster_size")
+      .withColumn("split",
+        when(slot < trainPct, "train")
+          .when(slot < trainPct + valPct, "val")
+          .otherwise("test"))
+  }
+
   /** Slot modulus for [[domainMix]] — prime, and the Lehmer multiplier
     * decorrelates the mix slots from [[slotSample]]/[[holdoutSplit]]'s
     * plain `id % 100` slots so stacked samplers don't alias. */

@@ -293,4 +293,22 @@ class TextDedupSpec extends SparkSpec {
     val plan = TextAnalysis.chunkDocuments(d).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
   }
+
+  test("leakageSafeSplit keeps near-dup clusters in one fold") {
+    import org.apache.spark.sql.functions.col
+    // 95 and 195 are exact near-dups; doc-slot folding would place 95 in
+    // 'test' and 195 in 'train' (leak). Cluster folding pins both to the
+    // cluster id 95 -> 'test'.
+    val d = docs(
+      (95L, "alpha beta gamma delta epsilon"),
+      (195L, "alpha beta gamma delta epsilon"),
+      (3L, "zeta eta theta iota kappa"))
+    import spark.implicits._
+    val pairs = Seq((95L, 195L)).toDF("doc_a", "doc_b")
+    val out = graft.ops.Sampling.leakageSafeSplit(d, pairs, 80, 10)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(3)))).toMap
+    assert(out(95L) == ((95L, "test")))
+    assert(out(195L) == ((95L, "test"))) // inherits the cluster fold
+    assert(out(3L) == ((3L, "train")))   // singleton: own id slot
+  }
 }
