@@ -173,6 +173,16 @@ object OraclePins {
       """SELECT * FROM (VALUES
       (0::BIGINT, 1::BIGINT, 1::BIGINT, 1::BIGINT, 1::BIGINT, '1.0'::DOUBLE)
       ) AS t(doc_a, doc_b, shared, n_a, n_b, overlap)""",
+    "q_image_scrub" ->
+      """SELECT * FROM (VALUES
+      (0::BIGINT, 'png', 1::BIGINT, 'tEXt', 2416::BIGINT, 2377::BIGINT, 1::INT),
+      (1::BIGINT, 'png', 2::BIGINT, 'tEXt,tEXt', 2437::BIGINT, 2377::BIGINT, 1::INT),
+      (2::BIGINT, 'png', 1::BIGINT, 'tEXt', 2413::BIGINT, 2374::BIGINT, 1::INT),
+      (3::BIGINT, 'png', 2::BIGINT, 'tEXt,tEXt', 2434::BIGINT, 2374::BIGINT, 1::INT),
+      (4::BIGINT, 'png', 1::BIGINT, 'tEXt', 2417::BIGINT, 2378::BIGINT, 1::INT),
+      (5::BIGINT, 'png', 2::BIGINT, 'tEXt,tEXt', 2437::BIGINT, 2377::BIGINT, 1::INT),
+      (100::BIGINT, 'jpeg', 1::BIGINT, 'APP1', 1131::BIGINT, 1057::BIGINT, 1::INT)
+      ) AS t(doc_id, format, n_removed, removed, bytes_before, bytes_after, pixels_same)""",
     "q_wrf_grid" ->
       """SELECT * FROM (VALUES
       (0::BIGINT, '9.89'::DOUBLE, '44.9'::DOUBLE, '10.11'::DOUBLE, '45.1'::DOUBLE, '350.502717'::DOUBLE),

@@ -872,6 +872,40 @@ object QueriesExtra {
       },
       None),
 
+    // M51 image metadata scrub: EXIF/tEXt/COM stripping at the container
+    // level (no re-encode), with decode-level pixel-fidelity proof.
+    // Inputs: committed PNG fixtures dirtied in-query by the
+    // deterministic injectors, plus one JDK-encoded JPEG carrying a fake
+    // EXIF block — so the scrub provably has something to remove.
+    Q("q_image_scrub",
+      (s, _) => {
+        import s.implicits._
+        import graft.multimodal.ImageScrub
+        val pngs = s.read.format("binaryFile")
+          .option("pathGlobFilter", "img_*.png")
+          .load("/root/repo/fixtures/images")
+          .select(
+            regexp_extract(col("path"), "img_(\\d+)", 1).cast("long").as("doc_id"),
+            col("content").as("payload"))
+          .as[(Long, Array[Byte])]
+          .map { case (id, b) =>
+            val dirty =
+              if (id % 2 == 0)
+                ImageScrub.withPngText(b, "GPS", s"lat=47.37;lon=8.54;id=$id")
+              else
+                ImageScrub.withPngText(
+                  ImageScrub.withPngText(b, "Author", s"user-$id"),
+                  "CreationTime", "2026-01-01")
+            (id, dirty)
+          }.toDF("doc_id", "payload")
+        val jpeg = Seq((100L, ImageScrub.withJpegExif(
+          graft.sources.LoaderFixtures.jpegFrame(1),
+          Array.tabulate[Byte](64)(i => (i * 7).toByte))))
+          .toDF("doc_id", "payload")
+        ImageScrub.scrubImages(s, pngs.unionAll(jpeg))
+      },
+      None),
+
     // MJPEG/AVI container parse: stream dims, frame count, fps, duration —
     // real video metadata decode, no frame decompression.
     Q("q_video_decode",

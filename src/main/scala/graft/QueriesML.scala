@@ -318,15 +318,15 @@ object QueriesML {
     // curation. The gate derives a deterministic doc→doc link graph
     // from the corpus (3 hash-derived out-links per doc — both engines
     // replay it exactly); the operator itself takes any (src, dst)
-    // edge list. The global row_number here is gate-only scaffolding —
-    // real crawls carry explicit link targets.
+    // edge list. Doc ordinals come from the bucketed two-level rank
+    // (ops.Ranks) — no global window anywhere in the path.
     Q("q_pagerank",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
         val docs = documents(s, d).select("doc_id", "text")
         val cnt = docs.agg(count(lit(1)).as("n"))
-        val ranked = docs.select(col("doc_id"),
-          (row_number().over(Window.orderBy("doc_id")) - 1).as("dst_rnk"))
+        val ranked = ops.Ranks.denseOrdinals(
+            docs.select("doc_id"), "doc_id", "dst_rnk", buckets = 64)
+          .select("doc_id", "dst_rnk")
         val hashes = docs.crossJoin(broadcast(cnt)).select(
           col("doc_id").as("src"),
           explode(array((1 to 3).map(k =>
@@ -1179,14 +1179,21 @@ object QueriesML {
         val dir = java.nio.file.Files.createTempDirectory("wds").toString
         graft.sinks.TarShards.writeShards(s, staged, dir)
         val back = graft.sinks.TarShards.readShards(s, dir)
-        val txt = back.where(col("ext") === "txt").select(col("shard"),
-          col("key"), length(decode(col("content"), "UTF-8")).as("chars"))
-        val js = back.where(col("ext") === "json").select(col("shard"), col("key"),
-          get_json_object(decode(col("content"), "UTF-8"), "$.doc_id")
-            .cast("long").as("jid"),
-          get_json_object(decode(col("content"), "UTF-8"), "$.lang").as("lang"))
-        txt.join(js, Seq("shard", "key"))
-          .groupBy("shard")
+        // reassemble each sample with ONE (shard,key)-keyed aggregate (a
+        // conditional pivot) instead of a txt⋈json self-join — half the
+        // exchanges, and the partial agg starts map-side per shard task
+        val samples = back
+          .groupBy("shard", "key")
+          .agg(
+            max(when(col("ext") === "txt",
+              length(decode(col("content"), "UTF-8")))).as("chars"),
+            max(when(col("ext") === "json",
+              get_json_object(decode(col("content"), "UTF-8"), "$.doc_id")
+                .cast("long"))).as("jid"),
+            max(when(col("ext") === "json",
+              get_json_object(decode(col("content"), "UTF-8"), "$.lang")))
+              .as("lang"))
+        samples.groupBy("shard")
           .agg(count(lit(1)).as("n_docs"), sum("chars").as("chars"),
             sum("jid").as("sum_id"), countDistinct("lang").as("n_langs"))
       },

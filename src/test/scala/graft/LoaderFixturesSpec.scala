@@ -17,6 +17,6 @@ class LoaderFixturesSpec extends org.scalatest.funsuite.AnyFunSuite {
         s"fixtures/$rel differs from LoaderFixtures output — regenerate " +
           "with: sbt \"runMain graft.sources.LoaderFixtures fixtures\"")
     }
-    assert(LoaderFixtures.all.size == 32)
+    assert(LoaderFixtures.all.size == 35)
   }
 }
