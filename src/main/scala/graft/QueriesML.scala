@@ -1291,7 +1291,54 @@ object QueriesML {
         |       CASE WHEN cluster_id % 100 < 80 THEN 'train'
         |            WHEN cluster_id % 100 < 90 THEN 'val'
         |            ELSE 'test' END AS split
-        |FROM asg""".stripMargin))
+        |FROM asg""".stripMargin)),
+
+    // M52 robots.txt policy filter (RFC 9309): REAL parser over five
+    // inline robots bodies (exact-agent groups, * fallback, multi-UA
+    // groups, wildcard + $ anchor, allow/disallow tie), longest-match
+    // rule evaluation over corpus URLs. The oracle receives the
+    // EXPECTED post-parse rules as literals and replays the LIKE match
+    // + integer-encoded argmax — so a parser regression breaks the
+    // hash gate.
+    Q("q_robots_filter",
+      (s, d) => {
+        val bodies = Seq(
+          "example0.com" ->
+            "User-agent: graftbot\nDisallow: /p/\nAllow: /p/1",
+          "example1.com" ->
+            "# site-wide\nUser-agent: *\nDisallow: /p/*3$\nCrawl-delay: 10",
+          "example2.com" ->
+            ("User-agent: graftbot\nUser-agent: otherbot\n" +
+              "Disallow: /p/\nAllow: /p/2\nDisallow: /p/2"),
+          "example3.com" -> "User-agent: evilbot\nDisallow: /",
+          "example4.com" ->
+            "User-agent: *\nDisallow: /\n\nUser-agent: newsbot\nAllow: /")
+        val rules = graft.text.Robots.rulesTable(s, bodies, "GraftBot")
+        val urls = documents(s, d).select(col("doc_id"),
+          concat(lit("http://example"), col("doc_id") % 5, lit(".com/p/"),
+            expr("(doc_id div 5) % 100")).as("url"))
+        graft.text.Robots.filterUrls(urls, rules)
+      },
+      Some("""WITH u AS (SELECT doc_id,
+        |         'http://example' || (doc_id % 5) || '.com/p/' || ((doc_id // 5) % 100) AS url,
+        |         'example' || (doc_id % 5) || '.com' AS domain,
+        |         '/p/' || ((doc_id // 5) % 100) AS path
+        |       FROM documents),
+        |r(domain, pattern, rule_len, allow) AS (VALUES
+        |  ('example0.com', '/p/%', 3, 0), ('example0.com', '/p/1%', 4, 1),
+        |  ('example1.com', '/p/%3', 5, 0),
+        |  ('example2.com', '/p/%', 3, 0), ('example2.com', '/p/2%', 4, 1),
+        |  ('example2.com', '/p/2%', 4, 0),
+        |  ('example4.com', '/%', 1, 0)),
+        |m AS (SELECT u.doc_id, u.url, u.domain, u.path,
+        |        max(CASE WHEN u.path LIKE r.pattern
+        |            THEN r.rule_len * 2 + r.allow END) AS best
+        |      FROM u LEFT JOIN r ON u.domain = r.domain
+        |      GROUP BY 1, 2, 3, 4)
+        |SELECT doc_id, url, domain, path,
+        |       coalesce(best // 2, -1)::BIGINT AS best_len,
+        |       coalesce(best % 2, 1)::INT AS allowed
+        |FROM m""".stripMargin))
   )
 
   val crawl: Seq[Q] = Seq(
