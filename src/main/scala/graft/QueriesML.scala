@@ -1203,6 +1203,47 @@ object QueriesML {
         |       count(DISTINCT lang)::BIGINT AS n_langs
         |FROM documents GROUP BY 1""".stripMargin)),
 
+    // M48 streaming twin: the same shard fleet consumed through
+    // Structured Streaming (binaryFile file-source, one incremental
+    // unit per shard) via the SAMPLE-level reader — reassembly happens
+    // inside the tar parse (adjacent-entry grouping), so the query
+    // needs exactly ONE streaming aggregation. Same oracle as the
+    // batch roundtrip, so the incremental parse is hash-verified
+    // against it.
+    Q("q_stream_shards",
+      (s, d) => {
+        val staged = documents(s, d).select(
+          (col("doc_id") % 8).cast("int").as("shard"),
+          format_string("%08d", col("doc_id")).as("key"),
+          map(
+            lit("json"), encode(to_json(struct(col("doc_id"), col("lang"))), "UTF-8"),
+            lit("txt"), encode(col("text"), "UTF-8")).as("files"))
+        val dir = java.nio.file.Files.createTempDirectory("wdss").toString
+        graft.sinks.TarShards.writeShards(s, staged, dir)
+        val samples = graft.sinks.TarShards.streamSamples(s, dir)
+          .select(col("shard"),
+            length(decode(element_at(col("files"), "txt"), "UTF-8")).as("chars"),
+            get_json_object(decode(element_at(col("files"), "json"), "UTF-8"),
+              "$.doc_id").cast("long").as("jid"),
+            get_json_object(decode(element_at(col("files"), "json"), "UTF-8"),
+              "$.lang").as("lang"))
+        // countDistinct is unsupported on streams: max(lang) stands in
+        val agg = samples.groupBy("shard")
+          .agg(count(lit(1)).as("n_docs"), sum("chars").as("chars"),
+            sum("jid").as("sum_id"), max("lang").as("max_lang"))
+        val mem = "stream_shards_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        val q = agg.writeStream
+          .outputMode("complete").format("memory").queryName(mem).start()
+        try { q.processAllAvailable() } finally { q.stop() }
+        s.table(mem)
+      },
+      Some("""SELECT (doc_id % 8)::INT AS shard, count(*) AS n_docs,
+        |       sum(length(text))::BIGINT AS chars,
+        |       sum(doc_id)::BIGINT AS sum_id,
+        |       max(lang) AS max_lang
+        |FROM documents GROUP BY 1""".stripMargin)),
+
     // M49 Naive Bayes TRAINED in-engine (text/NaiveBayes): Laplace-
     // smoothed multinomial NB over whitespace tokens, lang as the class,
     // trained on the even-doc slice, applied to all. The oracle replays

@@ -170,6 +170,16 @@ object TarShards {
     manifest
   }
 
+  private def parseShardFile(
+      path: String, bytes: Array[Byte]): Iterator[(Int, String, String, Array[Byte])] = {
+    val shard = path.substring(path.lastIndexOf("shard-") + 6,
+      path.lastIndexOf(".tar")).toInt
+    parseTar(bytes).iterator.map { e =>
+      val dot = e.name.lastIndexOf('.')
+      (shard, e.name.substring(0, dot), e.name.substring(dot + 1), e.bytes)
+    }
+  }
+
   /** Read a shard directory back: one row per tar entry with the shard
     * id (from the file name), sample `key`, entry `ext`, and payload.
     * One task per shard file (tar is not block-splittable without an
@@ -180,14 +190,84 @@ object TarShards {
       .option("pathGlobFilter", "shard-*.tar").load(dir)
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
-      .flatMap { case (path, bytes) =>
-        val shard = path.substring(path.lastIndexOf("shard-") + 6,
-          path.lastIndexOf(".tar")).toInt
-        parseTar(bytes).iterator.map { e =>
-          val dot = e.name.lastIndexOf('.')
-          (shard, e.name.substring(0, dot), e.name.substring(dot + 1), e.bytes)
-        }
-      }
+      .flatMap { case (p, b) => parseShardFile(p, b) }
       .toDF("shard", "key", "ext", "content")
+  }
+
+  /** Group a shard's entry stream into SAMPLES — the actual WebDataset
+    * reading model: consecutive entries sharing a basename key form one
+    * sample (writeShards emits them adjacently). Streaming-friendly: no
+    * aggregation operator needed to reassemble a sample. */
+  private def parseSampleFile(
+      path: String, bytes: Array[Byte]): Iterator[(Int, String, Map[String, Array[Byte]])] = {
+    val entries = parseShardFile(path, bytes).toSeq
+    // adjacent grouping (entries within a sample are contiguous by
+    // construction; order within the file is the sort order)
+    val out = Seq.newBuilder[(Int, String, Map[String, Array[Byte]])]
+    var i = 0
+    while (i < entries.length) {
+      val (shard, key, _, _) = entries(i)
+      var j = i
+      val files = Map.newBuilder[String, Array[Byte]]
+      while (j < entries.length && entries(j)._2 == key) {
+        files += entries(j)._3 -> entries(j)._4
+        j += 1
+      }
+      out += ((shard, key, files.result()))
+      i = j
+    }
+    out.result().iterator
+  }
+
+  /** Sample-level batch read: (shard, key, files MAP<ext,bytes>) — one
+    * row per sample, the inverse of [[writeShards]]' staging schema. */
+  def readSamples(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "shard-*.tar").load(dir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (p, b) => parseSampleFile(p, b) }
+      .toDF("shard", "key", "files")
+  }
+
+  /** Structured Streaming mirror of [[readShards]]: watch `dir` and
+    * parse each NEW shard file as it lands — the live-ingest topology
+    * where training consumers follow the packaging job. Incremental
+    * unit = one shard file = one task; the file-source log guarantees
+    * exactly-once per shard. */
+  def streamShards(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq( // binaryFile's fixed schema
+      StructField("path", StringType),
+      StructField("modificationTime", TimestampType),
+      StructField("length", LongType),
+      StructField("content", BinaryType)))
+    spark.readStream.format("binaryFile").schema(schema)
+      .option("pathGlobFilter", "shard-*.tar").load(dir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (p, b) => parseShardFile(p, b) }
+      .toDF("shard", "key", "ext", "content")
+  }
+
+  /** Streaming SAMPLE reader — [[readSamples]] over new shard files;
+    * reassembly happens inside the parse (adjacent-entry grouping), so
+    * downstream pipelines need no extra stateful operator. */
+  def streamSamples(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("path", StringType),
+      StructField("modificationTime", TimestampType),
+      StructField("length", LongType),
+      StructField("content", BinaryType)))
+    spark.readStream.format("binaryFile").schema(schema)
+      .option("pathGlobFilter", "shard-*.tar").load(dir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (p, b) => parseSampleFile(p, b) }
+      .toDF("shard", "key", "files")
   }
 }

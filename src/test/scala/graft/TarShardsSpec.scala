@@ -79,4 +79,37 @@ class TarShardsSpec extends SparkSpec {
       .select("content").as[Array[Byte]].head()
     assert(new String(d7, "UTF-8") == "doc 7")
   }
+
+  test("readSamples groups adjacent entries into one row per sample") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("wds2").toString
+    val staged = (0 until 6).map { i =>
+      (i % 2, f"$i%04d", Map(
+        "txt" -> s"t$i".getBytes("UTF-8"),
+        "json" -> s"j$i".getBytes("UTF-8")))
+    }.toDF("shard", "key", "files")
+    TarShards.writeShards(spark, staged, dir)
+    val samples = TarShards.readSamples(spark, dir)
+    assert(samples.count() == 6)
+    val r = samples.where(col("key") === "0003")
+      .select("files").as[Map[String, Array[Byte]]].head()
+    assert(r.keySet == Set("txt", "json"))
+    assert(new String(r("txt"), "UTF-8") == "t3")
+  }
+
+  test("streamSamples delivers the same samples through the file source") {
+    val dir = java.nio.file.Files.createTempDirectory("wds3").toString
+    import spark.implicits._
+    val staged = (0 until 6).map { i =>
+      (i % 2, f"$i%04d", Map("txt" -> s"t$i".getBytes("UTF-8")))
+    }.toDF("shard", "key", "files")
+    TarShards.writeShards(spark, staged, dir)
+    val mem = "tss_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = TarShards.streamSamples(spark, dir)
+      .select("shard", "key")
+      .writeStream.outputMode("append").format("memory").queryName(mem).start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table(mem).collect().map(r => r.getString(1)).sorted
+    assert(got.toSeq == (0 until 6).map(i => f"$i%04d"))
+  }
 }
