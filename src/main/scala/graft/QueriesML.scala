@@ -798,6 +798,24 @@ object QueriesML {
         |FROM ex JOIN assign a USING (vec_id)
         |GROUP BY 1, 2""".stripMargin)),
 
+    // M53 exact integer Gram/covariance matrix (PCA-whitening prep) —
+    // d(d+1)/2 upper-triangle cells, all BIGINT-exact; the oracle
+    // recomputes every cell from the quantized vectors.
+    Q("q_embed_gram",
+      (s, d) => Similarity.gramMatrix(embeddings(s, d)),
+      Some("""WITH q AS (SELECT list_transform(embedding,
+        |              x -> round(CAST(x AS DOUBLE) * 1000, 0)::BIGINT) AS v
+        |            FROM embeddings),
+        |ij AS (SELECT i.i AS i, j.j AS j
+        |       FROM range(1, 65) i(i), range(1, 65) j(j) WHERE i.i <= j.j),
+        |p AS (SELECT ij.i, ij.j, v[ij.i] * v[ij.j] AS prod,
+        |             v[ij.i] AS vi, v[ij.j] AS vj
+        |      FROM q, ij)
+        |SELECT i, j, count(*)::BIGINT AS n, sum(prod)::BIGINT AS dot,
+        |       sum(vi)::BIGINT AS s_i, sum(vj)::BIGINT AS s_j,
+        |       (count(*) * sum(prod) - sum(vi) * sum(vj))::BIGINT AS cov_num
+        |FROM p GROUP BY 1, 2""".stripMargin)),
+
     Q("q_ivf_assign",
       (s, d) => Similarity.ivfAssign(embeddings(s, d), centroidMod = 97),
       Some(s"""WITH $QuantCte,
@@ -1333,6 +1351,30 @@ object QueriesML {
         |            WHEN cluster_id % 100 < 90 THEN 'val'
         |            ELSE 'test' END AS split
         |FROM asg""".stripMargin)),
+
+    // M54 token-budget apportionment (largest-remainder): a 1,000,003-
+    // token mix over dyadic lang shares — base floors, the 2 leftover
+    // tokens land on the largest remainders (en's .5, then the
+    // frac-tie broken by domain name). Oracle replays floor/remainder
+    // arithmetic with ::DOUBLE weights so both engines stay IEEE-exact.
+    Q("q_token_budget",
+      (s, d) => ops.Sampling.tokenBudget(documents(s, d), "lang", Map(
+        "en" -> 0.5, "de" -> 0.125, "es" -> 0.125, "fr" -> 0.125,
+        "zh" -> 0.125), budget = 1000003L),
+      Some("""WITH a AS (SELECT lang, sum(len(string_split(text, ' ')))::BIGINT AS avail
+        |           FROM documents GROUP BY 1),
+        |w(lang, w) AS (VALUES ('en', 0.5::DOUBLE), ('de', 0.125::DOUBLE),
+        |  ('es', 0.125::DOUBLE), ('fr', 0.125::DOUBLE), ('zh', 0.125::DOUBLE)),
+        |b AS (SELECT a.lang, avail, floor(w * 1000003)::BIGINT AS base,
+        |             w * 1000003 - floor(w * 1000003) AS frac
+        |      FROM a JOIN w ON a.lang = w.lang),
+        |l AS (SELECT 1000003 - sum(base) AS leftover FROM b),
+        |r AS (SELECT *, row_number() OVER (ORDER BY frac DESC, lang) AS rk FROM b)
+        |SELECT lang, avail AS avail_tokens,
+        |       (base + CASE WHEN rk <= l.leftover THEN 1 ELSE 0 END)::BIGINT AS budget_tokens,
+        |       ((base + CASE WHEN rk <= l.leftover THEN 1 ELSE 0 END) * 1000
+        |         // avail)::BIGINT AS epochs_millis
+        |FROM r, l""".stripMargin)),
 
     // M52 robots.txt policy filter (RFC 9309): REAL parser over five
     // inline robots bodies (exact-agent groups, * fallback, multi-UA

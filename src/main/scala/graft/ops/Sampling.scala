@@ -132,6 +132,51 @@ object Sampling {
     * (codegen blowup, 64KB method limits). Guarded below; reweighting by
     * a high-cardinality key (per-host, per-url) is a different operator —
     * use a broadcast-join factor table (see dsirResample). */
+  /** Token-budget apportionment across domains (mixture planning the
+    * way production mixes are actually specified — "N billion tokens at
+    * these shares", not document counts). Hamilton's largest-remainder
+    * method over integer token counts: `base_d = floor(budget·w_d)`,
+    * the `budget − Σ base` leftover tokens go one each to the domains
+    * with the largest fractional remainders (domain-name tie-break) —
+    * deterministic, exact, and Σ budget_tokens == budget by
+    * construction. Weights must be dyadic (k/2ⁿ) so `budget·w` is
+    * IEEE-exact and the floor/remainder arithmetic is engine-portable.
+    *
+    * Scale shape: ONE domain-keyed token-count aggregate over the
+    * corpus (map-side combined); everything after runs on #domains
+    * rows — the ranking window is bounded, never corpus-sized.
+    * Output: (domain, avail_tokens, budget_tokens, epochs_millis =
+    * ⌊1000·budget/avail⌋ — >1000 means the domain must repeat). */
+  def tokenBudget(
+      docs: DataFrame,
+      domainCol: String,
+      weights: Map[String, Double],
+      budget: Long): DataFrame = {
+    require(math.abs(weights.values.sum - 1.0) < 1e-9,
+      s"domain weights must sum to 1, got ${weights.values.sum}")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wdf = broadcast(weights.toSeq.toDF(domainCol, "w"))
+    val avail = docs
+      .select(col(domainCol), size(split(col("text"), " ")).cast("long").as("t"))
+      .groupBy(domainCol).agg(sum("t").as("avail_tokens"))
+    val based = avail.join(wdf, Seq(domainCol))
+      .withColumn("exact", col("w") * budget) // dyadic w → IEEE-exact
+      .withColumn("base", floor(col("exact")).cast("long"))
+      .withColumn("frac", col("exact") - col("base"))
+    val leftover = based.agg((lit(budget) - sum("base")).as("leftover"))
+    val win = Window.partitionBy(lit(0)) // #domains rows — bounded
+      .orderBy(col("frac").desc, col(domainCol))
+    based.crossJoin(broadcast(leftover))
+      .withColumn("rk", row_number().over(win))
+      .withColumn("budget_tokens",
+        col("base") + when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+      .withColumn("epochs_millis", // integer div: bit-identical to `//`
+        expr("(budget_tokens * 1000) div avail_tokens"))
+      .select(col(domainCol), col("avail_tokens"), col("budget_tokens"),
+        col("epochs_millis"))
+  }
+
   def domainMix(
       docs: DataFrame,
       domainCol: String,

@@ -344,6 +344,40 @@ object Similarity {
     * broadcast-centroid pass plus ONE (centroid, dim) aggregate whose
     * key count is `k × dims` — metadata-scale output regardless of
     * corpus size, the canonical distributed-k-means step. */
+  /** Exact integer Gram/covariance accumulation over the embedding
+    * corpus — the distributed half of PCA whitening (the preprocessing
+    * OPQ/IVF-PCA ANN indexes and embedding-drift monitors run before
+    * anything eigen-related; the d×d eigensolve itself is driver-side
+    * milliseconds and out of scope). Embeddings are quantized to
+    * integer milli-units, so `dot = Σ vᵢ·vⱼ`, `s_i = Σ vᵢ` are EXACT
+    * BIGINT sums — order-independent across 1000 executors and
+    * engine-portable. `cov_num = n·dot − s_i·s_j` is the centered
+    * covariance numerator (over n²); exact while `n·|dot| < 2⁶³` —
+    * beyond that consume the raw sums and divide in floating point.
+    *
+    * Scale shape: each row explodes to its d(d+1)/2 upper-triangle
+    * products in one narrow codegen'd pass; the ONLY shuffle is the
+    * (i,j)-keyed aggregate with full map-side combine — bytes on the
+    * wire are O(partitions · d²), never O(corpus · d²). */
+  def gramMatrix(embeddings: DataFrame, scale: Int = 1000): DataFrame = {
+    val q = embeddings.select(expr(
+      s"transform(embedding, x -> cast(round(x * $scale, 0) as bigint))").as("v"))
+    q.select(explode(expr(
+        """flatten(transform(sequence(1, size(v)), i ->
+          |  transform(sequence(i, size(v)), j ->
+          |    struct(cast(i as bigint) as i, cast(j as bigint) as j,
+          |           element_at(v, i) * element_at(v, j) as prod,
+          |           element_at(v, i) as vi,
+          |           element_at(v, j) as vj))))""".stripMargin)).as("p"))
+      .select(col("p.i").as("i"), col("p.j").as("j"),
+        col("p.prod"), col("p.vi"), col("p.vj"))
+      .groupBy("i", "j")
+      .agg(count(lit(1)).as("n"), sum("prod").as("dot"),
+        sum("vi").as("s_i"), sum("vj").as("s_j"))
+      .withColumn("cov_num",
+        col("n") * col("dot") - col("s_i") * col("s_j"))
+  }
+
   def kmeansStep(embeddings: DataFrame, centroidMod: Int = 97): DataFrame = {
     val assign = ivfAssign(embeddings, centroidMod).select("vec_id", "centroid_id")
     embeddings

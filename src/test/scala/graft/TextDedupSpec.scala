@@ -311,4 +311,19 @@ class TextDedupSpec extends SparkSpec {
     assert(out(195L) == ((95L, "test"))) // inherits the cluster fold
     assert(out(3L) == ((3L, "train")))   // singleton: own id slot
   }
+
+  test("tokenBudget: largest-remainder apportionment sums exactly to the budget") {
+    val d = docs(
+      (0L, "a b c"), (1L, "d e"), (2L, "f"),
+      (3L, "g h i j"), (4L, "k l"))
+      .withColumn("lang", org.apache.spark.sql.functions.expr(
+        "CASE WHEN doc_id < 2 THEN 'en' WHEN doc_id < 4 THEN 'de' ELSE 'fr' END"))
+    val out = graft.ops.Sampling.tokenBudget(d, "lang",
+      Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.25), budget = 101L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    // 101*.5=50.5 -> 50+frac .5; 101*.25=25.25 -> 25+frac .25 each;
+    // leftover 101-100=1 -> goes to en (largest remainder)
+    assert(out == Map("en" -> 51L, "de" -> 25L, "fr" -> 25L))
+    assert(out.values.sum == 101L)
+  }
 }
