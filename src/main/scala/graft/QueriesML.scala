@@ -1352,6 +1352,33 @@ object QueriesML {
         |            ELSE 'test' END AS split
         |FROM asg""".stripMargin)),
 
+    // M55 PSI drift monitor between snapshots (even vs odd docs as the
+    // stand-in for corpus-vs-refresh), bucketed by word-count decile;
+    // per-bucket contributions µ-quantized → exact BIGINTs both engines.
+    Q("q_psi_drift",
+      (s, d) => ops.CorpusStats.psiDrift(
+        documents(s, d).where(col("doc_id") % 2 === 0),
+        documents(s, d).where(col("doc_id") % 2 === 1),
+        "least(size(split(text, ' ')) div 10, 9)"),
+      Some("""WITH a AS (SELECT least(len(string_split(text, ' ')) // 10, 9)::BIGINT AS bucket,
+        |              count(*)::BIGINT AS n_a
+        |       FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+        |b AS (SELECT least(len(string_split(text, ' ')) // 10, 9)::BIGINT AS bucket,
+        |             count(*)::BIGINT AS n_b
+        |      FROM documents WHERE doc_id % 2 = 1 GROUP BY 1),
+        |j AS (SELECT coalesce(a.bucket, b.bucket) AS bucket,
+        |             coalesce(n_a, 0)::BIGINT AS n_a,
+        |             coalesce(n_b, 0)::BIGINT AS n_b
+        |      FROM a FULL JOIN b ON a.bucket = b.bucket),
+        |t AS (SELECT sum(n_a) AS tot_a, sum(n_b) AS tot_b, count(*) AS k FROM j)
+        |SELECT bucket, n_a, n_b,
+        |       round(((n_a + 1)::DOUBLE / (tot_a + k)
+        |                - (n_b + 1)::DOUBLE / (tot_b + k))
+        |             * ln(((n_a + 1)::DOUBLE / (tot_a + k))
+        |                  / ((n_b + 1)::DOUBLE / (tot_b + k)))
+        |             * 1000000.0)::BIGINT AS psi_contrib_micro
+        |FROM j, t""".stripMargin)),
+
     // M54 token-budget apportionment (largest-remainder): a 1,000,003-
     // token mix over dyadic lang shares — base floors, the 2 leftover
     // tokens land on the largest remainders (en's .5, then the

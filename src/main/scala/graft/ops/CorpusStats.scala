@@ -45,4 +45,46 @@ object CorpusStats {
       expr(s"approx_percentile($valueCol, 0.9, $accuracy)"))
     docs.groupBy(groupCol).agg(a.head, a.tail: _*)
   }
+
+  /** Population stability index between two corpus snapshots — the
+    * standard drift monitor a data pipeline runs before accepting a new
+    * crawl/refresh into an established mix (PSI < 0.1 stable, > 0.25
+    * drifted; the credit-scoring metric adopted wholesale by MLOps).
+    * Both snapshots are bucketed by `bucketExpr` (any deterministic
+    * integer feature: length decile, quality band, lang id);
+    * per-bucket contribution (p_a − p_b)·ln(p_a/p_b) with add-one
+    * smoothing is quantized to integer micro-units — the per-bucket
+    * BIGINT is exact and order-independent, and PSI is their sum.
+    *
+    * Scale shape: one bucket-keyed count aggregate per snapshot
+    * (map-side combined), then arithmetic on #buckets rows with the
+    * two totals broadcast — nothing corpus-sized moves after the
+    * counts. */
+  def psiDrift(
+      snapA: DataFrame,
+      snapB: DataFrame,
+      bucketExpr: String): DataFrame = {
+    def counts(df: DataFrame, as: String) =
+      df.select(expr(bucketExpr).cast("long").as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as(as))
+    val a = counts(snapA, "n_a")
+    val b = counts(snapB, "n_b")
+    val joined = a.join(b, Seq("bucket"), "full")
+      .select(col("bucket"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+    val totals = joined.agg(
+      sum("n_a").as("tot_a"), sum("n_b").as("tot_b"),
+      count(lit(1)).as("k")) // single row — broadcast
+    joined.crossJoin(broadcast(totals))
+      // add-one smoothing keeps empty buckets finite; p uses the
+      // smoothed totals so probabilities still sum to 1
+      .withColumn("p_a",
+        (col("n_a") + 1).cast("double") / (col("tot_a") + col("k")))
+      .withColumn("p_b",
+        (col("n_b") + 1).cast("double") / (col("tot_b") + col("k")))
+      .select(col("bucket"), col("n_a"), col("n_b"),
+        round((col("p_a") - col("p_b")) * log(col("p_a") / col("p_b"))
+          * lit(1000000.0)).cast("long").as("psi_contrib_micro"))
+  }
 }
