@@ -360,20 +360,46 @@ object Similarity {
     * (i,j)-keyed aggregate with full map-side combine — bytes on the
     * wire are O(partitions · d²), never O(corpus · d²). */
   def gramMatrix(embeddings: DataFrame, scale: Int = 1000): DataFrame = {
-    val q = embeddings.select(expr(
-      s"transform(embedding, x -> cast(round(x * $scale, 0) as bigint))").as("v"))
-    q.select(explode(expr(
-        """flatten(transform(sequence(1, size(v)), i ->
-          |  transform(sequence(i, size(v)), j ->
-          |    struct(cast(i as bigint) as i, cast(j as bigint) as j,
-          |           element_at(v, i) * element_at(v, j) as prod,
-          |           element_at(v, i) as vi,
-          |           element_at(v, j) as vj))))""".stripMargin)).as("p"))
-      .select(col("p.i").as("i"), col("p.j").as("j"),
-        col("p.prod"), col("p.vi"), col("p.vj"))
-      .groupBy("i", "j")
-      .agg(count(lit(1)).as("n"), sum("prod").as("dot"),
-        sum("vi").as("s_i"), sum("vj").as("s_j"))
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    // Per-partition accumulation in a flat long[] (tight JVM loops — the
+    // declarative nested-transform formulation is CodegenFallback and
+    // ~5× slower), then ONE (i,j)-keyed merge of the d(d+1)/2-row
+    // partials: shuffle rows = partitions · d², independent of corpus.
+    val partials = embeddings.select(col("embedding")).as[Seq[Double]]
+      .mapPartitions { it =>
+        var d = -1
+        var n = 0L
+        var dot: Array[Long] = null // upper triangle, row-major
+        var s: Array[Long] = null
+        it.foreach { e =>
+          if (d < 0) { d = e.size; dot = new Array((d * (d + 1)) / 2); s = new Array(d) }
+          require(e.size == d, s"ragged embedding: ${e.size} != $d")
+          val v = new Array[Long](d)
+          var i = 0
+          while (i < d) { v(i) = math.round(e(i) * scale); s(i) += v(i); i += 1 }
+          n += 1
+          var k = 0
+          i = 0
+          while (i < d) {
+            var j = i
+            while (j < d) { dot(k) += v(i) * v(j); k += 1; j += 1 }
+            i += 1
+          }
+        }
+        if (d < 0) Iterator.empty
+        else {
+          var k = -1
+          (for { i <- 0 until d; j <- i until d } yield {
+            k += 1
+            (i + 1L, j + 1L, n, dot(k), s(i), s(j))
+          }).iterator
+        }
+      }
+      .toDF("i", "j", "n", "dot", "s_i", "s_j")
+    partials.groupBy("i", "j")
+      .agg(sum("n").as("n"), sum("dot").as("dot"),
+        sum("s_i").as("s_i"), sum("s_j").as("s_j"))
       .withColumn("cov_num",
         col("n") * col("dot") - col("s_i") * col("s_j"))
   }
