@@ -516,14 +516,18 @@ object ScaleBench {
     require(b20n == 500000L, s"B20 must score every doc: $b20n")
     b20docs.unpersist(); Caching.release()
 
-    // B21: WebDataset tar-shard packaging — 2M ~200 B samples (txt+json
-    // entry pair each) into 64 shards (≈13 MB/shard here; the same task
-    // topology carries 100 MB–1 GB shards at corpus scale since task
-    // memory stays O(entry)), then a full read-back parse. Write is one
-    // shard-keyed shuffle + 64 writer tasks; read is one task per shard.
+    // B21: WebDataset tar-shard packaging — 2M samples (txt+json entry
+    // pair each; tar's 512 B block floor makes that ~4.3 GB of shard
+    // bytes) into 256 shards ≈ 17 MB each, then a full read-back parse.
+    // Write is one shard-keyed shuffle + 256 writer tasks; read is one
+    // task per shard — with the LAZY tar walk a reader task's live set
+    // is its source array + one entry, so 32 concurrent tasks fit the
+    // 8 GB bench heap with an order of magnitude to spare (the eager
+    // parse OOM'd here; at cluster scale executors size shards the
+    // same way: a few × file size per task slot).
     val b21dir = java.nio.file.Files.createTempDirectory("b21wds")
     val b21docs = spark.range(2000000).select(
-      (col("id") % 64).cast("int").as("shard"),
+      (col("id") % 256).cast("int").as("shard"),
       format_string("%09d", col("id")).as("key"),
       map(lit("txt"),
         encode(concat(lit("document body "), col("id"),

@@ -430,4 +430,49 @@ object Dedup {
       .groupBy("doc_id")
       .agg(sum(when(col("s") > 0, col("p2")).otherwise(0L)).as("simhash"))
   }
+
+  /** Edit-distance near-duplicates over a short key (title/prefix
+    * dedup) — Ed-Join's prefix-filtered q-gram join (Xiao, Wang, Lin,
+    * VLDB 2008): a pair within edit distance k can disagree on at most
+    * q·k positional q-grams, so if each string indexes only its q·k+1
+    * grams that come FIRST in a global total order (ascending corpus
+    * frequency, gram text tie-break — rare grams first), any pair
+    * within distance k must collide on at least one indexed gram. That
+    * turns the quadratic fuzzy join into: one gram-frequency aggregate,
+    * a per-doc bounded window (≤ key-length rows), an equi-join keyed
+    * by the RAREST grams (frequency-ordered prefixes keep join fan-out
+    * small by construction), and a `levenshtein ≤ k` verify on the
+    * O(candidates) pairs — never all-pairs. Keys shorter than q carry
+    * no q-gram and are excluded (documented; pad upstream if needed).
+    *
+    * Returns (doc_a, doc_b, key_a, key_b, dist) for verified pairs. */
+  def editDistanceNearDups(
+      docs: DataFrame,
+      prefixChars: Int = 24,
+      k: Int = 2,
+      q: Int = 3): DataFrame = {
+    val keys = docs.select(col("doc_id"),
+      substring(col("text"), 1, prefixChars).as("key"))
+      .where(length(col("key")) >= q)
+    val grams = keys.select(col("doc_id"), col("key"),
+      explode(expr(s"transform(sequence(1, length(key) - ${q - 1}), " +
+        s"i -> substring(key, i, $q))")).as("gram"))
+      .distinct() // set semantics for the index (repeat grams collide anyway)
+    val freq = grams.groupBy("gram").agg(count(lit(1)).as("f"))
+    val win = Window.partitionBy("doc_id") // bounded: ≤ prefixChars rows
+      .orderBy(col("f"), col("gram"))
+    val indexed = grams.join(freq, "gram")
+      .withColumn("rn", row_number().over(win))
+      .where(col("rn") <= q * k + 1)
+      .select("doc_id", "key", "gram")
+    indexed.as("a")
+      .join(indexed.as("b"),
+        col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.key").as("key_a"), col("b.key").as("key_b"))
+      .distinct()
+      .where(abs(length(col("key_a")) - length(col("key_b"))) <= k)
+      .withColumn("dist", levenshtein(col("key_a"), col("key_b")))
+      .where(col("dist") <= k)
+  }
 }

@@ -93,19 +93,26 @@ object TarShards {
     bos.toByteArray
   }
 
-  /** Parse a tar archive back to its entries. Validates each header
-    * checksum and the octal size field; fails loudly on truncation or
-    * corruption rather than yielding partial samples. */
-  def parseTar(bytes: Array[Byte]): Seq[TarEntry] = {
-    val out = Seq.newBuilder[TarEntry]
-    var pos = 0
-    var done = false
-    while (!done) {
-      require(pos + Block <= bytes.length, s"tar truncated at offset $pos")
-      if (bytes(pos) == 0) { // zero block terminates the archive
-        done = true
-      } else {
-        var stored = 0L
+  /** LAZY tar walk: one entry materialized at a time, so a task's live
+    * set is the source byte array plus ONE entry copy — with eager
+    * parsing, 32 concurrent shard tasks each holding every entry copy
+    * OOM'd an 8 GB heap at B21 scale. Validates each header checksum
+    * and the octal size field; fails loudly on truncation or corruption
+    * rather than yielding partial samples. */
+  def parseTarIterator(bytes: Array[Byte]): Iterator[TarEntry] =
+    new Iterator[TarEntry] {
+      private var pos = 0
+      private var done = false
+      private def atEnd(): Boolean = {
+        if (!done) {
+          require(pos + Block <= bytes.length, s"tar truncated at offset $pos")
+          if (bytes(pos) == 0) done = true // zero block ends the archive
+        }
+        done
+      }
+      def hasNext: Boolean = !atEnd()
+      def next(): TarEntry = {
+        if (atEnd()) throw new NoSuchElementException("tar exhausted")
         var sum = 0L
         var i = 0
         while (i < Block) {
@@ -113,7 +120,7 @@ object TarShards {
           sum += (if (i >= 148 && i < 156) ' '.toInt else b)
           i += 1
         }
-        stored = java.lang.Long.parseLong(
+        val stored = java.lang.Long.parseLong(
           new String(bytes, pos + 148, 8, "US-ASCII")
             .takeWhile(c => c >= '0' && c <= '7'), 8)
         require(stored == sum,
@@ -128,13 +135,17 @@ object TarShards {
             .takeWhile(c => c >= '0' && c <= '7'), 8).toInt
         require(pos + Block + size <= bytes.length,
           s"tar entry '$name' ($size bytes) overruns archive at $pos")
-        out += TarEntry(name,
+        val e = TarEntry(name,
           java.util.Arrays.copyOfRange(bytes, pos + Block, pos + Block + size))
         pos += Block + size + (Block - size % Block) % Block
+        e
       }
     }
-    out.result()
-  }
+
+  /** Eager convenience wrapper over [[parseTarIterator]] (tests, small
+    * archives). */
+  def parseTar(bytes: Array[Byte]): Seq[TarEntry] =
+    parseTarIterator(bytes).toSeq
 
   /** Write `staged` — columns `(shard INT, key STRING,
     * files MAP<STRING,BINARY>)` — as `dir/shard-NNNNN.tar`, each sample's
@@ -174,7 +185,7 @@ object TarShards {
       path: String, bytes: Array[Byte]): Iterator[(Int, String, String, Array[Byte])] = {
     val shard = path.substring(path.lastIndexOf("shard-") + 6,
       path.lastIndexOf(".tar")).toInt
-    parseTar(bytes).iterator.map { e =>
+    parseTarIterator(bytes).map { e =>
       val dot = e.name.lastIndexOf('.')
       (shard, e.name.substring(0, dot), e.name.substring(dot + 1), e.bytes)
     }
@@ -199,25 +210,24 @@ object TarShards {
     * sample (writeShards emits them adjacently). Streaming-friendly: no
     * aggregation operator needed to reassemble a sample. */
   private def parseSampleFile(
-      path: String, bytes: Array[Byte]): Iterator[(Int, String, Map[String, Array[Byte]])] = {
-    val entries = parseShardFile(path, bytes).toSeq
-    // adjacent grouping (entries within a sample are contiguous by
-    // construction; order within the file is the sort order)
-    val out = Seq.newBuilder[(Int, String, Map[String, Array[Byte]])]
-    var i = 0
-    while (i < entries.length) {
-      val (shard, key, _, _) = entries(i)
-      var j = i
-      val files = Map.newBuilder[String, Array[Byte]]
-      while (j < entries.length && entries(j)._2 == key) {
-        files += entries(j)._3 -> entries(j)._4
-        j += 1
+      path: String, bytes: Array[Byte]): Iterator[(Int, String, Map[String, Array[Byte]])] =
+    new Iterator[(Int, String, Map[String, Array[Byte]])] {
+      // LAZY adjacent grouping over the lazy entry walk (entries within
+      // a sample are contiguous by construction; order within the file
+      // is the sort order) — live set is one sample's files, never the
+      // whole shard
+      private val entries = parseShardFile(path, bytes).buffered
+      def hasNext: Boolean = entries.hasNext
+      def next(): (Int, String, Map[String, Array[Byte]]) = {
+        val (shard, key, _, _) = entries.head
+        val files = Map.newBuilder[String, Array[Byte]]
+        while (entries.hasNext && entries.head._2 == key) {
+          val e = entries.next()
+          files += e._3 -> e._4
+        }
+        (shard, key, files.result())
       }
-      out += ((shard, key, files.result()))
-      i = j
     }
-    out.result().iterator
-  }
 
   /** Sample-level batch read: (shard, key, files MAP<ext,bytes>) — one
     * row per sample, the inverse of [[writeShards]]' staging schema. */

@@ -326,4 +326,42 @@ class TextDedupSpec extends SparkSpec {
     assert(out == Map("en" -> 51L, "de" -> 25L, "fr" -> 25L))
     assert(out.values.sum == 101L)
   }
+
+  test("editDistanceNearDups finds close prefixes, skips distant ones") {
+    // 10-11: one substitution; 12: identical to 10; 13: unrelated
+    val d = docs(
+      (10L, "the quick brown fox jumps over"),
+      (11L, "the quick brawn fox jumps over"),
+      (12L, "the quick brown fox jumps far away"),
+      (13L, "completely different text here"))
+    val out = Dedup.editDistanceNearDups(d, prefixChars = 24, k = 2, q = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(4)).toMap
+    assert(out((10L, 11L)) == 1) // brown -> brawn inside the prefix
+    assert(out((10L, 12L)) == 0) // same 24-char prefix
+    assert(out((11L, 12L)) == 1)
+    assert(out.keySet == Set((10L, 11L), (10L, 12L), (11L, 12L)))
+  }
+
+  test("editDistanceNearDups: prefix filter keeps pairs within k (no false negatives)") {
+    // brute-force check on a small corpus with planted 1- and 2-edit pairs
+    val texts = Seq(
+      "abcdefghijklmnopqrstuvwx", "Xbcdefghijklmnopqrstuvwx",
+      "abcdefghijklmnopqrstuvZZ", "abcdefghijklmnopqrsAAvwx",
+      "zzzzzzzzzzzzzzzzzzzzzzzz")
+    val d = docs(texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }: _*)
+    val found = Dedup.editDistanceNearDups(d, prefixChars = 24, k = 2, q = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1, b.length + 1)((i, j) => i + j)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) = math.min(math.min(dp(i - 1)(j), dp(i)(j - 1)) + 1,
+          dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      dp(a.length)(b.length)
+    }
+    val expected = (for {
+      i <- texts.indices; j <- texts.indices if i < j
+      if lev(texts(i).take(24), texts(j).take(24)) <= 2
+    } yield (i.toLong, j.toLong)).toSet
+    assert(found == expected)
+  }
 }
