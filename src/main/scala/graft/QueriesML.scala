@@ -1353,35 +1353,24 @@ object QueriesML {
         |FROM asg""".stripMargin)),
 
     // M56 edit-distance fuzzy dedup (Ed-Join, VLDB 2008) over the
-    // 24-char doc prefix: global-frequency-ordered q-gram prefixes
-    // (q·k+1 rarest grams indexed per key — no false negatives within
-    // distance k), rare-gram equi-join, levenshtein ≤ k verify. The
-    // oracle replays frequency ranking, prefix selection, and DuckDB's
-    // own levenshtein.
+    // 24-char doc prefix: distinct-key gram index with
+    // global-frequency-ordered q-gram prefixes (q·k+1 rarest indexed —
+    // no false negatives within distance k), rare-gram equi-join,
+    // levenshtein ≤ k verify, doc-level expansion. The oracle is the
+    // BRUTE-FORCE truth (all pairs, DuckDB levenshtein) — feasible at
+    // gate scale and the strongest possible check of the
+    // no-false-negative guarantee.
     Q("q_fuzzy_neardup",
       (s, d) => Dedup.editDistanceNearDups(
-        documents(s, d), prefixChars = 24, k = 2, q = 3),
+        documents(s, d), prefixChars = 24, k = 2),
       Some("""WITH keys AS (SELECT doc_id, text[1:24] AS key FROM documents
-        |             WHERE length(text[1:24]) >= 3),
-        |g AS (SELECT DISTINCT doc_id, key,
-        |             unnest(list_transform(range(1, length(key) - 1),
-        |                    i -> key[i:i+2])) AS gram
-        |      FROM keys),
-        |f AS (SELECT gram, count(*)::BIGINT AS f FROM g GROUP BY 1),
-        |ix AS (SELECT doc_id, key, gram FROM (
-        |        SELECT g.doc_id, g.key, g.gram,
-        |               row_number() OVER (PARTITION BY g.doc_id
-        |                 ORDER BY f.f, g.gram) AS rn
-        |        FROM g JOIN f USING (gram)) WHERE rn <= 7),
-        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |                a.key AS key_a, b.key AS key_b
-        |         FROM ix a JOIN ix b
-        |           ON a.gram = b.gram AND a.doc_id < b.doc_id)
-        |SELECT doc_a, doc_b, key_a, key_b,
-        |       levenshtein(key_a, key_b)::INT AS dist
-        |FROM cand
-        |WHERE abs(length(key_a) - length(key_b)) <= 2
-        |  AND levenshtein(key_a, key_b) <= 2""".stripMargin)),
+        |             WHERE length(text[1:24]) >= 5)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       a.key AS key_a, b.key AS key_b,
+        |       levenshtein(a.key, b.key)::INT AS dist
+        |FROM keys a JOIN keys b ON a.doc_id < b.doc_id
+        |WHERE abs(length(a.key) - length(b.key)) <= 2
+        |  AND levenshtein(a.key, b.key) <= 2""".stripMargin)),
 
     // M55 PSI drift monitor between snapshots (even vs odd docs as the
     // stand-in for corpus-vs-refresh), bucketed by word-count decile;

@@ -450,29 +450,50 @@ object Dedup {
       docs: DataFrame,
       prefixChars: Int = 24,
       k: Int = 2,
-      q: Int = 3): DataFrame = {
-    val keys = docs.select(col("doc_id"),
+      q: Int = 5): DataFrame = {
+    val keys = graft.Caching.cache(docs.select(col("doc_id"),
       substring(col("text"), 1, prefixChars).as("key"))
-      .where(length(col("key")) >= q)
-    val grams = keys.select(col("doc_id"), col("key"),
+      .where(length(col("key")) >= q))
+    // Identical keys would defeat gram filtering (every shared-prefix
+    // clique floods every gram bucket), so the Ed-Join runs over the
+    // DISTINCT key set; doc-level pairs come from expansion joins at
+    // the end. Same-key pairs (dist 0) are one exact hash join on the
+    // full key — no gram machinery needed for them at all.
+    val dk = keys.select("key").distinct()
+    val grams = dk.select(col("key"),
       explode(expr(s"transform(sequence(1, length(key) - ${q - 1}), " +
         s"i -> substring(key, i, $q))")).as("gram"))
       .distinct() // set semantics for the index (repeat grams collide anyway)
     val freq = grams.groupBy("gram").agg(count(lit(1)).as("f"))
-    val win = Window.partitionBy("doc_id") // bounded: ≤ prefixChars rows
+    val win = Window.partitionBy("key") // bounded: ≤ prefixChars rows
       .orderBy(col("f"), col("gram"))
     val indexed = grams.join(freq, "gram")
       .withColumn("rn", row_number().over(win))
       .where(col("rn") <= q * k + 1)
-      .select("doc_id", "key", "gram")
-    indexed.as("a")
+      .select("key", "gram")
+    val candKeys = indexed.as("a")
       .join(indexed.as("b"),
-        col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.key").as("key_a"), col("b.key").as("key_b"))
+        col("a.gram") === col("b.gram") && col("a.key") < col("b.key"))
+      .select(col("a.key").as("ka"), col("b.key").as("kb"))
       .distinct()
-      .where(abs(length(col("key_a")) - length(col("key_b"))) <= k)
-      .withColumn("dist", levenshtein(col("key_a"), col("key_b")))
+      .where(abs(length(col("ka")) - length(col("kb"))) <= k)
+      .withColumn("dist", levenshtein(col("ka"), col("kb")))
       .where(col("dist") <= k)
+    val same = keys.as("a")
+      .join(keys.as("b"),
+        col("a.key") === col("b.key") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.key").as("key_a"), col("b.key").as("key_b"),
+        lit(0).as("dist"))
+    val cross = candKeys
+      .join(keys.select(col("doc_id").as("da"), col("key").as("ka")), "ka")
+      .join(keys.select(col("doc_id").as("db"), col("key").as("kb")), "kb")
+      .select(
+        least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"),
+        when(col("da") < col("db"), col("ka")).otherwise(col("kb")).as("key_a"),
+        when(col("da") < col("db"), col("kb")).otherwise(col("ka")).as("key_b"),
+        col("dist"))
+    same.unionByName(cross)
   }
 }

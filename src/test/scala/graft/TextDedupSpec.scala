@@ -334,7 +334,7 @@ class TextDedupSpec extends SparkSpec {
       (11L, "the quick brawn fox jumps over"),
       (12L, "the quick brown fox jumps far away"),
       (13L, "completely different text here"))
-    val out = Dedup.editDistanceNearDups(d, prefixChars = 24, k = 2, q = 3)
+    val out = Dedup.editDistanceNearDups(d, prefixChars = 24, k = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(4)).toMap
     assert(out((10L, 11L)) == 1) // brown -> brawn inside the prefix
     assert(out((10L, 12L)) == 0) // same 24-char prefix
@@ -349,7 +349,7 @@ class TextDedupSpec extends SparkSpec {
       "abcdefghijklmnopqrstuvZZ", "abcdefghijklmnopqrsAAvwx",
       "zzzzzzzzzzzzzzzzzzzzzzzz")
     val d = docs(texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }: _*)
-    val found = Dedup.editDistanceNearDups(d, prefixChars = 24, k = 2, q = 3)
+    val found = Dedup.editDistanceNearDups(d, prefixChars = 24, k = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     def lev(a: String, b: String): Int = {
       val dp = Array.tabulate(a.length + 1, b.length + 1)((i, j) => i + j)
