@@ -1262,6 +1262,31 @@ object QueriesML {
         |       max(lang) AS max_lang
         |FROM documents GROUP BY 1""".stripMargin)),
 
+    // M57 streaming heavy hitters (Misra–Gries bounded state): the
+    // documents stream's token frequencies through hash-sharded
+    // capacity-capped counter maps. Gate regime: capacity ≥ distinct
+    // tokens → exact counts, hash-verified vs the batch count oracle;
+    // the capped/decrement regime is spec-tested.
+    Q("q_stream_heavy_hitters",
+      (s, d) => {
+        val schema = s.read.parquet(s"$d/documents.parquet").schema
+        val stream = s.readStream.schema(schema)
+          .option("pathGlobFilter", "documents.parquet").parquet(d)
+        val hh = graft.streaming.StreamingOps.heavyHitterStream(
+          stream, shards = 16, capacity = 100000, minCount = 20L)
+        val mem = "stream_hh_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        val q = hh.toDF().writeStream
+          .outputMode("update").format("memory").queryName(mem).start()
+        try { q.processAllAvailable() } finally { q.stop() }
+        s.table(mem).select("shard", "token", "cnt")
+      },
+      Some(s"""WITH t AS (SELECT unnest(string_split(text, ' ')) AS token
+        |            FROM documents),
+        |c AS (SELECT token, count(*)::BIGINT AS cnt FROM t GROUP BY 1)
+        |SELECT (${hashSql("token")} % 16)::BIGINT AS shard, token, cnt
+        |FROM c WHERE cnt >= 20""".stripMargin)),
+
     // M49 Naive Bayes TRAINED in-engine (text/NaiveBayes): Laplace-
     // smoothed multinomial NB over whitespace tokens, lang as the class,
     // trained on the even-doc slice, applied to all. The oracle replays

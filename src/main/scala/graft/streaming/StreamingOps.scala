@@ -249,6 +249,63 @@ object StreamingOps {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
   }
 
+  final case class TokenCount(shard: Long, token: String, cnt: Long)
+
+  /** Streaming heavy hitters over the token stream — Misra–Gries
+    * summaries (Misra & Gries 1982; the frequent-items sketch every
+    * streaming-vocabulary monitor uses) in `flatMapGroupsWithState`:
+    * state per shard is a counter map hard-capped at `capacity`
+    * entries. A token outside a full map triggers the decrement-all
+    * step, so state NEVER exceeds capacity regardless of vocabulary
+    * size — the property that makes unbounded-vocab token streams safe
+    * at 100 TB (a plain streaming `groupBy(token)` keeps state per
+    * DISTINCT token, which web text grows without bound). Guarantee:
+    * any token with true count > batch/(capacity+1) per shard survives
+    * with count undercounted by at most that bound; when capacity ≥
+    * distinct tokens in the shard the counts are EXACT (the gate
+    * regime — hash-verified vs the batch count oracle; the capped
+    * regime is spec-tested). Tokens are sharded by portable hash so
+    * state and work spread across executors; within-batch processing
+    * is sorted for cross-run determinism even when decrements fire. */
+  def heavyHitterStream(
+      docs: DataFrame,
+      shards: Int = 16,
+      capacity: Int = 100000,
+      minCount: Long = 2): Dataset[TokenCount] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    def update(
+        shard: Long,
+        it: Iterator[(Long, String)],
+        state: GroupState[Map[String, Long]]): Iterator[TokenCount] = {
+      var m = state.getOption.getOrElse(Map.empty[String, Long])
+      it.toSeq.map(_._2).sorted.foreach { tok =>
+        m.get(tok) match {
+          case Some(c) => m += tok -> (c + 1)
+          case None if m.size < capacity => m += tok -> 1L
+          case None => // Misra–Gries: decrement every counter, drop zeros
+            m = m.flatMap { case (k, v) =>
+              if (v > 1) Some(k -> (v - 1)) else None
+            }
+        }
+      }
+      state.update(m)
+      m.iterator.collect {
+        case (t, c) if c >= minCount => TokenCount(shard, t, c)
+      }
+    }
+
+    docs
+      .select(explode(split(col("text"), " ")).as("token"))
+      .withColumn("shard",
+        pmod(graft.functions.PortableHashExpr.portableHash(col("token")),
+          lit(shards.toLong)))
+      .select(col("shard"), col("token")).as[(Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
+  }
+
   /** Stream-static join: scale each event by the static hourly profile
     * factor of its event type (missing profile → 1.0) — the streaming form
     * of the temporal explode's factor application (T3). The profile table

@@ -159,4 +159,47 @@ class StreamingSpec extends SparkSpec {
       assert(pairs((1L, 3L)) >= 0.5)
     } finally q.stop()
   }
+
+  test("heavyHitterStream: exact counts when capacity covers the vocabulary") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val q = StreamingOps.heavyHitterStream(docs, shards = 4, capacity = 100,
+        minCount = 2L).toDF()
+      .writeStream.format("memory").queryName("hh_exact")
+      .outputMode("update").start()
+    try {
+      mem.addData((1L, "a a b"), (2L, "a c c"))
+      q.processAllAvailable()
+      mem.addData((3L, "b c"))
+      q.processAllAvailable()
+      // latest update per token reflects running exact counts
+      val out = spark.table("hh_exact").collect()
+        .map(r => r.getString(1) -> r.getLong(2))
+        .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+      assert(out == Map("a" -> 3L, "b" -> 2L, "c" -> 3L))
+    } finally q.stop()
+  }
+
+  test("heavyHitterStream: capped state runs Misra-Gries decrements") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    // one shard so every token shares the capacity-2 map; sorted batch
+    // order makes the decrement deterministic: a,a,a,b,b then c finds
+    // the map full -> a:3->2, b:2->1, c dropped
+    val q = StreamingOps.heavyHitterStream(docs, shards = 1, capacity = 2,
+        minCount = 1L).toDF()
+      .writeStream.format("memory").queryName("hh_capped")
+      .outputMode("update").start()
+    try {
+      mem.addData((1L, "a a a b b c"))
+      q.processAllAvailable()
+      val out = spark.table("hh_capped").collect()
+        .map(r => r.getString(1) -> r.getLong(2)).toMap
+      assert(out == Map("a" -> 2L, "b" -> 1L))
+    } finally q.stop()
+  }
 }
