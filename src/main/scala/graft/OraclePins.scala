@@ -205,6 +205,19 @@ object OraclePins {
       ('shard_001.warc.gz', 3::BIGINT, 'response', 'http://example.test/two', '2026-01-02T03:04:07Z', 200::BIGINT, 'text/html', 274::BIGINT, 209::BIGINT),
       ('shard_001.warc.gz', 4::BIGINT, 'response', 'http://example.test/miss', '2026-01-02T03:04:08Z', 404::BIGINT, 'text/plain', 76::BIGINT, 5::BIGINT)
       ) AS t(file, seq, warc_type, target_uri, warc_date, http_status, http_content_type, content_length, body_bytes)""",
+    "q_stream_warc" ->
+      """SELECT * FROM (VALUES
+      ('shard_000.warc', 0::BIGINT, 'warcinfo', '', '2026-01-02T03:04:05Z', -1::BIGINT, '', 29::BIGINT, 29::BIGINT),
+      ('shard_000.warc', 1::BIGINT, 'request', 'http://example.test/', '2026-01-02T03:04:06Z', -1::BIGINT, '', 38::BIGINT, 38::BIGINT),
+      ('shard_000.warc', 2::BIGINT, 'response', 'http://example.test/', '2026-01-02T03:04:06Z', 200::BIGINT, 'text/html; charset=UTF-8', 563::BIGINT, 483::BIGINT),
+      ('shard_000.warc', 3::BIGINT, 'response', 'http://example.test/two', '2026-01-02T03:04:07Z', 200::BIGINT, 'text/html', 274::BIGINT, 209::BIGINT),
+      ('shard_000.warc', 4::BIGINT, 'response', 'http://example.test/miss', '2026-01-02T03:04:08Z', 404::BIGINT, 'text/plain', 76::BIGINT, 5::BIGINT),
+      ('shard_001.warc.gz', 0::BIGINT, 'warcinfo', '', '2026-01-02T03:04:05Z', -1::BIGINT, '', 29::BIGINT, 29::BIGINT),
+      ('shard_001.warc.gz', 1::BIGINT, 'request', 'http://example.test/', '2026-01-02T03:04:06Z', -1::BIGINT, '', 38::BIGINT, 38::BIGINT),
+      ('shard_001.warc.gz', 2::BIGINT, 'response', 'http://example.test/', '2026-01-02T03:04:06Z', 200::BIGINT, 'text/html; charset=UTF-8', 563::BIGINT, 483::BIGINT),
+      ('shard_001.warc.gz', 3::BIGINT, 'response', 'http://example.test/two', '2026-01-02T03:04:07Z', 200::BIGINT, 'text/html', 274::BIGINT, 209::BIGINT),
+      ('shard_001.warc.gz', 4::BIGINT, 'response', 'http://example.test/miss', '2026-01-02T03:04:08Z', 404::BIGINT, 'text/plain', 76::BIGINT, 5::BIGINT)
+      ) AS t(file, seq, warc_type, target_uri, warc_date, http_status, http_content_type, content_length, body_bytes)""",
     "q_crawl_extract" ->
       """SELECT * FROM (VALUES
       ('shard_000.warc', 2::BIGINT, 'http://example.test/', 6::BIGINT, 4::BIGINT, 145::BIGINT, 20::BIGINT, 27::BIGINT, 781751::BIGINT),

@@ -1583,6 +1583,33 @@ object QueriesML {
       },
       None),
 
+    // M37 streaming twin: the same WARC shard fleet consumed through
+    // Structured Streaming (binaryFile file source, one incremental
+    // unit per crawl shard) — live-crawl ingest. Same pinned oracle as
+    // the batch read, so the incremental parse is hash-verified
+    // against it.
+    Q("q_stream_warc",
+      (s, _) => {
+        import s.implicits._
+        val rows = graft.sources.Warc
+          .readStream(s, "/root/repo/fixtures/crawl")
+          .map(r => (r.file, r.seq, r.warc_type, r.target_uri,
+            r.warc_date, r.http_status, r.http_content_type,
+            r.content_length, r.body.length.toLong))
+          .toDF("file", "seq", "warc_type", "target_uri", "warc_date",
+            "http_status", "http_content_type", "content_length",
+            "body_bytes")
+          .withColumn("seq", col("seq").cast("long"))
+          .withColumn("http_status", col("http_status").cast("long"))
+        val mem = "stream_warc_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        val q = rows.writeStream
+          .outputMode("append").format("memory").queryName(mem).start()
+        try { q.processAllAvailable() } finally { q.stop() }
+        s.table(mem)
+      },
+      None),
+
     Q("q_crawl_extract",
       (s, _) => {
         val html = graft.sources.Warc.htmlResponses(

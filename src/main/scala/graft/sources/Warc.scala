@@ -170,6 +170,30 @@ object Warc {
       })
   }
 
+  /** Structured Streaming mirror of [[read]]: watch `dir` and parse
+    * each NEW crawl shard as it lands — continuous-ingest topology for
+    * a live crawl, one incremental unit per shard file with the file
+    * source's exactly-once log (same contract as the tar-shard
+    * streamer, [[graft.sinks.TarShards.streamShards]]). */
+  def readStream(spark: SparkSession, dir: String,
+      glob: String = "*.warc*"): Dataset[WarcRow] = {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq( // binaryFile's fixed schema
+      StructField("path", StringType),
+      StructField("modificationTime", TimestampType),
+      StructField("length", LongType),
+      StructField("content", BinaryType)))
+    spark.readStream.format("binaryFile").schema(schema)
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .select("path", "content").as[(String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (path, bytes) =>
+        val name = path.substring(path.lastIndexOf('/') + 1)
+        parseFile(name, bytes)
+      })
+  }
+
   /** The common downstream projection: successful HTML responses with
     * the body decoded as UTF-8 text (lossy on invalid sequences — the
     * crawl convention). */
