@@ -49,7 +49,8 @@ object LinkGraph {
     val nodes = graft.Caching.cache(
       e.select(col("src").as("node"))
         .unionByName(e.select(col("dst").as("node"))).distinct())
-    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val outdeg = graft.Caching.cache(
+      e.groupBy("src").agg(count(lit(1)).as("outdeg")))
     var pr = nodes.withColumn("pr", lit(1000000L)).localCheckpoint()
     var i = 0
     while (i < iters) {
@@ -58,15 +59,20 @@ object LinkGraph {
         .join(outdeg, "src")
         .groupBy(col("dst").as("node"))
         .agg(sum(expr("pr div outdeg")).as("m"))
-      pr = nodes
+      val next = nodes
         .join(contrib, Seq("node"), "left")
         .select(col("node"),
           (lit(150000L) +
             expr("(85 * coalesce(m, CAST(0 AS BIGINT))) div 100")).as("pr"))
-        .localCheckpoint()
+      // truncate lineage every SECOND iteration (and at the end): each
+      // localCheckpoint is an eager materialization — a per-iteration
+      // fixed cost — while two iterations of plan depth stay far from
+      // the growth cliff iterative Spark has to guard against
+      pr = if (i % 2 == 1 || i == iters - 1) next.localCheckpoint() else next
       i += 1
     }
     graft.Caching.release(e)
+    graft.Caching.release(outdeg)
     pr
   }
 }
