@@ -1262,6 +1262,48 @@ object QueriesML {
         |       max(lang) AS max_lang
         |FROM documents GROUP BY 1""".stripMargin)),
 
+    // M58 containment detection (doc-inside-doc — high containment,
+    // low resemblance; Broder 1997's distinction): winnowing
+    // fingerprints, df-capped, fingerprint-keyed join, per-pair
+    // |∩|/|FP(inner)|. Oracle replays the winnowing pipeline (the
+    // q_winnowing CTE) plus the same cap/ratio algebra.
+    Q("q_containment",
+      (s, d) => Dedup.containmentPairs(
+        documents(s, d), n = 3, w = 4,
+        minContainment = 0.8, maxDocFreq = 1000L),
+      Some(s"""WITH tok AS (SELECT doc_id, unnest(generate_series(0, len(w) - 3)) AS pos0, w
+        |         FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |         WHERE len(w) >= 3),
+        |g AS (SELECT doc_id, CAST(pos0 AS INT) AS pos,
+        |             ${hashSql("(w[pos0 + 1] || ' ' || w[pos0 + 2] || ' ' || w[pos0 + 3])")} AS h
+        |      FROM tok),
+        |kk AS (SELECT doc_id, pos, h * 1048576 + (1048575 - pos) AS key FROM g),
+        |mm AS (SELECT doc_id, pos,
+        |             min(key) OVER (PARTITION BY doc_id ORDER BY pos
+        |               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS kmin,
+        |             count(*) OVER (PARTITION BY doc_id ORDER BY pos
+        |               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS n_grams
+        |      FROM kk),
+        |fpd AS (SELECT DISTINCT doc_id, kmin // 1048576 AS fingerprint
+        |        FROM mm WHERE n_grams = 4),
+        |rare AS (SELECT fingerprint FROM (
+        |          SELECT fingerprint, count(*) AS df FROM fpd GROUP BY 1)
+        |         WHERE df <= 1000),
+        |fpf AS (SELECT fpd.doc_id, fpd.fingerprint
+        |        FROM fpd JOIN rare USING (fingerprint)),
+        |sz AS (SELECT doc_id, count(*)::BIGINT AS n_fp FROM fpf GROUP BY 1),
+        |sh AS (SELECT a.doc_id AS inner_doc, b.doc_id AS outer_doc,
+        |              count(*)::BIGINT AS shared
+        |       FROM fpf a JOIN fpf b
+        |         ON a.fingerprint = b.fingerprint AND a.doc_id <> b.doc_id
+        |       GROUP BY 1, 2)
+        |SELECT inner_doc, outer_doc, shared,
+        |       si.n_fp AS n_inner, so.n_fp AS n_outer,
+        |       shared::DOUBLE / si.n_fp AS containment
+        |FROM sh JOIN sz si ON si.doc_id = inner_doc
+        |        JOIN sz so ON so.doc_id = outer_doc
+        |WHERE shared::DOUBLE / si.n_fp >= 0.8 AND si.n_fp <= so.n_fp""".stripMargin)),
+
     // M57 streaming heavy hitters (Misra–Gries bounded state): the
     // documents stream's token frequencies through hash-sharded
     // capacity-capped counter maps. Gate regime: capacity ≥ distinct

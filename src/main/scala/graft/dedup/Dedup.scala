@@ -431,6 +431,52 @@ object Dedup {
       .agg(sum(when(col("s") > 0, col("p2")).otherwise(0L)).as("simhash"))
   }
 
+  /** Asymmetric containment detection — doc-INSIDE-doc (quotations,
+    * mirror pages wrapped in boilerplate, subset articles), the case
+    * resemblance-based near-dup (Jaccard) systematically misses: a
+    * short doc fully quoted inside a long one has high containment but
+    * low resemblance (Broder 1997 distinguishes the two measures).
+    * Works over winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003:
+    * any shared run of ≥ w+n−1 words leaves shared fingerprints), so
+    *   containment(A ⊆ B) = |FP(A) ∩ FP(B)| / |FP(A)|.
+    *
+    * Scale shape: fingerprint-keyed equi-join (the LSH-bucket shape —
+    * hash-partitioned, never all-pairs); ubiquitous fingerprints
+    * (df > `maxDocFreq` — corpus boilerplate that carries no signal
+    * and would quadratically flood its bucket) are dropped from the
+    * fingerprint SET up front, so the denominator and the join see the
+    * same filtered sketch. One (inner,outer)-keyed count aggregate. */
+  def containmentPairs(
+      docs: DataFrame,
+      n: Int = 3,
+      w: Int = 4,
+      minContainment: Double = 0.8,
+      maxDocFreq: Long = 1000L): DataFrame = {
+    val fpAll = graft.text.TextAnalysis.winnowing(docs, n, w)
+      .select("doc_id", "fingerprint").distinct()
+    val rare = fpAll.groupBy("fingerprint")
+      .agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxDocFreq)
+      .select("fingerprint")
+    val fp = graft.Caching.cache(fpAll.join(rare, "fingerprint"))
+    val sizes = fp.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
+    fp.as("a")
+      .join(fp.as("b"),
+        col("a.fingerprint") === col("b.fingerprint") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("inner_doc"), col("b.doc_id").as("outer_doc"))
+      .agg(count(lit(1)).as("shared"))
+      .join(sizes.select(col("doc_id").as("inner_doc"), col("n_fp").as("n_inner")),
+        "inner_doc")
+      .join(sizes.select(col("doc_id").as("outer_doc"), col("n_fp").as("n_outer")),
+        "outer_doc")
+      .withColumn("containment", col("shared") / col("n_inner"))
+      .where(col("containment") >= minContainment &&
+        col("n_inner") <= col("n_outer"))
+      .select("inner_doc", "outer_doc", "shared", "n_inner", "n_outer",
+        "containment")
+  }
+
   /** Edit-distance near-duplicates over a short key (title/prefix
     * dedup) — Ed-Join's prefix-filtered q-gram join (Xiao, Wang, Lin,
     * VLDB 2008): a pair within edit distance k can disagree on at most

@@ -364,4 +364,35 @@ class TextDedupSpec extends SparkSpec {
     } yield (i.toLong, j.toLong)).toSet
     assert(found == expected)
   }
+
+  test("containmentPairs finds a doc quoted inside a longer one (low-resemblance case)") {
+    val quote = "alpha beta gamma delta epsilon zeta eta theta"
+    val host = "intro words here then " + quote +
+      " and a very long tail of unrelated content keeps resemblance low " +
+      "padding padding2 padding3 padding4 padding5 padding6 padding7"
+    val d = docs(
+      (1L, quote),                      // fully contained in 2
+      (2L, host),
+      (3L, "completely different words with nothing shared at all okay"))
+    val out = graft.dedup.Dedup.containmentPairs(d, minContainment = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(5)).toMap
+    assert(out.contains((1L, 2L)))
+    assert(out((1L, 2L)) >= 0.8)
+    assert(!out.contains((3L, 2L)) && !out.contains((2L, 3L)))
+    // resemblance (Jaccard over shingles) for the same pair is LOW --
+    // the case this operator exists for
+    val jac = Dedup.jaccardPairs(Dedup.shingles(d), threshold = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    jac.get((1L, 2L)).foreach(j => assert(j < 0.5))
+  }
+
+  test("containmentPairs drops ubiquitous fingerprints at maxDocFreq") {
+    // the same boilerplate everywhere: with the cap at 2 its
+    // fingerprints appear in 3 docs and are dropped, leaving no pairs
+    val b = "common boilerplate words shared by every single document here"
+    val d = docs((1L, b), (2L, b), (3L, b))
+    assert(graft.dedup.Dedup.containmentPairs(d, maxDocFreq = 2L).count() == 0)
+    // with the cap relaxed they all mutually contain
+    assert(graft.dedup.Dedup.containmentPairs(d, maxDocFreq = 10L).count() == 6)
+  }
 }
