@@ -385,4 +385,35 @@ class PlanSpec extends SparkSpec {
     assert(bad.isEmpty, "corpus must never be broadcast; offending " +
       s"broadcast children: ${bad.map(_.child.schema.fieldNames.mkString(","))}\n$plan")
   }
+
+  test("containment/ed-join/heavy-hitter paths: no cartesian, no corpus broadcast") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    val dir = java.nio.file.Files.createTempDirectory("planspec").toString
+    spark.createDataFrame(
+      (0L until 60L).map(i =>
+        (i, s"alpha beta w${i % 9} gamma w${i % 5} delta epsilon zeta_$i")))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/docs_cont")
+    val docs = spark.read.parquet(s"$dir/docs_cont")
+    def corpusBroadcasts(df: DataFrame): Seq[String] =
+      df.queryExecution.executedPlan.collect {
+        case b: BroadcastExchangeExec
+          if b.collect { case s: FileSourceScanExec => s }
+            .exists(_.relation.location.rootPaths.exists(_.toString.contains("docs_cont"))) =>
+          b.toString
+      }
+    val cont = Dedup.containmentPairs(docs)
+    val contStr = cont.queryExecution.executedPlan.toString
+    assert(!contStr.contains("CartesianProduct") &&
+      !contStr.contains("BroadcastNestedLoopJoin"), contStr)
+    cont.count(); graft.Caching.release()
+    val fuzzy = Dedup.editDistanceNearDups(docs)
+    val fuzzyStr = fuzzy.queryExecution.executedPlan.toString
+    assert(!fuzzyStr.contains("CartesianProduct") &&
+      !fuzzyStr.contains("BroadcastNestedLoopJoin"), fuzzyStr)
+    assert(corpusBroadcasts(fuzzy).isEmpty,
+      "ed-join must not broadcast the doc relation")
+    fuzzy.count(); graft.Caching.release()
+  }
 }
