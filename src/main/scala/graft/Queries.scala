@@ -859,6 +859,37 @@ object Queries {
         |       max(epoch_us(ts)) - min(epoch_us(ts)) AS duration_us
         |FROM se GROUP BY 1, 2""".stripMargin)),
 
+    // M11 via the BUILT-IN session_window (Spark 3.2+) — the
+    // preference-order case (a): the native operator expresses gap
+    // sessionization directly, so the custom-state path
+    // (Events.sessionize / StreamingOps.sessionizeStream) is needed
+    // only where per-session custom state matters. NOTE the boundary
+    // difference: session_window closes at gap ≥ g (window end
+    // exclusive), the reference-style sessionize at gap > g — the
+    // oracle replays the ≥ semantics.
+    Q("q_session_window",
+      (s, d) => events(s, d)
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum("value"), 6).as("total_value"))
+        .select(col("user_id"),
+          date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          date_format(col("w.end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+          col("n_events"), col("total_value")),
+      Some("""WITH e AS (SELECT user_id, ts, value, epoch_us(ts) AS us,
+        |              lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        |       FROM events),
+        |m AS (SELECT *, CASE WHEN prev IS NULL OR us - prev >= 1800000000
+        |                     THEN 1 ELSE 0 END AS brk FROM e),
+        |s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                 ROWS UNBOUNDED PRECEDING) AS seq FROM m)
+        |SELECT user_id,
+        |       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |       strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+        |       count(*) AS n_events, round(sum(value), 6) AS total_value
+        |FROM s GROUP BY user_id, seq""".stripMargin)),
+
     Q("q_hourly_windows",
       (s, d) => Events.hourlyWindows(events(s, d)),
       Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
