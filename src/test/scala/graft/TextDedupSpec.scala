@@ -365,6 +365,44 @@ class TextDedupSpec extends SparkSpec {
     assert(found == expected)
   }
 
+  test("editDistanceNearDups: gram-df cap is lossless on a vocabulary-starved corpus") {
+    // Adversarial shape: a low-alphabet clique whose every gram is
+    // common (floods any gram bucket → routed through the residual
+    // brute-force path under a small cap) PLUS rich-vocab keys that
+    // stay on the capped equi-join path — so BOTH paths carry pairs
+    // and the union+distinct seam is exercised. Oracle: local brute
+    // force; pin: capped ≡ uncapped ≡ brute force.
+    val starved = (0 until 20).map { i =>
+      val c = ('a' + (i % 3)).toChar // 3-letter alphabet, 24 chars
+      s"ababab$c babab${c}ababab ab"
+    }
+    val rich = Seq(
+      "qwertyuiopasdfghjklzxcvb", "qwertyuiopasdfghjklzxcvZ",
+      "mnbvcxzlkjhgfdsapoiuytre", "completely other rich key")
+    val texts = starved ++ rich
+    val d = docs(texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }: _*)
+    def pairs(cap: Int): Set[(Long, Long, Int)] =
+      Dedup.editDistanceNearDups(d, prefixChars = 24, k = 2, q = 5,
+          maxGramDf = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(4))).toSet
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1, b.length + 1)((i, j) => i + j)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) = math.min(math.min(dp(i - 1)(j), dp(i)(j - 1)) + 1,
+          dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      dp(a.length)(b.length)
+    }
+    val expected = (for {
+      i <- texts.indices; j <- texts.indices if i < j
+      dist = lev(texts(i).take(24), texts(j).take(24)) if dist <= 2
+    } yield (i.toLong, j.toLong, dist)).toSet
+    val capped = pairs(4)
+    val uncapped = pairs(Int.MaxValue)
+    assert(capped == expected, "capped path diverges from brute force")
+    assert(uncapped == expected, "uncapped path diverges from brute force")
+    graft.Caching.release()
+  }
+
   test("containmentPairs finds a doc quoted inside a longer one (low-resemblance case)") {
     val quote = "alpha beta gamma delta epsilon zeta eta theta"
     val host = "intro words here then " + quote +
