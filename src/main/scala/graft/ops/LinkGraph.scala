@@ -73,6 +73,9 @@ object LinkGraph {
     }
     graft.Caching.release(e)
     graft.Caching.release(outdeg)
+    // safe: the final localCheckpoint above has already materialized pr,
+    // so the nodes cache is no longer reachable from the returned plan
+    graft.Caching.release(nodes)
     pr
   }
 }

@@ -25,12 +25,17 @@ object Ranks {
       ordCol: String,
       buckets: Int = 4096): DataFrame = {
     // equi-width range buckets over [0, max]: preserves id order across
-    // buckets, so bucket-offset + within-bucket rank is the global rank
+    // buckets, so bucket-offset + within-bucket rank is the global rank.
+    // Bucket by id div width (width = ceil((max+1)/buckets)) — dividing
+    // FIRST cannot overflow, where id * buckets silently wraps for ids
+    // above 2^63/buckets. (_mx + buckets must stay below 2^63: ids may
+    // range to Long.MaxValue - buckets, a non-restriction in practice.)
     val stats = df.agg(max(col(idCol)).cast("long").as("_mx"))
     val withB = df.crossJoin(broadcast(stats))
+      .withColumn("_w", expr(s"(_mx + $buckets) div $buckets"))
       .withColumn("_b",
-        least(floor(col(idCol) * buckets / (col("_mx") + 1)),
-          lit(buckets - 1)).cast("long"))
+        least(expr(s"cast($idCol as bigint) div _w"),
+          lit(buckets - 1).cast("long")))
     val counts = withB.groupBy("_b").agg(count(lit(1)).as("_c"))
     // prefix sum over bucket COUNTS: `buckets` rows total — a bounded
     // single-partition window (the SCALE.md bounded-cardinality rule),
@@ -42,6 +47,6 @@ object Ranks {
       .withColumn(ordCol,
         row_number().over(Window.partitionBy("_b").orderBy(idCol))
           - 1 + col("_off"))
-      .drop("_b", "_mx", "_c", "_off")
+      .drop("_b", "_w", "_mx", "_c", "_off")
   }
 }

@@ -160,10 +160,19 @@ object Sampling {
     val avail = docs
       .select(col(domainCol), size(split(col("text"), " ")).cast("long").as("t"))
       .groupBy(domainCol).agg(sum("t").as("avail_tokens"))
-    val based = avail.join(wdf, Seq(domainCol))
+    val based = graft.Caching.cache(avail.join(wdf, Seq(domainCol))
       .withColumn("exact", col("w") * budget) // dyadic w → IEEE-exact
       .withColumn("base", floor(col("exact")).cast("long"))
-      .withColumn("frac", col("exact") - col("base"))
+      .withColumn("frac", col("exact") - col("base")))
+    // The sum(budget_tokens) == budget invariant holds only when every
+    // weighted domain is observed: an absent domain's base allocation
+    // would silently vanish in the inner join above (and its budget is
+    // undeliverable anyway — 0 available tokens). Fail loudly instead.
+    // Bounded: `based` has ≤ #domains rows and is cached for reuse below.
+    val nBased = based.count()
+    require(nBased == weights.size,
+      s"tokenBudget: ${weights.size - nBased} weighted domain(s) have no " +
+        "documents in the corpus — their allocation would be dropped")
     val leftover = based.agg((lit(budget) - sum("base")).as("leftover"))
     val win = Window.partitionBy(lit(0)) // #domains rows — bounded
       .orderBy(col("frac").desc, col(domainCol))

@@ -55,7 +55,9 @@ object Profiles {
     * joined back — no single-partition global window over all profiles.
     * Input `(profile_id, pos, qw)` (qw integral); output
     * `(profile_id, dedup_id)`. */
-  def dedupVectors(profiles: DataFrame): DataFrame = {
+  def dedupVectors(
+      profiles: DataFrame,
+      driverVecLimit: Long = 100000L): DataFrame = {
     val vecs = profiles
       .groupBy("profile_id")
       .agg(
@@ -65,7 +67,7 @@ object Profiles {
             x => concat(x.getField("pos"), lit(":"), x.getField("qw"))),
           ",").as("vec"))
     val cached = graft.Caching.cache(vecs) // read twice: ids + join-back
-    cached.join(denseIdsByVec(cached, "dedup_id"), "vec")
+    cached.join(denseIdsByVec(cached, "dedup_id", driverVecLimit), "vec")
       .select(col("profile_id"), col("dedup_id"))
   }
 
@@ -77,12 +79,43 @@ object Profiles {
     * (a bounded collect of one count per shuffle partition — the classic
     * two-phase global-rank construction). Everything stays inside
     * codegen/AQE except the two bounded jobs. */
-  private def denseIdsByVec(vecs: DataFrame, idName: String): DataFrame = {
+  private def denseIdsByVec(
+      vecs: DataFrame,
+      idName: String,
+      driverVecLimit: Long = 100000L): DataFrame = {
     val spark = vecs.sparkSession
+    // ADAPTIVE small path (same shape as Clustering.driverEdgeLimit):
+    // profile vectors are METADATA-scale in practice (a few thousand
+    // distinct shapes even in continental inventories), and the
+    // two-phase rank below pays two cache materializations + a
+    // per-partition-count collect + a join-back — ~9 s of fixed cost at
+    // sf0.1 for 1000 vectors. Below `driverVecLimit` distinct vectors
+    // (bounded: one count first), sort and rank on the driver — exact
+    // same ids (1-based rank in the globally sorted distinct set; the
+    // specs pin both paths against each other). The range-partitioned
+    // two-phase rank remains the 100 TB path; driverVecLimit = 0
+    // forces it.
+    val distinctVecs = graft.Caching.cache(vecs.select("vec").distinct())
+    val isString = distinctVecs.schema.head.dataType ==
+      org.apache.spark.sql.types.StringType
+    val nVecs = distinctVecs.count()
+    // struct-typed vecs (groupProfilesIndexes) keep the distributed
+    // path: replicating Spark's struct ordering on the driver is not
+    // worth it for a caller that is already index-cube-scale
+    if (isString && nVecs <= driverVecLimit) {
+      // UTF-8 byte order, matching Spark's UTF8String comparison (plain
+      // String.sorted is UTF-16 code-unit order — diverges above BMP)
+      val utf8Ord: Ordering[String] = (a: String, b: String) =>
+        java.util.Arrays.compareUnsigned(
+          a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+      val sorted = distinctVecs.collect().map(_.getString(0)).sorted(utf8Ord)
+      val ids = sorted.zipWithIndex.map { case (v, i) => (v, i + 1L) }
+      return spark.createDataFrame(ids.toSeq).toDF("vec", idName)
+    }
     // persist: the partition ids assigned by the range shuffle must be
     // identical across the counts job and the final join job
     val parted = graft.Caching.cache(
-      vecs.select("vec").distinct()
+      distinctVecs
         .repartitionByRange(col("vec"))
         .withColumn("_pid", spark_partition_id()))
     val counts = parted.groupBy("_pid").agg(count(lit(1)).as("_cnt"))

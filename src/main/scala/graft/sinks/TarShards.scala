@@ -48,8 +48,9 @@ object TarShards {
   private[sinks] def writeEntry(out: OutputStream, e: TarEntry): Long = {
     require(e.name.nonEmpty && e.name.length <= 100,
       s"tar entry name must be 1..100 chars, got '${e.name}'")
-    require(e.bytes.length < (1L << 33),
-      s"ustar octal size field caps one entry at 8 GiB, got ${e.bytes.length}")
+    // Array[Byte] already caps one entry below 2 GiB, matching the
+    // single-array reader — no wider limit is honest to advertise (the
+    // ustar octal field itself would allow 8 GiB).
     val h = new Array[Byte](Block)
     def put(off: Int, s: String): Unit = {
       val b = s.getBytes("US-ASCII")
@@ -130,10 +131,17 @@ object TarShards {
           case n => n
         }
         val name = new String(bytes, pos, nameLen, "US-ASCII")
-        val size = java.lang.Long.parseLong(
+        val sizeL = java.lang.Long.parseLong(
           new String(bytes, pos + 124, 12, "US-ASCII")
-            .takeWhile(c => c >= '0' && c <= '7'), 8).toInt
-        require(pos + Block + size <= bytes.length,
+            .takeWhile(c => c >= '0' && c <= '7'), 8)
+        // foreign archives may carry entries a single Array[Byte] (and
+        // this single-array reader) cannot hold — fail with the reason,
+        // not an Int-overflowed negative size
+        require(sizeL <= Int.MaxValue - Block,
+          s"tar entry '$name' is $sizeL bytes — too large to read into " +
+            "one array; re-shard the source below 2 GiB per entry")
+        val size = sizeL.toInt
+        require(pos.toLong + Block + size <= bytes.length,
           s"tar entry '$name' ($size bytes) overruns archive at $pos")
         val e = TarEntry(name,
           java.util.Arrays.copyOfRange(bytes, pos + Block, pos + Block + size))

@@ -44,6 +44,24 @@ class ProfilesSpec extends SparkSpec {
     assert(Profiles.dedupVectors(p).columns.toSeq == Seq("profile_id", "dedup_id"))
   }
 
+  test("dedupVectors: driver small path and distributed rank path agree") {
+    // 120 profiles over 17 distinct vectors — driverVecLimit = 0 forces
+    // the range-partitioned two-phase rank; default takes the driver
+    // sort. Both must assign the identical dense id to every profile.
+    val p = spark.createDataFrame(
+      (0L until 120L).flatMap(i => Seq(
+        (i, 0, (i % 17) + 1L), (i, 1, (i % 17) * 3L + 2L))))
+      .toDF("profile_id", "pos", "qw")
+    val small = Profiles.dedupVectors(p).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Caching.release()
+    val dist = Profiles.dedupVectors(p, driverVecLimit = 0L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Caching.release()
+    assert(small == dist)
+    assert(small.values.toSet == (1L to 17L).toSet)
+  }
+
   test("mergeIndexes: later (specific) table overrides, else base") {
     val base = spark.createDataFrame(Seq(("a", "x", 1), ("a", "y", 1), ("b", "x", 2)))
       .toDF("category", "substance", "profile_id")

@@ -327,6 +327,19 @@ class TextDedupSpec extends SparkSpec {
     assert(out.values.sum == 101L)
   }
 
+  test("tokenBudget fails loudly when a weighted domain has no documents") {
+    // an absent domain's base allocation would silently vanish in the
+    // inner join (breaking sum == budget); the operator must refuse
+    val d = docs((0L, "a b c"), (1L, "d e"))
+      .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+    val ex = intercept[IllegalArgumentException] {
+      graft.ops.Sampling.tokenBudget(d, "lang",
+        Map("en" -> 0.5, "zz" -> 0.5), budget = 100L).collect()
+    }
+    assert(ex.getMessage.contains("no documents"))
+    graft.Caching.release()
+  }
+
   test("editDistanceNearDups finds close prefixes, skips distant ones") {
     // 10-11: one substitution; 12: identical to 10; 13: unrelated
     val d = docs(
