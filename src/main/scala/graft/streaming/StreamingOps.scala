@@ -110,55 +110,77 @@ object StreamingOps {
     * the micro-batch loop IS the reference's 168-hour chunk loop, with
     * completeness guaranteed by the watermark instead of batch order.
     *
-    * Input: the output of [[hourlyCellWindows]]. Each hour's rows are
-    * grid-sized per variable; the batch persists once and each collect
-    * pulls ONE hour (≤ variables × cells rows) — a stalled stream that
-    * closes many hours in one batch still never concentrates more than a
-    * single hour on the driver. */
+    * Input: the output of [[hourlyCellWindows]]. Each batch shuffles
+    * ONCE keyed by hour, then every closed hour is assembled and
+    * written INSIDE its task (the `Exports.hourlyExportNcDistributed`
+    * pattern) — a stalled stream that closes many hours in one
+    * catch-up batch writes them in parallel across executor threads,
+    * and the driver never materializes a single plane. Task memory is
+    * bounded by variables × cells for one hour. */
   def hourlyNcSink(
       windowed: DataFrame,
       grid: graft.model.RegularGrid,
       outDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
-    import graft.sinks.{Exports, NetcdfWriter}
-    import graft.sinks.NetcdfWriter.{WriteVar, textAtt}
-    import graft.sources.NetcdfClassic.{NcDim, NcDouble}
-    val fmtOut = java.time.format.DateTimeFormatter
-      .ofPattern("yyyyMMdd'T'HHmmss'Z'").withZone(java.time.ZoneOffset.UTC)
+    val ncells = grid.ncells.toInt
     windowed.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch0: DataFrame, _: Long) =>
-        // per-HOUR collect (the rasterExportNc per-plane pattern): a batch
-        // can close many hours at once after a stall; each collect below
-        // is bounded by vars × cells for ONE hour, never the whole batch.
-        val batch = batch0
-          .withColumn("cell_id", col("cell_id").cast("long"))
-          .withColumn("total_value", col("total_value").cast("double"))
-          .persist()
-        val hours = batch.select("hour").distinct().collect()
-          .map(_.getAs[java.sql.Timestamp]("hour"))
-        hours.foreach { hourTs =>
-            val hrRows = batch.where(col("hour") === hourTs).collect()
-            val vars = hrRows.map(_.getAs[String]("event_type")).distinct.sorted
-            val ncells = grid.ncells.toInt
-            val data = vars.map(v => v -> new Array[Double](ncells)).toMap
-            hrRows.foreach { r =>
-              data(r.getAs[String]("event_type"))(
-                r.getAs[Long]("cell_id").toInt) += r.getAs[Double]("total_value")
+        batch0
+          .select(col("hour"),
+            col("cell_id").cast("long").as("cell_id"),
+            col("event_type"),
+            col("total_value").cast("double").as("total_value"))
+          .repartition(col("hour"))
+          .sortWithinPartitions("hour", "event_type", "cell_id")
+          .foreachPartition { (it: java.util.Iterator[org.apache.spark.sql.Row]) =>
+            import scala.jdk.CollectionConverters._
+            val fmt = java.time.format.DateTimeFormatter
+              .ofPattern("yyyyMMdd'T'HHmmss'Z'")
+              .withZone(java.time.ZoneOffset.UTC)
+            val buf = it.asScala.buffered
+            while (buf.hasNext) {
+              val hourTs = buf.head.getAs[java.sql.Timestamp]("hour")
+              val vars = scala.collection.mutable.ArrayBuffer
+                .empty[(String, Array[Double])]
+              while (buf.hasNext &&
+                buf.head.getAs[java.sql.Timestamp]("hour") == hourTs) {
+                val v = buf.head.getAs[String]("event_type")
+                val arr = new Array[Double](ncells)
+                while (buf.hasNext &&
+                  buf.head.getAs[java.sql.Timestamp]("hour") == hourTs &&
+                  buf.head.getAs[String]("event_type") == v) {
+                  val r = buf.next()
+                  arr(r.getAs[Long]("cell_id").toInt) +=
+                    r.getAs[Double]("total_value")
+                }
+                vars += ((v, arr))
+              }
+              graft.sinks.Exports.writeBytes(
+                s"$outDir/${fmt.format(hourTs.toInstant)}.nc",
+                hourlyNcFileBytes(ncells, vars.toSeq))
             }
-            val dataVars = vars.map { v =>
-              WriteVar(v, Seq("cell"), NcDouble,
-                atts = Seq(textAtt("units", "kg h-1"), textAtt("long_name", v)),
-                doubles = data(v))
-            }
-            val fname = fmtOut.format(hourTs.toInstant)
-            Exports.writeBytes(s"$outDir/$fname.nc", NetcdfWriter.write(
-              Seq(NcDim("cell", ncells)),
-              Exports.ncCfAttrs("graft streaming hourly export"),
-              dataVars.toSeq))
-        }
-        batch.unpersist()
+          }
         () // foreachBatch wants the Unit-returning overload
       }
+  }
+
+  /** One streaming hour's NetCDF bytes — variables in ascending name
+    * order with dense per-cell planes. Factored out so the spec can
+    * byte-match the distributed task writer against independently
+    * assembled expected content. */
+  private[graft] def hourlyNcFileBytes(
+      ncells: Int,
+      varsData: Seq[(String, Array[Double])]): Array[Byte] = {
+    import graft.sinks.{Exports, NetcdfWriter}
+    import graft.sinks.NetcdfWriter.{WriteVar, textAtt}
+    import graft.sources.NetcdfClassic.{NcDim, NcDouble}
+    val dataVars = varsData.map { case (v, arr) =>
+      WriteVar(v, Seq("cell"), NcDouble,
+        atts = Seq(textAtt("units", "kg h-1"), textAtt("long_name", v)),
+        doubles = arr)
+    }
+    NetcdfWriter.write(Seq(NcDim("cell", ncells)),
+      Exports.ncCfAttrs("graft streaming hourly export"), dataVars)
   }
 
   final case class BandedDoc(band_key: String, doc_id: Long, sig: Array[Long])

@@ -69,6 +69,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("hourlyNcSink catch-up batch closes 26 hours distributed, byte-matching the assembler") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.model.RegularGrid
+    val grid = RegularGrid(4, 1, 0.0, 0.0, 1.0, 1.0)
+    val dir = java.nio.file.Files.createTempDirectory("nccatchup").toString
+    val mem = MemoryStream[(Long, Timestamp, String, Double)]
+    val events = mem.toDF().toDF("cell_id", "ts", "event_type", "value")
+    val q = StreamingOps.hourlyNcSink(
+      StreamingOps.hourlyCellWindows(events), grid, dir)
+      .start()
+    try {
+      // one stalled backlog: 26 consecutive hours of data arrive at once,
+      // then a far-future event pushes the watermark past all of them --
+      // a single micro-batch must close and write every hour
+      val backlog = (0 until 26).flatMap { h =>
+        val (d, hh) = if (h < 24) ("01", h) else ("02", h - 24)
+        Seq((h.toLong % 4, ts(f"2024-01-$d $hh%02d:00:00"), "CO2", h + 1.0),
+          ((h + 1).toLong % 4, ts(f"2024-01-$d $hh%02d:30:00"), "CH4", 2.0 * h))
+      }
+      mem.addData(backlog: _*)
+      q.processAllAvailable()
+      mem.addData((0L, ts("2024-01-05 12:00:00"), "CO2", 1.0))
+      q.processAllAvailable()
+      val files = new java.io.File(dir).list().filter(_.endsWith(".nc")).sorted
+      assert(files.length >= 26, s"expected >=26 closed hours, got ${files.toSeq}")
+      (0 until 26).foreach { h =>
+        val (d, hh) = if (h < 24) ("01", h) else ("02", h - 24)
+        val fname = f"202401${d}T$hh%02d0000Z.nc"
+        assert(files.contains(fname), s"missing $fname")
+        val got = java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(s"$dir/$fname"))
+        val co2 = new Array[Double](4); co2(h % 4) = h + 1.0
+        val ch4 = new Array[Double](4); ch4((h + 1) % 4) = 2.0 * h
+        val expected = StreamingOps.hourlyNcFileBytes(4,
+          Seq("CH4" -> ch4, "CO2" -> co2))
+        assert(java.util.Arrays.equals(got, expected),
+          s"$fname bytes diverge from the reference assembler")
+      }
+    } finally q.stop()
+  }
+
   test("sessionizeStream closes sessions across micro-batches via state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
