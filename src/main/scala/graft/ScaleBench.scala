@@ -38,6 +38,29 @@ object ScaleBench {
       ((System.nanoTime() - t0) / 1e9, n)
     }
 
+    // Best-of-3 for the GC-noisy entries (B2/B9): their ±40% run-to-run
+    // spread is GC/contention, not plan variance, so the MIN over three
+    // back-to-back reps is the comparable number (BASELINE.md freezes
+    // this methodology; the JSON carries bN_best_of so a reader knows).
+    def best3(f: => Long): (Double, Long) = {
+      var best = Double.MaxValue; var n = 0L
+      var i = 0
+      while (i < 3) {
+        val (s, r) = time(f)
+        if (s < best) best = s
+        n = r
+        Caching.release() // rep isolation: no cache carries across reps
+        i += 1
+      }
+      // settle before the next entry: three reps of an iterative job
+      // leave localCheckpoint blocks awaiting the async ContextCleaner,
+      // and that residue taxed the LATER export entries in the first
+      // r13 run (b13 4× slower with no code change on its path)
+      System.gc()
+      Thread.sleep(2000)
+      (best, n)
+    }
+
     def deleteRecursive(p: java.nio.file.Path): Unit = {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
@@ -57,12 +80,11 @@ object ScaleBench {
 
     val catMap = (0 until 8).map(i => s"c$i" -> s"g${i / 2}")
       .groupBy(_._2).view.mapValues(_.map(_._1)).toMap
-    val (b2s, b2n) = time {
+    val (b2s, b2n) = best3 {
       Grouping.totals(
         Grouping.groupCategories(spark, emi, catMap, ignoreMissing = true))
         .count()
     }
-    Caching.release() // totals registers its pair-level cache
 
     // B2b: the SAME rollup through the fused groupedTotals — skips the
     // (cell, group, substance) data-scale aggregate when only the
@@ -155,7 +177,7 @@ object ScaleBench {
     val chainBase = 100000000L
     val chainEdges = spark.range(999L).select(
       (col("id") + chainBase).as("doc_a"), (col("id") + chainBase + 1).as("doc_b"))
-    val (b9s, b9n) = time {
+    val (b9s, b9n) = best3 {
       graft.dedup.Clustering.connectedComponents(
         cliqueEdges.unionByName(chainEdges))
         .groupBy("cluster_id").count()
@@ -549,6 +571,123 @@ object ScaleBench {
     require(b21rn == 4000000L, s"B21 read back $b21rn entries, expected 4M")
     deleteRecursive(b21dir); Caching.release()
 
+    // B22: streaming heavy hitters — Misra–Gries at capacity ≪
+    // vocabulary on a deterministic Zipf stream: token t{r} (r=1..100k)
+    // appears 200000/r + 1 times → ~2.4M tokens over 100k distinct,
+    // sketch capacity 2048 per shard (a 49× compression). One
+    // micro-batch, so each shard's single Update emission IS the final
+    // sketch. The MG guarantee is REQUIREd against exact batch truth:
+    // estimates never overcount, and every token heavier than its
+    // shard's ε = N_shard/(capacity+1) is present with undercount ≤ ε.
+    var b22s = 0.0; var b22tok = 0L; var b22nHeavy = 0L
+    locally {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val b22V = 100000; val b22K = 200000L
+      val b22texts = {
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        val sb = new StringBuilder
+        var inDoc = 0
+        var r = 1
+        while (r <= b22V) {
+          var c = b22K / r + 1
+          while (c > 0) {
+            if (inDoc > 0) sb.append(' ')
+            sb.append('t').append(r)
+            inDoc += 1
+            if (inDoc == 1000) { out += sb.result(); sb.clear(); inDoc = 0 }
+            c -= 1
+          }
+          r += 1
+        }
+        if (inDoc > 0) out += sb.result()
+        out.toSeq
+      }
+      val b22mem = MemoryStream[String]
+      val b22q = graft.streaming.StreamingOps.heavyHitterStream(
+        b22mem.toDF().toDF("text"), shards = 16, capacity = 2048,
+        minCount = 1)
+        .writeStream.format("memory").queryName("b22_hh")
+        .outputMode("update").start()
+      val (b22s0, _) = try {
+        b22mem.addData(b22texts: _*)
+        time { b22q.processAllAvailable(); spark.table("b22_hh").count() }
+      } finally b22q.stop()
+      b22s = b22s0
+      val b22truth = spark.createDataset(b22texts).toDF("text")
+        .select(explode(split(col("text"), " ")).as("token"))
+        .withColumn("shard", pmod(
+          graft.functions.PortableHashExpr.portableHash(col("token")),
+          lit(16L)))
+        .groupBy("shard", "token").agg(count(lit(1)).as("true_cnt"))
+      val b22eps = b22truth.groupBy("shard")
+        .agg((sum("true_cnt") / 2049).cast("long").as("eps"))
+      val b22joined = b22truth.join(b22eps, "shard")
+        .join(spark.table("b22_hh"), Seq("shard", "token"), "left")
+        .select(col("token"), col("true_cnt"), col("eps"),
+          coalesce(col("cnt"), lit(0L)).as("est"))
+        .persist()
+      val b22over = b22joined.where(col("est") > col("true_cnt")).count()
+      require(b22over == 0L, s"B22: $b22over tokens OVERcounted — MG never overcounts")
+      val b22heavy = b22joined.where(col("true_cnt") > col("eps"))
+      b22nHeavy = b22heavy.count()
+      val b22bad = b22heavy
+        .where(col("est") === 0L || col("true_cnt") - col("est") > col("eps"))
+        .count()
+      require(b22nHeavy > 500L, s"B22 degenerate setup: only $b22nHeavy heavy tokens")
+      require(b22bad == 0L,
+        s"B22: $b22bad of $b22nHeavy heavy tokens missing or outside the ε-bound")
+      b22joined.unpersist()
+      b22tok = b22texts.map(_.count(_ == ' ') + 1L).sum
+    }
+    Caching.release()
+
+    // B23: containment detection under boilerplate flooding — 1M docs
+    // ALL sharing one 12-word boilerplate sentence (its fingerprints'
+    // df ≈ 1M would flood every bucket quadratically), with 1000
+    // planted inner→host containment pairs. The df-cap drops the
+    // boilerplate fingerprints before the self-join, so the REQUIREs
+    // pin both recall (all 1000 planted pairs found) and the candidate
+    // bound (pair rows orders of magnitude below the 10^12 of n²).
+    val b23boiler = "the quick brown fox jumps over the lazy dog again and again"
+    val b23docs = spark.range(1000000L).select(col("id").as("doc_id"),
+      when(col("id") < 1000,
+        format_string("q%1$da q%1$db q%1$dc q%1$dd q%1$de q%1$df q%1$dg q%1$dh",
+          col("id")))
+        .when(col("id") < 2000, concat(lit(b23boiler + " "),
+          format_string("q%1$da q%1$db q%1$dc q%1$dd q%1$de q%1$df q%1$dg q%1$dh",
+            col("id") - 1000),
+          format_string(" t%1$dx t%1$dy t%1$dz", col("id"))))
+        .otherwise(concat(lit(b23boiler + " "),
+          format_string("f%1$da f%1$db f%1$dc f%1$dd f%1$de f%1$df", col("id"))))
+        .as("text"))
+    val (b23s, b23n) = time {
+      graft.dedup.Dedup.containmentPairs(b23docs,
+        minContainment = 0.5, maxDocFreq = 1000L)
+        .where(col("inner_doc") < 1000 &&
+          col("outer_doc") === col("inner_doc") + 1000)
+        .count()
+    }
+    require(b23n == 1000L,
+      s"B23 planted containment recall: found $b23n of 1000 pairs")
+    Caching.release()
+    // candidate-pair volume under the same df-cap: the quantity the cap
+    // exists to bound (uncapped, the boilerplate bucket alone is ~10^12)
+    val b23fpAll = Caching.cache(
+      graft.text.TextAnalysis.winnowing(b23docs, 3, 4)
+        .select("doc_id", "fingerprint").distinct())
+    val b23kept = b23fpAll.join(
+      b23fpAll.groupBy("fingerprint").agg(count(lit(1)).as("df"))
+        .where(col("df") <= 1000).select("fingerprint"), "fingerprint")
+    val b23cand = b23kept.as("a")
+      .join(b23kept.as("b"),
+        col("a.fingerprint") === col("b.fingerprint") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .count()
+    require(b23cand < 10000000L,
+      s"B23 candidate pairs $b23cand not sub-quadratic (n² is 10^12)")
+    Caching.release()
+
     val b1rate = "%.1f".format(src.ncells * 32 / b1s / 1e6)
     val b3rate = "%.1f".format(b3n / b3s / 1e6)
     val json =
@@ -583,7 +722,12 @@ object ScaleBench {
         s""""b20_kdocs_per_s":${"%.1f".format(b20n / b20s / 1e3)},""" +
         s""""b21_tar_write_sec":$b21ws,"b21_samples":$b21wn,"b21_tar_bytes":$b21bytes,""" +
         s""""b21_write_mb_per_s":${"%.1f".format(b21bytes / b21ws / 1e6)},""" +
-        s""""b21_tar_read_sec":$b21rs,"b21_entries":$b21rn}"""
+        s""""b21_tar_read_sec":$b21rs,"b21_entries":$b21rn,""" +
+        s""""b2_best_of":3,"b9_best_of":3,""" +
+        s""""b22_heavy_hitters_sec":$b22s,"b22_tokens":$b22tok,""" +
+        s""""b22_heavy_verified":$b22nHeavy,"b22_capacity":2048,"b22_vocab":100000,""" +
+        s""""b23_containment_sec":$b23s,"b23_docs":1000000,"b23_planted_found":$b23n,""" +
+        s""""b23_candidate_pairs":$b23cand}"""
     println(json)
     // durable copy for the round artifacts (same pattern as BENCH_LAST)
     java.nio.file.Files.write(

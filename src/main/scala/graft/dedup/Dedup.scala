@@ -339,12 +339,14 @@ object Dedup {
       minDocs: Int = 3): DataFrame = {
     val w = split(col("text"), " ")
     val nChunks = ceil(size(w) / lit(chunkWords.toDouble)).cast("int")
-    val chunks = docs
+    // cached (LSH-signature precedent): chunks feeds the df aggregate
+    // AND the mark join — uncached, the posexplode recomputes per branch
+    val chunks = graft.Caching.cache(docs
       .select(
         col("doc_id"),
         posexplode(transform(sequence(lit(0), nChunks - 1),
           i => array_join(slice(w, i * chunkWords + 1, lit(chunkWords)), " ")))
-          .as(Seq("idx", "chunk")))
+          .as(Seq("idx", "chunk"))))
     val dupChunks = chunks
       .groupBy("chunk")
       .agg(countDistinct("doc_id").as("nd"))
@@ -452,8 +454,11 @@ object Dedup {
       w: Int = 4,
       minContainment: Double = 0.8,
       maxDocFreq: Long = 1000L): DataFrame = {
-    val fpAll = graft.text.TextAnalysis.winnowing(docs, n, w)
-      .select("doc_id", "fingerprint").distinct()
+    // cached: fpAll feeds both the df aggregate and the join below —
+    // uncached, the winnowing pipeline would run twice
+    val fpAll = graft.Caching.cache(
+      graft.text.TextAnalysis.winnowing(docs, n, w)
+        .select("doc_id", "fingerprint").distinct())
     val rare = fpAll.groupBy("fingerprint")
       .agg(count(lit(1)).as("df"))
       .where(col("df") <= maxDocFreq)
