@@ -682,6 +682,62 @@ object QueriesML {
         |       least(16, n - chunk_idx * 12) AS chunk_tokens
         |FROM c""".stripMargin)),
 
+    // M59 content-defined chunking (FastCDC/rsync at word granularity):
+    // boundaries where portableHash(word) % 8 == 0, so an inserted
+    // prefix re-synchronizes at the next boundary — chunk-hash dedup
+    // that survives shifts fixed windows cannot. Narrow per-row chain.
+    Q("q_cdc_chunks",
+      (s, d) => TextAnalysis.cdcChunks(documents(s, d), boundaryMod = 8),
+      Some(s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w,
+        |              len(string_split(text, ' ')) AS n
+        |       FROM documents),
+        |b AS (SELECT doc_id, w, n,
+        |             list_filter(range(1, n + 1),
+        |               i -> ${hashSqlOf("w[i]")} % 8 = 0) AS bp
+        |      FROM t),
+        |e AS (SELECT doc_id, w,
+        |             CASE WHEN len(bp) > 0 AND bp[-1] = n THEN bp
+        |                  ELSE list_append(bp, n::BIGINT) END AS ends
+        |      FROM b),
+        |x AS (SELECT doc_id, w, ends,
+        |             unnest(range(1, len(ends) + 1)) AS k
+        |      FROM e)
+        |SELECT doc_id, k AS chunk_idx,
+        |       array_to_string(
+        |         w[(CASE WHEN k = 1 THEN 1 ELSE ends[k-1] + 1 END):ends[k]],
+        |         ' ') AS chunk_text,
+        |       (ends[k] - (CASE WHEN k = 1 THEN 1 ELSE ends[k-1] + 1 END)
+        |         + 1)::BIGINT AS chunk_words
+        |FROM x""".stripMargin)),
+
+    // M59 companion: cross-document duplicate CDC chunks (the actual
+    // shift-robust dedup signal) — one chunk-keyed aggregate.
+    Q("q_cdc_chunk_dups",
+      (s, d) => TextAnalysis.cdcChunkDups(documents(s, d),
+        boundaryMod = 8, minDocs = 2),
+      Some(s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w,
+        |              len(string_split(text, ' ')) AS n
+        |       FROM documents),
+        |b AS (SELECT doc_id, w, n,
+        |             list_filter(range(1, n + 1),
+        |               i -> ${hashSqlOf("w[i]")} % 8 = 0) AS bp
+        |      FROM t),
+        |e AS (SELECT doc_id, w,
+        |             CASE WHEN len(bp) > 0 AND bp[-1] = n THEN bp
+        |                  ELSE list_append(bp, n::BIGINT) END AS ends
+        |      FROM b),
+        |x AS (SELECT doc_id, w, ends,
+        |             unnest(range(1, len(ends) + 1)) AS k
+        |      FROM e),
+        |c AS (SELECT doc_id,
+        |             array_to_string(
+        |               w[(CASE WHEN k = 1 THEN 1 ELSE ends[k-1] + 1 END):ends[k]],
+        |               ' ') AS chunk_text
+        |      FROM x)
+        |SELECT chunk_text, count(*)::BIGINT AS n_occ,
+        |       count(DISTINCT doc_id)::BIGINT AS n_docs
+        |FROM c GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2""".stripMargin)),
+
     Q("q_dedup_clusters",
       (s, d) => Clustering.dedupAssign(
         documents(s, d),

@@ -549,6 +549,66 @@ object TextAnalysis {
     * one window yields exactly one chunk. Pure narrow projection —
     * sequence/slice/array_join inside whole-stage codegen, ZERO shuffles,
     * so chunking 100 TB is a single map pass. */
+  /** Content-defined chunking (the FastCDC/rsync idea at word
+    * granularity): a word is a chunk BOUNDARY iff its portable hash ≡ 0
+    * (mod `boundaryMod`), and a chunk is the maximal word run ending at
+    * a boundary (the tail run ends at the document end). Unlike
+    * fixed-window chunking ([[chunkDocuments]]), boundaries are decided
+    * by CONTENT, so inserting or deleting a prefix re-synchronizes at
+    * the next boundary and every later chunk is byte-identical across
+    * the two versions — the property that makes chunk-hash dedup robust
+    * to shifted near-duplicates (mirrors missing a header, quotes with
+    * an added attribution line). Expected chunk length ≈ `boundaryMod`
+    * words.
+    *
+    * Scale shape: one narrow per-row transform chain (split → boundary
+    * positions → slice per chunk), zero shuffles; per-row cost is
+    * O(words). Composes with a plain chunk-hash groupBy for the actual
+    * dedup — see `cdcChunkDups`.
+    *
+    * Output: (doc_id, chunk_idx 1-based, chunk_text, chunk_words). */
+  def cdcChunks(docs: DataFrame, boundaryMod: Int = 8): DataFrame = {
+    val w = words(col("text"))
+    docs
+      .select(col("doc_id"), w.as("w"), size(w).as("n"))
+      .withColumn("bp", filter(
+        transform(col("w"), (x, i) =>
+          when(pmod(portableHash(x), lit(boundaryMod.toLong)) === 0, i + 1)
+            .otherwise(-1)),
+        p => p > 0))
+      .withColumn("ends",
+        // guard before element_at: ANSI mode throws on empty-array access
+        when(size(col("bp")) > 0 &&
+            element_at(col("bp"), size(col("bp"))) === col("n"),
+          col("bp"))
+          .otherwise(concat(col("bp"), array(col("n")))))
+      .select(col("doc_id"), col("w"), col("ends"),
+        posexplode(col("ends")).as(Seq("k0", "end")))
+      .withColumn("start",
+        when(col("k0") === 0, lit(1))
+          .otherwise(element_at(col("ends"), col("k0")) + 1))
+      .select(col("doc_id"),
+        (col("k0") + 1).cast("long").as("chunk_idx"),
+        array_join(
+          slice(col("w"), col("start"), col("end") - col("start") + 1), " ")
+          .as("chunk_text"),
+        (col("end") - col("start") + 1).cast("long").as("chunk_words"))
+  }
+
+  /** Cross-document duplicate CDC chunks: every chunk text appearing in
+    * ≥ `minDocs` distinct documents, with its occurrence and document
+    * counts — the shift-robust complement of [[graft.dedup.Dedup
+    * .paragraphDedup]]'s fixed windows. One chunk-keyed aggregate. */
+  def cdcChunkDups(
+      docs: DataFrame,
+      boundaryMod: Int = 8,
+      minDocs: Int = 2): DataFrame =
+    cdcChunks(docs, boundaryMod)
+      .groupBy("chunk_text")
+      .agg(count(lit(1)).as("n_occ"),
+        countDistinct("doc_id").as("n_docs"))
+      .where(col("n_docs") >= minDocs)
+
   def chunkDocuments(
       docs: DataFrame, chunkTokens: Int = 16, overlap: Int = 4): DataFrame = {
     require(chunkTokens > overlap && overlap >= 0,

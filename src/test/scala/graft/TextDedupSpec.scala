@@ -327,6 +327,33 @@ class TextDedupSpec extends SparkSpec {
     assert(out.values.sum == 101L)
   }
 
+  test("cdcChunks: content-defined boundaries re-synchronize after an inserted prefix") {
+    import graft.text.TextAnalysis
+    val base = (1 to 60).map(i => s"word$i").mkString(" ")
+    val shifted = "inserted prefix goes here " + base
+    val d = docs((1L, base), (2L, shifted))
+    val chunks = TextAnalysis.cdcChunks(d, boundaryMod = 8).collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rs) =>
+        id -> rs.sortBy(_.getLong(1)).map(_.getString(2)).toSeq }
+    // reconstruction: chunks re-join to the original text, in order
+    assert(chunks(1L).mkString(" ") == base)
+    assert(chunks(2L).mkString(" ") == shifted)
+    // shift-robustness: once past the first boundary after the insert,
+    // every later chunk is identical across the two versions (fixed
+    // windows share NO chunk after a 4-word shift)
+    val common = chunks(1L).toSet intersect chunks(2L).toSet
+    assert(chunks(1L).drop(1).forall(common.contains),
+      s"expected all post-sync chunks shared, got common=$common")
+    // dedup companion sees those shared chunks across the two docs
+    val dups = TextAnalysis.cdcChunkDups(d, boundaryMod = 8, minDocs = 2)
+      .collect().map(_.getString(0)).toSet
+    assert(dups == common)
+    // boundary rule is the content hash, so chunk sizes hover near the
+    // modulus: sanity that we produced several chunks, not one blob
+    assert(chunks(1L).size >= 3)
+  }
+
   test("tokenBudget fails loudly when a weighted domain has no documents") {
     // an absent domain's base allocation would silently vanish in the
     // inner join (breaking sum == budget); the operator must refuse
