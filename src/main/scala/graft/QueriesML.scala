@@ -1546,6 +1546,42 @@ object QueriesML {
         |         // avail)::BIGINT AS epochs_millis
         |FROM r, l""".stripMargin)),
 
+    // M60 temperature-scaled multilingual sampling (α = 1/2, the
+    // mBERT/XLM-R rebalancing): per-language token counts →
+    // z = round(sqrt(n)·10⁶) (IEEE sqrt: bit-equal in both engines),
+    // then two integer largest-remainder apportionments — shares out of
+    // 10⁶, then the 1,000,003-token budget from the shares. Every
+    // number in the result is a BIGINT both engines compute identically.
+    Q("q_temperature_mix",
+      (s, d) => ops.Sampling.temperatureShares(
+        documents(s, d), "lang", budget = 1000003L),
+      Some("""WITH a AS (SELECT lang, sum(len(string_split(text, ' ')))::BIGINT AS avail_tokens
+        |           FROM documents GROUP BY 1),
+        |z AS (SELECT lang, avail_tokens,
+        |             CAST(round(sqrt(avail_tokens::DOUBLE) * 1000000.0) AS BIGINT) AS z_micro
+        |      FROM a),
+        |t AS (SELECT sum(z_micro)::BIGINT AS s_tot FROM z),
+        |sa AS (SELECT lang, avail_tokens, z_micro,
+        |              (1000000 * z_micro) // s_tot AS base_a,
+        |              (1000000 * z_micro) % s_tot AS rem_a
+        |       FROM z, t),
+        |la AS (SELECT (1000000 - sum(base_a))::BIGINT AS left_a FROM sa),
+        |ra AS (SELECT *, row_number() OVER (ORDER BY rem_a DESC, lang) AS rk_a FROM sa),
+        |s2 AS (SELECT lang, avail_tokens,
+        |              (base_a + CASE WHEN rk_a <= (SELECT left_a FROM la)
+        |                             THEN 1 ELSE 0 END)::BIGINT AS share_micro
+        |       FROM ra),
+        |sb AS (SELECT lang, avail_tokens, share_micro,
+        |              (1000003 * share_micro) // 1000000 AS base_b,
+        |              (1000003 * share_micro) % 1000000 AS rem_b
+        |       FROM s2),
+        |lb AS (SELECT (1000003 - sum(base_b))::BIGINT AS left_b FROM sb),
+        |rb AS (SELECT *, row_number() OVER (ORDER BY rem_b DESC, lang) AS rk_b FROM sb)
+        |SELECT lang, avail_tokens, share_micro,
+        |       (base_b + CASE WHEN rk_b <= (SELECT left_b FROM lb)
+        |                      THEN 1 ELSE 0 END)::BIGINT AS budget_tokens
+        |FROM rb""".stripMargin)),
+
     // M52 robots.txt policy filter (RFC 9309): REAL parser over five
     // inline robots bodies (exact-agent groups, * fallback, multi-UA
     // groups, wildcard + $ anchor, allow/disallow tie), longest-match

@@ -186,6 +186,58 @@ object Sampling {
         col("epochs_millis"))
   }
 
+  /** Temperature-scaled multilingual sampling shares — the mBERT/XLM-R
+    * rebalancing step: languages are sampled ∝ p^α (α = 1/2 here), so
+    * head languages shrink and tail languages grow relative to their
+    * natural share, without the tail ever outranking the head. All
+    * arithmetic is engine-portable integers: per-language token counts
+    * → z = round(sqrt(n)·10⁶) (IEEE sqrt is exactly rounded — bit-equal
+    * in any engine), then TWO largest-remainder apportionments (both
+    * pure BIGINT): shares out of 10⁶ from z, and `budget` tokens from
+    * those shares. Σ share_micro == 10⁶ and Σ budget_tokens == budget
+    * by construction. Bounds: per-language tokens ≤ ~8·10¹³ and budget
+    * ≤ ~9·10¹² keep every product inside 2⁶³ (documented, not checked
+    * per-row — these are corpus-level plans, #langs rows).
+    *
+    * Scale shape: ONE lang-keyed token-count aggregate over the corpus
+    * (map-side combined); both remainder windows run on #langs rows.
+    * Output: (lang, avail_tokens, share_micro, budget_tokens). */
+  def temperatureShares(
+      docs: DataFrame,
+      langCol: String,
+      budget: Long): DataFrame = {
+    require(budget > 0 && budget <= 9000000000000L,
+      s"budget must be in (0, 9e12] for exact BIGINT arithmetic, got $budget")
+    val M = 1000000L
+    val avail = docs
+      .select(col(langCol), size(split(col("text"), " ")).cast("long").as("t"))
+      .groupBy(langCol).agg(sum("t").as("avail_tokens"))
+    val z = avail.withColumn("z_micro",
+      round(sqrt(col("avail_tokens").cast("double")) * 1e6).cast("long"))
+    val tot = z.agg(sum("z_micro").as("s_tot"))
+    val winA = Window.partitionBy(lit(0)) // #langs rows — bounded
+      .orderBy(col("rem_a").desc, col(langCol))
+    val shares = z.crossJoin(broadcast(tot))
+      .withColumn("base_a", expr(s"($M * z_micro) div s_tot"))
+      .withColumn("rem_a", expr(s"($M * z_micro) % s_tot"))
+    val leftA = shares.agg((lit(M) - sum("base_a")).as("left_a"))
+    val withShare = shares.crossJoin(broadcast(leftA))
+      .withColumn("rk_a", row_number().over(winA))
+      .withColumn("share_micro",
+        col("base_a") + when(col("rk_a") <= col("left_a"), 1L).otherwise(0L))
+    val winB = Window.partitionBy(lit(0))
+      .orderBy(col("rem_b").desc, col(langCol))
+    val based = withShare
+      .withColumn("base_b", expr(s"($budget * share_micro) div $M"))
+      .withColumn("rem_b", expr(s"($budget * share_micro) % $M"))
+    val leftB = based.agg((lit(budget) - sum("base_b")).as("left_b"))
+    based.crossJoin(broadcast(leftB))
+      .withColumn("rk_b", row_number().over(winB))
+      .select(col(langCol), col("avail_tokens"), col("share_micro"),
+        (col("base_b") + when(col("rk_b") <= col("left_b"), 1L).otherwise(0L))
+          .as("budget_tokens"))
+  }
+
   def domainMix(
       docs: DataFrame,
       domainCol: String,

@@ -354,6 +354,24 @@ class TextDedupSpec extends SparkSpec {
     assert(chunks(1L).size >= 3)
   }
 
+  test("temperatureShares: alpha=1/2 boosts the tail, sums stay exact") {
+    // en has 16x the tokens of fr: natural shares 16/17 vs 1/17, but
+    // sqrt-scaling gives 4/5 vs 1/5 — the tail grows 3.4x while the
+    // head still dominates
+    val d = docs(
+      (0L, ("w " * 1600).trim), (1L, ("w " * 100).trim))
+      .withColumn("lang", org.apache.spark.sql.functions.expr(
+        "CASE WHEN doc_id = 0 THEN 'en' ELSE 'fr' END"))
+    val out = graft.ops.Sampling.temperatureShares(d, "lang", budget = 1000L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // sqrt(1600)=40, sqrt(100)=10 -> z = 40e6 / 10e6, shares 800000/200000
+    assert(out("en") == ((1600L, 800000L, 800L)))
+    assert(out("fr") == ((100L, 200000L, 200L)))
+    assert(out.values.map(_._2).sum == 1000000L) // Σ share_micro exact
+    assert(out.values.map(_._3).sum == 1000L)    // Σ budget exact
+  }
+
   test("tokenBudget fails loudly when a weighted domain has no documents") {
     // an absent domain's base allocation would silently vanish in the
     // inner join (breaking sum == budget); the operator must refuse
