@@ -42,10 +42,47 @@ object LinkGraph {
       edges: DataFrame,
       iters: Int = 3,
       srcCol: String = "src",
-      dstCol: String = "dst"): DataFrame = {
+      dstCol: String = "dst",
+      driverEdgeLimit: Long = 200000L): DataFrame = {
     val e = graft.Caching.cache(
       edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst")))
+    // ADAPTIVE small-graph path (the Clustering.driverEdgeLimit shape):
+    // below `driverEdgeLimit` edges the whole update runs on the driver
+    // in microseconds, where each distributed iteration costs several
+    // Spark jobs of fixed latency. Ranks are integer µ-units, so the
+    // driver loop and the join+aggregate loop produce THE SAME numbers
+    // (integer addition is order-free); the spec pins both paths equal.
+    // driverEdgeLimit = 0 forces the distributed path — the 100 TB one.
+    val nEdges = e.count()
+    if (nEdges <= driverEdgeLimit) {
+      val el = e.collect().map(r => (r.getLong(0), r.getLong(1)))
+      graft.Caching.release(e)
+      val outdeg = scala.collection.mutable.LongMap.empty[Long]
+      val nodeSet = scala.collection.mutable.LongMap.empty[Long] // as a set
+      el.foreach { case (s, d) =>
+        outdeg(s) = outdeg.getOrElse(s, 0L) + 1L
+        nodeSet(s) = 0L; nodeSet(d) = 0L
+      }
+      var pr = scala.collection.mutable.LongMap.empty[Long]
+      nodeSet.foreachKey(n => pr(n) = 1000000L)
+      var i = 0
+      while (i < iters) {
+        val contrib = scala.collection.mutable.LongMap.empty[Long]
+        el.foreach { case (s, d) =>
+          contrib(d) = contrib.getOrElse(d, 0L) + pr(s) / outdeg(s)
+        }
+        val next = scala.collection.mutable.LongMap.empty[Long]
+        nodeSet.foreachKey(n =>
+          next(n) = 150000L + (85L * contrib.getOrElse(n, 0L)) / 100L)
+        pr = next
+        i += 1
+      }
+      val spark = edges.sparkSession
+      return spark.createDataFrame(
+        pr.iterator.map { case (n, r) => (n, r) }.toSeq)
+        .toDF("node", "pr")
+    }
     val nodes = graft.Caching.cache(
       e.select(col("src").as("node"))
         .unionByName(e.select(col("dst").as("node"))).distinct())

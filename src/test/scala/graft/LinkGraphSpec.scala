@@ -39,4 +39,25 @@ class LinkGraphSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(a == b)
   }
+
+  test("pageRank: driver small path equals the distributed join+aggregate path") {
+    // 600-edge pseudo-random graph over 200 nodes: default takes the
+    // driver loop; driverEdgeLimit = 0 forces the distributed one.
+    // Integer µ-unit ranks must agree EXACTLY (addition is order-free).
+    val rows = (0 until 600).map { i =>
+      val s = (i * 48271L) % 200
+      val d = (i * 16807L + 7L) % 200
+      (s, if (d == s) (d + 1) % 200 else d)
+    }.distinct
+    val e = edges(rows: _*)
+    val small = LinkGraph.pageRank(e, iters = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.Caching.release()
+    val dist = LinkGraph.pageRank(e, iters = 4, driverEdgeLimit = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.Caching.release()
+    assert(small == dist)
+    // all three of the hand-checked suites above also take the driver
+    // path by default, so the arithmetic itself is already pinned
+  }
 }
