@@ -688,6 +688,33 @@ object ScaleBench {
       s"B23 candidate pairs $b23cand not sub-quadratic (n² is 10^12)")
     Caching.release()
 
+    // B24: PageRank at graph scale, distributed path FORCED (the gate
+    // graph takes the adaptive driver loop; this is the 100 TB path):
+    // the B9 graph again — 2M disjoint 4-cliques + a 1000-node chain,
+    // 8,001,000 nodes. Integer µ-unit ranks make 3 iterations exactly
+    // hand-derivable, so the REQUIREs pin VALUES, not just counts:
+    // clique sources and the chain head hold the bare teleport floor
+    // 150000 (2,000,001 nodes), clique sinks hold 513375 (2M nodes),
+    // and the whole 8M-node graph collapses to exactly 6 distinct ranks.
+    val (b24s, b24n) = time {
+      val pr = graft.ops.LinkGraph.pageRank(
+        cliqueEdges.unionByName(chainEdges), iters = 3,
+        srcCol = "doc_a", dstCol = "doc_b",
+        driverEdgeLimit = 0L).persist()
+      val n = pr.count()
+      require(n == 8001000L, s"B24 node count $n != 8001000")
+      val byVal = pr.groupBy("pr").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      require(byVal.size == 6, s"B24 expected 6 distinct ranks, got ${byVal.keySet}")
+      require(byVal(150000L) == 2000001L,
+        s"B24 teleport-floor count ${byVal.get(150000L)} != 2000001")
+      require(byVal(513375L) == 2000000L,
+        s"B24 clique-sink count ${byVal.get(513375L)} != 2000000")
+      pr.unpersist()
+      n
+    }
+    Caching.release()
+
     val b1rate = "%.1f".format(src.ncells * 32 / b1s / 1e6)
     val b3rate = "%.1f".format(b3n / b3s / 1e6)
     val json =
@@ -727,7 +754,8 @@ object ScaleBench {
         s""""b22_heavy_hitters_sec":$b22s,"b22_tokens":$b22tok,""" +
         s""""b22_heavy_verified":$b22nHeavy,"b22_capacity":2048,"b22_vocab":100000,""" +
         s""""b23_containment_sec":$b23s,"b23_docs":1000000,"b23_planted_found":$b23n,""" +
-        s""""b23_candidate_pairs":$b23cand}"""
+        s""""b23_candidate_pairs":$b23cand,""" +
+        s""""b24_pagerank_sec":$b24s,"b24_nodes":$b24n,"b24_edges":8000999}"""
     println(json)
     // durable copy for the round artifacts (same pattern as BENCH_LAST)
     java.nio.file.Files.write(
