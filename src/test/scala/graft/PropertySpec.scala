@@ -331,4 +331,24 @@ class PropertySpec extends SparkSpec {
       assert(u.startsWith("http://host") || u.startsWith("https://host"))
     }
   }
+
+  test("property: CDC chunks reconstruct any text exactly, in order") {
+    // random low-alphabet texts (high boundary-collision rates) plus
+    // degenerate shapes: single word, all-identical words, empty-ish
+    val texts = (0 until 40).map { i =>
+      val n = 1 + rnd.nextInt(80)
+      (i.toLong, (0 until n).map(_ => s"w${rnd.nextInt(12)}").mkString(" "))
+    } ++ Seq((100L, "solo"), (101L, Seq.fill(50)("same").mkString(" ")))
+    val d = spark.createDataFrame(texts).toDF("doc_id", "text")
+    Seq(2, 8, 64).foreach { mod => // mod > any hash: single tail chunk
+      val rebuilt = graft.text.TextAnalysis.cdcChunks(d, boundaryMod = mod)
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (id, rs) =>
+          id -> rs.sortBy(_.getLong(1)).map(_.getString(2)).mkString(" ") }
+      texts.foreach { case (id, t) =>
+        assert(rebuilt(id) == t, s"doc $id not reconstructed at mod=$mod")
+      }
+    }
+  }
 }
