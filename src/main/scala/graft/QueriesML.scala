@@ -314,6 +314,29 @@ object QueriesML {
         |FROM gm x JOIN gm y ON x.hash_id = y.hash_id AND x.source < y.source
         |GROUP BY 1, 2""".stripMargin)),
 
+    // M61 EXACT corpus-pair overlap matrix (the model-card train/test
+    // contamination report; certifies what M46's MinHash estimates):
+    // one (source, shingle) distinct, a shingle-keyed join with
+    // per-key fan-out ≤ #sources, #sources² output rows. Ratios are
+    // single IEEE divisions of exact integers — bit-equal both engines.
+    Q("q_split_overlap",
+      (s, d) => Dedup.splitOverlapMatrix(documents(s, d), "source"),
+      Some("""WITH raw AS (SELECT source AS split,
+        |            unnest(list_transform(range(0, greatest(0, len(w) - 2)),
+        |                   i -> array_to_string(w[i+1:i+3], ' '))) AS shingle
+        |     FROM (SELECT source, string_split(text, ' ') AS w FROM documents)),
+        |s AS (SELECT DISTINCT split, shingle FROM raw),
+        |t AS (SELECT split, count(*)::BIGINT AS n_sh FROM s GROUP BY 1),
+        |p AS (SELECT a.split AS split_a, b.split AS split_b,
+        |             count(*)::BIGINT AS shared
+        |      FROM s a JOIN s b ON a.shingle = b.shingle AND a.split < b.split
+        |      GROUP BY 1, 2)
+        |SELECT split_a, split_b, shared, ta.n_sh AS n_a, tb.n_sh AS n_b,
+        |       shared::DOUBLE / ta.n_sh AS containment_a,
+        |       shared::DOUBLE / (ta.n_sh + tb.n_sh - shared) AS jaccard
+        |FROM p JOIN t ta ON ta.split = p.split_a
+        |       JOIN t tb ON tb.split = p.split_b""".stripMargin)),
+
     // M45 link-graph centrality (integer-quantized PageRank) for crawl
     // curation. The gate derives a deterministic doc→doc link graph
     // from the corpus (3 hash-derived out-links per doc — both engines

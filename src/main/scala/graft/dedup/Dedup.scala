@@ -482,6 +482,44 @@ object Dedup {
         "containment")
   }
 
+  /** Exact corpus-pair overlap matrix — the train/test contamination
+    * REPORT (model-card style): for every ordered pair of splits
+    * (train/val/test, or corpus snapshots), the exact shared distinct
+    * shingle count plus containment (shared/|A|) and Jaccard. The exact
+    * complement of [[corpusSimilarity]]'s MinHash estimate — run the
+    * estimate to triage, this to certify.
+    *
+    * Scale shape: ONE (split, shingle)-distinct shuffle (linear in
+    * corpus shingles), then a shingle-keyed join whose per-key fan-out
+    * is bounded by #splits (a shingle appears at most once per split
+    * after the distinct) — never doc-quadratic; the output is
+    * #splits² rows. Ratios are single IEEE divisions of exact integer
+    * counts — bit-identical on any engine. */
+  def splitOverlapMatrix(
+      docs: DataFrame,
+      splitCol: String,
+      n: Int = 3): DataFrame = {
+    val sh = graft.Caching.cache(docs.select(
+        col(splitCol).as("split"),
+        graft.functions.ShingleGenerator.shingles(col("text"), n).as("shingle"))
+      .distinct())
+    val tot = sh.groupBy("split").agg(count(lit(1)).as("n_sh"))
+    sh.as("a")
+      .join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.split") < col("b.split"))
+      .groupBy(col("a.split").as("split_a"), col("b.split").as("split_b"))
+      .agg(count(lit(1)).as("shared"))
+      .join(broadcast(tot.select(col("split").as("split_a"),
+        col("n_sh").as("n_a"))), "split_a")
+      .join(broadcast(tot.select(col("split").as("split_b"),
+        col("n_sh").as("n_b"))), "split_b")
+      .select(col("split_a"), col("split_b"), col("shared"),
+        col("n_a"), col("n_b"),
+        (col("shared").cast("double") / col("n_a")).as("containment_a"),
+        (col("shared").cast("double") /
+          (col("n_a") + col("n_b") - col("shared"))).as("jaccard"))
+  }
+
   /** Edit-distance near-duplicates over a short key (title/prefix
     * dedup) — Ed-Join's prefix-filtered q-gram join (Xiao, Wang, Lin,
     * VLDB 2008): k edits destroy at most q·k q-gram occurrences, so at

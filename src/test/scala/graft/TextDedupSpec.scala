@@ -354,6 +354,28 @@ class TextDedupSpec extends SparkSpec {
     assert(chunks(1L).size >= 3)
   }
 
+  test("splitOverlapMatrix: exact shared-shingle counts and ratios between splits") {
+    // train: "a b c d e" -> shingles {abc, bcd, cde}; val shares exactly
+    // {bcd, cde} (planted contamination); test shares nothing
+    val d = docs(
+      (1L, "a b c d e"),          // train
+      (2L, "b c d e zz"),         // val: shingles {bcd, cde, "d e zz"}
+      (3L, "q r s t u"))          // test
+      .withColumn("split", org.apache.spark.sql.functions.expr(
+        "CASE doc_id WHEN 1 THEN 'train' WHEN 2 THEN 'val' ELSE 'test' END"))
+    val out = graft.dedup.Dedup.splitOverlapMatrix(d, "split")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6)))
+      .toMap
+    graft.Caching.release()
+    // only pairs with ≥1 shared shingle appear (inner join)
+    assert(out.keySet == Set(("train", "val")))
+    val (shared, nA, nB, cont, jac) = out(("train", "val"))
+    assert(shared == 2L && nA == 3L && nB == 3L)
+    assert(cont == 2.0 / 3.0)
+    assert(jac == 2.0 / 4.0)
+  }
+
   test("temperatureShares: alpha=1/2 boosts the tail, sums stay exact") {
     // en has 16x the tokens of fr: natural shares 16/17 vs 1/17, but
     // sqrt-scaling gives 4/5 vs 1/5 — the tail grows 3.4x while the
