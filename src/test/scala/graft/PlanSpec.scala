@@ -335,6 +335,36 @@ class PlanSpec extends SparkSpec {
       "bloom probe must run pre-shuffle:\n" + plan)
   }
 
+  test("cdcChunks plans ZERO shuffle exchanges (narrow per-row chain)") {
+    val docs = spark.createDataFrame(
+      (1L to 30L).map(i => (i, s"w$i x$i y$i z$i a b c"))).toDF("doc_id", "text")
+    val plan = concretePlan(graft.text.TextAnalysis.cdcChunks(docs))
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.isEmpty,
+      "CDC chunking must stay narrow:\n" + plan)
+  }
+
+  test("splitOverlapMatrix: shingle-keyed joins only — no cartesian, no corpus broadcast") {
+    val docs = spark.createDataFrame(
+      (1L to 40L).map(i => (i, s"s${i % 3}", s"common words here tail_$i x y")))
+      .toDF("doc_id", "split", "text")
+    val out = Dedup.splitOverlapMatrix(docs, "split")
+    val planStr = out.queryExecution.executedPlan.toString
+    assert(!planStr.contains("CartesianProduct") &&
+      !planStr.contains("BroadcastNestedLoopJoin"), planStr)
+    // only the #splits-row totals may broadcast — never anything
+    // carrying shingles
+    val broadcasts = out.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+        if e.child.schema.fieldNames.contains("shingle") => e
+    }
+    assert(broadcasts.isEmpty,
+      "shingle-bearing relations must never broadcast:\n" + planStr)
+    out.count(); graft.Caching.release()
+  }
+
   test("dedupAssign joins cluster stats — no corpus-wide window") {
     val docs = spark.createDataFrame(
       (1L to 30L).map(i => (i, s"text_$i"))).toDF("doc_id", "text")
