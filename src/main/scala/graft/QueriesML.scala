@@ -705,6 +705,28 @@ object QueriesML {
         |       least(16, n - chunk_idx * 12) AS chunk_tokens
         |FROM c""".stripMargin)),
 
+    // M62 deterministic FIM splits (Bavarian et al. 2022): two
+    // hash-derived cut points per doc → (prefix, middle, suffix) with
+    // prefix++middle++suffix == text. Narrow, zero shuffles; both
+    // engines replay the identical cut arithmetic.
+    Q("q_fim_split",
+      (s, d) => TextAnalysis.fimSplit(documents(s, d)),
+      Some(s"""WITH c AS (SELECT doc_id, text,
+        |             ${hashSqlOf("doc_id::VARCHAR || ':fim:a'")}
+        |               % (length(text) + 1) AS c1,
+        |             ${hashSqlOf("doc_id::VARCHAR || ':fim:b'")}
+        |               % (length(text) + 1) AS c2
+        |      FROM documents),
+        |lh AS (SELECT doc_id, text, least(c1, c2) AS lo,
+        |              greatest(c1, c2) AS hi
+        |       FROM c)
+        |SELECT doc_id,
+        |       substring(text, 1, lo::INT) AS fim_prefix,
+        |       substring(text, lo::INT + 1, (hi - lo)::INT) AS fim_middle,
+        |       substring(text, hi::INT + 1,
+        |                 (length(text) - hi)::INT) AS fim_suffix
+        |FROM lh""".stripMargin)),
+
     // M59 content-defined chunking (FastCDC/rsync at word granularity):
     // boundaries where portableHash(word) % 8 == 0, so an inserted
     // prefix re-synchronizes at the next boundary — chunk-hash dedup

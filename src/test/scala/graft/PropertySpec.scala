@@ -332,6 +332,25 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: FIM splits reconstruct exactly and are deterministic") {
+    val texts = (0 until 50).map { i =>
+      val n = rnd.nextInt(120) // includes 0-length
+      (i.toLong, (0 until n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString)
+    }
+    val d = spark.createDataFrame(texts).toDF("doc_id", "text")
+    def run() = graft.text.TextAnalysis.fimSplit(d).collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(1), r.getString(2), r.getString(3))).toMap
+    val a = run(); val b = run()
+    assert(a == b, "fimSplit must be deterministic")
+    texts.foreach { case (id, t) =>
+      val (p, m, s) = a(id)
+      assert(p + m + s == t, s"doc $id: FIM parts must reconstruct the text")
+    }
+    // the cuts actually move: over 50 docs, not everything is one part
+    assert(a.values.count(v => v._2.nonEmpty) > 10, "middles all empty?")
+  }
+
   test("property: CDC chunks reconstruct any text exactly, in order") {
     // random low-alphabet texts (high boundary-collision rates) plus
     // degenerate shapes: single word, all-identical words, empty-ish
