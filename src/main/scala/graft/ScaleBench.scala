@@ -715,6 +715,37 @@ object ScaleBench {
     }
     Caching.release()
 
+    // B25: content-defined chunk dedup at corpus scale — 5M docs, 100k
+    // of which embed one shared 16-word sentence behind UNIQUE prefixes
+    // of VARYING length (1-5 words): fixed windows would share nothing
+    // across the shifts; CDC must re-synchronize at the sentence's
+    // internal content boundaries. The planted sentence's boundary
+    // words are precomputed ("beta"/"delta"/"zeta"/"lam"/"mu" hash to
+    // 0 mod 8), so the chunk "gamma delta" is fully internal and MUST
+    // be reported as duplicated across exactly the 100k planted docs.
+    val b25docs = spark.range(5000000L).select(col("id").as("doc_id"),
+      when(col("id") % 50 === 0, concat(
+        // 1-5 word unique prefix (the shift)
+        expr("array_join(transform(sequence(1, cast(id % 5 as int) + 1), " +
+          "i -> concat('p', id, 'w', i)), ' ')"),
+        lit(" alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+          "lam mu nu xi omicron pi "),
+        concat(lit("t"), col("id"), lit("z"))))
+        .otherwise(format_string(
+          "f%1$da f%1$db f%1$dc f%1$dd f%1$de f%1$df f%1$dg f%1$dh",
+          col("id")))
+        .as("text"))
+    val (b25s, b25n) = time {
+      val dups = graft.text.TextAnalysis.cdcChunkDups(
+        b25docs, boundaryMod = 8, minDocs = 2)
+      val planted = dups.where(col("chunk_text") === "gamma delta")
+        .select("n_docs").collect()
+      require(planted.length == 1 && planted(0).getLong(0) == 100000L,
+        s"B25 shift-robust chunk lost: ${planted.toSeq}")
+      dups.count()
+    }
+    Caching.release()
+
     val b1rate = "%.1f".format(src.ncells * 32 / b1s / 1e6)
     val b3rate = "%.1f".format(b3n / b3s / 1e6)
     val json =
@@ -755,7 +786,9 @@ object ScaleBench {
         s""""b22_heavy_verified":$b22nHeavy,"b22_capacity":2048,"b22_vocab":100000,""" +
         s""""b23_containment_sec":$b23s,"b23_docs":1000000,"b23_planted_found":$b23n,""" +
         s""""b23_candidate_pairs":$b23cand,""" +
-        s""""b24_pagerank_sec":$b24s,"b24_nodes":$b24n,"b24_edges":8000999}"""
+        s""""b24_pagerank_sec":$b24s,"b24_nodes":$b24n,"b24_edges":8000999,""" +
+        s""""b25_cdc_dedup_sec":$b25s,"b25_docs":5000000,"b25_dup_chunks":$b25n,""" +
+        s""""b25_mdocs_per_s":${"%.1f".format(5000000 / b25s / 1e6)}}"""
     println(json)
     // durable copy for the round artifacts (same pattern as BENCH_LAST)
     java.nio.file.Files.write(
