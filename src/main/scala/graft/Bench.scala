@@ -13,10 +13,10 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)").collect()
     // Persist the hot tables for the whole suite: CacheManager substitutes
     // the in-memory relation into every query's identical parquet-read
-    // subplan, so the 189 queries measure operator cost, not 189 repeat
-    // scans of the same four files (a cluster run amortizes those scans
-    // through the OS page cache the same way). Held OUTSIDE the Caching
-    // registry so per-query Caching.release() can't drop them.
+    // subplan, so the suite measures operator cost, not one repeat scan
+    // of the same four files per query (a cluster run amortizes those
+    // scans through the OS page cache the same way). Held OUTSIDE the
+    // Caching registry so per-query Caching.release() can't drop them.
     val hotTables = Seq("lineitem", "events", "documents", "embeddings")
       .flatMap { t =>
         try {

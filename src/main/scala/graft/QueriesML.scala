@@ -317,8 +317,9 @@ object QueriesML {
     // M61 EXACT corpus-pair overlap matrix (the model-card train/test
     // contamination report; certifies what M46's MinHash estimates):
     // one (source, shingle) distinct, a shingle-keyed join with
-    // per-key fan-out ≤ #sources, #sources² output rows. Ratios are
-    // single IEEE divisions of exact integers — bit-equal both engines.
+    // per-key fan-out ≤ #sources, one output row per source pair
+    // (zero-overlap pairs reported explicitly). Ratios are single
+    // IEEE divisions of exact integers — bit-equal both engines.
     Q("q_split_overlap",
       (s, d) => Dedup.splitOverlapMatrix(documents(s, d), "source"),
       Some("""WITH raw AS (SELECT source AS split,
@@ -331,11 +332,14 @@ object QueriesML {
         |             count(*)::BIGINT AS shared
         |      FROM s a JOIN s b ON a.shingle = b.shingle AND a.split < b.split
         |      GROUP BY 1, 2)
-        |SELECT split_a, split_b, shared, ta.n_sh AS n_a, tb.n_sh AS n_b,
-        |       shared::DOUBLE / ta.n_sh AS containment_a,
-        |       shared::DOUBLE / (ta.n_sh + tb.n_sh - shared) AS jaccard
-        |FROM p JOIN t ta ON ta.split = p.split_a
-        |       JOIN t tb ON tb.split = p.split_b""".stripMargin)),
+        |SELECT ta.split AS split_a, tb.split AS split_b,
+        |       coalesce(p.shared, 0)::BIGINT AS shared,
+        |       ta.n_sh AS n_a, tb.n_sh AS n_b,
+        |       coalesce(p.shared, 0)::DOUBLE / ta.n_sh AS containment_a,
+        |       coalesce(p.shared, 0)::DOUBLE
+        |         / (ta.n_sh + tb.n_sh - coalesce(p.shared, 0)) AS jaccard
+        |FROM t ta JOIN t tb ON ta.split < tb.split
+        |LEFT JOIN p ON p.split_a = ta.split AND p.split_b = tb.split""".stripMargin)),
 
     // M45 link-graph centrality (integer-quantized PageRank) for crawl
     // curation. The gate derives a deterministic doc→doc link graph

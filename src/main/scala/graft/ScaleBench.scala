@@ -706,10 +706,12 @@ object ScaleBench {
       val byVal = pr.groupBy("pr").count().collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
       require(byVal.size == 6, s"B24 expected 6 distinct ranks, got ${byVal.keySet}")
-      require(byVal(150000L) == 2000001L,
-        s"B24 teleport-floor count ${byVal.get(150000L)} != 2000001")
-      require(byVal(513375L) == 2000000L,
-        s"B24 clique-sink count ${byVal.get(513375L)} != 2000000")
+      // .get (not apply): an absent expected value must surface through
+      // the crafted message, not a bare NoSuchElementException
+      require(byVal.get(150000L).contains(2000001L),
+        s"B24 teleport-floor count ${byVal.get(150000L)} != Some(2000001)")
+      require(byVal.get(513375L).contains(2000000L),
+        s"B24 clique-sink count ${byVal.get(513375L)} != Some(2000000)")
       pr.unpersist()
       n
     }

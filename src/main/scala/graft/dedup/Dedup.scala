@@ -492,9 +492,11 @@ object Dedup {
     * Scale shape: ONE (split, shingle)-distinct shuffle (linear in
     * corpus shingles), then a shingle-keyed join whose per-key fan-out
     * is bounded by #splits (a shingle appears at most once per split
-    * after the distinct) — never doc-quadratic; the output is
-    * #splits² rows. Ratios are single IEEE divisions of exact integer
-    * counts — bit-identical on any engine. */
+    * after the distinct) — never doc-quadratic; the output is one row
+    * per unordered split pair (named by lexicographic order), with
+    * zero-overlap pairs reported explicitly as shared = 0. Ratios are
+    * single IEEE divisions of exact integer counts — bit-identical on
+    * any engine. */
   def splitOverlapMatrix(
       docs: DataFrame,
       splitCol: String,
@@ -503,16 +505,21 @@ object Dedup {
         col(splitCol).as("split"),
         graft.functions.ShingleGenerator.shingles(col("text"), n).as("shingle"))
       .distinct())
-    val tot = sh.groupBy("split").agg(count(lit(1)).as("n_sh"))
-    sh.as("a")
+    val tot = graft.Caching.cache(
+      sh.groupBy("split").agg(count(lit(1)).as("n_sh")))
+    val shared = sh.as("a")
       .join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.split") < col("b.split"))
       .groupBy(col("a.split").as("split_a"), col("b.split").as("split_b"))
       .agg(count(lit(1)).as("shared"))
-      .join(broadcast(tot.select(col("split").as("split_a"),
-        col("n_sh").as("n_a"))), "split_a")
-      .join(broadcast(tot.select(col("split").as("split_b"),
-        col("n_sh").as("n_b"))), "split_b")
+    // every split pair gets a row — a contamination report must state
+    // "overlap = 0" explicitly, not leave the pair absent (an absent
+    // row is indistinguishable from a split-name typo)
+    tot.select(col("split").as("split_a"), col("n_sh").as("n_a"))
+      .join(tot.select(col("split").as("split_b"), col("n_sh").as("n_b")),
+        col("split_a") < col("split_b"))
+      .join(shared, Seq("split_a", "split_b"), "left")
+      .withColumn("shared", coalesce(col("shared"), lit(0L)))
       .select(col("split_a"), col("split_b"), col("shared"),
         col("n_a"), col("n_b"),
         (col("shared").cast("double") / col("n_a")).as("containment_a"),
@@ -525,10 +532,13 @@ object Dedup {
     * VLDB 2008): k edits destroy at most q·k q-gram occurrences, so at
     * least |distinctGrams(x)| − q·k distinct gram TEXTS of x survive
     * into y; by standard prefix filtering over the global total order
-    * (ascending index occupancy, gram text tie-break — rare grams
-    * first), any pair within distance k must then share at least one
-    * gram among the first q·k+1 entries of each key's ordered gram
-    * set. That turns the quadratic fuzzy join into: one gram-frequency
+    * (ascending gram document frequency over the distinct-key set,
+    * gram text tie-break — rare grams first), any pair within distance
+    * k must then share at least one gram among the first q·k+1 entries
+    * of each key's ordered gram set. (The cap below reads INDEX
+    * occupancy, a different quantity — the lossless argument holds for
+    * any prefix order, since it only needs "shared prefix gram is
+    * either uncapped or capped".) That turns the quadratic fuzzy join into: one gram-frequency
     * aggregate, a per-doc bounded window (≤ key-length rows), an
     * equi-join keyed by the RAREST grams, and a `levenshtein ≤ k`
     * verify on the O(candidates) pairs — never all-pairs. Keys shorter

@@ -26,13 +26,14 @@ object Ranks {
       buckets: Int = 4096): DataFrame = {
     // equi-width range buckets over [0, max]: preserves id order across
     // buckets, so bucket-offset + within-bucket rank is the global rank.
-    // Bucket by id div width (width = ceil((max+1)/buckets)) — dividing
-    // FIRST cannot overflow, where id * buckets silently wraps for ids
-    // above 2^63/buckets. (_mx + buckets must stay below 2^63: ids may
-    // range to Long.MaxValue - buckets, a non-restriction in practice.)
+    // Bucket by id div width — dividing FIRST cannot overflow, where
+    // id * buckets silently wraps for ids above 2^63/buckets. The width
+    // ceil((max+1)/buckets) is computed as (max div buckets) + 1
+    // (identical for every max ≥ 0), which cannot overflow either —
+    // the full Long id range is safe.
     val stats = df.agg(max(col(idCol)).cast("long").as("_mx"))
     val withB = df.crossJoin(broadcast(stats))
-      .withColumn("_w", expr(s"(_mx + $buckets) div $buckets"))
+      .withColumn("_w", expr(s"(_mx div $buckets) + 1"))
       .withColumn("_b",
         least(expr(s"cast($idCol as bigint) div _w"),
           lit(buckets - 1).cast("long")))

@@ -168,11 +168,18 @@ object Sampling {
     // weighted domain is observed: an absent domain's base allocation
     // would silently vanish in the inner join above (and its budget is
     // undeliverable anyway — 0 available tokens). Fail loudly instead.
-    // Bounded: `based` has ≤ #domains rows and is cached for reuse below.
+    // NOTE: this is an EAGER check — constructing the plan runs the
+    // (map-side-combined, #domains-row) token-count aggregate. The
+    // operator is a corpus-level planner whose result is consumed
+    // immediately in practice; the count also pre-materializes the
+    // cache the final plan reuses. On failure the cache is dropped.
     val nBased = based.count()
-    require(nBased == weights.size,
-      s"tokenBudget: ${weights.size - nBased} weighted domain(s) have no " +
-        "documents in the corpus — their allocation would be dropped")
+    if (nBased != weights.size) {
+      graft.Caching.release(based)
+      throw new IllegalArgumentException(
+        s"tokenBudget: ${weights.size - nBased} weighted domain(s) have no " +
+          "documents in the corpus — their allocation would be dropped")
+    }
     val leftover = based.agg((lit(budget) - sum("base")).as("leftover"))
     val win = Window.partitionBy(lit(0)) // #domains rows — bounded
       .orderBy(col("frac").desc, col(domainCol))

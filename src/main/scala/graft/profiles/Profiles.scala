@@ -120,6 +120,9 @@ object Profiles {
         .withColumn("_pid", spark_partition_id()))
     val counts = parted.groupBy("_pid").agg(count(lit(1)).as("_cnt"))
       .orderBy("_pid").collect()
+    // parted is materialized by the collect above — the pre-shuffle
+    // distinct cache would otherwise be held TWICE on the large path
+    graft.Caching.release(distinctVecs)
     var acc = 0L
     val offsets = counts.toSeq.map { r =>
       val o = (r.getInt(0), acc); acc += r.getLong(1); o

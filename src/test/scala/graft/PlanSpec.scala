@@ -351,17 +351,22 @@ class PlanSpec extends SparkSpec {
       (1L to 40L).map(i => (i, s"s${i % 3}", s"common words here tail_$i x y")))
       .toDF("doc_id", "split", "text")
     val out = Dedup.splitOverlapMatrix(docs, "split")
-    val planStr = out.queryExecution.executedPlan.toString
-    assert(!planStr.contains("CartesianProduct") &&
-      !planStr.contains("BroadcastNestedLoopJoin"), planStr)
-    // only the #splits-row totals may broadcast — never anything
-    // carrying shingles
-    val broadcasts = out.queryExecution.executedPlan.collect {
+    val plan = out.queryExecution.executedPlan
+    // the #splits-row pair matrix is a legitimate tiny non-equi join;
+    // what must never happen is a cartesian/nested-loop or broadcast
+    // over anything CARRYING SHINGLES (corpus-scale)
+    def hasShingle(p: org.apache.spark.sql.execution.SparkPlan) =
+      p.schema.fieldNames.contains("shingle")
+    val bad = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+        if hasShingle(j.left) || hasShingle(j.right) => j
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec
+        if hasShingle(c.left) || hasShingle(c.right) => c
       case e: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
-        if e.child.schema.fieldNames.contains("shingle") => e
+        if hasShingle(e.child) => e
     }
-    assert(broadcasts.isEmpty,
-      "shingle-bearing relations must never broadcast:\n" + planStr)
+    assert(bad.isEmpty,
+      "shingle-bearing relations must never cartesian/broadcast:\n" + plan)
     out.count(); graft.Caching.release()
   }
 

@@ -26,7 +26,7 @@ class RanksSpec extends SparkSpec {
   test("denseOrdinals survives ids above 2^63/buckets (no multiply overflow)") {
     // id * 4096 wraps negative for ids > 2^51-ish under the old
     // multiply-first bucketing; divide-first must rank these correctly
-    val huge = Seq(Long.MaxValue - 5000L, Long.MaxValue / 2, 3L,
+    val huge = Seq(Long.MaxValue, Long.MaxValue - 1L, Long.MaxValue / 2, 3L,
       (1L << 60) + 17L, (1L << 52), 999L)
     val out = graft.ops.Ranks.denseOrdinals(huge.toDF("doc_id"), "doc_id", "ord")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

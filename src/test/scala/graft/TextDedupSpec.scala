@@ -368,12 +368,16 @@ class TextDedupSpec extends SparkSpec {
         (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6)))
       .toMap
     graft.Caching.release()
-    // only pairs with ≥1 shared shingle appear (inner join)
-    assert(out.keySet == Set(("train", "val")))
+    // EVERY split pair gets a row — zero-overlap pairs report 0
+    // explicitly (absent rows would be indistinguishable from typos)
+    assert(out.keySet == Set(
+      ("train", "val"), ("test", "train"), ("test", "val")))
     val (shared, nA, nB, cont, jac) = out(("train", "val"))
     assert(shared == 2L && nA == 3L && nB == 3L)
     assert(cont == 2.0 / 3.0)
     assert(jac == 2.0 / 4.0)
+    assert(out(("test", "train")) == ((0L, 3L, 3L, 0.0, 0.0)))
+    assert(out(("test", "val")) == ((0L, 3L, 3L, 0.0, 0.0)))
   }
 
   test("temperatureShares: alpha=1/2 boosts the tail, sums stay exact") {
