@@ -1547,6 +1547,35 @@ object QueriesML {
     // M55 PSI drift monitor between snapshots (even vs odd docs as the
     // stand-in for corpus-vs-refresh), bucketed by word-count decile;
     // per-bucket contributions µ-quantized → exact BIGINTs both engines.
+    // M63 corpus snapshot diff (dataset versioning): synthetic old/new
+    // snapshots derived from documents (removals via doc_id % 5,
+    // additions via % 7, edits via % 11) through one full-outer
+    // doc_id join; statuses and lengths are engine-exact.
+    Q("q_snapshot_diff",
+      (s, d) => {
+        val base = documents(s, d)
+        val oldSnap = base.select(col("doc_id"), col("text"))
+          .where(col("doc_id") % 7 =!= 3)
+        val newSnap = base.where(col("doc_id") % 5 =!= 2)
+          .select(col("doc_id"),
+            when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2")))
+              .otherwise(col("text")).as("text"))
+        ops.CorpusStats.snapshotDiff(oldSnap, newSnap)
+      },
+      Some("""WITH old AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 3),
+        |nw AS (SELECT doc_id,
+        |              CASE WHEN doc_id % 11 = 0 THEN text || ' v2'
+        |                   ELSE text END AS text
+        |       FROM documents WHERE doc_id % 5 <> 2)
+        |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |       CASE WHEN o.doc_id IS NULL THEN 'added'
+        |            WHEN n.doc_id IS NULL THEN 'removed'
+        |            WHEN o.text <> n.text THEN 'changed'
+        |            ELSE 'unchanged' END AS status,
+        |       coalesce(length(o.text), -1)::BIGINT AS old_len,
+        |       coalesce(length(n.text), -1)::BIGINT AS new_len
+        |FROM old o FULL JOIN nw n ON o.doc_id = n.doc_id""".stripMargin)),
+
     Q("q_psi_drift",
       (s, d) => ops.CorpusStats.psiDrift(
         documents(s, d).where(col("doc_id") % 2 === 0),

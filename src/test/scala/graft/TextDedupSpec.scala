@@ -380,6 +380,19 @@ class TextDedupSpec extends SparkSpec {
     assert(out(("test", "val")) == ((0L, 3L, 3L, 0.0, 0.0)))
   }
 
+  test("snapshotDiff classifies added/removed/changed/unchanged exactly") {
+    val oldSnap = docs((1L, "same text"), (2L, "will change"), (3L, "will vanish"))
+    val newSnap = docs((1L, "same text"), (2L, "has changed"), (4L, "brand new"))
+    val out = graft.ops.CorpusStats.snapshotDiff(oldSnap, newSnap)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == (("unchanged", 9L, 9L)))
+    assert(out(2L) == (("changed", 11L, 11L)))
+    assert(out(3L) == (("removed", 11L, -1L)))
+    assert(out(4L) == (("added", -1L, 9L)))
+    assert(out.size == 4)
+  }
+
   test("temperatureShares: alpha=1/2 boosts the tail, sums stay exact") {
     // en has 16x the tokens of fr: natural shares 16/17 vs 1/17, but
     // sqrt-scaling gives 4/5 vs 1/5 — the tail grows 3.4x while the
