@@ -1525,16 +1525,30 @@ object QueriesML {
         |FROM asg""".stripMargin)),
 
     // M56 edit-distance fuzzy dedup (Ed-Join, VLDB 2008) over the
-    // 24-char doc prefix: distinct-key gram index with
-    // global-frequency-ordered q-gram prefixes (q·k+1 rarest indexed —
-    // no false negatives within distance k), rare-gram equi-join,
-    // levenshtein ≤ k verify, doc-level expansion. The oracle is the
-    // BRUTE-FORCE truth (all pairs, DuckDB levenshtein) — feasible at
-    // gate scale and the strongest possible check of the
-    // no-false-negative guarantee.
+    // 24-char doc prefix. At gate scale the DEFAULT call takes the
+    // adaptive driver brute-force path (distinct keys ≪ docs); the
+    // _dist twin forces the distributed gram pipeline (distinct-key
+    // gram index, frequency-ordered q·k+1 rare-gram prefixes — no
+    // false negatives within distance k — occupancy-capped equi-join
+    // with lossless residual, levenshtein verify, doc expansion), so
+    // BOTH paths stay oracle-verified. The oracle is the BRUTE-FORCE
+    // truth (all pairs, DuckDB levenshtein) — the strongest possible
+    // check of the no-false-negative guarantee.
     Q("q_fuzzy_neardup",
       (s, d) => Dedup.editDistanceNearDups(
         documents(s, d), prefixChars = 24, k = 2),
+      Some("""WITH keys AS (SELECT doc_id, text[1:24] AS key FROM documents
+        |             WHERE length(text[1:24]) >= 5)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       a.key AS key_a, b.key AS key_b,
+        |       levenshtein(a.key, b.key)::INT AS dist
+        |FROM keys a JOIN keys b ON a.doc_id < b.doc_id
+        |WHERE abs(length(a.key) - length(b.key)) <= 2
+        |  AND levenshtein(a.key, b.key) <= 2""".stripMargin)),
+
+    Q("q_fuzzy_neardup_dist",
+      (s, d) => Dedup.editDistanceNearDups(
+        documents(s, d), prefixChars = 24, k = 2, driverKeyLimit = 0L),
       Some("""WITH keys AS (SELECT doc_id, text[1:24] AS key FROM documents
         |             WHERE length(text[1:24]) >= 5)
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

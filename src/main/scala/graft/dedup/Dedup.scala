@@ -567,7 +567,8 @@ object Dedup {
       prefixChars: Int = 24,
       k: Int = 2,
       q: Int = 5,
-      maxGramDf: Int = 256): DataFrame = {
+      maxGramDf: Int = 256,
+      driverKeyLimit: Long = 20000L): DataFrame = {
     val keys = graft.Caching.cache(docs.select(col("doc_id"),
       substring(col("text"), 1, prefixChars).as("key"))
       .where(length(col("key")) >= q))
@@ -576,7 +577,44 @@ object Dedup {
     // DISTINCT key set; doc-level pairs come from expansion joins at
     // the end. Same-key pairs (dist 0) are one exact hash join on the
     // full key — no gram machinery needed for them at all.
-    val dk = keys.select("key").distinct()
+    val dk = graft.Caching.cache(keys.select("key").distinct())
+    // ADAPTIVE small path (the Clustering/PageRank driverLimit shape):
+    // distinct prefix keys are usually FAR fewer than docs, and below
+    // `driverKeyLimit` the banded-DP brute force over local key pairs
+    // (length-filtered, parallel) beats the multi-stage distributed
+    // gram pipeline's fixed shuffle latency by ~4×. Brute force IS the
+    // spec (the gate oracle is all-pairs levenshtein), so the result is
+    // exact by definition; a spec pins it equal to the distributed
+    // path. driverKeyLimit = 0 forces the gram join — the 100 TB path.
+    val nKeys = dk.count()
+    if (nKeys <= driverKeyLimit) {
+      val spark = docs.sparkSession
+      val ks = dk.collect().map(_.getString(0))
+      import scala.collection.parallel.CollectionConverters._
+      val pairs = ks.indices.par.flatMap { i =>
+        val a = ks(i)
+        val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Int)]
+        var j = i + 1
+        while (j < ks.length) {
+          val b = ks(j)
+          if (math.abs(a.length - b.length) <= k) {
+            val d = boundedLevenshtein(a, b, k)
+            if (d <= k) {
+              // emit with ka < kb (string order), matching the join path
+              if (a < b) out += ((a, b, d)) else out += ((b, a, d))
+            }
+          }
+          j += 1
+        }
+        out
+      }.seq.toSeq
+      val candKeys =
+        if (pairs.isEmpty)
+          spark.createDataFrame(Seq(("", "", 0))).toDF("ka", "kb", "dist")
+            .where(lit(false))
+        else spark.createDataFrame(pairs).toDF("ka", "kb", "dist")
+      return expandPairs(keys, candKeys)
+    }
     val grams = dk.select(col("key"),
       explode(expr(s"transform(sequence(1, length(key) - ${q - 1}), " +
         s"i -> substring(key, i, $q))")).as("gram"))
@@ -620,6 +658,13 @@ object Dedup {
       .where(abs(length(col("ka")) - length(col("kb"))) <= k)
       .withColumn("dist", levenshtein(col("ka"), col("kb")))
       .where(col("dist") <= k)
+    expandPairs(keys, candKeys)
+  }
+
+  /** Shared tail of both Ed-Join paths: same-key (dist 0) pairs via one
+    * exact hash join, plus doc-level expansion of the verified distinct
+    * key pairs (ka < kb, `dist` column). */
+  private def expandPairs(keys: DataFrame, candKeys: DataFrame): DataFrame = {
     val same = keys.as("a")
       .join(keys.as("b"),
         col("a.key") === col("b.key") && col("a.doc_id") < col("b.doc_id"))
@@ -636,5 +681,40 @@ object Dedup {
         when(col("da") < col("db"), col("kb")).otherwise(col("ka")).as("key_b"),
         col("dist"))
     same.unionByName(cross)
+  }
+
+  /** Banded Levenshtein with early exit: only the 2k+1-wide diagonal
+    * band is evaluated (cells outside cannot reach within k), and the
+    * row minimum aborts the scan once the whole band exceeds k.
+    * Returns k+1 when the distance exceeds k. O(k·min(len)) time. */
+  private[dedup] def boundedLevenshtein(a: String, b: String, k: Int): Int = {
+    if (a == b) return 0
+    if (math.abs(a.length - b.length) > k) return k + 1
+    val (s, t) = if (a.length <= b.length) (a, b) else (b, a)
+    val big = k + 1
+    var prev = Array.tabulate(t.length + 1)(j => if (j <= k) j else big)
+    var curr = new Array[Int](t.length + 1)
+    var i = 1
+    while (i <= s.length) {
+      val lo = math.max(1, i - k)
+      val hi = math.min(t.length, i + k)
+      curr(lo - 1) = if (lo == 1) i else big
+      var rowMin = curr(lo - 1)
+      var j = lo
+      while (j <= hi) {
+        val cost = if (s.charAt(i - 1) == t.charAt(j - 1)) 0 else 1
+        var v = prev(j - 1) + cost
+        if (prev(j) + 1 < v) v = prev(j) + 1
+        if (curr(j - 1) + 1 < v) v = curr(j - 1) + 1
+        curr(j) = if (v > big) big else v
+        if (v < rowMin) rowMin = v
+        j += 1
+      }
+      if (hi < t.length) curr(hi + 1) = big
+      if (rowMin > k) return k + 1
+      val tmp = prev; prev = curr; curr = tmp
+      i += 1
+    }
+    math.min(prev(t.length), big)
   }
 }

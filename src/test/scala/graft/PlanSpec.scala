@@ -443,7 +443,7 @@ class PlanSpec extends SparkSpec {
     assert(!contStr.contains("CartesianProduct") &&
       !contStr.contains("BroadcastNestedLoopJoin"), contStr)
     cont.count(); graft.Caching.release()
-    val fuzzy = Dedup.editDistanceNearDups(docs)
+    val fuzzy = Dedup.editDistanceNearDups(docs, driverKeyLimit = 0L)
     val fuzzyStr = fuzzy.queryExecution.executedPlan.toString
     assert(!fuzzyStr.contains("CartesianProduct") &&
       !fuzzyStr.contains("BroadcastNestedLoopJoin"), fuzzyStr)

@@ -446,7 +446,8 @@ class TextDedupSpec extends SparkSpec {
       "abcdefghijklmnopqrstuvZZ", "abcdefghijklmnopqrsAAvwx",
       "zzzzzzzzzzzzzzzzzzzzzzzz")
     val d = docs(texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }: _*)
-    val found = Dedup.editDistanceNearDups(d, prefixChars = 24, k = 2)
+    val found = Dedup.editDistanceNearDups(d, prefixChars = 24, k = 2,
+        driverKeyLimit = 0L) // force the gram pipeline under test
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     def lev(a: String, b: String): Int = {
       val dp = Array.tabulate(a.length + 1, b.length + 1)((i, j) => i + j)
@@ -460,6 +461,27 @@ class TextDedupSpec extends SparkSpec {
       if lev(texts(i).take(24), texts(j).take(24)) <= 2
     } yield (i.toLong, j.toLong)).toSet
     assert(found == expected)
+  }
+
+  test("editDistanceNearDups: driver brute-force path equals the gram pipeline") {
+    val texts = Seq(
+      "abcdefghijklmnopqrstuvwx", "Xbcdefghijklmnopqrstuvwx",
+      "abcdefghijklmnopqrstuvZZ", "abcdefghijklmnopqrsAAvwx",
+      "abcdefghijklmnopqrstuvwx", // exact dup of 0 -> same-key pair
+      "zzzzzzzzzzzzzzzzzzzzzzzz")
+    val d = docs(texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }: _*)
+    def run(limit: Long) =
+      Dedup.editDistanceNearDups(d, prefixChars = 24, k = 2,
+          driverKeyLimit = limit)
+        .collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3),
+            r.getInt(4))).toSet
+    val drv = run(20000L)
+    graft.Caching.release()
+    val dist = run(0L)
+    graft.Caching.release()
+    assert(drv == dist)
+    assert(drv.exists(_._5 == 0)) // the exact-dup same-key pair is present
   }
 
   test("editDistanceNearDups: gram-df cap is lossless on a vocabulary-starved corpus") {
@@ -480,7 +502,7 @@ class TextDedupSpec extends SparkSpec {
     val d = docs(texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }: _*)
     def pairs(cap: Int): Set[(Long, Long, Int)] =
       Dedup.editDistanceNearDups(d, prefixChars = 24, k = 2, q = 5,
-          maxGramDf = cap)
+          maxGramDf = cap, driverKeyLimit = 0L) // the cap lives on the gram path
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(4))).toSet
     def lev(a: String, b: String): Int = {
       val dp = Array.tabulate(a.length + 1, b.length + 1)((i, j) => i + j)
