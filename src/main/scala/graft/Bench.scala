@@ -60,7 +60,7 @@ object Bench {
     val loadAvg = d3(java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage)
     val env =
-      s""""cpus":"$cpus","host_cores":${Runtime.getRuntime.availableProcessors},"load_avg":$loadAvg"""
+      s""""cpus":"$cpus","host_cores":${Runtime.getRuntime.availableProcessors},"load_avg":$loadAvg,"hot_cache":${hotTables.nonEmpty}"""
     val line =
       s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":$qs,""" +
         s""""errors":$errs,"error_count":$errCount,"start_ms":$starts,$env,"sf":"$sfDir"}"""

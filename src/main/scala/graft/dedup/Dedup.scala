@@ -586,6 +586,19 @@ object Dedup {
     // spec (the gate oracle is all-pairs levenshtein), so the result is
     // exact by definition; a spec pins it equal to the distributed
     // path. driverKeyLimit = 0 forces the gram join — the 100 TB path.
+    //
+    // WORST-CASE DRIVER COST at the default limit (the bound the
+    // Clustering/LinkGraph docs state for their small paths): the pair
+    // loop visits ≤ nKeys²/2 = 2·10⁸ (i,j) pairs at nKeys = 20000. The
+    // |len(a)−len(b)| ≤ k test prunes each pair in O(1), and when every
+    // key has the same length (all exactly `prefixChars` — the length
+    // filter's adversarial case) the banded DP costs O((2k+1)·len) ≈
+    // 120 char-ops per pair → ~2.4·10¹⁰ char-ops spread over the
+    // driver's parallel collection. That is seconds-scale on a 32-core
+    // driver and is the PRICE CEILING, not the typical cost; callers
+    // whose corpora hit it should lower `driverKeyLimit` (or pass 0).
+    // Driver MEMORY is nKeys · prefixChars bytes (~0.5 MB) + the output
+    // pairs, which the ≤ k verify keeps near-dup-sized, not quadratic.
     val nKeys = dk.count()
     if (nKeys <= driverKeyLimit) {
       val spark = docs.sparkSession

@@ -91,23 +91,29 @@ object CorpusStats {
   /** Corpus snapshot diff — the dataset-versioning primitive: given two
     * snapshots keyed by doc_id, classify every id as `added` (new side
     * only), `removed` (old side only), `changed` (both, text differs)
-    * or `unchanged`. Text comparison is direct string equality inside
-    * the join (no cross-engine hash dependence). One full-outer
-    * equi-join on doc_id — both sides shuffle once on the key whose
-    * cardinality grows with the corpus; no hot keys (ids unique per
-    * side).
+    * or `unchanged`. Presence is tracked by explicit marker columns,
+    * NOT text nullability — a document whose text is legitimately NULL
+    * is still "present", and NULL-vs-NULL text compares as unchanged
+    * via null-safe equality (`<=>`). Text comparison is direct string
+    * equality inside the join (no cross-engine hash dependence). One
+    * full-outer equi-join on doc_id — both sides shuffle once on the
+    * key whose cardinality grows with the corpus; no hot keys (ids
+    * unique per side).
     *
     * Output: (doc_id, status, old_len, new_len) — length -1 when the
-    * side is absent, so size-drift accounting needs no null handling. */
+    * side is absent (or its text is NULL), so size-drift accounting
+    * needs no null handling. */
   def snapshotDiff(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
-    val a = oldDocs.select(col("doc_id"), col("text").as("_old"))
-    val b = newDocs.select(col("doc_id"), col("text").as("_new"))
+    val a = oldDocs.select(col("doc_id"), col("text").as("_old"),
+      lit(true).as("_in_old"))
+    val b = newDocs.select(col("doc_id"), col("text").as("_new"),
+      lit(true).as("_in_new"))
     a.join(b, Seq("doc_id"), "full_outer")
       .select(
         col("doc_id"),
-        when(col("_old").isNull, "added")
-          .when(col("_new").isNull, "removed")
-          .when(col("_old") =!= col("_new"), "changed")
+        when(col("_in_old").isNull, "added")
+          .when(col("_in_new").isNull, "removed")
+          .when(!(col("_old") <=> col("_new")), "changed")
           .otherwise("unchanged").as("status"),
         coalesce(length(col("_old")).cast("long"), lit(-1L)).as("old_len"),
         coalesce(length(col("_new")).cast("long"), lit(-1L)).as("new_len"))

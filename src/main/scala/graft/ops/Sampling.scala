@@ -219,8 +219,23 @@ object Sampling {
     val avail = docs
       .select(col(langCol), size(split(col("text"), " ")).cast("long").as("t"))
       .groupBy(langCol).agg(sum("t").as("avail_tokens"))
-    val z = avail.withColumn("z_micro",
-      round(sqrt(col("avail_tokens").cast("double")) * 1e6).cast("long"))
+    val z = graft.Caching.cache(avail.withColumn("z_micro",
+      round(sqrt(col("avail_tokens").cast("double")) * 1e6).cast("long")))
+    // Σ z_micro = 0 (empty corpus, or every language has 0 tokens)
+    // would make the `div s_tot` below a silent null/div-0 instead of
+    // a diagnosable error. Fail loudly, mirroring tokenBudget's
+    // absent-domain guard. EAGER like tokenBudget: this runs the
+    // (map-side-combined, #langs-row) token-count aggregate at
+    // plan-construction time and pre-materializes the cache the final
+    // plan reuses; on failure the cache is dropped.
+    val sTotRow = z.agg(sum("z_micro")).head()
+    val sTot = if (sTotRow.isNullAt(0)) 0L else sTotRow.getLong(0)
+    if (sTot <= 0L) {
+      graft.Caching.release(z)
+      throw new IllegalArgumentException(
+        "temperatureShares: corpus has no language with tokens " +
+          s"(sum of z_micro = $sTot) — shares would be null/div-0")
+    }
     val tot = z.agg(sum("z_micro").as("s_tot"))
     val winA = Window.partitionBy(lit(0)) // #langs rows — bounded
       .orderBy(col("rem_a").desc, col(langCol))

@@ -116,7 +116,14 @@ object StreamingOps {
     * pattern) — a stalled stream that closes many hours in one
     * catch-up batch writes them in parallel across executor threads,
     * and the driver never materializes a single plane. Task memory is
-    * bounded by variables × cells for one hour. */
+    * bounded by variables × cells for one hour.
+    *
+    * NOTE: because files are written from executor TASKS (not the
+    * driver), on a multi-node cluster `outDir` must be a shared
+    * filesystem visible to every executor (NFS/Lustre/fuse-mounted
+    * object store) — the same constraint as
+    * [[graft.sinks.Exports.hourlyExportNcDistributed]]. On local[n]
+    * any local path works. */
   def hourlyNcSink(
       windowed: DataFrame,
       grid: graft.model.RegularGrid,

@@ -424,6 +424,53 @@ class TextDedupSpec extends SparkSpec {
     graft.Caching.release()
   }
 
+  test("temperatureShares fails loudly on an empty corpus") {
+    // s_tot = 0 would make every `div s_tot` a silent null/div-0 row;
+    // the operator must refuse like tokenBudget does
+    val d = docs((0L, "a b c")).where(lit(false))
+      .withColumn("lang", lit("en"))
+    val ex = intercept[IllegalArgumentException] {
+      graft.ops.Sampling.temperatureShares(d, "lang", budget = 100L).collect()
+    }
+    assert(ex.getMessage.contains("no language with tokens"))
+    graft.Caching.release()
+  }
+
+  test("temperatureShares fails loudly when every language has zero tokens") {
+    // empty-string docs: split yields one empty token per doc -> each
+    // lang has avail_tokens = #docs... so use truly-zero token counts
+    // via a null text (size(split(null)) = -1? no: null -> null, sum
+    // skips nulls -> avail_tokens null). Exercise the s_tot <= 0 branch.
+    val d = spark.createDataFrame(Seq((0L, null.asInstanceOf[String], "en")))
+      .toDF("doc_id", "text", "lang")
+    val ex = intercept[IllegalArgumentException] {
+      graft.ops.Sampling.temperatureShares(d, "lang", budget = 100L).collect()
+    }
+    assert(ex.getMessage.contains("no language with tokens"))
+    graft.Caching.release()
+  }
+
+  test("snapshotDiff: NULL text means present-with-null, not absent") {
+    // presence comes from the side markers, not text nullability: a doc
+    // whose text is NULL in the old snapshot and non-null in the new is
+    // CHANGED (was 'added' under the pre-r14 nullability inference);
+    // NULL-vs-NULL is UNCHANGED via <=>
+    val oldSnap = spark.createDataFrame(Seq(
+      (1L, Option.empty[String]), (2L, Option.empty[String]),
+      (3L, Option("kept")))).toDF("doc_id", "text")
+    val newSnap = spark.createDataFrame(Seq(
+      (1L, Option("now has text")), (2L, Option.empty[String]),
+      (4L, Option.empty[String]))).toDF("doc_id", "text")
+    val out = graft.ops.CorpusStats.snapshotDiff(oldSnap, newSnap)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == (("changed", -1L, 12L))) // null old text -> len -1
+    assert(out(2L) == (("unchanged", -1L, -1L))) // null <=> null
+    assert(out(3L) == (("removed", 4L, -1L)))
+    assert(out(4L) == (("added", -1L, -1L))) // added with null text
+    assert(out.size == 4)
+  }
+
   test("editDistanceNearDups finds close prefixes, skips distant ones") {
     // 10-11: one substitution; 12: identical to 10; 13: unrelated
     val d = docs(
