@@ -748,6 +748,220 @@ object ScaleBench {
     }
     Caching.release()
 
+    // B26: banded sign-LSH embedding near-dup at 4M vectors (M5/M30's
+    // 100 TB path) — 100k planted scaled-copy pairs (cos = 1 exactly:
+    // partner = 2× the base vector, integer coordinates) drowned in
+    // 3.8M flood vectors spread over just 64 directions (59,375 vectors
+    // per direction → every flood bucket is ~58× over the cap and MUST
+    // be dropped; uncapped, the flood alone is 64·59375²/2·2bands ≈
+    // 2·10¹¹ candidate pairs). Sign-LSH geometry at dim 32 concentrates
+    // buckets (±1 hyperplane normals are mutually ~18°-correlated at
+    // this dim — real embedding dims spread far better), so the cap
+    // also drops the densest PLANTED buckets; the meaningful guarantee
+    // is LOSSLESSNESS WITHIN THE CAP: every planted pair whose bucket
+    // is admitted in ≥1 band is found, none invented. The admitted set
+    // is recomputed INDEPENDENTLY at direction granularity (100,064
+    // rows — bucket keys depend only on direction; occupancy in vector
+    // units is 2·plantedDirs + 59375·floodGroups by construction) and
+    // the REQUIREs pin found == admitted == 58,284 plus the admitted
+    // candidate volume 12,770,351 — 6 orders of magnitude below n²/2.
+    val b26n = 4000000L
+    def b26coord(dirId: org.apache.spark.sql.Column) =
+      transform(sequence(lit(0), lit(31)), i =>
+        when(i === 0, pmod(hash(dirId * 8), lit(1997)) + 1)
+          .otherwise(pmod(hash(dirId * 8 + i), lit(1999)) - 999)
+          .cast("double"))
+    val b26emb = spark.range(b26n).select(
+      col("id").as("vec_id"),
+      when(col("id") < 200000L, expr("id div 2"))
+        .otherwise(col("id") % 64 + 500000L).as("dirId"),
+      when(col("id") < 200000L, col("id") % 2 + 1)
+        .otherwise(col("id") % 7 + 1).cast("double").as("mult"))
+      .select(col("vec_id"),
+        transform(b26coord(col("dirId")), x => x * col("mult")).as("embedding"))
+    val (b26s, b26found) = time {
+      graft.similarity.Similarity.nearDupPairsBanded(
+        spark, b26emb, threshold = 0.99, bands = 2, rowBits = 16,
+        maxBucketSize = 1024)
+        .where(col("vec_a") < 200000L && col("vec_a") % 2 === 0 &&
+          col("vec_b") === col("vec_a") + 1 && col("cos_sim") === 1.0)
+        .count()
+    }
+    Caching.release()
+    // independent direction-level recomputation of what the cap admits
+    val b26dirs = spark.range(100064L).select(
+      col("id").as("vec_id"),
+      when(col("id") < 100000L, col("id"))
+        .otherwise(col("id") - 100000L + 500000L).as("dirId"))
+      .select(col("vec_id"), b26coord(col("dirId")).as("embedding"))
+    val b26keys = Caching.cache(graft.similarity.Similarity
+      .signBucketsBanded(spark, b26dirs, bands = 2, rowBits = 16))
+    val b26occ = Caching.cache(b26keys.groupBy("band", "bucket")
+      .agg(
+        sum(when(col("vec_id") < 100000L, 1L).otherwise(0L)).as("np"),
+        sum(when(col("vec_id") >= 100000L, 1L).otherwise(0L)).as("nbg"))
+      .withColumn("occ", col("np") * 2 + col("nbg") * 59375L)
+      .where(col("occ") <= 1024L))
+    val b26surv = b26keys.where(col("vec_id") < 100000L)
+      .join(b26occ.select("band", "bucket"), Seq("band", "bucket"))
+      .select("vec_id").distinct().count()
+    val b26cand = b26occ.agg(sum(expr("occ * (occ - 1) div 2")))
+      .collect()(0).getLong(0)
+    require(b26surv == 58284L,
+      s"B26 cap-admitted planted pairs $b26surv != 58284 (fixture drift)")
+    require(b26found == b26surv,
+      s"B26 lossless-within-cap broken: found $b26found of $b26surv admitted")
+    require(b26cand == 12770351L && b26cand < 20000000L,
+      s"B26 admitted candidate volume $b26cand not the pinned 12770351 " +
+        "(n²/2 is 8e12)")
+    Caching.release()
+
+    // B27: profile algebra at EDGAR scale — P4 dedupVectors over 6.48M
+    // profiles (25.9M long rows) with exactly 100k distinct quantized
+    // vectors, the distributed two-phase rank path FORCED
+    // (driverVecLimit = 0; the gate takes the adaptive driver path).
+    // qw = 1000000 + 4·class + pos is 7 digits for every class, so the
+    // UTF-8 sort of the canonical vec strings IS numeric class order
+    // and the dense id is hand-derivable: dedup_id == class + 1 for all
+    // 6.48M profiles — a full value pin, not just a count.
+    val b27prof = spark.range(6480000L * 4).select(
+      expr("id div 4").as("profile_id"),
+      (col("id") % 4).cast("int").as("pos"),
+      (lit(1000000L) + expr("(id div 4) % 100000") * 4 + col("id") % 4).as("qw"))
+    val (b27s, b27nd) = time {
+      val out = graft.profiles.Profiles.dedupVectors(
+        b27prof, driverVecLimit = 0L).persist()
+      val n = out.count()
+      require(n == 6480000L, s"B27 dedup row count $n != 6480000")
+      val nd = out.select("dedup_id").distinct().count()
+      require(nd == 100000L, s"B27 distinct vector count $nd != 100000")
+      val viol = out
+        .where(col("dedup_id") =!= pmod(col("profile_id"), lit(100000L)) + 1)
+        .count()
+      require(viol == 0L, s"B27: $viol profiles got a wrong dense id")
+      out.unpersist()
+      nd
+    }
+    Caching.release()
+    // P6 remapProfiles: 6.48M-cell profiles (dyadic ratios 1/8,1/8,1/4,1/2)
+    // through a 2:1 coarsening remap with per-cell emission weights. The
+    // weights cancel by construction ONLY if the operator's
+    // mass-weighted renormalization is exact, so the REQUIRE pins every
+    // output ratio to its dyadic expectation bit-for-bit.
+    val b27ratio = element_at(
+      array(lit(0.125), lit(0.125), lit(0.25), lit(0.5)), col("pos") + 1)
+    val b27cp = spark.range(6480000L * 4).select(
+      expr("id div 4").as("cell_id"), (col("id") % 4).cast("int").as("pos"))
+      .withColumn("ratio", b27ratio)
+    val b27cw = spark.range(6480000L).select(
+      col("id").as("cell_id"), (col("id") % 7 + 1).cast("double").as("w"))
+    val b27rw = spark.range(6480000L).select(
+      col("id").as("src_cell"), expr("id div 2").as("dst_cell"),
+      lit(1.0).as("weight"))
+    val (b27rs, b27rn) = time {
+      val out = graft.profiles.Profiles.remapProfiles(b27cp, b27cw, b27rw)
+        .persist()
+      val n = out.count()
+      require(n == 12960000L, s"B27 remap row count $n != 12960000")
+      val viol = out.where(col("ratio") =!= b27ratio).count()
+      require(viol == 0L,
+        s"B27: $viol remapped ratios deviate from the exact dyadic value")
+      out.unpersist()
+      n
+    }
+    Caching.release()
+
+    // B28: ICON-OEM export (K3) end-to-end at 1M cells — the region
+    // grouping (group_profile_cells_by_regions) over a 4M-row index
+    // cube whose per-cell profile vector falls in exactly 4096 classes
+    // (cellClass = cell_id % 4096, injective class→vector map), then
+    // the full time-profile assembly (tz roll included) over all 4096
+    // regions and the real per-kind NetCDF file set. REQUIREs pin the
+    // region count, the class↔region bijection, dense ids 1..4096, the
+    // assembled matrix size, and EXACT tz-roll mass conservation (sf
+    // sums are integer-valued, and the roll is a per-(profile,region)
+    // position permutation).
+    val b28cube = spark.range(1000000L * 4).select(
+      expr("id div 4").as("cell_id"),
+      concat(lit("c"), col("id") % 4).as("category"),
+      (pmod(expr("id div 4"), lit(4096)) * 4 + col("id") % 4 + 1)
+        .cast("int").as("profile_id"))
+    val (b28s, b28nr) = time {
+      val reg = graft.sinks.IconExport.regions(b28cube).persist()
+      val n = reg.count()
+      require(n == 1000000L, s"B28 region-table rows $n != 1000000")
+      val nr = reg.select("region_id").distinct().count()
+      require(nr == 4096L, s"B28 region count $nr != 4096")
+      val bij = reg.select(
+        pmod(col("cell_id"), lit(4096)).as("cls"), col("region_id"))
+        .distinct().count()
+      require(bij == 4096L,
+        s"B28 class↔region map has $bij pairs — not a bijection")
+      val mm = reg.agg(min("region_id"), max("region_id")).collect()(0)
+      require(mm.getLong(0) == 1L && mm.getLong(1) == 4096L,
+        s"B28 region ids not dense 1..4096: $mm")
+      reg.unpersist()
+      nr
+    }
+    Caching.release()
+    val b28regTz = spark.range(4096L).select(
+      (col("id") + 1).as("region_id"), (col("id") + 1).as("tpid"),
+      (pmod(col("id"), lit(24)) - 12).cast("int").as("tz_shift"))
+    val b28catsubs = spark.createDataFrame(Seq(
+      ("c0", "s0", "co2_anthro"), ("c1", "s0", "nox")))
+      .toDF("category", "substance", "var")
+    val b28idx = spark.range(4096L).select((col("id") + 1).as("tpid"))
+      .crossJoin(b28catsubs.select("category", "substance"))
+      .withColumn("profile_id",
+        (pmod(col("tpid") * 7 +
+          when(col("category") === "c0", 0).otherwise(1), lit(4096)) + 1)
+          .cast("int"))
+    val b28profiles = spark.range(4096L * 43).select(
+      (expr("id div 43") + 1).cast("int").as("profile_id"),
+      (col("id") % 43).cast("int").as("k"))
+      .select(col("profile_id"),
+        when(col("k") < 24, "hour_of_day")
+          .when(col("k") < 31, "day_of_week")
+          .otherwise("month").as("kind"),
+        when(col("k") < 24, col("k"))
+          .when(col("k") < 31, col("k") - 24)
+          .otherwise(col("k") - 31).cast("int").as("pos"))
+      .withColumn("ratio",
+        (col("profile_id") * 100 + col("pos") + 1).cast("double"))
+    val b28dir = java.nio.file.Files.createTempDirectory("b28oem")
+    var b28bytes = 0L
+    val (b28as, b28an) = time {
+      val asm = graft.sinks.IconExport.assembleTimeProfiles(
+        spark, b28catsubs, b28idx, b28regTz, b28profiles).persist()
+      val n = asm.count()
+      require(n == 2L * 4096 * 43, s"B28 assembled rows $n != 352256")
+      // tz-roll mass conservation: per (var, kind, region) the sf sum is
+      // invariant under the roll — compare against the UNROLLED join
+      val size = when(col("kind") === "month", 12.0)
+        .when(col("kind") === "day_of_week", 7.0)
+        .otherwise(24.0)
+      val exp = b28catsubs
+        .join(b28idx, Seq("category", "substance"))
+        .join(b28regTz, "tpid")
+        .join(b28profiles, "profile_id")
+        .groupBy("var", "kind", "region_id")
+        .agg(sum(col("ratio") * size).as("e"))
+      val mism = asm.groupBy("var", "kind", "region_id")
+        .agg(sum("sf").as("s"))
+        .join(exp, Seq("var", "kind", "region_id"), "full_outer")
+        .where(!(col("s") <=> col("e"))).count()
+      require(mism == 0L, s"B28: $mism (var,kind,region) sf sums not conserved by the roll")
+      val files = graft.sinks.IconExport.writeOemNc(
+        asm, b28regTz, b28dir.toString)
+      require(files.toSet == Set("hourofday.nc", "dayofweek.nc", "monthofyear.nc"),
+        s"B28 unexpected OEM file set $files")
+      b28bytes = files.map(f =>
+        java.nio.file.Files.size(b28dir.resolve(f))).sum
+      asm.unpersist()
+      n
+    }
+    Caching.release()
+
     val b1rate = "%.1f".format(src.ncells * 32 / b1s / 1e6)
     val b3rate = "%.1f".format(b3n / b3s / 1e6)
     val json =
@@ -790,7 +1004,13 @@ object ScaleBench {
         s""""b23_candidate_pairs":$b23cand,""" +
         s""""b24_pagerank_sec":$b24s,"b24_nodes":$b24n,"b24_edges":8000999,""" +
         s""""b25_cdc_dedup_sec":$b25s,"b25_docs":5000000,"b25_dup_chunks":$b25n,""" +
-        s""""b25_mdocs_per_s":${"%.1f".format(5000000 / b25s / 1e6)}}"""
+        s""""b25_mdocs_per_s":${"%.1f".format(5000000 / b25s / 1e6)},""" +
+        s""""b26_ann_neardup_sec":$b26s,"b26_vectors":$b26n,"b26_dim":32,""" +
+        s""""b26_found":$b26found,"b26_admitted":$b26surv,"b26_candidates":$b26cand,""" +
+        s""""b27_profile_dedup_sec":$b27s,"b27_profiles":6480000,"b27_distinct_vecs":$b27nd,""" +
+        s""""b27_remap_sec":$b27rs,"b27_rows_out":$b27rn,""" +
+        s""""b28_icon_regions_sec":$b28s,"b28_cells":1000000,"b28_regions":$b28nr,""" +
+        s""""b28_assembly_sec":$b28as,"b28_rows":$b28an,"b28_nc_bytes":$b28bytes}"""
     println(json)
     // durable copy for the round artifacts (same pattern as BENCH_LAST)
     java.nio.file.Files.write(
