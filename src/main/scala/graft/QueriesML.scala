@@ -1590,6 +1590,37 @@ object QueriesML {
         |       coalesce(length(n.text), -1)::BIGINT AS new_len
         |FROM old o FULL JOIN nw n ON o.doc_id = n.doc_id""".stripMargin)),
 
+    // M64 mergeable cardinality sketches (DataSketches HLL): per
+    // event_type, exact distinct users vs the sharded-then-merged HLL
+    // estimate. The oracle computes the exact count and asserts the two
+    // CONTRACT flags as literals — Spark must deliver merge consistency
+    // (register-max union is grouping-independent, so it is exactly
+    // true) and the ≤5% error bound, or the hash breaks.
+    Q("q_hll_cardinality",
+      (s, d) => ops.Sketches.cardinalityReport(
+        events(s, d), "event_type", "user_id", lgK = 14),
+      Some("""SELECT event_type,
+        |       count(DISTINCT user_id::VARCHAR)::BIGINT AS exact_distinct,
+        |       true AS merge_consistent,
+        |       true AS within_bound
+        |FROM events GROUP BY 1""".stripMargin)),
+
+    // M65 corpus release manifest: content-stable shards, order-
+    // independent additive checksum — every column exact BIGINT
+    // arithmetic both engines replay (hash CTE = the shared portable
+    // hash rendering).
+    Q("q_release_manifest",
+      (s, d) => ops.CorpusStats.releaseManifest(documents(s, d)),
+      Some(s"""WITH h AS (SELECT doc_id, text, ${hashSql("text")} AS hv FROM documents)
+        |SELECT hv % 8 AS shard,
+        |       count(*)::BIGINT AS n_docs,
+        |       sum(len(string_split(text, ' ')))::BIGINT AS n_tokens,
+        |       sum(length(text))::BIGINT AS n_chars,
+        |       sum(hv)::BIGINT AS checksum,
+        |       min(doc_id)::BIGINT AS min_doc_id,
+        |       max(doc_id)::BIGINT AS max_doc_id
+        |FROM h GROUP BY 1""".stripMargin)),
+
     Q("q_psi_drift",
       (s, d) => ops.CorpusStats.psiDrift(
         documents(s, d).where(col("doc_id") % 2 === 0),

@@ -380,6 +380,18 @@ object ScaleBench {
     // the fact table is 100 TB instead of 8 GB.
     spark.sql("DROP TABLE IF EXISTS b14_fact")
     spark.sql("DROP TABLE IF EXISTS b14_w")
+    // A killed prior run can orphan the managed table locations with no
+    // metastore entry — DROP is then a no-op and saveAsTable fails with
+    // LOCATION_ALREADY_EXISTS. Clear the directories directly.
+    locally {
+      def rmrf(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmrf))
+        f.delete(); ()
+      }
+      val wh = new java.net.URI(
+        spark.conf.get("spark.sql.warehouse.dir")).getPath
+      Seq("b14_fact", "b14_w").foreach(t => rmrf(new java.io.File(wh, t)))
+    }
     val (b14ws, b14wn) = time {
       graft.ops.Bucketing.writeBucketed(emi, "b14_fact", "cell_id")
       graft.ops.Bucketing.writeBucketed(
@@ -962,6 +974,31 @@ object ScaleBench {
     }
     Caching.release()
 
+    // B29: mergeable HLL cardinality sketches (M64) — 50M rows, 10M
+    // distinct keys over 64 content-stable shards, lgK 14 (dense mode:
+    // 10M ≫ 2^14 registers). The report runs the sharded-sketch path,
+    // the single-pass sketch AND the exact countDistinct in one plan;
+    // REQUIREs pin the exact truth, EXACT merge consistency (union of
+    // per-shard sketches must equal the whole-corpus sketch — the
+    // property that makes persisted shard sketches trustworthy at
+    // 100 TB) and the 2% error bound (σ ≈ 0.82% at lgK 14).
+    val b29rows = spark.range(50000000L).select(
+      lit("all").as("grp"),
+      concat(lit("k"), col("id") % 10000000L).as("key"))
+    val (b29s, b29n) = time {
+      val r = graft.ops.Sketches.cardinalityReport(
+        b29rows, "grp", "key", shards = 64, lgK = 14, relErr = 0.02)
+        .collect()(0)
+      require(r.getLong(1) == 10000000L,
+        s"B29 exact distinct ${r.getLong(1)} != 10000000")
+      require(r.getBoolean(2),
+        "B29 sharded-merged HLL estimate != single-pass estimate")
+      require(r.getBoolean(3),
+        "B29 HLL estimate outside the 2% bound")
+      r.getLong(1)
+    }
+    Caching.release()
+
     val b1rate = "%.1f".format(src.ncells * 32 / b1s / 1e6)
     val b3rate = "%.1f".format(b3n / b3s / 1e6)
     val json =
@@ -1010,7 +1047,8 @@ object ScaleBench {
         s""""b27_profile_dedup_sec":$b27s,"b27_profiles":6480000,"b27_distinct_vecs":$b27nd,""" +
         s""""b27_remap_sec":$b27rs,"b27_rows_out":$b27rn,""" +
         s""""b28_icon_regions_sec":$b28s,"b28_cells":1000000,"b28_regions":$b28nr,""" +
-        s""""b28_assembly_sec":$b28as,"b28_rows":$b28an,"b28_nc_bytes":$b28bytes}"""
+        s""""b28_assembly_sec":$b28as,"b28_rows":$b28an,"b28_nc_bytes":$b28bytes,""" +
+        s""""b29_hll_sec":$b29s,"b29_rows":50000000,"b29_distinct":$b29n}"""
     println(json)
     // durable copy for the round artifacts (same pattern as BENCH_LAST)
     java.nio.file.Files.write(

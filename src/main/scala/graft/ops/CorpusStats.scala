@@ -118,4 +118,29 @@ object CorpusStats {
         coalesce(length(col("_old")).cast("long"), lit(-1L)).as("old_len"),
         coalesce(length(col("_new")).cast("long"), lit(-1L)).as("new_len"))
   }
+
+  /** Corpus release manifest (M65) — the reproducibility artifact a
+    * dataset release ships next to its shards: per content-stable shard
+    * (`pmod(portableHash(text), shards)` — re-runs of the same corpus
+    * certify the same partition), the doc/token/char counts, the doc_id
+    * range for completeness auditing, and an ORDER-INDEPENDENT content
+    * checksum: `sum(portableHash(text))`. Addition is commutative, so
+    * any execution order, partitioning, or engine yields the same
+    * BIGINT — a consumer re-derives it shard-locally and detects any
+    * dropped/duplicated/mutated document without ordering guarantees.
+    * One map-side-combined aggregate; #shards output rows. Checksum
+    * overflow bound: hashes < 10⁹ ⇒ safe below ~9·10⁹ docs/shard. */
+  def releaseManifest(docs: DataFrame, shards: Int = 8): DataFrame = {
+    val h = graft.functions.PortableHashExpr.portableHash(col("text"))
+    docs.select(col("doc_id"), col("text"), h.as("_h"),
+      pmod(h, lit(shards.toLong)).as("shard"))
+      .groupBy("shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"),
+        sum(length(col("text")).cast("long")).as("n_chars"),
+        sum(col("_h")).as("checksum"),
+        min("doc_id").as("min_doc_id"),
+        max("doc_id").as("max_doc_id"))
+  }
 }

@@ -111,7 +111,16 @@ object Similarity {
     * (recall ≈ 1-(1-s^rowBits)^bands for sign-agreement rate s) while
     * the `maxBucketSize` cap bounds any degenerate bucket — the same
     * guard as [[graft.dedup.Dedup.lshCandidatePairs]]. Output:
-    * `(vec_id, band, bucket)` — one row per band. */
+    * `(vec_id, band, bucket)` — one row per band.
+    *
+    * Dimensionality note (measured in ScaleBench B26): the ±1
+    * hyperplane normals are mutually correlated at low dims (typical
+    * overlap ~1/√d — ~0.18 at d = 32), which CONCENTRATES bucket
+    * occupancy well below the 2^rowBits ideal; at d = 32 the densest
+    * natural bucket holds ~6% of a uniform corpus. Real embedding dims
+    * (≥ 128) spread far better (overlap ≤ 0.09). At low dims pair
+    * `maxBucketSize` with verification, and size caps from measured
+    * occupancy, not from 2^rowBits. */
   def signBucketsBanded(
       spark: SparkSession,
       embeddings: DataFrame,

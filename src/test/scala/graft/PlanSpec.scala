@@ -451,4 +451,22 @@ class PlanSpec extends SparkSpec {
       "ed-join must not broadcast the doc relation")
     fuzzy.count(); graft.Caching.release()
   }
+
+  test("releaseManifest: ONE aggregation shuffle, no window, no broadcast") {
+    val docs = spark.createDataFrame(
+      (0L until 20L).map(i => (i, s"doc body $i"))).toDF("doc_id", "text")
+    val out = graft.ops.CorpusStats.releaseManifest(docs, shards = 4)
+    // string match: AQE wraps the tree in AdaptiveSparkPlanExec, which
+    // collect() does not descend into (same approach as the other
+    // plan-shape tests in this suite)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.split("Exchange hashpartitioning").length - 1 == 1,
+      s"expected exactly one aggregation shuffle:\n$plan")
+    assert(!plan.contains("BroadcastExchange"), s"unexpected broadcast:\n$plan")
+    assert(!plan.contains("Window"), "manifest must not window")
+    // partial (map-side) aggregation must sit BELOW the exchange
+    assert(plan.contains("partial_sum"), "missing map-side combine")
+    val n = out.count()
+    assert(n >= 1 && n <= 4)
+  }
 }
