@@ -1605,6 +1605,32 @@ object QueriesML {
         |       true AS within_bound
         |FROM events GROUP BY 1""".stripMargin)),
 
+    // M66 streaming distinct-key monitor: per-shard HLL sketch state in
+    // flatMapGroupsWithState over the streamed events table. Gate
+    // regime: tens of keys per shard keep the sketch in its exact
+    // coupon mode, so the running estimate IS the exact per-shard
+    // distinct count the oracle computes (estimation-regime error is
+    // B29's REQUIRE on the batch path sharing the sketch type).
+    Q("q_stream_cardinality",
+      (s, d) => {
+        val schema = s.read.parquet(s"$d/events.parquet").schema
+        val stream = s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(d)
+        val card = graft.streaming.StreamingOps.cardinalityStream(
+          stream, "user_id", shards = 16, lgK = 14)
+        val mem = "stream_card_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        val q = card.toDF().writeStream
+          .outputMode("update").format("memory").queryName(mem).start()
+        try { q.processAllAvailable() } finally { q.stop() }
+        s.table(mem).groupBy("shard")
+          .agg(max("est_distinct").as("est_distinct"))
+      },
+      Some(s"""WITH k AS (SELECT DISTINCT user_id::VARCHAR AS k FROM events)
+        |SELECT (${hashSql("k")} % 16)::BIGINT AS shard,
+        |       count(*)::BIGINT AS est_distinct
+        |FROM k GROUP BY 1""".stripMargin)),
+
     // M65 corpus release manifest: content-stable shards, order-
     // independent additive checksum — every column exact BIGINT
     // arithmetic both engines replay (hash CTE = the shared portable

@@ -335,6 +335,59 @@ object StreamingOps {
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
   }
 
+  final case class ShardCardinality(shard: Long, est_distinct: Long)
+
+  /** Streaming distinct-key monitor (M66) — the streaming side of
+    * [[graft.ops.Sketches]]: per-shard HLL sketch state (Apache
+    * DataSketches, the SAME serialization Spark's `hll_sketch_agg`
+    * family uses) updated in `flatMapGroupsWithState`, emitting each
+    * shard's running distinct estimate per micro-batch. State per shard
+    * is ONE sketch — ≤ ~2^lgK bytes HARD-BOUNDED regardless of how many
+    * distinct keys the stream ever sees, where a streaming
+    * `approx_count_distinct` aggregate cannot emit running per-shard
+    * values in update mode without a watermark and a plain
+    * `groupBy(key)` grows state per distinct key without bound. Keys
+    * are sharded by portable hash, so state and work spread across
+    * executors and the shard layout matches [[graft.ops.Sketches]]'
+    * content-stable shards — a batch job can `hll_union_agg` the
+    * emitted state with stored per-shard batch sketches.
+    *
+    * Exactness regime: a DataSketches HLL returns EXACT counts while in
+    * its coupon (LIST/SET) modes — thousands of keys per shard at
+    * lgK 14 — which is the gate regime (hash-verified against the batch
+    * exact count); the estimation regime's error bound is REQUIREd in
+    * ScaleBench B29 on the batch path sharing this sketch type. */
+  def cardinalityStream(
+      rows: DataFrame,
+      keyCol: String,
+      shards: Int = 16,
+      lgK: Int = 14): Dataset[ShardCardinality] = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    import org.apache.datasketches.hll.HllSketch
+
+    def update(
+        shard: Long,
+        it: Iterator[(Long, String)],
+        state: GroupState[Array[Byte]]): Iterator[ShardCardinality] = {
+      val sk = state.getOption
+        .map(HllSketch.heapify)
+        .getOrElse(new HllSketch(lgK))
+      it.foreach { case (_, k) => sk.update(k) }
+      state.update(sk.toUpdatableByteArray)
+      Iterator.single(ShardCardinality(shard, Math.round(sk.getEstimate)))
+    }
+
+    rows
+      .select(col(keyCol).cast("string").as("k"))
+      .withColumn("shard",
+        pmod(graft.functions.PortableHashExpr.portableHash(col("k")),
+          lit(shards.toLong)))
+      .select(col("shard"), col("k")).as[(Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
+  }
+
   /** Stream-static join: scale each event by the static hourly profile
     * factor of its event type (missing profile → 1.0) — the streaming form
     * of the temporal explode's factor application (T3). The profile table

@@ -224,6 +224,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("cardinalityStream: sketch state dedups keys across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Long]
+    val rows = mem.toDF().toDF("user_id")
+    // one shard: the running estimate must count DISTINCT keys across
+    // batches (repeats in batch 2 must not inflate it), and at this
+    // size the HLL is in exact coupon mode, so estimates are exact
+    val q = StreamingOps.cardinalityStream(rows, "user_id",
+        shards = 1, lgK = 14).toDF()
+      .writeStream.format("memory").queryName("card_stream")
+      .outputMode("update").start()
+    try {
+      mem.addData(1L to 100L: _*)
+      q.processAllAvailable()
+      mem.addData(51L to 150L: _*) // 50 repeats + 50 new
+      q.processAllAvailable()
+      val ests = spark.table("card_stream").collect()
+        .map(r => r.getLong(1)).sorted
+      assert(ests.toSeq == Seq(100L, 150L))
+    } finally q.stop()
+  }
+
   test("heavyHitterStream: capped state runs Misra-Gries decrements") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
