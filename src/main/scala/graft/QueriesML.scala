@@ -823,6 +823,52 @@ object QueriesML {
         |       CAST(doc_id = min(doc_id) OVER (PARTITION BY cluster_id) AS INT) AS keep
         |FROM asg""".stripMargin)),
 
+    // M67 quality-aware canonical selection: same LSH→verify→CC chain,
+    // but the kept member is the cluster argmax by (length, -doc_id) —
+    // the C4/CCNet keep-longest policy — instead of min-id.
+    Q("q_dedup_keep_best",
+      (s, d) => Clustering.dedupAssignBy(
+        documents(s, d),
+        Dedup.verifiedNearDups(s, documents(s, d),
+          numHashes = 8, rowsPerBand = 2, threshold = 0.5),
+        documents(s, d).select(col("doc_id"),
+          length(col("text")).cast("long").as("score"))),
+      Some(s"""WITH RECURSIVE $ShingleHashCte,
+        |keys AS (SELECT doc_id, hash_id // 2 AS band,
+        |                string_agg(hash_id || ':' || minhash, ',' ORDER BY hash_id) AS band_key
+        |         FROM mh GROUP BY 1, 2),
+        |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |          FROM keys a JOIN keys b
+        |            ON a.band = b.band AND a.band_key = b.band_key
+        |           AND a.doc_id < b.doc_id),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |cm AS (SELECT p.doc_a, p.doc_b, count(*) AS common
+        |       FROM pairs p
+        |       JOIN sh a ON a.doc_id = p.doc_a
+        |       JOIN sh b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+        |       GROUP BY 1, 2),
+        |vp AS (SELECT doc_a, doc_b
+        |       FROM cm JOIN sz sa ON sa.doc_id = doc_a
+        |               JOIN sz sb ON sb.doc_id = doc_b
+        |       WHERE common / (sa.sz + sb.sz - common) >= 0.5),
+        |e AS (SELECT doc_a AS src, doc_b AS dst FROM vp
+        |      UNION ALL SELECT doc_b, doc_a FROM vp),
+        |r AS (SELECT src AS n, src AS l FROM e
+        |      UNION
+        |      SELECT e.dst, r.l FROM r JOIN e ON e.src = r.n),
+        |cc AS (SELECT n AS doc_id, min(l) AS cluster_id FROM r GROUP BY 1),
+        |asg AS (SELECT d.doc_id, length(d.text)::BIGINT AS score,
+        |               coalesce(cc.cluster_id, d.doc_id) AS cluster_id
+        |        FROM documents d LEFT JOIN cc USING (doc_id)),
+        |rk AS (SELECT doc_id, cluster_id,
+        |              count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+        |              row_number() OVER (PARTITION BY cluster_id
+        |                ORDER BY score DESC, doc_id) AS rk
+        |       FROM asg)
+        |SELECT doc_id, cluster_id, cluster_size,
+        |       CAST(rk = 1 AS INT) AS keep
+        |FROM rk""".stripMargin)),
+
     Q("q_quantize_embed",
       (s, d) => Similarity.quantizeInt8(embeddings(s, d)),
       Some(s"""WITH $QuantCte,

@@ -190,4 +190,38 @@ object Clustering {
         coalesce((col("doc_id") === col("_keeper")).cast("int"), lit(1))
           .as("keep"))
   }
+
+  /** Quality-aware canonical selection (M67) — [[dedupAssign]] with a
+    * KEEP POLICY instead of min-id: per cluster, keep the member with
+    * the highest `score` (ties → lowest doc_id), the C4/CCNet practice
+    * of retaining the longest / best-quality variant of a near-dup
+    * group rather than an arbitrary one. `scores(doc_id, score)` with
+    * BIGINT scores (length, LM µ-score, any integer quality signal —
+    * integer so the argmax is engine-exact).
+    *
+    * Same scale shape as [[dedupAssign]]: cluster stats live on the
+    * CC table (pairs-sized ≪ corpus); the scores join touches only CC
+    * members, and the corpus-wide join-back is one left join. The
+    * argmax is `max_by(doc_id, (score, -doc_id))` — one aggregate, no
+    * cluster-wide window. */
+  def dedupAssignBy(
+      docs: DataFrame,
+      pairs: DataFrame,
+      scores: DataFrame): DataFrame = {
+    val cc = connectedComponents(pairs)
+    val scored = cc.join(scores, Seq("doc_id"))
+    val stats = scored.groupBy("cluster_id").agg(
+      count(lit(1)).as("cluster_size"),
+      expr("max_by(doc_id, struct(score, -doc_id))").as("_keeper"))
+    val enriched = cc.join(stats, Seq("cluster_id"))
+    docs
+      .select(col("doc_id"))
+      .join(enriched, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
+        coalesce(col("cluster_size"), lit(1L)).as("cluster_size"),
+        coalesce((col("doc_id") === col("_keeper")).cast("int"), lit(1))
+          .as("keep"))
+  }
 }

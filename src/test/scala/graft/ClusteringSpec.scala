@@ -76,6 +76,26 @@ class ClusteringSpec extends SparkSpec {
     assert(out(7L) == ((7L, 1L, 1)))
   }
 
+  test("dedupAssignBy: clusters keep the max-score member, min-id on ties") {
+    val docs = spark.createDataFrame(Seq(
+      (1L, "x"), (2L, "x"), (3L, "y"), (7L, "z"), (8L, "z"), (9L, "z")))
+      .toDF("doc_id", "text")
+    // cluster {1,2}: scores 5 vs 9 -> keeper 2 (NOT min-id);
+    // cluster {7,8,9}: scores 4,4,1 -> tie at 4 -> keeper min-id 7
+    val scores = spark.createDataFrame(Seq(
+      (1L, 5L), (2L, 9L), (3L, 2L), (7L, 4L), (8L, 4L), (9L, 1L)))
+      .toDF("doc_id", "score")
+    val out = Clustering.dedupAssignBy(docs,
+        pairs((1L, 2L), (7L, 8L), (8L, 9L)), scores)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getInt(3)))).toMap
+    assert(out(1L) == ((1L, 2L, 0)))
+    assert(out(2L) == ((1L, 2L, 1))) // higher score wins over min-id
+    assert(out(3L) == ((3L, 1L, 1))) // singleton keeps itself
+    assert(out(7L) == ((7L, 3L, 1))) // score tie -> lowest doc_id
+    assert(out(8L) == ((7L, 3L, 0)))
+    assert(out(9L) == ((7L, 3L, 0)))
+  }
+
   test("tfIdf ranks rare terms above common ones with rational idf") {
     val docs = spark.createDataFrame(Seq(
       (1L, "apple banana apple"),
