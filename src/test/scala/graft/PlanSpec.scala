@@ -452,6 +452,24 @@ class PlanSpec extends SparkSpec {
     fuzzy.count(); graft.Caching.release()
   }
 
+  test("cardinalityReport: aggregation-only plan — no window, no corpus broadcast") {
+    val ev = spark.range(200L).select(
+      concat(lit("t"), col("id") % 2).as("event_type"),
+      (col("id") % 37).as("user_id"))
+    val out = graft.ops.Sketches.cardinalityReport(
+      ev, "event_type", "user_id", shards = 4, lgK = 12)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "sketch report must not window")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"unexpected product join:\n$plan")
+    // the final group-level join may broadcast — both sides are
+    // #groups rows — but nothing corpus-sized may: the only scans are
+    // the range source, so assert the join inputs are aggregates
+    assert(plan.contains("partial_count") || plan.contains("objHashAggregate") ||
+      plan.contains("HashAggregate"), "missing map-side aggregation")
+    assert(out.count() == 2)
+  }
+
   test("releaseManifest: ONE aggregation shuffle, no window, no broadcast") {
     val docs = spark.createDataFrame(
       (0L until 20L).map(i => (i, s"doc body $i"))).toDF("doc_id", "text")
