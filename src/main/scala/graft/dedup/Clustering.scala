@@ -203,13 +203,19 @@ object Clustering {
     * CC table (pairs-sized ≪ corpus); the scores join touches only CC
     * members, and the corpus-wide join-back is one left join. The
     * argmax is `max_by(doc_id, (score, -doc_id))` — one aggregate, no
-    * cluster-wide window. */
+    * cluster-wide window.
+    *
+    * A cluster member ABSENT from `scores` keeps its place in
+    * `cluster_size` but scores `Long.MinValue` — it is never preferred
+    * over a scored member (in an all-unscored cluster the tie-break
+    * falls back to min doc_id, i.e. [[dedupAssign]]'s policy). */
   def dedupAssignBy(
       docs: DataFrame,
       pairs: DataFrame,
       scores: DataFrame): DataFrame = {
     val cc = connectedComponents(pairs)
-    val scored = cc.join(scores, Seq("doc_id"))
+    val scored = cc.join(scores, Seq("doc_id"), "left")
+      .withColumn("score", coalesce(col("score"), lit(Long.MinValue)))
     val stats = scored.groupBy("cluster_id").agg(
       count(lit(1)).as("cluster_size"),
       expr("max_by(doc_id, struct(score, -doc_id))").as("_keeper"))

@@ -132,8 +132,8 @@ object CorpusStats {
     * overflow bound: hashes < 10⁹ ⇒ safe below ~9·10⁹ docs/shard. */
   def releaseManifest(docs: DataFrame, shards: Int = 8): DataFrame = {
     val h = graft.functions.PortableHashExpr.portableHash(col("text"))
-    docs.select(col("doc_id"), col("text"), h.as("_h"),
-      pmod(h, lit(shards.toLong)).as("shard"))
+    docs.select(col("doc_id"), col("text"), h.as("_h"))
+      .withColumn("shard", pmod(col("_h"), lit(shards.toLong)))
       .groupBy("shard")
       .agg(
         count(lit(1)).as("n_docs"),

@@ -58,7 +58,13 @@ object Sketches {
     * Shards are derived deterministically: `pmod(portableHash(key),
     * shards)` — content-stable, so re-runs certify the same partition.
     * A gate query pins both flags true against a DuckDB oracle that
-    * computes `exact_distinct` and asserts the contract literals. */
+    * computes `exact_distinct` and asserts the contract literals.
+    *
+    * Plan shape: the source is scanned twice (sharded-sketch path +
+    * whole-corpus path) — inherent to certifying one against the
+    * other, and this report runs ONCE per corpus; steady-state
+    * pipelines run only [[shardSketches]]/[[mergedEstimate]], which
+    * scan nothing after the sketches are stored. */
   def cardinalityReport(
       df: DataFrame,
       groupCol: String,

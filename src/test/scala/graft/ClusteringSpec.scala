@@ -96,6 +96,23 @@ class ClusteringSpec extends SparkSpec {
     assert(out(9L) == ((7L, 3L, 0)))
   }
 
+  test("dedupAssignBy: unscored members keep cluster_size, never win") {
+    val docs = spark.createDataFrame(Seq(
+      (1L, "x"), (2L, "x"), (3L, "x"), (5L, "y"), (6L, "y")))
+      .toDF("doc_id", "text")
+    // cluster {1,2,3}: only 3 is scored -> 3 wins; 1 and 2 still count.
+    // cluster {5,6}: NOBODY scored -> min-id fallback (5 wins)
+    val scores = spark.createDataFrame(Seq((3L, 1L))).toDF("doc_id", "score")
+    val out = Clustering.dedupAssignBy(docs,
+        pairs((1L, 2L), (2L, 3L), (5L, 6L)), scores)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getInt(3)))).toMap
+    assert(out(1L) == ((1L, 3L, 0)))
+    assert(out(2L) == ((1L, 3L, 0)))
+    assert(out(3L) == ((1L, 3L, 1)))
+    assert(out(5L) == ((5L, 2L, 1)))
+    assert(out(6L) == ((5L, 2L, 0)))
+  }
+
   test("tfIdf ranks rare terms above common ones with rational idf") {
     val docs = spark.createDataFrame(Seq(
       (1L, "apple banana apple"),
