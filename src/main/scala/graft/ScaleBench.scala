@@ -999,6 +999,26 @@ object ScaleBench {
     }
     Caching.release()
 
+    // B30: single-pass speciation (R15) at EDGAR scale — the (c0, s0)
+    // slice (6.48M rows) splits into NO/NO2 at dyadic 0.25/0.75 while
+    // the other 31 (cat, sub) slices pass through in the SAME scan
+    // (the one-scan property PlanSpec pins at fixture scale). Exact
+    // REQUIREs: integer-valued inputs and dyadic ratios make both
+    // sides' sums IEEE-exact in any aggregation order, so mass
+    // conservation is == not ≈; row count is closed-form.
+    val b30before = emi.agg(sum("value")).collect()(0).getDouble(0)
+    val (b30s, b30n) = time {
+      val out = graft.ops.Speciation.speciate(spark, emi,
+        Seq(("c0", "s0", "NO", 0.25), ("c0", "s0", "NO2", 0.75)))
+      val r = out.agg(count(lit(1)), sum("value")).collect()(0)
+      require(r.getLong(0) == 213840000L,
+        s"B30 row count ${r.getLong(0)} != 213840000")
+      require(r.getDouble(1) == b30before,
+        s"B30 mass not conserved: ${r.getDouble(1)} != $b30before")
+      r.getLong(0)
+    }
+    Caching.release()
+
     val b1rate = "%.1f".format(src.ncells * 32 / b1s / 1e6)
     val b3rate = "%.1f".format(b3n / b3s / 1e6)
     val json =
@@ -1048,7 +1068,8 @@ object ScaleBench {
         s""""b27_remap_sec":$b27rs,"b27_rows_out":$b27rn,""" +
         s""""b28_icon_regions_sec":$b28s,"b28_cells":1000000,"b28_regions":$b28nr,""" +
         s""""b28_assembly_sec":$b28as,"b28_rows":$b28an,"b28_nc_bytes":$b28bytes,""" +
-        s""""b29_hll_sec":$b29s,"b29_rows":50000000,"b29_distinct":$b29n}"""
+        s""""b29_hll_sec":$b29s,"b29_rows":50000000,"b29_distinct":$b29n,""" +
+        s""""b30_speciate_sec":$b30s,"b30_rows":$b30n}"""
     println(json)
     // durable copy for the round artifacts (same pattern as BENCH_LAST)
     java.nio.file.Files.write(
