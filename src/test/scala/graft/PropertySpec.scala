@@ -370,4 +370,48 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("property: release manifest is invariant under ordering and partitioning") {
+    // the manifest's additive checksum + aggregates must be identical
+    // for ANY physical arrangement of the same logical corpus — the
+    // property that makes the artifact citable from a 1000-executor run
+    val texts = (0 until 60).map { i =>
+      val n = 1 + rnd.nextInt(30)
+      (i.toLong, (0 until n).map(_ => s"t${rnd.nextInt(50)}").mkString(" "))
+    }
+    val d = spark.createDataFrame(texts).toDF("doc_id", "text")
+    val base = collectSet(graft.ops.CorpusStats.releaseManifest(d, shards = 4))
+    val variants = Seq(
+      d.orderBy(col("text").desc),
+      d.repartition(7, col("doc_id")),
+      d.repartition(1),
+      d.orderBy(rand(7)))
+    variants.foreach { v =>
+      assert(collectSet(graft.ops.CorpusStats.releaseManifest(v, shards = 4)) == base)
+    }
+  }
+
+  test("property: snapshotDiff statuses partition the id space; lengths consistent") {
+    val olds = (0 until 40).map(i =>
+      (i.toLong, if (rnd.nextInt(5) == 0) null else s"v${rnd.nextInt(3)}"))
+    val news = (20 until 60).map(i =>
+      (i.toLong, if (rnd.nextInt(5) == 0) null else s"v${rnd.nextInt(3)}"))
+    val out = graft.ops.CorpusStats.snapshotDiff(
+      spark.createDataFrame(olds).toDF("doc_id", "text"),
+      spark.createDataFrame(news).toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val om = olds.toMap; val nm = news.toMap
+    assert(out.map(_._1).toSet == (om.keySet ++ nm.keySet)) // total, no dup
+    assert(out.length == (om.keySet ++ nm.keySet).size)
+    out.foreach { case (id, status, ol, nl) =>
+      val expected =
+        if (!om.contains(id)) "added"
+        else if (!nm.contains(id)) "removed"
+        else if (om(id) == nm(id)) "unchanged" // null == null → unchanged
+        else "changed"
+      assert(status == expected, s"doc $id: $status != $expected")
+      assert(ol == (if (om.contains(id) && om(id) != null) om(id).length.toLong else -1L))
+      assert(nl == (if (nm.contains(id) && nm(id) != null) nm(id).length.toLong else -1L))
+    }
+  }
 }

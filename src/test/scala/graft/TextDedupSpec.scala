@@ -529,6 +529,11 @@ class TextDedupSpec extends SparkSpec {
     graft.Caching.release()
     assert(drv == dist)
     assert(drv.exists(_._5 == 0)) // the exact-dup same-key pair is present
+    // limit BOUNDARY: the corpus has 5 distinct keys (doc 4 duplicates
+    // doc 0's). limit == nKeys takes the driver path, limit == nKeys-1
+    // the distributed one — both must agree with the pair above
+    assert(run(5L) == drv); graft.Caching.release()
+    assert(run(4L) == drv); graft.Caching.release()
   }
 
   test("editDistanceNearDups: gram-df cap is lossless on a vocabulary-starved corpus") {
