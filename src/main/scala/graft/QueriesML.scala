@@ -982,6 +982,40 @@ object QueriesML {
         |  FROM s)
         |WHERE rn = 1""".stripMargin)),
 
+    // M68 secret scrub: credential-shaped tokens synthesized
+    // deterministically onto every 5th doc (the corpus itself carries
+    // none), redacted by the charclass+diversity rule; the oracle
+    // replays the identical predicate as DuckDB list lambdas.
+    Q("q_secret_scrub",
+      (s, d) => TextAnalysis.secretScrub(
+        documents(s, d).select(col("doc_id"),
+          when(col("doc_id") % 5 === 0,
+            concat(col("text"), lit(" Key"),
+              lpad(col("doc_id").cast("string"), 6, "0"),
+              lit("AbCdEfGh1234XyZw")))
+            .otherwise(col("text")).as("text"))),
+      Some("""WITH seeded AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 5 = 0
+        |       THEN text || ' Key' || lpad(doc_id::VARCHAR, 6, '0') || 'AbCdEfGh1234XyZw'
+        |       ELSE text END AS text FROM documents),
+        |tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM seeded)
+        |SELECT doc_id,
+        |  array_to_string(list_transform(w, t ->
+        |    CASE WHEN length(t) >= 20
+        |          AND regexp_matches(t, '^[A-Za-z0-9+/=_-]+$')
+        |          AND len(list_distinct(string_split(t, ''))) >= 12
+        |          AND (regexp_matches(t, '[a-z]')::INT + regexp_matches(t, '[A-Z]')::INT
+        |               + regexp_matches(t, '[0-9]')::INT + regexp_matches(t, '[+/=_-]')::INT) >= 3
+        |         THEN '<SECRET>' ELSE t END), ' ') AS clean_text,
+        |  len(list_filter(w, t ->
+        |    length(t) >= 20
+        |    AND regexp_matches(t, '^[A-Za-z0-9+/=_-]+$')
+        |    AND len(list_distinct(string_split(t, ''))) >= 12
+        |    AND (regexp_matches(t, '[a-z]')::INT + regexp_matches(t, '[A-Z]')::INT
+        |         + regexp_matches(t, '[0-9]')::INT + regexp_matches(t, '[+/=_-]')::INT) >= 3))::BIGINT
+        |    AS n_secrets
+        |FROM tok""".stripMargin)),
+
     // M24 PII scrub: PII synthesized deterministically from doc_id (the
     // corpus itself is PII-free synthetic text) appended to each doc, so
     // the scrub chain sees real matches; the oracle reruns the identical

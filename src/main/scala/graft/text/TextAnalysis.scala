@@ -640,6 +640,41 @@ object TextAnalysis {
           length(col("text")) - col("hi")).as("fim_suffix"))
   }
 
+  /** Secret/credential scrub (M68) — the detect-secrets-style redaction
+    * step of a pre-training scrub, complementary to the M24 PII
+    * regexes: PII patterns have SHAPE (emails, IPs, phones); leaked
+    * keys mostly have STATISTICS. A whitespace token is redacted to
+    * `<SECRET>` when it (1) is ≥ `minLen` chars of pure key alphabet
+    * (base64/hex/url-safe: `[A-Za-z0-9+/=_-]`), (2) mixes ≥ 3 of the 4
+    * character classes, and (3) has ≥ `minDistinct` distinct characters
+    * — a charclass+diversity proxy for the Shannon-entropy test of
+    * detect-secrets, chosen because every predicate is an engine-
+    * portable builtin (no UDF, no float entropy that could round
+    * differently across engines). Natural words fail (1) or (2);
+    * random-ish keys of real length pass all three.
+    *
+    * Zero shuffles — one narrow transform over the token array per row
+    * (the M24 plan shape). Output: `(doc_id, clean_text, n_secrets)`. */
+  def secretScrub(
+      docs: DataFrame,
+      minLen: Int = 20,
+      minDistinct: Int = 12): DataFrame = {
+    def isSecret(t: org.apache.spark.sql.Column) =
+      (length(t) >= minLen) &&
+        t.rlike("^[A-Za-z0-9+/=_-]+$") &&
+        (size(array_distinct(split(t, ""))) >= minDistinct) &&
+        ((t.rlike("[a-z]").cast("int") + t.rlike("[A-Z]").cast("int") +
+          t.rlike("[0-9]").cast("int") + t.rlike("[+/=_-]").cast("int")) >= 3)
+    docs.select(
+      col("doc_id"),
+      array_join(
+        transform(words(col("text")),
+          t => when(isSecret(t), lit("<SECRET>")).otherwise(t)),
+        " ").as("clean_text"),
+      size(filter(words(col("text")), t => isSecret(t)))
+        .cast("long").as("n_secrets"))
+  }
+
   def chunkDocuments(
       docs: DataFrame, chunkTokens: Int = 16, overlap: Int = 4): DataFrame = {
     require(chunkTokens > overlap && overlap >= 0,

@@ -471,6 +471,26 @@ class TextDedupSpec extends SparkSpec {
     assert(out.size == 4)
   }
 
+  test("secretScrub redacts key-shaped tokens, keeps natural text") {
+    val d = docs(
+      // a base64-ish API key: 3 classes, 25 chars, high diversity
+      (1L, "token sk4fQ9zR2mWx7Kp0aBc3eD ok"),
+      // long but single-class (no digits/uppercase) -> kept
+      (2L, "supercalifragilisticexpialidocious stays"),
+      // long, 3 classes, but low diversity (repeats) -> kept
+      (3L, "AAAAAAAAAAAAAAAAAAAAa1 kept"),
+      // contains a char outside the key alphabet -> kept
+      (4L, "aB3!aB3!aB3!aB3!aB3!aB3! kept"),
+      (5L, "short aB3+ words only"))
+    val out = graft.text.TextAnalysis.secretScrub(d)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(1L) == (("token <SECRET> ok", 1L)))
+    assert(out(2L) == (("supercalifragilisticexpialidocious stays", 0L)))
+    assert(out(3L) == (("AAAAAAAAAAAAAAAAAAAAa1 kept", 0L)))
+    assert(out(4L) == (("aB3!aB3!aB3!aB3!aB3!aB3! kept", 0L)))
+    assert(out(5L) == (("short aB3+ words only", 0L)))
+  }
+
   test("editDistanceNearDups finds close prefixes, skips distant ones") {
     // 10-11: one substitution; 12: identical to 10; 13: unrelated
     val d = docs(
