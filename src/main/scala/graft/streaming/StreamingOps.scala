@@ -335,7 +335,8 @@ object StreamingOps {
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
   }
 
-  final case class ShardCardinality(shard: Long, est_distinct: Long)
+  final case class ShardCardinality(
+      shard: Long, est_distinct: Long, sketch: Array[Byte])
 
   /** Streaming distinct-key monitor (M66) — the streaming side of
     * [[graft.ops.Sketches]]: per-shard HLL sketch state (Apache
@@ -374,8 +375,11 @@ object StreamingOps {
         .map(HllSketch.heapify)
         .getOrElse(new HllSketch(lgK))
       it.foreach { case (_, k) => sk.update(k) }
-      state.update(sk.toUpdatableByteArray)
-      Iterator.single(ShardCardinality(shard, Math.round(sk.getEstimate)))
+      val bytes = sk.toUpdatableByteArray
+      state.update(bytes)
+      // the emitted sketch IS the state: downstream batch jobs union it
+      // with stored shard sketches via hll_union_agg (spec-pinned)
+      Iterator.single(ShardCardinality(shard, Math.round(sk.getEstimate), bytes))
     }
 
     rows

@@ -241,9 +241,22 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       mem.addData(51L to 150L: _*) // 50 repeats + 50 new
       q.processAllAvailable()
-      val ests = spark.table("card_stream").collect()
-        .map(r => r.getLong(1)).sorted
+      val rows = spark.table("card_stream").collect()
+      val ests = rows.map(r => r.getLong(1)).sorted
       assert(ests.toSeq == Seq(100L, 150L))
+      // interop: the emitted sketch bytes ARE DataSketches HLL state —
+      // Spark's builtin hll_union_agg must union them with a sketch
+      // built by the BATCH path (hll_sketch_agg) into one estimate
+      val streamSketch = rows.maxBy(_.getLong(1)).getAs[Array[Byte]]("sketch")
+      val batchSketch = spark.range(101L, 200L) // 100..199 overlaps 101..150
+        .select(col("id").cast("string").as("k"))
+        .agg(expr("hll_sketch_agg(k, 14)").as("sketch"))
+        .collect()(0).getAs[Array[Byte]](0)
+      import spark.implicits._
+      val unioned = Seq(streamSketch, batchSketch).toDF("sketch")
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sketch))"))
+        .collect()(0).getLong(0)
+      assert(unioned == 199L) // 1..150 ∪ 101..199, exact in coupon mode
     } finally q.stop()
   }
 
