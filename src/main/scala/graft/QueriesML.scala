@@ -983,36 +983,65 @@ object QueriesML {
         |WHERE rn = 1""".stripMargin)),
 
     // M68 secret scrub: credential-shaped tokens synthesized
-    // deterministically onto every 5th doc (the corpus itself carries
-    // none), redacted by the charclass+diversity rule; the oracle
-    // replays the identical predicate as DuckDB list lambdas.
+    // deterministically onto the corpus (which itself carries none):
+    // every 5th doc a base64-ish key (3-of-4-class rule), every 7th a
+    // 40-char hex API key and every 11th a 64-char SHA-style token
+    // (the hex disjunct — pure hex is only 2 char classes), every
+    // 13th a low-diversity hex decoy ("deadbeef"x4, 5 distinct chars)
+    // that must SURVIVE. The oracle replays the identical predicate
+    // as DuckDB list lambdas.
     Q("q_secret_scrub",
       (s, d) => TextAnalysis.secretScrub(
         documents(s, d).select(col("doc_id"),
-          when(col("doc_id") % 5 === 0,
-            concat(col("text"), lit(" Key"),
-              lpad(col("doc_id").cast("string"), 6, "0"),
-              lit("AbCdEfGh1234XyZw")))
-            .otherwise(col("text")).as("text"))),
+          concat(
+            when(col("doc_id") % 5 === 0,
+              concat(col("text"), lit(" Key"),
+                lpad(col("doc_id").cast("string"), 6, "0"),
+                lit("AbCdEfGh1234XyZw")))
+              .otherwise(col("text")),
+            when(col("doc_id") % 7 === 1,
+              concat(lit(" "), lpad(col("doc_id").cast("string"), 6, "0"),
+                lit("abcdef0123456789abcdef0123456789ff")))
+              .otherwise(lit("")),
+            when(col("doc_id") % 11 === 3,
+              concat(lit(" "), lpad(col("doc_id").cast("string"), 8, "0"),
+                lit("fedcba9876543210fedcba9876543210fedcba9876543210fedcba98")))
+              .otherwise(lit("")),
+            when(col("doc_id") % 13 === 2,
+              lit(" deadbeefdeadbeefdeadbeefdeadbeef"))
+              .otherwise(lit(""))).as("text"))),
       Some("""WITH seeded AS (SELECT doc_id,
-        |  CASE WHEN doc_id % 5 = 0
-        |       THEN text || ' Key' || lpad(doc_id::VARCHAR, 6, '0') || 'AbCdEfGh1234XyZw'
-        |       ELSE text END AS text FROM documents),
+        |  (CASE WHEN doc_id % 5 = 0
+        |        THEN text || ' Key' || lpad(doc_id::VARCHAR, 6, '0') || 'AbCdEfGh1234XyZw'
+        |        ELSE text END)
+        |  || (CASE WHEN doc_id % 7 = 1
+        |           THEN ' ' || lpad(doc_id::VARCHAR, 6, '0') || 'abcdef0123456789abcdef0123456789ff'
+        |           ELSE '' END)
+        |  || (CASE WHEN doc_id % 11 = 3
+        |           THEN ' ' || lpad(doc_id::VARCHAR, 8, '0') || 'fedcba9876543210fedcba9876543210fedcba9876543210fedcba98'
+        |           ELSE '' END)
+        |  || (CASE WHEN doc_id % 13 = 2
+        |           THEN ' deadbeefdeadbeefdeadbeefdeadbeef'
+        |           ELSE '' END) AS text FROM documents),
         |tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM seeded)
         |SELECT doc_id,
         |  array_to_string(list_transform(w, t ->
-        |    CASE WHEN length(t) >= 20
+        |    CASE WHEN (length(t) >= 20
         |          AND regexp_matches(t, '^[A-Za-z0-9+/=_-]+$')
         |          AND len(list_distinct(string_split(t, ''))) >= 12
         |          AND (regexp_matches(t, '[a-z]')::INT + regexp_matches(t, '[A-Z]')::INT
-        |               + regexp_matches(t, '[0-9]')::INT + regexp_matches(t, '[+/=_-]')::INT) >= 3
+        |               + regexp_matches(t, '[0-9]')::INT + regexp_matches(t, '[+/=_-]')::INT) >= 3)
+        |         OR (regexp_matches(t, '^[0-9a-fA-F]{32,}$')
+        |             AND len(list_distinct(string_split(t, ''))) >= 10)
         |         THEN '<SECRET>' ELSE t END), ' ') AS clean_text,
         |  len(list_filter(w, t ->
-        |    length(t) >= 20
-        |    AND regexp_matches(t, '^[A-Za-z0-9+/=_-]+$')
-        |    AND len(list_distinct(string_split(t, ''))) >= 12
-        |    AND (regexp_matches(t, '[a-z]')::INT + regexp_matches(t, '[A-Z]')::INT
-        |         + regexp_matches(t, '[0-9]')::INT + regexp_matches(t, '[+/=_-]')::INT) >= 3))::BIGINT
+        |    (length(t) >= 20
+        |     AND regexp_matches(t, '^[A-Za-z0-9+/=_-]+$')
+        |     AND len(list_distinct(string_split(t, ''))) >= 12
+        |     AND (regexp_matches(t, '[a-z]')::INT + regexp_matches(t, '[A-Z]')::INT
+        |          + regexp_matches(t, '[0-9]')::INT + regexp_matches(t, '[+/=_-]')::INT) >= 3)
+        |    OR (regexp_matches(t, '^[0-9a-fA-F]{32,}$')
+        |        AND len(list_distinct(string_split(t, ''))) >= 10)))::BIGINT
         |    AS n_secrets
         |FROM tok""".stripMargin)),
 
@@ -1703,8 +1732,14 @@ object QueriesML {
         val q = card.toDF().writeStream
           .outputMode("update").format("memory").queryName(mem).start()
         try { q.processAllAvailable() } finally { q.stop() }
-        s.table(mem).groupBy("shard")
+        // Dataset analysis is eager, so the result keeps its reference
+        // to the memory sink after the catalog entry is dropped —
+        // without the drop, repeated runs in one session accumulate
+        // uuid-named cached memory-sink tables.
+        val out = s.table(mem).groupBy("shard")
           .agg(max("est_distinct").as("est_distinct"))
+        s.catalog.dropTempView(mem)
+        out
       },
       Some(s"""WITH k AS (SELECT DISTINCT user_id::VARCHAR AS k FROM events)
         |SELECT (${hashSql("k")} % 16)::BIGINT AS shard,

@@ -208,13 +208,21 @@ object Clustering {
     * A cluster member ABSENT from `scores` keeps its place in
     * `cluster_size` but scores `Long.MinValue` — it is never preferred
     * over a scored member (in an all-unscored cluster the tie-break
-    * falls back to min doc_id, i.e. [[dedupAssign]]'s policy). */
+    * falls back to min doc_id, i.e. [[dedupAssign]]'s policy).
+    * `scores` is aggregated to one row per doc_id (max) before the
+    * join, so duplicate score rows can't inflate cluster sizes.
+    *
+    * The `-doc_id` tie-break negation would overflow at
+    * `doc_id == Long.MinValue`; doc ids are nonnegative everywhere in
+    * this engine, and negative ids would already break
+    * [[dedupAssign]]'s unclustered-singleton convention upstream. */
   def dedupAssignBy(
       docs: DataFrame,
       pairs: DataFrame,
       scores: DataFrame): DataFrame = {
     val cc = connectedComponents(pairs)
-    val scored = cc.join(scores, Seq("doc_id"), "left")
+    val uniqScores = scores.groupBy("doc_id").agg(max("score").as("score"))
+    val scored = cc.join(uniqScores, Seq("doc_id"), "left")
       .withColumn("score", coalesce(col("score"), lit(Long.MinValue)))
     val stats = scored.groupBy("cluster_id").agg(
       count(lit(1)).as("cluster_size"),

@@ -653,18 +653,38 @@ object TextAnalysis {
     * differently across engines). Natural words fail (1) or (2);
     * random-ish keys of real length pass all three.
     *
+    * Pure-hex credentials (32/40/64-char API keys, SHA-style tokens)
+    * only ever hit TWO character classes (lowercase+digit), so the
+    * ≥3-class rule alone would miss them — the blind spot
+    * detect-secrets covers with HexHighEntropyString alongside its
+    * base64 plugin. A second disjunct redacts any ≥`hexMinLen`-char
+    * pure-hex token with ≥`hexMinDistinct` distinct characters (10 of
+    * the 16 hex symbols ≈ the entropy bar; `deadbeefdeadbeef…`-style
+    * repeats and natural hex-ish words stay).
+    *
     * Zero shuffles — one narrow transform over the token array per row
     * (the M24 plan shape). Output: `(doc_id, clean_text, n_secrets)`. */
   def secretScrub(
       docs: DataFrame,
       minLen: Int = 20,
-      minDistinct: Int = 12): DataFrame = {
-    def isSecret(t: org.apache.spark.sql.Column) =
-      (length(t) >= minLen) &&
+      minDistinct: Int = 12,
+      hexMinLen: Int = 32,
+      hexMinDistinct: Int = 10): DataFrame = {
+    def isSecret(t: org.apache.spark.sql.Column) = {
+      // split(t, "") emits a trailing "" (Java split, limit -1): drop
+      // empties so the threshold counts real characters, matching the
+      // DuckDB oracle's string_split semantics.
+      def nDistinct = size(array_distinct(
+        filter(split(t, ""), c => c =!= lit(""))))
+      val base64ish = (length(t) >= minLen) &&
         t.rlike("^[A-Za-z0-9+/=_-]+$") &&
-        (size(array_distinct(split(t, ""))) >= minDistinct) &&
+        (nDistinct >= minDistinct) &&
         ((t.rlike("[a-z]").cast("int") + t.rlike("[A-Z]").cast("int") +
           t.rlike("[0-9]").cast("int") + t.rlike("[+/=_-]").cast("int")) >= 3)
+      val hexish = t.rlike(s"^[0-9a-fA-F]{$hexMinLen,}$$") &&
+        (nDistinct >= hexMinDistinct)
+      base64ish || hexish
+    }
     docs.select(
       col("doc_id"),
       array_join(

@@ -113,6 +113,20 @@ class ClusteringSpec extends SparkSpec {
     assert(out(6L) == ((5L, 2L, 0)))
   }
 
+  test("dedupAssignBy: duplicate score rows don't inflate clusters or output") {
+    val docs = spark.createDataFrame(Seq((1L, "x"), (2L, "x")))
+      .toDF("doc_id", "text")
+    // doc 1 scored twice (3 then 9): max wins, and the duplicate must
+    // neither double-count cluster_size nor duplicate output rows.
+    val scores = spark.createDataFrame(Seq((1L, 3L), (1L, 9L), (2L, 5L)))
+      .toDF("doc_id", "score")
+    val rows = Clustering.dedupAssignBy(docs, pairs((1L, 2L)), scores).collect()
+    assert(rows.length == 2)
+    val out = rows.map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getInt(3)))).toMap
+    assert(out(1L) == ((1L, 2L, 1))) // max(3,9)=9 beats 5
+    assert(out(2L) == ((1L, 2L, 0)))
+  }
+
   test("tfIdf ranks rare terms above common ones with rational idf") {
     val docs = spark.createDataFrame(Seq(
       (1L, "apple banana apple"),

@@ -491,6 +491,42 @@ class TextDedupSpec extends SparkSpec {
     assert(out(5L) == (("short aB3+ words only", 0L)))
   }
 
+  test("secretScrub redacts pure-hex credentials (detect-secrets hex gap)") {
+    val d = docs(
+      // 40-char hex API key: 2 char classes only, 16 distinct -> hex branch
+      (1L, "key abcdef0123456789abcdef0123456789ffee00 leaked"),
+      // 64-char SHA-style token -> hex branch
+      (2L, "sha fedcba9876543210fedcba9876543210fedcba9876543210fedcba987654 here"),
+      // 32-char hex but only 5 distinct chars (deadbeef x4) -> kept
+      (3L, "decoy deadbeefdeadbeefdeadbeefdeadbeef kept"),
+      // 29-char hex, high diversity, below hexMinLen=32 -> kept
+      (4L, "short abcdef0123456789abcdef0123456 kept"),
+      // 'g' breaks pure-hex; base branch fails on 2 char classes -> kept
+      (5L, "word abcdef0123456789abcdef012345678g kept"))
+    val out = graft.text.TextAnalysis.secretScrub(d)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(1L) == (("key <SECRET> leaked", 1L)))
+    assert(out(2L) == (("sha <SECRET> here", 1L)))
+    assert(out(3L) == (("decoy deadbeefdeadbeefdeadbeefdeadbeef kept", 0L)))
+    assert(out(4L) == (("short abcdef0123456789abcdef0123456 kept", 0L)))
+    assert(out(5L) == (("word abcdef0123456789abcdef012345678g kept", 0L)))
+  }
+
+  test("secretScrub distinct-char count excludes split's empty strings (boundary)") {
+    // exactly 11 distinct chars (a A 1 b B 2 c C 3 d D), 24 chars, 3
+    // classes: below minDistinct=12 -> KEPT. The pre-fix code counted
+    // split's trailing "" as a 12th "character" and redacted it,
+    // diverging from the DuckDB oracle.
+    val d = docs(
+      (1L, "edge aA1bB2cC3dDaA1bB2cC3dDa kept"),
+      // same token with a 12th distinct char (e) -> redacted
+      (2L, "edge aA1bB2cC3dDeA1bB2cC3dDe gone"))
+    val out = graft.text.TextAnalysis.secretScrub(d)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(1L) == (("edge aA1bB2cC3dDaA1bB2cC3dDa kept", 0L)))
+    assert(out(2L) == (("edge <SECRET> gone", 1L)))
+  }
+
   test("editDistanceNearDups finds close prefixes, skips distant ones") {
     // 10-11: one substitution; 12: identical to 10; 13: unrelated
     val d = docs(
