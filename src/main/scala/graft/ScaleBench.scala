@@ -1019,6 +1019,141 @@ object ScaleBench {
     }
     Caching.release()
 
+    // B31: streaming HLL in its ESTIMATION regime (M66) — the fixture
+    // gate proves coupon-exact mode only (StreamingOps scaladoc says
+    // so). Here each of 16 shards sees ~687k distinct keys (lgK 14 →
+    // K=16384, deep estimation mode) arriving over 10 micro-batches
+    // (file source, one 2M-row file per trigger, 50% inter-batch key
+    // overlap → 20M rows, 11M distinct). REQUIREs: (1) every shard
+    // updated in all 10 batches; (2) the union of the final per-shard
+    // stream sketches estimates EXACTLY what one whole-corpus batch
+    // hll_sketch_agg estimates — the shards partition the key space,
+    // so register-max union must reproduce the single-pass registers:
+    // the interop property that lets persisted streaming shard state
+    // merge with batch sketches at 100 TB; (3) the estimate is within
+    // 4% of the true 11M (σ ≈ 0.82% at lgK 14); (4) every emitted
+    // state blob stays ≤ 40 KB — the hard per-shard state bound.
+    val b31dir = java.nio.file.Files.createTempDirectory("scale_stream_hll")
+    for (i <- 0 until 10)
+      spark.range(i * 1000000L, i * 1000000L + 2000000L)
+        .select(col("id").as("user_id")).coalesce(1)
+        .write.mode("append").parquet(b31dir.toString)
+    var b31est = 0L
+    val (b31s, b31n) = time {
+      val b31schema = spark.read.parquet(b31dir.toString).schema
+      val b31stream = spark.readStream.schema(b31schema)
+        .option("maxFilesPerTrigger", "1").parquet(b31dir.toString)
+      val b31q = graft.streaming.StreamingOps.cardinalityStream(
+        b31stream, "user_id", shards = 16, lgK = 14)
+        .toDF().writeStream.format("memory").queryName("b31_card")
+        .outputMode("update").start()
+      try b31q.processAllAvailable() finally b31q.stop()
+      val emitted = spark.table("b31_card").persist()
+      // final state per shard = the max-estimate emission (register
+      // updates only grow the estimate; a stale pick would undercount
+      // the union and fail REQUIRE (2) loudly, never pass silently)
+      val perShard = emitted.groupBy("shard").agg(
+        count(lit(1)).as("n_updates"),
+        expr("max_by(sketch, est_distinct)").as("sketch"))
+        .collect()
+      require(perShard.length == 16,
+        s"B31 ${perShard.length} shards emitted, want 16")
+      perShard.foreach { r =>
+        require(r.getLong(1) == 10L,
+          s"B31 shard ${r.getLong(0)} updated ${r.getLong(1)} times, want 10") }
+      val b31maxBytes = emitted
+        .select(max(length(col("sketch")))).collect()(0).getInt(0)
+      require(b31maxBytes <= 40960,
+        s"B31 sketch state $b31maxBytes bytes breaks the ≤40KB bound")
+      val b31union = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          perShard.toSeq.map(r => org.apache.spark.sql.Row(
+            r.getAs[Array[Byte]]("sketch")))),
+        new org.apache.spark.sql.types.StructType()
+          .add("sketch", org.apache.spark.sql.types.BinaryType))
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sketch))"))
+        .collect()(0).getLong(0)
+      val b31batch = spark.read.parquet(b31dir.toString)
+        .select(col("user_id").cast("string").as("k"))
+        .agg(expr("hll_sketch_estimate(hll_sketch_agg(k, 14))"))
+        .collect()(0).getLong(0)
+      require(b31union == b31batch,
+        s"B31 stream-union estimate $b31union != whole-corpus batch $b31batch")
+      require(math.abs(b31union - 11000000L) <= 440000L,
+        s"B31 estimate $b31union outside 4% of 11M")
+      b31est = b31union
+      emitted.unpersist()
+      spark.catalog.dropTempView("b31_card")
+      11000000L
+    }
+    deleteRecursive(b31dir); Caching.release()
+
+    // B32: quality-aware canonical selection (M67) at B9 scale — the
+    // same 8M-edge graph (2M size-4 cliques + a 1000-node chain) plus
+    // 1M unclustered singleton docs, with planted integer scores whose
+    // winner is closed-form: cliques k ≡ 0 (mod 3) score member 4k+3
+    // highest (keep-best DIVERGES from min-id), the rest score member
+    // 4k highest (agrees); the chain cluster is entirely UNSCORED
+    // (min-id fallback) and every clique score row is planted TWICE
+    // (real value + a lower duplicate) to pin the duplicate-score
+    // aggregation at scale. REQUIREs: output row count, total keeper
+    // count, the exact divergent/agreeing cluster split, per-clique
+    // cluster sizes, the chain keeper, and the unscored fallback
+    // row-for-row equal to dedupAssign on the same subgraph.
+    val b32docs = spark.range(8000000L).select(col("id").as("doc_id"))
+      .unionByName(spark.range(1000L)
+        .select((col("id") + chainBase).as("doc_id")))
+      .unionByName(spark.range(1000000L)
+        .select((col("id") + 200000000L).as("doc_id")))
+    val b32base = spark.range(8000000L).select(
+      col("id").as("doc_id"),
+      when(expr("(id div 4) % 3") === 0, col("id") % 4)
+        .otherwise(lit(3L) - col("id") % 4).as("score"))
+    val b32scores = b32base.unionByName(
+      b32base.select(col("doc_id"), (col("score") - 10L).as("score")))
+    val (b32s, b32div) = time {
+      val out = graft.dedup.Clustering.dedupAssignBy(
+        b32docs, cliqueEdges.unionByName(chainEdges), b32scores)
+      val r = out.agg(
+        count(lit(1)),
+        sum(col("keep").cast("long")),
+        sum(when(col("keep") === 1 && col("doc_id") < 8000000L &&
+          col("doc_id") % 4 === 3, 1L).otherwise(0L)),
+        sum(when(col("keep") === 1 && col("doc_id") < 8000000L &&
+          col("doc_id") % 4 === 0, 1L).otherwise(0L)),
+        sum(when(col("keep") === 1 && col("cluster_size") === 4L, 1L)
+          .otherwise(0L)),
+        max(when(col("doc_id") >= chainBase &&
+          col("doc_id") < 200000000L && col("keep") === 1, col("doc_id")))
+      ).collect()(0)
+      require(r.getLong(0) == 9001000L,
+        s"B32 output rows ${r.getLong(0)} != 9001000")
+      require(r.getLong(1) == 3000001L,
+        s"B32 keepers ${r.getLong(1)} != 2M cliques + 1 chain + 1M singletons")
+      require(r.getLong(2) == 666667L,
+        s"B32 keep-best diverged from min-id in ${r.getLong(2)} clusters, want 666667")
+      require(r.getLong(3) == 1333333L,
+        s"B32 keep-best agreed with min-id in ${r.getLong(3)} clusters, want 1333333")
+      require(r.getLong(4) == 2000000L,
+        s"B32 clique keepers with cluster_size 4: ${r.getLong(4)} != 2000000")
+      require(r.getLong(5) == chainBase,
+        s"B32 unscored chain keeper ${r.getLong(5)} != min-id $chainBase")
+      r.getLong(2)
+    }
+    // unscored fallback == dedupAssign, row for row, on the chain
+    val b32chainDocs = spark.range(1000L)
+      .select((col("id") + chainBase).as("doc_id"))
+    val b32noScores = spark.range(0L)
+      .select(col("id").as("doc_id"), col("id").as("score"))
+    val b32viaBy = graft.dedup.Clustering.dedupAssignBy(
+      b32chainDocs, chainEdges, b32noScores)
+    val b32viaMin = graft.dedup.Clustering.dedupAssign(
+      b32chainDocs, chainEdges)
+    require(b32viaBy.exceptAll(b32viaMin).count() == 0L &&
+      b32viaMin.exceptAll(b32viaBy).count() == 0L,
+      "B32 unscored dedupAssignBy != dedupAssign on the chain subgraph")
+    Caching.release()
+
     val b1rate = "%.1f".format(src.ncells * 32 / b1s / 1e6)
     val b3rate = "%.1f".format(b3n / b3s / 1e6)
     val json =
@@ -1069,12 +1204,37 @@ object ScaleBench {
         s""""b28_icon_regions_sec":$b28s,"b28_cells":1000000,"b28_regions":$b28nr,""" +
         s""""b28_assembly_sec":$b28as,"b28_rows":$b28an,"b28_nc_bytes":$b28bytes,""" +
         s""""b29_hll_sec":$b29s,"b29_rows":50000000,"b29_distinct":$b29n,""" +
-        s""""b30_speciate_sec":$b30s,"b30_rows":$b30n}"""
+        s""""b30_speciate_sec":$b30s,"b30_rows":$b30n,""" +
+        s""""b31_stream_hll_sec":$b31s,"b31_rows":20000000,"b31_distinct":$b31n,""" +
+        s""""b31_est":$b31est,"b31_batches":10,"b31_shards":16,""" +
+        s""""b32_keepbest_sec":$b32s,"b32_docs":9001000,"b32_edges":8000999,""" +
+        s""""b32_divergent":$b32div}"""
     println(json)
+    // Fold the per-entry minimum across the run series into a "best"
+    // object before persisting: the committed artifact carries BOTH the
+    // current run and the series minima, so a re-run extends the series
+    // instead of overwriting it (previously folded by hand after each
+    // run — one missed fold would have lost the citable minima).
+    val secRe = """"(b\w*_sec)":\s*([-+0-9.eE]+)""".r
+    val prior: Map[String, Double] =
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("BENCH_SCALE.json")), "UTF-8")
+        secRe.findAllMatchIn(txt).toSeq
+          .groupMapReduce(_.group(1))(_.group(2).toDouble)(math.min)
+      } catch { case _: Throwable => Map.empty }
+    val current = secRe.findAllMatchIn(json).toSeq
+      .groupMapReduce(_.group(1))(_.group(2).toDouble)(math.min)
+    val bestObj = (prior.keySet ++ current.keySet).toSeq.sorted.map { k =>
+      val v = math.min(prior.getOrElse(k, Double.MaxValue),
+        current.getOrElse(k, Double.MaxValue))
+      s""""$k":$v"""
+    }.mkString("{", ",", "}")
+    val jsonWithBest = json.dropRight(1) + s""","best":$bestObj}"""
     // durable copy for the round artifacts (same pattern as BENCH_LAST)
     java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_SCALE.json"),
-      (json + "\n").getBytes("UTF-8"))
+      (jsonWithBest + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }
