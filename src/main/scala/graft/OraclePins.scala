@@ -40,6 +40,15 @@ object OraclePins {
       ('TRO', 'CH4', '3.221384972505391e+19'::DOUBLE, 6::BIGINT),
       ('TRO', 'CO2', '3.221384972505391e+19'::DOUBLE, 6::BIGINT)
       ) AS t(category, substance, total, n_cells)""",
+    // q_edgar_dsv2: the DataSource V2 read path must reproduce
+    // q_edgar_dir's rows exactly — same pinned values.
+    "q_edgar_dsv2" ->
+      """SELECT * FROM (VALUES
+      ('ENE', 'CH4', '3.221384972505391e+19'::DOUBLE, 6::BIGINT),
+      ('ENE', 'CO2', '3.221384972505391e+19'::DOUBLE, 6::BIGINT),
+      ('TRO', 'CH4', '3.221384972505391e+19'::DOUBLE, 6::BIGINT),
+      ('TRO', 'CO2', '3.221384972505391e+19'::DOUBLE, 6::BIGINT)
+      ) AS t(category, substance, total, n_cells)""",
     "q_edgar_profiles" ->
       """SELECT * FROM (VALUES
       ('howm', 'CHE', 'TRO', 336::BIGINT, '1.0'::DOUBLE, '0.006206897'::DOUBLE),

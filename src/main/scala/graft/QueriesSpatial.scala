@@ -555,6 +555,23 @@ object QueriesSpatial {
           .groupBy("category", "substance")
           .agg(round(sum("value"), 6).as("total"), count(lit(1)).as("n_cells"))
       },
+      None),
+
+    // The SAME EDGAR aggregate through `spark.read.format("netcdf")` —
+    // the DataSource V2 form of the read above (SURVEY §4 item 4): one
+    // task per file, variable/file/bbox predicates prune at scan
+    // (NetcdfDsv2Spec pins that unselected variables are never
+    // decoded). Shares q_edgar_dir's pinned oracle values: identical
+    // rows through an independent read path.
+    Q("q_edgar_dsv2",
+      (s, _) => {
+        val (grid, _) = graft.sources.GlobalRasters.readEdgarDir(
+          s, "/root/repo/fixtures/edgar")
+        graft.sources.GlobalRasters.readEdgarDirV2(
+          s, "/root/repo/fixtures/edgar", grid)
+          .groupBy("category", "substance")
+          .agg(round(sum("value"), 6).as("total"), count(lit(1)).as("n_cells"))
+      },
       None)
   )
 }

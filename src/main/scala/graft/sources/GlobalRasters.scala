@@ -93,6 +93,38 @@ object GlobalRasters {
     }.toDF("cell_id", "category", "substance", "value")
   }
 
+  /** EDGAR directory through the `netcdf` DataSource V2
+    * ([[graft.sources.v2.NetcdfSource]]) — row-identical to
+    * [[readEdgarDirDistributed]] (same area formula in the same Column
+    * FP order; gate-pinned), but catalog-idiomatic: `spark.read
+    * .format("netcdf").load(dir)` plans one task per file, and
+    * variable/file/bbox predicates a caller adds on top PRUNE AT SCAN
+    * (unselected variables are never decoded — the DSv2 upgrade of
+    * SURVEY §4 item 4 over this object's binaryFile form). The grid is
+    * validated against `expected` per ROW via `assert_true` inside a
+    * filter, so a mismatched file fails the job instead of silently
+    * dropping (the per-task `require` of the binaryFile form). */
+  def readEdgarDirV2(
+      spark: SparkSession,
+      dir: String,
+      expected: RegularGrid): DataFrame = {
+    val g = expected
+    val gridOk = col("nx") === g.nx && col("ny") === g.ny &&
+      col("xmin") === g.xmin && col("ymin") === g.ymin &&
+      col("dx") === g.dx && col("dy") === g.dy
+    val conv = udfFreeAreaCol(g)
+    spark.read.format("netcdf").load(dir)
+      .where(assert_true(gridOk,
+        concat(col("file"), lit(": grid differs from "), lit(g.toString))).isNull)
+      .where(col("flux") =!= 0.0)
+      .select(
+        (col("lon_idx").cast("long") * g.ny + col("lat_idx")).as("cell_id"),
+        regexp_replace(element_at(split(col("file"), "_", 2), 2), "\\.nc$", "")
+          .as("category"),
+        element_at(split(col("file"), "_", 2), 1).as("substance"),
+        (col("flux") * conv * GfasLoader.SecPerYear).as("value"))
+  }
+
   /** Spherical cell area as a Column of the lat index — the reference's
     * lat-dependent `cell_areas` (emiproc/grids.py:791-806). */
   private def udfFreeAreaCol(g: RegularGrid) = {

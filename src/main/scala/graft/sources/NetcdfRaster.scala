@@ -52,6 +52,42 @@ object NetcdfRaster {
     bytes.length >= 8 && bytes(0) == 0x89.toByte &&
       bytes(1) == 'H' && bytes(2) == 'D' && bytes(3) == 'F'
 
+  /** Names of the 2-D (lat,lon)/(lon,lat) raster variables in a CF
+    * file WITHOUT decoding any data — header/metadata only, both
+    * container types. This is the variable-pushdown planning surface
+    * of the `netcdf` DataSource V2 ([[graft.sources.v2.NetcdfSource]]):
+    * pushed `variable` predicates intersect with this list, and only
+    * the survivors are ever decoded. */
+  def rasterVariables(bytes: Array[Byte]): Seq[String] =
+    if (isHdf5(bytes)) {
+      val h5 = Hdf5Classic.open(bytes)
+      val names = h5.list("/")
+      def unitsAttr(n: String): String =
+        h5.attributes(s"/$n").find(_.name == "units").map(_.text).getOrElse("")
+      def find(cands: Set[String], units: String): String =
+        names.find(n => cands.contains(n.toLowerCase))
+          .orElse(names.find(n => unitsAttr(n).startsWith(units)))
+          .getOrElse(throw new NoSuchElementException(
+            s"no coordinate variable among ${cands.mkString("/")}"))
+      val latName = find(LatNames, "degrees_north")
+      val lonName = find(LonNames, "degrees_east")
+      val nLat = h5.datasetDims(s"/$latName").head
+      val nLon = h5.datasetDims(s"/$lonName").head
+      names.filter { n =>
+        n != latName && n != lonName && {
+          val d = h5.datasetDims(s"/$n")
+          d.length == 2 && d.toSet == Set(nLat, nLon)
+        }
+      }
+    } else {
+      val f = readHeader(bytes)
+      val latDim = findCoord(f, LatNames, "degrees_north").dimIds.head
+      val lonDim = findCoord(f, LonNames, "degrees_east").dimIds.head
+      f.vars.filter(v => v.dimIds.length == 2 &&
+        v.dimIds.contains(latDim) && v.dimIds.contains(lonDim))
+        .map(_.name).toSeq
+    }
+
   /** PURE parser: raster bytes → (grid, `(lon_idx, lat_idx,
     * variable, flux)` rows), NaN cells dropped. Dispatches on the magic
     * number: classic CDF-1/2 via [[NetcdfClassic]], NetCDF-4/HDF5
