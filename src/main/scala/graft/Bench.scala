@@ -72,17 +72,25 @@ object Bench {
       java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH_LAST.json"),
         (line + "\n").getBytes("UTF-8"))
-      // A tagged run ALSO lands in a round-stamped file the driver never
-      // writes (the driver sets no tag): BENCH_LAST.json gets clobbered
-      // in place by the driver's own bench run, which in r14 overwrote
-      // the citable idle-box artifact. SPARK_GRAFT_BENCH_TAG=r15 →
-      // BENCH_LOCAL_r15.json, committed per round.
-      sys.env.get("SPARK_GRAFT_BENCH_TAG").foreach { tag =>
-        java.nio.file.Files.write(
-          java.nio.file.Paths.get(s"BENCH_LOCAL_$tag.json"),
-          (line + "\n").getBytes("UTF-8"))
-      }
     } catch { case _: Throwable => () }
+    // A tagged run ALSO lands in a round-stamped file the driver never
+    // writes (the driver sets no tag): BENCH_LAST.json gets clobbered
+    // in place by the driver's own bench run, which in r14 overwrote
+    // the citable idle-box artifact. SPARK_GRAFT_BENCH_TAG=r15 →
+    // BENCH_LOCAL_r15.json, committed per round. Unlike BENCH_LAST
+    // above (best-effort), this write fails LOUDLY — a tag that
+    // silently wrote nothing would recreate the exact data loss the
+    // tag exists to prevent.
+    sys.env.get("SPARK_GRAFT_BENCH_TAG").foreach { tag =>
+      require(tag.matches("[A-Za-z0-9._-]+"),
+        s"bad SPARK_GRAFT_BENCH_TAG '$tag' (want [A-Za-z0-9._-]+)")
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"BENCH_LOCAL_$tag.json"),
+        (line + "\n").getBytes("UTF-8"))
+      catch { case t: Throwable =>
+        System.err.println(s"[bench] FAILED writing BENCH_LOCAL_$tag.json: $t")
+      }
+    }
     // The driver keeps only a ~2000-char stdout TAIL and parses a JSON
     // line out of it. The full per-query line is >4KB — it can never sit
     // whole inside that window. Emit a COMPACT variant (suite total + the

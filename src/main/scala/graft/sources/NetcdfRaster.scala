@@ -62,15 +62,7 @@ object NetcdfRaster {
     if (isHdf5(bytes)) {
       val h5 = Hdf5Classic.open(bytes)
       val names = h5.list("/")
-      def unitsAttr(n: String): String =
-        h5.attributes(s"/$n").find(_.name == "units").map(_.text).getOrElse("")
-      def find(cands: Set[String], units: String): String =
-        names.find(n => cands.contains(n.toLowerCase))
-          .orElse(names.find(n => unitsAttr(n).startsWith(units)))
-          .getOrElse(throw new NoSuchElementException(
-            s"no coordinate variable among ${cands.mkString("/")}"))
-      val latName = find(LatNames, "degrees_north")
-      val lonName = find(LonNames, "degrees_east")
+      val (latName, lonName) = h5CoordNames(h5, names)
       val nLat = h5.datasetDims(s"/$latName").head
       val nLon = h5.datasetDims(s"/$lonName").head
       names.filter { n =>
@@ -83,10 +75,30 @@ object NetcdfRaster {
       val f = readHeader(bytes)
       val latDim = findCoord(f, LatNames, "degrees_north").dimIds.head
       val lonDim = findCoord(f, LonNames, "degrees_east").dimIds.head
-      f.vars.filter(v => v.dimIds.length == 2 &&
+      // >= 2 dims, MATCHING parseRaster's default detection: a 3-D
+      // (time, lat, lon) variable must surface here so parseRaster
+      // fails loudly on it — silently dropping it from the listing
+      // would make the DSv2 path return partial data where the
+      // binaryFile path errors.
+      f.vars.filter(v => v.dimIds.length >= 2 &&
         v.dimIds.contains(latDim) && v.dimIds.contains(lonDim))
         .map(_.name).toSeq
     }
+
+  /** CF coordinate pair of an HDF5 raster: by name, else by `units`
+    * attribute — shared by [[rasterVariables]] and the decode path so
+    * the planning surface and the decoder can't drift. */
+  private def h5CoordNames(
+      h5: Hdf5Classic.H5, names: Seq[String]): (String, String) = {
+    def unitsAttr(n: String): String =
+      h5.attributes(s"/$n").find(_.name == "units").map(_.text).getOrElse("")
+    def find(cands: Set[String], units: String): String =
+      names.find(n => cands.contains(n.toLowerCase))
+        .orElse(names.find(n => unitsAttr(n).startsWith(units)))
+        .getOrElse(throw new NoSuchElementException(
+          s"no coordinate variable among ${cands.mkString("/")}"))
+    (find(LatNames, "degrees_north"), find(LonNames, "degrees_east"))
+  }
 
   /** PURE parser: raster bytes → (grid, `(lon_idx, lat_idx,
     * variable, flux)` rows), NaN cells dropped. Dispatches on the magic
@@ -142,15 +154,7 @@ object NetcdfRaster {
       variables: Option[Seq[String]]): (RegularGrid, Seq[(Int, Int, String, Double)]) = {
     val h5 = Hdf5Classic.open(bytes)
     val names = h5.list("/")
-    def unitsAttr(n: String): String =
-      h5.attributes(s"/$n").find(_.name == "units").map(_.text).getOrElse("")
-    def findCoord(cands: Set[String], units: String): String =
-      names.find(n => cands.contains(n.toLowerCase))
-        .orElse(names.find(n => unitsAttr(n).startsWith(units)))
-        .getOrElse(throw new NoSuchElementException(
-          s"no coordinate variable among ${cands.mkString("/")}"))
-    val latName = findCoord(LatNames, "degrees_north")
-    val lonName = findCoord(LonNames, "degrees_east")
+    val (latName, lonName) = h5CoordNames(h5, names)
     val lats = h5.readDataset(s"/$latName").data
     val lons = h5.readDataset(s"/$lonName").data
     val (ymin, dy) = regularAxis(lats)
@@ -158,10 +162,12 @@ object NetcdfRaster {
     val grid = RegularGrid(lons.length, lats.length, xmin, ymin, dx, dy)
     val nLat = lats.length; val nLon = lons.length
 
+    // auto-detect via datasetDims (header only), not readDataset — the
+    // shared shape predicate of rasterVariables
     val wanted = variables.getOrElse(
       names.filter { n =>
         n != latName && n != lonName && {
-          val d = h5.readDataset(s"/$n").dims
+          val d = h5.datasetDims(s"/$n")
           d.length == 2 && d.toSet == Set(nLat, nLon)
         }
       })

@@ -77,8 +77,11 @@ object NetcdfSource {
     * `dir` + `*.nc` glob, or a single file. Driver-side listing only — the
     * bytes stay in the executors' partition readers. */
   private[graft] def listFiles(path: String): Seq[String] = {
-    val f = new java.io.File(
-      if (path.endsWith("*.nc")) path.stripSuffix("/*.nc") else path)
+    val norm = if (path.endsWith("/*.nc")) path.stripSuffix("/*.nc") else path
+    require(!norm.contains("*"),
+      s"unsupported glob '$path' — pass a directory, dir/*.nc, or one file " +
+        "(prune files with a `file` predicate instead)")
+    val f = new java.io.File(norm)
     val files =
       if (f.isDirectory)
         Option(f.listFiles()).getOrElse(Array.empty)
@@ -133,21 +136,24 @@ private final class NetcdfScanBuilder(path: String)
           fileFilter = narrow(fileFilter, Set(v)); true
         case In("file", vs) if vs.forall(_.isInstanceOf[String]) =>
           fileFilter = narrow(fileFilter, vs.map(_.asInstanceOf[String]).toSet); true
+        // strict bounds at the Int extremes would overflow on the ±1
+        // (GreaterThan(MaxValue) must match NOTHING, not everything) —
+        // those two degenerate predicates stay residual instead
         case GreaterThanOrEqual("lon_idx", v: Int) =>
           bbox = bbox.copy(lonGe = Some(bbox.lonGe.fold(v)(math.max(_, v)))); true
-        case GreaterThan("lon_idx", v: Int) =>
+        case GreaterThan("lon_idx", v: Int) if v < Int.MaxValue =>
           bbox = bbox.copy(lonGe = Some(bbox.lonGe.fold(v + 1)(math.max(_, v + 1)))); true
         case LessThanOrEqual("lon_idx", v: Int) =>
           bbox = bbox.copy(lonLe = Some(bbox.lonLe.fold(v)(math.min(_, v)))); true
-        case LessThan("lon_idx", v: Int) =>
+        case LessThan("lon_idx", v: Int) if v > Int.MinValue =>
           bbox = bbox.copy(lonLe = Some(bbox.lonLe.fold(v - 1)(math.min(_, v - 1)))); true
         case GreaterThanOrEqual("lat_idx", v: Int) =>
           bbox = bbox.copy(latGe = Some(bbox.latGe.fold(v)(math.max(_, v)))); true
-        case GreaterThan("lat_idx", v: Int) =>
+        case GreaterThan("lat_idx", v: Int) if v < Int.MaxValue =>
           bbox = bbox.copy(latGe = Some(bbox.latGe.fold(v + 1)(math.max(_, v + 1)))); true
         case LessThanOrEqual("lat_idx", v: Int) =>
           bbox = bbox.copy(latLe = Some(bbox.latLe.fold(v)(math.min(_, v)))); true
-        case LessThan("lat_idx", v: Int) =>
+        case LessThan("lat_idx", v: Int) if v > Int.MinValue =>
           bbox = bbox.copy(latLe = Some(bbox.latLe.fold(v - 1)(math.min(_, v - 1)))); true
         case _ => false
       }

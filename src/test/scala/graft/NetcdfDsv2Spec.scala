@@ -117,6 +117,51 @@ class NetcdfDsv2Spec extends SparkSpec {
     assert(filters.isEmpty, s"residual filters: $filters")
   }
 
+  test("3-D variables fail loudly via DSv2 (no silent drop vs binaryFile path)") {
+    val dir = java.nio.file.Files.createTempDirectory("dsv2nc3d")
+    val bad3d = build(
+      Seq(("latitude", 2), ("longitude", 3), ("time", 2)),
+      Seq(
+        V("latitude", Seq(0), NcDouble, Seq("units" -> "degrees_north"),
+          doubles(10.0, 12.0), 16),
+        V("longitude", Seq(1), NcDouble, Seq("units" -> "degrees_east"),
+          doubles(100.0, 102.0, 104.0), 24),
+        V("flux", Seq(0, 1), NcFloat, Nil,
+          b => (1 to 6).foreach(v => b.putFloat(v.toFloat)), 24),
+        V("bad", Seq(2, 0, 1), NcFloat, Nil,
+          b => (1 to 12).foreach(v => b.putFloat(v.toFloat)), 48)))
+    java.nio.file.Files.write(dir.resolve("X_Y.nc"), bad3d)
+    // unfiltered read must THROW on the 3-D variable, exactly like the
+    // binaryFile path's parseRaster default — not skip it silently
+    intercept[Exception] {
+      spark.read.format("netcdf").load(dir.toString).count()
+    }
+    // naming the 2-D variable prunes the poison var's decode entirely
+    val n = spark.read.format("netcdf").load(dir.toString)
+      .where(col("variable") === "flux").count()
+    assert(n == 6)
+  }
+
+  test("bbox predicates at the Int extremes stay correct (no overflow)") {
+    val dir = writeDir()
+    val base = spark.read.format("netcdf").load(dir.toString)
+    assert(base.where(col("lon_idx") > Int.MaxValue).count() == 0)
+    assert(base.where(col("lat_idx") < Int.MinValue).count() == 0)
+    assert(base.where(col("lon_idx") > (Int.MaxValue - 1)).count() == 0)
+  }
+
+  test("unsupported globs are rejected with a clear planning error") {
+    val dir = writeDir()
+    val e = intercept[Throwable] {
+      spark.read.format("netcdf").load(s"$dir/CO2_*.nc").count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("unsupported glob")))
+    // the supported dir/*.nc form still loads
+    assert(spark.read.format("netcdf").load(s"$dir/*.nc").count() == 24)
+  }
+
   test("readEdgarDirV2 == readEdgarDirDistributed on the committed fixture") {
     val dir = "/root/repo/fixtures/edgar"
     val (grid, _) = GlobalRasters.readEdgarDir(spark, dir)
