@@ -49,6 +49,13 @@ object OraclePins {
       ('TRO', 'CH4', '3.221384972505391e+19'::DOUBLE, 6::BIGINT),
       ('TRO', 'CO2', '3.221384972505391e+19'::DOUBLE, 6::BIGINT)
       ) AS t(category, substance, total, n_cells)""",
+    // q_edgar_dsv2_pushdown: the file-pruned scan must produce exactly
+    // the CH4 half of the pin above — and nothing else.
+    "q_edgar_dsv2_pushdown" ->
+      """SELECT * FROM (VALUES
+      ('ENE', 'CH4', '3.221384972505391e+19'::DOUBLE, 6::BIGINT),
+      ('TRO', 'CH4', '3.221384972505391e+19'::DOUBLE, 6::BIGINT)
+      ) AS t(category, substance, total, n_cells)""",
     "q_edgar_profiles" ->
       """SELECT * FROM (VALUES
       ('howm', 'CHE', 'TRO', 336::BIGINT, '1.0'::DOUBLE, '0.006206897'::DOUBLE),

@@ -572,6 +572,23 @@ object QueriesSpatial {
           .groupBy("category", "substance")
           .agg(round(sum("value"), 6).as("total"), count(lit(1)).as("n_cells"))
       },
+      None),
+
+    // The pushdown path of the same scan, gate-verified: a `file` IN
+    // predicate prunes partitions at planning and a `variable`
+    // predicate prunes decode inside the parser (NetcdfDsv2Spec pins
+    // the mechanics; this pins the VALUES those pruned plans produce —
+    // the CH4 half of q_edgar_dsv2's pin).
+    Q("q_edgar_dsv2_pushdown",
+      (s, _) => {
+        val (grid, _) = graft.sources.GlobalRasters.readEdgarDir(
+          s, "/root/repo/fixtures/edgar")
+        graft.sources.GlobalRasters.readEdgarDirV2(
+          s, "/root/repo/fixtures/edgar", grid,
+          files = Seq("CH4_ENE.nc", "CH4_TRO.nc"))
+          .groupBy("category", "substance")
+          .agg(round(sum("value"), 6).as("total"), count(lit(1)).as("n_cells"))
+      },
       None)
   )
 }

@@ -107,13 +107,19 @@ object GlobalRasters {
   def readEdgarDirV2(
       spark: SparkSession,
       dir: String,
-      expected: RegularGrid): DataFrame = {
+      expected: RegularGrid,
+      files: Seq[String] = Nil): DataFrame = {
     val g = expected
     val gridOk = col("nx") === g.nx && col("ny") === g.ny &&
       col("xmin") === g.xmin && col("ymin") === g.ymin &&
       col("dx") === g.dx && col("dy") === g.dy
     val conv = udfFreeAreaCol(g)
-    spark.read.format("netcdf").load(dir)
+    val base = spark.read.format("netcdf").load(dir)
+    // a non-empty `files` becomes an In("file", ...) the scan handles
+    // at planning — whole unnamed files never get a partition
+    val pruned =
+      if (files.isEmpty) base else base.where(col("file").isin(files: _*))
+    pruned
       .where(assert_true(gridOk,
         concat(col("file"), lit(": grid differs from "), lit(g.toString))).isNull)
       .where(col("flux") =!= 0.0)
