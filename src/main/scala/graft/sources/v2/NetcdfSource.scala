@@ -5,7 +5,8 @@ import java.util
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{Expressions, Literal, NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
@@ -176,7 +177,36 @@ private[graft] final class NetcdfScan(
     required: StructType,
     val variables: Option[Set[String]],
     val files: Option[Set[String]],
-    val bbox: IdxBbox) extends Scan with Batch {
+    val bbox: IdxBbox) extends Scan with Batch
+    with SupportsRuntimeV2Filtering {
+
+  /** Set by [[filter]] when dynamic partition pruning fires: Spark
+    * evaluates the broadcast side of a join on `file` first, then hands
+    * the surviving keys here BEFORE planInputPartitions — so a join
+    * against a small file manifest scans only the named files, the DPP
+    * idiom at fleet scale. */
+  @volatile private[graft] var runtimeFiles: Option[Set[String]] = None
+
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column("file"))
+
+  override def filter(predicates: Array[Predicate]): Unit =
+    predicates.foreach { p =>
+      val names: Option[Set[String]] = p.name() match {
+        case "IN" | "=" =>
+          val kids = p.children()
+          val onFile = kids.collect {
+            case r: NamedReference if r.fieldNames.sameElements(Array("file")) => r
+          }
+          val lits = kids.collect { case l: Literal[_] => l.value().toString }
+          if (onFile.length == 1 && lits.length == kids.length - 1)
+            Some(lits.toSet)
+          else None
+        case _ => None // unrecognized predicate: ignore = no pruning, never wrong rows
+      }
+      names.foreach(ns =>
+        runtimeFiles = Some(runtimeFiles.fold(ns)(_ intersect ns)))
+    }
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -188,7 +218,9 @@ private[graft] final class NetcdfScan(
 
   override def planInputPartitions(): Array[InputPartition] = {
     val all = NetcdfSource.listFiles(path)
-    val kept = files.fold(all)(names => all.filter(p =>
+    val pushed = files.fold(all)(names => all.filter(p =>
+      names.contains(p.substring(p.lastIndexOf('/') + 1))))
+    val kept = runtimeFiles.fold(pushed)(names => pushed.filter(p =>
       names.contains(p.substring(p.lastIndexOf('/') + 1))))
     kept.map(p => NetcdfInputPartition(p): InputPartition).toArray
   }

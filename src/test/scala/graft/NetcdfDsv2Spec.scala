@@ -162,6 +162,48 @@ class NetcdfDsv2Spec extends SparkSpec {
     assert(spark.read.format("netcdf").load(s"$dir/*.nc").count() == 24)
   }
 
+  test("runtime V2 filtering: filter() prunes partitions before planning") {
+    val dir = writeDir()
+    val df = spark.read.format("netcdf").load(dir.toString)
+    val scan = scanOf(df)
+    assert(scan.planInputPartitions().length == 2)
+    // the shape DPP hands over: IN(file, 'CO2_ENE.nc')
+    import org.apache.spark.sql.connector.expressions.Expressions
+    import org.apache.spark.sql.connector.expressions.filter.Predicate
+    scan.filter(Array(new Predicate("IN", Array(
+      Expressions.column("file"),
+      Expressions.literal("CO2_ENE.nc")))))
+    assert(scan.runtimeFiles.contains(Set("CO2_ENE.nc")))
+    assert(scan.planInputPartitions().length == 1)
+    // an unrecognized predicate must be IGNORED (no pruning), never drop data
+    scan.filter(Array(new Predicate("ALWAYS_TRUE", Array.empty)))
+    assert(scan.planInputPartitions().length == 1)
+  }
+
+  test("runtime V2 filtering: a selective manifest join decodes only its files") {
+    val dir = writeDir()
+    import spark.implicits._
+    val raster = spark.read.format("netcdf").load(dir.toString)
+    // the manifest must be a REAL relation with a "likely selective"
+    // filter on top: a LocalRelation folds the filter away before the
+    // PartitionPruning rule looks for one, and without that filter the
+    // rule never injects the pruning subquery
+    val manifestPath = java.nio.file.Files
+      .createTempDirectory("dsv2manifest").resolve("m.parquet").toString
+    Seq("CO2_ENE.nc", "CH4_TRO.nc").toDF("file")
+      .write.mode("overwrite").parquet(manifestPath)
+    val manifest = spark.read.parquet(manifestPath)
+      .where(col("file") === "CO2_ENE.nc")
+    NetcdfSource.decodedVariables.set(0L)
+    val out = raster.join(manifest, "file")
+    assert(out.count() == 12) // 1 file x 2 vars x 6 cells
+    // the pruning subquery ran the manifest first and handed IN(file,
+    // 'CO2_ENE.nc') to scan.filter — CH4_TRO.nc never got a partition,
+    // so only CO2_ENE.nc's two variables were decoded
+    assert(NetcdfSource.decodedVariables.get() == 2L,
+      "expected dynamic partition pruning to keep CH4_TRO.nc undecoded")
+  }
+
   test("readEdgarDirV2 == readEdgarDirDistributed on the committed fixture") {
     val dir = "/root/repo/fixtures/edgar"
     val (grid, _) = GlobalRasters.readEdgarDir(spark, dir)
