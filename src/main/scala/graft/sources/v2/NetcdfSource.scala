@@ -178,7 +178,25 @@ private[graft] final class NetcdfScan(
     val variables: Option[Set[String]],
     val files: Option[Set[String]],
     val bbox: IdxBbox) extends Scan with Batch
-    with SupportsRuntimeV2Filtering {
+    with SupportsRuntimeV2Filtering with SupportsReportStatistics {
+
+  /** Long-form expansion of packed raster bytes: a float cell (4 B)
+    * becomes an 11-column row (~88 B as UnsafeRow). Without this the
+    * default Long.MaxValue estimate makes every join treat the scan as
+    * huge, and raw file bytes would UNDER-estimate (breaking broadcast
+    * thresholds and the DPP benefit check in the other direction). */
+  private val RowExpansion = 22L
+
+  override def estimateStatistics(): Statistics = {
+    val kept = keptFiles()
+    val bytes = kept.map(p => new java.io.File(p).length()).sum
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(math.max(1L, bytes * RowExpansion))
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+    }
+  }
 
   /** Set by [[filter]] when dynamic partition pruning fires: Spark
     * evaluates the broadcast side of a join on `file` first, then hands
@@ -216,14 +234,17 @@ private[graft] final class NetcdfScan(
     s"netcdf($path) PushedVariables: [$v], PushedFiles: [$f], PushedBbox: $bbox"
   }
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  /** Files surviving the pushed + runtime `file` predicates. */
+  private def keptFiles(): Seq[String] = {
     val all = NetcdfSource.listFiles(path)
     val pushed = files.fold(all)(names => all.filter(p =>
       names.contains(p.substring(p.lastIndexOf('/') + 1))))
-    val kept = runtimeFiles.fold(pushed)(names => pushed.filter(p =>
+    runtimeFiles.fold(pushed)(names => pushed.filter(p =>
       names.contains(p.substring(p.lastIndexOf('/') + 1))))
-    kept.map(p => NetcdfInputPartition(p): InputPartition).toArray
   }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    keptFiles().map(p => NetcdfInputPartition(p): InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
     new NetcdfReaderFactory(required, variables, bbox)

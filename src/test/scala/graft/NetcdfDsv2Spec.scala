@@ -204,6 +204,16 @@ class NetcdfDsv2Spec extends SparkSpec {
       "expected dynamic partition pruning to keep CH4_TRO.nc undecoded")
   }
 
+  test("estimateStatistics reports pruned file bytes, not Long.MaxValue") {
+    val dir = writeDir()
+    val df = spark.read.format("netcdf").load(dir.toString)
+    val full = scanOf(df).estimateStatistics().sizeInBytes().getAsLong
+    val oneFile = scanOf(df.where(col("file") === "CO2_ENE.nc"))
+      .estimateStatistics().sizeInBytes().getAsLong
+    assert(full > 0 && full < Long.MaxValue / 4)
+    assert(oneFile * 2 == full) // equal-size fixture files: half the bytes
+  }
+
   test("readEdgarDirV2 == readEdgarDirDistributed on the committed fixture") {
     val dir = "/root/repo/fixtures/edgar"
     val (grid, _) = GlobalRasters.readEdgarDir(spark, dir)
