@@ -589,6 +589,55 @@ object QueriesSpatial {
           .groupBy("category", "substance")
           .agg(round(sum("value"), 6).as("total"), count(lit(1)).as("n_cells"))
       },
-      None)
+      None),
+
+    // Z-order layout key (M69): the interleaved-bit Morton key over the
+    // 64×64 emissions grid, computed by the codegen'd shift/mask ladder
+    // in ops.Layout — the oracle replays the SAME ladder in DuckDB
+    // BIGINT arithmetic, so every key is bit-identical across engines.
+    Q("q_zorder_key",
+      (s, d) => {
+        import graft.ops.Layout
+        emissions(s, d).select(col("cell_id")).distinct()
+          .select(col("cell_id"),
+            Layout.zorderKey(col("cell_id") / lit(64L) cast "long",
+              col("cell_id") % 64).as("z_key"))
+      },
+      Some(s"""$EmiCte,
+        |c AS (SELECT DISTINCT cell_id, cell_id // 64 AS x, cell_id % 64 AS y FROM emissions),
+        |s1 AS (SELECT cell_id, (x | (x << 16)) & 281470681808895 AS x, (y | (y << 16)) & 281470681808895 AS y FROM c),
+        |s2 AS (SELECT cell_id, (x | (x << 8)) & 71777214294589695 AS x, (y | (y << 8)) & 71777214294589695 AS y FROM s1),
+        |s3 AS (SELECT cell_id, (x | (x << 4)) & 1085102592571150095 AS x, (y | (y << 4)) & 1085102592571150095 AS y FROM s2),
+        |s4 AS (SELECT cell_id, (x | (x << 2)) & 3689348814741910323 AS x, (y | (y << 2)) & 3689348814741910323 AS y FROM s3),
+        |s5 AS (SELECT cell_id, (x | (x << 1)) & 6148914691236517205 AS x, (y | (y << 1)) & 6148914691236517205 AS y FROM s4)
+        |SELECT cell_id, x | (y << 1) AS z_key FROM s5""".stripMargin)),
+
+    // Read-side bbox pruning over the z key (M69): the quadtree-derived
+    // OR-of-BETWEEN z cover AND the exact box filter must equal the plain
+    // box query — the oracle runs only the box predicate, so a hash match
+    // proves the capped cover is lossless (a superset, never a subset).
+    // The box is deliberately lattice-UNaligned so the decomposition
+    // exercises every recursion arm, and maxRanges=12 forces the
+    // gap-swallowing cap path too.
+    Q("q_zorder_box_prune",
+      (s, d) => {
+        import graft.ops.Layout
+        val ranges = Layout.zRangesForBox(13, 47, 9, 52, bits = 6,
+          maxRanges = 12)
+        val ix = col("cell_id") / lit(64L) cast "long"
+        val iy = col("cell_id") % 64
+        emissions(s, d)
+          .withColumn("z_key", Layout.zorderKey(ix, iy))
+          .where(Layout.inZRanges(col("z_key"), ranges))
+          .where(ix.between(13, 47) && iy.between(9, 52))
+          .groupBy("substance")
+          .agg(sum("value").as("total"),
+            countDistinct("cell_id").as("n_cells"))
+      },
+      Some(s"""$EmiCte
+        |SELECT substance, sum(value) AS total, count(DISTINCT cell_id) AS n_cells
+        |FROM emissions
+        |WHERE cell_id // 64 BETWEEN 13 AND 47 AND cell_id % 64 BETWEEN 9 AND 52
+        |GROUP BY 1""".stripMargin))
   )
 }

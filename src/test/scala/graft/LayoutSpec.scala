@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Layout
+
+class LayoutSpec extends SparkSpec {
+
+  /** Naive reference interleave: bit i of x → bit 2i, bit i of y → 2i+1. */
+  private def naiveZ(x: Long, y: Long): Long = {
+    var z = 0L
+    var i = 0
+    while (i < 32) {
+      z |= ((x >> i) & 1L) << (2 * i)
+      z |= ((y >> i) & 1L) << (2 * i + 1)
+      i += 1
+    }
+    z
+  }
+
+  test("zorderKeyL matches the naive bit interleave") {
+    val rnd = new scala.util.Random(7)
+    val pts = Seq((0L, 0L), (1L, 0L), (0L, 1L), ((1L << 31) - 1, (1L << 31) - 1)) ++
+      Seq.fill(500)((rnd.nextInt(Int.MaxValue).toLong, rnd.nextInt(Int.MaxValue).toLong))
+    pts.foreach { case (x, y) =>
+      assert(Layout.zorderKeyL(x, y) == naiveZ(x, y), s"($x,$y)")
+    }
+    // key monotone under quadrant refinement: z of a cell lies inside its
+    // enclosing square's interval
+    assert(Layout.zorderKeyL(2, 3) == 14L) // hand-computed: x=10b→0100, y=11b→1010 → 1110
+  }
+
+  test("zorderKey Column matches the driver-side twin through codegen") {
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.fill(300)((rnd.nextInt(1 << 20).toLong, rnd.nextInt(1 << 20).toLong))
+    val df = spark.createDataFrame(rows).toDF("ix", "iy")
+      .select(col("ix"), col("iy"),
+        Layout.zorderKey(col("ix"), col("iy")).as("z"))
+    df.collect().foreach { r =>
+      assert(r.getLong(2) == Layout.zorderKeyL(r.getLong(0), r.getLong(1)))
+    }
+  }
+
+  private def coveredCells(ranges: Seq[(Long, Long)], bits: Int): Set[(Long, Long)] = {
+    val n = 1L << bits
+    (for {
+      x <- 0L until n; y <- 0L until n
+      z = Layout.zorderKeyL(x, y)
+      if ranges.exists { case (lo, hi) => z >= lo && z <= hi }
+    } yield (x, y)).toSet
+  }
+
+  test("zRangesForBox: uncapped cover is EXACT, ascending, disjoint") {
+    val boxes = Seq((13L, 47L, 9L, 52L), (0L, 63L, 0L, 63L), (5L, 5L, 7L, 7L),
+      (0L, 0L, 0L, 63L), (31L, 32L, 31L, 32L))
+    for ((x0, x1, y0, y1) <- boxes) {
+      val ranges = Layout.zRangesForBox(x0, x1, y0, y1, bits = 6,
+        maxRanges = Int.MaxValue)
+      // ascending + disjoint (merged, so strictly separated by a gap)
+      ranges.sliding(2).foreach {
+        case Seq(a, b) => assert(a._2 + 1 < b._1, s"$a $b not separated")
+        case _ =>
+      }
+      val box = (for {x <- x0 to x1; y <- y0 to y1} yield (x, y)).toSet
+      assert(coveredCells(ranges, 6) == box, s"box ($x0,$x1,$y0,$y1)")
+    }
+  }
+
+  test("zRangesForBox: capped cover is a SUPERSET within the range budget") {
+    val (x0, x1, y0, y1) = (13L, 47L, 9L, 52L)
+    val uncapped = Layout.zRangesForBox(x0, x1, y0, y1, 6, Int.MaxValue)
+    assert(uncapped.length > 12) // the cap path is actually exercised below
+    val capped = Layout.zRangesForBox(x0, x1, y0, y1, 6, maxRanges = 12)
+    assert(capped.length <= 12)
+    val box = (for {x <- x0 to x1; y <- y0 to y1} yield (x, y)).toSet
+    val cov = coveredCells(capped, 6)
+    assert(box.subsetOf(cov), "capped cover lost box cells")
+    // and it still prunes: the cover must be well under the full grid
+    assert(cov.size < 64 * 64, "capped cover degenerated to the full grid")
+  }
+
+  test("zorderLayout: files own disjoint z intervals and the box read prunes") {
+    val n = 64
+    val grid = spark.range(n.toLong * n).select(
+      (col("id") / n).cast("long").as("ix"), (col("id") % n).as("iy"),
+      (col("id") * 3 % 97).as("v"))
+    val laid = Layout.zorderLayout(grid, col("ix"), col("iy"), numFiles = 8)
+    // partition intervals disjoint → parquet footer min/max is an index
+    val parts = laid
+      .select(spark_partition_id().as("p"), col("z_key"))
+      .groupBy("p").agg(min("z_key").as("lo"), max("z_key").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    parts.sliding(2).foreach {
+      case Array(a, b) => assert(a._2 < b._1, s"overlapping files $a $b")
+      case _ =>
+    }
+    val dir = java.nio.file.Files.createTempDirectory("zorder").toString
+    laid.write.mode("overwrite").parquet(dir)
+    val ranges = Layout.zRangesForBox(3, 9, 17, 23, bits = 6, maxRanges = 8)
+    val back = spark.read.parquet(dir)
+      .where(Layout.inZRanges(col("z_key"), ranges))
+      .where(col("ix").between(3, 9) && col("iy").between(17, 23))
+    assert(back.count() == 7L * 7L)
+    // the z cover for this 7×7 box spans a small slice of z space: the
+    // read-side predicate admits at most the covered interval volume
+    val vol = ranges.map { case (lo, hi) => hi - lo + 1 }.sum
+    assert(vol < (n.toLong * n) / 8, s"cover volume $vol does not prune")
+  }
+}
