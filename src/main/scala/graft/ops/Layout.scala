@@ -41,21 +41,25 @@ object Layout {
     2 -> 0x3333333333333333L,
     1 -> 0x5555555555555555L)
 
-  /** Spread the low 32 bits of `c` to the even bit positions of a long
-    * (…b2_b1_b0 → …0b2_0b1_0b0) via the classic shift-or-mask ladder. */
-  private def spread(c: Column): Column =
-    Masks.foldLeft(c.bitwiseAND(lit(0xFFFFFFFFL))) { case (x, (s, m)) =>
-      x.bitwiseOR(shiftleft(x, s)).bitwiseAND(lit(m))
-    }
-
+  /** Spread the low 32 bits to even bit positions (…b2_b1_b0 →
+    * …0b2_0b1_0b0) via the classic shift-or-mask ladder. */
   private def spreadL(v: Long): Long =
     Masks.foldLeft(v & 0xFFFFFFFFL) { case (x, (s, m)) => (x | (x << s)) & m }
 
   /** Morton key: `ix` on even bits, `iy` on odd bits. Both must be
     * nonnegative and < 2^31; the key fits in the positive long range, so
-    * BETWEEN predicates on it order correctly. */
+    * BETWEEN predicates on it order correctly.
+    *
+    * A native [[graft.functions.ZorderKeyExpr]], NOT a Column shift/mask
+    * ladder: the ladder's tree is exponential (each spread stage
+    * references its input twice) and FilterExec does no subexpression
+    * elimination, so bbox predicates over a ladder-built key cost
+    * seconds where this costs microseconds — see the Expression's
+    * scaladoc for the measurements. */
   def zorderKey(ix: Column, iy: Column): Column =
-    spread(ix).bitwiseOR(shiftleft(spread(iy), 1))
+    org.apache.spark.sql.GraftBridge.column(graft.functions.ZorderKeyExpr(
+      org.apache.spark.sql.GraftBridge.expression(ix.cast("long")),
+      org.apache.spark.sql.GraftBridge.expression(iy.cast("long"))))
 
   /** Driver-side twin of [[zorderKey]] for range construction / tests. */
   def zorderKeyL(ix: Long, iy: Long): Long =
