@@ -1963,6 +1963,71 @@ object QueriesML {
         |  16::BIGINT AS n_link_chars
         |FROM documents""".stripMargin)),
 
+    // M70 product quantization, encode side: each 64-dim vector's 8
+    // subvectors assigned to the nearest deterministic codebook entry
+    // (exact integer squared L2 = n − 2·dot + cn, tie on centroid_id).
+    // Gate emits the codes EXPLODED to scalar rows; the engine API
+    // keeps the m-code array (the 32×-compressed corpus artifact).
+    Q("q_pq_encode",
+      (s, d) => Similarity.pqEncode(embeddings(s, d), m = 8, dims = 64,
+        centroidMod = 97)
+        .select(col("vec_id"), posexplode(col("codes")).as(Seq("sub", "code")))
+        .withColumn("sub", col("sub").cast("long")),
+      Some(s"""WITH $QuantCte,
+        |subs AS (SELECT vec_id, s, list_slice(v, s*8+1, s*8+8) AS vs
+        |         FROM q, range(8) t(s)),
+        |cents AS (SELECT vec_id AS centroid_id, s,
+        |                 list_slice(v, s*8+1, s*8+8) AS cs
+        |          FROM q, range(8) t(s) WHERE vec_id % 97 = 0),
+        |d2 AS (SELECT subs.vec_id, subs.s, centroid_id,
+        |              list_dot_product(vs, vs) - 2*list_dot_product(vs, cs)
+        |                + list_dot_product(cs, cs) AS d2
+        |       FROM subs JOIN cents ON subs.s = cents.s)
+        |SELECT vec_id, s AS sub, centroid_id AS code FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id, s
+        |               ORDER BY d2, centroid_id) AS rn
+        |  FROM d2)
+        |WHERE rn = 1""".stripMargin)),
+
+    // M70 PQ/ADC search: queries rank the ENCODED corpus through a
+    // broadcast (query, sub, centroid) lookup table — distance estimate
+    // = m-term BIGINT sum of table entries, raw corpus vectors never
+    // touched. Oracle replays the LUT join + sum exactly.
+    Q("q_pq_search",
+      (s, d) => Similarity.pqSearch(embeddings(s, d), nQueries = 20, k = 5,
+        m = 8, dims = 64, centroidMod = 97),
+      Some(s"""WITH $QuantCte,
+        |subs AS (SELECT vec_id, s, list_slice(v, s*8+1, s*8+8) AS vs
+        |         FROM q, range(8) t(s)),
+        |cents AS (SELECT vec_id AS centroid_id, s,
+        |                 list_slice(v, s*8+1, s*8+8) AS cs
+        |          FROM q, range(8) t(s) WHERE vec_id % 97 = 0),
+        |d2 AS (SELECT subs.vec_id, subs.s, centroid_id,
+        |              list_dot_product(vs, vs) - 2*list_dot_product(vs, cs)
+        |                + list_dot_product(cs, cs) AS d2
+        |       FROM subs JOIN cents ON subs.s = cents.s),
+        |codes AS (SELECT vec_id, s, centroid_id AS code FROM (
+        |            SELECT *, row_number() OVER (PARTITION BY vec_id, s
+        |                         ORDER BY d2, centroid_id) AS rn
+        |            FROM d2)
+        |          WHERE rn = 1),
+        |lut AS (SELECT subs.vec_id AS query_id, subs.s, centroid_id,
+        |               list_dot_product(vs, vs) - 2*list_dot_product(vs, cs)
+        |                 + list_dot_product(cs, cs) AS pd
+        |        FROM subs JOIN cents ON subs.s = cents.s
+        |        WHERE subs.vec_id < 20),
+        |adc AS (SELECT query_id, c.vec_id AS neighbor_id,
+        |               CAST(sum(pd) AS BIGINT) AS adc_dist
+        |        FROM codes c JOIN lut
+        |          ON c.s = lut.s AND c.code = lut.centroid_id
+        |        WHERE c.vec_id <> lut.query_id
+        |        GROUP BY 1, 2)
+        |SELECT query_id, neighbor_id, rank, adc_dist FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |               ORDER BY adc_dist, neighbor_id) AS rank
+        |  FROM adc)
+        |WHERE rank <= 5""".stripMargin)),
+
     // Pinned-literal oracles (OraclePins): WARC record walk and the
     // end-to-end crawl→text extraction over the committed fixture
     // shards (plain + multi-member gzip decode identically — WarcSpec).

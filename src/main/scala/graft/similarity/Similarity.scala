@@ -423,4 +423,127 @@ object Similarity {
         count(lit(1)).as("n_members"),
         round(sum("x") / count(lit(1)), 6).as("mean_x"))
   }
+
+  // --- Product quantization (M70) ---------------------------------------
+  //
+  // PQ (Jégou/Douze/Schmid, TPAMI 2011 "Product Quantization for Nearest
+  // Neighbor Search") splits each d-dim vector into m subvectors and
+  // replaces every subvector with the id of its nearest codebook entry:
+  // the corpus shrinks from d floats to m small codes per vector (d=64,
+  // m=8 → 32× fewer bytes), and a query scans CODES via an m-entry
+  // lookup-table sum instead of touching raw vectors — the FAISS
+  // IVFPQ/ADC shape that makes billion-vector search fit in RAM. At
+  // 100 TB the codes table (and the metadata-sized codebook) is what
+  // ships to the search tier; the raw embeddings stay cold.
+  //
+  // Determinism: codebooks are the deterministic centroid subset
+  // (vec_id ≡ 0 mod centroidMod — same rule as [[ivfAssign]]; swap in
+  // trained centroids from [[kmeansStep]] iterations in production),
+  // arithmetic is quantized-integer throughout (squared L2 via
+  // n−2·dot+cn on milli-unit ints — exact BIGINT-valued, order- and
+  // engine-independent), ties break on centroid_id / neighbor_id asc.
+
+  /** PQ codebooks: one row per (subspace, centroid) with the centroid's
+    * subvector and its squared norm. `dims` must divide into `m` equal
+    * subspaces. Metadata-sized (m × N/centroidMod rows) — always
+    * broadcast. */
+  def pqCodebooks(
+      embeddings: DataFrame,
+      m: Int = 8,
+      dims: Int = 64,
+      centroidMod: Int = 97): DataFrame = {
+    require(dims % m == 0, s"dims=$dims not divisible into m=$m subspaces")
+    val subDim = dims / m
+    val spark = embeddings.sparkSession
+    val subsDf = spark.createDataFrame(
+      Seq.tabulate(m)(s => Tuple1(s))).toDF("sub")
+    embeddings
+      .where(col("vec_id") % centroidMod === 0)
+      .select(col("vec_id").as("centroid_id"), quantize(col("embedding")).as("v"))
+      .crossJoin(broadcast(subsDf))
+      .withColumn("cs", slice(col("v"), col("sub") * subDim + 1, lit(subDim)))
+      .withColumn("cn", dot(col("cs"), col("cs")))
+      .select("sub", "centroid_id", "cs", "cn")
+  }
+
+  /** PQ encode: each vector's m subvectors are assigned to their
+    * nearest codebook entry (exact integer squared L2, tie-break
+    * centroid_id asc); output is `(vec_id, codes)` with `codes[s]` the
+    * chosen centroid_id for subspace s — the m-code compressed corpus
+    * a pipeline persists instead of raw embeddings. Plan shape: one
+    * narrow explode against the BROADCAST codebook, then one vec-keyed
+    * aggregate — linear in the corpus, no self-join. */
+  def pqEncode(
+      embeddings: DataFrame,
+      m: Int = 8,
+      dims: Int = 64,
+      centroidMod: Int = 97): DataFrame = {
+    val subDim = dims / m
+    val books = pqCodebooks(embeddings, m, dims, centroidMod)
+    val spark = embeddings.sparkSession
+    val subsDf = spark.createDataFrame(
+      Seq.tabulate(m)(s => Tuple1(s))).toDF("sub")
+    val win = Window.partitionBy("vec_id", "sub")
+      .orderBy(col("d2").asc, col("centroid_id").asc)
+    embeddings
+      .select(col("vec_id"), quantize(col("embedding")).as("v"))
+      .crossJoin(broadcast(subsDf))
+      .withColumn("vs", slice(col("v"), col("sub") * subDim + 1, lit(subDim)))
+      .withColumn("vn", dot(col("vs"), col("vs")))
+      .join(broadcast(books), Seq("sub"))
+      .withColumn("d2",
+        col("vn") - lit(2) * dot(col("vs"), col("cs")) + col("cn"))
+      .withColumn("rn", row_number().over(win))
+      .where(col("rn") === 1)
+      .groupBy("vec_id")
+      .agg(transform(
+        array_sort(collect_list(struct(col("sub"), col("centroid_id")))),
+        x => x.getField("centroid_id")).as("codes"))
+  }
+
+  /** PQ/ADC search: queries (vec_id < nQueries) rank the ENCODED corpus
+    * by asymmetric distance — per query, a lookup table of
+    * (subspace, centroid) partial distances is built against the raw
+    * query subvector (nQueries × m × ksub rows, broadcast), and a
+    * candidate's distance estimate is the m-term SUM of its codes'
+    * table entries: the scan never touches raw corpus vectors. Exact
+    * BIGINT arithmetic end-to-end; deterministic (dist asc,
+    * neighbor_id) top-k. Approximate by construction (quantization
+    * error) — certified against exact top-k recall in ScaleBench. */
+  def pqSearch(
+      embeddings: DataFrame,
+      nQueries: Int,
+      k: Int,
+      m: Int = 8,
+      dims: Int = 64,
+      centroidMod: Int = 97): DataFrame = {
+    val subDim = dims / m
+    val books = pqCodebooks(embeddings, m, dims, centroidMod)
+    val spark = embeddings.sparkSession
+    val subsDf = spark.createDataFrame(
+      Seq.tabulate(m)(s => Tuple1(s))).toDF("sub")
+    val lut = embeddings
+      .where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), quantize(col("embedding")).as("v"))
+      .crossJoin(broadcast(subsDf))
+      .withColumn("vs", slice(col("v"), col("sub") * subDim + 1, lit(subDim)))
+      .withColumn("vn", dot(col("vs"), col("vs")))
+      .join(broadcast(books), Seq("sub"))
+      .select(col("query_id"), col("sub"), col("centroid_id"),
+        (col("vn") - lit(2) * dot(col("vs"), col("cs")) + col("cn")).as("pd"))
+    val codes = pqEncode(embeddings, m, dims, centroidMod)
+      .select(col("vec_id").as("neighbor_id"),
+        posexplode(col("codes")).as(Seq("sub", "code")))
+    val win = Window.partitionBy("query_id")
+      .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
+    codes
+      .join(broadcast(lut),
+        codes("sub") === lut("sub") && col("code") === col("centroid_id") &&
+          col("neighbor_id") =!= col("query_id"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum("pd").cast("long").as("adc_dist"))
+      .withColumn("rank", row_number().over(win))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "adc_dist")
+  }
 }

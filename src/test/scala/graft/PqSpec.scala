@@ -1,0 +1,67 @@
+package graft
+
+import graft.similarity.Similarity
+
+/** M70 product quantization: codebook construction, nearest-subcentroid
+  * encoding, and ADC search (Jégou 2011). Hand-computable 4-dim / 2-subspace
+  * fixture; centroidMod = 2 makes even vec_ids the codebook. */
+class PqSpec extends SparkSpec {
+
+  private def emb(rows: (Long, Seq[Float])*) =
+    spark.createDataFrame(rows.map { case (id, v) => (id, v) })
+      .toDF("vec_id", "embedding")
+
+  // centroids (even ids): v0 = (1,0 | 0,1), v2 = (0,1 | 1,0)
+  private val e = emb(
+    (0L, Seq(1f, 0f, 0f, 1f)),
+    (1L, Seq(1f, 0f, 1f, 0f)), // sub0 ~ v0, sub1 ~ v2
+    (2L, Seq(0f, 1f, 1f, 0f)),
+    (3L, Seq(0.9f, 0.1f, 0.1f, 0.9f))) // both subs ~ v0
+
+  private def codesOf(m: Int = 2): Map[Long, Seq[Long]] =
+    Similarity.pqEncode(e, m = m, dims = 4, centroidMod = 2).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+
+  test("pqEncode assigns each subvector to its nearest codebook entry") {
+    val c = codesOf()
+    assert(c(1L) == Seq(0L, 2L)) // mixed: first half from v0, second from v2
+    assert(c(3L) == Seq(0L, 0L))
+  }
+
+  test("pqEncode maps a codebook vector to itself (zero distance)") {
+    val c = codesOf()
+    assert(c(0L) == Seq(0L, 0L))
+    assert(c(2L) == Seq(2L, 2L))
+  }
+
+  test("pqSearch ADC distance is the exact sum of per-subspace code distances") {
+    // query v0 (quantized milli-units): d(sub, code) hand-computed below
+    val out = Similarity.pqSearch(e, nQueries = 1, k = 3, m = 2, dims = 4,
+      centroidMod = 2).collect()
+      .map(r => r.getLong(1) -> (r.getInt(2), r.getLong(3))).toMap
+    assert(out(3L) == ((1, 0L))) // codes [0,0] -> both table entries 0
+    assert(out(1L) == ((2, 2000000L))) // sub1 code 2: 1000^2 + 1000^2
+    assert(out(2L) == ((3, 4000000L))) // both subs code 2
+  }
+
+  test("pqSearch never returns the query itself") {
+    val out = Similarity.pqSearch(e, nQueries = 4, k = 3, m = 2, dims = 4,
+      centroidMod = 2).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => r.getLong(0) != r.getLong(1)))
+  }
+
+  test("pqCodebooks is metadata-sized: m rows per centroid, broadcast-joined") {
+    val books = Similarity.pqCodebooks(e, m = 2, dims = 4, centroidMod = 2)
+    assert(books.count() == 4) // 2 centroids x 2 subspaces
+    val plan = Similarity.pqEncode(e, m = 2, dims = 4, centroidMod = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("pqEncode rejects dims not divisible by m") {
+    intercept[IllegalArgumentException] {
+      Similarity.pqEncode(e, m = 3, dims = 4, centroidMod = 2).collect()
+    }
+  }
+}
