@@ -1963,6 +1963,37 @@ object QueriesML {
         |  16::BIGINT AS n_link_chars
         |FROM documents""".stripMargin)),
 
+    // M71 theta-sketch set operations: per-source THETA sketches over
+    // the token vocabulary, then pairwise union/intersection/difference
+    // estimates from the SKETCHES (the corpus is scanned once; the 190
+    // pair set-ops run on kilobyte artifacts). Gate regime: ~31 distinct
+    // tokens per source at lgK 14 keeps every sketch exact (theta = 1),
+    // so the estimates ARE the true counts the oracle computes, and
+    // estimation_mode is pinned false as a contract literal.
+    Q("q_theta_overlap",
+      (s, d) => ops.Sketches.thetaSetReport(
+        documents(s, d).select(col("source"),
+          explode(split(col("text"), " ")).as("w")),
+        "source", "w", lgK = 14),
+      Some("""WITH tok AS (SELECT DISTINCT source, unnest(string_split(text, ' ')) AS w
+        |             FROM documents),
+        |p AS (SELECT a.source AS split_a, b.source AS split_b
+        |      FROM (SELECT DISTINCT source FROM documents) a
+        |      JOIN (SELECT DISTINCT source FROM documents) b
+        |        ON a.source < b.source),
+        |j AS (SELECT p.split_a, p.split_b, t.w,
+        |             max(CASE WHEN t.source = p.split_a THEN 1 ELSE 0 END) AS in_a,
+        |             max(CASE WHEN t.source = p.split_b THEN 1 ELSE 0 END) AS in_b
+        |      FROM p JOIN tok t ON t.source IN (p.split_a, p.split_b)
+        |      GROUP BY 1, 2, 3)
+        |SELECT split_a, split_b,
+        |       count(*)::BIGINT AS est_union,
+        |       sum(in_a * in_b)::BIGINT AS est_intersect,
+        |       sum(CASE WHEN in_a = 1 AND in_b = 0 THEN 1 ELSE 0 END)::BIGINT
+        |         AS est_only_a,
+        |       false AS estimation_mode
+        |FROM j GROUP BY 1, 2""".stripMargin)),
+
     // M70 product quantization, encode side: each 64-dim vector's 8
     // subvectors assigned to the nearest deterministic codebook entry
     // (exact integer squared L2 = n − 2·dot + cn, tie on centroid_id).

@@ -93,4 +93,109 @@ object Sketches {
         (abs(col("_est_merged") - col("exact_distinct")) <=
           lit(relErr) * col("exact_distinct")).as("within_bound"))
   }
+
+  // --- Theta-sketch set operations (M71) --------------------------------
+  //
+  // HLL (M64) answers only |A| and |A ∪ B|; DataSketches THETA sketches
+  // additionally support intersection and difference — the sketch that
+  // answers "how many distinct keys do corpus splits SHARE" (train/eval
+  // contamination, vocabulary overlap between subcorpora, snapshot churn)
+  // without ever joining the corpora. M61's exact overlap matrix needs a
+  // (split, key)-distinct shuffle plus a key join per refresh; the theta
+  // path builds one kilobyte-scale sketch per split in a single pass,
+  // then ALL #splits² set operations run on stored sketches — the
+  // steady-state overlap monitor at 100 TB re-reads nothing.
+  //
+  // Exactness regime: a theta sketch retains every key hash until it
+  // exceeds its nominal capacity 2^lgK, and while theta == 1 estimates
+  // are EXACT counts — the gate regime (oracle computes the true
+  // pairwise counts; `estimation_mode` is pinned false). Past capacity
+  // the estimate carries RSE ≈ 1/√2^lgK; ScaleBench drives that regime
+  // with an error-bound REQUIRE.
+
+  /** Per-split compact theta sketches over `keyCol`, built in one pass:
+    * each input partition keeps one update sketch per split it sees and
+    * emits the compact form, then one #splits-group merge unions the
+    * partials (a theta union keeps the k smallest key hashes, so the
+    * result depends only on the KEY SET — grouping- and order-
+    * independent, same property the HLL gate certifies). Output:
+    * `(split, sketch)` — kilobytes per split, the persisted artifact. */
+  def thetaSplitSketches(
+      df: DataFrame,
+      splitCol: String,
+      keyCol: String,
+      lgK: Int = 14): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    import org.apache.datasketches.theta.{SetOperation, UpdateSketch, Sketches => ThetaSketches}
+    import org.apache.datasketches.memory.Memory
+    val partials = df
+      .select(col(splitCol).cast("string").as("split"),
+        col(keyCol).cast("string").as("k"))
+      .as[(String, String)]
+      .mapPartitions { it =>
+        val sketches = scala.collection.mutable.Map.empty[String, UpdateSketch]
+        it.foreach { case (split, k) =>
+          sketches.getOrElseUpdate(split,
+            UpdateSketch.builder().setLogNominalEntries(lgK).build())
+            .update(k)
+        }
+        sketches.iterator.map { case (split, sk) =>
+          (split, sk.compact().toByteArray)
+        }
+      }
+    partials
+      .groupByKey(_._1)
+      .mapGroups { (split, it) =>
+        val union = SetOperation.builder().setLogNominalEntries(lgK).buildUnion()
+        it.foreach { case (_, bytes) =>
+          union.union(ThetaSketches.wrapSketch(Memory.wrap(bytes)))
+        }
+        (split, union.getResult.toByteArray)
+      }
+      .toDF("split", "sketch")
+  }
+
+  /** Pairwise set-operation report over the per-split sketches: for each
+    * ordered split pair (a < b), the estimated distinct-key union,
+    * intersection, and difference |A∖B|, plus `estimation_mode` (true
+    * iff either operand left the exact regime — the flag a pipeline
+    * alerts on before trusting tight contamination bounds). The pair
+    * loop runs on COLLECTED sketches — #splits kilobyte rows, metadata
+    * by construction (the corpus was touched once, in
+    * [[thetaSplitSketches]]). */
+  def thetaSetReport(
+      df: DataFrame,
+      splitCol: String,
+      keyCol: String,
+      lgK: Int = 14): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    import org.apache.datasketches.theta.{SetOperation, Sketches => ThetaSketches}
+    import org.apache.datasketches.memory.Memory
+    val merged = thetaSplitSketches(df, splitCol, keyCol, lgK)
+      .as[(String, Array[Byte])].collect()
+      .map { case (s, b) => (s, ThetaSketches.wrapSketch(Memory.wrap(b))) }
+      .sortBy(_._1)
+    val rows = for {
+      i <- merged.indices
+      j <- (i + 1) until merged.length
+    } yield {
+      val (sa, ska) = merged(i)
+      val (sb, skb) = merged(j)
+      val union = SetOperation.builder().setLogNominalEntries(lgK).buildUnion()
+      union.union(ska); union.union(skb)
+      val inter = SetOperation.builder().buildIntersection()
+      inter.intersect(ska); inter.intersect(skb)
+      val aNotB = SetOperation.builder().buildANotB().aNotB(ska, skb)
+      (sa, sb,
+        Math.round(union.getResult.getEstimate),
+        Math.round(inter.getResult.getEstimate),
+        Math.round(aNotB.getEstimate),
+        ska.isEstimationMode || skb.isEstimationMode)
+    }
+    spark.createDataFrame(rows).toDF(
+      "split_a", "split_b", "est_union", "est_intersect", "est_only_a",
+      "estimation_mode")
+  }
 }

@@ -70,4 +70,56 @@ class SketchesSpec extends SparkSpec {
       d.orderBy(col("doc_id").desc).coalesce(1), shards = 2)
     assert(collectSet(rev) == collectSet(out))
   }
+
+  // --- M71 theta-sketch set operations ---------------------------------
+
+  private def keyed(rows: (String, String)*) =
+    spark.createDataFrame(rows).toDF("split", "k")
+
+  test("thetaSetReport: exact union/intersection/difference in the exact regime") {
+    // A = {a,b,c,d}, B = {c,d,e}, C = {x}
+    val df = keyed(
+      ("A", "a"), ("A", "b"), ("A", "c"), ("A", "d"), ("A", "a"),
+      ("B", "c"), ("B", "d"), ("B", "e"),
+      ("C", "x"))
+    val out = graft.ops.Sketches.thetaSetReport(df, "split", "k", lgK = 14)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5))).toMap
+    assert(out(("A", "B")) == ((5L, 2L, 2L, false)))
+    assert(out(("A", "C")) == ((5L, 0L, 4L, false)))
+    assert(out(("B", "C")) == ((4L, 0L, 3L, false)))
+    assert(out.size == 3)
+  }
+
+  test("thetaSplitSketches: estimate is partitioning-independent (union of partials)") {
+    val df = spark.range(5000L).select(
+      concat(lit("s"), col("id") % 2).as("split"),
+      concat(lit("k"), col("id") % 997).as("k"))
+    def est(parts: Int): Map[String, Long] = {
+      import org.apache.datasketches.theta.{Sketches => TS}
+      import org.apache.datasketches.memory.Memory
+      graft.ops.Sketches.thetaSplitSketches(
+        df.repartition(parts), "split", "k", lgK = 14)
+        .collect().map(r => r.getString(0) ->
+          Math.round(TS.wrapSketch(Memory.wrap(r.getAs[Array[Byte]](1)))
+            .getEstimate)).toMap
+    }
+    val one = est(1)
+    assert(est(7) == one && est(13) == one)
+    assert(one.values.forall(_ == 997L)) // exact regime: true count
+  }
+
+  test("thetaSetReport: estimation regime is flagged and error-bounded") {
+    // lgK 5 (nominal 32 entries) against 3000/2000 distinct keys forces
+    // estimation mode; RSE ≈ 1/√32 ≈ 0.18 — assert a 4σ envelope
+    val df = spark.range(6000L).select(
+      concat(lit("s"), col("id") % 2).as("split"),
+      concat(lit("k"), when(col("id") % 2 === 0, col("id"))
+        .otherwise(col("id") % 4000)).as("k"))
+    val r = graft.ops.Sketches.thetaSetReport(df, "split", "k", lgK = 5)
+      .collect()(0)
+    assert(r.getBoolean(5)) // estimation_mode
+    val exactUnion = df.select("k").distinct().count()
+    assert(math.abs(r.getLong(2) - exactUnion) <= 4 * 0.18 * exactUnion)
+  }
 }
