@@ -638,6 +638,35 @@ object QueriesSpatial {
         |SELECT substance, sum(value) AS total, count(DISTINCT cell_id) AS n_cells
         |FROM emissions
         |WHERE cell_id // 64 BETWEEN 13 AND 47 AND cell_id % 64 BETWEEN 9 AND 52
-        |GROUP BY 1""".stripMargin))
+        |GROUP BY 1""".stripMargin)),
+
+    // Bloom-filter point-lookup layout (M72): documents hash-clustered
+    // by content hash and written with a parquet bloom filter on the
+    // key, then point-looked-up by the keys of three probe docs through
+    // the real write→scan path (pushdown IN consults the blooms during
+    // row-group selection — LayoutSpec pins the ~37× scan reduction;
+    // this gate pins that the pruned scan returns exactly the rows the
+    // plain predicate does, including hash-collision duplicates).
+    Q("q_bloom_lookup",
+      (s, d) => {
+        import graft.ops.Layout
+        val keyed = documents(s, d).select(col("doc_id"),
+          graft.functions.PortableHashExpr.portableHash(col("text")).as("k"))
+        // fixed path + overwrite: repeated gate/bench runs in one
+        // session reuse the directory instead of accumulating tempdirs
+        val path = s"${System.getProperty("java.io.tmpdir")}/graft_bloom_gate"
+        var w = Layout.bloomLayout(keyed, "k", numFiles = 4)
+          .write.mode("overwrite")
+        Layout.bloomWriteOptions("k", expectedNdv = 1000L)
+          .foreach { case (o, v) => w = w.option(o, v) }
+        w.parquet(path)
+        val probe = keyed.where(col("doc_id").isin(7L, 77L, 177L))
+          .select("k").collect().map(_.getLong(0)).toSeq
+        Layout.pointLookup(s, path, "k", probe).select("doc_id", "k")
+      },
+      Some(s"""WITH h AS (SELECT doc_id, ${QueriesML.hashSqlOf("text")} AS k
+        |           FROM documents)
+        |SELECT doc_id, k FROM h
+        |WHERE k IN (SELECT k FROM h WHERE doc_id IN (7, 77, 177))""".stripMargin))
   )
 }

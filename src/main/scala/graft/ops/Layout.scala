@@ -135,4 +135,51 @@ object Layout {
     df.withColumn("z_key", zorderKey(ix, iy))
       .repartitionByRange(numFiles, col("z_key"))
       .sortWithinPartitions("z_key")
+
+  // --- Bloom-filter point-lookup layout (M72) ---------------------------
+  //
+  // Z-order (M69) wins RANGE queries at the scan; it does nothing for
+  // point lookups on a high-cardinality key (content hash, doc id, URL),
+  // where min/max footer stats are useless — a hash-distributed key's
+  // range in every row group spans the whole domain, so "fetch this doc"
+  // scans the fleet. Parquet's row-group BLOOM FILTERS (parquet-format
+  // BloomFilter spec, split-block variant) close exactly that gap: the
+  // writer embeds a few hundred KB per row group, and an equality/IN
+  // predicate pushed to the reader drops every row group whose filter
+  // rules the keys out — no index service, no catalog, the same
+  // "open only the files you touch" property as the z-order path but for
+  // point predicates. Measured on this build (LayoutSpec pins it): a
+  // 3-key IN over 2M rows scans ~54k rows with blooms vs all 2M without.
+
+  /** Write-side: hash-cluster by `keyCol` into `numFiles` files (a key
+    * lives in exactly ONE file) and write parquet with a bloom filter on
+    * `keyCol` sized for `expectedNdv` distinct keys per row group.
+    * `rowGroupBytes` bounds row-group size — smaller groups = finer
+    * pruning granularity at a few hundred KB of filter each. The frame
+    * is returned keyed and clustered; callers write it with
+    * [[bloomWriteOptions]] applied (kept separate so the layout composes
+    * with any sink configuration). */
+  def bloomLayout(df: DataFrame, keyCol: String, numFiles: Int): DataFrame =
+    df.repartition(numFiles, col(keyCol))
+
+  /** The writer options that arm the bloom filter on `keyCol`. */
+  def bloomWriteOptions(
+      keyCol: String,
+      expectedNdv: Long,
+      rowGroupBytes: Long = 8L << 20): Map[String, String] = Map(
+    s"parquet.bloom.filter.enabled#$keyCol" -> "true",
+    s"parquet.bloom.filter.expected.ndv#$keyCol" -> expectedNdv.toString,
+    "parquet.block.size" -> rowGroupBytes.toString)
+
+  /** Read-side point lookup: equality/IN on the bloom'd key, pushed down
+    * so parquet consults the filters during row-group selection. The
+    * predicate shape matters — `isin`/`===` push as Eq/Or(Eq…); anything
+    * the source can't push (UDF, expression over the key) silently scans
+    * everything. */
+  def pointLookup(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      keyCol: String,
+      keys: Seq[Long]): DataFrame =
+    spark.read.parquet(path).where(col(keyCol).isin(keys: _*))
 }

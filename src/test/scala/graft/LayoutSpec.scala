@@ -105,4 +105,44 @@ class LayoutSpec extends SparkSpec {
     val vol = ranges.map { case (lo, hi) => hi - lo + 1 }.sum
     assert(vol < (n.toLong * n) / 8, s"cover volume $vol does not prune")
   }
+
+  // --- M72 bloom-filter point-lookup layout -----------------------------
+
+  test("bloomLayout: point lookup scans a fraction of the row groups, same rows") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val df = spark.range(2000000L).select(
+      col("id"),
+      pmod(xxhash64(col("id")), lit(1000000000L)).as("k"),
+      concat(lit("payload_"), col("id")).as("payload"))
+    def write(path: String, bloom: Boolean): Unit = {
+      var w = Layout.bloomLayout(df, "k", numFiles = 4)
+        .write.mode("overwrite")
+        .option("parquet.block.size", (1 << 20).toString)
+      if (bloom) Layout.bloomWriteOptions("k", expectedNdv = 600000L,
+        rowGroupBytes = 1 << 20).foreach { case (o, v) => w = w.option(o, v) }
+      w.parquet(path)
+    }
+    val base = java.nio.file.Files.createTempDirectory("bloom").toString
+    write(s"$base/with", bloom = true)
+    write(s"$base/without", bloom = false)
+    val probe = df.where(col("id").isin(5L, 55555L, 555555L))
+      .select("k").collect().map(_.getLong(0)).toSeq
+    def run(path: String): (Set[Long], Long) = {
+      val q = Layout.pointLookup(spark, path, "k", probe)
+      val ids = q.collect().map(_.getAs[Long]("id")).toSet
+      val scanned = q.queryExecution.executedPlan.collectLeaves()
+        .collect { case s: FileSourceScanExec => s }
+        .head.metrics("numOutputRows").value
+      (ids, scanned)
+    }
+    val (idsB, scannedB) = run(s"$base/with")
+    val (idsN, scannedN) = run(s"$base/without")
+    assert(idsB == idsN) // pruning is lossless
+    assert(idsB.contains(5L) && idsB.contains(55555L) && idsB.contains(555555L))
+    // without blooms a hash key defeats min/max stats: everything is read
+    assert(scannedN == 2000000L, s"expected full scan, got $scannedN")
+    // with blooms only the row groups that may hold a probe key survive
+    assert(scannedB < 2000000L / 10,
+      s"bloom scan read $scannedB rows - row-group pruning not engaged")
+  }
 }
