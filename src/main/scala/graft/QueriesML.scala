@@ -1994,6 +1994,62 @@ object QueriesML {
         |       false AS estimation_mode
         |FROM j GROUP BY 1, 2""".stripMargin)),
 
+    // M73 classifier evaluation, AUC side: exact Mann–Whitney AUC (with
+    // tie correction) of a length-derived score against the lang=en
+    // label — ONE corpus aggregate to #scores rows, then metadata-sized
+    // windows. auc_num/auc_den are exact BIGINTs both engines replay;
+    // the rounded division is IEEE-identical on identical operands.
+    Q("q_classifier_auc",
+      (s, d) => ops.Evaluation.aucExact(
+        documents(s, d).select(
+          expr("length(text) div 20").as("score"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("y")),
+        "score", "y"),
+      Some("""WITH s AS (SELECT length(text) // 20 AS score,
+        |              CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |       FROM documents),
+        |g AS (SELECT score, sum(y)::BIGINT AS pos, sum(1 - y)::BIGINT AS neg
+        |      FROM s GROUP BY 1),
+        |c AS (SELECT *, coalesce(sum(neg) OVER (ORDER BY score
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cnb
+        |      FROM g),
+        |t AS (SELECT sum(pos)::BIGINT AS p_all, sum(neg)::BIGINT AS n_all FROM g)
+        |SELECT sum(2 * pos * cnb + pos * neg)::BIGINT AS auc_num,
+        |       (2 * p_all * n_all)::BIGINT AS auc_den,
+        |       p_all AS n_pos, n_all AS n_neg,
+        |       round(sum(2 * pos * cnb + pos * neg) / (2.0 * p_all * n_all), 6)
+        |         AS auc
+        |FROM c, t GROUP BY p_all, n_all""".stripMargin)),
+
+    // M73 threshold sweep: per distinct score t, the confusion counts
+    // for "keep iff score >= t" plus exact-division precision / recall /
+    // F1 (F1 in its 2TP/(2TP+FP+FN) single-division form). The corpus is
+    // touched once; every operating point is a filter on this table.
+    Q("q_threshold_sweep",
+      (s, d) => ops.Evaluation.thresholdSweep(
+        documents(s, d).select(
+          expr("length(text) div 20").as("score"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("y")),
+        "score", "y"),
+      Some("""WITH s AS (SELECT length(text) // 20 AS score,
+        |              CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |       FROM documents),
+        |g AS (SELECT score, sum(y)::BIGINT AS pos, sum(1 - y)::BIGINT AS neg
+        |      FROM s GROUP BY 1),
+        |c AS (SELECT *,
+        |             sum(pos) OVER (ORDER BY score DESC
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+        |             sum(neg) OVER (ORDER BY score DESC
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fp,
+        |             sum(pos) OVER () AS p_all, sum(neg) OVER () AS n_all
+        |      FROM g)
+        |SELECT score AS threshold, tp::BIGINT AS tp, fp::BIGINT AS fp,
+        |       (p_all - tp)::BIGINT AS fn, (n_all - fp)::BIGINT AS tn,
+        |       round(tp / (tp + fp), 6) AS precision,
+        |       round(tp / p_all, 6) AS recall,
+        |       round(2 * tp / (2 * tp + fp + p_all - tp), 6) AS f1
+        |FROM c""".stripMargin)),
+
     // M70 product quantization, encode side: each 64-dim vector's 8
     // subvectors assigned to the nearest deterministic codebook entry
     // (exact integer squared L2 = n − 2·dot + cn, tie on centroid_id).
