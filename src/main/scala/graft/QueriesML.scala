@@ -1746,6 +1746,36 @@ object QueriesML {
         |       count(*)::BIGINT AS est_distinct
         |FROM k GROUP BY 1""".stripMargin)),
 
+    // M74 stream-STREAM interval join (click attribution): views and
+    // clicks arrive as two live streams; each click joins same-user
+    // views at most 1 hour older. Watermark + the event-time interval
+    // bound the join state (the scale property); inner join ⇒ the
+    // emitted rows are EXACTLY the batch join, which the oracle replays
+    // as a plain DuckDB join on identical microsecond arithmetic.
+    Q("q_stream_attribution",
+      (s, d) => {
+        val schema = s.read.parquet(s"$d/events.parquet").schema
+        def stream = Tables.normalizeEventTs(s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(d))
+        val out = graft.streaming.StreamingOps.attributionJoin(
+          stream.where(col("event_type") === "view"),
+          stream.where(col("event_type") === "click"))
+        val mem = "stream_attr_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        val q = out.writeStream
+          .outputMode("append").format("memory").queryName(mem).start()
+        try { q.processAllAvailable() } finally { q.stop() }
+        val res = s.table(mem).select(
+          col("user_id"), col("view_id"), col("click_id"), col("delay_us"))
+        s.catalog.dropTempView(mem)
+        res
+      },
+      Some("""SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
+        |       (epoch_us(c.ts) - epoch_us(v.ts))::BIGINT AS delay_us
+        |FROM events v JOIN events c ON v.user_id = c.user_id
+        |WHERE v.event_type = 'view' AND c.event_type = 'click'
+        |  AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR""".stripMargin)),
+
     // M65 corpus release manifest: content-stable shards, order-
     // independent additive checksum — every column exact BIGINT
     // arithmetic both engines replay (hash CTE = the shared portable

@@ -30,6 +30,44 @@ object StreamingOps {
         col("window.start").as("hour"),
         col("event_type"), col("n"), col("total_value"))
 
+  /** Stream-STREAM interval join (M74) — the click-attribution shape:
+    * every click joins the impressions of the SAME user whose event time
+    * precedes it by at most `horizon`. Both sides are live unbounded
+    * streams, so this is the one join batch composition can't express
+    * incrementally — Structured Streaming buffers each side in the state
+    * store and the WATERMARK + the event-time interval condition are
+    * what make that state BOUNDED: an impression older than
+    * (watermark − horizon) can never match a future click and is evicted.
+    * Without the time condition the state grows with the corpus — the
+    * 100 TB failure mode this operator exists to avoid.
+    *
+    * Inner join ⇒ results are exactly the batch join of the same data
+    * (watermarks only bound lateness/state, they drop no on-time rows) —
+    * the gate replays it against a plain DuckDB join. Output:
+    * (user_id, view_id, click_id, delay_us) with the delay an exact
+    * integer both engines compute from the same microsecond stamps. */
+  def attributionJoin(
+      impressions: DataFrame,
+      clicks: DataFrame,
+      horizon: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame = {
+    val imp = impressions
+      .select(col("user_id").as("i_user"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", watermark)
+    val clk = clicks
+      .select(col("user_id").as("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    clk.join(imp,
+      col("i_user") === col("user_id") &&
+        col("click_ts") >= col("view_ts") &&
+        col("click_ts") <= col("view_ts") + expr(s"interval $horizon"))
+      .select(col("user_id"), col("view_id"), col("click_id"),
+        (unix_micros(col("click_ts")) - unix_micros(col("view_ts")))
+          .as("delay_us"))
+  }
+
   final case class SessionEvent(user_id: Long, event_id: Long, ts_us: Long)
   final case class OpenSession(start_us: Long, last_us: Long, n: Long, first_event: Long)
   final case class ClosedSession(

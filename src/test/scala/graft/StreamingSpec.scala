@@ -34,6 +34,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("attributionJoin: stream-stream interval join matches each click to in-horizon views") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[(Long, Long, Timestamp)]
+    val clicks = MemoryStream[(Long, Long, Timestamp)]
+    def df(m: MemoryStream[(Long, Long, Timestamp)]) =
+      m.toDF().toDF("user_id", "event_id", "ts")
+    val q = StreamingOps.attributionJoin(df(views), df(clicks),
+      horizon = "1 hour", watermark = "2 hours")
+      .writeStream.format("memory").queryName("attr_out")
+      .outputMode("append").start()
+    try {
+      views.addData(
+        (1L, 10L, ts("2024-01-01 10:00:00")),
+        (1L, 11L, ts("2024-01-01 10:40:00")),
+        (2L, 12L, ts("2024-01-01 10:00:00")))
+      q.processAllAvailable()
+      clicks.addData(
+        (1L, 20L, ts("2024-01-01 10:59:00")), // in horizon of views 10+11
+        (2L, 21L, ts("2024-01-01 11:30:00")), // 90 min after view 12: out
+        (3L, 22L, ts("2024-01-01 10:30:00"))) // no view for user 3
+      q.processAllAvailable()
+      val out = spark.table("attr_out").collect()
+        .map(r => (r.getLong(1), r.getLong(2)) -> r.getLong(3)).toMap
+      assert(out == Map(
+        (10L, 20L) -> 3540000000L, // 59 min in us
+        (11L, 20L) -> 1140000000L)) // 19 min in us
+      // exactly the batch join of the same rows: clicks before views
+      // (cross-stream arrival order) must not change the match set
+      clicks.addData((1L, 23L, ts("2024-01-01 11:10:00")))
+      q.processAllAvailable()
+      assert(spark.table("attr_out").count() == 3) // view 11 only (30 min)
+    } finally q.stop()
+  }
+
   test("hourlyNcSink writes one final .nc per watermark-closed hour") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
