@@ -483,8 +483,12 @@ object Similarity {
     val spark = embeddings.sparkSession
     val subsDf = spark.createDataFrame(
       Seq.tabulate(m)(s => Tuple1(s))).toDF("sub")
-    val win = Window.partitionBy("vec_id", "sub")
-      .orderBy(col("d2").asc, col("centroid_id").asc)
+    // argmin via min_by, NOT a row_number window: the candidate fan-out
+    // (N·m·ksub rows) stays map-side — partial aggregation collapses it
+    // to N·m rows before any shuffle. A window here would shuffle the
+    // whole fan-out (ksub× the corpus) just to keep rank-1 rows.
+    // (d2, centroid_id) is unique per group, so the argmin (and its
+    // tie-break) is deterministic.
     embeddings
       .select(col("vec_id"), quantize(col("embedding")).as("v"))
       .crossJoin(broadcast(subsDf))
@@ -493,12 +497,13 @@ object Similarity {
       .join(broadcast(books), Seq("sub"))
       .withColumn("d2",
         col("vn") - lit(2) * dot(col("vs"), col("cs")) + col("cn"))
-      .withColumn("rn", row_number().over(win))
-      .where(col("rn") === 1)
+      .groupBy("vec_id", "sub")
+      .agg(min_by(col("centroid_id"),
+        struct(col("d2"), col("centroid_id"))).as("code"))
       .groupBy("vec_id")
       .agg(transform(
-        array_sort(collect_list(struct(col("sub"), col("centroid_id")))),
-        x => x.getField("centroid_id")).as("codes"))
+        array_sort(collect_list(struct(col("sub"), col("code")))),
+        x => x.getField("code")).as("codes"))
   }
 
   /** PQ/ADC search: queries (vec_id < nQueries) rank the ENCODED corpus

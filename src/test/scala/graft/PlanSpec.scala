@@ -200,15 +200,41 @@ class PlanSpec extends SparkSpec {
     val files = java.nio.file.Files.walk(srcRoot).iterator().asScala
       .filter(_.toString.endsWith(".scala")).toSeq
     assert(files.nonEmpty)
+    // Evaluation.scala's cumulative windows run AFTER groupBy(score)
+    // collapses the corpus to #distinct-scores rows (integer/µ-quantized
+    // scores engine-wide) — a metadata-sized single partition by design;
+    // the "metadata-sized under the global window" property is pinned by
+    // the dedicated plan test below, not waived.
+    val globalWindowAllowed = Set("Evaluation.scala")
     val offenders = files.flatMap { p =>
       val text = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
       // `Window.orderBy(` called ON THE OBJECT is the single-partition
       // global window; the partitioned form is Window.partitionBy(...).orderBy
-      val global = text.contains("Window.orderBy(")
+      val global = text.contains("Window.orderBy(") &&
+        !globalWindowAllowed.contains(p.getFileName.toString)
       val rddText = text.contains("sparkContext.textFile")
       if (global || rddText) Some(s"$p: global=$global rddText=$rddText") else None
     }
     assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
+  test("Evaluation windows run above the score aggregate, never the corpus") {
+    val docs = spark.range(10000).select(
+      (col("id") % 97).as("score"), (col("id") % 3 === 0).cast("int").as("y"))
+    for (out <- Seq(
+        graft.ops.Evaluation.aucExact(docs, "score", "y"),
+        graft.ops.Evaluation.thresholdSweep(docs, "score", "y"))) {
+      // In treeString children print BELOW parents: the score-keyed
+      // HashAggregate (keys=[score...]) must appear after the LAST
+      // Window line — i.e. every single-partition window sees the
+      // #scores-row aggregate output, never corpus rows.
+      val plan = out.queryExecution.executedPlan.toString
+      val lastWin = plan.lastIndexOf("Window")
+      assert(lastWin >= 0, s"expected a window in the Evaluation plan:\n$plan")
+      val below = plan.substring(lastWin)
+      assert(below.contains("HashAggregate(keys=[score"),
+        s"window not above the score aggregate:\n$plan")
+    }
   }
 
   test("cleaningFunnel scans the documents table exactly once") {
