@@ -1244,7 +1244,142 @@ object QueriesExtra {
           .select(col("cell_id"), col("category"), col("substance"),
             round(col("value"), 6).as("value"))
       },
-      Some(CombineInventoriesOracle))
+      Some(CombineInventoriesOracle)),
+
+    // M75 bucket-decomposed interval join: every event matched to the
+    // deterministic campaign windows that contain it, both sides at data
+    // scale — an EQUI-join on 1-hour buckets + residual range predicate,
+    // never a BroadcastNestedLoopJoin (PlanSpec-pinned). The oracle is
+    // the plain SQL range join DuckDB evaluates directly; the bucket
+    // decomposition must be invisible in the result (lossless, dup-free:
+    // each matching pair meets in exactly one bucket — the point's).
+    Q("q_interval_join",
+      (s, d) => {
+        val iv = orders(s, d).where(col("o_orderkey") % 97 === 0)
+          .select(col("o_orderkey").as("interval_id"),
+            (lit(1704067200000000L) +
+              (col("o_orderkey") % 720) * lit(3600000000L)).as("lo_us"),
+            col("o_custkey"))
+          .withColumn("hi_us",
+            col("lo_us") + (col("o_custkey") % 6 + 1) * lit(3600000000L))
+          .drop("o_custkey")
+        val pts = events(s, d)
+          .select(col("event_id"), unix_micros(col("ts")).as("v_us"))
+        graft.ops.IntervalJoin.intervalJoin(
+            pts, iv, "v_us", "lo_us", "hi_us", width = 3600000000L)
+          .select(col("interval_id"), col("event_id"),
+            (col("v_us") - col("lo_us")).as("offset_us"))
+      },
+      Some("""WITH iv AS (
+        |  SELECT o_orderkey AS interval_id,
+        |         1704067200000000 + (o_orderkey % 720) * 3600000000 AS lo_us,
+        |         1704067200000000 + (o_orderkey % 720) * 3600000000
+        |           + (o_custkey % 6 + 1) * 3600000000 AS hi_us
+        |  FROM orders WHERE o_orderkey % 97 = 0)
+        |SELECT i.interval_id, e.event_id,
+        |       (epoch_us(e.ts) - i.lo_us)::BIGINT AS offset_us
+        |FROM events e JOIN iv i
+        |  ON epoch_us(e.ts) >= i.lo_us AND epoch_us(e.ts) <= i.hi_us"""
+        .stripMargin)),
+
+    // M76 relational count-min sketch, point-frequency side: a 4×64 CMS
+    // over event user_ids, probed for every key — est_n never
+    // undercounts (the one-sided CMS bound, emitted as a contract
+    // column). The sketch is a plain (r, c, n) relation and the oracle
+    // replays the salted portable hash bit-for-bit, so est_n matches
+    // EXACTLY, collisions and all.
+    Q("q_cms_frequency",
+      (s, d) => {
+        val ev = events(s, d)
+        val sk = graft.ops.FreqSketch.cmsBuild(ev, "user_id", 4, 64)
+        val est = graft.ops.FreqSketch.cmsEstimate(
+          sk, ev.select("user_id").distinct(), 4, 64)
+        val exact = ev.groupBy(col("user_id").cast("string").as("key"))
+          .agg(count(lit(1)).as("exact_n"))
+        exact.join(est, "key")
+          .select(col("key"), col("exact_n"), col("est_n"),
+            (col("est_n") >= col("exact_n")).as("never_under"))
+      },
+      Some(s"""WITH base AS (SELECT user_id::VARCHAR AS k FROM events),
+        |cms AS (SELECT r, ${QueriesML.hashSqlOf("(r::VARCHAR || ':' || k)")} % 64 AS c,
+        |               count(*)::BIGINT AS n
+        |        FROM base, range(4) t(r) GROUP BY 1, 2),
+        |keys AS (SELECT DISTINCT user_id::VARCHAR AS key FROM events),
+        |probe AS (SELECT key, r,
+        |                 ${QueriesML.hashSqlOf("(r::VARCHAR || ':' || key)")} % 64 AS c
+        |          FROM keys, range(4) t(r)),
+        |est AS (SELECT key, min(coalesce(n, 0))::BIGINT AS est_n
+        |        FROM probe LEFT JOIN cms USING (r, c) GROUP BY 1),
+        |ex AS (SELECT user_id::VARCHAR AS key, count(*)::BIGINT AS exact_n
+        |       FROM events GROUP BY 1)
+        |SELECT ex.key, exact_n, est_n, est_n >= exact_n AS never_under
+        |FROM ex JOIN est USING (key)""".stripMargin)),
+
+    // M76 CMS join-size estimate: |events ⨝ user_id=o_custkey orders|
+    // predicted from two 4×256 sketches via the CMS inner product —
+    // the "how big would this join be" answer a 100 TB planner wants
+    // BEFORE paying for the join. The gate certifies one-sidedness
+    // against the exact size (computed here once; steady state runs
+    // sketches only).
+    Q("q_cms_join_size",
+      (s, d) => {
+        val a = graft.ops.FreqSketch.cmsBuild(events(s, d), "user_id", 4, 256)
+        val b = graft.ops.FreqSketch.cmsBuild(orders(s, d), "o_custkey", 4, 256)
+        val est = graft.ops.FreqSketch.cmsJoinSize(a, b, depth = 4)
+        val exact = events(s, d).groupBy(col("user_id").as("k"))
+          .agg(count(lit(1)).as("na"))
+          .join(orders(s, d).groupBy(col("o_custkey").as("k"))
+            .agg(count(lit(1)).as("nb")), "k")
+          .agg(sum(col("na") * col("nb")).as("exact_join_size"))
+        est.crossJoin(exact)
+          .select(col("est_join_size"), col("exact_join_size"),
+            (col("est_join_size") >= col("exact_join_size")).as("never_under"))
+      },
+      Some(s"""WITH ea AS (SELECT user_id::VARCHAR AS k FROM events),
+        |eb AS (SELECT o_custkey::VARCHAR AS k FROM orders),
+        |ca AS (SELECT r, ${QueriesML.hashSqlOf("(r::VARCHAR || ':' || k)")} % 256 AS c,
+        |              count(*)::BIGINT AS n
+        |       FROM ea, range(4) t(r) GROUP BY 1, 2),
+        |cb AS (SELECT r, ${QueriesML.hashSqlOf("(r::VARCHAR || ':' || k)")} % 256 AS c,
+        |              count(*)::BIGINT AS n
+        |       FROM eb, range(4) t(r) GROUP BY 1, 2),
+        |dots AS (SELECT ca.r, sum(ca.n * cb.n)::BIGINT AS dot
+        |         FROM ca JOIN cb ON ca.r = cb.r AND ca.c = cb.c GROUP BY 1),
+        |est AS (SELECT min(coalesce(dot, 0))::BIGINT AS est_join_size
+        |        FROM range(4) t(r) LEFT JOIN dots ON t.r = dots.r),
+        |ex AS (SELECT sum(na * nb)::BIGINT AS exact_join_size FROM
+        |         (SELECT user_id AS k, count(*) AS na FROM events GROUP BY 1) a
+        |         JOIN (SELECT o_custkey AS k, count(*) AS nb FROM orders
+        |               GROUP BY 1) b USING (k))
+        |SELECT est_join_size, exact_join_size,
+        |       est_join_size >= exact_join_size AS never_under
+        |FROM est, ex""".stripMargin)),
+
+    // M77 HDR-histogram quantiles: per-source p50/p90/p99.9 of document
+    // length from the deterministic significant-bits histogram — every
+    // bucket boundary, rank and answer exact integer arithmetic both
+    // engines replay (no float log2, no randomized sketch state).
+    Q("q_hdr_quantiles",
+      (s, d) => {
+        val hist = graft.ops.Quantiles.hdrBuild(
+          documents(s, d), "n_chars", sigBits = 5, groupCols = Seq("source"))
+        graft.ops.Quantiles.hdrQuantiles(
+          hist, Seq(500000L, 900000L, 999000L), groupCols = Seq("source"))
+      },
+      Some("""WITH v AS (SELECT source, n_chars AS v FROM documents),
+        |b AS (SELECT source,
+        |        ((v >> greatest(length(bin(v)) - 5, 0))
+        |          << greatest(length(bin(v)) - 5, 0))::BIGINT AS bucket,
+        |        count(*)::BIGINT AS n
+        |      FROM v GROUP BY 1, 2),
+        |c AS (SELECT *, sum(n) OVER (PARTITION BY source ORDER BY bucket
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |        sum(n) OVER (PARTITION BY source) AS total FROM b),
+        |q(q_ppm) AS (VALUES (500000::BIGINT), (900000::BIGINT),
+        |                    (999000::BIGINT))
+        |SELECT source, q_ppm, min(bucket)::BIGINT AS value
+        |FROM c JOIN q ON c.cum * 1000000 >= q.q_ppm * c.total
+        |GROUP BY 1, 2""".stripMargin))
   )
 
   /** Triangle-crop weight CTEs for a regular grid, parametrized by CTE

@@ -1154,6 +1154,193 @@ object ScaleBench {
       "B32 unscored dedupAssignBy != dedupAssign on the chain subgraph")
     Caching.release()
 
+    // B33: product quantization (M70) at 1M vectors / d=32 — encode to
+    // m=8 codes against a 245-entry deterministic codebook per subspace
+    // (centroidMod 4096), then ADC-search 100 queries over the ENCODED
+    // corpus. Plant an exact duplicate of every query at id 1e6+q: a
+    // duplicate shares the query's own code assignment, which minimizes
+    // every per-subspace table entry INDEPENDENTLY, so its ADC distance
+    // is the global minimum — it must appear at rank 1 for all 100
+    // queries (recall REQUIRE). Embeddings are xxhash64-derived
+    // pseudorandom milli-unit values (deterministic, seed-fixed): a
+    // LATTICE fixture here (base·131 + d·137 mod p) ties systematically
+    // — every base ≡ b (mod 1997) is the SAME vector, so rank-1 falls
+    // to the tie-break id, not the planted dup (the first run of this
+    // entry failed exactly that way; hash inputs leave ties a ~245^-8
+    // event and the REQUIRE deterministic). The encode fan-out
+    // (N·m·ksub ≈ 2.0G candidate rows) stays map-side via the min_by
+    // partial aggregate — only N·m rows shuffle.
+    val b33vecs = spark.range(1000100L).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(31)),
+        d => (pmod(xxhash64(
+          when(col("id") >= 1000000L, col("id") - 1000000L)
+            .otherwise(col("id")), d), lit(1997L)) - 998)
+          .cast("double") / 1000.0).as("embedding"))
+      .persist()
+    b33vecs.count()
+    val (b33es, b33en) = time {
+      graft.similarity.Similarity.pqEncode(
+        b33vecs, m = 8, dims = 32, centroidMod = 4096).count()
+    }
+    var b33top1 = 0L
+    val (b33s, b33n) = time {
+      val out = graft.similarity.Similarity.pqSearch(
+        b33vecs, nQueries = 100, k = 10, m = 8, dims = 32,
+        centroidMod = 4096)
+      val top1 = out.where(col("rank") === 1)
+        .select(col("query_id"), col("neighbor_id")).collect()
+      require(top1.length == 100, s"B33 ${top1.length} rank-1 rows, want 100")
+      top1.foreach { r =>
+        require(r.getLong(1) == r.getLong(0) + 1000000L,
+          s"B33 query ${r.getLong(0)}: top-1 ${r.getLong(1)} is not the " +
+            s"planted duplicate ${r.getLong(0) + 1000000L}") }
+      b33top1 = top1.length
+      out.count()
+    }
+    b33vecs.unpersist(); Caching.release()
+
+    // B34: theta-sketch set operations (M71) in the ESTIMATION regime —
+    // the gate proves the exact regime only. Splits A = [0, 12M),
+    // B = [6M, 18M): truth is |∪| = 18M, |∩| = 6M, |A∖B| = 6M, far past
+    // lgK 14 capacity (16384 entries) on both sides. REQUIREs:
+    // estimation_mode flagged; union within 3% (4σ at RSE ≈ 0.78%);
+    // intersection and difference within 6% (set-op error compounds
+    // both operands' thetas — JL-style bound, double the union budget).
+    // Deterministic input → deterministic estimate: the envelope is a
+    // safety proof, not a flaky sample.
+    val (b34s, b34n) = time {
+      val a = spark.range(0L, 12000000L)
+        .select(lit("A").as("split"), col("id").as("k"))
+      val b = spark.range(6000000L, 18000000L)
+        .select(lit("B").as("split"), col("id").as("k"))
+      val r = graft.ops.Sketches.thetaSetReport(
+        a.unionByName(b), "split", "k", lgK = 14).collect()(0)
+      require(r.getBoolean(5), "B34 sketches not in estimation mode at 24M rows")
+      require(math.abs(r.getLong(2) - 18000000L) <= 540000L,
+        s"B34 est_union ${r.getLong(2)} outside 3% of 18M")
+      require(math.abs(r.getLong(3) - 6000000L) <= 360000L,
+        s"B34 est_intersect ${r.getLong(3)} outside 6% of 6M")
+      require(math.abs(r.getLong(4) - 6000000L) <= 360000L,
+        s"B34 est_only_a ${r.getLong(4)} outside 6% of 6M")
+      r.getLong(2)
+    }
+    Caching.release()
+
+    // B35: bloom-filter point lookup (M72) at 50M rows — hash-clustered
+    // write into 16 files with per-row-group blooms on the hash key,
+    // then a 5-key IN probe through the pushed-down scan. REQUIREs: the
+    // probe finds exactly its 5 planted ids, and the scan's output-row
+    // metric stays under 1% of the corpus (min/max stats CANNOT prune a
+    // hash key — every surviving row group is the blooms' doing).
+    val b35dir = java.nio.file.Files.createTempDirectory("scale_bloom")
+    val b35df = spark.range(50000000L).select(
+      col("id"),
+      pmod(xxhash64(col("id")), lit(1000000000000L)).as("k"),
+      concat(lit("p"), col("id") % 1000).as("payload"))
+    val (b35ws, _) = time {
+      var w = graft.ops.Layout.bloomLayout(b35df, "k", numFiles = 16)
+        .write.mode("overwrite")
+      graft.ops.Layout.bloomWriteOptions("k", expectedNdv = 300000L,
+        rowGroupBytes = 8L << 20).foreach { case (o, v) => w = w.option(o, v) }
+      w.parquet(b35dir.toString)
+      50000000L
+    }
+    var b35scanned = 0L
+    val (b35s, b35n) = time {
+      val probeIds = Seq(123L, 456789L, 9999999L, 25000001L, 49999999L)
+      val probe = b35df.where(col("id").isin(probeIds: _*))
+        .select("k").collect().map(_.getLong(0)).toSeq
+      val q = graft.ops.Layout.pointLookup(
+        spark, b35dir.toString, "k", probe)
+      val ids = q.collect().map(_.getAs[Long]("id")).toSet
+      require(probeIds.forall(ids.contains),
+        s"B35 lookup missed planted ids: got $ids")
+      require(ids.size <= 10,
+        s"B35 ${ids.size} ids matched 5 probe keys - hash domain too small")
+      b35scanned = q.queryExecution.executedPlan.collectLeaves()
+        .collect { case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+        .head.metrics("numOutputRows").value
+      require(b35scanned < 500000L,
+        s"B35 scan read $b35scanned rows (>1% of 50M) - blooms not pruning")
+      ids.size.toLong
+    }
+    deleteRecursive(b35dir); Caching.release()
+
+    // B36: bucket-decomposed interval join (M75) — 50.0001M points vs 2M
+    // intervals, BOTH at data scale (a BroadcastNestedLoopJoin here is
+    // 10^14 comparisons; the bucketed equi-join is the operator's whole
+    // point). Intervals [25i, 25i+99] each contain exactly 100 of the
+    // points 0..50,000,099 → closed-form 200M pairs, REQUIREd. Plan is
+    // REQUIREd free of nested-loop/cartesian joins.
+    val b36pts = spark.range(50000100L).select(col("id").as("v"))
+    val b36ivs = spark.range(2000000L).select(
+      col("id").as("i_id"), (col("id") * 25).as("lo"),
+      (col("id") * 25 + 99).as("hi"))
+    val b36join = graft.ops.IntervalJoin.intervalJoin(
+      b36pts, b36ivs, "v", "lo", "hi", width = 64L)
+    val b36plan = b36join.queryExecution.executedPlan.toString
+    require(!b36plan.contains("BroadcastNestedLoopJoin") &&
+      !b36plan.contains("CartesianProduct"),
+      "B36 interval join planned a nested-loop/cartesian join")
+    val (b36s, b36n) = time { b36join.count() }
+    require(b36n == 200000000L, s"B36 got $b36n pairs, want 200M")
+    Caching.release()
+
+    // B37: relational CMS (M76) at 100M + 20M rows — build two 4×2^20
+    // sketches (the 400M-row explode collapses map-side; the shuffle
+    // moves ≤ depth·width counter rows) and estimate the join size.
+    // Truth: A = keys 0..1M-1 ×100, B = keys 0..500k-1 ×40 → exact
+    // Σ a(k)b(k) = 500000·4000 = 2e9. REQUIREs: never undercounts, and
+    // est ≤ exact + 3·NaNb/w (the CMS inner-product overshoot bound at
+    // 3× its expectation — deterministic hashes make this a stable
+    // property of the built table, not a sample).
+    val b37w = 1 << 20
+    val (b37s, b37n) = time {
+      val a = graft.ops.FreqSketch.cmsBuild(
+        spark.range(100000000L).select((col("id") % 1000000L).as("k")),
+        "k", depth = 4, width = b37w)
+      val b = graft.ops.FreqSketch.cmsBuild(
+        spark.range(20000000L).select((col("id") % 500000L).as("k")),
+        "k", depth = 4, width = b37w)
+      val est = graft.ops.FreqSketch.cmsJoinSize(a, b, depth = 4)
+        .collect()(0).getLong(0)
+      val exact = 2000000000L
+      val slack = 3L * (100000000L / b37w) * 20000000L
+      require(est >= exact, s"B37 join-size undercount: $est < $exact")
+      require(est <= exact + slack,
+        s"B37 join-size $est exceeds $exact + $slack")
+      est
+    }
+    Caching.release()
+
+    // B38: HDR-histogram quantiles (M77) at 200M values — one corpus
+    // aggregate to ≤ 64·2^(sigBits−1) buckets, quantiles from the
+    // metadata-sized table. Uniform ramp 1..200M ⇒ closed-form true
+    // quantiles; REQUIREs: answer ≤ true (lower-bound convention) and
+    // within the 2^(1−sigBits) relative-error guarantee (sigBits 8 ⇒
+    // 0.78%), and the histogram stays ≤ 64·128 rows.
+    val (b38s, b38n) = time {
+      val hist = graft.ops.Quantiles.hdrBuild(
+        spark.range(1L, 200000001L).select(col("id").as("v")),
+        "v", sigBits = 8).persist()
+      val nb = hist.count()
+      require(nb <= 64L * 128L, s"B38 $nb buckets — not metadata-sized")
+      val qs = Seq(500000L, 900000L, 990000L, 999000L)
+      val got = graft.ops.Quantiles.hdrQuantiles(hist, qs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      hist.unpersist()
+      qs.foreach { q =>
+        val trueQ = math.ceil(200000000.0 * q / 1000000.0).toLong
+        val v = got(q)
+        require(v <= trueQ, s"B38 q=$q: $v overshoots $trueQ")
+        require(trueQ - v <= trueQ / 128L,
+          s"B38 q=$q: $v outside 2^-7 relative error of $trueQ")
+      }
+      nb
+    }
+    Caching.release()
+
     val b1rate = "%.1f".format(src.ncells * 32 / b1s / 1e6)
     val b3rate = "%.1f".format(b3n / b3s / 1e6)
     val json =
@@ -1208,7 +1395,15 @@ object ScaleBench {
         s""""b31_stream_hll_sec":$b31s,"b31_rows":20000000,"b31_distinct":$b31n,""" +
         s""""b31_est":$b31est,"b31_batches":10,"b31_shards":16,""" +
         s""""b32_keepbest_sec":$b32s,"b32_docs":9001000,"b32_edges":8000999,""" +
-        s""""b32_divergent":$b32div}"""
+        s""""b32_divergent":$b32div,""" +
+        s""""b33_pq_encode_sec":$b33es,"b33_codes":$b33en,"b33_vectors":1000100,"b33_ksub":245,""" +
+        s""""b33_pq_search_sec":$b33s,"b33_results":$b33n,"b33_queries":100,"b33_top1_planted":$b33top1,""" +
+        s""""b34_theta_sec":$b34s,"b34_rows":24000000,"b34_est_union":$b34n,""" +
+        s""""b35_bloom_write_sec":$b35ws,"b35_rows":50000000,""" +
+        s""""b35_lookup_sec":$b35s,"b35_matched":$b35n,"b35_scanned":$b35scanned,""" +
+        s""""b36_interval_join_sec":$b36s,"b36_pairs":$b36n,"b36_points":50000100,"b36_intervals":2000000,""" +
+        s""""b37_cms_sec":$b37s,"b37_rows":120000000,"b37_est_join":$b37n,"b37_exact_join":2000000000,""" +
+        s""""b38_hdr_sec":$b38s,"b38_rows":200000000,"b38_buckets":$b38n}"""
     println(json)
     // Fold the per-entry minimum across the run series into a "best"
     // object before persisting: the committed artifact carries BOTH the

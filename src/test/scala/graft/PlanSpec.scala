@@ -200,12 +200,13 @@ class PlanSpec extends SparkSpec {
     val files = java.nio.file.Files.walk(srcRoot).iterator().asScala
       .filter(_.toString.endsWith(".scala")).toSeq
     assert(files.nonEmpty)
-    // Evaluation.scala's cumulative windows run AFTER groupBy(score)
-    // collapses the corpus to #distinct-scores rows (integer/µ-quantized
-    // scores engine-wide) — a metadata-sized single partition by design;
-    // the "metadata-sized under the global window" property is pinned by
-    // the dedicated plan test below, not waived.
-    val globalWindowAllowed = Set("Evaluation.scala")
+    // Evaluation.scala's and Quantiles.scala's cumulative windows run
+    // AFTER a groupBy collapses the corpus to a metadata-sized table
+    // (#distinct-scores rows / ≤ ~64·2^(sigBits−1) histogram buckets) —
+    // a single partition by design; the "metadata-sized under the
+    // global window" property is pinned by the dedicated plan tests
+    // below, not waived.
+    val globalWindowAllowed = Set("Evaluation.scala", "Quantiles.scala")
     val offenders = files.flatMap { p =>
       val text = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
       // `Window.orderBy(` called ON THE OBJECT is the single-partition
@@ -235,6 +236,17 @@ class PlanSpec extends SparkSpec {
       assert(below.contains("HashAggregate(keys=[score"),
         s"window not above the score aggregate:\n$plan")
     }
+  }
+
+  test("Quantiles windows run above the bucket aggregate, never the corpus") {
+    val docs = spark.range(10000).select((col("id") % 997 + 1).as("v"))
+    val hist = graft.ops.Quantiles.hdrBuild(docs, "v", 6)
+    val out = graft.ops.Quantiles.hdrQuantiles(hist, Seq(500000L, 990000L))
+    val plan = out.queryExecution.executedPlan.toString
+    val lastWin = plan.lastIndexOf("Window")
+    assert(lastWin >= 0, s"expected a window in the Quantiles plan:\n$plan")
+    assert(plan.substring(lastWin).contains("HashAggregate(keys=[bucket"),
+      s"window not above the bucket aggregate:\n$plan")
   }
 
   test("cleaningFunnel scans the documents table exactly once") {
