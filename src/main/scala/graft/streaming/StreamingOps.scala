@@ -45,7 +45,14 @@ object StreamingOps {
     * (watermarks only bound lateness/state, they drop no on-time rows) —
     * the gate replays it against a plain DuckDB join. Output:
     * (user_id, view_id, click_id, delay_us) with the delay an exact
-    * integer both engines compute from the same microsecond stamps. */
+    * integer both engines compute from the same microsecond stamps.
+    *
+    * Sizing note: a stream-stream join keeps FOUR state-store instances
+    * per shuffle partition (keyToNumValues + keyWithIndexToValue on each
+    * side), every one committed per micro-batch — so per-batch fixed
+    * cost scales with `spark.sql.shuffle.partitions`, not with data.
+    * Set partitions to the buffered-state volume (horizon × arrival
+    * rate), captured at query start. */
   def attributionJoin(
       impressions: DataFrame,
       clicks: DataFrame,
