@@ -1233,6 +1233,17 @@ object ScaleBench {
     // probe finds exactly its 5 planted ids, and the scan's output-row
     // metric stays under 1% of the corpus (min/max stats CANNOT prune a
     // hash key — every surviving row group is the blooms' doing).
+    //
+    // Sizing is the lesson this entry encodes (its first run failed at
+    // 8 MB row groups / ndv 300k, scanning 36%): (a) the PER-KEY floor
+    // is one whole row group — ~50k rows at 1 MB groups, so 5 keys
+    // floor at 250k = 0.5%; (b) an IN-list compounds the per-group fpp
+    // across ALL ~1000 groups AND all probes, so the bloom must be
+    // overprovisioned: ndv 3× the actual per-group distincts drives
+    // fpp to ~1e-5 and false admissions to ~zero. Under-sizing ndv is
+    // worse than it looks — a bloom holding 1.3× its rated keys is
+    // already at several-percent fpp, which a 5-key IN turns into
+    // ~17% of row groups admitted.
     val b35dir = java.nio.file.Files.createTempDirectory("scale_bloom")
     val b35df = spark.range(50000000L).select(
       col("id"),
@@ -1241,8 +1252,8 @@ object ScaleBench {
     val (b35ws, _) = time {
       var w = graft.ops.Layout.bloomLayout(b35df, "k", numFiles = 16)
         .write.mode("overwrite")
-      graft.ops.Layout.bloomWriteOptions("k", expectedNdv = 300000L,
-        rowGroupBytes = 8L << 20).foreach { case (o, v) => w = w.option(o, v) }
+      graft.ops.Layout.bloomWriteOptions("k", expectedNdv = 150000L,
+        rowGroupBytes = 1L << 20).foreach { case (o, v) => w = w.option(o, v) }
       w.parquet(b35dir.toString)
       50000000L
     }
