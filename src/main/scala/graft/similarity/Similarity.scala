@@ -467,43 +467,42 @@ object Similarity {
   }
 
   /** PQ encode: each vector's m subvectors are assigned to their
-    * nearest codebook entry (exact integer squared L2, tie-break
-    * centroid_id asc); output is `(vec_id, codes)` with `codes[s]` the
-    * chosen centroid_id for subspace s — the m-code compressed corpus
-    * a pipeline persists instead of raw embeddings. Plan shape: one
-    * narrow explode against the BROADCAST codebook, then one vec-keyed
-    * aggregate — linear in the corpus, no self-join. */
+    * nearest codebook entry (exact squared L2 on quantized integer-
+    * valued doubles, tie-break centroid_id asc); output is `(vec_id,
+    * codes)` with `codes[s]` the chosen centroid_id for subspace s —
+    * the m-code compressed corpus a pipeline persists instead of raw
+    * embeddings.
+    *
+    * Plan shape: ONE narrow codegen'd projection
+    * ([[graft.functions.PqEncodeExpr]]) with the codebook collected as
+    * a reference object — no join, no aggregate, no shuffle; encode
+    * throughput scales with cores. The codebook is metadata-sized by
+    * construction (ksub = N/centroidMod, caller-chosen — FAISS trains
+    * 256 per subspace), and the relational alternative (explode m
+    * subspaces × join the codebook × min_by) evaluates N·m·ksub
+    * candidate ROWS: measured ~100 s vs ~2 s at 1M×8×245 for the same
+    * ~8 GFLOP. The collect is the same metadata-bounded driver step
+    * every ADC search needs for its lookup tables. */
   def pqEncode(
       embeddings: DataFrame,
       m: Int = 8,
       dims: Int = 64,
       centroidMod: Int = 97): DataFrame = {
     val subDim = dims / m
-    val books = pqCodebooks(embeddings, m, dims, centroidMod)
-    val spark = embeddings.sparkSession
-    val subsDf = spark.createDataFrame(
-      Seq.tabulate(m)(s => Tuple1(s))).toDF("sub")
-    // argmin via min_by, NOT a row_number window: the candidate fan-out
-    // (N·m·ksub rows) stays map-side — partial aggregation collapses it
-    // to N·m rows before any shuffle. A window here would shuffle the
-    // whole fan-out (ksub× the corpus) just to keep rank-1 rows.
-    // (d2, centroid_id) is unique per group, so the argmin (and its
-    // tie-break) is deterministic.
-    embeddings
+    val centRows = embeddings
+      .where(col("vec_id") % centroidMod === 0)
       .select(col("vec_id"), quantize(col("embedding")).as("v"))
-      .crossJoin(broadcast(subsDf))
-      .withColumn("vs", slice(col("v"), col("sub") * subDim + 1, lit(subDim)))
-      .withColumn("vn", dot(col("vs"), col("vs")))
-      .join(broadcast(books), Seq("sub"))
-      .withColumn("d2",
-        col("vn") - lit(2) * dot(col("vs"), col("cs")) + col("cn"))
-      .groupBy("vec_id", "sub")
-      .agg(min_by(col("centroid_id"),
-        struct(col("d2"), col("centroid_id"))).as("code"))
-      .groupBy("vec_id")
-      .agg(transform(
-        array_sort(collect_list(struct(col("sub"), col("code")))),
-        x => x.getField("code")).as("codes"))
+      .collect()
+      .sortBy(_.getLong(0))
+    require(centRows.nonEmpty, "empty PQ codebook")
+    require(centRows.length.toLong * dims <= (16L << 20),
+      s"codebook ${centRows.length}x$dims exceeds the driver bound; " +
+        "raise centroidMod")
+    val ids = centRows.map(_.getLong(0))
+    val cents = centRows.map(_.getSeq[Double](1).toArray)
+    embeddings.select(col("vec_id"),
+      graft.functions.PqEncodeExpr.col(
+        quantize(col("embedding")), cents, ids, m, subDim).as("codes"))
   }
 
   /** PQ/ADC search: queries (vec_id < nQueries) rank the ENCODED corpus
@@ -536,18 +535,51 @@ object Similarity {
       .join(broadcast(books), Seq("sub"))
       .select(col("query_id"), col("sub"), col("centroid_id"),
         (col("vn") - lit(2) * dot(col("vs"), col("cs")) + col("cn")).as("pd"))
-    val codes = pqEncode(embeddings, m, dims, centroidMod)
-      .select(col("vec_id").as("neighbor_id"),
-        posexplode(col("codes")).as(Seq("sub", "code")))
-    val win = Window.partitionBy("query_id")
+    // Fold each query's LUT into m positional arrays (luts[s][ci] = pd,
+    // ci = centroid_id / centroidMod — pqCodebooks takes every
+    // centroidMod-th vec_id, so the division is the exact dense index).
+    // nQueries × m × ksub longs — metadata-sized, broadcast.
+    val lutArr = lut
+      .withColumn("ci", (col("centroid_id") / centroidMod).cast("int"))
+      .groupBy("query_id", "sub")
+      .agg(transform(
+        array_sort(collect_list(struct(col("ci"), col("pd")))),
+        x => x.getField("pd")).as("subArr"))
+      .groupBy("query_id")
+      .agg(transform(
+        array_sort(collect_list(struct(col("sub"), col("subArr")))),
+        x => x.getField("subArr")).as("luts"))
+    // A neighbor's m codes sit in ONE row of the encoded corpus, so the
+    // ADC estimate is m positional lookups into the broadcast LUT — the
+    // scan never explodes the codes and never aggregates (query,
+    // neighbor) groups. (The previous shape — explode to N·m rows, join
+    // the LUT, re-aggregate — shuffled an nQueries·N-group aggregate:
+    // 273 s at 1M×100 where this plan is seconds.) The m-term sum is
+    // unrolled as plain codegen'd element_at chains, not a higher-order
+    // aggregate (HOF lambdas stay outside whole-stage codegen).
+    // pd is an integer-valued double (quantized milli-unit arithmetic);
+    // the m-term sum is exact in binary FP, cast once at the end.
+    val adc = (0 until m).map { s =>
+      element_at(
+        element_at(col("luts"), s + 1),
+        (element_at(col("codes"), s + 1) / centroidMod).cast("int") + 1)
+    }.reduce(_ + _).cast("long")
+    // top-k per query in two phases (the Bm25 idiom): a salted window
+    // bounds every sort run, then the final per-query window ranks only
+    // 64·k survivors per query — no single-task sort of the corpus.
+    val bySalt = Window
+      .partitionBy(col("query_id"), pmod(col("neighbor_id"), lit(64)))
       .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
-    codes
-      .join(broadcast(lut),
-        codes("sub") === lut("sub") && col("code") === col("centroid_id") &&
-          col("neighbor_id") =!= col("query_id"))
-      .groupBy("query_id", "neighbor_id")
-      .agg(sum("pd").cast("long").as("adc_dist"))
-      .withColumn("rank", row_number().over(win))
+    val byQuery = Window.partitionBy("query_id")
+      .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
+    pqEncode(embeddings, m, dims, centroidMod)
+      .select(col("vec_id").as("neighbor_id"), col("codes"))
+      .crossJoin(broadcast(lutArr))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), adc.as("adc_dist"))
+      .withColumn("_sr", row_number().over(bySalt))
+      .where(col("_sr") <= k)
+      .withColumn("rank", row_number().over(byQuery))
       .where(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "adc_dist")
   }
