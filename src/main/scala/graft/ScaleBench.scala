@@ -1179,9 +1179,17 @@ object ScaleBench {
           .cast("double") / 1000.0).as("embedding"))
       .persist()
     b33vecs.count()
+    // consume a code element so the timing measures real encode work —
+    // a bare count() lets Catalyst prune the encode projection entirely
+    // (the original relational encode "timed" 2.4 s that way while its
+    // true cost, ~100 s, hid inside the search leg)
     val (b33es, b33en) = time {
-      graft.similarity.Similarity.pqEncode(
-        b33vecs, m = 8, dims = 32, centroidMod = 4096).count()
+      val enc = graft.similarity.Similarity.pqEncode(
+        b33vecs, m = 8, dims = 32, centroidMod = 4096)
+      val r = enc.agg(count(lit(1)).as("n"),
+        sum(element_at(col("codes"), 8)).as("chk")).collect()(0)
+      require(!r.isNullAt(1), "B33 encode produced null codes")
+      r.getLong(0)
     }
     var b33top1 = 0L
     val (b33s, b33n) = time {
