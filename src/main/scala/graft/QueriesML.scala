@@ -1746,6 +1746,44 @@ object QueriesML {
         |       count(*)::BIGINT AS est_distinct
         |FROM k GROUP BY 1""".stripMargin)),
 
+    // M78 streaming frequency monitor: per-shard count-min counter
+    // state in flatMapGroupsWithState over the streamed events table.
+    // CMS counters are LINEAR, so the final per-shard states summed
+    // cell-by-cell must equal the batch sketch of the same rows
+    // bit-for-bit — the oracle replays the batch CMS build directly
+    // (stream ≡ batch, with no estimation regime to carve out). Cell
+    // counts only grow, so "final state" is the element-wise max over
+    // the update-mode emissions.
+    Q("q_stream_frequency",
+      (s, d) => {
+        val schema = s.read.parquet(s"$d/events.parquet").schema
+        val stream = s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(d)
+        val freq = graft.streaming.StreamingOps.frequencyStream(
+          stream, "user_id", shards = 16, depth = 4, width = 256)
+        val mem = "stream_freq_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        val q = freq.toDF().writeStream
+          .outputMode("update").format("memory").queryName(mem).start()
+        try { q.processAllAvailable() } finally { q.stop() }
+        val out = s.table(mem)
+          .select(col("shard"), posexplode(col("counters")).as(Seq("pos", "n")))
+          .groupBy("shard", "pos").agg(max("n").as("n"))
+          .groupBy("pos").agg(sum("n").as("n"))
+          .where(col("n") > 0)
+          .select(
+            expr("CAST(pos div 256 AS INT)").as("r"),
+            expr("CAST(pos % 256 AS BIGINT)").as("c"),
+            col("n"))
+        s.catalog.dropTempView(mem)
+        out
+      },
+      Some(s"""WITH base AS (SELECT user_id::VARCHAR AS k FROM events)
+        |SELECT r::INT AS r,
+        |       ${hashSql("(r::VARCHAR || ':' || k)")} % 256 AS c,
+        |       count(*)::BIGINT AS n
+        |FROM base, range(4) t(r) GROUP BY 1, 2""".stripMargin)),
+
     // M74 stream-STREAM interval join (click attribution): views and
     // clicks arrive as two live streams; each click joins same-user
     // views at most 1 hour older. Watermark + the event-time interval

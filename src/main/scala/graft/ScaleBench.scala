@@ -1360,6 +1360,59 @@ object ScaleBench {
     }
     Caching.release()
 
+    // B39: streaming CMS frequency monitor (M78) — 20M rows / 3M
+    // distinct keys over 10 file-source micro-batches into 16 shards
+    // at depth 4 × width 8192 (256 KB state per shard, hard-bounded).
+    // REQUIREs: every shard updated in all 10 batches; the final
+    // per-shard states (element-wise max over update emissions —
+    // counters only grow) summed cell-by-cell EQUAL the whole-corpus
+    // batch cmsBuild EXACTLY, cell for cell — CMS counters are linear
+    // and the shards partition the key space, so stream and batch must
+    // agree bit-for-bit at ANY scale (no estimation regime to excuse a
+    // mismatch).
+    val b39dir = java.nio.file.Files.createTempDirectory("scale_stream_cms")
+    for (i <- 0 until 10)
+      spark.range(i * 2000000L, (i + 1) * 2000000L)
+        .select((col("id") % 3000000L).as("user_id")).coalesce(1)
+        .write.mode("append").parquet(b39dir.toString)
+    val (b39s, b39n) = time {
+      val b39schema = spark.read.parquet(b39dir.toString).schema
+      val b39stream = spark.readStream.schema(b39schema)
+        .option("maxFilesPerTrigger", "1").parquet(b39dir.toString)
+      val b39q = graft.streaming.StreamingOps.frequencyStream(
+        b39stream, "user_id", shards = 16, depth = 4, width = 8192)
+        .toDF().writeStream.format("memory").queryName("b39_freq")
+        .outputMode("update").start()
+      try b39q.processAllAvailable() finally b39q.stop()
+      val emitted = spark.table("b39_freq").persist()
+      val updates = emitted.groupBy("shard").agg(count(lit(1)).as("n"))
+        .collect()
+      require(updates.length == 16,
+        s"B39 ${updates.length} shards emitted, want 16")
+      updates.foreach { r =>
+        require(r.getLong(1) == 10L,
+          s"B39 shard ${r.getLong(0)} updated ${r.getLong(1)} times, want 10") }
+      val merged = emitted
+        .select(col("shard"), posexplode(col("counters")).as(Seq("pos", "n")))
+        .groupBy("shard", "pos").agg(max("n").as("n"))
+        .groupBy("pos").agg(sum("n").as("n"))
+        .where(col("n") > 0)
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val batch = graft.ops.FreqSketch.cmsBuild(
+        spark.read.parquet(b39dir.toString), "user_id",
+        depth = 4, width = 8192)
+        .collect()
+        .map(r => (r.getInt(0) * 8192 + r.getLong(1).toInt) -> r.getLong(2))
+        .toMap
+      require(merged == batch,
+        s"B39 stream-merged CMS != batch CMS (${merged.size} vs " +
+          s"${batch.size} cells)")
+      emitted.unpersist()
+      spark.catalog.dropTempView("b39_freq")
+      merged.size.toLong
+    }
+    deleteRecursive(b39dir); Caching.release()
+
     val b1rate = "%.1f".format(src.ncells * 32 / b1s / 1e6)
     val b3rate = "%.1f".format(b3n / b3s / 1e6)
     val json =
@@ -1422,7 +1475,9 @@ object ScaleBench {
         s""""b35_lookup_sec":$b35s,"b35_matched":$b35n,"b35_scanned":$b35scanned,""" +
         s""""b36_interval_join_sec":$b36s,"b36_pairs":$b36n,"b36_points":50000100,"b36_intervals":2000000,""" +
         s""""b37_cms_sec":$b37s,"b37_rows":120000000,"b37_est_join":$b37n,"b37_exact_join":2000000000,""" +
-        s""""b38_hdr_sec":$b38s,"b38_rows":200000000,"b38_buckets":$b38n}"""
+        s""""b38_hdr_sec":$b38s,"b38_rows":200000000,"b38_buckets":$b38n,""" +
+        s""""b39_stream_cms_sec":$b39s,"b39_rows":20000000,"b39_cells":$b39n,""" +
+        s""""b39_batches":10,"b39_shards":16}"""
     println(json)
     // Fold the per-entry minimum across the run series into a "best"
     // object before persisting: the committed artifact carries BOTH the

@@ -47,7 +47,7 @@ object PortableHashExpr {
 
   val Prime = 1000000007L
 
-  private[functions] def hash(s: String): Long = {
+  private[graft] def hash(s: String): Long = {
     var h = 0L
     var i = 0
     while (i < s.length) {

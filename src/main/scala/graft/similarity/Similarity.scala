@@ -488,6 +488,7 @@ object Similarity {
       m: Int = 8,
       dims: Int = 64,
       centroidMod: Int = 97): DataFrame = {
+    require(m >= 1 && dims % m == 0, s"dims=$dims not divisible by m=$m")
     val subDim = dims / m
     val centRows = embeddings
       .where(col("vec_id") % centroidMod === 0)

@@ -437,6 +437,63 @@ object StreamingOps {
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
   }
 
+  final case class ShardFreqState(shard: Long, counters: Array[Long])
+
+  /** Streaming frequency monitor (M78) — the count-parallel of
+    * [[cardinalityStream]], and the streaming side of
+    * [[graft.ops.FreqSketch]]: per-shard count-min counters updated in
+    * `flatMapGroupsWithState`, the running state emitted each
+    * micro-batch. State per shard is ONE depth×width long array —
+    * HARD-BOUNDED (depth·width·8 bytes, e.g. 8 KB at 4×256) no matter
+    * how many distinct keys the stream ever sees, where a plain
+    * `groupBy(key).count()` grows state per distinct key without bound.
+    *
+    * Interop contract (spec- and gate-pinned): the hash is EXACTLY
+    * [[graft.ops.FreqSketch.cmsBuild]]'s — portable 31-base hash of
+    * "r:key", mod width — and CMS counters are linear, so the emitted
+    * per-shard states SUMMED cell-by-cell equal the batch sketch of the
+    * same rows bit-for-bit (each key lands in exactly one shard). A
+    * pipeline therefore keeps ONE sketch store that batch jobs and the
+    * live stream both feed. Exact at any scale — no estimation-regime
+    * switch; one-sidedness of estimates is the batch operator's
+    * property and unchanged by where the counters were accumulated. */
+  def frequencyStream(
+      rows: DataFrame,
+      keyCol: String,
+      shards: Int = 16,
+      depth: Int = 4,
+      width: Int = 256): Dataset[ShardFreqState] = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+
+    def update(
+        shard: Long,
+        it: Iterator[(Long, String)],
+        state: GroupState[Array[Long]]): Iterator[ShardFreqState] = {
+      val counters = state.getOption.getOrElse(new Array[Long](depth * width))
+      it.foreach { case (_, k) =>
+        var r = 0
+        while (r < depth) {
+          val c = (graft.functions.PortableHashExpr.hash(s"$r:$k") %
+            width).toInt
+          counters(r * width + c) += 1L
+          r += 1
+        }
+      }
+      state.update(counters)
+      Iterator.single(ShardFreqState(shard, counters))
+    }
+
+    rows
+      .select(col(keyCol).cast("string").as("k"))
+      .withColumn("shard",
+        pmod(graft.functions.PortableHashExpr.portableHash(col("k")),
+          lit(shards.toLong)))
+      .select(col("shard"), col("k")).as[(Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(update)
+  }
+
   /** Stream-static join: scale each event by the static hourly profile
     * factor of its event type (missing profile → 1.0) — the streaming form
     * of the temporal explode's factor application (T3). The profile table

@@ -51,12 +51,21 @@ class PqSpec extends SparkSpec {
     assert(out.forall(r => r.getLong(0) != r.getLong(1)))
   }
 
-  test("pqCodebooks is metadata-sized: m rows per centroid, broadcast-joined") {
+  test("pqCodebooks is metadata-sized; encode is one narrow projection") {
     val books = Similarity.pqCodebooks(e, m = 2, dims = 4, centroidMod = 2)
     assert(books.count() == 4) // 2 centroids x 2 subspaces
-    val plan = Similarity.pqEncode(e, m = 2, dims = 4, centroidMod = 2)
+    // the codegen'd kernel plan: no join, no aggregate, no exchange —
+    // encode cost is one pass over the corpus (a range input, because
+    // the 4-row local fixture constant-folds to a LocalTableScan)
+    import org.apache.spark.sql.functions._
+    val big = spark.range(1000L).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(3)),
+        d => (col("id") % 7 + d).cast("float")).as("embedding"))
+    val plan = Similarity.pqEncode(big, m = 2, dims = 4, centroidMod = 2)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"))
+    assert(!plan.contains("Join") && !plan.contains("Exchange") &&
+      !plan.contains("HashAggregate"), plan)
+    assert(plan.contains("pq_encode"), plan)
   }
 
   test("pqEncode rejects dims not divisible by m") {

@@ -295,6 +295,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("frequencyStream: summed shard states equal the batch CMS bit-for-bit") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Long]
+    val rows = mem.toDF().toDF("user_id")
+    val q = StreamingOps.frequencyStream(rows, "user_id",
+        shards = 4, depth = 4, width = 64).toDF()
+      .writeStream.format("memory").queryName("freq_stream")
+      .outputMode("update").start()
+    try {
+      mem.addData((1L to 100L) ++ (1L to 40L): _*)
+      q.processAllAvailable()
+      mem.addData(21L to 120L: _*) // arrival split must not matter
+      q.processAllAvailable()
+      // final state per shard = element-wise max over update emissions
+      // (counters only grow); merged = cell-wise sum across shards
+      val merged = spark.table("freq_stream")
+        .select(col("shard"), posexplode(col("counters")).as(Seq("pos", "n")))
+        .groupBy("shard", "pos").agg(max("n").as("n"))
+        .groupBy("pos").agg(sum("n").as("n"))
+        .where(col("n") > 0)
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      // state is hard-bounded: depth·width cells per shard, regardless
+      // of distinct keys seen
+      assert(merged.keys.max < 4 * 64)
+      val batch = graft.ops.FreqSketch.cmsBuild(
+        spark.createDataset((1L to 100L) ++ (1L to 40L) ++ (21L to 120L))
+          .toDF("user_id"), "user_id", depth = 4, width = 64)
+        .collect().map(r => (r.getInt(0) * 64 + r.getLong(1).toInt) -> r.getLong(2))
+        .toMap
+      assert(merged == batch)
+    } finally q.stop()
+  }
+
   test("heavyHitterStream: capped state runs Misra-Gries decrements") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
