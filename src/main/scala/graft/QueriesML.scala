@@ -2195,6 +2195,66 @@ object QueriesML {
         |  FROM adc)
         |WHERE rank <= 5""".stripMargin)),
 
+    // M70 composed IVF+PQ (FAISS IVFPQ, by_residual=false): coarse
+    // pruning BEFORE the ADC scan — each query probes its nprobe=2
+    // nearest coarse lists (vec_id % 83 centroids) and only vectors
+    // assigned to those lists are ADC-scored, so the scanned fraction
+    // is ~nprobe/nlists instead of pqSearch's full linear scan. Oracle
+    // replays probe selection + the LUT sum restricted to probed lists.
+    Q("q_ivfpq_search",
+      (s, d) => Similarity.ivfPqSearch(embeddings(s, d), nQueries = 20,
+        k = 5, m = 8, dims = 64, centroidMod = 97, coarseMod = 83,
+        nprobe = 2),
+      Some(s"""WITH $QuantCte,
+        |subs AS (SELECT vec_id, s, list_slice(v, s*8+1, s*8+8) AS vs
+        |         FROM q, range(8) t(s)),
+        |cents AS (SELECT vec_id AS centroid_id, s,
+        |                 list_slice(v, s*8+1, s*8+8) AS cs
+        |          FROM q, range(8) t(s) WHERE vec_id % 97 = 0),
+        |d2 AS (SELECT subs.vec_id, subs.s, centroid_id,
+        |              list_dot_product(vs, vs) - 2*list_dot_product(vs, cs)
+        |                + list_dot_product(cs, cs) AS d2
+        |       FROM subs JOIN cents ON subs.s = cents.s),
+        |codes AS (SELECT vec_id, s, centroid_id AS code FROM (
+        |            SELECT *, row_number() OVER (PARTITION BY vec_id, s
+        |                         ORDER BY d2, centroid_id) AS rn
+        |            FROM d2)
+        |          WHERE rn = 1),
+        |cvecs AS (SELECT vec_id, v, list_dot_product(v, v) AS n FROM q),
+        |clists AS (SELECT vec_id AS list_id, v AS cv,
+        |                  list_dot_product(v, v) AS cn
+        |           FROM q WHERE vec_id % 83 = 0),
+        |s0 AS (SELECT vec_id, list_id,
+        |              round(list_dot_product(v, cv) / (sqrt(n) * sqrt(cn)), 6) AS cos_sim
+        |       FROM cvecs, clists),
+        |assign AS (SELECT vec_id, list_id FROM (
+        |             SELECT *, row_number() OVER (PARTITION BY vec_id
+        |                          ORDER BY cos_sim DESC, list_id) AS rn
+        |             FROM s0) WHERE rn = 1),
+        |probes AS (SELECT vec_id AS query_id, list_id FROM (
+        |             SELECT *, row_number() OVER (PARTITION BY vec_id
+        |                          ORDER BY cos_sim DESC, list_id) AS rn
+        |             FROM s0 WHERE vec_id < 20) WHERE rn <= 2),
+        |lut AS (SELECT subs.vec_id AS query_id, subs.s, centroid_id,
+        |               list_dot_product(vs, vs) - 2*list_dot_product(vs, cs)
+        |                 + list_dot_product(cs, cs) AS pd
+        |        FROM subs JOIN cents ON subs.s = cents.s
+        |        WHERE subs.vec_id < 20),
+        |adc AS (SELECT lut.query_id, c.vec_id AS neighbor_id,
+        |               CAST(sum(pd) AS BIGINT) AS adc_dist
+        |        FROM codes c
+        |          JOIN assign a ON a.vec_id = c.vec_id
+        |          JOIN probes p ON p.list_id = a.list_id
+        |          JOIN lut ON c.s = lut.s AND c.code = lut.centroid_id
+        |                   AND lut.query_id = p.query_id
+        |        WHERE c.vec_id <> lut.query_id
+        |        GROUP BY 1, 2)
+        |SELECT query_id, neighbor_id, rank, adc_dist FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |               ORDER BY adc_dist, neighbor_id) AS rank
+        |  FROM adc)
+        |WHERE rank <= 5""".stripMargin)),
+
     // Pinned-literal oracles (OraclePins): WARC record walk and the
     // end-to-end crawl→text extraction over the committed fixture
     // shards (plain + multi-member gzip decode identically — WarcSpec).

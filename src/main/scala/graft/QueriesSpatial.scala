@@ -652,9 +652,12 @@ object QueriesSpatial {
         import graft.ops.Layout
         val keyed = documents(s, d).select(col("doc_id"),
           graft.functions.PortableHashExpr.portableHash(col("text")).as("k"))
-        // fixed path + overwrite: repeated gate/bench runs in one
-        // session reuse the directory instead of accumulating tempdirs
-        val path = s"${System.getProperty("java.io.tmpdir")}/graft_bloom_gate"
+        // session-scoped path + overwrite: repeated runs in one session
+        // reuse the directory instead of accumulating tempdirs, while
+        // the app-id discriminator keeps two concurrent sessions on one
+        // box from clobbering each other's fixture mid-read
+        val path = s"${System.getProperty("java.io.tmpdir")}/" +
+          s"graft_bloom_gate_${s.sparkContext.applicationId}"
         var w = Layout.bloomLayout(keyed, "k", numFiles = 4)
           .write.mode("overwrite")
         Layout.bloomWriteOptions("k", expectedNdv = 1000L)

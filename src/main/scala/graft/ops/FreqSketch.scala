@@ -42,11 +42,15 @@ object FreqSketch {
 
   /** Depth×width CMS over `keyCol` as a (r, c, n) relation
     * (≤ depth·width rows). Keys hash as strings through the engine's
-    * portable hash, salted per row r. */
+    * portable hash, salted per row r. NULL keys are ignored — the same
+    * semantics as SQL `count(key)` / `hll_sketch_agg` — and
+    * [[graft.streaming.StreamingOps.frequencyStream]] filters
+    * identically, preserving the bit-for-bit stream ≡ batch contract. */
   def cmsBuild(
       df: DataFrame, keyCol: String, depth: Int, width: Int): DataFrame = {
     require(depth >= 1 && width >= 2, s"bad CMS shape ${depth}x$width")
     df.select(col(keyCol).cast("string").as("_k"))
+      .where(col("_k").isNotNull)
       .select(explode(sequence(lit(0), lit(depth - 1))).as("r"), col("_k"))
       .select(col("r"),
         pmod(portableHash(concat_ws(":", col("r"), col("_k"))),

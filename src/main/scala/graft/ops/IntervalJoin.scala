@@ -45,10 +45,18 @@ import org.apache.spark.sql.functions._
   */
 object IntervalJoin {
 
-  /** Exact floor(a / w) for BIGINT `a` and positive literal `w`. */
+  /** Exact floor(a / w) for BIGINT `a` and positive literal `w`.
+    *
+    * Uses SQL integral `div` (IntegralDivide), NOT `Column./` — Spark's
+    * `/` promotes BIGINT to DOUBLE, which is exact only for |a| < 2^53;
+    * with full-range keys (e.g. xxhash64-derived ids) a point and an
+    * interval endpoint could round into different buckets and silently
+    * drop matching pairs. `a - pmod(a, w)` is exactly divisible by `w`
+    * (pmod is non-negative), so truncating integral division IS floor,
+    * for every long. */
   def floorDiv(a: Column, w: Long): Column = {
     require(w > 0, s"bucket width must be positive, got $w")
-    ((a - pmod(a, lit(w))) / lit(w)).cast("long")
+    call_function("div", a - pmod(a, lit(w)), lit(w))
   }
 
   /** Join `points` to every row of `intervals` whose [loCol, hiCol]

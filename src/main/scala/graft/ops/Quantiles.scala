@@ -57,7 +57,17 @@ object Quantiles {
       groupCols: Seq[String] = Nil): DataFrame = {
     require(sigBits >= 1 && sigBits <= 62, s"bad sigBits $sigBits")
     df
-      .withColumn("_hdr_v", col(valueCol).cast("long"))
+      // Enforce the documented non-negative domain at execution time:
+      // for v < 0 bitLength is 0, the shift clamps to 0, and every
+      // distinct negative value would silently become its own bucket —
+      // breaking the metadata-size bound. Fail loudly instead.
+      .withColumn("_hdr_v",
+        when(col(valueCol).cast("long") < 0,
+          raise_error(concat(
+            lit(s"hdrBuild: negative value in '$valueCol' — the HDR " +
+              "domain is non-negative BIGINT: "),
+            col(valueCol).cast("string"))).cast("long"))
+          .otherwise(col(valueCol).cast("long")))
       .withColumn("_hdr_sh",
         greatest(bitLength(col("_hdr_v")) - lit(sigBits), lit(0)))
       // v truncated to its bucket's lower bound via shifts: the SQL

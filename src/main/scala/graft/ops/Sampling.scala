@@ -146,7 +146,12 @@ object Sampling {
     * corpus (map-side combined); everything after runs on #domains
     * rows — the ranking window is bounded, never corpus-sized.
     * Output: (domain, avail_tokens, budget_tokens, epochs_millis =
-    * ⌊1000·budget/avail⌋ — >1000 means the domain must repeat). */
+    * ⌊1000·budget/avail⌋ — >1000 means the domain must repeat).
+    *
+    * @note EAGER — this is a corpus-level PLANNER, not a lazy plan
+    *       fragment: calling it runs the token-count aggregate (one
+    *       Spark job) at call time and caches the #domains-row result
+    *       the returned plan reuses. */
   def tokenBudget(
       docs: DataFrame,
       domainCol: String,
@@ -208,7 +213,12 @@ object Sampling {
     *
     * Scale shape: ONE lang-keyed token-count aggregate over the corpus
     * (map-side combined); both remainder windows run on #langs rows.
-    * Output: (lang, avail_tokens, share_micro, budget_tokens). */
+    * Output: (lang, avail_tokens, share_micro, budget_tokens).
+    *
+    * @note EAGER — like [[tokenBudget]], a corpus-level PLANNER:
+    *       calling it runs the token-count aggregate (one Spark job)
+    *       at call time and caches the #langs-row result the returned
+    *       plan reuses. */
   def temperatureShares(
       docs: DataFrame,
       langCol: String,

@@ -226,7 +226,15 @@ object Similarity {
     * (vec_id ≡ 0 mod centroidMod), every vector assigned to its
     * max-cosine centroid with a (cos desc, centroid_id) tie-break.
     * The centroid table broadcasts; at query time only the query's
-    * cluster is searched. */
+    * cluster is searched.
+    *
+    * Argmax shape: `max(struct(cos_sim, -centroid_id))` per vec_id — a
+    * map-side-combinable aggregate, so the N×nlists scored rows
+    * collapse to N rows BEFORE the shuffle. (The row_number window
+    * this replaced shuffled all N×nlists rows to rank them: at B40's
+    * 1M×101 that is a 101M-row exchange for a 1M-row answer. Same
+    * result bit-for-bit — lexicographic struct max on the rounded
+    * cos_sim with the negated id IS "cos desc, centroid_id asc".) */
   def ivfAssign(embeddings: DataFrame, centroidMod: Int = 97): DataFrame = {
     val cents = embeddings
       .where(col("vec_id") % centroidMod === 0)
@@ -235,15 +243,15 @@ object Similarity {
     val vecs = embeddings
       .select(col("vec_id"), quantize(col("embedding")).as("v"))
       .withColumn("n", dot(col("v"), col("v")))
-    val win = Window.partitionBy("vec_id")
-      .orderBy(col("cos_sim").desc, col("centroid_id"))
     vecs
       .crossJoin(broadcast(cents))
       .withColumn("cos_sim",
         round(dot(col("v"), col("cv")) / (sqrt(col("n")) * sqrt(col("cn"))), 6))
-      .withColumn("rn", row_number().over(win))
-      .where(col("rn") === 1)
-      .select("vec_id", "centroid_id", "cos_sim")
+      .groupBy("vec_id")
+      .agg(max(struct(col("cos_sim"),
+        (-col("centroid_id")).as("neg_cid"))).as("w"))
+      .select(col("vec_id"), (-col("w.neg_cid")).as("centroid_id"),
+        col("w.cos_sim").as("cos_sim"))
   }
 
   /** Random-projection dimensionality reduction (Johnson–Lindenstrauss
@@ -522,12 +530,121 @@ object Similarity {
       m: Int = 8,
       dims: Int = 64,
       centroidMod: Int = 97): DataFrame = {
+    val lutArr = adcLutArr(embeddings, nQueries, m, dims, centroidMod)
+    val scored = pqEncode(embeddings, m, dims, centroidMod)
+      .select(col("vec_id").as("neighbor_id"), col("codes"))
+      .crossJoin(broadcast(lutArr))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        adcSum(m, centroidMod).as("adc_dist"))
+    adcTopK(scored, k)
+  }
+
+  /** IVF+PQ composed search — the FAISS IVFPQ shape (Jégou 2011 §IV,
+    * `by_residual=false` variant: codes quantize the RAW vector, not
+    * the residual, so [[pqEncode]]'s codes are reused verbatim and the
+    * ADC arithmetic is identical to [[pqSearch]]'s — the composition
+    * changes WHICH rows are scanned, never how a row is scored).
+    *
+    * Index side (built once, persisted in production): every vector
+    * carries its [[pqEncode]] codes AND its [[ivfAssign]] coarse list.
+    * Query side: each query ranks the metadata-sized coarse-centroid
+    * table (broadcast) and probes its `nprobe` nearest lists; the ADC
+    * scan is an EQUI-JOIN of the encoded corpus against the broadcast
+    * (query, probed-list, LUT) table on `list_id` — so the fraction of
+    * the corpus scanned per query is Σ probed-list sizes / N
+    * ≈ nprobe/nlists, the pruning lever [[pqSearch]]'s full linear ADC
+    * scan lacks (its cost is strictly linear in corpus size; this is
+    * what makes billion-vector search affordable). ScaleBench B40
+    * REQUIREs both the planted-duplicate recall and the scanned-row
+    * fraction at ≥1M vectors.
+    *
+    * Approximate by construction, in exactly two places: quantization
+    * error (same as pqSearch, recall-certified) and coarse pruning (a
+    * true neighbor in an unprobed list is missed — raise `nprobe` for
+    * recall; nprobe ≥ nlists degenerates to pqSearch exactly, spec-
+    * pinned). Deterministic end-to-end: exact BIGINT ADC, probe
+    * tie-break (cos desc, list_id), top-k tie-break (dist asc,
+    * neighbor_id). */
+  def ivfPqSearch(
+      embeddings: DataFrame,
+      nQueries: Int,
+      k: Int,
+      m: Int = 8,
+      dims: Int = 64,
+      centroidMod: Int = 97,
+      coarseMod: Int = 83,
+      nprobe: Int = 2): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    adcTopK(ivfPqScored(
+      embeddings, nQueries, m, dims, centroidMod, coarseMod, nprobe), k)
+  }
+
+  /** The (query_id, neighbor_id, adc_dist) candidate relation of
+    * [[ivfPqSearch]] BEFORE top-k — exposed so ScaleBench can count
+    * scanned candidate rows (the nprobe/nlists fraction REQUIRE)
+    * without re-deriving the join. */
+  private[graft] def ivfPqScored(
+      embeddings: DataFrame,
+      nQueries: Int,
+      m: Int,
+      dims: Int,
+      centroidMod: Int,
+      coarseMod: Int,
+      nprobe: Int): DataFrame = {
+    // index: codes + coarse list per vector (one equi-join at build
+    // time; in production this IS the stored index layout)
+    val index = pqEncode(embeddings, m, dims, centroidMod)
+      .join(ivfAssign(embeddings, coarseMod)
+        .select(col("vec_id"), col("centroid_id").as("list_id")), "vec_id")
+      .select(col("vec_id").as("neighbor_id"), col("list_id"), col("codes"))
+    // probes: nprobe nearest coarse lists per query — the same rounded
+    // cosine + tie-break arithmetic as ivfAssign, kept to rank ≤ nprobe
+    val cents = embeddings
+      .where(col("vec_id") % coarseMod === 0)
+      .select(col("vec_id").as("list_id"), quantize(col("embedding")).as("cv"))
+      .withColumn("cn", dot(col("cv"), col("cv")))
+    val probeWin = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("list_id"))
+    val probes = embeddings
+      .where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), quantize(col("embedding")).as("v"))
+      .withColumn("n", dot(col("v"), col("v")))
+      .crossJoin(broadcast(cents))
+      .withColumn("cos_sim",
+        round(dot(col("v"), col("cv")) / (sqrt(col("n")) * sqrt(col("cn"))), 6))
+      .withColumn("rn", row_number().over(probeWin))
+      .where(col("rn") <= nprobe)
+      .select("query_id", "list_id")
+    // (query, probed list, LUT): nQueries × nprobe rows — broadcast;
+    // the corpus-side join key is list_id, so unprobed lists never leave
+    // the scan
+    val probeLut = probes
+      .join(adcLutArr(embeddings, nQueries, m, dims, centroidMod), "query_id")
+    index
+      .join(broadcast(probeLut), Seq("list_id"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        adcSum(m, centroidMod).as("adc_dist"))
+  }
+
+  /** Per-query ADC lookup tables as m positional arrays
+    * (luts[s][ci] = pd, ci = centroid_id / centroidMod — pqCodebooks
+    * takes every centroidMod-th vec_id, so the division is the exact
+    * dense index). nQueries × m × ksub longs — metadata-sized, always
+    * broadcast by callers. */
+  private def adcLutArr(
+      embeddings: DataFrame,
+      nQueries: Int,
+      m: Int,
+      dims: Int,
+      centroidMod: Int): DataFrame = {
     val subDim = dims / m
     val books = pqCodebooks(embeddings, m, dims, centroidMod)
     val spark = embeddings.sparkSession
     val subsDf = spark.createDataFrame(
       Seq.tabulate(m)(s => Tuple1(s))).toDF("sub")
-    val lut = embeddings
+    embeddings
       .where(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), quantize(col("embedding")).as("v"))
       .crossJoin(broadcast(subsDf))
@@ -536,11 +653,6 @@ object Similarity {
       .join(broadcast(books), Seq("sub"))
       .select(col("query_id"), col("sub"), col("centroid_id"),
         (col("vn") - lit(2) * dot(col("vs"), col("cs")) + col("cn")).as("pd"))
-    // Fold each query's LUT into m positional arrays (luts[s][ci] = pd,
-    // ci = centroid_id / centroidMod — pqCodebooks takes every
-    // centroidMod-th vec_id, so the division is the exact dense index).
-    // nQueries × m × ksub longs — metadata-sized, broadcast.
-    val lutArr = lut
       .withColumn("ci", (col("centroid_id") / centroidMod).cast("int"))
       .groupBy("query_id", "sub")
       .agg(transform(
@@ -550,34 +662,36 @@ object Similarity {
       .agg(transform(
         array_sort(collect_list(struct(col("sub"), col("subArr")))),
         x => x.getField("subArr")).as("luts"))
-    // A neighbor's m codes sit in ONE row of the encoded corpus, so the
-    // ADC estimate is m positional lookups into the broadcast LUT — the
-    // scan never explodes the codes and never aggregates (query,
-    // neighbor) groups. (The previous shape — explode to N·m rows, join
-    // the LUT, re-aggregate — shuffled an nQueries·N-group aggregate:
-    // 273 s at 1M×100 where this plan is seconds.) The m-term sum is
-    // unrolled as plain codegen'd element_at chains, not a higher-order
-    // aggregate (HOF lambdas stay outside whole-stage codegen).
-    // pd is an integer-valued double (quantized milli-unit arithmetic);
-    // the m-term sum is exact in binary FP, cast once at the end.
-    val adc = (0 until m).map { s =>
+  }
+
+  /** The m-term ADC estimate over a `codes` row against the broadcast
+    * `luts` column. A neighbor's m codes sit in ONE row of the encoded
+    * corpus, so the estimate is m positional lookups into the LUT — the
+    * scan never explodes the codes and never aggregates (query,
+    * neighbor) groups. (The explode-join-reaggregate shape shuffled an
+    * nQueries·N-group aggregate: 273 s at 1M×100 where this plan is
+    * seconds.) The m-term sum is unrolled as plain codegen'd element_at
+    * chains, not a higher-order aggregate (HOF lambdas stay outside
+    * whole-stage codegen). pd is an integer-valued double (quantized
+    * milli-unit arithmetic); the sum is exact in binary FP, cast once. */
+  private def adcSum(m: Int, centroidMod: Int): Column =
+    (0 until m).map { s =>
       element_at(
         element_at(col("luts"), s + 1),
         (element_at(col("codes"), s + 1) / centroidMod).cast("int") + 1)
     }.reduce(_ + _).cast("long")
-    // top-k per query in two phases (the Bm25 idiom): a salted window
-    // bounds every sort run, then the final per-query window ranks only
-    // 64·k survivors per query — no single-task sort of the corpus.
+
+  /** Deterministic (dist asc, neighbor_id) top-k per query in two
+    * phases (the Bm25 idiom): a salted window bounds every sort run,
+    * then the final per-query window ranks only 64·k survivors per
+    * query — no single-task sort of the corpus. */
+  private def adcTopK(scored: DataFrame, k: Int): DataFrame = {
     val bySalt = Window
       .partitionBy(col("query_id"), pmod(col("neighbor_id"), lit(64)))
       .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
     val byQuery = Window.partitionBy("query_id")
       .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
-    pqEncode(embeddings, m, dims, centroidMod)
-      .select(col("vec_id").as("neighbor_id"), col("codes"))
-      .crossJoin(broadcast(lutArr))
-      .where(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"), adc.as("adc_dist"))
+    scored
       .withColumn("_sr", row_number().over(bySalt))
       .where(col("_sr") <= k)
       .withColumn("rank", row_number().over(byQuery))

@@ -429,6 +429,9 @@ object StreamingOps {
 
     rows
       .select(col(keyCol).cast("string").as("k"))
+      // NULL keys ignored — hll_sketch_agg / count(distinct) semantics
+      // on the batch path; a null shard would also NPE the Long decode.
+      .where(col("k").isNotNull)
       .withColumn("shard",
         pmod(graft.functions.PortableHashExpr.portableHash(col("k")),
           lit(shards.toLong)))
@@ -486,6 +489,9 @@ object StreamingOps {
 
     rows
       .select(col(keyCol).cast("string").as("k"))
+      // NULL keys ignored — matches cmsBuild (see its scaladoc); also
+      // prevents a null shard NPE in the (Long, String) decode.
+      .where(col("k").isNotNull)
       .withColumn("shard",
         pmod(graft.functions.PortableHashExpr.portableHash(col("k")),
           lit(shards.toLong)))

@@ -76,6 +76,22 @@ class FreqSketchSpec extends SparkSpec {
     assert(estD == 0L, s"disjoint join-size estimate $estD != 0")
   }
 
+  test("null keys are ignored — SQL count(key) semantics") {
+    val df = spark.createDataFrame(Seq(
+      (1L, "a"), (2L, null), (3L, "a"), (4L, null), (5L, "b")))
+      .toDF("id", "k")
+    val sk = FreqSketch.cmsBuild(df, "k", depth = 2, width = 16)
+    // total mass = depth × 3 non-null rows; nulls neither count nor
+    // hash to "0"
+    assert(sk.agg(sum("n")).collect()(0).getLong(0) == 6L)
+    val onlyNonNull = FreqSketch.cmsBuild(
+      df.where(col("k").isNotNull), "k", 2, 16)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val withNulls = sk
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(withNulls == onlyNonNull)
+  }
+
   test("plan: build is one map-side-combined aggregate — no window, no join") {
     val plan = FreqSketch.cmsBuild(corpus, "k", 4, 64)
       .queryExecution.executedPlan.toString

@@ -48,6 +48,29 @@ class IntervalJoinSpec extends SparkSpec {
     assert(got == Seq(-3L, -1L, -1L, 0L, 2L))
   }
 
+  test("floorDiv is exact above 2^53 (where double division rounds)") {
+    // 2^53 + 1 is the first long a double cannot represent; a
+    // double-division floorDiv would bucket these off-by-one.
+    val big = (1L << 53) + 1L
+    val vals = Seq(big, big + 9L, -big, Long.MaxValue, Long.MinValue + 10L)
+    val df = spark.createDataFrame(vals.map(Tuple1(_))).toDF("a")
+    val got = df.select(IntervalJoin.floorDiv(col("a"), 10L)).collect()
+      .map(_.getLong(0)).toSeq
+    val want = vals.map(v => Math.floorDiv(v, 10L))
+    assert(got == want)
+  }
+
+  test("intervalJoin matches at full-long-range magnitudes") {
+    val base = (1L << 53) + 5L
+    val p = spark.createDataFrame(Seq(Tuple1(base), Tuple1(base + 3L)))
+      .toDF("v")
+    val i = spark.createDataFrame(Seq((1L, base - 1L, base + 1L)))
+      .toDF("i_id", "lo", "hi")
+    val got = IntervalJoin.intervalJoin(p, i, "v", "lo", "hi", 10L)
+      .select("v").collect().map(_.getLong(0)).toSet
+    assert(got == Set(base))
+  }
+
   test("plan: equi-join on buckets — no nested-loop, no cartesian") {
     val plan = IntervalJoin
       .intervalJoin(pts, ivs, "v", "lo", "hi", width = 10L)

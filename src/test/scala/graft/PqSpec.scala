@@ -68,6 +68,50 @@ class PqSpec extends SparkSpec {
     assert(plan.contains("pq_encode"), plan)
   }
 
+  test("ivfPqSearch with nprobe >= nlists degenerates to pqSearch exactly") {
+    // a larger deterministic fixture so lists are non-trivial: 60
+    // vectors, coarseMod = 20 -> 3 coarse lists (ids 0, 20, 40)
+    import org.apache.spark.sql.functions._
+    val big = spark.range(60L).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(3)),
+        d => (((col("id") * 13 + d * 11) % 29) + (col("id") % 5) + 1)
+          .cast("float"))
+        .as("embedding"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+      .toSet
+    val full = rows(Similarity.pqSearch(big, nQueries = 5, k = 4,
+      m = 2, dims = 4, centroidMod = 7))
+    val ivfAll = rows(Similarity.ivfPqSearch(big, nQueries = 5, k = 4,
+      m = 2, dims = 4, centroidMod = 7, coarseMod = 20, nprobe = 3))
+    assert(ivfAll == full)
+  }
+
+  test("ivfPqSearch scans only probed lists: every hit's list is probed") {
+    import org.apache.spark.sql.functions._
+    val big = spark.range(60L).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(3)),
+        d => (((col("id") * 13 + d * 11) % 29) + (col("id") % 5) + 1)
+          .cast("float"))
+        .as("embedding"))
+    val out = Similarity.ivfPqSearch(big, nQueries = 5, k = 10,
+      m = 2, dims = 4, centroidMod = 7, coarseMod = 20, nprobe = 1)
+    val assign = Similarity.ivfAssign(big, centroidMod = 20).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // with nprobe = 1 each query's hits all share ONE coarse list
+    val listsPerQuery = out.collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.map(r => assign(r.getLong(1))).toSet).toMap
+    assert(listsPerQuery.nonEmpty)
+    listsPerQuery.foreach { case (q, ls) =>
+      assert(ls.size == 1, s"query $q scanned lists $ls with nprobe=1") }
+    // and pruning is real: the candidate relation (pre-top-k) scans a
+    // strict subset of the 5 × 59 pairs a full ADC scan scores
+    val scanned = Similarity.ivfPqScored(big, nQueries = 5,
+      m = 2, dims = 4, centroidMod = 7, coarseMod = 20, nprobe = 1).count()
+    assert(scanned < 5L * 59L, s"scanned $scanned of ${5 * 59} pairs")
+  }
+
   test("pqEncode rejects dims not divisible by m") {
     intercept[IllegalArgumentException] {
       Similarity.pqEncode(e, m = 3, dims = 4, centroidMod = 2).collect()

@@ -34,6 +34,17 @@ class QuantilesSpec extends SparkSpec {
     }
   }
 
+  test("negative values are rejected loudly, not silently mis-bucketed") {
+    val df = spark.createDataFrame(
+      Seq(Tuple1(5L), Tuple1(-3L))).toDF("v")
+    val e = intercept[Exception] {
+      Quantiles.hdrBuild(df, "v", sigBits = 5).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("negative value")), e.toString)
+  }
+
   test("bucket count stays metadata-sized and counts conserve") {
     val df = spark.range(1000000L).select((col("id") * 31 + 1).as("v"))
     val hist = Quantiles.hdrBuild(df, "v", sigBits = 7).persist()

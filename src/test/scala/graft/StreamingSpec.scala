@@ -329,6 +329,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("frequencyStream: null keys are dropped identically to the batch CMS") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val rows = mem.toDF().toDF("id", "user_id")
+    val q = StreamingOps.frequencyStream(rows, "user_id",
+        shards = 2, depth = 2, width = 32).toDF()
+      .writeStream.format("memory").queryName("freq_nulls")
+      .outputMode("update").start()
+    try {
+      mem.addData((1L, "a"), (2L, null), (3L, "a"), (4L, null), (5L, "b"))
+      q.processAllAvailable()
+      val merged = spark.table("freq_nulls")
+        .select(col("shard"), posexplode(col("counters")).as(Seq("pos", "n")))
+        .groupBy("shard", "pos").agg(max("n").as("n"))
+        .groupBy("pos").agg(sum("n").as("n"))
+        .where(col("n") > 0)
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val batch = graft.ops.FreqSketch.cmsBuild(
+        spark.createDataFrame(Seq(
+          (1L, "a"), (2L, null), (3L, "a"), (4L, null), (5L, "b")))
+          .toDF("id", "user_id"), "user_id", depth = 2, width = 32)
+        .collect().map(r => (r.getInt(0) * 32 + r.getLong(1).toInt) -> r.getLong(2))
+        .toMap
+      // bit-for-bit: nulls contribute to neither side (no "0" key, no NPE)
+      assert(merged == batch)
+      assert(merged.values.sum == 2L * 3L) // depth × non-null rows
+    } finally q.stop()
+  }
+
   test("heavyHitterStream: capped state runs Misra-Gries decrements") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
