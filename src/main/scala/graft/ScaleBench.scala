@@ -1413,6 +1413,315 @@ object ScaleBench {
     }
     deleteRecursive(b39dir); Caching.release()
 
+    // B13c: the YEAR-LONG small-grid hourly export — 1000 cells × 1 var
+    // × 8760 hours. The driver-side writer pays one Spark job per hour
+    // (8,760 sequential job latencies ≈ tens of minutes of pure
+    // scheduling on this box); hourlyExportNc now routes hour counts
+    // past its threshold to the distributed writer, which runs ONE job
+    // and streams each task's hour files from its sorted partition.
+    // REQUIREs all 8760 files written.
+    val b13cGrid = RegularGrid(100, 10, 0.0, 0.0, 0.01, 0.01)
+    val b13cFact = spark.range(1000L).select(
+      col("id").as("cell_id"), lit("c0").as("category"),
+      lit("s0").as("substance"), (col("id") % 83 + 1).cast("double").as("value"))
+    val b13cdir = java.nio.file.Files.createTempDirectory("scale_hourly_year")
+    val (b13cs, b13cn) = time {
+      graft.sinks.Exports.hourlyExportNc(
+        b13cFact, sf, "2024-01-01 00:00:00", 8760, b13cGrid,
+        b13cdir.toString).size.toLong
+    }
+    require(b13cn == 8760L, s"B13c wrote $b13cn files, want 8760")
+    deleteRecursive(b13cdir); Caching.release()
+
+    // B36b: SKEWED interval join — B36's intervals are uniform (every
+    // interval holds exactly 100 points); real enrichment joins
+    // (IP-geo, campaign windows) are Zipf-skewed. Here 40M of the 50M
+    // points pile onto values [0, 6400) — 100 hot buckets of 400k
+    // points each at width 64 — against the same 2M uniform intervals.
+    // Why the decomposition survives point skew WITHOUT AQE heroics:
+    // per-bucket work is (#points in bucket) × (#intervals TOUCHING
+    // that bucket), and the second factor is bounded by
+    // (width + span)/stride ≈ 6.6 regardless of how many points pile
+    // in — so the hot buckets cost ~2.6M comparisons each, 100× the
+    // uniform case's per-bucket work but spread over 100 independent
+    // bucket keys that hash across the shuffle. (The genuinely
+    // quadratic case — hot points × hot intervals in ONE bucket — has
+    // output ≈ the product, which no join strategy can beat; the
+    // decomposition's candidate count stays within a constant of the
+    // OUTPUT, which is the strongest bound an exact join can have.)
+    // The join stays a standard Exchange-backed equi-join, so AQE's
+    // skew-split machinery applies when a partition does cross the
+    // threshold; at this geometry (hot partitions ~50 MB, under the
+    // 256 MB default) it is not needed and the entry REQUIREs the
+    // closed-form exact count instead: hot pairs 6250·(25·1+25·2+25·3
+    // +6325·4) = 159,062,500 + cold pairs 40M stride-4 interior points
+    // × 4 = 199,062,500.
+    val b36bpts = spark.range(50000000L).select(
+      when(col("id") < 40000000L, col("id") % 6400)
+        .otherwise(lit(6400L) + (col("id") - 40000000L) * 4).as("v"))
+    val b36bjoin = graft.ops.IntervalJoin.intervalJoin(
+      b36bpts, b36ivs, "v", "lo", "hi", width = 64L)
+    val b36bplan = b36bjoin.queryExecution.executedPlan.toString
+    require(!b36bplan.contains("BroadcastNestedLoopJoin") &&
+      !b36bplan.contains("CartesianProduct"),
+      "B36b skewed interval join planned a nested-loop/cartesian join")
+    val (b36bs, b36bn) = time { b36bjoin.count() }
+    require(b36bn == 199062500L, s"B36b got $b36bn pairs, want 199,062,500")
+    Caching.release()
+
+    // B40: composed IVF+PQ search (FAISS IVFPQ shape) at 1M vectors —
+    // the answer to B33's one structural limit (its ADC scan is linear
+    // in corpus size). Same planted-duplicate fixture as B33; coarse
+    // lists from coarseMod 9973 (101 lists over 1,000,100 vectors),
+    // nprobe 4. REQUIREs BOTH halves of the composition's contract:
+    //   - recall: a planted duplicate shares its query's vector, hence
+    //     its coarse list is the query's top probe — rank-1 must be the
+    //     duplicate for all 100 queries, same as the full scan;
+    //   - pruning: the scored-candidate relation must stay ≤ 3× the
+    //     balanced-list expectation nQueries·N·nprobe/nlists (~4% of
+    //     the 100M pairs a full ADC scan scores; the 3× headroom is
+    //     size-biased probing — queries land in big Voronoi cells more
+    //     often than small ones).
+    val b40vecs = spark.range(1000100L).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(31)),
+        d => (pmod(xxhash64(
+          when(col("id") >= 1000000L, col("id") - 1000000L)
+            .otherwise(col("id")), d), lit(1997L)) - 998)
+          .cast("double") / 1000.0).as("embedding"))
+      .persist()
+    b40vecs.count()
+    val b40nlists = 1000100L / 9973L + 1 // ids ≡ 0 mod 9973
+    var b40top1 = 0L
+    val (b40s, b40n) = time {
+      val out = graft.similarity.Similarity.ivfPqSearch(
+        b40vecs, nQueries = 100, k = 10, m = 8, dims = 32,
+        centroidMod = 4096, coarseMod = 9973, nprobe = 4)
+      val top1 = out.where(col("rank") === 1)
+        .select(col("query_id"), col("neighbor_id")).collect()
+      require(top1.length == 100, s"B40 ${top1.length} rank-1 rows, want 100")
+      top1.foreach { r =>
+        require(r.getLong(1) == r.getLong(0) + 1000000L,
+          s"B40 query ${r.getLong(0)}: top-1 ${r.getLong(1)} is not the " +
+            s"planted duplicate ${r.getLong(0) + 1000000L}") }
+      b40top1 = top1.length
+      out.count()
+    }
+    val (b40cs, b40scanned) = time {
+      graft.similarity.Similarity.ivfPqScored(
+        b40vecs, nQueries = 100, m = 8, dims = 32,
+        centroidMod = 4096, coarseMod = 9973, nprobe = 4).count()
+    }
+    val b40expect = 100L * 1000100L * 4L / b40nlists
+    require(b40scanned <= 3L * b40expect,
+      s"B40 scanned $b40scanned candidate pairs, > 3x balanced " +
+        s"expectation $b40expect - coarse pruning is not pruning")
+    b40vecs.unpersist(); Caching.release()
+
+    // B41: streaming state DURABILITY — the gap between a streaming
+    // demo and streaming you can operate. Both sketch monitors are
+    // killed mid-series at a real checkpointLocation and restarted as
+    // a NEW query over the same checkpoint; the recovered state must
+    // finish EXACTLY where an uninterrupted run would.
+    //   leg 1 (CMS, RocksDB state store): 10 file micro-batches, STOP
+    //     after 5, restart for the rest. Final per-shard counters
+    //     (from the post-restart emissions alone — state must have
+    //     been recovered, not rebuilt) summed cell-by-cell must equal
+    //     the whole-corpus batch cmsBuild bit-for-bit.
+    //   leg 2 (HLL, default HDFS-backed store): same kill/restart;
+    //     the unioned final shard sketches must estimate EXACTLY the
+    //     whole-corpus batch estimate (HLL registers are per-slot
+    //     maxima — union is grouping- and interruption-independent).
+    val b41in = java.nio.file.Files.createTempDirectory("scale_ckpt_in")
+    val b41ck = java.nio.file.Files.createTempDirectory("scale_ckpt_state")
+    def b41feed(lo: Int, hi: Int): Unit =
+      for (i <- lo until hi)
+        spark.range(i * 2000000L, (i + 1) * 2000000L)
+          .select((col("id") % 3000000L).as("user_id")).coalesce(1)
+          .write.mode("append").parquet(b41in.toString)
+    b41feed(0, 5)
+    val b41schema = spark.read.parquet(b41in.toString).schema
+    // foreachBatch, not the memory sink — memory refuses checkpoint
+    // recovery; foreachBatch is the recoverable sink a pipeline uses
+    val b41buf =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Long])]
+    def b41phase(): Unit = {
+      val st = spark.readStream.schema(b41schema)
+        .option("maxFilesPerTrigger", "1").parquet(b41in.toString)
+      val q = graft.streaming.StreamingOps.frequencyStream(
+        st, "user_id", shards = 16, depth = 4, width = 8192)
+        .writeStream
+        .foreachBatch {
+          (ds: org.apache.spark.sql.Dataset[
+             graft.streaming.StreamingOps.ShardFreqState], _: Long) =>
+            val rows = ds.collect().map(s => (s.shard, s.counters))
+            b41buf.synchronized { b41buf ++= rows }
+            ()
+        }
+        .option("checkpointLocation", b41ck.toString)
+        .outputMode("update").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val (b41s, b41n) = try time {
+      b41phase() // batches 0-4, then the query is KILLED
+      b41feed(5, 10)
+      b41buf.clear() // post-restart emissions alone must carry full state
+      b41phase() // restart over the same checkpoint
+      val byShard = b41buf.groupBy(_._1)
+      require(byShard.size == 16,
+        s"B41 only ${byShard.size} shards emitted after restart, want 16")
+      val merged = byShard.values
+        .map(_.map(_._2).reduce((a, b) =>
+          a.zip(b).map { case (x, y) => math.max(x, y) }))
+        .reduce((a, b) => a.zip(b).map { case (x, y) => x + y })
+        .zipWithIndex.collect { case (n, pos) if n > 0 => pos -> n }.toMap
+      val batch = graft.ops.FreqSketch.cmsBuild(
+        spark.read.parquet(b41in.toString), "user_id",
+        depth = 4, width = 8192)
+        .collect()
+        .map(r => (r.getInt(0) * 8192 + r.getLong(1).toInt) -> r.getLong(2))
+        .toMap
+      require(merged == batch,
+        s"B41 restarted CMS != batch (${merged.size} vs ${batch.size} " +
+          "cells) - checkpoint recovery lost or duplicated state")
+      merged.size.toLong
+    } finally spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+    deleteRecursive(b41in); deleteRecursive(b41ck); Caching.release()
+
+    val b41hin = java.nio.file.Files.createTempDirectory("scale_ckpt_hll_in")
+    val b41hck = java.nio.file.Files.createTempDirectory("scale_ckpt_hll_st")
+    def b41hfeed(lo: Int, hi: Int): Unit =
+      for (i <- lo until hi)
+        spark.range(i * 2000000L, (i + 1) * 2000000L)
+          .select((col("id") % 11000000L).as("user_id")).coalesce(1)
+          .write.mode("append").parquet(b41hin.toString)
+    b41hfeed(0, 5)
+    val b41hbuf =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Array[Byte])]
+    def b41hphase(): Unit = {
+      val st = spark.readStream.schema(b41schema)
+        .option("maxFilesPerTrigger", "1").parquet(b41hin.toString)
+      val q = graft.streaming.StreamingOps.cardinalityStream(
+        st, "user_id", shards = 16, lgK = 14)
+        .writeStream
+        .foreachBatch {
+          (ds: org.apache.spark.sql.Dataset[
+             graft.streaming.StreamingOps.ShardCardinality], _: Long) =>
+            val rows = ds.collect()
+              .map(s => (s.shard, s.est_distinct, s.sketch))
+            b41hbuf.synchronized { b41hbuf ++= rows }
+            ()
+        }
+        .option("checkpointLocation", b41hck.toString)
+        .outputMode("update").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    val (b41hs, b41hn) = time {
+      b41hphase()
+      b41hfeed(5, 10)
+      b41hbuf.clear()
+      b41hphase()
+      // final sketch per shard = the max-estimate emission (B31 idiom —
+      // register updates only grow the estimate)
+      val hByShard = b41hbuf.groupBy(_._1)
+      require(hByShard.size == 16,
+        s"B41 only ${hByShard.size} HLL shards emitted after restart, want 16")
+      val finals = hByShard.values.map(_.maxBy(_._2)._3).toSeq
+      val unionEst = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          finals.map(b => org.apache.spark.sql.Row(b))),
+        new org.apache.spark.sql.types.StructType()
+          .add("sketch", org.apache.spark.sql.types.BinaryType))
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sketch))"))
+        .collect()(0).getLong(0)
+      val batchEst = spark.read.parquet(b41hin.toString)
+        .select(col("user_id").cast("string").as("k"))
+        .agg(expr("hll_sketch_estimate(hll_sketch_agg(k, 14))"))
+        .collect()(0).getLong(0)
+      require(unionEst == batchEst,
+        s"B41 restarted HLL union $unionEst != batch $batchEst")
+      unionEst
+    }
+    deleteRecursive(b41hin); deleteRecursive(b41hck); Caching.release()
+
+    // B42: z-order lifecycle under growth — 20M rows on a 2048² grid.
+    // Fresh layout vs (16M initial + 4 × 1M raw appends) with an
+    // OPTIMIZE pass that re-clusters ONLY the 4M-row tail. The box
+    // query (256² cells, 1.56% of the space) is measured at three
+    // stages via the scan's numOutputRows:
+    //   - fresh:      one generation, the best case;
+    //   - with tail:  unsorted tail row groups span the whole z domain
+    //     → min/max stats prune nothing there (REQUIREd worse);
+    //   - optimized:  base + one clustered generation — REQUIREd within
+    //     2× of fresh (two generations ≈ two independent prunes), and
+    //     REQUIREd at most a tenth of the table (pruning works at all).
+    // Results are REQUIREd identical at every stage (cover + exact
+    // filter is lossless by construction).
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val b42n0 = 2048L * 2048L
+    def b42rows(lo: Long, hi: Long) = spark.range(lo, hi).select(
+      ((col("id") % b42n0) / 2048L).cast("long").as("ix"),
+      (col("id") % 2048L).as("iy"),
+      col("id").as("v"))
+    val b42ranges = graft.ops.Layout.zRangesForBox(
+      512, 767, 512, 767, bits = 11, maxRanges = 64)
+    def b42scan(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val q = df
+        .where(graft.ops.Layout.inZRanges(col("z_key"), b42ranges))
+        .where(col("ix").between(512, 767) && col("iy").between(512, 767))
+      // execute q's OWN physical plan (toRdd), not a derived count()
+      // plan — metrics live on the executed plan's scan nodes (B35
+      // reads them after collect() for the same reason)
+      val hits = q.queryExecution.toRdd.count()
+      val scanned = q.queryExecution.executedPlan.collectLeaves()
+        .collect { case s: FileSourceScanExec => s }
+        .map(_.metrics("numOutputRows").value).sum
+      (hits, scanned)
+    }
+    val b42small = Map("parquet.block.size" -> (1L << 20).toString)
+    val b42freshDir = java.nio.file.Files.createTempDirectory("scale_zfresh")
+    val b42lifeDir = java.nio.file.Files.createTempDirectory("scale_zlife")
+    graft.ops.Layout.zorderLayout(
+      b42rows(0L, 20000000L), col("ix"), col("iy"), 16)
+      .write.mode("overwrite").options(b42small)
+      .parquet(s"$b42freshDir/gen-0")
+    val (b42hitsF, b42fresh) = b42scan(
+      spark.read.parquet(s"$b42freshDir/gen-0"))
+    graft.ops.Layout.zorderLayout(
+      b42rows(0L, 16000000L), col("ix"), col("iy"), 13)
+      .write.mode("errorifexists").options(b42small)
+      .parquet(s"$b42lifeDir/gen-0")
+    for (i <- 0 until 4)
+      b42rows(16000000L + i * 1000000L, 16000000L + (i + 1) * 1000000L)
+        .withColumn("z_key",
+          graft.ops.Layout.zorderKey(col("ix"), col("iy")))
+        .write.mode("append").options(b42small)
+        .parquet(s"$b42lifeDir/tail")
+    val (b42hitsT, b42tail) = b42scan(
+      graft.ops.Layout.zorderTable(spark, b42lifeDir.toString))
+    val (b42s, b42compacted) = time {
+      graft.ops.Layout.zorderOptimize(spark, b42lifeDir.toString, 4)
+    }
+    require(b42compacted == 4000000L,
+      s"B42 optimize compacted $b42compacted rows, want 4M")
+    val (b42hitsO, b42opt) = b42scan(
+      graft.ops.Layout.zorderTable(spark, b42lifeDir.toString))
+    require(b42hitsF == b42hitsT && b42hitsT == b42hitsO,
+      s"B42 box results drifted across lifecycle: $b42hitsF / $b42hitsT / $b42hitsO")
+    require(b42tail > b42opt,
+      s"B42 tail scan $b42tail not worse than optimized $b42opt - " +
+        "fixture fails to demonstrate the pass")
+    require(b42opt <= 2L * b42fresh,
+      s"B42 optimized scan $b42opt > 2x fresh $b42fresh")
+    require(b42opt <= 2000000L,
+      s"B42 optimized scan $b42opt > 10% of the table - not pruning")
+    deleteRecursive(b42freshDir); deleteRecursive(b42lifeDir)
+    Caching.release()
+
     val b1rate = "%.1f".format(src.ncells * 32 / b1s / 1e6)
     val b3rate = "%.1f".format(b3n / b3s / 1e6)
     val json =
@@ -1477,7 +1786,17 @@ object ScaleBench {
         s""""b37_cms_sec":$b37s,"b37_rows":120000000,"b37_est_join":$b37n,"b37_exact_join":2000000000,""" +
         s""""b38_hdr_sec":$b38s,"b38_rows":200000000,"b38_buckets":$b38n,""" +
         s""""b39_stream_cms_sec":$b39s,"b39_rows":20000000,"b39_cells":$b39n,""" +
-        s""""b39_batches":10,"b39_shards":16}"""
+        s""""b39_batches":10,"b39_shards":16,""" +
+        s""""b13c_hourly_year_sec":$b13cs,"b13c_files":$b13cn,""" +
+        s""""b36b_skew_interval_sec":$b36bs,"b36b_pairs":$b36bn,""" +
+        s""""b40_ivfpq_sec":$b40s,"b40_results":$b40n,"b40_recall_top1":$b40top1,""" +
+        s""""b40_scored_count_sec":$b40cs,"b40_scanned":$b40scanned,""" +
+        s""""b40_scan_frac":${"%.4f".format(b40scanned.toDouble / (100L * 1000100L))},""" +
+        s""""b40_nlists":$b40nlists,"b40_nprobe":4,""" +
+        s""""b41_cms_restart_sec":$b41s,"b41_rows":20000000,"b41_cells":$b41n,""" +
+        s""""b41_hll_restart_sec":$b41hs,"b41_hll_est":$b41hn,""" +
+        s""""b42_optimize_sec":$b42s,"b42_rows":20000000,"b42_appended":4000000,""" +
+        s""""b42_scan_fresh":$b42fresh,"b42_scan_tail":$b42tail,"b42_scan_opt":$b42opt}"""
     println(json)
     // Fold the per-entry minimum across the run series into a "best"
     // object before persisting: the committed artifact carries BOTH the

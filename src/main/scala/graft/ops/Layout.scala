@@ -136,6 +136,79 @@ object Layout {
       .repartitionByRange(numFiles, col("z_key"))
       .sortWithinPartitions("z_key")
 
+  // --- Z-order table lifecycle (append + OPTIMIZE-style compaction) -----
+  //
+  // zorderLayout lays out ONE static snapshot; a 100 TB table grows. The
+  // lifecycle below is the minimal lakehouse pattern (Delta's OPTIMIZE
+  // ZORDER, Iceberg's rewrite_data_files) over plain directories:
+  //
+  //   dir/gen-0/    the initial z-clustered generation (zorderWrite)
+  //   dir/tail/     raw appends, z-keyed but UNSORTED (zorderAppend —
+  //                 a narrow projection, no shuffle at ingest time)
+  //   dir/gen-K/    each zorderOptimize pass re-clusters ONLY the tail
+  //                 into the next generation and removes it
+  //
+  // Every generation is internally z-clustered, so a box query prunes
+  // within each generation independently: scanned rows ≈ (#generations)
+  // × the fresh-layout fraction, while the tail (until optimized) is
+  // scanned in full — which is exactly why the OPTIMIZE pass exists.
+  // Readers glob all parts ([[zorderTable]]); results are identical at
+  // every lifecycle stage (pruning predicates stay supersets — only the
+  // scanned-row count moves). ScaleBench B42 REQUIREs the bound;
+  // LayoutSpec pins optimize ≡ full re-layout on the tail rows.
+  //
+  // NOT transactional (deliberately): a crash between the gen-K write
+  // and the tail delete leaves both on disk (duplicate reads) — the
+  // production wrapper is a manifest/lakehouse commit protocol, which is
+  // orthogonal to the layout math proven here.
+
+  /** Initial generation: z-cluster `df` and write it to `dir/gen-0`. */
+  def zorderWrite(
+      df: DataFrame, ix: Column, iy: Column, numFiles: Int,
+      dir: String): Unit =
+    zorderLayout(df, ix, iy, numFiles)
+      .write.mode("errorifexists").parquet(s"$dir/gen-0")
+
+  /** Ingest-time append: z-key the batch (narrow projection — NO sort,
+    * NO shuffle; ingest stays cheap) and land it in `dir/tail`. */
+  def zorderAppend(df: DataFrame, ix: Column, iy: Column, dir: String): Unit =
+    df.withColumn("z_key", zorderKey(ix, iy))
+      .write.mode("append").parquet(s"$dir/tail")
+
+  /** OPTIMIZE pass: re-cluster ONLY the unsorted tail into the next
+    * `gen-K` directory (range-repartition + sort by the z_key the
+    * appends already carry — the exact arithmetic of [[zorderLayout]]),
+    * then drop the tail. Returns rows compacted (0 = no tail, no-op).
+    * Cost is one sort of the TAIL, not the table — the whole point
+    * versus a full re-layout. */
+  def zorderOptimize(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String, numFiles: Int): Long = {
+    val tail = new java.io.File(s"$dir/tail")
+    if (!tail.exists()) return 0L
+    val gens = Option(new java.io.File(dir).listFiles()).getOrElse(Array())
+      .filter(f => f.isDirectory && f.getName.startsWith("gen-"))
+      .map(_.getName.stripPrefix("gen-").toInt)
+    val next = if (gens.isEmpty) 0 else gens.max + 1
+    val df = spark.read.parquet(tail.getPath)
+    val n = df.count()
+    df.repartitionByRange(numFiles, col("z_key"))
+      .sortWithinPartitions("z_key")
+      .write.mode("errorifexists").parquet(s"$dir/gen-$next")
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(tail.toPath).iterator().asScala.toSeq
+      .reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+    n
+  }
+
+  /** Read the whole lifecycle table (all generations + any unoptimized
+    * tail). Pruning predicates ([[inZRanges]] + the exact box filter)
+    * apply uniformly; unsorted tail files simply prune worse until the
+    * next [[zorderOptimize]]. */
+  def zorderTable(
+      spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/*")
+
   // --- Bloom-filter point-lookup layout (M72) ---------------------------
   //
   // Z-order (M69) wins RANGE queries at the scan; it does nothing for

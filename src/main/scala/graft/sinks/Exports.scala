@@ -404,7 +404,18 @@ object Exports {
       grid: RegularGrid,
       outDir: String,
       chunkSize: Int = 168,
-      atts: Seq[NcAtt] = Nil): Seq[String] = {
+      atts: Seq[NcAtt] = Nil,
+      distributedHoursThreshold: Int = 720): Seq[String] = {
+    // Long exports route to the distributed writer BY DEFAULT: the
+    // driver-side loop below runs at least one Spark job per hour, so a
+    // year-long export pays 8,760 sequential job latencies even on a
+    // tiny grid — per-hour plane SIZE was the original hybrid's only
+    // trigger, which a small grid never trips. The distributed writer
+    // is byte-identical (NetcdfWriterSpec pins it), so routing on hour
+    // COUNT is pure win; ScaleBench B13c times the year-long case.
+    if (hours > distributedHoursThreshold)
+      return hourlyExportNcDistributed(
+        emissions, scalingFactors, startTs, hours, grid, outDir, atts)
     val fmtOut = java.time.format.DateTimeFormatter
       .ofPattern("yyyyMMdd'T'HHmmss'Z'").withZone(java.time.ZoneOffset.UTC)
     val t0 = java.time.LocalDateTime.parse(startTs.replace(' ', 'T'))

@@ -106,6 +106,57 @@ class LayoutSpec extends SparkSpec {
     assert(vol < (n.toLong * n) / 8, s"cover volume $vol does not prune")
   }
 
+  test("zorder lifecycle: appends land raw, optimize re-clusters only the tail") {
+    val n = 64
+    def grid(lo: Long, hi: Long) = spark.range(lo, hi).select(
+      (col("id") / n % n).cast("long").as("ix"), (col("id") % n).as("iy"),
+      col("id").as("v"))
+    val dir = java.nio.file.Files.createTempDirectory("zlife").toString
+    Layout.zorderWrite(grid(0L, 3000L), col("ix"), col("iy"), 4, dir)
+    Layout.zorderAppend(grid(3000L, 3500L), col("ix"), col("iy"), dir)
+    Layout.zorderAppend(grid(3500L, 4096L), col("ix"), col("iy"), dir)
+    // table complete and exact mid-lifecycle (tail unsorted)
+    assert(Layout.zorderTable(spark, dir).count() == 4096L)
+    val compacted = Layout.zorderOptimize(spark, dir, numFiles = 2)
+    assert(compacted == 1096L)
+    assert(!new java.io.File(s"$dir/tail").exists())
+    // no rows lost or duplicated across the whole lifecycle
+    val table = Layout.zorderTable(spark, dir)
+    assert(table.count() == 4096L)
+    assert(table.select(countDistinct("v")).collect()(0).getLong(0) == 4096L)
+    // optimize ≡ full re-layout on the touched (tail) rows: gen-1 holds
+    // exactly the appended rows, sorted by z_key within each file with
+    // files owning disjoint z intervals — the zorderLayout invariants
+    val gen1 = spark.read.parquet(s"$dir/gen-1")
+    assert(gen1.count() == 1096L)
+    assert(gen1.select(min("v"), max("v")).collect()(0) match {
+      case r => r.getLong(0) == 3000L && r.getLong(1) == 4095L
+    })
+    val relaid = Layout.zorderLayout(grid(3000L, 4096L),
+      col("ix"), col("iy"), numFiles = 2)
+    assert(gen1.select("ix", "iy", "v", "z_key").collect().toSet ==
+      relaid.select("ix", "iy", "v", "z_key").collect().toSet)
+    val fileRanges = gen1
+      .select(input_file_name().as("f"), col("z_key"))
+      .groupBy("f").agg(min("z_key").as("lo"), max("z_key").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    fileRanges.sliding(2).foreach {
+      case Array(a, b) => assert(a._2 < b._1, s"gen-1 files overlap: $a $b")
+      case _ =>
+    }
+    // box query equivalent at every stage, and pruning works post-compact
+    val ranges = Layout.zRangesForBox(3, 9, 17, 23, bits = 6, maxRanges = 8)
+    val got = table
+      .where(Layout.inZRanges(col("z_key"), ranges))
+      .where(col("ix").between(3, 9) && col("iy").between(17, 23))
+      .count()
+    val want = grid(0L, 4096L)
+      .where(col("ix").between(3, 9) && col("iy").between(17, 23)).count()
+    assert(got == want)
+    // idempotence: optimize with no tail is a no-op
+    assert(Layout.zorderOptimize(spark, dir, 2) == 0L)
+  }
+
   // --- M72 bloom-filter point-lookup layout -----------------------------
 
   test("bloomLayout: point lookup scans a fraction of the row groups, same rows") {

@@ -359,6 +359,60 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("frequencyStream: state survives a kill/restart at a checkpoint (RocksDB)") {
+    val in = java.nio.file.Files.createTempDirectory("freq_ckpt_in")
+    val ck = java.nio.file.Files.createTempDirectory("freq_ckpt_st")
+    def feed(lo: Long, hi: Long): Unit =
+      spark.range(lo, hi).select((col("id") % 40L).as("user_id"))
+        .coalesce(1).write.mode("append").parquet(in.toString)
+    feed(0L, 100L)
+    val schema = spark.read.parquet(in.toString).schema
+    // foreachBatch, not the memory sink: memory refuses checkpoint
+    // recovery ("This query does not support recovering from
+    // checkpoint location"); foreachBatch is the recoverable sink.
+    val emitted =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Long])]
+    def phase(): Unit = {
+      val st = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(in.toString)
+      val q = StreamingOps.frequencyStream(st, "user_id",
+          shards = 4, depth = 2, width = 32)
+        .writeStream
+        .foreachBatch {
+          (ds: org.apache.spark.sql.Dataset[StreamingOps.ShardFreqState],
+           _: Long) =>
+            val rows = ds.collect().map(s => (s.shard, s.counters))
+            emitted.synchronized { emitted ++= rows }
+            ()
+        }
+        .option("checkpointLocation", ck.toString)
+        .outputMode("update").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      phase() // killed after the first file
+      feed(100L, 250L)
+      emitted.clear() // post-restart emissions alone must carry full state
+      phase() // restarted over the same checkpoint
+      val merged = emitted.groupBy(_._1).values
+        .map(_.map(_._2).reduce((a, b) =>
+          a.zip(b).map { case (x, y) => math.max(x, y) }))
+        .reduce((a, b) => a.zip(b).map { case (x, y) => x + y })
+        .zipWithIndex.collect { case (n, pos) if n > 0 => pos -> n }.toMap
+      val batch = graft.ops.FreqSketch.cmsBuild(
+        spark.read.parquet(in.toString), "user_id", depth = 2, width = 32)
+        .collect()
+        .map(r => (r.getInt(0) * 32 + r.getLong(1).toInt) -> r.getLong(2))
+        .toMap
+      assert(merged == batch)
+    } finally {
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+    }
+  }
+
   test("heavyHitterStream: capped state runs Misra-Gries decrements") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
