@@ -101,6 +101,13 @@ object OraclePins {
       ('SAVA', 'DM', '170.0'::DOUBLE, 4::BIGINT),
       ('TEMF', 'DM', '210.0'::DOUBLE, 3::BIGINT)
       ) AS t(category, substance, total, n_cells)""",
+    // q_gfed4_nf: same data, new-format container — the pin MUST equal
+    // q_gfed4's (that identity is the point of the gate)
+    "q_gfed4_nf" ->
+      """SELECT * FROM (VALUES
+      ('SAVA', 'DM', '170.0'::DOUBLE, 4::BIGINT),
+      ('TEMF', 'DM', '210.0'::DOUBLE, 3::BIGINT)
+      ) AS t(category, substance, total, n_cells)""",
     "q_image_decode" ->
       """SELECT * FROM (VALUES
       (0::BIGINT, 32::BIGINT, 24::BIGINT, -6154919347574127275::BIGINT, -5344265964282882726::BIGINT, '99.489797'::DOUBLE),

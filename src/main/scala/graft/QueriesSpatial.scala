@@ -383,6 +383,23 @@ object QueriesSpatial {
       },
       None),
 
+    // Same data through the NEW-format HDF5 container (v3 superblock,
+    // OHDR v2 headers with verified lookup3 checksums, compact links,
+    // v4 layouts incl. a paged fixed-array chunk index) — the subset
+    // libver='latest' writers produce. The pinned oracle is q_gfed4's:
+    // identical values prove the container encoding is invisible to the
+    // loader. Byte-level correctness is Hdf5NewFormatSpec.
+    Q("q_gfed4_nf",
+      (s, _) => {
+        val inv = graft.sources.GfedLoader.readGfed4(
+          s, "/root/repo/fixtures/gfed4_nf.hdf5", "DM")
+        inv.annual
+          .groupBy("category", "substance")
+          .agg(round(sum("value"), 6).as("total"),
+            count(col("value")).as("n_cells"))
+      },
+      None),
+
     // Pinned-literal oracles (OraclePins): DuckDB cannot read the
     // committed NetCDF fixtures, so verified outputs pin as VALUES literals. Each loader query below runs the full
     // byte-level read path (container dispatch -> axis/grid inference ->

@@ -67,7 +67,7 @@ class Hdf5Spec extends SparkSpec {
     val file = build(Group(Seq("n" -> i32(Seq(3), Seq(7, -8, 9)))))
     assert(Hdf5Classic.open(file).readDataset("/n").data.toSeq == Seq(7.0, -8.0, 9.0))
     val bad = file.clone()
-    bad(8) = 2 // superblock version byte
+    bad(8) = 4 // superblock version byte (v2/v3 are supported new-format)
     val e = intercept[IllegalArgumentException](Hdf5Classic.open(bad))
     assert(e.getMessage.contains("superblock version"))
     intercept[IllegalArgumentException](
