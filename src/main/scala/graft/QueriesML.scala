@@ -2255,6 +2255,77 @@ object QueriesML {
         |  FROM adc)
         |WHERE rank <= 5""".stripMargin)),
 
+    // M70 residual IVF+PQ (FAISS IVFPQ DEFAULT, by_residual=true,
+    // Jégou 2011 §IV.C): codes quantize x − c(list) instead of x, so
+    // the ADC LUT becomes per (query, probed list) — built against the
+    // query residual q − c(list). The oracle replays the full residual
+    // pipeline: assign → residuals → residual codebooks → codes →
+    // per-(query,list) LUT → ADC restricted to probed lists. Exact:
+    // milli-unit integers are closed under subtraction, so every
+    // intermediate stays an integer-valued double in both engines.
+    Q("q_ivfpq_residual",
+      (s, d) => Similarity.ivfPqResidualSearch(embeddings(s, d),
+        nQueries = 20, k = 5, m = 8, dims = 64, centroidMod = 97,
+        coarseMod = 83, nprobe = 2),
+      Some(s"""WITH $QuantCte,
+        |clists AS (SELECT vec_id AS list_id, v AS cv,
+        |                  list_dot_product(v, v) AS cn
+        |           FROM q WHERE vec_id % 83 = 0),
+        |cvecs AS (SELECT vec_id, v, list_dot_product(v, v) AS n FROM q),
+        |s0 AS (SELECT vec_id, list_id, cv,
+        |              round(list_dot_product(v, cv) / (sqrt(n) * sqrt(cn)), 6) AS cos_sim
+        |       FROM cvecs, clists),
+        |assign AS (SELECT vec_id, list_id, cv FROM (
+        |             SELECT *, row_number() OVER (PARTITION BY vec_id
+        |                          ORDER BY cos_sim DESC, list_id) AS rn
+        |             FROM s0) WHERE rn = 1),
+        |resid AS (SELECT q.vec_id, a.list_id,
+        |                 list_transform(list_zip(q.v, a.cv),
+        |                   x -> CAST(x[1] - x[2] AS DOUBLE)) AS rv
+        |          FROM q JOIN assign a ON a.vec_id = q.vec_id),
+        |rsubs AS (SELECT vec_id, s, list_slice(rv, s*8+1, s*8+8) AS vs
+        |          FROM resid, range(8) t(s)),
+        |rcents AS (SELECT vec_id AS centroid_id, s,
+        |                  list_slice(rv, s*8+1, s*8+8) AS cs
+        |           FROM resid, range(8) t(s) WHERE vec_id % 97 = 0),
+        |d2 AS (SELECT rsubs.vec_id, rsubs.s, centroid_id,
+        |              list_dot_product(vs, vs) - 2*list_dot_product(vs, cs)
+        |                + list_dot_product(cs, cs) AS d2
+        |       FROM rsubs JOIN rcents ON rsubs.s = rcents.s),
+        |codes AS (SELECT vec_id, s, centroid_id AS code FROM (
+        |            SELECT *, row_number() OVER (PARTITION BY vec_id, s
+        |                         ORDER BY d2, centroid_id) AS rn
+        |            FROM d2)
+        |          WHERE rn = 1),
+        |probes AS (SELECT vec_id AS query_id, list_id, cv FROM (
+        |             SELECT *, row_number() OVER (PARTITION BY vec_id
+        |                          ORDER BY cos_sim DESC, list_id) AS rn
+        |             FROM s0 WHERE vec_id < 20) WHERE rn <= 2),
+        |qres AS (SELECT p.query_id, p.list_id,
+        |                list_transform(list_zip(q.v, p.cv),
+        |                  x -> CAST(x[1] - x[2] AS DOUBLE)) AS qr
+        |         FROM probes p JOIN q ON q.vec_id = p.query_id),
+        |qsubs AS (SELECT query_id, list_id, s,
+        |                 list_slice(qr, s*8+1, s*8+8) AS vs
+        |          FROM qres, range(8) t(s)),
+        |lut AS (SELECT query_id, list_id, qsubs.s, centroid_id,
+        |               list_dot_product(vs, vs) - 2*list_dot_product(vs, cs)
+        |                 + list_dot_product(cs, cs) AS pd
+        |        FROM qsubs JOIN rcents ON qsubs.s = rcents.s),
+        |adc AS (SELECT lut.query_id, c.vec_id AS neighbor_id,
+        |               CAST(sum(pd) AS BIGINT) AS adc_dist
+        |        FROM codes c
+        |          JOIN assign a ON a.vec_id = c.vec_id
+        |          JOIN lut ON c.s = lut.s AND c.code = lut.centroid_id
+        |                   AND lut.list_id = a.list_id
+        |        WHERE c.vec_id <> lut.query_id
+        |        GROUP BY 1, 2)
+        |SELECT query_id, neighbor_id, rank, adc_dist FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |               ORDER BY adc_dist, neighbor_id) AS rank
+        |  FROM adc)
+        |WHERE rank <= 5""".stripMargin)),
+
     // Pinned-literal oracles (OraclePins): WARC record walk and the
     // end-to-end crawl→text extraction over the committed fixture
     // shards (plain + multi-member gzip decode identically — WarcSpec).

@@ -628,6 +628,161 @@ object Similarity {
         adcSum(m, centroidMod).as("adc_dist"))
   }
 
+  /** IVF+PQ with RESIDUAL quantization — the FAISS IVFPQ DEFAULT
+    * (`by_residual=true`, Jégou 2011 §IV.C): codes quantize x − c(list)
+    * instead of x. Residuals concentrate near the origin, so the same
+    * m-code budget spends its resolution on the within-cell offset
+    * rather than re-describing the cell — better recall at identical
+    * index bytes, the reason FAISS defaults to it.
+    *
+    * Structural consequence: the ADC lookup table becomes PER
+    * (query, probed list) — the table is built against the query
+    * residual q − c(list), which differs per probed list — and that is
+    * EXACTLY the (query, list) relation the composed join already
+    * broadcasts ([[ivfPqScored]]'s probeLut), so the scan shape is
+    * unchanged: an equi-join of the residual-encoded corpus against
+    * nQueries·nprobe broadcast LUT rows on `list_id`, scanning
+    * ~nprobe/nlists of the corpus. Residual codebooks are trained on
+    * the residuals of the same deterministic subset (vec_id ≡ 0 mod
+    * centroidMod). All arithmetic stays exact: quantized milli-unit
+    * integers are closed under subtraction, so residual vectors,
+    * codebooks and LUT entries remain integer-valued doubles and the
+    * ADC sum is an exact BIGINT — engine-portable for the gate oracle.
+    * Same two approximation sources as [[ivfPqSearch]] (quantization
+    * error — smaller here, ScaleBench-certified — and coarse pruning). */
+  def ivfPqResidualSearch(
+      embeddings: DataFrame,
+      nQueries: Int,
+      k: Int,
+      m: Int = 8,
+      dims: Int = 64,
+      centroidMod: Int = 97,
+      coarseMod: Int = 83,
+      nprobe: Int = 2): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    adcTopK(ivfPqResidualScored(
+      embeddings, nQueries, m, dims, centroidMod, coarseMod, nprobe), k)
+  }
+
+  /** The relations of a residual IVF+PQ index: coarse centroids
+    * (metadata-sized, broadcast), per-vector residuals, and the
+    * residual-encoded index — split out so specs can pin the index
+    * contents (codes trained on RESIDUALS, not raw vectors)
+    * independently of the search join. In production the `index`
+    * relation is what gets persisted. */
+  private[graft] final case class ResidualIndex(
+      cents: DataFrame, resid: DataFrame, index: DataFrame, subDim: Int)
+
+  private[graft] def buildResidualIndex(
+      embeddings: DataFrame,
+      m: Int,
+      dims: Int,
+      centroidMod: Int,
+      coarseMod: Int): ResidualIndex = {
+    require(dims % m == 0, s"dims=$dims not divisible by m=$m")
+    val subDim = dims / m
+    // coarse lists: centroid vectors (metadata-sized, broadcast)
+    val cents = embeddings
+      .where(col("vec_id") % coarseMod === 0)
+      .select(col("vec_id").as("list_id"), quantize(col("embedding")).as("cv"))
+      .withColumn("cn", dot(col("cv"), col("cv")))
+    // residual per vector vs its assigned list's centroid (one corpus
+    // equi-join at build time — in production this IS the stored index)
+    val resid = embeddings
+      .select(col("vec_id"), quantize(col("embedding")).as("v"))
+      .join(ivfAssign(embeddings, coarseMod)
+        .select(col("vec_id"), col("centroid_id").as("list_id")), "vec_id")
+      .join(broadcast(cents.select("list_id", "cv")), "list_id")
+      .withColumn("rv", zip_with(col("v"), col("cv"), (a, b) => a - b))
+      .select("vec_id", "list_id", "rv")
+    // residual codebooks: the deterministic subset's RESIDUALS
+    val centRows = resid
+      .where(col("vec_id") % centroidMod === 0)
+      .select("vec_id", "rv")
+      .collect()
+      .sortBy(_.getLong(0))
+    require(centRows.nonEmpty, "empty residual PQ codebook")
+    require(centRows.length.toLong * dims <= (16L << 20),
+      s"codebook ${centRows.length}x$dims exceeds the driver bound; " +
+        "raise centroidMod")
+    val ids = centRows.map(_.getLong(0))
+    val cbooks = centRows.map(_.getSeq[Double](1).toArray)
+    // index: residual codes + coarse list per vector (one narrow
+    // codegen'd projection — the pqEncode kernel, fed residuals)
+    val index = resid.select(
+      col("vec_id").as("neighbor_id"), col("list_id"),
+      graft.functions.PqEncodeExpr.col(col("rv"), cbooks, ids, m, subDim).as("codes"))
+    ResidualIndex(cents, resid, index, subDim)
+  }
+
+  /** Candidate relation of [[ivfPqResidualSearch]] before top-k —
+    * exposed for ScaleBench's scanned-row REQUIRE, like
+    * [[ivfPqScored]]. */
+  private[graft] def ivfPqResidualScored(
+      embeddings: DataFrame,
+      nQueries: Int,
+      m: Int,
+      dims: Int,
+      centroidMod: Int,
+      coarseMod: Int,
+      nprobe: Int): DataFrame = {
+    val spark = embeddings.sparkSession
+    val ri = buildResidualIndex(embeddings, m, dims, centroidMod, coarseMod)
+    val ResidualIndex(cents, resid, index, subDim) = ri
+    // residual codebook subvectors, relational (metadata-sized)
+    val subsDf = spark.createDataFrame(
+      Seq.tabulate(m)(s => Tuple1(s))).toDF("sub")
+    val rbooks = resid
+      .where(col("vec_id") % centroidMod === 0)
+      .select(col("vec_id").as("centroid_id"), col("rv"))
+      .crossJoin(broadcast(subsDf))
+      .withColumn("cs", slice(col("rv"), col("sub") * subDim + 1, lit(subDim)))
+      .withColumn("cn", dot(col("cs"), col("cs")))
+      .select("sub", "centroid_id", "cs", "cn")
+    // probes: nprobe nearest coarse lists per query (ivfAssign's exact
+    // rounded-cosine + tie-break arithmetic, kept to rank ≤ nprobe)
+    val probeWin = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("list_id"))
+    val qv = embeddings
+      .where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), quantize(col("embedding")).as("v"))
+    val probes = qv
+      .withColumn("n", dot(col("v"), col("v")))
+      .crossJoin(broadcast(cents))
+      .withColumn("cos_sim",
+        round(dot(col("v"), col("cv")) / (sqrt(col("n")) * sqrt(col("cn"))), 6))
+      .withColumn("rn", row_number().over(probeWin))
+      .where(col("rn") <= nprobe)
+      .select("query_id", "list_id")
+    // per-(query, probed list) LUT against the query residual
+    // q − c(list): nQueries × nprobe × m × ksub rows collapse to
+    // nQueries × nprobe nested-array rows — broadcast
+    val probeLut = probes
+      .join(qv, "query_id")
+      .join(broadcast(cents.select("list_id", "cv")), "list_id")
+      .withColumn("qr", zip_with(col("v"), col("cv"), (a, b) => a - b))
+      .crossJoin(broadcast(subsDf))
+      .withColumn("vs", slice(col("qr"), col("sub") * subDim + 1, lit(subDim)))
+      .withColumn("vn", dot(col("vs"), col("vs")))
+      .join(broadcast(rbooks), Seq("sub"))
+      .select(col("query_id"), col("list_id"), col("sub"), col("centroid_id"),
+        (col("vn") - lit(2) * dot(col("vs"), col("cs")) + col("cn")).as("pd"))
+      .withColumn("ci", (col("centroid_id") / centroidMod).cast("int"))
+      .groupBy("query_id", "list_id", "sub")
+      .agg(transform(
+        array_sort(collect_list(struct(col("ci"), col("pd")))),
+        x => x.getField("pd")).as("subArr"))
+      .groupBy("query_id", "list_id")
+      .agg(transform(
+        array_sort(collect_list(struct(col("sub"), col("subArr")))),
+        x => x.getField("subArr")).as("luts"))
+    index
+      .join(broadcast(probeLut), Seq("list_id"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        adcSum(m, centroidMod).as("adc_dist"))
+  }
+
   /** Per-query ADC lookup tables as m positional arrays
     * (luts[s][ci] = pd, ci = centroid_id / centroidMod — pqCodebooks
     * takes every centroidMod-th vec_id, so the division is the exact

@@ -117,4 +117,73 @@ class PqSpec extends SparkSpec {
       Similarity.pqEncode(e, m = 3, dims = 4, centroidMod = 2).collect()
     }
   }
+
+  // ---- residual variant (by_residual=true, the FAISS default) ----------
+
+  private def bigWithDup = {
+    import org.apache.spark.sql.functions._
+    // the 60-vector fixture + vecs 60, 61; vec 61 = an exact copy of
+    // vec 1 (61 % 20 != 0 so the duplicate is NOT a coarse centroid)
+    spark.range(62L).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(3)),
+        d => {
+          val src = when(col("id") === 61L, lit(1L)).otherwise(col("id"))
+          (((src * 13 + d * 11) % 29) + (src % 5) + 1).cast("float")
+        }).as("embedding"))
+  }
+
+  test("centroidMod=1 residual ADC is the EXACT squared L2 distance " +
+    "(zero quantization error: every residual is its own codebook entry, " +
+    "and qr - rv = (q - c) - (x - c) = q - x within a probed list)") {
+    import org.apache.spark.sql.functions._
+    val vecs = bigWithDup.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(f =>
+        math.round(f.toDouble * 1000).toDouble).toArray).toMap
+    def sqL2(a: Array[Double], b: Array[Double]): Long =
+      math.round(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    val out = Similarity.ivfPqResidualSearch(bigWithDup, nQueries = 5, k = 4,
+      m = 2, dims = 4, centroidMod = 1, coarseMod = 20, nprobe = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    out.foreach { case (q, n, _, d) =>
+      assert(d == sqL2(vecs(q), vecs(n)), s"query $q neighbor $n") }
+    // the exact duplicate therefore surfaces at distance 0 (the base
+    // fixture's formula also collides vec 10 with vec 1, so there are
+    // two zero-distance neighbors; ranks are tie-broken by id)
+    val q1 = out.filter(_._1 == 1L).sortBy(_._3)
+    assert(q1.head._4 == 0L, s"top hit: ${q1.head}")
+    assert(q1.exists(h => h._2 == 61L && h._4 == 0L), q1.mkString(","))
+    assert(out.forall(r => r._1 != r._2), "query returned itself")
+  }
+
+  test("residual search with nprobe >= nlists scans the whole corpus") {
+    val scanned = Similarity.ivfPqResidualScored(bigWithDup, nQueries = 5,
+      m = 2, dims = 4, centroidMod = 7, coarseMod = 20, nprobe = 4)
+    // 4 lists exist (centroids 0, 20, 40, 60); probing all of them =
+    // every (query, neighbor != query) pair
+    assert(scanned.count() == 5L * 61L)
+  }
+
+  test("residual codes differ from raw codes (the codebook is trained " +
+    "on residuals) while the scan shape stays an equi-join on list_id") {
+    val raw = Similarity.pqEncode(bigWithDup, m = 2, dims = 4, centroidMod = 7)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val ri = Similarity.buildResidualIndex(bigWithDup,
+      m = 2, dims = 4, centroidMod = 7, coarseMod = 20)
+    val res = ri.index.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](2)).toMap
+    assert(res.keySet == raw.keySet)
+    assert(res.exists { case (id, codes) => codes != raw(id) },
+      "residual training produced byte-identical codes to raw training")
+    val scored = Similarity.ivfPqResidualScored(bigWithDup, nQueries = 5,
+      m = 2, dims = 4, centroidMod = 7, coarseMod = 20, nprobe = 2)
+    val plan = scored.queryExecution.executedPlan.toString
+    // the corpus-side scan is an equi-join on list_id (broadcast hash);
+    // a CartesianProduct would mean an unpruned all-pairs scan. The
+    // metadata-sized crossJoin(broadcast(...)) steps (query x centroids,
+    // codebook x subspaces) legitimately plan as BroadcastNestedLoopJoin
+    // over bounded relations, so BNLJ presence is NOT asserted against.
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
