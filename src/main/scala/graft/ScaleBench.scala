@@ -1516,6 +1516,40 @@ object ScaleBench {
     require(b40scanned <= 3L * b40expect,
       s"B40 scanned $b40scanned candidate pairs, > 3x balanced " +
         s"expectation $b40expect - coarse pruning is not pruning")
+
+    // B40r: the RESIDUAL variant (by_residual=true, the FAISS default)
+    // on the same fixture and parameters. The contract is the same two
+    // halves — a planted duplicate shares its query's vector, hence its
+    // list, hence its RESIDUAL, so its codes hit the query residual's
+    // quantization floor in every subspace and rank-1 must be the
+    // duplicate; and the scan must stay coarse-pruned (the per-(query,
+    // probed-list) LUT does not change WHICH rows are scanned). What
+    // B40r adds over B40 is proof that residual training pays its way
+    // at scale: one extra corpus equi-join at BUILD time (vector →
+    // assigned centroid), zero extra cost at SEARCH time.
+    var b40rtop1 = 0L
+    val (b40rs, b40rn) = time {
+      val out = graft.similarity.Similarity.ivfPqResidualSearch(
+        b40vecs, nQueries = 100, k = 10, m = 8, dims = 32,
+        centroidMod = 4096, coarseMod = 9973, nprobe = 4)
+      val top1 = out.where(col("rank") === 1)
+        .select(col("query_id"), col("neighbor_id")).collect()
+      require(top1.length == 100, s"B40r ${top1.length} rank-1 rows, want 100")
+      top1.foreach { r =>
+        require(r.getLong(1) == r.getLong(0) + 1000000L,
+          s"B40r query ${r.getLong(0)}: top-1 ${r.getLong(1)} is not the " +
+            s"planted duplicate ${r.getLong(0) + 1000000L}") }
+      b40rtop1 = top1.length
+      out.count()
+    }
+    val (b40rcs, b40rscanned) = time {
+      graft.similarity.Similarity.ivfPqResidualScored(
+        b40vecs, nQueries = 100, m = 8, dims = 32,
+        centroidMod = 4096, coarseMod = 9973, nprobe = 4).count()
+    }
+    require(b40rscanned <= 3L * b40expect,
+      s"B40r scanned $b40rscanned candidate pairs, > 3x balanced " +
+        s"expectation $b40expect - residual path broke coarse pruning")
     b40vecs.unpersist(); Caching.release()
 
     // B41: streaming state DURABILITY — the gap between a streaming
@@ -1793,6 +1827,10 @@ object ScaleBench {
         s""""b40_scored_count_sec":$b40cs,"b40_scanned":$b40scanned,""" +
         s""""b40_scan_frac":${"%.4f".format(b40scanned.toDouble / (100L * 1000100L))},""" +
         s""""b40_nlists":$b40nlists,"b40_nprobe":4,""" +
+        s""""b40r_ivfpq_sec":$b40rs,"b40r_results":$b40rn,""" +
+        s""""b40r_recall_top1":$b40rtop1,""" +
+        s""""b40r_scored_count_sec":$b40rcs,"b40r_scanned":$b40rscanned,""" +
+        s""""b40r_scan_frac":${"%.4f".format(b40rscanned.toDouble / (100L * 1000100L))},""" +
         s""""b41_cms_restart_sec":$b41s,"b41_rows":20000000,"b41_cells":$b41n,""" +
         s""""b41_hll_restart_sec":$b41hs,"b41_hll_est":$b41hn,""" +
         s""""b42_optimize_sec":$b42s,"b42_rows":20000000,"b42_appended":4000000,""" +
