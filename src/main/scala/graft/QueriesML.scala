@@ -1330,6 +1330,75 @@ object QueriesML {
         |       score_nanos / 1000000000.0 AS score
         |FROM r WHERE rank <= 10""".stripMargin)),
 
+    // M79 hybrid retrieval: BM25 (M41) + exact-cosine kNN (M5) legs
+    // fused by reciprocal-rank fusion (Cormack 2009, K=60). Per-rank
+    // contributions are quantized to integer nano-units so the fused
+    // score is an exact BIGINT sum; the oracle replays both legs (the
+    // q_bm25 and q_embed_knn CTE chains verbatim, capped at kEach=10)
+    // and the same union→sum→rank fusion.
+    Q("q_hybrid_rrf",
+      (s, d) => ops.RankFusion.hybridSearch(s, documents(s, d),
+        embeddings(s, d), Seq(
+          (0, "hash join table"), (1, "stream window agg"),
+          (2, "scan filter column"), (3, "sort merge dup")),
+        kEach = 10, k = 5),
+      Some(s"""WITH $QuantCte,
+        |qq(query_id, qtext) AS (VALUES
+        |         (0, 'hash join table'), (1, 'stream window agg'),
+        |         (2, 'scan filter column'), (3, 'sort merge dup')),
+        |qt AS (SELECT DISTINCT query_id,
+        |              unnest(string_split(qtext, ' ')) AS term FROM qq),
+        |d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |stats AS (SELECT count(*)::DOUBLE AS n,
+        |                 sum(len(w))::DOUBLE / count(*)::DOUBLE AS avgdl FROM d),
+        |tok AS (SELECT doc_id, len(w)::DOUBLE AS dl, unnest(w) AS term FROM d),
+        |tf AS (SELECT doc_id, term, max(dl) AS dl, count(*)::DOUBLE AS tf
+        |       FROM tok WHERE term IN (SELECT DISTINCT term FROM qt)
+        |       GROUP BY 1, 2),
+        |idf AS (SELECT term,
+        |               round(ln(1.0 + (n - count(*)::DOUBLE + 0.5)
+        |                 / (count(*)::DOUBLE + 0.5)) * 1000000.0)::BIGINT AS idf_micro
+        |        FROM tf, stats GROUP BY term, n),
+        |sc AS (SELECT qt.query_id, tf.doc_id,
+        |              round(idf_micro * (tf * (1.2 + 1.0)
+        |                / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)))
+        |                * 1000.0)::BIGINT AS contrib_nanos
+        |       FROM tf JOIN idf USING (term) JOIN qt USING (term), stats),
+        |bs AS (SELECT query_id, doc_id,
+        |              sum(contrib_nanos)::BIGINT AS score_nanos
+        |       FROM sc GROUP BY 1, 2),
+        |lexleg AS (SELECT query_id, doc_id, rank FROM (
+        |             SELECT query_id, doc_id,
+        |                    row_number() OVER (PARTITION BY query_id
+        |                      ORDER BY score_nanos DESC, doc_id) AS rank
+        |             FROM bs) WHERE rank <= 10),
+        |q2 AS (SELECT vec_id AS query_id, v AS qv, list_dot_product(v, v) AS qn
+        |       FROM q WHERE vec_id < 4),
+        |c2 AS (SELECT vec_id AS doc_id, v AS cv, list_dot_product(v, v) AS cn FROM q),
+        |ks AS (SELECT query_id, doc_id,
+        |              round(list_dot_product(qv, cv) / (sqrt(qn) * sqrt(cn)), 6) AS cos_sim
+        |       FROM q2, c2 WHERE doc_id <> query_id),
+        |semleg AS (SELECT query_id, doc_id, rank FROM (
+        |             SELECT query_id, doc_id,
+        |                    row_number() OVER (PARTITION BY query_id
+        |                      ORDER BY cos_sim DESC, doc_id) AS rank
+        |             FROM ks) WHERE rank <= 10),
+        |contrib AS (SELECT query_id, doc_id,
+        |                   round(1000000000.0 / (60 + rank))::BIGINT AS c
+        |            FROM lexleg
+        |            UNION ALL
+        |            SELECT query_id, doc_id,
+        |                   round(1000000000.0 / (60 + rank))::BIGINT
+        |            FROM semleg),
+        |fused AS (SELECT query_id, doc_id, sum(c)::BIGINT AS rrf_nanos,
+        |                 count(*)::BIGINT AS legs_hit
+        |          FROM contrib GROUP BY 1, 2)
+        |SELECT query_id, doc_id, rank, rrf_nanos, legs_hit FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |               ORDER BY rrf_nanos DESC, doc_id) AS rank
+        |  FROM fused)
+        |WHERE rank <= 5""".stripMargin)),
+
     // M36 deterministic shard shuffle: content-stable pseudo-random
     // permutation into training shards (one shuffle + per-shard sort).
     Q("q_shard_shuffle",

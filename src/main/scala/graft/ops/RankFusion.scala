@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Reciprocal-rank fusion of ranked retrieval legs — the standard way a
+  * RAG / eval-retrieval pipeline combines lexical (BM25) and semantic
+  * (embedding ANN) search over the same corpus (Cormack, Clarke &
+  * Büttcher, SIGIR 2009: RRF(d) = Σ_legs 1/(K + rank_leg(d)), K = 60).
+  *
+  * No reference analogue (emiproc has no retrieval surface); this is
+  * LLM-pipeline surface (SURVEY §2 M79) composing M41 (BM25) with M5/M70
+  * (embedding kNN) — fusion is leg-agnostic, so the semantic leg can be
+  * the exact `cosineTopK` baseline or the IVF+PQ scale path verbatim.
+  *
+  * Numeric design (the 1000-executor reproducibility contract): each
+  * leg's contribution is quantized once per RANK to integer nano-units
+  * (`round(1e9 / (K + rank))` — a single IEEE division both engines
+  * round identically), so the fused score is an exact BIGINT sum,
+  * order-independent across partitions and bit-replayable by DuckDB.
+  *
+  * Scale shape: each leg is already a top-k relation (≤ nQueries·kEach
+  * rows — query-scale, NOT corpus-scale; the corpus work happened inside
+  * the leg operators, which carry their own scale proofs). Fusion is a
+  * unionByName + one groupBy on (query_id, doc_id) and a per-query
+  * window over ≤ legs·kEach candidates — no salting needed because the
+  * per-query candidate count is bounded by construction, never by data.
+  */
+object RankFusion {
+
+  /** Fuse ranked legs, each with columns (query_id, doc_id, rank).
+    *
+    * @return (query_id, doc_id, rank, rrf_nanos, legs_hit) — rank ≤ k
+    *         per query by (rrf_nanos desc, doc_id asc); `legs_hit` is
+    *         how many legs returned the document (consensus signal). */
+  def rrfFuse(legs: Seq[DataFrame], k: Int, rrfK: Int = 60): DataFrame = {
+    require(legs.nonEmpty, "rrfFuse needs at least one leg")
+    require(k >= 1 && rrfK >= 1, s"bad k=$k / rrfK=$rrfK")
+    val contribs = legs.map(_.select(
+      col("query_id").cast("long").as("query_id"),
+      col("doc_id").cast("long").as("doc_id"),
+      round(lit(1e9) / (lit(rrfK) + col("rank")), 0).cast("long")
+        .as("contrib")))
+    val fused = contribs.reduce(_.unionByName(_))
+      .groupBy("query_id", "doc_id")
+      .agg(sum("contrib").as("rrf_nanos"),
+        count(lit(1)).as("legs_hit"))
+    val win = Window.partitionBy("query_id")
+      .orderBy(col("rrf_nanos").desc, col("doc_id"))
+    fused
+      .withColumn("rank", row_number().over(win))
+      .where(col("rank") <= k)
+      .select("query_id", "doc_id", "rank", "rrf_nanos", "legs_hit")
+  }
+
+  /** Hybrid lexical+semantic retrieval: BM25 over `docs` text fused with
+    * exact-cosine kNN over `embeddings` (row i of `embeddings` is the
+    * embedding of doc_id i; query embeddings are rows vec_id < max
+    * query_id + 1, mirroring the kNN operators' query convention).
+    * `kEach` bounds each leg's candidates; the fused top-k ≤ k. */
+  def hybridSearch(
+      spark: SparkSession,
+      docs: DataFrame,
+      embeddings: DataFrame,
+      queries: Seq[(Int, String)],
+      kEach: Int = 10,
+      k: Int = 5,
+      rrfK: Int = 60): DataFrame = {
+    require(queries.nonEmpty, "hybridSearch needs at least one query")
+    require(queries.forall(_._1 >= 0), "query ids must be non-negative")
+    val lex = graft.text.Bm25.search(spark, docs, queries, topK = kEach)
+      .select(col("query_id"), col("doc_id"), col("rank"))
+    val sem = graft.similarity.Similarity
+      .cosineTopK(embeddings, nQueries = queries.map(_._1).max + 1, kEach)
+      // keep only the requested ids (the kNN query convention is a
+      // contiguous vec_id prefix; the lexical query set may be sparse)
+      .where(col("query_id").isInCollection(queries.map(_._1.toLong)))
+      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+    rrfFuse(Seq(lex, sem), k, rrfK)
+  }
+}
