@@ -43,7 +43,12 @@ object Cli {
       names.foreach(println)
       println(s"${names.length} queries" +
         (if (filter.nonEmpty) s" matching '$filter'" else ""))
-    case _ =>
-      print(help)
+    case None =>
+      print(help) // bare invocation: asking for help IS success
+    case Some(unknown) =>
+      // a typo'd command must not look like a successful run to a CI
+      // script — usage to stderr, nonzero exit
+      System.err.print(s"unknown command: $unknown\n$help")
+      System.exit(2)
   }
 }

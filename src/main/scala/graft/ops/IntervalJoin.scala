@@ -51,12 +51,19 @@ object IntervalJoin {
     * `/` promotes BIGINT to DOUBLE, which is exact only for |a| < 2^53;
     * with full-range keys (e.g. xxhash64-derived ids) a point and an
     * interval endpoint could round into different buckets and silently
-    * drop matching pairs. `a - pmod(a, w)` is exactly divisible by `w`
-    * (pmod is non-negative), so truncating integral division IS floor,
-    * for every long. */
+    * drop matching pairs. Truncating `div` is corrected to floor by
+    * subtracting 1 when the remainder is negative (`%` takes the
+    * dividend's sign). The correction form — NOT `div(a - pmod(a, w),
+    * w)` — is deliberate: the subtraction there wraps for the w−1
+    * values closest to Long.MinValue (pmod is non-negative, so
+    * `a - pmod` underflows), bucketing them positive. Here `a % w`
+    * and `div(a, w)` are overflow-free for every long when w > 0
+    * (only `Long.MinValue div -1` overflows), so this is exact over
+    * the FULL long range. */
   def floorDiv(a: Column, w: Long): Column = {
     require(w > 0, s"bucket width must be positive, got $w")
-    call_function("div", a - pmod(a, lit(w)), lit(w))
+    call_function("div", a, lit(w)) -
+      when(a % lit(w) < 0, lit(1L)).otherwise(lit(0L))
   }
 
   /** Join `points` to every row of `intervals` whose [loCol, hiCol]

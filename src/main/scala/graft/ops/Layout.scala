@@ -178,9 +178,15 @@ object Layout {
   /** OPTIMIZE pass: re-cluster ONLY the unsorted tail into the next
     * `gen-K` directory (range-repartition + sort by the z_key the
     * appends already carry — the exact arithmetic of [[zorderLayout]]),
-    * then drop the tail. Returns rows compacted (0 = no tail, no-op).
-    * Cost is one sort of the TAIL, not the table — the whole point
-    * versus a full re-layout. */
+    * then drop EXACTLY the tail files that were compacted. Returns rows
+    * compacted (0 = no tail, no-op). Cost is one sort of the TAIL, not
+    * the table — the whole point versus a full re-layout.
+    *
+    * Concurrency: the file set is SNAPSHOTTED once (`inputFiles`) and
+    * the read is pinned to that list, so a [[zorderAppend]] racing this
+    * pass is safe — files landing after the snapshot are neither read
+    * nor deleted and stay in the tail for the next pass. (Deleting the
+    * whole tail directory instead would silently drop them.) */
   def zorderOptimize(
       spark: org.apache.spark.sql.SparkSession,
       dir: String, numFiles: Int): Long = {
@@ -190,14 +196,27 @@ object Layout {
       .filter(f => f.isDirectory && f.getName.startsWith("gen-"))
       .map(_.getName.stripPrefix("gen-").toInt)
     val next = if (gens.isEmpty) 0 else gens.max + 1
-    val df = spark.read.parquet(tail.getPath)
+    val snapshot = spark.read.parquet(tail.getPath).inputFiles
+    if (snapshot.isEmpty) return 0L
+    // re-read pinned to the snapshot list: rows compacted == files
+    // deleted even if appends land mid-pass
+    val df = spark.read.parquet(snapshot.toIndexedSeq: _*)
     val n = df.count()
     df.repartitionByRange(numFiles, col("z_key"))
       .sortWithinPartitions("z_key")
       .write.mode("errorifexists").parquet(s"$dir/gen-$next")
-    import scala.jdk.CollectionConverters._
-    java.nio.file.Files.walk(tail.toPath).iterator().asScala.toSeq
-      .reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+    snapshot.foreach { uri =>
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(java.net.URI.create(uri).getPath))
+    }
+    // drop the tail dir itself only if nothing new arrived meanwhile
+    val leftover = Option(tail.listFiles()).getOrElse(Array())
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    if (leftover.isEmpty) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tail.toPath).iterator().asScala.toSeq
+        .reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
     n
   }
 

@@ -71,11 +71,10 @@ object RankFusion {
     require(queries.forall(_._1 >= 0), "query ids must be non-negative")
     val lex = graft.text.Bm25.search(spark, docs, queries, topK = kEach)
       .select(col("query_id"), col("doc_id"), col("rank"))
+    // the query-id SET, not a vec_id prefix: a sparse set like {999999}
+    // must cost |queries|·N, not max(id)·N
     val sem = graft.similarity.Similarity
-      .cosineTopK(embeddings, nQueries = queries.map(_._1).max + 1, kEach)
-      // keep only the requested ids (the kNN query convention is a
-      // contiguous vec_id prefix; the lexical query set may be sparse)
-      .where(col("query_id").isInCollection(queries.map(_._1.toLong)))
+      .cosineTopKIds(embeddings, queries.map(_._1.toLong), kEach)
       .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
     rrfFuse(Seq(lex, sem), k, rrfK)
   }

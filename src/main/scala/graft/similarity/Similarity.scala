@@ -35,9 +35,22 @@ object Similarity {
     * (cos desc, neighbor_id) tie-break AFTER rounding to 6 dp, so ranking
     * is reproducible across engines. O(nQueries·N) — the exact baseline;
     * use [[signBuckets]] or [[ivfAssign]] to restrict candidates at scale. */
-  def cosineTopK(embeddings: DataFrame, nQueries: Int, k: Int): DataFrame = {
+  def cosineTopK(embeddings: DataFrame, nQueries: Int, k: Int): DataFrame =
+    cosineTopKWhere(embeddings, col("vec_id") < nQueries, k)
+
+  /** [[cosineTopK]] for an explicit query-id set: the query side is
+    * `embeddings` filtered to `queryIds`, so cost is |queryIds|·N no
+    * matter how large the ids are (a sparse set like {999999} must NOT
+    * pay for the whole prefix below its maximum). */
+  def cosineTopKIds(embeddings: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
+    require(queryIds.nonEmpty, "cosineTopKIds needs at least one query id")
+    cosineTopKWhere(embeddings, col("vec_id").isInCollection(queryIds), k)
+  }
+
+  private def cosineTopKWhere(
+      embeddings: DataFrame, queryPred: Column, k: Int): DataFrame = {
     val q = embeddings
-      .where(col("vec_id") < nQueries)
+      .where(queryPred)
       .select(col("vec_id").as("query_id"), quantize(col("embedding")).as("qv"))
       .withColumn("qn", dot(col("qv"), col("qv")))
     val c = embeddings
@@ -598,24 +611,8 @@ object Similarity {
       .join(ivfAssign(embeddings, coarseMod)
         .select(col("vec_id"), col("centroid_id").as("list_id")), "vec_id")
       .select(col("vec_id").as("neighbor_id"), col("list_id"), col("codes"))
-    // probes: nprobe nearest coarse lists per query — the same rounded
-    // cosine + tie-break arithmetic as ivfAssign, kept to rank ≤ nprobe
-    val cents = embeddings
-      .where(col("vec_id") % coarseMod === 0)
-      .select(col("vec_id").as("list_id"), quantize(col("embedding")).as("cv"))
-      .withColumn("cn", dot(col("cv"), col("cv")))
-    val probeWin = Window.partitionBy("query_id")
-      .orderBy(col("cos_sim").desc, col("list_id"))
-    val probes = embeddings
-      .where(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), quantize(col("embedding")).as("v"))
-      .withColumn("n", dot(col("v"), col("v")))
-      .crossJoin(broadcast(cents))
-      .withColumn("cos_sim",
-        round(dot(col("v"), col("cv")) / (sqrt(col("n")) * sqrt(col("cn"))), 6))
-      .withColumn("rn", row_number().over(probeWin))
-      .where(col("rn") <= nprobe)
-      .select("query_id", "list_id")
+    val cents = coarseCents(embeddings, coarseMod)
+    val probes = ivfProbes(embeddings, cents, nQueries, nprobe)
     // (query, probed list, LUT): nQueries × nprobe rows — broadcast;
     // the corpus-side join key is list_id, so unprobed lists never leave
     // the scan
@@ -627,6 +624,55 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"),
         adcSum(m, centroidMod).as("adc_dist"))
   }
+
+  /** Coarse-centroid relation (list_id, cv, cn) — metadata-sized,
+    * broadcast at every use site. */
+  private def coarseCents(embeddings: DataFrame, coarseMod: Int): DataFrame =
+    embeddings
+      .where(col("vec_id") % coarseMod === 0)
+      .select(col("vec_id").as("list_id"), quantize(col("embedding")).as("cv"))
+      .withColumn("cn", dot(col("cv"), col("cv")))
+
+  /** nprobe nearest coarse lists per query (query_id, list_id) — the
+    * ONE copy of the probe-selection contract: the same rounded-cosine
+    * + (cos desc, list_id) tie-break arithmetic as [[ivfAssign]], kept
+    * to rank ≤ nprobe, shared by the raw and residual IVF+PQ paths so
+    * a tie-break or rounding change can never diverge them. */
+  private def ivfProbes(
+      embeddings: DataFrame,
+      cents: DataFrame,
+      nQueries: Int,
+      nprobe: Int): DataFrame = {
+    val probeWin = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("list_id"))
+    embeddings
+      .where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), quantize(col("embedding")).as("v"))
+      .withColumn("n", dot(col("v"), col("v")))
+      .crossJoin(broadcast(cents))
+      .withColumn("cos_sim",
+        round(dot(col("v"), col("cv")) / (sqrt(col("n")) * sqrt(col("cn"))), 6))
+      .withColumn("rn", row_number().over(probeWin))
+      .where(col("rn") <= nprobe)
+      .select("query_id", "list_id")
+  }
+
+  /** Fold per-(group, sub, centroid) distances into nested positional
+    * LUT arrays luts[s][ci] — the ONE copy of the array_sort/
+    * collect_list fold, shared by the per-query (raw) and
+    * per-(query, list) (residual) LUT builders. Input needs columns
+    * `sub`, `centroid_id`, `pd`. */
+  private def lutFold(
+      pd: DataFrame, groupCols: Seq[String], centroidMod: Int): DataFrame =
+    pd.withColumn("ci", (col("centroid_id") / centroidMod).cast("int"))
+      .groupBy((groupCols :+ "sub").map(col): _*)
+      .agg(transform(
+        array_sort(collect_list(struct(col("ci"), col("pd")))),
+        x => x.getField("pd")).as("subArr"))
+      .groupBy(groupCols.map(col): _*)
+      .agg(transform(
+        array_sort(collect_list(struct(col("sub"), col("subArr")))),
+        x => x.getField("subArr")).as("luts"))
 
   /** IVF+PQ with RESIDUAL quantization — the FAISS IVFPQ DEFAULT
     * (`by_residual=true`, Jégou 2011 §IV.C): codes quantize x − c(list)
@@ -739,25 +785,16 @@ object Similarity {
       .withColumn("cs", slice(col("rv"), col("sub") * subDim + 1, lit(subDim)))
       .withColumn("cn", dot(col("cs"), col("cs")))
       .select("sub", "centroid_id", "cs", "cn")
-    // probes: nprobe nearest coarse lists per query (ivfAssign's exact
+    // probes: the shared [[ivfProbes]] contract (ivfAssign's exact
     // rounded-cosine + tie-break arithmetic, kept to rank ≤ nprobe)
-    val probeWin = Window.partitionBy("query_id")
-      .orderBy(col("cos_sim").desc, col("list_id"))
+    val probes = ivfProbes(embeddings, cents, nQueries, nprobe)
     val qv = embeddings
       .where(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), quantize(col("embedding")).as("v"))
-    val probes = qv
-      .withColumn("n", dot(col("v"), col("v")))
-      .crossJoin(broadcast(cents))
-      .withColumn("cos_sim",
-        round(dot(col("v"), col("cv")) / (sqrt(col("n")) * sqrt(col("cn"))), 6))
-      .withColumn("rn", row_number().over(probeWin))
-      .where(col("rn") <= nprobe)
-      .select("query_id", "list_id")
     // per-(query, probed list) LUT against the query residual
     // q − c(list): nQueries × nprobe × m × ksub rows collapse to
     // nQueries × nprobe nested-array rows — broadcast
-    val probeLut = probes
+    val perEntry = probes
       .join(qv, "query_id")
       .join(broadcast(cents.select("list_id", "cv")), "list_id")
       .withColumn("qr", zip_with(col("v"), col("cv"), (a, b) => a - b))
@@ -767,15 +804,7 @@ object Similarity {
       .join(broadcast(rbooks), Seq("sub"))
       .select(col("query_id"), col("list_id"), col("sub"), col("centroid_id"),
         (col("vn") - lit(2) * dot(col("vs"), col("cs")) + col("cn")).as("pd"))
-      .withColumn("ci", (col("centroid_id") / centroidMod).cast("int"))
-      .groupBy("query_id", "list_id", "sub")
-      .agg(transform(
-        array_sort(collect_list(struct(col("ci"), col("pd")))),
-        x => x.getField("pd")).as("subArr"))
-      .groupBy("query_id", "list_id")
-      .agg(transform(
-        array_sort(collect_list(struct(col("sub"), col("subArr")))),
-        x => x.getField("subArr")).as("luts"))
+    val probeLut = lutFold(perEntry, Seq("query_id", "list_id"), centroidMod)
     index
       .join(broadcast(probeLut), Seq("list_id"))
       .where(col("neighbor_id") =!= col("query_id"))
@@ -799,7 +828,7 @@ object Similarity {
     val spark = embeddings.sparkSession
     val subsDf = spark.createDataFrame(
       Seq.tabulate(m)(s => Tuple1(s))).toDF("sub")
-    embeddings
+    val perEntry = embeddings
       .where(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), quantize(col("embedding")).as("v"))
       .crossJoin(broadcast(subsDf))
@@ -808,15 +837,7 @@ object Similarity {
       .join(broadcast(books), Seq("sub"))
       .select(col("query_id"), col("sub"), col("centroid_id"),
         (col("vn") - lit(2) * dot(col("vs"), col("cs")) + col("cn")).as("pd"))
-      .withColumn("ci", (col("centroid_id") / centroidMod).cast("int"))
-      .groupBy("query_id", "sub")
-      .agg(transform(
-        array_sort(collect_list(struct(col("ci"), col("pd")))),
-        x => x.getField("pd")).as("subArr"))
-      .groupBy("query_id")
-      .agg(transform(
-        array_sort(collect_list(struct(col("sub"), col("subArr")))),
-        x => x.getField("subArr")).as("luts"))
+    lutFold(perEntry, Seq("query_id"), centroidMod)
   }
 
   /** The m-term ADC estimate over a `codes` row against the broadcast

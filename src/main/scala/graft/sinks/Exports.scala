@@ -395,7 +395,15 @@ object Exports {
     * numpy memory idiom — here the chunk stays a persisted DataFrame);
     * only the ONE hour being written is ever collected, ≤ nvars × ncells
     * rows. At a 6.48M-cell grid that bounds driver memory to one hour's
-    * planes instead of a whole week's. Returns the written file names. */
+    * planes instead of a whole week's. Returns the written file names.
+    *
+    * @note hour counts above `distributedHoursThreshold` route to
+    *       [[hourlyExportNcDistributed]], whose TASKS write the .nc
+    *       files — on a multi-node cluster `outDir` must therefore be
+    *       a shared filesystem (on a driver-local path the files land
+    *       on executor disks). `chunkSize` applies only to the
+    *       driver-side route. Pass `distributedHoursThreshold =
+    *       Int.MaxValue` to force the driver-side writer. */
   def hourlyExportNc(
       emissions: DataFrame,
       scalingFactors: DataFrame,

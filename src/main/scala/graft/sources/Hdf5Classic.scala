@@ -37,6 +37,17 @@ import java.nio.{ByteBuffer, ByteOrder}
   * one file's arrays are grid-sized. The 100 TB path is many files ×
   * partitions via `binaryFile` + `mapPartitions` — the parser is pure
   * and serializable.
+  *
+  * Validation honesty: the CLASSIC subset is pinned against real
+  * libhdf5-written files (the committed GFED4 fixture lineage). The
+  * NEW-FORMAT subset is validated against this repo's own spec-derived
+  * fixture writer (Hdf5NewFormatSpec: structural round-trips plus real
+  * Jenkins-lookup3 checksums) — no independent producer exists in this
+  * offline environment (no h5py/libhdf5). A shared misreading of the
+  * format spec would therefore round-trip; before trusting the
+  * new-format path on production `libver='latest'` files, pin one
+  * h5py-written fixture. Until then any structural surprise fails
+  * loudly (checksum/sentinel checks), never silently.
   */
 object Hdf5Classic {
 

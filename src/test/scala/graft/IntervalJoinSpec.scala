@@ -52,7 +52,11 @@ class IntervalJoinSpec extends SparkSpec {
     // 2^53 + 1 is the first long a double cannot represent; a
     // double-division floorDiv would bucket these off-by-one.
     val big = (1L << 53) + 1L
-    val vals = Seq(big, big + 9L, -big, Long.MaxValue, Long.MinValue + 10L)
+    // Long.MinValue .. MinValue+w-2 are the values where the previous
+    // div(a - pmod(a, w), w) form WRAPPED (a - pmod underflows) and
+    // bucketed them positive — keep them pinned here
+    val vals = Seq(big, big + 9L, -big, Long.MaxValue, Long.MinValue + 10L,
+      Long.MinValue, Long.MinValue + 1L, Long.MinValue + 8L)
     val df = spark.createDataFrame(vals.map(Tuple1(_))).toDF("a")
     val got = df.select(IntervalJoin.floorDiv(col("a"), 10L)).collect()
       .map(_.getLong(0)).toSeq
