@@ -30,12 +30,20 @@ object Cli {
       |  queries [substring]         list registered gate queries (optionally filtered)
       |""".stripMargin
 
-  def main(args: Array[String]): Unit = args.headOption match {
-    case Some("smoke") => Smoke.main(args.tail)
-    case Some("verify") => Verify.main(args.tail)
-    case Some("bench") => Bench.main(args.tail)
-    case Some("run") => RunOne.main(args.tail)
-    case Some("scalebench") => ScaleBench.main(args.tail)
+  def main(args: Array[String]): Unit = {
+    val code = run(args)
+    if (code != 0) System.exit(code)
+  }
+
+  /** Dispatch, returning a process exit code (separated from [[main]]
+    * so specs can exercise the unknown-command path without
+    * System.exit killing the test JVM). */
+  private[graft] def run(args: Array[String]): Int = args.headOption match {
+    case Some("smoke") => Smoke.main(args.tail); 0
+    case Some("verify") => Verify.main(args.tail); 0
+    case Some("bench") => Bench.main(args.tail); 0
+    case Some("run") => RunOne.main(args.tail); 0
+    case Some("scalebench") => ScaleBench.main(args.tail); 0
     case Some("queries") =>
       val filter = args.lift(1).getOrElse("")
       val names = SparkEntry.queries.keys.toSeq.sorted
@@ -43,12 +51,14 @@ object Cli {
       names.foreach(println)
       println(s"${names.length} queries" +
         (if (filter.nonEmpty) s" matching '$filter'" else ""))
+      0
     case None =>
       print(help) // bare invocation: asking for help IS success
+      0
     case Some(unknown) =>
       // a typo'd command must not look like a successful run to a CI
       // script — usage to stderr, nonzero exit
       System.err.print(s"unknown command: $unknown\n$help")
-      System.exit(2)
+      2
   }
 }
