@@ -2324,6 +2324,76 @@ object QueriesML {
         |  FROM adc)
         |WHERE rank <= 5""".stripMargin)),
 
+    // M70 ADC top-R + exact re-rank (the FAISS refine stage,
+    // IndexRefineFlat): PQ buys the scan, raw vectors re-score the few
+    // survivors, so the final ranking has zero quantization error.
+    // Oracle = the q_ivfpq_search chain capped at rank <= 10, then the
+    // q_embed_knn exact-cosine arithmetic on the candidates.
+    Q("q_ivfpq_rerank",
+      (s, d) => Similarity.ivfPqRerank(embeddings(s, d), nQueries = 20,
+        k = 5, rerankR = 10, m = 8, dims = 64, centroidMod = 97,
+        coarseMod = 83, nprobe = 2),
+      Some(s"""WITH $QuantCte,
+        |subs AS (SELECT vec_id, s, list_slice(v, s*8+1, s*8+8) AS vs
+        |         FROM q, range(8) t(s)),
+        |cents AS (SELECT vec_id AS centroid_id, s,
+        |                 list_slice(v, s*8+1, s*8+8) AS cs
+        |          FROM q, range(8) t(s) WHERE vec_id % 97 = 0),
+        |d2 AS (SELECT subs.vec_id, subs.s, centroid_id,
+        |              list_dot_product(vs, vs) - 2*list_dot_product(vs, cs)
+        |                + list_dot_product(cs, cs) AS d2
+        |       FROM subs JOIN cents ON subs.s = cents.s),
+        |codes AS (SELECT vec_id, s, centroid_id AS code FROM (
+        |            SELECT *, row_number() OVER (PARTITION BY vec_id, s
+        |                         ORDER BY d2, centroid_id) AS rn
+        |            FROM d2)
+        |          WHERE rn = 1),
+        |cvecs AS (SELECT vec_id, v, list_dot_product(v, v) AS n FROM q),
+        |clists AS (SELECT vec_id AS list_id, v AS cv,
+        |                  list_dot_product(v, v) AS cn
+        |           FROM q WHERE vec_id % 83 = 0),
+        |s0 AS (SELECT vec_id, list_id,
+        |              round(list_dot_product(v, cv) / (sqrt(n) * sqrt(cn)), 6) AS cos_sim
+        |       FROM cvecs, clists),
+        |assign AS (SELECT vec_id, list_id FROM (
+        |             SELECT *, row_number() OVER (PARTITION BY vec_id
+        |                          ORDER BY cos_sim DESC, list_id) AS rn
+        |             FROM s0) WHERE rn = 1),
+        |probes AS (SELECT vec_id AS query_id, list_id FROM (
+        |             SELECT *, row_number() OVER (PARTITION BY vec_id
+        |                          ORDER BY cos_sim DESC, list_id) AS rn
+        |             FROM s0 WHERE vec_id < 20) WHERE rn <= 2),
+        |lut AS (SELECT subs.vec_id AS query_id, subs.s, centroid_id,
+        |               list_dot_product(vs, vs) - 2*list_dot_product(vs, cs)
+        |                 + list_dot_product(cs, cs) AS pd
+        |        FROM subs JOIN cents ON subs.s = cents.s
+        |        WHERE subs.vec_id < 20),
+        |adc AS (SELECT lut.query_id, c.vec_id AS neighbor_id,
+        |               CAST(sum(pd) AS BIGINT) AS adc_dist
+        |        FROM codes c
+        |          JOIN assign a ON a.vec_id = c.vec_id
+        |          JOIN probes p ON p.list_id = a.list_id
+        |          JOIN lut ON c.s = lut.s AND c.code = lut.centroid_id
+        |                   AND lut.query_id = p.query_id
+        |        WHERE c.vec_id <> lut.query_id
+        |        GROUP BY 1, 2),
+        |cand AS (SELECT query_id, neighbor_id FROM (
+        |           SELECT *, row_number() OVER (PARTITION BY query_id
+        |                        ORDER BY adc_dist, neighbor_id) AS rank
+        |           FROM adc)
+        |         WHERE rank <= 10),
+        |ex AS (SELECT c.query_id, c.neighbor_id,
+        |              round(list_dot_product(qq.v, nn.v)
+        |                / (sqrt(qq.n) * sqrt(nn.n)), 6) AS cos_sim
+        |       FROM cand c
+        |         JOIN cvecs qq ON qq.vec_id = c.query_id
+        |         JOIN cvecs nn ON nn.vec_id = c.neighbor_id)
+        |SELECT query_id, neighbor_id, rank, cos_sim FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |               ORDER BY cos_sim DESC, neighbor_id) AS rank
+        |  FROM ex)
+        |WHERE rank <= 5""".stripMargin)),
+
     // M70 residual IVF+PQ (FAISS IVFPQ DEFAULT, by_residual=true,
     // Jégou 2011 §IV.C): codes quantize x − c(list) instead of x, so
     // the ADC LUT becomes per (query, probed list) — built against the

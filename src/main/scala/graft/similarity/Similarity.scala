@@ -593,6 +593,53 @@ object Similarity {
       embeddings, nQueries, m, dims, centroidMod, coarseMod, nprobe), k)
   }
 
+  /** ADC-approximate top-`rerankR` then EXACT re-rank to top-`k` — the
+    * FAISS refine stage (`IndexRefineFlat`): PQ compression buys the
+    * scan, then the few surviving candidates are re-scored against
+    * their RAW vectors, so the final ranking carries no quantization
+    * error at all (only coarse-pruning recall loss remains). Exact leg
+    * = [[cosineTopK]]'s rounded-cosine arithmetic verbatim, so rerankR
+    * ≥ corpus reproduces the exact brute-force ranking.
+    *
+    * Scale shape: the candidate set (nQueries × rerankR rows — query-
+    * scale) is BROADCAST to the vector fetch-back, so re-ranking is one
+    * scan-side equi-join on vec_id plus a per-query window over ≤
+    * rerankR rows; the corpus is never shuffled and raw vectors leave
+    * the scan only for candidates. */
+  def ivfPqRerank(
+      embeddings: DataFrame,
+      nQueries: Int,
+      k: Int,
+      rerankR: Int,
+      m: Int = 8,
+      dims: Int = 64,
+      centroidMod: Int = 97,
+      coarseMod: Int = 83,
+      nprobe: Int = 2): DataFrame = {
+    require(rerankR >= k, s"rerankR=$rerankR must be >= k=$k")
+    val cand = ivfPqSearch(
+      embeddings, nQueries, rerankR, m, dims, centroidMod, coarseMod, nprobe)
+      .select(col("query_id"), col("neighbor_id"))
+    val qv = embeddings
+      .where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), quantize(col("embedding")).as("qv"))
+      .withColumn("qn", dot(col("qv"), col("qv")))
+    val exact = embeddings
+      .select(col("vec_id").as("neighbor_id"),
+        quantize(col("embedding")).as("cv"))
+      .withColumn("cn", dot(col("cv"), col("cv")))
+      .join(broadcast(cand), "neighbor_id")
+      .join(broadcast(qv), "query_id")
+      .withColumn("cos_sim",
+        round(dot(col("qv"), col("cv")) / (sqrt(col("qn")) * sqrt(col("cn"))), 6))
+    val win = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    exact
+      .withColumn("rank", row_number().over(win))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cos_sim")
+  }
+
   /** The (query_id, neighbor_id, adc_dist) candidate relation of
     * [[ivfPqSearch]] BEFORE top-k — exposed so ScaleBench can count
     * scanned candidate rows (the nprobe/nlists fraction REQUIRE)

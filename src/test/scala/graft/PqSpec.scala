@@ -156,6 +156,50 @@ class PqSpec extends SparkSpec {
     assert(out.forall(r => r._1 != r._2), "query returned itself")
   }
 
+  // ---- exact re-rank (the FAISS refine stage) --------------------------
+
+  test("ivfPqRerank with rerankR >= corpus and nprobe >= nlists " +
+    "reproduces cosineTopK exactly (zero quantization error in the " +
+    "final ranking)") {
+    import org.apache.spark.sql.functions._
+    val big = spark.range(60L).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(3)),
+        d => (((col("id") * 13 + d * 11) % 29) + (col("id") % 5) + 1)
+          .cast("float")).as("embedding"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .toSet
+    val exact = rows(Similarity.cosineTopK(big, nQueries = 5, k = 4))
+    val reranked = rows(Similarity.ivfPqRerank(big, nQueries = 5, k = 4,
+      rerankR = 60, m = 2, dims = 4, centroidMod = 7, coarseMod = 20,
+      nprobe = 3))
+    assert(reranked == exact)
+  }
+
+  test("ivfPqRerank ranks the exact duplicate first even when ADC " +
+    "quantization ties it with non-duplicates, and broadcasts the " +
+    "candidate set (corpus never shuffled for the fetch-back)") {
+    val out = Similarity.ivfPqRerank(bigWithDup, nQueries = 5, k = 3,
+      rerankR = 10, m = 2, dims = 4, centroidMod = 7, coarseMod = 20,
+      nprobe = 2)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    val q1 = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .filter(_._1 == 1L).sortBy(_._3)
+    // vecs 10 and 61 are both exact copies of vec 1 (cos_sim 1.0);
+    // the duplicate set fills the top ranks ahead of near-misses
+    assert(q1.take(2).map(_._2).toSet == Set(10L, 61L), q1.mkString(","))
+    assert(q1.take(2).forall(_._4 == 1.0))
+  }
+
+  test("ivfPqRerank rejects rerankR < k") {
+    intercept[IllegalArgumentException] {
+      Similarity.ivfPqRerank(bigWithDup, nQueries = 2, k = 5, rerankR = 4)
+    }
+  }
+
   test("residual search with nprobe >= nlists scans the whole corpus") {
     val scanned = Similarity.ivfPqResidualScored(bigWithDup, nQueries = 5,
       m = 2, dims = 4, centroidMod = 7, coarseMod = 20, nprobe = 4)
