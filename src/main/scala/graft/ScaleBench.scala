@@ -1550,6 +1550,29 @@ object ScaleBench {
     require(b40rscanned <= 3L * b40expect,
       s"B40r scanned $b40rscanned candidate pairs, > 3x balanced " +
         s"expectation $b40expect - residual path broke coarse pruning")
+
+    // B40f: the refine stage (ivfPqRerank) on the same fixture — ADC
+    // top-R=20 candidates broadcast to a scan-side raw-vector
+    // fetch-back, exact cosine re-rank to k=10. REQUIREs the final
+    // EXACT ranking puts the planted duplicate (cos exactly 1 with its
+    // query) at rank 1 for all 100 queries — the refine contract: any
+    // quantization-induced misordering inside the candidate set is
+    // repaired by the raw-vector pass.
+    var b40ftop1 = 0L
+    val (b40fs, b40fn) = time {
+      val out = graft.similarity.Similarity.ivfPqRerank(
+        b40vecs, nQueries = 100, k = 10, rerankR = 20, m = 8, dims = 32,
+        centroidMod = 4096, coarseMod = 9973, nprobe = 4)
+      val top1 = out.where(col("rank") === 1)
+        .select(col("query_id"), col("neighbor_id")).collect()
+      require(top1.length == 100, s"B40f ${top1.length} rank-1 rows, want 100")
+      top1.foreach { r =>
+        require(r.getLong(1) == r.getLong(0) + 1000000L,
+          s"B40f query ${r.getLong(0)}: exact-reranked top-1 " +
+            s"${r.getLong(1)} is not the planted duplicate") }
+      b40ftop1 = top1.length
+      out.count()
+    }
     b40vecs.unpersist(); Caching.release()
 
     // B41: streaming state DURABILITY — the gap between a streaming
@@ -1831,6 +1854,8 @@ object ScaleBench {
         s""""b40r_recall_top1":$b40rtop1,""" +
         s""""b40r_scored_count_sec":$b40rcs,"b40r_scanned":$b40rscanned,""" +
         s""""b40r_scan_frac":${"%.4f".format(b40rscanned.toDouble / (100L * 1000100L))},""" +
+        s""""b40f_rerank_sec":$b40fs,"b40f_results":$b40fn,""" +
+        s""""b40f_recall_top1":$b40ftop1,"b40f_rerank_r":20,""" +
         s""""b41_cms_restart_sec":$b41s,"b41_rows":20000000,"b41_cells":$b41n,""" +
         s""""b41_hll_restart_sec":$b41hs,"b41_hll_est":$b41hn,""" +
         s""""b42_optimize_sec":$b42s,"b42_rows":20000000,"b42_appended":4000000,""" +
