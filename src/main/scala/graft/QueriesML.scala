@@ -51,6 +51,58 @@ object QueriesML {
     "q AS (SELECT vec_id, list_transform(embedding, " +
       "x -> round(CAST(x AS DOUBLE) * 1000, 0)) AS v FROM embeddings)"
 
+  /** The ONE copy of the IVF+PQ oracle chain (codes → coarse assign →
+    * probes → per-query LUT → ADC over probed lists), shared by
+    * q_ivfpq_search and q_ivfpq_rerank so a tie-break or arithmetic fix
+    * can never diverge the two gates. Expects `q` ([[QuantCte]]) in
+    * scope; yields the `adc(query_id, neighbor_id, adc_dist)` CTE.
+    * Parameters are the gate constants: m=8, subDim=8, centroidMod=97,
+    * coarseMod=83, nQueries=20, nprobe=2. */
+  private val IvfPqAdcCtes: String =
+    """subs AS (SELECT vec_id, s, list_slice(v, s*8+1, s*8+8) AS vs
+      |         FROM q, range(8) t(s)),
+      |cents AS (SELECT vec_id AS centroid_id, s,
+      |                 list_slice(v, s*8+1, s*8+8) AS cs
+      |          FROM q, range(8) t(s) WHERE vec_id % 97 = 0),
+      |d2 AS (SELECT subs.vec_id, subs.s, centroid_id,
+      |              list_dot_product(vs, vs) - 2*list_dot_product(vs, cs)
+      |                + list_dot_product(cs, cs) AS d2
+      |       FROM subs JOIN cents ON subs.s = cents.s),
+      |codes AS (SELECT vec_id, s, centroid_id AS code FROM (
+      |            SELECT *, row_number() OVER (PARTITION BY vec_id, s
+      |                         ORDER BY d2, centroid_id) AS rn
+      |            FROM d2)
+      |          WHERE rn = 1),
+      |cvecs AS (SELECT vec_id, v, list_dot_product(v, v) AS n FROM q),
+      |clists AS (SELECT vec_id AS list_id, v AS cv,
+      |                  list_dot_product(v, v) AS cn
+      |           FROM q WHERE vec_id % 83 = 0),
+      |s0 AS (SELECT vec_id, list_id,
+      |              round(list_dot_product(v, cv) / (sqrt(n) * sqrt(cn)), 6) AS cos_sim
+      |       FROM cvecs, clists),
+      |assign AS (SELECT vec_id, list_id FROM (
+      |             SELECT *, row_number() OVER (PARTITION BY vec_id
+      |                          ORDER BY cos_sim DESC, list_id) AS rn
+      |             FROM s0) WHERE rn = 1),
+      |probes AS (SELECT vec_id AS query_id, list_id FROM (
+      |             SELECT *, row_number() OVER (PARTITION BY vec_id
+      |                          ORDER BY cos_sim DESC, list_id) AS rn
+      |             FROM s0 WHERE vec_id < 20) WHERE rn <= 2),
+      |lut AS (SELECT subs.vec_id AS query_id, subs.s, centroid_id,
+      |               list_dot_product(vs, vs) - 2*list_dot_product(vs, cs)
+      |                 + list_dot_product(cs, cs) AS pd
+      |        FROM subs JOIN cents ON subs.s = cents.s
+      |        WHERE subs.vec_id < 20),
+      |adc AS (SELECT lut.query_id, c.vec_id AS neighbor_id,
+      |               CAST(sum(pd) AS BIGINT) AS adc_dist
+      |        FROM codes c
+      |          JOIN assign a ON a.vec_id = c.vec_id
+      |          JOIN probes p ON p.list_id = a.list_id
+      |          JOIN lut ON c.s = lut.s AND c.code = lut.centroid_id
+      |                   AND lut.query_id = p.query_id
+      |        WHERE c.vec_id <> lut.query_id
+      |        GROUP BY 1, 2)""".stripMargin
+
   val ml: Seq[Q] = Seq(
     Q("q_text_stats",
       (s, d) => TextAnalysis.textStats(documents(s, d), Stopwords),
@@ -2275,49 +2327,7 @@ object QueriesML {
         k = 5, m = 8, dims = 64, centroidMod = 97, coarseMod = 83,
         nprobe = 2),
       Some(s"""WITH $QuantCte,
-        |subs AS (SELECT vec_id, s, list_slice(v, s*8+1, s*8+8) AS vs
-        |         FROM q, range(8) t(s)),
-        |cents AS (SELECT vec_id AS centroid_id, s,
-        |                 list_slice(v, s*8+1, s*8+8) AS cs
-        |          FROM q, range(8) t(s) WHERE vec_id % 97 = 0),
-        |d2 AS (SELECT subs.vec_id, subs.s, centroid_id,
-        |              list_dot_product(vs, vs) - 2*list_dot_product(vs, cs)
-        |                + list_dot_product(cs, cs) AS d2
-        |       FROM subs JOIN cents ON subs.s = cents.s),
-        |codes AS (SELECT vec_id, s, centroid_id AS code FROM (
-        |            SELECT *, row_number() OVER (PARTITION BY vec_id, s
-        |                         ORDER BY d2, centroid_id) AS rn
-        |            FROM d2)
-        |          WHERE rn = 1),
-        |cvecs AS (SELECT vec_id, v, list_dot_product(v, v) AS n FROM q),
-        |clists AS (SELECT vec_id AS list_id, v AS cv,
-        |                  list_dot_product(v, v) AS cn
-        |           FROM q WHERE vec_id % 83 = 0),
-        |s0 AS (SELECT vec_id, list_id,
-        |              round(list_dot_product(v, cv) / (sqrt(n) * sqrt(cn)), 6) AS cos_sim
-        |       FROM cvecs, clists),
-        |assign AS (SELECT vec_id, list_id FROM (
-        |             SELECT *, row_number() OVER (PARTITION BY vec_id
-        |                          ORDER BY cos_sim DESC, list_id) AS rn
-        |             FROM s0) WHERE rn = 1),
-        |probes AS (SELECT vec_id AS query_id, list_id FROM (
-        |             SELECT *, row_number() OVER (PARTITION BY vec_id
-        |                          ORDER BY cos_sim DESC, list_id) AS rn
-        |             FROM s0 WHERE vec_id < 20) WHERE rn <= 2),
-        |lut AS (SELECT subs.vec_id AS query_id, subs.s, centroid_id,
-        |               list_dot_product(vs, vs) - 2*list_dot_product(vs, cs)
-        |                 + list_dot_product(cs, cs) AS pd
-        |        FROM subs JOIN cents ON subs.s = cents.s
-        |        WHERE subs.vec_id < 20),
-        |adc AS (SELECT lut.query_id, c.vec_id AS neighbor_id,
-        |               CAST(sum(pd) AS BIGINT) AS adc_dist
-        |        FROM codes c
-        |          JOIN assign a ON a.vec_id = c.vec_id
-        |          JOIN probes p ON p.list_id = a.list_id
-        |          JOIN lut ON c.s = lut.s AND c.code = lut.centroid_id
-        |                   AND lut.query_id = p.query_id
-        |        WHERE c.vec_id <> lut.query_id
-        |        GROUP BY 1, 2)
+        |$IvfPqAdcCtes
         |SELECT query_id, neighbor_id, rank, adc_dist FROM (
         |  SELECT *, row_number() OVER (PARTITION BY query_id
         |               ORDER BY adc_dist, neighbor_id) AS rank
@@ -2334,49 +2344,7 @@ object QueriesML {
         k = 5, rerankR = 10, m = 8, dims = 64, centroidMod = 97,
         coarseMod = 83, nprobe = 2),
       Some(s"""WITH $QuantCte,
-        |subs AS (SELECT vec_id, s, list_slice(v, s*8+1, s*8+8) AS vs
-        |         FROM q, range(8) t(s)),
-        |cents AS (SELECT vec_id AS centroid_id, s,
-        |                 list_slice(v, s*8+1, s*8+8) AS cs
-        |          FROM q, range(8) t(s) WHERE vec_id % 97 = 0),
-        |d2 AS (SELECT subs.vec_id, subs.s, centroid_id,
-        |              list_dot_product(vs, vs) - 2*list_dot_product(vs, cs)
-        |                + list_dot_product(cs, cs) AS d2
-        |       FROM subs JOIN cents ON subs.s = cents.s),
-        |codes AS (SELECT vec_id, s, centroid_id AS code FROM (
-        |            SELECT *, row_number() OVER (PARTITION BY vec_id, s
-        |                         ORDER BY d2, centroid_id) AS rn
-        |            FROM d2)
-        |          WHERE rn = 1),
-        |cvecs AS (SELECT vec_id, v, list_dot_product(v, v) AS n FROM q),
-        |clists AS (SELECT vec_id AS list_id, v AS cv,
-        |                  list_dot_product(v, v) AS cn
-        |           FROM q WHERE vec_id % 83 = 0),
-        |s0 AS (SELECT vec_id, list_id,
-        |              round(list_dot_product(v, cv) / (sqrt(n) * sqrt(cn)), 6) AS cos_sim
-        |       FROM cvecs, clists),
-        |assign AS (SELECT vec_id, list_id FROM (
-        |             SELECT *, row_number() OVER (PARTITION BY vec_id
-        |                          ORDER BY cos_sim DESC, list_id) AS rn
-        |             FROM s0) WHERE rn = 1),
-        |probes AS (SELECT vec_id AS query_id, list_id FROM (
-        |             SELECT *, row_number() OVER (PARTITION BY vec_id
-        |                          ORDER BY cos_sim DESC, list_id) AS rn
-        |             FROM s0 WHERE vec_id < 20) WHERE rn <= 2),
-        |lut AS (SELECT subs.vec_id AS query_id, subs.s, centroid_id,
-        |               list_dot_product(vs, vs) - 2*list_dot_product(vs, cs)
-        |                 + list_dot_product(cs, cs) AS pd
-        |        FROM subs JOIN cents ON subs.s = cents.s
-        |        WHERE subs.vec_id < 20),
-        |adc AS (SELECT lut.query_id, c.vec_id AS neighbor_id,
-        |               CAST(sum(pd) AS BIGINT) AS adc_dist
-        |        FROM codes c
-        |          JOIN assign a ON a.vec_id = c.vec_id
-        |          JOIN probes p ON p.list_id = a.list_id
-        |          JOIN lut ON c.s = lut.s AND c.code = lut.centroid_id
-        |                   AND lut.query_id = p.query_id
-        |        WHERE c.vec_id <> lut.query_id
-        |        GROUP BY 1, 2),
+        |$IvfPqAdcCtes,
         |cand AS (SELECT query_id, neighbor_id FROM (
         |           SELECT *, row_number() OVER (PARTITION BY query_id
         |                        ORDER BY adc_dist, neighbor_id) AS rank

@@ -185,13 +185,21 @@ object Layout {
     * Concurrency: the file set is SNAPSHOTTED once (`inputFiles`) and
     * the read is pinned to that list, so a [[zorderAppend]] racing this
     * pass is safe — files landing after the snapshot are neither read
-    * nor deleted and stay in the tail for the next pass. (Deleting the
-    * whole tail directory instead would silently drop them.) */
+    * nor deleted and stay in the tail for the next pass, and the tail
+    * DIRECTORY itself is never removed (a directory delete would race
+    * an in-flight append's uncommitted `_temporary` output and can
+    * throw on files committed mid-walk; an empty tail dir costs
+    * nothing — [[zorderTable]] just finds no rows in it). */
   def zorderOptimize(
       spark: org.apache.spark.sql.SparkSession,
       dir: String, numFiles: Int): Long = {
     val tail = new java.io.File(s"$dir/tail")
-    if (!tail.exists()) return 0L
+    // data-file precheck: after a prior optimize the tail dir survives
+    // holding only _SUCCESS, and spark.read.parquet on a data-less dir
+    // fails schema inference
+    val hasData = tail.exists() && Option(tail.listFiles())
+      .getOrElse(Array()).exists(f => f.isFile && f.getName.endsWith(".parquet"))
+    if (!hasData) return 0L
     val gens = Option(new java.io.File(dir).listFiles()).getOrElse(Array())
       .filter(f => f.isDirectory && f.getName.startsWith("gen-"))
       .map(_.getName.stripPrefix("gen-").toInt)
@@ -205,17 +213,12 @@ object Layout {
     df.repartitionByRange(numFiles, col("z_key"))
       .sortWithinPartitions("z_key")
       .write.mode("errorifexists").parquet(s"$dir/gen-$next")
-    snapshot.foreach { uri =>
-      java.nio.file.Files.deleteIfExists(
-        java.nio.file.Paths.get(java.net.URI.create(uri).getPath))
-    }
-    // drop the tail dir itself only if nothing new arrived meanwhile
-    val leftover = Option(tail.listFiles()).getOrElse(Array())
-      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-    if (leftover.isEmpty) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(tail.toPath).iterator().asScala.toSeq
-        .reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+    // Hadoop Path handles unencoded inputFiles strings (spaces etc.)
+    // that java.net.URI.create would reject
+    val conf = spark.sparkContext.hadoopConfiguration
+    snapshot.foreach { s =>
+      val p = new org.apache.hadoop.fs.Path(s)
+      p.getFileSystem(conf).delete(p, false)
     }
     n
   }

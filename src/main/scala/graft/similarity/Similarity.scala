@@ -774,11 +774,8 @@ object Similarity {
       coarseMod: Int): ResidualIndex = {
     require(dims % m == 0, s"dims=$dims not divisible by m=$m")
     val subDim = dims / m
-    // coarse lists: centroid vectors (metadata-sized, broadcast)
-    val cents = embeddings
-      .where(col("vec_id") % coarseMod === 0)
-      .select(col("vec_id").as("list_id"), quantize(col("embedding")).as("cv"))
-      .withColumn("cn", dot(col("cv"), col("cv")))
+    // coarse lists: the shared [[coarseCents]] relation (metadata-sized)
+    val cents = coarseCents(embeddings, coarseMod)
     // residual per vector vs its assigned list's centroid (one corpus
     // equi-join at build time — in production this IS the stored index)
     val resid = embeddings

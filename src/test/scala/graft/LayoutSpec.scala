@@ -119,7 +119,12 @@ class LayoutSpec extends SparkSpec {
     assert(Layout.zorderTable(spark, dir).count() == 4096L)
     val compacted = Layout.zorderOptimize(spark, dir, numFiles = 2)
     assert(compacted == 1096L)
-    assert(!new java.io.File(s"$dir/tail").exists())
+    // the tail DIRECTORY survives (never deleted — see zorderOptimize's
+    // concurrency note) but holds no data files
+    val tailFiles = Option(new java.io.File(s"$dir/tail").listFiles())
+      .getOrElse(Array[java.io.File]())
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    assert(tailFiles.isEmpty, tailFiles.mkString(","))
     // no rows lost or duplicated across the whole lifecycle
     val table = Layout.zorderTable(spark, dir)
     assert(table.count() == 4096L)
@@ -153,8 +158,14 @@ class LayoutSpec extends SparkSpec {
     val want = grid(0L, 4096L)
       .where(col("ix").between(3, 9) && col("iy").between(17, 23)).count()
     assert(got == want)
-    // idempotence: optimize with no tail is a no-op
+    // idempotence: optimize with no tail data is a no-op
     assert(Layout.zorderOptimize(spark, dir, 2) == 0L)
+    // post-optimize appends land in the surviving tail dir; the next
+    // pass compacts exactly them into gen-2
+    Layout.zorderAppend(grid(4096L, 4296L), col("ix"), col("iy"), dir)
+    assert(Layout.zorderOptimize(spark, dir, 2) == 200L)
+    assert(spark.read.parquet(s"$dir/gen-2").count() == 200L)
+    assert(Layout.zorderTable(spark, dir).count() == 4296L)
   }
 
   // --- M72 bloom-filter point-lookup layout -----------------------------
