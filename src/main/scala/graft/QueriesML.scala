@@ -53,11 +53,70 @@ object QueriesML {
 
   /** The ONE copy of the IVF+PQ oracle chain (codes → coarse assign →
     * probes → per-query LUT → ADC over probed lists), shared by
-    * q_ivfpq_search and q_ivfpq_rerank so a tie-break or arithmetic fix
-    * can never diverge the two gates. Expects `q` ([[QuantCte]]) in
-    * scope; yields the `adc(query_id, neighbor_id, adc_dist)` CTE.
-    * Parameters are the gate constants: m=8, subDim=8, centroidMod=97,
-    * coarseMod=83, nQueries=20, nprobe=2. */
+    * q_ivfpq_search, q_ivfpq_rerank and q_hybrid_rrf_ann so a tie-break
+    * or arithmetic fix can never diverge the gates. Expects `q`
+    * ([[QuantCte]]) in scope; yields the
+    * `adc(query_id, neighbor_id, adc_dist)` CTE. Fixed gate constants:
+    * m=8, subDim=8, centroidMod=97, coarseMod=83, nprobe=2; the query
+    * prefix bound is the parameter. */
+  private def ivfPqAdcCtes(nQueries: Int): String =
+    IvfPqAdcCtes.replace("vec_id < 20", s"vec_id < $nQueries")
+
+  /** BM25 lexical-leg chain over `documents` for the four fixed gate
+    * queries, yielding lexleg(query_id, doc_id, rank), rank ≤ 10 —
+    * shared by q_hybrid_rrf and q_hybrid_rrf_ann (names avoid
+    * [[QuantCte]]'s `q`). Same arithmetic as the q_bm25 oracle. */
+  private val Bm25LexLegCtes: String =
+    """qq(query_id, qtext) AS (VALUES
+      |         (0, 'hash join table'), (1, 'stream window agg'),
+      |         (2, 'scan filter column'), (3, 'sort merge dup')),
+      |qt AS (SELECT DISTINCT query_id,
+      |              unnest(string_split(qtext, ' ')) AS term FROM qq),
+      |d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |stats AS (SELECT count(*)::DOUBLE AS n,
+      |                 sum(len(w))::DOUBLE / count(*)::DOUBLE AS avgdl FROM d),
+      |tok AS (SELECT doc_id, len(w)::DOUBLE AS dl, unnest(w) AS term FROM d),
+      |tf AS (SELECT doc_id, term, max(dl) AS dl, count(*)::DOUBLE AS tf
+      |       FROM tok WHERE term IN (SELECT DISTINCT term FROM qt)
+      |       GROUP BY 1, 2),
+      |idf AS (SELECT term,
+      |               round(ln(1.0 + (n - count(*)::DOUBLE + 0.5)
+      |                 / (count(*)::DOUBLE + 0.5)) * 1000000.0)::BIGINT AS idf_micro
+      |        FROM tf, stats GROUP BY term, n),
+      |sc AS (SELECT qt.query_id, tf.doc_id,
+      |              round(idf_micro * (tf * (1.2 + 1.0)
+      |                / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)))
+      |                * 1000.0)::BIGINT AS contrib_nanos
+      |       FROM tf JOIN idf USING (term) JOIN qt USING (term), stats),
+      |bs AS (SELECT query_id, doc_id,
+      |              sum(contrib_nanos)::BIGINT AS score_nanos
+      |       FROM sc GROUP BY 1, 2),
+      |lexleg AS (SELECT query_id, doc_id, rank FROM (
+      |             SELECT query_id, doc_id,
+      |                    row_number() OVER (PARTITION BY query_id
+      |                      ORDER BY score_nanos DESC, doc_id) AS rank
+      |             FROM bs) WHERE rank <= 10)""".stripMargin
+
+  /** RRF fusion tail over lexleg + semleg (both (query_id, doc_id,
+    * rank)) — the same integer nano-unit arithmetic as
+    * `RankFusion.rrfFuse`, shared by both hybrid gates. */
+  private val RrfTailSql: String =
+    """contrib AS (SELECT query_id, doc_id,
+      |                   round(1000000000.0 / (60 + rank))::BIGINT AS c
+      |            FROM lexleg
+      |            UNION ALL
+      |            SELECT query_id, doc_id,
+      |                   round(1000000000.0 / (60 + rank))::BIGINT
+      |            FROM semleg),
+      |fused AS (SELECT query_id, doc_id, sum(c)::BIGINT AS rrf_nanos,
+      |                 count(*)::BIGINT AS legs_hit
+      |          FROM contrib GROUP BY 1, 2)
+      |SELECT query_id, doc_id, rank, rrf_nanos, legs_hit FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |               ORDER BY rrf_nanos DESC, doc_id) AS rank
+      |  FROM fused)
+      |WHERE rank <= 5""".stripMargin
+
   private val IvfPqAdcCtes: String =
     """subs AS (SELECT vec_id, s, list_slice(v, s*8+1, s*8+8) AS vs
       |         FROM q, range(8) t(s)),
@@ -1395,35 +1454,7 @@ object QueriesML {
           (2, "scan filter column"), (3, "sort merge dup")),
         kEach = 10, k = 5),
       Some(s"""WITH $QuantCte,
-        |qq(query_id, qtext) AS (VALUES
-        |         (0, 'hash join table'), (1, 'stream window agg'),
-        |         (2, 'scan filter column'), (3, 'sort merge dup')),
-        |qt AS (SELECT DISTINCT query_id,
-        |              unnest(string_split(qtext, ' ')) AS term FROM qq),
-        |d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |stats AS (SELECT count(*)::DOUBLE AS n,
-        |                 sum(len(w))::DOUBLE / count(*)::DOUBLE AS avgdl FROM d),
-        |tok AS (SELECT doc_id, len(w)::DOUBLE AS dl, unnest(w) AS term FROM d),
-        |tf AS (SELECT doc_id, term, max(dl) AS dl, count(*)::DOUBLE AS tf
-        |       FROM tok WHERE term IN (SELECT DISTINCT term FROM qt)
-        |       GROUP BY 1, 2),
-        |idf AS (SELECT term,
-        |               round(ln(1.0 + (n - count(*)::DOUBLE + 0.5)
-        |                 / (count(*)::DOUBLE + 0.5)) * 1000000.0)::BIGINT AS idf_micro
-        |        FROM tf, stats GROUP BY term, n),
-        |sc AS (SELECT qt.query_id, tf.doc_id,
-        |              round(idf_micro * (tf * (1.2 + 1.0)
-        |                / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)))
-        |                * 1000.0)::BIGINT AS contrib_nanos
-        |       FROM tf JOIN idf USING (term) JOIN qt USING (term), stats),
-        |bs AS (SELECT query_id, doc_id,
-        |              sum(contrib_nanos)::BIGINT AS score_nanos
-        |       FROM sc GROUP BY 1, 2),
-        |lexleg AS (SELECT query_id, doc_id, rank FROM (
-        |             SELECT query_id, doc_id,
-        |                    row_number() OVER (PARTITION BY query_id
-        |                      ORDER BY score_nanos DESC, doc_id) AS rank
-        |             FROM bs) WHERE rank <= 10),
+        |$Bm25LexLegCtes,
         |q2 AS (SELECT vec_id AS query_id, v AS qv, list_dot_product(v, v) AS qn
         |       FROM q WHERE vec_id < 4),
         |c2 AS (SELECT vec_id AS doc_id, v AS cv, list_dot_product(v, v) AS cn FROM q),
@@ -1435,21 +1466,28 @@ object QueriesML {
         |                    row_number() OVER (PARTITION BY query_id
         |                      ORDER BY cos_sim DESC, doc_id) AS rank
         |             FROM ks) WHERE rank <= 10),
-        |contrib AS (SELECT query_id, doc_id,
-        |                   round(1000000000.0 / (60 + rank))::BIGINT AS c
-        |            FROM lexleg
-        |            UNION ALL
-        |            SELECT query_id, doc_id,
-        |                   round(1000000000.0 / (60 + rank))::BIGINT
-        |            FROM semleg),
-        |fused AS (SELECT query_id, doc_id, sum(c)::BIGINT AS rrf_nanos,
-        |                 count(*)::BIGINT AS legs_hit
-        |          FROM contrib GROUP BY 1, 2)
-        |SELECT query_id, doc_id, rank, rrf_nanos, legs_hit FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY query_id
-        |               ORDER BY rrf_nanos DESC, doc_id) AS rank
-        |  FROM fused)
-        |WHERE rank <= 5""".stripMargin)),
+        |$RrfTailSql""".stripMargin)),
+
+    // M79 hybrid retrieval with the IVF+PQ semantic leg — the 100 TB
+    // composition the fusion exists for: the ANN leg (coarse-pruned ADC
+    // scan) swaps in verbatim for the exact kNN, fusion unchanged. The
+    // oracle swaps the exact-cosine semleg for the shared IVF+PQ ADC
+    // chain (nQueries=4) capped at rank <= 10.
+    Q("q_hybrid_rrf_ann",
+      (s, d) => ops.RankFusion.hybridSearchAnn(s, documents(s, d),
+        embeddings(s, d), Seq(
+          (0, "hash join table"), (1, "stream window agg"),
+          (2, "scan filter column"), (3, "sort merge dup")),
+        kEach = 10, k = 5),
+      Some(s"""WITH $QuantCte,
+        |$Bm25LexLegCtes,
+        |${ivfPqAdcCtes(4)},
+        |semleg AS (SELECT query_id, neighbor_id AS doc_id, rank FROM (
+        |             SELECT query_id, neighbor_id,
+        |                    row_number() OVER (PARTITION BY query_id
+        |                      ORDER BY adc_dist, neighbor_id) AS rank
+        |             FROM adc) WHERE rank <= 10),
+        |$RrfTailSql""".stripMargin)),
 
     // M36 deterministic shard shuffle: content-stable pseudo-random
     // permutation into training shards (one shuffle + per-shard sort).

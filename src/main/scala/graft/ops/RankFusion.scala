@@ -78,4 +78,32 @@ object RankFusion {
       .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
     rrfFuse(Seq(lex, sem), k, rrfK)
   }
+
+  /** [[hybridSearch]] with the IVF+PQ approximate semantic leg — the
+    * 100 TB path: identical fusion, the ANN leg swaps in verbatim (the
+    * leg-agnosticism [[rrfFuse]] exists for). Query ids must be the
+    * contiguous prefix 0..n-1 (the IVF+PQ query convention). */
+  def hybridSearchAnn(
+      spark: SparkSession,
+      docs: DataFrame,
+      embeddings: DataFrame,
+      queries: Seq[(Int, String)],
+      kEach: Int = 10,
+      k: Int = 5,
+      rrfK: Int = 60,
+      m: Int = 8,
+      dims: Int = 64,
+      centroidMod: Int = 97,
+      coarseMod: Int = 83,
+      nprobe: Int = 2): DataFrame = {
+    require(queries.map(_._1).sorted == queries.indices.toList,
+      "ANN-leg hybrid needs query ids 0..n-1 (the vec_id prefix convention)")
+    val lex = graft.text.Bm25.search(spark, docs, queries, topK = kEach)
+      .select(col("query_id"), col("doc_id"), col("rank"))
+    val sem = graft.similarity.Similarity
+      .ivfPqSearch(embeddings, nQueries = queries.length, k = kEach,
+        m, dims, centroidMod, coarseMod, nprobe)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+    rrfFuse(Seq(lex, sem), k, rrfK)
+  }
 }

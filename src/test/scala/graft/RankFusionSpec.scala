@@ -63,6 +63,29 @@ class RankFusionSpec extends SparkSpec {
     assert(out.map(_._3).sorted === (1 to out.length).toArray)
   }
 
+  test("hybridSearchAnn swaps the IVF+PQ leg in verbatim: same fusion " +
+    "arithmetic, ANN candidates") {
+    import org.apache.spark.sql.functions.{col, lit, sequence, transform}
+    val docs = spark.range(60L).select(col("id").as("doc_id"),
+      concat_ws(" ", lit("w"), (col("id") % 7).cast("string"),
+        lit("hash"), lit("join")).as("text"))
+    val embeddings = spark.range(60L).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(3)),
+        d => (((col("id") * 13 + d * 11) % 29) + (col("id") % 5) + 1)
+          .cast("float")).as("embedding"))
+    val out = RankFusion.hybridSearchAnn(spark, docs, embeddings,
+      Seq((0, "hash join"), (1, "w 1")), kEach = 5, k = 3,
+      m = 2, dims = 4, centroidMod = 7, coarseMod = 20, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getLong(4)))
+    assert(out.nonEmpty)
+    assert(out.map(_._1).toSet == Set(0L, 1L))
+    assert(out.forall(r => r._2 >= 1 && r._2 <= 3 && r._3 >= 1 && r._3 <= 2))
+    // non-prefix query ids are rejected (the IVF+PQ query convention)
+    intercept[IllegalArgumentException] {
+      RankFusion.hybridSearchAnn(spark, docs, embeddings, Seq((3, "x")))
+    }
+  }
+
   test("rrfFuse rejects empty legs and bad parameters") {
     intercept[IllegalArgumentException] { RankFusion.rrfFuse(Nil, k = 5) }
     val a = Seq((0L, 1L, 1)).toDF("query_id", "doc_id", "rank")
