@@ -151,7 +151,12 @@ object Layout {
   // Every generation is internally z-clustered, so a box query prunes
   // within each generation independently: scanned rows ≈ (#generations)
   // × the fresh-layout fraction, while the tail (until optimized) is
-  // scanned in full — which is exactly why the OPTIMIZE pass exists.
+  // scanned in full — which is exactly why the OPTIMIZE pass exists,
+  // and why generations must not accumulate without bound: pass
+  // maxGenerations=G to zorderOptimize (or call zorderConsolidate on
+  // your own cadence) to merge all generations into one when the count
+  // exceeds G — one full-table sort amortized over G cheap tail-only
+  // passes, holding the scan bound at ≤ (G+1) × the fresh fraction.
   // Readers glob all parts ([[zorderTable]]); results are identical at
   // every lifecycle stage (pruning predicates stay supersets — only the
   // scanned-row count moves). ScaleBench B42 REQUIREs the bound;
@@ -175,12 +180,36 @@ object Layout {
     df.withColumn("z_key", zorderKey(ix, iy))
       .write.mode("append").parquet(s"$dir/tail")
 
+  /** Generation numbers present under `dir` (gen-K directories), via the
+    * Hadoop [[org.apache.hadoop.fs.FileSystem]] API — NOT java.io.File,
+    * so the lifecycle works on any scheme (file:, hdfs:, s3a:…); the
+    * table's 100 TB home is an object store, where a local-File
+    * `exists()` is silently false and a File-based pass would no-op
+    * indistinguishably from "no tail". */
+  private def generations(
+      fs: org.apache.hadoop.fs.FileSystem,
+      dirPath: org.apache.hadoop.fs.Path): Seq[Int] =
+    if (!fs.exists(dirPath)) Seq.empty
+    else fs.listStatus(dirPath).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("gen-"))
+      .map(_.getPath.getName.stripPrefix("gen-").toInt)
+
   /** OPTIMIZE pass: re-cluster ONLY the unsorted tail into the next
     * `gen-K` directory (range-repartition + sort by the z_key the
     * appends already carry — the exact arithmetic of [[zorderLayout]]),
     * then drop EXACTLY the tail files that were compacted. Returns rows
     * compacted (0 = no tail, no-op). Cost is one sort of the TAIL, not
     * the table — the whole point versus a full re-layout.
+    *
+    * Generation policy: every pass adds a generation, and a box query
+    * scans ≈ (#generations) × the fresh-layout fraction (each gen prunes
+    * independently — ScaleBench B42 measures the curve), so generations
+    * must not accumulate without bound. With `maxGenerations` > 0, a
+    * pass that leaves more than that many generations triggers
+    * [[zorderConsolidate]] — one full-table merge amortized over the G
+    * cheap tail-only passes between triggers (the Delta OPTIMIZE /
+    * Iceberg rewrite_data_files tiered-compaction shape). 0 keeps the
+    * tail-only behavior (callers running their own cadence).
     *
     * Concurrency: the file set is SNAPSHOTTED once (`inputFiles`) and
     * the read is pinned to that list, so a [[zorderAppend]] racing this
@@ -189,37 +218,89 @@ object Layout {
     * DIRECTORY itself is never removed (a directory delete would race
     * an in-flight append's uncommitted `_temporary` output and can
     * throw on files committed mid-walk; an empty tail dir costs
-    * nothing — [[zorderTable]] just finds no rows in it). */
+    * nothing — [[zorderTable]] just finds no rows in it). Gen-K
+    * directories are touched ONLY by this pass and by
+    * [[zorderConsolidate]] — run a single OPTIMIZE writer at a time
+    * (the usual lakehouse maintenance contract; appends stay safe). */
   def zorderOptimize(
       spark: org.apache.spark.sql.SparkSession,
-      dir: String, numFiles: Int): Long = {
-    val tail = new java.io.File(s"$dir/tail")
+      dir: String, numFiles: Int, maxGenerations: Int = 0): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = dirPath.getFileSystem(conf)
+    val tailPath = new org.apache.hadoop.fs.Path(dirPath, "tail")
     // data-file precheck: after a prior optimize the tail dir survives
     // holding only _SUCCESS, and spark.read.parquet on a data-less dir
     // fails schema inference
-    val hasData = tail.exists() && Option(tail.listFiles())
-      .getOrElse(Array()).exists(f => f.isFile && f.getName.endsWith(".parquet"))
-    if (!hasData) return 0L
-    val gens = Option(new java.io.File(dir).listFiles()).getOrElse(Array())
-      .filter(f => f.isDirectory && f.getName.startsWith("gen-"))
-      .map(_.getName.stripPrefix("gen-").toInt)
-    val next = if (gens.isEmpty) 0 else gens.max + 1
-    val snapshot = spark.read.parquet(tail.getPath).inputFiles
-    if (snapshot.isEmpty) return 0L
-    // re-read pinned to the snapshot list: rows compacted == files
-    // deleted even if appends land mid-pass
+    val hasData = fs.exists(tailPath) && fs.listStatus(tailPath)
+      .exists(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    val compacted =
+      if (!hasData) 0L
+      else {
+        val next = generations(fs, dirPath).foldLeft(-1)(math.max) + 1
+        val snapshot = spark.read.parquet(tailPath.toString).inputFiles
+        if (snapshot.isEmpty) 0L
+        else {
+          // re-read pinned to the snapshot list: rows compacted == files
+          // deleted even if appends land mid-pass
+          val df = spark.read.parquet(snapshot.toIndexedSeq: _*)
+          val n = df.count()
+          df.repartitionByRange(numFiles, col("z_key"))
+            .sortWithinPartitions("z_key")
+            .write.mode("errorifexists")
+            .parquet(new org.apache.hadoop.fs.Path(dirPath, s"gen-$next").toString)
+          // Hadoop Path handles unencoded inputFiles strings (spaces
+          // etc.) that java.net.URI.create would reject
+          snapshot.foreach { s =>
+            val p = new org.apache.hadoop.fs.Path(s)
+            p.getFileSystem(conf).delete(p, false)
+          }
+          n
+        }
+      }
+    if (maxGenerations > 0 &&
+      generations(fs, dirPath).size > maxGenerations)
+      zorderConsolidate(spark, dir, numFiles)
+    compacted
+  }
+
+  /** Consolidate ALL generations into one: merge every gen-K into a
+    * single freshly z-clustered gen-(max+1) (the [[zorderLayout]]
+    * arithmetic over the union — every input row already carries its
+    * z_key, so this is one range-repartition + sort, the same cost
+    * shape as the initial layout) and delete the old generation
+    * directories. Returns rows consolidated (0 = fewer than two
+    * generations, no-op). The tail is untouched — racing appends stay
+    * safe; see [[zorderOptimize]] for the single-OPTIMIZE-writer
+    * contract that protects the gen directories themselves.
+    *
+    * Cost: a full sort of the TABLE — which is why it runs once every
+    * `maxGenerations` passes, not every pass: the steady state is G−1
+    * cheap tail-only sorts per full-table sort, and the scanned-rows
+    * curve (SCALE.md, measured by B42) stays ≤ (G+1) × the fresh
+    * fraction between triggers. LayoutSpec pins the result ≡ a full
+    * re-layout of the same rows. */
+  def zorderConsolidate(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String, numFiles: Int): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = dirPath.getFileSystem(conf)
+    val gens = generations(fs, dirPath)
+    if (gens.size < 2) return 0L
+    val next = gens.max + 1
+    val genPaths = gens.sorted
+      .map(g => new org.apache.hadoop.fs.Path(dirPath, s"gen-$g"))
+    // snapshot-pinned like zorderOptimize: the merged write and the
+    // deletes cover exactly the files seen here
+    val snapshot = spark.read.parquet(genPaths.map(_.toString): _*).inputFiles
     val df = spark.read.parquet(snapshot.toIndexedSeq: _*)
     val n = df.count()
     df.repartitionByRange(numFiles, col("z_key"))
       .sortWithinPartitions("z_key")
-      .write.mode("errorifexists").parquet(s"$dir/gen-$next")
-    // Hadoop Path handles unencoded inputFiles strings (spaces etc.)
-    // that java.net.URI.create would reject
-    val conf = spark.sparkContext.hadoopConfiguration
-    snapshot.foreach { s =>
-      val p = new org.apache.hadoop.fs.Path(s)
-      p.getFileSystem(conf).delete(p, false)
-    }
+      .write.mode("errorifexists")
+      .parquet(new org.apache.hadoop.fs.Path(dirPath, s"gen-$next").toString)
+    genPaths.foreach(p => fs.delete(p, true))
     n
   }
 

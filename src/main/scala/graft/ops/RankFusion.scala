@@ -31,6 +31,15 @@ object RankFusion {
 
   /** Fuse ranked legs, each with columns (query_id, doc_id, rank).
     *
+    * Each leg is deduplicated to its BEST (minimum) rank per
+    * (query_id, doc_id) before fusion, so a leg that returns the same
+    * document twice (a caller passing a non-top-k relation) contributes
+    * once — RRF's per-leg term is defined on the document's rank IN
+    * that leg, and double-counting would silently inflate both the
+    * fused score and `legs_hit` past the leg count. The dedup is a
+    * query-scale aggregate (≤ the leg's own row count, never corpus
+    * rows) and a no-op on well-formed top-k legs.
+    *
     * @return (query_id, doc_id, rank, rrf_nanos, legs_hit) — rank ≤ k
     *         per query by (rrf_nanos desc, doc_id asc); `legs_hit` is
     *         how many legs returned the document (consensus signal). */
@@ -40,8 +49,11 @@ object RankFusion {
     val contribs = legs.map(_.select(
       col("query_id").cast("long").as("query_id"),
       col("doc_id").cast("long").as("doc_id"),
-      round(lit(1e9) / (lit(rrfK) + col("rank")), 0).cast("long")
-        .as("contrib")))
+      col("rank"))
+      .groupBy("query_id", "doc_id").agg(min("rank").as("rank"))
+      .select(col("query_id"), col("doc_id"),
+        round(lit(1e9) / (lit(rrfK) + col("rank")), 0).cast("long")
+          .as("contrib")))
     val fused = contribs.reduce(_.unionByName(_))
       .groupBy("query_id", "doc_id")
       .agg(sum("contrib").as("rrf_nanos"),

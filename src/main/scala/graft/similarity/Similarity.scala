@@ -640,6 +640,21 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cos_sim")
   }
 
+  /** The IVF+PQ index relation: every vector's [[pqEncode]] codes plus
+    * its [[ivfAssign]] coarse list — `(neighbor_id, list_id, codes)`.
+    * One corpus equi-join at build time; this IS the stored index
+    * layout a production deployment persists ([[ivfPqWriteIndex]]). */
+  private[graft] def ivfPqIndex(
+      embeddings: DataFrame,
+      m: Int,
+      dims: Int,
+      centroidMod: Int,
+      coarseMod: Int): DataFrame =
+    pqEncode(embeddings, m, dims, centroidMod)
+      .join(ivfAssign(embeddings, coarseMod)
+        .select(col("vec_id"), col("centroid_id").as("list_id")), "vec_id")
+      .select(col("vec_id").as("neighbor_id"), col("list_id"), col("codes"))
+
   /** The (query_id, neighbor_id, adc_dist) candidate relation of
     * [[ivfPqSearch]] BEFORE top-k — exposed so ScaleBench can count
     * scanned candidate rows (the nprobe/nlists fraction REQUIRE)
@@ -652,12 +667,7 @@ object Similarity {
       centroidMod: Int,
       coarseMod: Int,
       nprobe: Int): DataFrame = {
-    // index: codes + coarse list per vector (one equi-join at build
-    // time; in production this IS the stored index layout)
-    val index = pqEncode(embeddings, m, dims, centroidMod)
-      .join(ivfAssign(embeddings, coarseMod)
-        .select(col("vec_id"), col("centroid_id").as("list_id")), "vec_id")
-      .select(col("vec_id").as("neighbor_id"), col("list_id"), col("codes"))
+    val index = ivfPqIndex(embeddings, m, dims, centroidMod, coarseMod)
     val cents = coarseCents(embeddings, coarseMod)
     val probes = ivfProbes(embeddings, cents, nQueries, nprobe)
     // (query, probed list, LUT): nQueries × nprobe rows — broadcast;
@@ -670,6 +680,241 @@ object Similarity {
       .where(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         adcSum(m, centroidMod).as("adc_dist"))
+  }
+
+  // --- Persisted IVF+PQ index (the 100 TB storage shape) ----------------
+  //
+  // ivfPqSearch prunes what gets SCORED (only probed lists enter the ADC
+  // join) but its index is an in-plan relation, so every encoded corpus
+  // row is still READ each query. At 100 TB the bytes-read cost IS the
+  // query — the win has to move from "rows scored" to "rows scanned",
+  // which is a STORAGE property: persist the (neighbor_id, list_id,
+  // codes) index range-clustered by list_id (FAISS's inverted-list
+  // storage, Jégou 2011 §IV — each list's codes contiguous on disk) and
+  // push `list_id IN (probed)` down to the parquet reader, where file-
+  // and row-group min/max stats on the clustered key drop unprobed
+  // lists WITHOUT reading them. Same idiom as the M72 bloom layout, but
+  // range stats suffice because the probe predicate is over the
+  // clustering key itself. ScaleBench B43 REQUIREs the SCAN's
+  // numOutputRows (not the join's) stays ≈ the probed fraction on a
+  // persisted 1M-vector index.
+
+  /** Build the IVF+PQ index and persist it to `dir` clustered by
+    * `list_id`: range-repartitioned into `numFiles` files each owning a
+    * contiguous list range, rows sorted by (list_id, neighbor_id) so
+    * row-group min/max stats on list_id are tight. Written once; every
+    * [[ivfPqSearchPersisted]] reads only the probed slice. */
+  def ivfPqWriteIndex(
+      embeddings: DataFrame,
+      dir: String,
+      numFiles: Int,
+      m: Int = 8,
+      dims: Int = 64,
+      centroidMod: Int = 97,
+      coarseMod: Int = 83): Unit =
+    ivfPqIndex(embeddings, m, dims, centroidMod, coarseMod)
+      .repartitionByRange(numFiles, col("list_id"), col("neighbor_id"))
+      .sortWithinPartitions("list_id", "neighbor_id")
+      .write.mode("errorifexists").parquet(dir)
+
+  /** [[ivfPqSearch]] over a PERSISTED index ([[ivfPqWriteIndex]]):
+    * identical results (same probes, same LUTs, same ADC arithmetic —
+    * SimilaritySpec pins equality), but the corpus-side input is the
+    * parquet index filtered to the UNION of probed lists, a predicate
+    * the scan itself prunes with. The probed-list set is collected to
+    * the driver to build the pushed-down IN — nQueries × nprobe longs,
+    * query-scale metadata (the same bound as the broadcast LUT table).
+    *
+    * `embeddings` still supplies the query vectors, coarse centroids
+    * and PQ codebook (all metadata-scale reads at search time); only
+    * the corpus-wide encode+assign is what the persisted index
+    * amortizes away. */
+  def ivfPqSearchPersisted(
+      spark: SparkSession,
+      indexDir: String,
+      embeddings: DataFrame,
+      nQueries: Int,
+      k: Int,
+      m: Int = 8,
+      dims: Int = 64,
+      centroidMod: Int = 97,
+      coarseMod: Int = 83,
+      nprobe: Int = 2): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    adcTopK(ivfPqScoredPersisted(
+      spark, indexDir, embeddings, nQueries, m, dims, centroidMod,
+      coarseMod, nprobe), k)
+  }
+
+  /** Candidate relation of [[ivfPqSearchPersisted]] before top-k —
+    * exposed (like [[ivfPqScored]]) so ScaleBench B43 can read the
+    * executed plan's scan metrics. */
+  private[graft] def ivfPqScoredPersisted(
+      spark: SparkSession,
+      indexDir: String,
+      embeddings: DataFrame,
+      nQueries: Int,
+      m: Int,
+      dims: Int,
+      centroidMod: Int,
+      coarseMod: Int,
+      nprobe: Int): DataFrame = {
+    val cents = coarseCents(embeddings, coarseMod)
+    val probes = ivfProbes(embeddings, cents, nQueries, nprobe)
+    // the probed-list UNION, driver-collected: nQueries × nprobe longs.
+    // isInCollection emits an In predicate the parquet source accepts,
+    // so row groups whose [min,max] list range misses every probed list
+    // are dropped at the scan — bytes read ≈ probed fraction.
+    val probedLists = probes.select("list_id").distinct()
+      .collect().map(_.getLong(0)).toIndexedSeq.sorted
+    val index = spark.read.parquet(indexDir)
+      .where(col("list_id").isInCollection(probedLists))
+    val probeLut = probes
+      .join(adcLutArr(embeddings, nQueries, m, dims, centroidMod), "query_id")
+    index
+      .join(broadcast(probeLut), Seq("list_id"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        adcSum(m, centroidMod).as("adc_dist"))
+  }
+
+  // --- Lloyd-trained PQ codebooks (fixed ksub) ---------------------------
+  //
+  // pqCodebooks/pqEncode take the deterministic vec_id ≡ 0 (mod
+  // centroidMod) SUBSET as the codebook, so ksub = N/centroidMod GROWS
+  // with the corpus — at 100× the driver-collect bound trips and every
+  // caller must re-tune centroidMod. FAISS instead TRAINS a fixed
+  // ksub (=256) per subspace by k-means (Jégou 2011 §III.A) on a
+  // training sample; codebook size is then scale-INVARIANT. The trainer
+  // below is Lloyd's algorithm run relationally: the assignment step is
+  // the pqEncode kernel itself (one narrow codegen'd projection over
+  // the training set), the update step a (sub, code, dim) mean — a
+  // map-side-combinable aggregate to m·ksub·subDim rows, metadata-sized
+  // by construction. A fixed iteration count and deterministic
+  // initialization (the ksub smallest training vec_ids, centroid index
+  // = rank) keep the whole pipeline engine-replayable: centroids stay
+  // integer-valued (means are rounded to 0 dp — milli-unit ints are
+  // closed under this), so every distance is exact and the DuckDB
+  // oracle reproduces training bit-for-bit (gate q_pq_trained).
+  // ScaleBench B33t certifies recall ≥ the subset codebook's at equal
+  // index bytes (same ksub).
+
+  /** Lloyd-trained PQ codebooks at fixed `ksub`: `iters` rounds of
+    * assign (nearest centroid, exact integer d², tie → lower index) +
+    * update (per-dimension mean, rounded to integer; empty clusters
+    * keep their previous centroid) over the training subset
+    * vec_id ≡ 0 (mod trainMod). Returns ksub × dims centroid rows,
+    * centroid c's subspace-s entries at [s·subDim, (s+1)·subDim) —
+    * codes from these books are INDICES 0..ksub−1, not vec_ids.
+    *
+    * Driver footprint: the ksub init rows plus m·ksub·subDim update
+    * cells per iteration — fixed by (m, ksub, dims), INDEPENDENT of
+    * corpus size; the per-iteration scan is one pqEncode projection +
+    * one combinable aggregate over the training subset. */
+  def pqTrainCodebooks(
+      embeddings: DataFrame,
+      m: Int = 8,
+      dims: Int = 64,
+      ksub: Int = 256,
+      iters: Int = 3,
+      trainMod: Int = 1): Array[Array[Double]] = {
+    require(dims % m == 0, s"dims=$dims not divisible by m=$m")
+    require(ksub >= 1 && iters >= 0 && trainMod >= 1,
+      s"bad ksub=$ksub / iters=$iters / trainMod=$trainMod")
+    val subDim = dims / m
+    val train = embeddings
+      .where(col("vec_id") % trainMod === 0)
+      .select(col("vec_id"), quantize(col("embedding")).as("v"))
+    val initRows = train.orderBy("vec_id").limit(ksub).collect()
+    require(initRows.length == ksub,
+      s"training subset ${initRows.length} rows < ksub=$ksub; lower trainMod")
+    var books: Array[Array[Double]] =
+      initRows.map(_.getSeq[Double](1).toArray)
+    val ids = Array.tabulate(ksub)(_.toLong)
+    var it = 0
+    while (it < iters) {
+      val updates = train
+        .select(col("v"), graft.functions.PqEncodeExpr.col(
+          col("v"), books, ids, m, subDim).as("codes"))
+        .select(col("v"), posexplode(col("codes")).as(Seq("sub", "code")))
+        .withColumn("vs", slice(col("v"), col("sub") * subDim + 1, lit(subDim)))
+        .select(col("sub"), col("code"), posexplode(col("vs")).as(Seq("d", "x")))
+        .groupBy("sub", "code", "d")
+        .agg(round(sum("x") / count(lit(1)), 0).as("cx"))
+        .collect()
+      val next = books.map(_.clone())
+      updates.foreach { r =>
+        next(r.getLong(1).toInt)(r.getInt(0) * subDim + r.getInt(2)) =
+          r.getDouble(3)
+      }
+      books = next
+      it += 1
+    }
+    books
+  }
+
+  /** [[pqEncode]] with [[pqTrainCodebooks]] — the scale-invariant form:
+    * codebook size is ksub regardless of corpus size. `codes[s]` is the
+    * trained centroid INDEX (0..ksub−1) for subspace s. */
+  def pqEncodeTrained(
+      embeddings: DataFrame,
+      m: Int = 8,
+      dims: Int = 64,
+      ksub: Int = 256,
+      iters: Int = 3,
+      trainMod: Int = 1): DataFrame = {
+    val subDim = dims / m
+    val books = pqTrainCodebooks(embeddings, m, dims, ksub, iters, trainMod)
+    embeddings.select(col("vec_id"),
+      graft.functions.PqEncodeExpr.col(
+        quantize(col("embedding")), books, Array.tabulate(ksub)(_.toLong),
+        m, subDim).as("codes"))
+  }
+
+  /** [[pqSearch]] over the TRAINED codebooks: same ADC shape (per-query
+    * LUT broadcast against the encoded corpus, m-term exact BIGINT
+    * sum), codebook entries indexed directly (codes are indices, so the
+    * LUT fold runs with divisor 1). ScaleBench B33t REQUIREs recall ≥
+    * the subset-codebook pqSearch at the same ksub. */
+  def pqSearchTrained(
+      embeddings: DataFrame,
+      nQueries: Int,
+      k: Int,
+      m: Int = 8,
+      dims: Int = 64,
+      ksub: Int = 256,
+      iters: Int = 3,
+      trainMod: Int = 1): DataFrame = {
+    val subDim = dims / m
+    val spark = embeddings.sparkSession
+    val books = pqTrainCodebooks(embeddings, m, dims, ksub, iters, trainMod)
+    val ids = Array.tabulate(ksub)(_.toLong)
+    // trained books as a metadata relation for the LUT build
+    val bookRows = for { c <- books.indices; s <- 0 until m } yield
+      (s, c.toLong, books(c).slice(s * subDim, (s + 1) * subDim).toSeq)
+    val booksDf = spark.createDataFrame(bookRows).toDF("sub", "centroid_id", "cs")
+      .withColumn("cn", dot(col("cs"), col("cs")))
+    val subsDf = spark.createDataFrame(
+      Seq.tabulate(m)(s => Tuple1(s))).toDF("sub")
+    val perEntry = embeddings
+      .where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), quantize(col("embedding")).as("v"))
+      .crossJoin(broadcast(subsDf))
+      .withColumn("vs", slice(col("v"), col("sub") * subDim + 1, lit(subDim)))
+      .withColumn("vn", dot(col("vs"), col("vs")))
+      .join(broadcast(booksDf), Seq("sub"))
+      .select(col("query_id"), col("sub"), col("centroid_id"),
+        (col("vn") - lit(2) * dot(col("vs"), col("cs")) + col("cn")).as("pd"))
+    val lutArr = lutFold(perEntry, Seq("query_id"), 1)
+    val scored = embeddings
+      .select(col("vec_id").as("neighbor_id"),
+        graft.functions.PqEncodeExpr.col(
+          quantize(col("embedding")), books, ids, m, subDim).as("codes"))
+      .crossJoin(broadcast(lutArr))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        adcSum(m, 1).as("adc_dist"))
+    adcTopK(scored, k)
   }
 
   /** Coarse-centroid relation (list_id, cv, cn) — metadata-sized,

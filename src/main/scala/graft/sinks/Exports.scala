@@ -421,9 +421,21 @@ object Exports {
     // trigger, which a small grid never trips. The distributed writer
     // is byte-identical (NetcdfWriterSpec pins it), so routing on hour
     // COUNT is pure win; ScaleBench B13c times the year-long case.
-    if (hours > distributedHoursThreshold)
+    if (hours > distributedHoursThreshold) {
+      // the route switch is invisible at the call site — leave a
+      // breadcrumb, and warn about the distributed writer's one
+      // deployment requirement (task-side writes land on executor-local
+      // disks unless outDir is a shared filesystem)
+      val log = org.slf4j.LoggerFactory.getLogger(getClass)
+      log.info(s"hourlyExportNc: $hours hours > threshold " +
+        s"$distributedHoursThreshold - routing to the DISTRIBUTED writer " +
+        s"(chunkSize=$chunkSize ignored on this route)")
+      log.warn(s"hourlyExportNc distributed route: tasks write directly " +
+        s"to '$outDir' - on a multi-node cluster this must be a SHARED " +
+        "filesystem, or the per-hour files land on executor-local disks")
       return hourlyExportNcDistributed(
         emissions, scalingFactors, startTs, hours, grid, outDir, atts)
+    }
     val fmtOut = java.time.format.DateTimeFormatter
       .ofPattern("yyyyMMdd'T'HHmmss'Z'").withZone(java.time.ZoneOffset.UTC)
     val t0 = java.time.LocalDateTime.parse(startTs.replace(' ', 'T'))

@@ -168,6 +168,80 @@ class LayoutSpec extends SparkSpec {
     assert(Layout.zorderTable(spark, dir).count() == 4296L)
   }
 
+  test("zorderOptimize works through an explicit file:-scheme Hadoop path") {
+    // regression for the java.io.File tail discovery: a scheme-qualified
+    // URI (the shape every HDFS/object-store path has) made the old
+    // precheck see no tail and silently no-op
+    val n = 64
+    def grid(lo: Long, hi: Long) = spark.range(lo, hi).select(
+      (col("id") / n % n).cast("long").as("ix"), (col("id") % n).as("iy"),
+      col("id").as("v"))
+    val local = java.nio.file.Files.createTempDirectory("zuri")
+    val dir = local.toUri.toString.stripSuffix("/") // "file:///..."
+    assert(dir.startsWith("file:/"), dir)
+    Layout.zorderWrite(grid(0L, 1000L), col("ix"), col("iy"), 2, dir)
+    Layout.zorderAppend(grid(1000L, 1300L), col("ix"), col("iy"), dir)
+    assert(Layout.zorderOptimize(spark, dir, 2) == 300L)
+    assert(spark.read.parquet(s"$dir/gen-1").count() == 300L)
+    assert(Layout.zorderTable(spark, dir).count() == 1300L)
+    // tail data files are gone (deleted through the same FileSystem)
+    val tailFiles = Option(new java.io.File(s"$local/tail").listFiles())
+      .getOrElse(Array[java.io.File]())
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    assert(tailFiles.isEmpty, tailFiles.mkString(","))
+  }
+
+  test("zorderConsolidate merges generations; result ≡ full re-layout") {
+    val n = 64
+    def grid(lo: Long, hi: Long) = spark.range(lo, hi).select(
+      (col("id") / n % n).cast("long").as("ix"), (col("id") % n).as("iy"),
+      col("id").as("v"))
+    val dir = java.nio.file.Files.createTempDirectory("zcons").toString
+    Layout.zorderWrite(grid(0L, 2000L), col("ix"), col("iy"), 2, dir)
+    // consolidate below two generations is a no-op
+    assert(Layout.zorderConsolidate(spark, dir, 2) == 0L)
+    // build up gen-1..gen-3 through append/optimize cycles
+    for (i <- 0 until 3) {
+      Layout.zorderAppend(
+        grid(2000L + i * 500L, 2500L + i * 500L), col("ix"), col("iy"), dir)
+      assert(Layout.zorderOptimize(spark, dir, 2) == 500L)
+    }
+    def gens(): Seq[String] = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("gen-"))
+      .map(_.getName).toSeq.sorted
+    assert(gens() == Seq("gen-0", "gen-1", "gen-2", "gen-3"))
+    assert(Layout.zorderConsolidate(spark, dir, 3) == 3500L)
+    // one generation left, numbered past the old max; old gens deleted
+    assert(gens() == Seq("gen-4"))
+    val merged = spark.read.parquet(s"$dir/gen-4")
+    // consolidation ≡ full re-layout of the same rows: identical row
+    // set, zorderLayout's disjoint-file-interval invariant restored
+    val relaid = Layout.zorderLayout(grid(0L, 3500L), col("ix"), col("iy"), 3)
+    assert(merged.select("ix", "iy", "v", "z_key").collect().toSet ==
+      relaid.select("ix", "iy", "v", "z_key").collect().toSet)
+    val fileRanges = merged
+      .select(input_file_name().as("f"), col("z_key"))
+      .groupBy("f").agg(min("z_key").as("lo"), max("z_key").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    fileRanges.sliding(2).foreach {
+      case Array(a, b) => assert(a._2 < b._1, s"merged files overlap: $a $b")
+      case _ =>
+    }
+    // zorderOptimize(maxGenerations=G): the pass that pushes the count
+    // past G triggers consolidation automatically
+    for (i <- 0 until 2) {
+      Layout.zorderAppend(
+        grid(3500L + i * 100L, 3600L + i * 100L), col("ix"), col("iy"), dir)
+      assert(Layout.zorderOptimize(spark, dir, 2, maxGenerations = 2) == 100L)
+    }
+    // after cycle 1: gen-4 + gen-5 (2 ≤ G, no merge); after cycle 2 the
+    // third generation trips the policy and all merge into one
+    assert(gens().size == 1, gens().mkString(","))
+    assert(Layout.zorderTable(spark, dir).count() == 3700L)
+    assert(Layout.zorderTable(spark, dir)
+      .select(countDistinct("v")).collect()(0).getLong(0) == 3700L)
+  }
+
   // --- M72 bloom-filter point-lookup layout -----------------------------
 
   test("bloomLayout: point lookup scans a fraction of the row groups, same rows") {

@@ -230,4 +230,165 @@ class PqSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  // --- Persisted IVF+PQ index -------------------------------------------
+
+  test("ivfPqSearchPersisted equals the in-plan ivfPqSearch bit-for-bit") {
+    import org.apache.spark.sql.functions._
+    val big = spark.range(60L).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(3)),
+        d => (((col("id") * 13 + d * 11) % 29) + (col("id") % 5) + 1)
+          .cast("float"))
+        .as("embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("ivfpqidx").toString
+    Similarity.ivfPqWriteIndex(big, s"$dir/index", numFiles = 3,
+      m = 2, dims = 4, centroidMod = 7, coarseMod = 20)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+      .toSet
+    val inPlan = rows(Similarity.ivfPqSearch(big, nQueries = 5, k = 4,
+      m = 2, dims = 4, centroidMod = 7, coarseMod = 20, nprobe = 2))
+    val persisted = rows(Similarity.ivfPqSearchPersisted(spark,
+      s"$dir/index", big, nQueries = 5, k = 4,
+      m = 2, dims = 4, centroidMod = 7, coarseMod = 20, nprobe = 2))
+    assert(persisted == inPlan)
+    // the persisted files are range-clustered: each owns a contiguous,
+    // non-overlapping list_id interval (what makes footer stats prune)
+    // (range partitioning is on (list_id, neighbor_id), so one large
+    // list may straddle a file boundary — intervals may TOUCH at the
+    // boundary list but never properly interleave)
+    val fileRanges = spark.read.parquet(s"$dir/index")
+      .select(input_file_name().as("f"), col("list_id"))
+      .groupBy("f").agg(min("list_id").as("lo"), max("list_id").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+      .sortBy(r => (r._1, r._2))
+    fileRanges.sliding(2).foreach {
+      case Array(a, b) => assert(a._2 <= b._1, s"index files overlap: $a $b")
+      case _ =>
+    }
+  }
+
+  // --- Lloyd-trained PQ codebooks (fixed ksub) ---------------------------
+
+  /** Driver-side reference Lloyd trainer mirroring the documented
+    * contract: init = subvectors of the ksub smallest train vec_ids;
+    * assign = exact squared L2, tie to the lower index; update =
+    * per-dim mean rounded HALF_UP to integer; empty clusters keep their
+    * centroid. `vecs` must be quantized rows sorted by vec_id. */
+  private def lloydRef(
+      vecs: Array[Array[Double]], m: Int, subDim: Int,
+      ksub: Int, iters: Int): Array[Array[Double]] = {
+    var books = vecs.take(ksub).map(_.clone())
+    for (_ <- 0 until iters) {
+      val next = books.map(_.clone())
+      for (s <- 0 until m) {
+        val assign = vecs.map { v =>
+          var best = Double.MaxValue; var bi = 0
+          for (c <- 0 until ksub) {
+            var d2 = 0.0
+            var d = 0
+            while (d < subDim) {
+              val diff = v(s * subDim + d) - books(c)(s * subDim + d)
+              d2 += diff * diff
+              d += 1
+            }
+            if (d2 < best) { best = d2; bi = c }
+          }
+          bi
+        }
+        for (c <- 0 until ksub) {
+          val members = vecs.indices.filter(assign(_) == c)
+          if (members.nonEmpty)
+            for (d <- 0 until subDim)
+              next(c)(s * subDim + d) = BigDecimal(
+                members.map(i => vecs(i)(s * subDim + d)).sum / members.size)
+                .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble
+        }
+      }
+      books = next
+    }
+    books
+  }
+
+  test("pqTrainCodebooks matches the driver-side Lloyd reference") {
+    import org.apache.spark.sql.functions._
+    val big = spark.range(60L).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(3)),
+        d => (((col("id") * 13 + d * 11) % 29) + (col("id") % 5) + 1)
+          .cast("float"))
+        .as("embedding"))
+    val got = Similarity.pqTrainCodebooks(big, m = 2, dims = 4,
+      ksub = 3, iters = 2, trainMod = 2)
+    val train = big.where(col("vec_id") % 2 === 0)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => round(x.cast("double") * 1000, 0))
+          .as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1).map(_._2)
+    val want = lloydRef(train, m = 2, subDim = 2, ksub = 3, iters = 2)
+    assert(got.map(_.toSeq).toSeq == want.map(_.toSeq).toSeq)
+    // the trained centroids moved off their init values (training did
+    // something) and stayed integer-valued (the exactness contract)
+    assert(got.map(_.toSeq).toSeq != train.take(3).map(_.toSeq).toSeq)
+    assert(got.flatten.forall(x => x == math.rint(x)))
+  }
+
+  test("pqEncodeTrained assigns to the nearest TRAINED centroid; " +
+    "codes are indices 0..ksub-1") {
+    import org.apache.spark.sql.functions._
+    val big = spark.range(60L).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(3)),
+        d => (((col("id") * 13 + d * 11) % 29) + (col("id") % 5) + 1)
+          .cast("float"))
+        .as("embedding"))
+    val books = Similarity.pqTrainCodebooks(big, m = 2, dims = 4,
+      ksub = 3, iters = 2, trainMod = 2)
+    val codes = Similarity.pqEncodeTrained(big, m = 2, dims = 4,
+      ksub = 3, iters = 2, trainMod = 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(codes.size == 60)
+    assert(codes.values.flatten.forall(c => c >= 0 && c < 3))
+    // brute-force check on every vector
+    val vecs = big.select(col("vec_id"),
+      transform(col("embedding"), x => round(x.cast("double") * 1000, 0)))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    vecs.foreach { case (id, v) =>
+      for (s <- 0 until 2) {
+        var best = Double.MaxValue; var bi = 0L
+        for (c <- 0 until 3) {
+          var d2 = 0.0
+          for (d <- 0 until 2) {
+            val diff = v(s * 2 + d) - books(c)(s * 2 + d)
+            d2 += diff * diff
+          }
+          if (d2 < best) { best = d2; bi = c.toLong }
+        }
+        assert(codes(id)(s) == bi, s"vec $id sub $s")
+      }
+    }
+  }
+
+  test("pqSearchTrained with a saturated codebook is exact squared L2: " +
+    "the planted duplicate ranks first at distance 0") {
+    // ksub = corpus size, iters = 0: every vector's subvectors are their
+    // own codebook entries, so the ADC estimate IS the exact squared L2.
+    // Query 1's exact duplicates are vec 61 (planted) and vec 10 (a
+    // natural collision of the fixture arithmetic) — exactly those two
+    // must sit at distance 0, everything else strictly above.
+    val out = Similarity.pqSearchTrained(bigWithDup, nQueries = 2, k = 3,
+      m = 2, dims = 4, ksub = 62, iters = 0, trainMod = 1)
+      .where(org.apache.spark.sql.functions.col("query_id") === 1L)
+      .collect().sortBy(_.getInt(2))
+    val zeros = out.filter(_.getLong(3) == 0L).map(_.getLong(1)).toSet
+    assert(zeros == Set(10L, 61L), out.map(_.toString).mkString(","))
+    assert(out.filterNot(r => zeros(r.getLong(1))).forall(_.getLong(3) > 0L))
+  }
+
+  test("pqSearchTrained at small trained ksub still recalls the exact " +
+    "duplicate's codes (identical vector, identical codes)") {
+    val codes = Similarity.pqEncodeTrained(bigWithDup, m = 2, dims = 4,
+      ksub = 4, iters = 2, trainMod = 3)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(codes(61L) == codes(1L))
+  }
 }

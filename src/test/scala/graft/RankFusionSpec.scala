@@ -86,6 +86,21 @@ class RankFusionSpec extends SparkSpec {
     }
   }
 
+  test("rrfFuse dedupes a malformed leg to its best rank per (query, doc)") {
+    // leg A returns doc 10 TWICE (rank 1 and rank 3) — a caller passing
+    // a non-top-k relation. The fusion must count it once, at rank 1,
+    // and legs_hit must stay <= the number of legs.
+    val a = Seq((0L, 10L, 1), (0L, 10L, 3), (0L, 11L, 2))
+      .toDF("query_id", "doc_id", "rank")
+    val b = Seq((0L, 10L, 1)).toDF("query_id", "doc_id", "rank")
+    val out = RankFusion.rrfFuse(Seq(a, b), k = 4).collect()
+      .map(r => r.getLong(1) -> ((r.getLong(3), r.getLong(4)))).toMap
+    // doc 10: one contribution per leg at rank 1 (16393443 each), 2 legs
+    assert(out(10L) == ((2L * 16393443L, 2L)))
+    // doc 11: single rank-2 contribution
+    assert(out(11L) == ((16129032L, 1L)))
+  }
+
   test("rrfFuse rejects empty legs and bad parameters") {
     intercept[IllegalArgumentException] { RankFusion.rrfFuse(Nil, k = 5) }
     val a = Seq((0L, 1L, 1)).toDF("query_id", "doc_id", "rank")
