@@ -2372,6 +2372,104 @@ object QueriesML {
         |  FROM adc)
         |WHERE rank <= 5""".stripMargin)),
 
+    // M70 IVF+PQ over a PERSISTED index: identical search semantics to
+    // q_ivfpq_search (same probes, LUTs, ADC arithmetic — the oracle IS
+    // q_ivfpq_search's), but the corpus side reads the parquet index
+    // written by ivfPqWriteIndex range-clustered by list_id, with the
+    // probed-list IN predicate pushed to the scan — the storage shape
+    // that turns coarse pruning into bytes NOT read (ScaleBench B43
+    // REQUIREs the scan-level row count at 1M vectors).
+    Q("q_ivfpq_persisted",
+      (s, d) => {
+        val dir = java.nio.file.Files.createTempDirectory("ivfpqidx").toString
+        Similarity.ivfPqWriteIndex(embeddings(s, d), s"$dir/index",
+          numFiles = 4, m = 8, dims = 64, centroidMod = 97, coarseMod = 83)
+        Similarity.ivfPqSearchPersisted(s, s"$dir/index", embeddings(s, d),
+          nQueries = 20, k = 5, m = 8, dims = 64, centroidMod = 97,
+          coarseMod = 83, nprobe = 2)
+      },
+      Some(s"""WITH $QuantCte,
+        |$IvfPqAdcCtes
+        |SELECT query_id, neighbor_id, rank, adc_dist FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |               ORDER BY adc_dist, neighbor_id) AS rank
+        |  FROM adc)
+        |WHERE rank <= 5""".stripMargin)),
+
+    // M70 Lloyd-TRAINED PQ codebooks at fixed ksub (FAISS trains
+    // ksub=256 by k-means, Jégou 2011 §III.A — the subset codebook's
+    // ksub = N/centroidMod grows with the corpus; training makes it
+    // scale-invariant). Deterministic end-to-end: init = subvectors of
+    // the ksub smallest training vec_ids, 2 Lloyd rounds of assign
+    // (exact integer d², tie → lower index) + update (per-dim mean
+    // rounded to integer; empty clusters keep their centroid), then the
+    // full corpus encoded against the trained books. The oracle replays
+    // init → (assign → update) × 2 → encode; every intermediate stays
+    // integer-valued so both engines agree bit-for-bit.
+    Q("q_pq_trained",
+      (s, d) => Similarity.pqEncodeTrained(embeddings(s, d), m = 8,
+        dims = 64, ksub = 4, iters = 2, trainMod = 7)
+        .select(col("vec_id"), posexplode(col("codes")).as(Seq("sub", "code")))
+        .withColumn("sub", col("sub").cast("long")),
+      Some(s"""WITH $QuantCte,
+        |tr AS (SELECT vec_id, v FROM q WHERE vec_id % 7 = 0),
+        |init AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci, v
+        |         FROM tr ORDER BY vec_id LIMIT 4),
+        |cb0 AS (SELECT ci, s, list_slice(v, s*8+1, s*8+8) AS cs
+        |        FROM init, range(8) t(s)),
+        |tsub AS (SELECT vec_id, s, list_slice(v, s*8+1, s*8+8) AS vs
+        |         FROM tr, range(8) t(s)),
+        |a1 AS (SELECT vec_id, s, ci FROM (
+        |         SELECT tsub.vec_id, tsub.s, cb0.ci,
+        |                row_number() OVER (PARTITION BY tsub.vec_id, tsub.s
+        |                  ORDER BY list_dot_product(vs, vs)
+        |                    - 2*list_dot_product(vs, cs)
+        |                    + list_dot_product(cs, cs), ci) AS rn
+        |         FROM tsub JOIN cb0 ON tsub.s = cb0.s) WHERE rn = 1),
+        |u1 AS (SELECT a1.s, a1.ci, t.d,
+        |              round(sum(vs[t.d + 1]) / count(*), 0) AS cx
+        |       FROM a1 JOIN tsub ON a1.vec_id = tsub.vec_id
+        |                        AND a1.s = tsub.s
+        |       CROSS JOIN range(8) t(d)
+        |       GROUP BY 1, 2, 3),
+        |cb1e AS (SELECT cb0.ci, cb0.s, d.d,
+        |                coalesce(u1.cx, cs[d.d + 1]) AS cx
+        |         FROM cb0 CROSS JOIN range(8) d(d)
+        |         LEFT JOIN u1 ON u1.s = cb0.s AND u1.ci = cb0.ci
+        |                     AND u1.d = d.d),
+        |cb1 AS (SELECT ci, s, list(cx ORDER BY d) AS cs
+        |        FROM cb1e GROUP BY 1, 2),
+        |a2 AS (SELECT vec_id, s, ci FROM (
+        |         SELECT tsub.vec_id, tsub.s, cb1.ci,
+        |                row_number() OVER (PARTITION BY tsub.vec_id, tsub.s
+        |                  ORDER BY list_dot_product(vs, vs)
+        |                    - 2*list_dot_product(vs, cs)
+        |                    + list_dot_product(cs, cs), ci) AS rn
+        |         FROM tsub JOIN cb1 ON tsub.s = cb1.s) WHERE rn = 1),
+        |u2 AS (SELECT a2.s, a2.ci, t.d,
+        |              round(sum(vs[t.d + 1]) / count(*), 0) AS cx
+        |       FROM a2 JOIN tsub ON a2.vec_id = tsub.vec_id
+        |                        AND a2.s = tsub.s
+        |       CROSS JOIN range(8) t(d)
+        |       GROUP BY 1, 2, 3),
+        |cb2e AS (SELECT cb1.ci, cb1.s, d.d,
+        |                coalesce(u2.cx, cs[d.d + 1]) AS cx
+        |         FROM cb1 CROSS JOIN range(8) d(d)
+        |         LEFT JOIN u2 ON u2.s = cb1.s AND u2.ci = cb1.ci
+        |                     AND u2.d = d.d),
+        |cb2 AS (SELECT ci, s, list(cx ORDER BY d) AS cs
+        |        FROM cb2e GROUP BY 1, 2),
+        |subs AS (SELECT vec_id, s, list_slice(v, s*8+1, s*8+8) AS vs
+        |         FROM q, range(8) t(s))
+        |SELECT vec_id, s AS sub, ci AS code FROM (
+        |  SELECT subs.vec_id, subs.s, cb2.ci,
+        |         row_number() OVER (PARTITION BY subs.vec_id, subs.s
+        |           ORDER BY list_dot_product(vs, vs)
+        |             - 2*list_dot_product(vs, cs)
+        |             + list_dot_product(cs, cs), ci) AS rn
+        |  FROM subs JOIN cb2 ON subs.s = cb2.s)
+        |WHERE rn = 1""".stripMargin)),
+
     // M70 ADC top-R + exact re-rank (the FAISS refine stage,
     // IndexRefineFlat): PQ buys the scan, raw vectors re-score the few
     // survivors, so the final ranking has zero quantization error.
