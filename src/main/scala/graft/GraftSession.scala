@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSession
 /** The engine's SparkSession recipe: AQE on (runtime re-plan, partition
   * coalescing, skew-join splitting), shuffle partitions sized to the
   * local core count (a real cluster would size to 2-3× total cores),
-  * UTC session time. */
+  * UTC session time, RocksDB state store for all stateful streams. */
 object GraftSession {
   def build(cpus: String): SparkSession = {
     val s = SparkSession.builder()
@@ -16,6 +16,20 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true") // ns events table
+      // the DEFAULT state store for every stateful stream: the HDFS-backed
+      // provider keeps all state in executor HEAP (an eviction-less
+      // in-memory map per partition), which caps state at memory size and
+      // taxes GC at 100 TB streams; RocksDB spills to local disk with
+      // changelog files in the checkpoint. Durability under kill/restart
+      // is proven for BOTH sketch monitors in ScaleBench B41.
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // parquet IN pushdown: above this many values Spark degrades the
+      // pushed predicate to a [min,max] RANGE, which defeats row-group
+      // pruning for scattered key sets — exactly the shape of the
+      // persisted-index probed-list lookup (M70: nQueries × nprobe list
+      // ids) and the M72 point lookup. 512 keeps those as or-of-eq.
+      .config("spark.sql.parquet.pushdown.inFilterThreshold", "512")
       .config("spark.ui.enabled", "false")
       .withExtensions(graft.functions.GraftFunctions.inject)
       .getOrCreate()

@@ -1580,15 +1580,19 @@ object ScaleBench {
     // killed mid-series at a real checkpointLocation and restarted as
     // a NEW query over the same checkpoint; the recovered state must
     // finish EXACTLY where an uninterrupted run would.
-    //   leg 1 (CMS, RocksDB state store): 10 file micro-batches, STOP
-    //     after 5, restart for the rest. Final per-shard counters
-    //     (from the post-restart emissions alone — state must have
-    //     been recovered, not rebuilt) summed cell-by-cell must equal
-    //     the whole-corpus batch cmsBuild bit-for-bit.
-    //   leg 2 (HLL, default HDFS-backed store): same kill/restart;
-    //     the unioned final shard sketches must estimate EXACTLY the
-    //     whole-corpus batch estimate (HLL registers are per-slot
-    //     maxima — union is grouping- and interruption-independent).
+    //   leg 1 (CMS): 10 file micro-batches, STOP after 5, restart for
+    //     the rest. Final per-shard counters (from the post-restart
+    //     emissions alone — state must have been recovered, not
+    //     rebuilt) summed cell-by-cell must equal the whole-corpus
+    //     batch cmsBuild bit-for-bit.
+    //   leg 2 (HLL): same kill/restart; the unioned final shard
+    //     sketches must estimate EXACTLY the whole-corpus batch
+    //     estimate (HLL registers are per-slot maxima — union is
+    //     grouping- and interruption-independent).
+    // BOTH legs run under the RocksDB state store — since r17 the
+    // GraftSession-wide default (SCALE.md), not a per-leg override, so
+    // this entry certifies recovery under the provider every stateful
+    // stream actually uses.
     val b41in = java.nio.file.Files.createTempDirectory("scale_ckpt_in")
     val b41ck = java.nio.file.Files.createTempDirectory("scale_ckpt_state")
     def b41feed(lo: Int, hi: Int): Unit =
@@ -1619,9 +1623,10 @@ object ScaleBench {
         .outputMode("update").start()
       try q.processAllAvailable() finally q.stop()
     }
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    val (b41s, b41n) = try time {
+    require(spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+      .contains("RocksDB"),
+      "B41 must run under the RocksDB session default (GraftSession)")
+    val (b41s, b41n) = time {
       b41phase() // batches 0-4, then the query is KILLED
       b41feed(5, 10)
       b41buf.clear() // post-restart emissions alone must carry full state
@@ -1644,9 +1649,7 @@ object ScaleBench {
         s"B41 restarted CMS != batch (${merged.size} vs ${batch.size} " +
           "cells) - checkpoint recovery lost or duplicated state")
       merged.size.toLong
-    } finally spark.conf.set(
-      "spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+    }
     deleteRecursive(b41in); deleteRecursive(b41ck); Caching.release()
 
     val b41hin = java.nio.file.Files.createTempDirectory("scale_ckpt_hll_in")
@@ -1779,6 +1782,10 @@ object ScaleBench {
     deleteRecursive(b42freshDir); deleteRecursive(b42lifeDir)
     Caching.release()
 
+    // round-17 entries (B42c lifecycle cadence, B43 persisted IVF+PQ,
+    // B33t trained codebooks, B44 hybrid e2e) — see ScaleBenchEntries
+    val r17Json = ScaleBenchEntries.all(spark)
+
     val b1rate = "%.1f".format(src.ncells * 32 / b1s / 1e6)
     val b3rate = "%.1f".format(b3n / b3s / 1e6)
     val json =
@@ -1859,7 +1866,8 @@ object ScaleBench {
         s""""b41_cms_restart_sec":$b41s,"b41_rows":20000000,"b41_cells":$b41n,""" +
         s""""b41_hll_restart_sec":$b41hs,"b41_hll_est":$b41hn,""" +
         s""""b42_optimize_sec":$b42s,"b42_rows":20000000,"b42_appended":4000000,""" +
-        s""""b42_scan_fresh":$b42fresh,"b42_scan_tail":$b42tail,"b42_scan_opt":$b42opt}"""
+        s""""b42_scan_fresh":$b42fresh,"b42_scan_tail":$b42tail,"b42_scan_opt":$b42opt,""" +
+        r17Json + "}"
     println(json)
     // Fold the per-entry minimum across the run series into a "best"
     // object before persisting: the committed artifact carries BOTH the

@@ -1,0 +1,330 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+import graft.similarity.Similarity
+
+/** Round-17 ScaleBench entries, factored out of the monolithic
+  * [[ScaleBench]] main so each can also run in isolation
+  * ([[ScaleBenchOne]]) while iterating. Each returns the JSON key/value
+  * fragment spliced into ScaleBench's single output line; every entry
+  * carries its own REQUIREs, so a silent regression cannot produce a
+  * number.
+  *
+  *  - B42c: z-order lifecycle under a real OPTIMIZE cadence — 8
+  *    append/optimize cycles with maxGenerations=4; REQUIREs the
+  *    generation bound and the scanned-rows curve.
+  *  - B43:  PERSISTED IVF+PQ index — probed-list pruning measured at
+  *    the parquet SCAN's numOutputRows, not the join's.
+  *  - B33t: Lloyd-trained fixed-ksub PQ codebooks — recall ≥ the
+  *    subset-codebook path at the same index bytes (same ksub).
+  *  - B44:  end-to-end hybrid retrieval (BM25 + IVF+PQ + RRF) at 1M
+  *    docs / 1M vectors — certifies the COMPOSITION, not just the legs.
+  */
+object ScaleBenchEntries {
+
+  private def time(f: => Long): (Double, Long) = {
+    val t0 = System.nanoTime()
+    val n = f
+    ((System.nanoTime() - t0) / 1e9, n)
+  }
+
+  private def deleteRecursive(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+      .foreach(java.nio.file.Files.deleteIfExists(_))
+  }
+
+  /** The B40 planted-duplicate corpus: 1,000,100 32-dim vectors, ids
+    * ≥ 1M duplicating vector (id − 1M) — so query q's true nearest
+    * neighbor is 1M+q by construction. */
+  private def dupVecs(spark: SparkSession): DataFrame =
+    spark.range(1000100L).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(31)),
+        d => (pmod(xxhash64(
+          when(col("id") >= 1000000L, col("id") - 1000000L)
+            .otherwise(col("id")), d), lit(1997L)) - 998)
+          .cast("double") / 1000.0).as("embedding"))
+
+  /** Execute `df`'s own physical plan and return (rows, parquet-scan
+    * numOutputRows) — metrics live on the executed plan's scan nodes.
+    * AQE wraps any exchange-bearing plan in AdaptiveSparkPlanExec (a
+    * childless node, so collectLeaves alone would miss every scan) and
+    * materialized stages in QueryStageExec — both are descended
+    * explicitly. */
+  private def scanMetrics(df: DataFrame): (Long, Long) = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val hits = df.queryExecution.toRdd.count()
+    def scans(plan: SparkPlan): Seq[FileSourceScanExec] = plan match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case s: FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(scans)
+    }
+    val scanned = scans(df.queryExecution.executedPlan)
+      .map(_.metrics("numOutputRows").value).sum
+    (hits, scanned)
+  }
+
+  // --- B42c: z-order lifecycle under an OPTIMIZE cadence ----------------
+  //
+  // B42 proves ONE optimize pass. A 100 TB table lives for years: this
+  // entry runs 8 append(1M)/optimize cycles on a 16M-row base with
+  // maxGenerations = 4 and measures the box-scan cost at EVERY cycle —
+  // the generation-count curve the consolidation threshold G is chosen
+  // from (SCALE.md records it). REQUIREs: every optimize compacts
+  // exactly its tail; #generations never exceeds G; box results stay
+  // exact at every cycle; the scanned fraction never exceeds 5% of the
+  // table (vs ~1.75% fresh — i.e. bounded by the generation count, not
+  // growing with the number of passes, which without consolidation
+  // would reach #passes × fresh).
+  def b42c(spark: SparkSession): String = {
+    val n0 = 2048L * 2048L
+    def rows(lo: Long, hi: Long) = spark.range(lo, hi).select(
+      ((col("id") % n0) / 2048L).cast("long").as("ix"),
+      (col("id") % 2048L).as("iy"),
+      col("id").as("v"))
+    val ranges = graft.ops.Layout.zRangesForBox(
+      512, 767, 512, 767, bits = 11, maxRanges = 64)
+    def boxScan(df: DataFrame): (Long, Long) = scanMetrics(
+      df.where(graft.ops.Layout.inZRanges(col("z_key"), ranges))
+        .where(col("ix").between(512, 767) && col("iy").between(512, 767)))
+    val small = Map("parquet.block.size" -> (1L << 20).toString)
+    val dir = java.nio.file.Files.createTempDirectory("scale_zcadence")
+    graft.ops.Layout.zorderLayout(
+      rows(0L, 16000000L), col("ix"), col("iy"), 13)
+      .write.mode("errorifexists").options(small)
+      .parquet(s"$dir/gen-0")
+    var total = 16000000L
+    var optSecTotal = 0.0
+    var maxGens = 0
+    var maxFrac = 0.0
+    val curve = scala.collection.mutable.ArrayBuffer.empty[String]
+    for (i <- 0 until 8) {
+      graft.ops.Layout.zorderAppend(
+        rows(total, total + 1000000L), col("ix"), col("iy"), dir.toString)
+      total += 1000000L
+      val (s, compacted) = time {
+        graft.ops.Layout.zorderOptimize(
+          spark, dir.toString, 4, maxGenerations = 4)
+      }
+      require(compacted == 1000000L,
+        s"B42c cycle $i compacted $compacted rows, want 1M")
+      optSecTotal += s
+      val gens = Option(new java.io.File(dir.toString).listFiles())
+        .getOrElse(Array())
+        .count(f => f.isDirectory && f.getName.startsWith("gen-"))
+      require(gens <= 4, s"B42c cycle $i left $gens generations > G=4")
+      val (hits, scanned) = boxScan(
+        graft.ops.Layout.zorderTable(spark, dir.toString))
+      val want = rows(0L, total)
+        .where(col("ix").between(512, 767) && col("iy").between(512, 767))
+        .count()
+      require(hits == want, s"B42c cycle $i box hits $hits != exact $want")
+      maxGens = math.max(maxGens, gens)
+      maxFrac = math.max(maxFrac, scanned.toDouble / total)
+      curve += s"""{"cycle":${i + 1},"gens":$gens,"rows":$total,"scanned":$scanned}"""
+    }
+    require(maxFrac <= 0.05,
+      s"B42c scanned fraction peaked at $maxFrac > 5% - generations " +
+        "are not being consolidated")
+    deleteRecursive(dir)
+    s""""b42c_opt_total_sec":$optSecTotal,"b42c_cycles":8,""" +
+      s""""b42c_max_gens":$maxGens,""" +
+      s""""b42c_max_scan_frac":${"%.4f".format(maxFrac)},""" +
+      s""""b42c_curve":[${curve.mkString(",")}]"""
+  }
+
+  // --- B43: persisted IVF+PQ index — pruning at the parquet SCAN --------
+  //
+  // ivfPqSearch prunes what gets SCORED; this entry proves the persisted
+  // index prunes what gets READ. 1M vectors, 1004 coarse lists
+  // (coarseMod 997, ~1000 rows each), index written range-clustered by
+  // list_id with 64 KB row groups (≲ the per-list footprint, mirroring
+  // the production regime where lists ≫ row groups). 10 queries ×
+  // nprobe 4 probe ≤ 40 lists (~4% of the corpus); the pushed-down
+  // probed-list IN must hold the SCAN's numOutputRows within row-group
+  // granularity of the exact probed row count — REQUIREd ≤ 3× exact and
+  // ≤ 12.5% of the corpus — while recall stays the planted duplicate
+  // for every query.
+  def b43(spark: SparkSession): String = {
+    val vecs = dupVecs(spark).persist()
+    vecs.count()
+    val dir = java.nio.file.Files.createTempDirectory("scale_ivfpq_idx")
+    val (b43ws, b43wn) = time {
+      Similarity.ivfPqWriteIndex(vecs, s"$dir/index", numFiles = 64,
+        m = 8, dims = 32, centroidMod = 4096, coarseMod = 997,
+        writerOptions = Map("parquet.block.size" -> (64L << 10).toString))
+      spark.read.parquet(s"$dir/index").count()
+    }
+    require(b43wn == 1000100L, s"B43 index holds $b43wn rows, want 1000100")
+    // exact probed-row expectation: the union of probed lists' sizes
+    val cents = Similarity.coarseCents(vecs, 997)
+    val probes = Similarity.ivfProbes(vecs, cents, nQueries = 10, nprobe = 4)
+    val probedLists = probes.select("list_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val probedRows = spark.read.parquet(s"$dir/index")
+      .groupBy("list_id").count().collect()
+      .filter(r => probedLists(r.getLong(0))).map(_.getLong(1)).sum
+    var b43top1 = 0L
+    val (b43s, b43n) = time {
+      val out = Similarity.ivfPqSearchPersisted(spark, s"$dir/index", vecs,
+        nQueries = 10, k = 10, m = 8, dims = 32, centroidMod = 4096,
+        coarseMod = 997, nprobe = 4)
+      val top1 = out.where(col("rank") === 1)
+        .select(col("query_id"), col("neighbor_id")).collect()
+      require(top1.length == 10, s"B43 ${top1.length} rank-1 rows, want 10")
+      top1.foreach { r =>
+        require(r.getLong(1) == r.getLong(0) + 1000000L,
+          s"B43 query ${r.getLong(0)}: top-1 ${r.getLong(1)} is not the " +
+            s"planted duplicate ${r.getLong(0) + 1000000L}") }
+      b43top1 = top1.length
+      out.count()
+    }
+    val (b43cs, scanPair) = time {
+      val (_, scanned) = scanMetrics(Similarity.ivfPqScoredPersisted(
+        spark, s"$dir/index", vecs, nQueries = 10, m = 8, dims = 32,
+        centroidMod = 4096, coarseMod = 997, nprobe = 4))
+      scanned
+    }
+    val b43scanned = scanPair
+    require(b43scanned >= probedRows,
+      s"B43 scan read $b43scanned < probed rows $probedRows - metric broken")
+    require(b43scanned <= 3L * probedRows,
+      s"B43 scan read $b43scanned rows > 3x the exact probed $probedRows " +
+        "- row-group pruning is not engaging on the persisted index")
+    require(b43scanned <= 1000100L / 8,
+      s"B43 scan read $b43scanned of 1000100 rows - the persisted index " +
+        "is not moving the win from rows-scored to bytes-read")
+    vecs.unpersist()
+    deleteRecursive(dir)
+    Caching.release()
+    s""""b43_index_write_sec":$b43ws,"b43_index_rows":$b43wn,""" +
+      s""""b43_search_sec":$b43s,"b43_results":$b43n,""" +
+      s""""b43_recall_top1":$b43top1,"b43_queries":10,"b43_nprobe":4,""" +
+      s""""b43_nlists":1004,"b43_probed_rows":$probedRows,""" +
+      s""""b43_scan_rows":$b43scanned,"b43_scan_count_sec":$b43cs,""" +
+      s""""b43_scan_frac":${"%.4f".format(b43scanned.toDouble / 1000100L)}"""
+  }
+
+  // --- B33t: Lloyd-trained fixed-ksub PQ codebooks ------------------------
+  //
+  // B33's codebook is the vec_id ≡ 0 (mod 4096) SUBSET (ksub = 245 grows
+  // with the corpus); this entry trains ksub = 245 by 2 Lloyd rounds on
+  // the 1004-row training sample (trainMod 997) — the scale-invariant
+  // FAISS shape — and REQUIREs recall ≥ the subset path's at the SAME
+  // index bytes (same ksub, same m): the planted duplicate must be
+  // rank-1 for all 100 queries, exactly what B33 REQUIREs of the subset
+  // codebook.
+  def b33t(spark: SparkSession): String = {
+    val vecs = dupVecs(spark).persist()
+    vecs.count()
+    val (b33tts, _) = time {
+      val books = Similarity.pqTrainCodebooks(vecs, m = 8, dims = 32,
+        ksub = 245, iters = 2, trainMod = 997)
+      books.length.toLong
+    }
+    var b33ttop1 = 0L
+    val (b33ts, b33tn) = time {
+      val out = Similarity.pqSearchTrained(vecs, nQueries = 100, k = 10,
+        m = 8, dims = 32, ksub = 245, iters = 2, trainMod = 997)
+      val top1 = out.where(col("rank") === 1)
+        .select(col("query_id"), col("neighbor_id")).collect()
+      require(top1.length == 100, s"B33t ${top1.length} rank-1 rows, want 100")
+      top1.foreach { r =>
+        require(r.getLong(1) == r.getLong(0) + 1000000L,
+          s"B33t query ${r.getLong(0)}: top-1 ${r.getLong(1)} is not the " +
+            s"planted duplicate ${r.getLong(0) + 1000000L}") }
+      b33ttop1 = top1.length
+      out.count()
+    }
+    vecs.unpersist()
+    Caching.release()
+    s""""b33t_train_sec":$b33tts,"b33t_ksub":245,"b33t_iters":2,""" +
+      s""""b33t_search_sec":$b33ts,"b33t_results":$b33tn,""" +
+      s""""b33t_recall_top1":$b33ttop1"""
+  }
+
+  // --- B44: end-to-end hybrid retrieval at 1M docs / 1M vectors ----------
+  //
+  // q_hybrid_rrf_ann proves the composition at sf0.1; its legs are
+  // proven at 1M separately (B40, and BM25's own gates). This entry
+  // runs the WHOLE chain at 1M: each query holds a token unique to its
+  // planted doc (lexical ground truth) and its embedding duplicates the
+  // planted doc's vector (semantic ground truth), so the fused top-1
+  // must be the planted doc for all 100 queries. Wall-time REQUIRE:
+  // fusion adds only query-scale work, so the fused run must stay
+  // within 1.5× the sum of its two leg costs (+5 s fixed slack).
+  def b44(spark: SparkSession): String = {
+    val vecs = dupVecs(spark).persist()
+    vecs.count()
+    val docs = spark.range(1000100L).select(
+      col("id").as("doc_id"),
+      concat(lit("alpha beta gamma delta tok"), col("id")).as("text"))
+      .persist()
+    docs.count()
+    val queries = (0 until 100).map(q => (q, s"tok${1000000 + q}"))
+    val (b44lexs, _) = time {
+      graft.text.Bm25.search(spark, docs, queries, topK = 10).count()
+    }
+    val (b44sems, _) = time {
+      Similarity.ivfPqSearch(vecs, nQueries = 100, k = 10, m = 8,
+        dims = 32, centroidMod = 4096, coarseMod = 9973, nprobe = 4).count()
+    }
+    var b44top1 = 0L
+    val (b44s, b44n) = time {
+      val out = graft.ops.RankFusion.hybridSearchAnn(spark, docs, vecs,
+        queries, kEach = 10, k = 5, rrfK = 60, m = 8, dims = 32,
+        centroidMod = 4096, coarseMod = 9973, nprobe = 4)
+      val top1 = out.where(col("rank") === 1)
+        .select(col("query_id"), col("doc_id")).collect()
+      require(top1.length == 100, s"B44 ${top1.length} rank-1 rows, want 100")
+      top1.foreach { r =>
+        require(r.getLong(1) == r.getLong(0) + 1000000L,
+          s"B44 query ${r.getLong(0)}: fused top-1 ${r.getLong(1)} is not " +
+            s"the planted doc ${r.getLong(0) + 1000000L}") }
+      b44top1 = top1.length
+      out.count()
+    }
+    require(b44s <= 1.5 * (b44lexs + b44sems) + 5.0,
+      s"B44 fused $b44s s > 1.5x legs (${b44lexs + b44sems} s) + 5 - " +
+        "fusion is doing corpus-scale work")
+    vecs.unpersist()
+    docs.unpersist()
+    Caching.release()
+    s""""b44_lex_leg_sec":$b44lexs,"b44_sem_leg_sec":$b44sems,""" +
+      s""""b44_hybrid_sec":$b44s,"b44_results":$b44n,""" +
+      s""""b44_fused_top1":$b44top1,"b44_docs":1000100,"b44_queries":100"""
+  }
+
+  /** All round-17 entries in run order — ScaleBench.main splices these
+    * fragments into its JSON line. */
+  def all(spark: SparkSession): String =
+    Seq(b42c(spark), b43(spark), b33t(spark), b44(spark)).mkString(",")
+}
+
+/** Run individual ScaleBench entries by name — the monolithic
+  * [[ScaleBench]] main takes ~20 min; this exists so one entry can be
+  * re-measured (or a new one developed) in isolation:
+  * `sbt "runMain graft.ScaleBenchOne b43 b44"`. */
+object ScaleBenchOne {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: ScaleBenchOne <entry> [<entry> ...]")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.build(cpus)
+    val entries: Map[String, SparkSession => String] = Map(
+      "b42c" -> ScaleBenchEntries.b42c,
+      "b43" -> ScaleBenchEntries.b43,
+      "b33t" -> ScaleBenchEntries.b33t,
+      "b44" -> ScaleBenchEntries.b44)
+    args.foreach { name =>
+      val fragment = entries.getOrElse(name,
+        sys.error(s"unknown entry '$name'; have ${entries.keys.mkString(", ")}"))
+      println(s"""{${fragment(spark)}}""")
+    }
+    spark.stop()
+  }
+}

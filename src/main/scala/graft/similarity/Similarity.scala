@@ -703,7 +703,14 @@ object Similarity {
     * `list_id`: range-repartitioned into `numFiles` files each owning a
     * contiguous list range, rows sorted by (list_id, neighbor_id) so
     * row-group min/max stats on list_id are tight. Written once; every
-    * [[ivfPqSearchPersisted]] reads only the probed slice. */
+    * [[ivfPqSearchPersisted]] reads only the probed slice.
+    *
+    * `writerOptions` passes parquet writer knobs through — pruning
+    * granularity is the ROW GROUP, so `parquet.block.size` should be
+    * sized at or below the expected per-list byte footprint
+    * (N/nlists × ~code-row bytes); at production scale (lists of 10⁶+
+    * rows) the default 128 MB already satisfies this, while small
+    * benchmark corpora need it lowered to see row-group-level pruning. */
   def ivfPqWriteIndex(
       embeddings: DataFrame,
       dir: String,
@@ -711,11 +718,12 @@ object Similarity {
       m: Int = 8,
       dims: Int = 64,
       centroidMod: Int = 97,
-      coarseMod: Int = 83): Unit =
+      coarseMod: Int = 83,
+      writerOptions: Map[String, String] = Map.empty): Unit =
     ivfPqIndex(embeddings, m, dims, centroidMod, coarseMod)
       .repartitionByRange(numFiles, col("list_id"), col("neighbor_id"))
       .sortWithinPartitions("list_id", "neighbor_id")
-      .write.mode("errorifexists").parquet(dir)
+      .write.mode("errorifexists").options(writerOptions).parquet(dir)
 
   /** [[ivfPqSearch]] over a PERSISTED index ([[ivfPqWriteIndex]]):
     * identical results (same probes, same LUTs, same ADC arithmetic —
@@ -919,7 +927,7 @@ object Similarity {
 
   /** Coarse-centroid relation (list_id, cv, cn) — metadata-sized,
     * broadcast at every use site. */
-  private def coarseCents(embeddings: DataFrame, coarseMod: Int): DataFrame =
+  private[graft] def coarseCents(embeddings: DataFrame, coarseMod: Int): DataFrame =
     embeddings
       .where(col("vec_id") % coarseMod === 0)
       .select(col("vec_id").as("list_id"), quantize(col("embedding")).as("cv"))
@@ -930,7 +938,7 @@ object Similarity {
     * + (cos desc, list_id) tie-break arithmetic as [[ivfAssign]], kept
     * to rank ≤ nprobe, shared by the raw and residual IVF+PQ paths so
     * a tie-break or rounding change can never diverge them. */
-  private def ivfProbes(
+  private[graft] def ivfProbes(
       embeddings: DataFrame,
       cents: DataFrame,
       nQueries: Int,

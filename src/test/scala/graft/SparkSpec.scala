@@ -12,6 +12,11 @@ object TestSpark {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // specs run under the engine's production state-store default
+      // (GraftSession sets the same) so every streaming spec certifies
+      // the RocksDB path, not just the heap-backed demo path
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .config("spark.ui.enabled", "false")
       .appName("graft-test")
       .getOrCreate()
