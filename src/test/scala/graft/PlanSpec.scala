@@ -277,6 +277,30 @@ class PlanSpec extends SparkSpec {
     assert(out.count() == 1)
   }
 
+  test("persisted IVF+PQ search pushes the probed-list IN into the " +
+    "parquet index scan") {
+    import org.apache.spark.sql.functions._
+    val big = spark.range(60L).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(3)),
+        d => (((col("id") * 13 + d * 11) % 29) + (col("id") % 5) + 1)
+          .cast("float"))
+        .as("embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("planspec_idx").toString
+    graft.similarity.Similarity.ivfPqWriteIndex(big, s"$dir/index",
+      numFiles = 3, m = 2, dims = 4, centroidMod = 7, coarseMod = 20)
+    val scored = graft.similarity.Similarity.ivfPqScoredPersisted(spark,
+      s"$dir/index", big, nQueries = 5, m = 2, dims = 4, centroidMod = 7,
+      coarseMod = 20, nprobe = 2)
+    val plan = scored.queryExecution.executedPlan.toString
+    // the probed-list predicate must reach the scan as an IN over
+    // list_id — a plan that filters list_id only above the scan (or
+    // pushes a degraded range) reads the whole index
+    assert(plan.contains("PushedFilters") &&
+      plan.replaceAll("\\s", "").contains("In(list_id"),
+      s"probed-list IN not pushed to the index scan:\n$plan")
+    assert(scored.count() > 0)
+  }
+
   test("quantizeInt8 plans ZERO shuffle exchanges (narrow per-row kernels)") {
     val emb = spark.createDataFrame(Seq(
       (1L, Array(0.1f, -0.2f)), (2L, Array(0.3f, 0.4f))))
