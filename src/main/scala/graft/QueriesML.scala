@@ -2470,6 +2470,161 @@ object QueriesML {
         |  FROM subs JOIN cb2 ON subs.s = cb2.s)
         |WHERE rn = 1""".stripMargin)),
 
+    // M5/M70 Lloyd-TRAINED coarse quantizer at fixed nlists — the other
+    // half of the index made scale-invariant (ivfAssign's nlists =
+    // N/coarseMod grows with the corpus; FAISS trains a fixed nlists by
+    // k-means). Assignment is max rounded cosine, and cosine is
+    // invariant to centroid scaling, so the plain mean update IS
+    // spherical k-means. Oracle replays init → (assign → update) × 2 →
+    // full-corpus assignment; same determinism contract as q_pq_trained
+    // (smallest-train-ids init, integer-rounded means, 6 dp cosine,
+    // ties to the lower list index).
+    Q("q_ivf_trained",
+      (s, d) => Similarity.ivfAssignTrained(embeddings(s, d), dims = 64,
+        nlists = 4, iters = 2, trainMod = 7),
+      Some(s"""WITH $QuantCte,
+        |tr AS (SELECT vec_id, v FROM q WHERE vec_id % 7 = 0),
+        |init AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS li, v AS cv
+        |         FROM tr ORDER BY vec_id LIMIT 4),
+        |cb0 AS (SELECT li, cv, list_dot_product(cv, cv) AS cn FROM init),
+        |tn AS (SELECT vec_id, v, list_dot_product(v, v) AS n FROM tr),
+        |a1 AS (SELECT vec_id, li FROM (
+        |         SELECT tn.vec_id, cb0.li,
+        |                row_number() OVER (PARTITION BY tn.vec_id
+        |                  ORDER BY round(list_dot_product(v, cv)
+        |                    / (sqrt(n) * sqrt(cn)), 6) DESC, li) AS rn
+        |         FROM tn, cb0) WHERE rn = 1),
+        |u1 AS (SELECT a1.li, t.d, round(sum(v[t.d + 1]) / count(*), 0) AS cx
+        |       FROM a1 JOIN tr ON a1.vec_id = tr.vec_id
+        |       CROSS JOIN range(64) t(d)
+        |       GROUP BY 1, 2),
+        |cb1e AS (SELECT cb0.li, d.d, coalesce(u1.cx, cv[d.d + 1]) AS cx
+        |         FROM cb0 CROSS JOIN range(64) d(d)
+        |         LEFT JOIN u1 ON u1.li = cb0.li AND u1.d = d.d),
+        |cb1l AS (SELECT li, list(cx ORDER BY d) AS cv FROM cb1e GROUP BY 1),
+        |cb1 AS (SELECT li, cv, list_dot_product(cv, cv) AS cn FROM cb1l),
+        |a2 AS (SELECT vec_id, li FROM (
+        |         SELECT tn.vec_id, cb1.li,
+        |                row_number() OVER (PARTITION BY tn.vec_id
+        |                  ORDER BY round(list_dot_product(v, cv)
+        |                    / (sqrt(n) * sqrt(cn)), 6) DESC, li) AS rn
+        |         FROM tn, cb1) WHERE rn = 1),
+        |u2 AS (SELECT a2.li, t.d, round(sum(v[t.d + 1]) / count(*), 0) AS cx
+        |       FROM a2 JOIN tr ON a2.vec_id = tr.vec_id
+        |       CROSS JOIN range(64) t(d)
+        |       GROUP BY 1, 2),
+        |cb2e AS (SELECT cb1.li, d.d, coalesce(u2.cx, cv[d.d + 1]) AS cx
+        |         FROM cb1 CROSS JOIN range(64) d(d)
+        |         LEFT JOIN u2 ON u2.li = cb1.li AND u2.d = d.d),
+        |cb2l AS (SELECT li, list(cx ORDER BY d) AS cv FROM cb2e GROUP BY 1),
+        |cb2 AS (SELECT li, cv, list_dot_product(cv, cv) AS cn FROM cb2l),
+        |qn AS (SELECT vec_id, v, list_dot_product(v, v) AS n FROM q)
+        |SELECT vec_id, li AS list_id FROM (
+        |  SELECT qn.vec_id, cb2.li,
+        |         row_number() OVER (PARTITION BY qn.vec_id
+        |           ORDER BY round(list_dot_product(v, cv)
+        |             / (sqrt(n) * sqrt(cn)), 6) DESC, li) AS rn
+        |  FROM qn, cb2) WHERE rn = 1""".stripMargin)),
+
+    // M70 FULLY-trained IVF+PQ: both index halves trained at fixed size
+    // (coarse nlists=4 AND PQ ksub=4, one Lloyd round each) — the
+    // complete FAISS IVFPQ training recipe, by_residual=false. The
+    // oracle replays coarse training + corpus assignment, PQ training +
+    // corpus encode, probe selection over the TRAINED lists, the
+    // trained-book LUT, and the ADC sum restricted to probed lists.
+    Q("q_ivfpq_trained",
+      (s, d) => Similarity.ivfPqSearchTrainedFull(embeddings(s, d),
+        nQueries = 20, k = 5, m = 8, dims = 64, ksub = 4, nlists = 4,
+        iters = 1, trainMod = 7, nprobe = 2),
+      Some(s"""WITH $QuantCte,
+        |tr AS (SELECT vec_id, v FROM q WHERE vec_id % 7 = 0),
+        |cinit AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS li, v AS cv
+        |          FROM tr ORDER BY vec_id LIMIT 4),
+        |ccb0 AS (SELECT li, cv, list_dot_product(cv, cv) AS cn FROM cinit),
+        |tn AS (SELECT vec_id, v, list_dot_product(v, v) AS n FROM tr),
+        |ca1 AS (SELECT vec_id, li FROM (
+        |          SELECT tn.vec_id, ccb0.li,
+        |                 row_number() OVER (PARTITION BY tn.vec_id
+        |                   ORDER BY round(list_dot_product(v, cv)
+        |                     / (sqrt(n) * sqrt(cn)), 6) DESC, li) AS rn
+        |          FROM tn, ccb0) WHERE rn = 1),
+        |cu1 AS (SELECT ca1.li, t.d, round(sum(v[t.d + 1]) / count(*), 0) AS cx
+        |        FROM ca1 JOIN tr ON ca1.vec_id = tr.vec_id
+        |        CROSS JOIN range(64) t(d)
+        |        GROUP BY 1, 2),
+        |ccb1e AS (SELECT ccb0.li, d.d, coalesce(cu1.cx, cv[d.d + 1]) AS cx
+        |          FROM ccb0 CROSS JOIN range(64) d(d)
+        |          LEFT JOIN cu1 ON cu1.li = ccb0.li AND cu1.d = d.d),
+        |ccb1l AS (SELECT li, list(cx ORDER BY d) AS cv FROM ccb1e GROUP BY 1),
+        |ccb1 AS (SELECT li, cv, list_dot_product(cv, cv) AS cn FROM ccb1l),
+        |qn AS (SELECT vec_id, v, list_dot_product(v, v) AS n FROM q),
+        |assign AS (SELECT vec_id, li AS list_id FROM (
+        |             SELECT qn.vec_id, ccb1.li,
+        |                    row_number() OVER (PARTITION BY qn.vec_id
+        |                      ORDER BY round(list_dot_product(v, cv)
+        |                        / (sqrt(n) * sqrt(cn)), 6) DESC, li) AS rn
+        |             FROM qn, ccb1) WHERE rn = 1),
+        |pinit AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci, v
+        |          FROM tr ORDER BY vec_id LIMIT 4),
+        |pcb0 AS (SELECT ci, s, list_slice(v, s*8+1, s*8+8) AS cs
+        |         FROM pinit, range(8) t(s)),
+        |tsub AS (SELECT vec_id, s, list_slice(v, s*8+1, s*8+8) AS vs
+        |         FROM tr, range(8) t(s)),
+        |pa1 AS (SELECT vec_id, s, ci FROM (
+        |          SELECT tsub.vec_id, tsub.s, pcb0.ci,
+        |                 row_number() OVER (PARTITION BY tsub.vec_id, tsub.s
+        |                   ORDER BY list_dot_product(vs, vs)
+        |                     - 2*list_dot_product(vs, cs)
+        |                     + list_dot_product(cs, cs), ci) AS rn
+        |          FROM tsub JOIN pcb0 ON tsub.s = pcb0.s) WHERE rn = 1),
+        |pu1 AS (SELECT pa1.s, pa1.ci, t.d,
+        |               round(sum(vs[t.d + 1]) / count(*), 0) AS cx
+        |        FROM pa1 JOIN tsub ON pa1.vec_id = tsub.vec_id
+        |                          AND pa1.s = tsub.s
+        |        CROSS JOIN range(8) t(d)
+        |        GROUP BY 1, 2, 3),
+        |pcb1e AS (SELECT pcb0.ci, pcb0.s, d.d,
+        |                 coalesce(pu1.cx, cs[d.d + 1]) AS cx
+        |          FROM pcb0 CROSS JOIN range(8) d(d)
+        |          LEFT JOIN pu1 ON pu1.s = pcb0.s AND pu1.ci = pcb0.ci
+        |                       AND pu1.d = d.d),
+        |pcb1 AS (SELECT ci, s, list(cx ORDER BY d) AS cs
+        |         FROM pcb1e GROUP BY 1, 2),
+        |subs AS (SELECT vec_id, s, list_slice(v, s*8+1, s*8+8) AS vs
+        |         FROM q, range(8) t(s)),
+        |codes AS (SELECT vec_id, s, ci AS code FROM (
+        |            SELECT subs.vec_id, subs.s, pcb1.ci,
+        |                   row_number() OVER (PARTITION BY subs.vec_id, subs.s
+        |                     ORDER BY list_dot_product(vs, vs)
+        |                       - 2*list_dot_product(vs, cs)
+        |                       + list_dot_product(cs, cs), ci) AS rn
+        |            FROM subs JOIN pcb1 ON subs.s = pcb1.s) WHERE rn = 1),
+        |probes AS (SELECT vec_id AS query_id, li AS list_id FROM (
+        |             SELECT qn.vec_id, ccb1.li,
+        |                    row_number() OVER (PARTITION BY qn.vec_id
+        |                      ORDER BY round(list_dot_product(v, cv)
+        |                        / (sqrt(n) * sqrt(cn)), 6) DESC, li) AS rn
+        |             FROM qn, ccb1 WHERE qn.vec_id < 20) WHERE rn <= 2),
+        |lut AS (SELECT subs.vec_id AS query_id, subs.s, pcb1.ci,
+        |               list_dot_product(vs, vs) - 2*list_dot_product(vs, cs)
+        |                 + list_dot_product(cs, cs) AS pd
+        |        FROM subs JOIN pcb1 ON subs.s = pcb1.s
+        |        WHERE subs.vec_id < 20),
+        |adc AS (SELECT lut.query_id, c.vec_id AS neighbor_id,
+        |               CAST(sum(pd) AS BIGINT) AS adc_dist
+        |        FROM codes c
+        |          JOIN assign a ON a.vec_id = c.vec_id
+        |          JOIN probes p ON p.list_id = a.list_id
+        |          JOIN lut ON c.s = lut.s AND c.code = lut.ci
+        |                   AND lut.query_id = p.query_id
+        |        WHERE c.vec_id <> lut.query_id
+        |        GROUP BY 1, 2)
+        |SELECT query_id, neighbor_id, rank, adc_dist FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |               ORDER BY adc_dist, neighbor_id) AS rank
+        |  FROM adc)
+        |WHERE rank <= 5""".stripMargin)),
+
     // M70 ADC top-R + exact re-rank (the FAISS refine stage,
     // IndexRefineFlat): PQ buys the scan, raw vectors re-score the few
     // survivors, so the final ranking has zero quantization error.

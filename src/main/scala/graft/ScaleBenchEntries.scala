@@ -300,10 +300,60 @@ object ScaleBenchEntries {
       s""""b44_fused_top1":$b44top1,"b44_docs":1000100,"b44_queries":100"""
   }
 
+  // --- B45: FULLY-trained IVF+PQ (fixed nlists AND fixed ksub) at 1M -----
+  //
+  // B40 composes subset-derived index halves (nlists and ksub both grow
+  // with the corpus); B33t fixes ksub; this entry fixes BOTH — trained
+  // coarse centroids (nlists = 256, spherical Lloyd on a 10,310-row
+  // sample) + trained codebooks (ksub = 245) — the complete
+  // scale-invariant FAISS IVFPQ recipe. REQUIREs the same two contract
+  // halves as B40: planted-duplicate recall 100/100 (the duplicate
+  // shares its query's vector, hence its trained list, hence the
+  // query's top probe), and the scored-candidate relation ≤ 2× the
+  // balanced expectation nQueries·N·nprobe/nlists — TIGHTER than B40's
+  // 3×: measured 1.003× (Lloyd actively balances cell sizes on this
+  // distribution where the subset rule's Voronoi cells ride size-biased
+  // probing to ~3×; training buys balance, not just fixed index size).
+  def b45(spark: SparkSession): String = {
+    val vecs = dupVecs(spark).persist()
+    vecs.count()
+    var b45top1 = 0L
+    val (b45s, b45n) = time {
+      val out = Similarity.ivfPqSearchTrainedFull(vecs, nQueries = 100,
+        k = 10, m = 8, dims = 32, ksub = 245, nlists = 256, iters = 2,
+        trainMod = 97, nprobe = 4)
+      val top1 = out.where(col("rank") === 1)
+        .select(col("query_id"), col("neighbor_id")).collect()
+      require(top1.length == 100, s"B45 ${top1.length} rank-1 rows, want 100")
+      top1.foreach { r =>
+        require(r.getLong(1) == r.getLong(0) + 1000000L,
+          s"B45 query ${r.getLong(0)}: top-1 ${r.getLong(1)} is not the " +
+            s"planted duplicate ${r.getLong(0) + 1000000L}") }
+      b45top1 = top1.length
+      out.count()
+    }
+    val (b45cs, b45scanned) = time {
+      Similarity.ivfPqScoredTrainedFull(vecs, nQueries = 100, m = 8,
+        dims = 32, ksub = 245, nlists = 256, iters = 2, trainMod = 97,
+        nprobe = 4).count()
+    }
+    val b45expect = 100L * 1000100L * 4L / 256L
+    require(b45scanned <= 2L * b45expect,
+      s"B45 scanned $b45scanned candidate pairs, > 2x balanced " +
+        s"expectation $b45expect - trained coarse pruning is not pruning")
+    vecs.unpersist()
+    Caching.release()
+    s""""b45_trained_ivfpq_sec":$b45s,"b45_results":$b45n,""" +
+      s""""b45_recall_top1":$b45top1,"b45_nlists":256,"b45_ksub":245,""" +
+      s""""b45_scored_count_sec":$b45cs,"b45_scanned":$b45scanned,""" +
+      s""""b45_scan_frac":${"%.4f".format(b45scanned.toDouble / (100L * 1000100L))}"""
+  }
+
   /** All round-17 entries in run order — ScaleBench.main splices these
     * fragments into its JSON line. */
   def all(spark: SparkSession): String =
-    Seq(b42c(spark), b43(spark), b33t(spark), b44(spark)).mkString(",")
+    Seq(b42c(spark), b43(spark), b33t(spark), b44(spark), b45(spark))
+      .mkString(",")
 }
 
 /** Run individual ScaleBench entries by name — the monolithic
@@ -319,7 +369,8 @@ object ScaleBenchOne {
       "b42c" -> ScaleBenchEntries.b42c,
       "b43" -> ScaleBenchEntries.b43,
       "b33t" -> ScaleBenchEntries.b33t,
-      "b44" -> ScaleBenchEntries.b44)
+      "b44" -> ScaleBenchEntries.b44,
+      "b45" -> ScaleBenchEntries.b45)
     args.foreach { name =>
       val fragment = entries.getOrElse(name,
         sys.error(s"unknown entry '$name'; have ${entries.keys.mkString(", ")}"))

@@ -925,6 +925,197 @@ object Similarity {
     adcTopK(scored, k)
   }
 
+  // --- Lloyd-trained coarse quantizer (fixed nlists) ---------------------
+  //
+  // The same scale-invariance story as [[pqTrainCodebooks]], for the
+  // OTHER half of the IVF+PQ index: [[ivfAssign]]'s coarse centroids are
+  // the vec_id ≡ 0 (mod coarseMod) subset, so nlists = N/coarseMod grows
+  // with the corpus; FAISS trains a FIXED nlists by k-means. Assignment
+  // is by max cosine — and cosine is invariant to centroid scaling, so
+  // the plain per-dimension mean update IS spherical k-means (the
+  // normalization step changes nothing the assignment can see) — with
+  // the same determinism contract: init = the nlists smallest training
+  // vec_ids (list index = rank), fixed iterations, means rounded to
+  // integer, cosine rounded to 6 dp with ties to the lower list index.
+  // Gate q_ivf_trained replays training + the full-corpus assignment in
+  // DuckDB; ScaleBench B45 proves the fully-trained composition at 1M.
+
+  /** Lloyd-trained coarse centroids at fixed `nlists`: `iters` rounds of
+    * (max-rounded-cosine assign, tie → lower index) + (per-dim mean,
+    * rounded to integer; empty lists keep their centroid) over the
+    * vec_id ≡ 0 (mod trainMod) subset. Returns nlists × dims rows —
+    * list ids are INDICES 0..nlists−1. Driver footprint: nlists × dims
+    * cells per iteration, corpus-size-independent. */
+  def ivfTrainCentroids(
+      embeddings: DataFrame,
+      dims: Int = 64,
+      nlists: Int = 16,
+      iters: Int = 2,
+      trainMod: Int = 1): Array[Array[Double]] = {
+    require(nlists >= 1 && iters >= 0 && trainMod >= 1,
+      s"bad nlists=$nlists / iters=$iters / trainMod=$trainMod")
+    val spark = embeddings.sparkSession
+    val train = embeddings
+      .where(col("vec_id") % trainMod === 0)
+      .select(col("vec_id"), quantize(col("embedding")).as("v"))
+    val initRows = train.orderBy("vec_id").limit(nlists).collect()
+    require(initRows.length == nlists,
+      s"training subset ${initRows.length} rows < nlists=$nlists; lower trainMod")
+    var cents: Array[Array[Double]] = initRows.map(_.getSeq[Double](1).toArray)
+    var it = 0
+    while (it < iters) {
+      val updates = trainedAssign(train, centsDf(spark, cents))
+        .join(train, "vec_id")
+        .select(col("list_id"), posexplode(col("v")).as(Seq("d", "x")))
+        .groupBy("list_id", "d")
+        .agg(round(sum("x") / count(lit(1)), 0).as("cx"))
+        .collect()
+      val next = cents.map(_.clone())
+      updates.foreach { r =>
+        next(r.getLong(0).toInt)(r.getInt(1)) = r.getDouble(2)
+      }
+      cents = next
+      it += 1
+    }
+    cents
+  }
+
+  /** [[ivfAssign]] against TRAINED centroids: every vector to its
+    * max-rounded-cosine trained list (tie → lower index) —
+    * `(vec_id, list_id)`, list ids 0..nlists−1. */
+  def ivfAssignTrained(
+      embeddings: DataFrame,
+      dims: Int = 64,
+      nlists: Int = 16,
+      iters: Int = 2,
+      trainMod: Int = 1): DataFrame = {
+    val spark = embeddings.sparkSession
+    val cents = ivfTrainCentroids(embeddings, dims, nlists, iters, trainMod)
+    trainedAssign(
+      embeddings.select(col("vec_id"), quantize(col("embedding")).as("v")),
+      centsDf(spark, cents))
+  }
+
+  /** Trained centroids as a metadata relation (list_id, cv, cn). */
+  private def centsDf(
+      spark: SparkSession, cents: Array[Array[Double]]): DataFrame =
+    spark.createDataFrame(
+      cents.toIndexedSeq.zipWithIndex.map { case (c, i) => (i.toLong, c.toSeq) })
+      .toDF("list_id", "cv")
+      .withColumn("cn", dot(col("cv"), col("cv")))
+
+  /** The ONE copy of the trained-coarse assignment: max rounded cosine
+    * against the broadcast centroid relation with a (cos desc, list_id
+    * asc) tie-break, as a map-side-combinable argmax aggregate (the
+    * [[ivfAssign]] idiom — N×nlists scored rows collapse to N before
+    * the shuffle). `vecs` needs (vec_id, v). */
+  private def trainedAssign(vecs: DataFrame, cents: DataFrame): DataFrame =
+    vecs
+      .withColumn("n", dot(col("v"), col("v")))
+      .crossJoin(broadcast(cents))
+      .withColumn("cos_sim",
+        round(dot(col("v"), col("cv")) / (sqrt(col("n")) * sqrt(col("cn"))), 6))
+      .groupBy("vec_id")
+      .agg(max(struct(col("cos_sim"),
+        (-col("list_id")).as("neg_lid"))).as("w"))
+      .select(col("vec_id"), (-col("w.neg_lid")).as("list_id"))
+
+  /** FULLY-trained IVF+PQ search — [[ivfPqSearch]] with BOTH index
+    * halves scale-invariant: trained coarse lists ([[ivfTrainCentroids]],
+    * fixed nlists) and trained PQ codebooks ([[pqTrainCodebooks]], fixed
+    * ksub) — the complete FAISS IVFPQ training recipe (coarse k-means +
+    * per-subspace k-means, Jégou 2011 §III–IV, by_residual=false). Scan
+    * shape identical to [[ivfPqSearch]]: encoded corpus equi-joined on
+    * `list_id` against a broadcast (query, probed list, LUT) relation,
+    * ~nprobe/nlists of the corpus scored. Same determinism contract as
+    * every trained path; gate q_ivfpq_trained replays both trainings +
+    * the composed search in DuckDB. */
+  def ivfPqSearchTrainedFull(
+      embeddings: DataFrame,
+      nQueries: Int,
+      k: Int,
+      m: Int = 8,
+      dims: Int = 64,
+      ksub: Int = 16,
+      nlists: Int = 8,
+      iters: Int = 1,
+      trainMod: Int = 1,
+      nprobe: Int = 2): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    adcTopK(ivfPqScoredTrainedFull(embeddings, nQueries, m, dims, ksub,
+      nlists, iters, trainMod, nprobe), k)
+  }
+
+  /** Candidate relation of [[ivfPqSearchTrainedFull]] before top-k —
+    * exposed for ScaleBench B45's scanned-fraction REQUIRE. */
+  private[graft] def ivfPqScoredTrainedFull(
+      embeddings: DataFrame,
+      nQueries: Int,
+      m: Int,
+      dims: Int,
+      ksub: Int,
+      nlists: Int,
+      iters: Int,
+      trainMod: Int,
+      nprobe: Int): DataFrame = {
+    require(dims % m == 0, s"dims=$dims not divisible by m=$m")
+    val subDim = dims / m
+    val spark = embeddings.sparkSession
+    val coarse = ivfTrainCentroids(embeddings, dims, nlists, iters, trainMod)
+    val books = pqTrainCodebooks(embeddings, m, dims, ksub, iters, trainMod)
+    val ids = Array.tabulate(ksub)(_.toLong)
+    val cents = centsDf(spark, coarse)
+    // index: trained codes + trained coarse list per vector — ONE
+    // corpus pass for the codes (codegen'd kernel) + one broadcast
+    // assign aggregate; in production this is what ivfPqWriteIndex
+    // persists (same (neighbor_id, list_id, codes) schema)
+    val assign = trainedAssign(
+      embeddings.select(col("vec_id"), quantize(col("embedding")).as("v")),
+      cents)
+    val index = embeddings
+      .select(col("vec_id"),
+        graft.functions.PqEncodeExpr.col(
+          quantize(col("embedding")), books, ids, m, subDim).as("codes"))
+      .join(assign, "vec_id")
+      .select(col("vec_id").as("neighbor_id"), col("list_id"), col("codes"))
+    // probes: nprobe best trained lists per query (same rounded-cosine
+    // + lower-index tie-break as the assignment)
+    val probeWin = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("list_id"))
+    val probes = embeddings
+      .where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), quantize(col("embedding")).as("v"))
+      .withColumn("n", dot(col("v"), col("v")))
+      .crossJoin(broadcast(cents))
+      .withColumn("cos_sim",
+        round(dot(col("v"), col("cv")) / (sqrt(col("n")) * sqrt(col("cn"))), 6))
+      .withColumn("rn", row_number().over(probeWin))
+      .where(col("rn") <= nprobe)
+      .select("query_id", "list_id")
+    // per-query LUT from the trained books (indices, divisor 1)
+    val bookRows = for { c <- books.indices; s <- 0 until m } yield
+      (s, c.toLong, books(c).slice(s * subDim, (s + 1) * subDim).toSeq)
+    val booksDf = spark.createDataFrame(bookRows).toDF("sub", "centroid_id", "cs")
+      .withColumn("cn", dot(col("cs"), col("cs")))
+    val subsDf = spark.createDataFrame(
+      Seq.tabulate(m)(s => Tuple1(s))).toDF("sub")
+    val perEntry = embeddings
+      .where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), quantize(col("embedding")).as("v"))
+      .crossJoin(broadcast(subsDf))
+      .withColumn("vs", slice(col("v"), col("sub") * subDim + 1, lit(subDim)))
+      .withColumn("vn", dot(col("vs"), col("vs")))
+      .join(broadcast(booksDf), Seq("sub"))
+      .select(col("query_id"), col("sub"), col("centroid_id"),
+        (col("vn") - lit(2) * dot(col("vs"), col("cs")) + col("cn")).as("pd"))
+    val probeLut = probes.join(lutFold(perEntry, Seq("query_id"), 1), "query_id")
+    index
+      .join(broadcast(probeLut), Seq("list_id"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        adcSum(m, 1).as("adc_dist"))
+  }
+
   /** Coarse-centroid relation (list_id, cv, cn) — metadata-sized,
     * broadcast at every use site. */
   private[graft] def coarseCents(embeddings: DataFrame, coarseMod: Int): DataFrame =

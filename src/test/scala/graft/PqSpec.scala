@@ -391,4 +391,86 @@ class PqSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     assert(codes(61L) == codes(1L))
   }
+
+  // --- Lloyd-trained coarse quantizer (fixed nlists) ----------------------
+
+  /** Driver-side reference spherical Lloyd: assign = max cosine rounded
+    * to 6 dp (strict >, so ties keep the lower index), update = per-dim
+    * mean rounded HALF_UP to integer; empty lists keep their centroid.
+    * `vecs` must be quantized rows sorted by vec_id. */
+  private def cosLloydRef(
+      vecs: Array[Array[Double]], nlists: Int,
+      iters: Int): Array[Array[Double]] = {
+    def round6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var cents = vecs.take(nlists).map(_.clone())
+    for (_ <- 0 until iters) {
+      val cn = cents.map(c => c.map(x => x * x).sum)
+      val assign = vecs.map { v =>
+        val n = v.map(x => x * x).sum
+        var bi = 0; var bc = -2.0
+        for (c <- cents.indices) {
+          val cos = round6(
+            v.zip(cents(c)).map { case (a, b) => a * b }.sum /
+              (math.sqrt(n) * math.sqrt(cn(c))))
+          if (cos > bc) { bc = cos; bi = c }
+        }
+        bi
+      }
+      val next = cents.map(_.clone())
+      for (c <- cents.indices) {
+        val members = vecs.indices.filter(assign(_) == c)
+        if (members.nonEmpty)
+          for (d <- vecs(0).indices)
+            next(c)(d) = BigDecimal(
+              members.map(i => vecs(i)(d)).sum / members.size)
+              .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+      cents = next
+    }
+    cents
+  }
+
+  test("ivfTrainCentroids matches the driver-side spherical-Lloyd reference") {
+    import org.apache.spark.sql.functions._
+    val big = spark.range(60L).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(3)),
+        d => (((col("id") * 13 + d * 11) % 29) + (col("id") % 5) + 1)
+          .cast("float"))
+        .as("embedding"))
+    val got = Similarity.ivfTrainCentroids(big, dims = 4, nlists = 3,
+      iters = 2, trainMod = 2)
+    val train = big.where(col("vec_id") % 2 === 0)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => round(x.cast("double") * 1000, 0))
+          .as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1).map(_._2)
+    val want = cosLloydRef(train, nlists = 3, iters = 2)
+    assert(got.map(_.toSeq).toSeq == want.map(_.toSeq).toSeq)
+    assert(got.flatten.forall(x => x == math.rint(x)))
+  }
+
+  test("ivfAssignTrained assigns every vector to a trained list 0..nlists-1; " +
+    "the planted duplicate shares its query's list") {
+    val out = Similarity.ivfAssignTrained(bigWithDup, dims = 4, nlists = 3,
+      iters = 2, trainMod = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size == 62)
+    assert(out.values.forall(l => l >= 0 && l < 3))
+    assert(out(61L) == out(1L)) // identical vector, identical cosine
+  }
+
+  test("ivfPqSearchTrainedFull with nprobe >= nlists degenerates to " +
+    "pqSearchTrained exactly") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+      .toSet
+    val full = rows(Similarity.pqSearchTrained(bigWithDup, nQueries = 5,
+      k = 4, m = 2, dims = 4, ksub = 4, iters = 1, trainMod = 3))
+    val composed = rows(Similarity.ivfPqSearchTrainedFull(bigWithDup,
+      nQueries = 5, k = 4, m = 2, dims = 4, ksub = 4, nlists = 3,
+      iters = 1, trainMod = 3, nprobe = 3))
+    assert(composed == full)
+  }
 }
