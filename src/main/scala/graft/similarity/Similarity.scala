@@ -474,13 +474,24 @@ object Similarity {
       dims: Int = 64,
       centroidMod: Int = 97): DataFrame = {
     require(dims % m == 0, s"dims=$dims not divisible into m=$m subspaces")
-    val subDim = dims / m
-    val spark = embeddings.sparkSession
+    subspaceBooks(
+      embeddings
+        .where(col("vec_id") % centroidMod === 0)
+        .select(col("vec_id").as("centroid_id"),
+          quantize(col("embedding")).as("v")),
+      m, dims / m)
+  }
+
+  /** Slice a (centroid_id, v) relation into per-subspace codebook rows
+    * (sub, centroid_id, cs, cn) — the ONE copy of the subspace split,
+    * shared by the in-plan path ([[pqCodebooks]]) and the persisted
+    * index's `book` relation so their arithmetic can never diverge. */
+  private def subspaceBooks(
+      centRows: DataFrame, m: Int, subDim: Int): DataFrame = {
+    val spark = centRows.sparkSession
     val subsDf = spark.createDataFrame(
       Seq.tabulate(m)(s => Tuple1(s))).toDF("sub")
-    embeddings
-      .where(col("vec_id") % centroidMod === 0)
-      .select(col("vec_id").as("centroid_id"), quantize(col("embedding")).as("v"))
+    centRows
       .crossJoin(broadcast(subsDf))
       .withColumn("cs", slice(col("v"), col("sub") * subDim + 1, lit(subDim)))
       .withColumn("cn", dot(col("cs"), col("cs")))
@@ -699,18 +710,28 @@ object Similarity {
   // numOutputRows (not the join's) stays ≈ the probed fraction on a
   // persisted 1M-vector index.
 
-  /** Build the IVF+PQ index and persist it to `dir` clustered by
-    * `list_id`: range-repartitioned into `numFiles` files each owning a
-    * contiguous list range, rows sorted by (list_id, neighbor_id) so
-    * row-group min/max stats on list_id are tight. Written once; every
-    * [[ivfPqSearchPersisted]] reads only the probed slice.
+  /** Build the IVF+PQ index and persist it to `dir` — all THREE index
+    * relations, so search time touches the corpus relation only for the
+    * query vectors themselves:
     *
-    * `writerOptions` passes parquet writer knobs through — pruning
-    * granularity is the ROW GROUP, so `parquet.block.size` should be
-    * sized at or below the expected per-list byte footprint
-    * (N/nlists × ~code-row bytes); at production scale (lists of 10⁶+
-    * rows) the default 128 MB already satisfies this, while small
-    * benchmark corpora need it lowered to see row-group-level pruning. */
+    *  - `dir/codes`: (neighbor_id, list_id, codes), range-repartitioned
+    *    into `numFiles` files each owning a contiguous list range and
+    *    sorted by (list_id, neighbor_id) so row-group min/max stats on
+    *    list_id are tight — the corpus-scale relation every search
+    *    prunes at the SCAN;
+    *  - `dir/cents`: the coarse-centroid relation (list_id, cv, cn) —
+    *    metadata-sized;
+    *  - `dir/book`: the PQ codebook rows (centroid_id, v) — metadata-
+    *    sized; LUTs are built from this at search time instead of
+    *    re-scanning the corpus for the centroid subset.
+    *
+    * `writerOptions` passes parquet writer knobs through to the codes
+    * relation — pruning granularity is the ROW GROUP, so
+    * `parquet.block.size` should sit at or below the expected per-list
+    * byte footprint (N/nlists × ~code-row bytes); at production scale
+    * (lists of 10⁶+ rows) the default 128 MB already satisfies this,
+    * while small benchmark corpora need it lowered to see
+    * row-group-level pruning. */
   def ivfPqWriteIndex(
       embeddings: DataFrame,
       dir: String,
@@ -719,24 +740,32 @@ object Similarity {
       dims: Int = 64,
       centroidMod: Int = 97,
       coarseMod: Int = 83,
-      writerOptions: Map[String, String] = Map.empty): Unit =
+      writerOptions: Map[String, String] = Map.empty): Unit = {
     ivfPqIndex(embeddings, m, dims, centroidMod, coarseMod)
       .repartitionByRange(numFiles, col("list_id"), col("neighbor_id"))
       .sortWithinPartitions("list_id", "neighbor_id")
-      .write.mode("errorifexists").options(writerOptions).parquet(dir)
+      .write.mode("errorifexists").options(writerOptions)
+      .parquet(s"$dir/codes")
+    coarseCents(embeddings, coarseMod)
+      .coalesce(1).write.mode("errorifexists").parquet(s"$dir/cents")
+    embeddings
+      .where(col("vec_id") % centroidMod === 0)
+      .select(col("vec_id").as("centroid_id"), quantize(col("embedding")).as("v"))
+      .coalesce(1).write.mode("errorifexists").parquet(s"$dir/book")
+  }
 
   /** [[ivfPqSearch]] over a PERSISTED index ([[ivfPqWriteIndex]]):
     * identical results (same probes, same LUTs, same ADC arithmetic —
-    * SimilaritySpec pins equality), but the corpus-side input is the
-    * parquet index filtered to the UNION of probed lists, a predicate
-    * the scan itself prunes with. The probed-list set is collected to
-    * the driver to build the pushed-down IN — nQueries × nprobe longs,
-    * query-scale metadata (the same bound as the broadcast LUT table).
-    *
-    * `embeddings` still supplies the query vectors, coarse centroids
-    * and PQ codebook (all metadata-scale reads at search time); only
-    * the corpus-wide encode+assign is what the persisted index
-    * amortizes away. */
+    * SimilaritySpec pins equality), but every index relation comes from
+    * `dir`: the coarse centroids and PQ codebook are metadata-sized
+    * parquet reads, and the corpus-scale codes relation is filtered to
+    * the UNION of probed lists — a predicate the scan itself prunes
+    * with (the probed-list set is driver-collected to build the
+    * pushed-down IN: nQueries × nprobe longs, the same query-scale
+    * bound as the broadcast LUT table). `embeddings` supplies ONLY the
+    * query vectors (vec_id < nQueries, a pushed-down filter) — search
+    * cost is independent of corpus size except for the pruned codes
+    * scan, which is the whole point. */
   def ivfPqSearchPersisted(
       spark: SparkSession,
       indexDir: String,
@@ -767,7 +796,9 @@ object Similarity {
       centroidMod: Int,
       coarseMod: Int,
       nprobe: Int): DataFrame = {
-    val cents = coarseCents(embeddings, coarseMod)
+    require(dims % m == 0, s"dims=$dims not divisible by m=$m")
+    val subDim = dims / m
+    val cents = spark.read.parquet(s"$indexDir/cents")
     val probes = ivfProbes(embeddings, cents, nQueries, nprobe)
     // the probed-list UNION, driver-collected: nQueries × nprobe longs.
     // isInCollection emits an In predicate the parquet source accepts,
@@ -775,10 +806,15 @@ object Similarity {
     // are dropped at the scan — bytes read ≈ probed fraction.
     val probedLists = probes.select("list_id").distinct()
       .collect().map(_.getLong(0)).toIndexedSeq.sorted
-    val index = spark.read.parquet(indexDir)
+    val index = spark.read.parquet(s"$indexDir/codes")
       .where(col("list_id").isInCollection(probedLists))
+    val books = subspaceBooks(
+      spark.read.parquet(s"$indexDir/book"), m, subDim)
+    val queries = embeddings
+      .where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), quantize(col("embedding")).as("v"))
     val probeLut = probes
-      .join(adcLutArr(embeddings, nQueries, m, dims, centroidMod), "query_id")
+      .join(adcLutFrom(queries, books, m, subDim, centroidMod), "query_id")
     index
       .join(broadcast(probeLut), Seq("list_id"))
       .where(col("neighbor_id") =!= col("query_id"))
@@ -1310,15 +1346,29 @@ object Similarity {
       nQueries: Int,
       m: Int,
       dims: Int,
+      centroidMod: Int): DataFrame =
+    adcLutFrom(
+      embeddings
+        .where(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"),
+          quantize(col("embedding")).as("v")),
+      pqCodebooks(embeddings, m, dims, centroidMod),
+      m, dims / m, centroidMod)
+
+  /** Per-query LUTs from explicit (query_id, v) and codebook relations —
+    * the ONE copy of the LUT join, shared by the in-plan builder above
+    * and the persisted-index search (whose codebook comes from
+    * `dir/book`, not a corpus re-scan). */
+  private def adcLutFrom(
+      queries: DataFrame,
+      books: DataFrame,
+      m: Int,
+      subDim: Int,
       centroidMod: Int): DataFrame = {
-    val subDim = dims / m
-    val books = pqCodebooks(embeddings, m, dims, centroidMod)
-    val spark = embeddings.sparkSession
+    val spark = queries.sparkSession
     val subsDf = spark.createDataFrame(
       Seq.tabulate(m)(s => Tuple1(s))).toDF("sub")
-    val perEntry = embeddings
-      .where(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), quantize(col("embedding")).as("v"))
+    val perEntry = queries
       .crossJoin(broadcast(subsDf))
       .withColumn("vs", slice(col("v"), col("sub") * subDim + 1, lit(subDim)))
       .withColumn("vn", dot(col("vs"), col("vs")))

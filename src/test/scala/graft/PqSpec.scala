@@ -257,7 +257,7 @@ class PqSpec extends SparkSpec {
     // (range partitioning is on (list_id, neighbor_id), so one large
     // list may straddle a file boundary — intervals may TOUCH at the
     // boundary list but never properly interleave)
-    val fileRanges = spark.read.parquet(s"$dir/index")
+    val fileRanges = spark.read.parquet(s"$dir/index/codes")
       .select(input_file_name().as("f"), col("list_id"))
       .groupBy("f").agg(min("list_id").as("lo"), max("list_id").as("hi"))
       .collect().map(r => (r.getLong(1), r.getLong(2)))
