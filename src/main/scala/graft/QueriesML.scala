@@ -162,6 +162,100 @@ object QueriesML {
       |        WHERE c.vec_id <> lut.query_id
       |        GROUP BY 1, 2)""".stripMargin
 
+  /** The ONE copy of the fully-trained IVF+PQ oracle (coarse training +
+    * corpus assignment + PQ training + corpus encode + probes + LUT +
+    * ADC over probed lists), shared by q_ivfpq_trained and
+    * q_ivfpq_trained_persisted — the persisted variant changes only
+    * where the index relations come from, never the arithmetic. */
+  private lazy val IvfPqTrainedOracle: String = s"""WITH $QuantCte,
+        |tr AS (SELECT vec_id, v FROM q WHERE vec_id % 7 = 0),
+        |cinit AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS li, v AS cv
+        |          FROM tr ORDER BY vec_id LIMIT 4),
+        |ccb0 AS (SELECT li, cv, list_dot_product(cv, cv) AS cn FROM cinit),
+        |tn AS (SELECT vec_id, v, list_dot_product(v, v) AS n FROM tr),
+        |ca1 AS (SELECT vec_id, li FROM (
+        |          SELECT tn.vec_id, ccb0.li,
+        |                 row_number() OVER (PARTITION BY tn.vec_id
+        |                   ORDER BY round(list_dot_product(v, cv)
+        |                     / (sqrt(n) * sqrt(cn)), 6) DESC, li) AS rn
+        |          FROM tn, ccb0) WHERE rn = 1),
+        |cu1 AS (SELECT ca1.li, t.d, round(sum(v[t.d + 1]) / count(*), 0) AS cx
+        |        FROM ca1 JOIN tr ON ca1.vec_id = tr.vec_id
+        |        CROSS JOIN range(64) t(d)
+        |        GROUP BY 1, 2),
+        |ccb1e AS (SELECT ccb0.li, d.d, coalesce(cu1.cx, cv[d.d + 1]) AS cx
+        |          FROM ccb0 CROSS JOIN range(64) d(d)
+        |          LEFT JOIN cu1 ON cu1.li = ccb0.li AND cu1.d = d.d),
+        |ccb1l AS (SELECT li, list(cx ORDER BY d) AS cv FROM ccb1e GROUP BY 1),
+        |ccb1 AS (SELECT li, cv, list_dot_product(cv, cv) AS cn FROM ccb1l),
+        |qn AS (SELECT vec_id, v, list_dot_product(v, v) AS n FROM q),
+        |assign AS (SELECT vec_id, li AS list_id FROM (
+        |             SELECT qn.vec_id, ccb1.li,
+        |                    row_number() OVER (PARTITION BY qn.vec_id
+        |                      ORDER BY round(list_dot_product(v, cv)
+        |                        / (sqrt(n) * sqrt(cn)), 6) DESC, li) AS rn
+        |             FROM qn, ccb1) WHERE rn = 1),
+        |pinit AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci, v
+        |          FROM tr ORDER BY vec_id LIMIT 4),
+        |pcb0 AS (SELECT ci, s, list_slice(v, s*8+1, s*8+8) AS cs
+        |         FROM pinit, range(8) t(s)),
+        |tsub AS (SELECT vec_id, s, list_slice(v, s*8+1, s*8+8) AS vs
+        |         FROM tr, range(8) t(s)),
+        |pa1 AS (SELECT vec_id, s, ci FROM (
+        |          SELECT tsub.vec_id, tsub.s, pcb0.ci,
+        |                 row_number() OVER (PARTITION BY tsub.vec_id, tsub.s
+        |                   ORDER BY list_dot_product(vs, vs)
+        |                     - 2*list_dot_product(vs, cs)
+        |                     + list_dot_product(cs, cs), ci) AS rn
+        |          FROM tsub JOIN pcb0 ON tsub.s = pcb0.s) WHERE rn = 1),
+        |pu1 AS (SELECT pa1.s, pa1.ci, t.d,
+        |               round(sum(vs[t.d + 1]) / count(*), 0) AS cx
+        |        FROM pa1 JOIN tsub ON pa1.vec_id = tsub.vec_id
+        |                          AND pa1.s = tsub.s
+        |        CROSS JOIN range(8) t(d)
+        |        GROUP BY 1, 2, 3),
+        |pcb1e AS (SELECT pcb0.ci, pcb0.s, d.d,
+        |                 coalesce(pu1.cx, cs[d.d + 1]) AS cx
+        |          FROM pcb0 CROSS JOIN range(8) d(d)
+        |          LEFT JOIN pu1 ON pu1.s = pcb0.s AND pu1.ci = pcb0.ci
+        |                       AND pu1.d = d.d),
+        |pcb1 AS (SELECT ci, s, list(cx ORDER BY d) AS cs
+        |         FROM pcb1e GROUP BY 1, 2),
+        |subs AS (SELECT vec_id, s, list_slice(v, s*8+1, s*8+8) AS vs
+        |         FROM q, range(8) t(s)),
+        |codes AS (SELECT vec_id, s, ci AS code FROM (
+        |            SELECT subs.vec_id, subs.s, pcb1.ci,
+        |                   row_number() OVER (PARTITION BY subs.vec_id, subs.s
+        |                     ORDER BY list_dot_product(vs, vs)
+        |                       - 2*list_dot_product(vs, cs)
+        |                       + list_dot_product(cs, cs), ci) AS rn
+        |            FROM subs JOIN pcb1 ON subs.s = pcb1.s) WHERE rn = 1),
+        |probes AS (SELECT vec_id AS query_id, li AS list_id FROM (
+        |             SELECT qn.vec_id, ccb1.li,
+        |                    row_number() OVER (PARTITION BY qn.vec_id
+        |                      ORDER BY round(list_dot_product(v, cv)
+        |                        / (sqrt(n) * sqrt(cn)), 6) DESC, li) AS rn
+        |             FROM qn, ccb1 WHERE qn.vec_id < 20) WHERE rn <= 2),
+        |lut AS (SELECT subs.vec_id AS query_id, subs.s, pcb1.ci,
+        |               list_dot_product(vs, vs) - 2*list_dot_product(vs, cs)
+        |                 + list_dot_product(cs, cs) AS pd
+        |        FROM subs JOIN pcb1 ON subs.s = pcb1.s
+        |        WHERE subs.vec_id < 20),
+        |adc AS (SELECT lut.query_id, c.vec_id AS neighbor_id,
+        |               CAST(sum(pd) AS BIGINT) AS adc_dist
+        |        FROM codes c
+        |          JOIN assign a ON a.vec_id = c.vec_id
+        |          JOIN probes p ON p.list_id = a.list_id
+        |          JOIN lut ON c.s = lut.s AND c.code = lut.ci
+        |                   AND lut.query_id = p.query_id
+        |        WHERE c.vec_id <> lut.query_id
+        |        GROUP BY 1, 2)
+        |SELECT query_id, neighbor_id, rank, adc_dist FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |               ORDER BY adc_dist, neighbor_id) AS rank
+        |  FROM adc)
+        |WHERE rank <= 5""".stripMargin
+
   val ml: Seq[Q] = Seq(
     Q("q_text_stats",
       (s, d) => TextAnalysis.textStats(documents(s, d), Stopwords),
@@ -2386,7 +2480,7 @@ object QueriesML {
           numFiles = 4, m = 8, dims = 64, centroidMod = 97, coarseMod = 83)
         Similarity.ivfPqSearchPersisted(s, s"$dir/index", embeddings(s, d),
           nQueries = 20, k = 5, m = 8, dims = 64, centroidMod = 97,
-          coarseMod = 83, nprobe = 2)
+          nprobe = 2)
       },
       Some(s"""WITH $QuantCte,
         |$IvfPqAdcCtes
@@ -2536,94 +2630,25 @@ object QueriesML {
       (s, d) => Similarity.ivfPqSearchTrainedFull(embeddings(s, d),
         nQueries = 20, k = 5, m = 8, dims = 64, ksub = 4, nlists = 4,
         iters = 1, trainMod = 7, nprobe = 2),
-      Some(s"""WITH $QuantCte,
-        |tr AS (SELECT vec_id, v FROM q WHERE vec_id % 7 = 0),
-        |cinit AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS li, v AS cv
-        |          FROM tr ORDER BY vec_id LIMIT 4),
-        |ccb0 AS (SELECT li, cv, list_dot_product(cv, cv) AS cn FROM cinit),
-        |tn AS (SELECT vec_id, v, list_dot_product(v, v) AS n FROM tr),
-        |ca1 AS (SELECT vec_id, li FROM (
-        |          SELECT tn.vec_id, ccb0.li,
-        |                 row_number() OVER (PARTITION BY tn.vec_id
-        |                   ORDER BY round(list_dot_product(v, cv)
-        |                     / (sqrt(n) * sqrt(cn)), 6) DESC, li) AS rn
-        |          FROM tn, ccb0) WHERE rn = 1),
-        |cu1 AS (SELECT ca1.li, t.d, round(sum(v[t.d + 1]) / count(*), 0) AS cx
-        |        FROM ca1 JOIN tr ON ca1.vec_id = tr.vec_id
-        |        CROSS JOIN range(64) t(d)
-        |        GROUP BY 1, 2),
-        |ccb1e AS (SELECT ccb0.li, d.d, coalesce(cu1.cx, cv[d.d + 1]) AS cx
-        |          FROM ccb0 CROSS JOIN range(64) d(d)
-        |          LEFT JOIN cu1 ON cu1.li = ccb0.li AND cu1.d = d.d),
-        |ccb1l AS (SELECT li, list(cx ORDER BY d) AS cv FROM ccb1e GROUP BY 1),
-        |ccb1 AS (SELECT li, cv, list_dot_product(cv, cv) AS cn FROM ccb1l),
-        |qn AS (SELECT vec_id, v, list_dot_product(v, v) AS n FROM q),
-        |assign AS (SELECT vec_id, li AS list_id FROM (
-        |             SELECT qn.vec_id, ccb1.li,
-        |                    row_number() OVER (PARTITION BY qn.vec_id
-        |                      ORDER BY round(list_dot_product(v, cv)
-        |                        / (sqrt(n) * sqrt(cn)), 6) DESC, li) AS rn
-        |             FROM qn, ccb1) WHERE rn = 1),
-        |pinit AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci, v
-        |          FROM tr ORDER BY vec_id LIMIT 4),
-        |pcb0 AS (SELECT ci, s, list_slice(v, s*8+1, s*8+8) AS cs
-        |         FROM pinit, range(8) t(s)),
-        |tsub AS (SELECT vec_id, s, list_slice(v, s*8+1, s*8+8) AS vs
-        |         FROM tr, range(8) t(s)),
-        |pa1 AS (SELECT vec_id, s, ci FROM (
-        |          SELECT tsub.vec_id, tsub.s, pcb0.ci,
-        |                 row_number() OVER (PARTITION BY tsub.vec_id, tsub.s
-        |                   ORDER BY list_dot_product(vs, vs)
-        |                     - 2*list_dot_product(vs, cs)
-        |                     + list_dot_product(cs, cs), ci) AS rn
-        |          FROM tsub JOIN pcb0 ON tsub.s = pcb0.s) WHERE rn = 1),
-        |pu1 AS (SELECT pa1.s, pa1.ci, t.d,
-        |               round(sum(vs[t.d + 1]) / count(*), 0) AS cx
-        |        FROM pa1 JOIN tsub ON pa1.vec_id = tsub.vec_id
-        |                          AND pa1.s = tsub.s
-        |        CROSS JOIN range(8) t(d)
-        |        GROUP BY 1, 2, 3),
-        |pcb1e AS (SELECT pcb0.ci, pcb0.s, d.d,
-        |                 coalesce(pu1.cx, cs[d.d + 1]) AS cx
-        |          FROM pcb0 CROSS JOIN range(8) d(d)
-        |          LEFT JOIN pu1 ON pu1.s = pcb0.s AND pu1.ci = pcb0.ci
-        |                       AND pu1.d = d.d),
-        |pcb1 AS (SELECT ci, s, list(cx ORDER BY d) AS cs
-        |         FROM pcb1e GROUP BY 1, 2),
-        |subs AS (SELECT vec_id, s, list_slice(v, s*8+1, s*8+8) AS vs
-        |         FROM q, range(8) t(s)),
-        |codes AS (SELECT vec_id, s, ci AS code FROM (
-        |            SELECT subs.vec_id, subs.s, pcb1.ci,
-        |                   row_number() OVER (PARTITION BY subs.vec_id, subs.s
-        |                     ORDER BY list_dot_product(vs, vs)
-        |                       - 2*list_dot_product(vs, cs)
-        |                       + list_dot_product(cs, cs), ci) AS rn
-        |            FROM subs JOIN pcb1 ON subs.s = pcb1.s) WHERE rn = 1),
-        |probes AS (SELECT vec_id AS query_id, li AS list_id FROM (
-        |             SELECT qn.vec_id, ccb1.li,
-        |                    row_number() OVER (PARTITION BY qn.vec_id
-        |                      ORDER BY round(list_dot_product(v, cv)
-        |                        / (sqrt(n) * sqrt(cn)), 6) DESC, li) AS rn
-        |             FROM qn, ccb1 WHERE qn.vec_id < 20) WHERE rn <= 2),
-        |lut AS (SELECT subs.vec_id AS query_id, subs.s, pcb1.ci,
-        |               list_dot_product(vs, vs) - 2*list_dot_product(vs, cs)
-        |                 + list_dot_product(cs, cs) AS pd
-        |        FROM subs JOIN pcb1 ON subs.s = pcb1.s
-        |        WHERE subs.vec_id < 20),
-        |adc AS (SELECT lut.query_id, c.vec_id AS neighbor_id,
-        |               CAST(sum(pd) AS BIGINT) AS adc_dist
-        |        FROM codes c
-        |          JOIN assign a ON a.vec_id = c.vec_id
-        |          JOIN probes p ON p.list_id = a.list_id
-        |          JOIN lut ON c.s = lut.s AND c.code = lut.ci
-        |                   AND lut.query_id = p.query_id
-        |        WHERE c.vec_id <> lut.query_id
-        |        GROUP BY 1, 2)
-        |SELECT query_id, neighbor_id, rank, adc_dist FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY query_id
-        |               ORDER BY adc_dist, neighbor_id) AS rank
-        |  FROM adc)
-        |WHERE rank <= 5""".stripMargin)),
+      Some(IvfPqTrainedOracle)),
+
+    // The same FULLY-trained search over a PERSISTED trained index
+    // (ivfPqWriteIndexTrained -> ivfPqSearchPersisted at centroidMod=1:
+    // trained codes are codebook indices, so the LUT divisor is 1).
+    // Same oracle by construction - what changes is WHERE the index
+    // relations come from (parquet, probed-list IN pushed to the scan),
+    // never the arithmetic.
+    Q("q_ivfpq_trained_persisted",
+      (s, d) => {
+        val dir = java.nio.file.Files.createTempDirectory("ivfpqtidx").toString
+        Similarity.ivfPqWriteIndexTrained(embeddings(s, d), s"$dir/index",
+          numFiles = 4, m = 8, dims = 64, ksub = 4, nlists = 4,
+          iters = 1, trainMod = 7)
+        Similarity.ivfPqSearchPersisted(s, s"$dir/index", embeddings(s, d),
+          nQueries = 20, k = 5, m = 8, dims = 64, centroidMod = 1,
+          nprobe = 2)
+      },
+      Some(IvfPqTrainedOracle)),
 
     // M70 ADC top-R + exact re-rank (the FAISS refine stage,
     // IndexRefineFlat): PQ buys the scan, raw vectors re-score the few

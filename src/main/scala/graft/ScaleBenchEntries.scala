@@ -173,7 +173,7 @@ object ScaleBenchEntries {
     val (b43s, b43n) = time {
       val out = Similarity.ivfPqSearchPersisted(spark, s"$dir/index", vecs,
         nQueries = 10, k = 10, m = 8, dims = 32, centroidMod = 4096,
-        coarseMod = 997, nprobe = 4)
+        nprobe = 4)
       val top1 = out.where(col("rank") === 1)
         .select(col("query_id"), col("neighbor_id")).collect()
       require(top1.length == 10, s"B43 ${top1.length} rank-1 rows, want 10")
@@ -187,7 +187,7 @@ object ScaleBenchEntries {
     val (b43cs, scanPair) = time {
       val (_, scanned) = scanMetrics(Similarity.ivfPqScoredPersisted(
         spark, s"$dir/index", vecs, nQueries = 10, m = 8, dims = 32,
-        centroidMod = 4096, coarseMod = 997, nprobe = 4))
+        centroidMod = 4096, nprobe = 4))
       scanned
     }
     val b43scanned = scanPair

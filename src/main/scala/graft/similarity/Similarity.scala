@@ -754,18 +754,70 @@ object Similarity {
       .coalesce(1).write.mode("errorifexists").parquet(s"$dir/book")
   }
 
-  /** [[ivfPqSearch]] over a PERSISTED index ([[ivfPqWriteIndex]]):
-    * identical results (same probes, same LUTs, same ADC arithmetic —
-    * SimilaritySpec pins equality), but every index relation comes from
-    * `dir`: the coarse centroids and PQ codebook are metadata-sized
-    * parquet reads, and the corpus-scale codes relation is filtered to
-    * the UNION of probed lists — a predicate the scan itself prunes
-    * with (the probed-list set is driver-collected to build the
-    * pushed-down IN: nQueries × nprobe longs, the same query-scale
-    * bound as the broadcast LUT table). `embeddings` supplies ONLY the
-    * query vectors (vec_id < nQueries, a pushed-down filter) — search
-    * cost is independent of corpus size except for the pruned codes
-    * scan, which is the whole point. */
+  /** Build the FULLY-TRAINED persisted index — [[ivfPqWriteIndex]]'s
+    * layout (codes clustered by list_id + metadata centroid/codebook
+    * relations) with both halves trained at fixed size
+    * ([[ivfTrainCentroids]] coarse, [[pqTrainCodebooks]] PQ): the
+    * complete, scale-invariant FAISS IVFPQ artifact a production
+    * deployment builds once and serves from. Searched with
+    * [[ivfPqSearchPersisted]] at `centroidMod = 1` (trained codes are
+    * codebook INDICES, so the LUT divisor is 1) — spec-pinned equal to
+    * the in-plan [[ivfPqSearchTrainedFull]]. */
+  def ivfPqWriteIndexTrained(
+      embeddings: DataFrame,
+      dir: String,
+      numFiles: Int,
+      m: Int = 8,
+      dims: Int = 64,
+      ksub: Int = 256,
+      nlists: Int = 16,
+      iters: Int = 2,
+      trainMod: Int = 1,
+      writerOptions: Map[String, String] = Map.empty): Unit = {
+    require(dims % m == 0, s"dims=$dims not divisible by m=$m")
+    val subDim = dims / m
+    val spark = embeddings.sparkSession
+    val coarse = ivfTrainCentroids(embeddings, dims, nlists, iters, trainMod)
+    val books = pqTrainCodebooks(embeddings, m, dims, ksub, iters, trainMod)
+    val cents = centsDf(spark, coarse)
+    val assign = trainedAssign(
+      embeddings.select(col("vec_id"), quantize(col("embedding")).as("v")),
+      cents)
+    embeddings
+      .select(col("vec_id"),
+        graft.functions.PqEncodeExpr.col(
+          quantize(col("embedding")), books, Array.tabulate(ksub)(_.toLong),
+          m, subDim).as("codes"))
+      .join(assign, "vec_id")
+      .select(col("vec_id").as("neighbor_id"), col("list_id"), col("codes"))
+      .repartitionByRange(numFiles, col("list_id"), col("neighbor_id"))
+      .sortWithinPartitions("list_id", "neighbor_id")
+      .write.mode("errorifexists").options(writerOptions)
+      .parquet(s"$dir/codes")
+    cents.coalesce(1).write.mode("errorifexists").parquet(s"$dir/cents")
+    spark.createDataFrame(
+      books.toIndexedSeq.zipWithIndex.map { case (b, i) => (i.toLong, b.toSeq) })
+      .toDF("centroid_id", "v")
+      .coalesce(1).write.mode("errorifexists").parquet(s"$dir/book")
+  }
+
+  /** [[ivfPqSearch]] over a PERSISTED index ([[ivfPqWriteIndex]] or
+    * [[ivfPqWriteIndexTrained]]): identical results (same probes, same
+    * LUTs, same ADC arithmetic — SimilaritySpec pins equality), but
+    * every index relation comes from `dir`: the coarse centroids and PQ
+    * codebook are metadata-sized parquet reads, and the corpus-scale
+    * codes relation is filtered to the UNION of probed lists — a
+    * predicate the scan itself prunes with (the probed-list set is
+    * driver-collected to build the pushed-down IN: nQueries × nprobe
+    * longs, the same query-scale bound as the broadcast LUT table).
+    * `embeddings` supplies ONLY the query vectors (vec_id < nQueries, a
+    * pushed-down filter) — search cost is independent of corpus size
+    * except for the pruned codes scan, which is the whole point.
+    *
+    * `centroidMod` is the code→LUT-slot divisor and must match the
+    * writer: the subset writer's codes are centroid vec_ids (divisor =
+    * its centroidMod); the TRAINED writer's codes are codebook indices
+    * (pass 1). */
   def ivfPqSearchPersisted(
       spark: SparkSession,
       indexDir: String,
@@ -775,12 +827,11 @@ object Similarity {
       m: Int = 8,
       dims: Int = 64,
       centroidMod: Int = 97,
-      coarseMod: Int = 83,
       nprobe: Int = 2): DataFrame = {
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     adcTopK(ivfPqScoredPersisted(
       spark, indexDir, embeddings, nQueries, m, dims, centroidMod,
-      coarseMod, nprobe), k)
+      nprobe), k)
   }
 
   /** Candidate relation of [[ivfPqSearchPersisted]] before top-k —
@@ -794,7 +845,6 @@ object Similarity {
       m: Int,
       dims: Int,
       centroidMod: Int,
-      coarseMod: Int,
       nprobe: Int): DataFrame = {
     require(dims % m == 0, s"dims=$dims not divisible by m=$m")
     val subDim = dims / m

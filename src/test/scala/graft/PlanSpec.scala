@@ -290,7 +290,7 @@ class PlanSpec extends SparkSpec {
       numFiles = 3, m = 2, dims = 4, centroidMod = 7, coarseMod = 20)
     val scored = graft.similarity.Similarity.ivfPqScoredPersisted(spark,
       s"$dir/index", big, nQueries = 5, m = 2, dims = 4, centroidMod = 7,
-      coarseMod = 20, nprobe = 2)
+      nprobe = 2)
     val plan = scored.queryExecution.executedPlan.toString
     // the probed-list predicate must reach the scan as an IN over
     // list_id — a plan that filters list_id only above the scan (or

@@ -250,7 +250,7 @@ class PqSpec extends SparkSpec {
       m = 2, dims = 4, centroidMod = 7, coarseMod = 20, nprobe = 2))
     val persisted = rows(Similarity.ivfPqSearchPersisted(spark,
       s"$dir/index", big, nQueries = 5, k = 4,
-      m = 2, dims = 4, centroidMod = 7, coarseMod = 20, nprobe = 2))
+      m = 2, dims = 4, centroidMod = 7, nprobe = 2))
     assert(persisted == inPlan)
     // the persisted files are range-clustered: each owns a contiguous,
     // non-overlapping list_id interval (what makes footer stats prune)
@@ -459,6 +459,24 @@ class PqSpec extends SparkSpec {
     assert(out.size == 62)
     assert(out.values.forall(l => l >= 0 && l < 3))
     assert(out(61L) == out(1L)) // identical vector, identical cosine
+  }
+
+  test("persisted trained index: ivfPqSearchPersisted(centroidMod=1) " +
+    "equals the in-plan ivfPqSearchTrainedFull bit-for-bit") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+      .toSet
+    val dir = java.nio.file.Files.createTempDirectory("ivfpqtidx").toString
+    Similarity.ivfPqWriteIndexTrained(bigWithDup, s"$dir/index",
+      numFiles = 3, m = 2, dims = 4, ksub = 4, nlists = 3,
+      iters = 1, trainMod = 3)
+    val inPlan = rows(Similarity.ivfPqSearchTrainedFull(bigWithDup,
+      nQueries = 5, k = 4, m = 2, dims = 4, ksub = 4, nlists = 3,
+      iters = 1, trainMod = 3, nprobe = 2))
+    val persisted = rows(Similarity.ivfPqSearchPersisted(spark,
+      s"$dir/index", bigWithDup, nQueries = 5, k = 4,
+      m = 2, dims = 4, centroidMod = 1, nprobe = 2))
+    assert(persisted == inPlan)
   }
 
   test("ivfPqSearchTrainedFull with nprobe >= nlists degenerates to " +
