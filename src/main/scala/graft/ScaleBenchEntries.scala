@@ -210,6 +210,75 @@ object ScaleBenchEntries {
       s""""b43_scan_frac":${"%.4f".format(b43scanned.toDouble / 1000100L)}"""
   }
 
+  // --- B43t: the PERSISTED fully-TRAINED index — the production artifact —
+  //
+  // B43 proves scan pruning on the subset-derived index; B45 proves the
+  // fully-trained composition in-plan. This entry combines them: the
+  // trained index (nlists=1024, ksub=245 — both corpus-size-invariant)
+  // is PERSISTED once and served by ivfPqSearchPersisted at LUT divisor
+  // 1, REQUIREing full planted recall AND the parquet scan's
+  // numOutputRows within row-group granularity of the exact probed
+  // rows. This is the artifact a 100 TB deployment actually builds and
+  // serves from: fixed-size trained index relations, bytes read ≈
+  // probed fraction.
+  def b43t(spark: SparkSession): String = {
+    val vecs = dupVecs(spark).persist()
+    vecs.count()
+    val dir = java.nio.file.Files.createTempDirectory("scale_ivfpqt_idx")
+    val (b43tws, b43twn) = time {
+      Similarity.ivfPqWriteIndexTrained(vecs, s"$dir/index", numFiles = 64,
+        m = 8, dims = 32, ksub = 245, nlists = 1024, iters = 2,
+        trainMod = 97,
+        writerOptions = Map("parquet.block.size" -> (64L << 10).toString))
+      spark.read.parquet(s"$dir/index/codes").count()
+    }
+    require(b43twn == 1000100L, s"B43t index holds $b43twn rows, want 1000100")
+    val cents = spark.read.parquet(s"$dir/index/cents")
+    val probes = Similarity.ivfProbes(vecs, cents, nQueries = 10, nprobe = 4)
+    val probedLists = probes.select("list_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val probedRows = spark.read.parquet(s"$dir/index/codes")
+      .groupBy("list_id").count().collect()
+      .filter(r => probedLists(r.getLong(0))).map(_.getLong(1)).sum
+    var b43ttop1 = 0L
+    val (b43ts, b43tn) = time {
+      val out = Similarity.ivfPqSearchPersisted(spark, s"$dir/index", vecs,
+        nQueries = 10, k = 10, m = 8, dims = 32, centroidMod = 1,
+        nprobe = 4)
+      val top1 = out.where(col("rank") === 1)
+        .select(col("query_id"), col("neighbor_id")).collect()
+      require(top1.length == 10, s"B43t ${top1.length} rank-1 rows, want 10")
+      top1.foreach { r =>
+        require(r.getLong(1) == r.getLong(0) + 1000000L,
+          s"B43t query ${r.getLong(0)}: top-1 ${r.getLong(1)} is not the " +
+            s"planted duplicate ${r.getLong(0) + 1000000L}") }
+      b43ttop1 = top1.length
+      out.count()
+    }
+    val (b43tcs, b43tscanned) = time {
+      val (_, scanned) = scanMetrics(Similarity.ivfPqScoredPersisted(
+        spark, s"$dir/index", vecs, nQueries = 10, m = 8, dims = 32,
+        centroidMod = 1, nprobe = 4))
+      scanned
+    }
+    require(b43tscanned >= probedRows,
+      s"B43t scan read $b43tscanned < probed rows $probedRows - metric broken")
+    require(b43tscanned <= 3L * probedRows,
+      s"B43t scan read $b43tscanned rows > 3x the exact probed $probedRows " +
+        "- row-group pruning is not engaging on the trained index")
+    require(b43tscanned <= 1000100L / 8,
+      s"B43t scan read $b43tscanned of 1000100 rows - not pruning")
+    vecs.unpersist()
+    deleteRecursive(dir)
+    Caching.release()
+    s""""b43t_index_write_sec":$b43tws,"b43t_index_rows":$b43twn,""" +
+      s""""b43t_search_sec":$b43ts,"b43t_results":$b43tn,""" +
+      s""""b43t_recall_top1":$b43ttop1,"b43t_nlists":1024,"b43t_ksub":245,""" +
+      s""""b43t_probed_rows":$probedRows,"b43t_scan_rows":$b43tscanned,""" +
+      s""""b43t_scan_count_sec":$b43tcs,""" +
+      s""""b43t_scan_frac":${"%.4f".format(b43tscanned.toDouble / 1000100L)}"""
+  }
+
   // --- B33t: Lloyd-trained fixed-ksub PQ codebooks ------------------------
   //
   // B33's codebook is the vec_id ≡ 0 (mod 4096) SUBSET (ksub = 245 grows
@@ -352,8 +421,8 @@ object ScaleBenchEntries {
   /** All round-17 entries in run order — ScaleBench.main splices these
     * fragments into its JSON line. */
   def all(spark: SparkSession): String =
-    Seq(b42c(spark), b43(spark), b33t(spark), b44(spark), b45(spark))
-      .mkString(",")
+    Seq(b42c(spark), b43(spark), b43t(spark), b33t(spark), b44(spark),
+      b45(spark)).mkString(",")
 }
 
 /** Run individual ScaleBench entries by name — the monolithic
@@ -368,6 +437,7 @@ object ScaleBenchOne {
     val entries: Map[String, SparkSession => String] = Map(
       "b42c" -> ScaleBenchEntries.b42c,
       "b43" -> ScaleBenchEntries.b43,
+      "b43t" -> ScaleBenchEntries.b43t,
       "b33t" -> ScaleBenchEntries.b33t,
       "b44" -> ScaleBenchEntries.b44,
       "b45" -> ScaleBenchEntries.b45)
