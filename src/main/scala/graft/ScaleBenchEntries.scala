@@ -17,10 +17,14 @@ import graft.similarity.Similarity
   *    generation bound and the scanned-rows curve.
   *  - B43:  PERSISTED IVF+PQ index — probed-list pruning measured at
   *    the parquet SCAN's numOutputRows, not the join's.
+  *  - B43t: the persisted FULLY-TRAINED index (trained coarse + trained
+  *    PQ) — the production artifact; same scan-level REQUIREs.
   *  - B33t: Lloyd-trained fixed-ksub PQ codebooks — recall ≥ the
   *    subset-codebook path at the same index bytes (same ksub).
   *  - B44:  end-to-end hybrid retrieval (BM25 + IVF+PQ + RRF) at 1M
   *    docs / 1M vectors — certifies the COMPOSITION, not just the legs.
+  *  - B45:  fully-trained IVF+PQ search in-plan — recall + balanced-scan
+  *    REQUIREs at 1M (trained cells land at 1.003× balanced).
   */
 object ScaleBenchEntries {
 
