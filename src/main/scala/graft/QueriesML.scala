@@ -2650,6 +2650,31 @@ object QueriesML {
       },
       Some(IvfPqTrainedOracle)),
 
+    // INCREMENTAL index maintenance (the FAISS add() contract): the
+    // index is trained and written from vec_id < 400 only; the rest of
+    // the corpus is APPENDED with the frozen codebooks/centroids (no
+    // retraining), the tail OPTIMIZEd into a clustered generation, and
+    // the search runs over the whole lifecycle table. The oracle is the
+    // trained-oracle chain with training restricted to vec_id < 400 —
+    // every row (appended or not) encodes/assigns against those frozen
+    // relations, which is exactly what the engine's append does.
+    Q("q_ivfpq_append",
+      (s, d) => {
+        val dir = java.nio.file.Files.createTempDirectory("ivfpqapp").toString
+        val emb = embeddings(s, d)
+        Similarity.ivfPqWriteIndexTrained(emb.where(col("vec_id") < 400),
+          s"$dir/index", numFiles = 4, m = 8, dims = 64, ksub = 4,
+          nlists = 4, iters = 1, trainMod = 7)
+        Similarity.ivfPqAppendIndex(s, s"$dir/index",
+          emb.where(col("vec_id") >= 400), m = 8, dims = 64)
+        Similarity.ivfPqOptimizeIndex(s, s"$dir/index", numFiles = 2)
+        Similarity.ivfPqSearchPersisted(s, s"$dir/index", emb,
+          nQueries = 20, k = 5, m = 8, dims = 64, centroidMod = 1,
+          nprobe = 2)
+      },
+      Some(IvfPqTrainedOracle.replace(
+        "WHERE vec_id % 7 = 0", "WHERE vec_id % 7 = 0 AND vec_id < 400"))),
+
     // M70 ADC top-R + exact re-rank (the FAISS refine stage,
     // IndexRefineFlat): PQ buys the scan, raw vectors re-score the few
     // survivors, so the final ranking has zero quantization error.

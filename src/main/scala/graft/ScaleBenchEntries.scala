@@ -162,7 +162,7 @@ object ScaleBenchEntries {
       Similarity.ivfPqWriteIndex(vecs, s"$dir/index", numFiles = 64,
         m = 8, dims = 32, centroidMod = 4096, coarseMod = 997,
         writerOptions = Map("parquet.block.size" -> (64L << 10).toString))
-      spark.read.parquet(s"$dir/index/codes").count()
+      spark.read.parquet(s"$dir/index/codes/*").count()
     }
     require(b43wn == 1000100L, s"B43 index holds $b43wn rows, want 1000100")
     // exact probed-row expectation: the union of probed lists' sizes
@@ -170,7 +170,7 @@ object ScaleBenchEntries {
     val probes = Similarity.ivfProbes(vecs, cents, nQueries = 10, nprobe = 4)
     val probedLists = probes.select("list_id").distinct()
       .collect().map(_.getLong(0)).toSet
-    val probedRows = spark.read.parquet(s"$dir/index/codes")
+    val probedRows = spark.read.parquet(s"$dir/index/codes/*")
       .groupBy("list_id").count().collect()
       .filter(r => probedLists(r.getLong(0))).map(_.getLong(1)).sum
     var b43top1 = 0L
@@ -234,14 +234,14 @@ object ScaleBenchEntries {
         m = 8, dims = 32, ksub = 245, nlists = 1024, iters = 2,
         trainMod = 97,
         writerOptions = Map("parquet.block.size" -> (64L << 10).toString))
-      spark.read.parquet(s"$dir/index/codes").count()
+      spark.read.parquet(s"$dir/index/codes/*").count()
     }
     require(b43twn == 1000100L, s"B43t index holds $b43twn rows, want 1000100")
     val cents = spark.read.parquet(s"$dir/index/cents")
     val probes = Similarity.ivfProbes(vecs, cents, nQueries = 10, nprobe = 4)
     val probedLists = probes.select("list_id").distinct()
       .collect().map(_.getLong(0)).toSet
-    val probedRows = spark.read.parquet(s"$dir/index/codes")
+    val probedRows = spark.read.parquet(s"$dir/index/codes/*")
       .groupBy("list_id").count().collect()
       .filter(r => probedLists(r.getLong(0))).map(_.getLong(1)).sum
     var b43ttop1 = 0L

@@ -224,7 +224,25 @@ object Layout {
     * (the usual lakehouse maintenance contract; appends stay safe). */
   def zorderOptimize(
       spark: org.apache.spark.sql.SparkSession,
-      dir: String, numFiles: Int, maxGenerations: Int = 0): Long = {
+      dir: String, numFiles: Int, maxGenerations: Int = 0): Long =
+    clusteredOptimize(spark, dir, numFiles, Seq("z_key"), maxGenerations)
+
+  /** The lifecycle core behind [[zorderOptimize]], generalized to ANY
+    * cluster-key column list: re-cluster the unsorted tail into the
+    * next gen-K (range-repartition + sort by `sortCols`), delete
+    * exactly the compacted tail files, optionally consolidate past
+    * `maxGenerations`. The z-order table uses it with `z_key`; the
+    * persisted IVF+PQ index ([[graft.similarity.Similarity]]) with
+    * `(list_id, neighbor_id)` — one lifecycle implementation, two
+    * cluster keys, because the layout math (generations prune
+    * independently; tails prune nothing until optimized) does not care
+    * WHAT the key means. Same snapshot-pinning and single-OPTIMIZE-
+    * writer contract as [[zorderOptimize]]. */
+  def clusteredOptimize(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String, numFiles: Int, sortCols: Seq[String],
+      maxGenerations: Int = 0): Long = {
+    require(sortCols.nonEmpty, "clusteredOptimize needs sort columns")
     val conf = spark.sparkContext.hadoopConfiguration
     val dirPath = new org.apache.hadoop.fs.Path(dir)
     val fs = dirPath.getFileSystem(conf)
@@ -245,8 +263,8 @@ object Layout {
           // deleted even if appends land mid-pass
           val df = spark.read.parquet(snapshot.toIndexedSeq: _*)
           val n = df.count()
-          df.repartitionByRange(numFiles, col("z_key"))
-            .sortWithinPartitions("z_key")
+          df.repartitionByRange(numFiles, sortCols.map(col): _*)
+            .sortWithinPartitions(sortCols.head, sortCols.tail: _*)
             .write.mode("errorifexists")
             .parquet(new org.apache.hadoop.fs.Path(dirPath, s"gen-$next").toString)
           // Hadoop Path handles unencoded inputFiles strings (spaces
@@ -260,7 +278,7 @@ object Layout {
       }
     if (maxGenerations > 0 &&
       generations(fs, dirPath).size > maxGenerations)
-      zorderConsolidate(spark, dir, numFiles)
+      clusteredConsolidate(spark, dir, numFiles, sortCols)
     compacted
   }
 
@@ -282,7 +300,15 @@ object Layout {
     * re-layout of the same rows. */
   def zorderConsolidate(
       spark: org.apache.spark.sql.SparkSession,
-      dir: String, numFiles: Int): Long = {
+      dir: String, numFiles: Int): Long =
+    clusteredConsolidate(spark, dir, numFiles, Seq("z_key"))
+
+  /** [[zorderConsolidate]] generalized to any cluster-key column list —
+    * see [[clusteredOptimize]]. */
+  def clusteredConsolidate(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String, numFiles: Int, sortCols: Seq[String]): Long = {
+    require(sortCols.nonEmpty, "clusteredConsolidate needs sort columns")
     val conf = spark.sparkContext.hadoopConfiguration
     val dirPath = new org.apache.hadoop.fs.Path(dir)
     val fs = dirPath.getFileSystem(conf)
@@ -291,13 +317,13 @@ object Layout {
     val next = gens.max + 1
     val genPaths = gens.sorted
       .map(g => new org.apache.hadoop.fs.Path(dirPath, s"gen-$g"))
-    // snapshot-pinned like zorderOptimize: the merged write and the
+    // snapshot-pinned like clusteredOptimize: the merged write and the
     // deletes cover exactly the files seen here
     val snapshot = spark.read.parquet(genPaths.map(_.toString): _*).inputFiles
     val df = spark.read.parquet(snapshot.toIndexedSeq: _*)
     val n = df.count()
-    df.repartitionByRange(numFiles, col("z_key"))
-      .sortWithinPartitions("z_key")
+    df.repartitionByRange(numFiles, sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.head, sortCols.tail: _*)
       .write.mode("errorifexists")
       .parquet(new org.apache.hadoop.fs.Path(dirPath, s"gen-$next").toString)
     genPaths.foreach(p => fs.delete(p, true))

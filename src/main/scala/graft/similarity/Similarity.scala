@@ -745,7 +745,7 @@ object Similarity {
       .repartitionByRange(numFiles, col("list_id"), col("neighbor_id"))
       .sortWithinPartitions("list_id", "neighbor_id")
       .write.mode("errorifexists").options(writerOptions)
-      .parquet(s"$dir/codes")
+      .parquet(s"$dir/codes/gen-0")
     coarseCents(embeddings, coarseMod)
       .coalesce(1).write.mode("errorifexists").parquet(s"$dir/cents")
     embeddings
@@ -793,13 +793,71 @@ object Similarity {
       .repartitionByRange(numFiles, col("list_id"), col("neighbor_id"))
       .sortWithinPartitions("list_id", "neighbor_id")
       .write.mode("errorifexists").options(writerOptions)
-      .parquet(s"$dir/codes")
+      .parquet(s"$dir/codes/gen-0")
     cents.coalesce(1).write.mode("errorifexists").parquet(s"$dir/cents")
     spark.createDataFrame(
       books.toIndexedSeq.zipWithIndex.map { case (b, i) => (i.toLong, b.toSeq) })
       .toDF("centroid_id", "v")
       .coalesce(1).write.mode("errorifexists").parquet(s"$dir/book")
   }
+
+  /** INCREMENTAL index maintenance — the FAISS `add()` contract: encode
+    * and coarse-assign NEW vectors against the index's FROZEN stored
+    * relations (`dir/book`, `dir/cents` — no retraining; a growing
+    * corpus must never pay a rebuild at ingest) and land the rows in
+    * the codes TAIL, unclustered (the [[graft.ops.Layout.zorderAppend]]
+    * idiom applied to the list_id cluster key: ingest is one narrow
+    * encode projection + one broadcast assign aggregate, NO shuffle of
+    * existing data). Readers see appended vectors immediately
+    * ([[ivfPqSearchPersisted]] globs generations + tail); tail files
+    * span all lists, so they prune poorly at the scan until
+    * [[ivfPqOptimizeIndex]] re-clusters them — exactly the z-order
+    * tail story, REQUIREd in ScaleBench B46.
+    *
+    * Works against both writer variants: the book's centroid_id values
+    * are whatever the writer stored (subset vec_ids or trained
+    * indices), and the encode/assign arithmetic is the shared kernels,
+    * so appended codes are bit-identical to what a full rebuild with
+    * the same codebooks would produce (spec-pinned). */
+  def ivfPqAppendIndex(
+      spark: SparkSession,
+      indexDir: String,
+      newVecs: DataFrame,
+      m: Int = 8,
+      dims: Int = 64): Unit = {
+    require(dims % m == 0, s"dims=$dims not divisible by m=$m")
+    val subDim = dims / m
+    val bookRows = spark.read.parquet(s"$indexDir/book")
+      .collect().sortBy(_.getLong(0))
+    require(bookRows.nonEmpty, s"no codebook at $indexDir/book")
+    val ids = bookRows.map(_.getLong(0))
+    val books = bookRows.map(_.getSeq[Double](1).toArray)
+    val cents = spark.read.parquet(s"$indexDir/cents")
+    val assign = trainedAssign(
+      newVecs.select(col("vec_id"), quantize(col("embedding")).as("v")),
+      cents)
+    newVecs
+      .select(col("vec_id"),
+        graft.functions.PqEncodeExpr.col(
+          quantize(col("embedding")), books, ids, m, subDim).as("codes"))
+      .join(assign, "vec_id")
+      .select(col("vec_id").as("neighbor_id"), col("list_id"), col("codes"))
+      .write.mode("append").parquet(s"$indexDir/codes/tail")
+  }
+
+  /** OPTIMIZE pass for the persisted index: re-cluster the codes TAIL
+    * into the next generation by (list_id, neighbor_id) — the shared
+    * [[graft.ops.Layout.clusteredOptimize]] lifecycle with the index's
+    * cluster key. Returns rows compacted; `maxGenerations` > 0 folds
+    * generations together past the threshold (one full-index sort
+    * amortized over the cheap tail-only passes). */
+  def ivfPqOptimizeIndex(
+      spark: SparkSession,
+      indexDir: String,
+      numFiles: Int,
+      maxGenerations: Int = 0): Long =
+    graft.ops.Layout.clusteredOptimize(spark, s"$indexDir/codes",
+      numFiles, Seq("list_id", "neighbor_id"), maxGenerations)
 
   /** [[ivfPqSearch]] over a PERSISTED index ([[ivfPqWriteIndex]] or
     * [[ivfPqWriteIndexTrained]]): identical results (same probes, same
@@ -856,7 +914,7 @@ object Similarity {
     // are dropped at the scan — bytes read ≈ probed fraction.
     val probedLists = probes.select("list_id").distinct()
       .collect().map(_.getLong(0)).toIndexedSeq.sorted
-    val index = spark.read.parquet(s"$indexDir/codes")
+    val index = spark.read.parquet(s"$indexDir/codes/*")
       .where(col("list_id").isInCollection(probedLists))
     val books = subspaceBooks(
       spark.read.parquet(s"$indexDir/book"), m, subDim)

@@ -257,7 +257,7 @@ class PqSpec extends SparkSpec {
     // (range partitioning is on (list_id, neighbor_id), so one large
     // list may straddle a file boundary — intervals may TOUCH at the
     // boundary list but never properly interleave)
-    val fileRanges = spark.read.parquet(s"$dir/index/codes")
+    val fileRanges = spark.read.parquet(s"$dir/index/codes/*")
       .select(input_file_name().as("f"), col("list_id"))
       .groupBy("f").agg(min("list_id").as("lo"), max("list_id").as("hi"))
       .collect().map(r => (r.getLong(1), r.getLong(2)))
@@ -477,6 +477,55 @@ class PqSpec extends SparkSpec {
       s"$dir/index", bigWithDup, nQueries = 5, k = 4,
       m = 2, dims = 4, centroidMod = 1, nprobe = 2))
     assert(persisted == inPlan)
+  }
+
+  /** bigWithDup's formula over an explicit id set — ids 61 and 70 are
+    * exact copies of vec 1; vecsFor(0 until 62) ≡ bigWithDup. */
+  private def vecsFor(ids: Seq[Long]) = emb(ids.map { id =>
+    val src = if (id == 61L || id == 70L) 1L else id
+    (id, (0 until 4).map(d =>
+      (((src * 13 + d * 11) % 29) + (src % 5) + 1).toFloat))
+  }: _*)
+
+  test("incremental index: append with FROZEN codebooks equals a full " +
+    "trained rebuild; optimize re-clusters only the tail") {
+    import org.apache.spark.sql.functions._
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+      .toSet
+    // appended ids avoid the training subset (none ≡ 0 mod 3) and sit
+    // above every training id, so a FULL rebuild over the union trains
+    // bit-identical books/cents — making "frozen append ≡ rebuild" an
+    // exact equality, not an approximation
+    val appended = Seq(62L, 64L, 65L, 67L, 68L, 70L)
+    val base = vecsFor(0L until 62L)
+    val union = vecsFor((0L until 62L) ++ appended)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpqinc").toString
+    Similarity.ivfPqWriteIndexTrained(base, s"$dir/index", numFiles = 3,
+      m = 2, dims = 4, ksub = 4, nlists = 3, iters = 1, trainMod = 3)
+    Similarity.ivfPqAppendIndex(spark, s"$dir/index", vecsFor(appended),
+      m = 2, dims = 4)
+    assert(spark.read.parquet(s"$dir/index/codes/tail").count() == 6)
+    def searchPersisted() = rows(Similarity.ivfPqSearchPersisted(spark,
+      s"$dir/index", union, nQueries = 5, k = 4, m = 2, dims = 4,
+      centroidMod = 1, nprobe = 2))
+    val rebuilt = rows(Similarity.ivfPqSearchTrainedFull(union,
+      nQueries = 5, k = 4, m = 2, dims = 4, ksub = 4, nlists = 3,
+      iters = 1, trainMod = 3, nprobe = 2))
+    assert(searchPersisted() == rebuilt)
+    // optimize: exactly the 6 tail rows re-cluster into gen-1; the
+    // search result is unchanged at every lifecycle stage
+    assert(Similarity.ivfPqOptimizeIndex(spark, s"$dir/index", 2) == 6L)
+    assert(spark.read.parquet(s"$dir/index/codes/gen-1").count() == 6)
+    assert(searchPersisted() == rebuilt)
+    // the appended duplicate of vec 1 (id 70) is searchable and sits at
+    // query 1's ADC floor — identical vector, identical frozen codes
+    val scored = Similarity.ivfPqScoredPersisted(spark, s"$dir/index",
+      union, nQueries = 2, m = 2, dims = 4, centroidMod = 1, nprobe = 2)
+      .where(col("query_id") === 1L).collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(scored.contains(70L), scored.toString)
+    assert(scored(70L) == scored.values.min)
   }
 
   test("ivfPqSearchTrainedFull with nprobe >= nlists degenerates to " +
