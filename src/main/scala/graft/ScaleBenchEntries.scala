@@ -272,6 +272,71 @@ object ScaleBenchEntries {
         "- row-group pruning is not engaging on the trained index")
     require(b43tscanned <= 1000100L / 8,
       s"B43t scan read $b43tscanned of 1000100 rows - not pruning")
+
+    // --- B46 (runs on B43t's index): INCREMENTAL maintenance at 1M ----
+    // 100k new vectors append with the FROZEN trained codebooks — the
+    // FAISS add() path — including fresh planted duplicates of queries
+    // 0..9 (ids 1.1M+q). Three-stage contract:
+    //   1. appended vectors are searchable IMMEDIATELY: query q's top-2
+    //      are {1M+q, 1.1M+q} (both exact duplicates share the query's
+    //      codes; id tie-break orders them);
+    //   2. the unclustered tail is SCANNED nearly in full until
+    //      optimized (REQUIREd: pre-optimize scan ≥ post + half the
+    //      tail) — the honest cost of shuffle-free ingest;
+    //   3. ivfPqOptimizeIndex re-clusters exactly the tail and restores
+    //      scan-level pruning (post-optimize scan within row-group
+    //      granularity of the new probed total).
+    val b46new = spark.range(1100000L, 1200000L).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(31)),
+        d => (pmod(xxhash64(
+          when(col("id") < 1100010L, col("id") - 1100000L)
+            .otherwise(col("id")), d), lit(1997L)) - 998)
+          .cast("double") / 1000.0).as("embedding"))
+    val (b46as, b46an) = time {
+      Similarity.ivfPqAppendIndex(spark, s"$dir/index", b46new,
+        m = 8, dims = 32)
+      spark.read.parquet(s"$dir/index/codes/tail").count()
+    }
+    require(b46an == 100000L, s"B46 tail holds $b46an rows, want 100k")
+    def b46scan(): Long = {
+      val (_, scanned) = scanMetrics(Similarity.ivfPqScoredPersisted(
+        spark, s"$dir/index", vecs, nQueries = 10, m = 8, dims = 32,
+        centroidMod = 1, nprobe = 4))
+      scanned
+    }
+    def b46recall(): Unit = {
+      val top2 = Similarity.ivfPqSearchPersisted(spark, s"$dir/index",
+        vecs, nQueries = 10, k = 10, m = 8, dims = 32, centroidMod = 1,
+        nprobe = 4)
+        .where(col("rank") <= 2)
+        .select(col("query_id"), col("rank"), col("neighbor_id")).collect()
+        .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+      (0 until 10).foreach { q =>
+        require(top2((q.toLong, 1)) == 1000000L + q &&
+          top2((q.toLong, 2)) == 1100000L + q,
+          s"B46 query $q top-2 (${top2((q.toLong, 1))}, " +
+            s"${top2((q.toLong, 2))}) != planted (${1000000 + q}, ${1100000 + q})")
+      }
+    }
+    b46recall() // appended vectors searchable pre-optimize
+    val b46pre = b46scan()
+    val (b46os, b46compacted) = time {
+      // same row-group rule as the initial write: the generation's row
+      // groups must sit at or below its per-list footprint (100k rows /
+      // 1024 lists ≈ 10 KB per list here) for scan pruning to track
+      Similarity.ivfPqOptimizeIndex(spark, s"$dir/index", numFiles = 8,
+        writerOptions = Map("parquet.block.size" -> (8L << 10).toString))
+    }
+    require(b46compacted == 100000L,
+      s"B46 optimize compacted $b46compacted rows, want 100k")
+    b46recall() // and still searchable after the re-cluster
+    val b46post = b46scan()
+    require(b46pre >= b46post + 50000L,
+      s"B46 pre-optimize scan $b46pre not ≈ tail-inflated vs post $b46post" +
+        " - the unclustered tail should have been scanned nearly in full")
+    require(b46post <= 1100100L / 8,
+      s"B46 post-optimize scan $b46post of 1.1M rows - pruning not restored")
     vecs.unpersist()
     deleteRecursive(dir)
     Caching.release()
@@ -280,7 +345,11 @@ object ScaleBenchEntries {
       s""""b43t_recall_top1":$b43ttop1,"b43t_nlists":1024,"b43t_ksub":245,""" +
       s""""b43t_probed_rows":$probedRows,"b43t_scan_rows":$b43tscanned,""" +
       s""""b43t_scan_count_sec":$b43tcs,""" +
-      s""""b43t_scan_frac":${"%.4f".format(b43tscanned.toDouble / 1000100L)}"""
+      s""""b43t_scan_frac":${"%.4f".format(b43tscanned.toDouble / 1000100L)},""" +
+      s""""b46_append_sec":$b46as,"b46_appended":$b46an,""" +
+      s""""b46_optimize_sec":$b46os,"b46_recall_top2":"planted both",""" +
+      s""""b46_scan_pre_opt":$b46pre,"b46_scan_post_opt":$b46post,""" +
+      s""""b46_scan_post_frac":${"%.4f".format(b46post.toDouble / 1100100L)}"""
   }
 
   // --- B33t: Lloyd-trained fixed-ksub PQ codebooks ------------------------

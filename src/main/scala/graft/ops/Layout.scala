@@ -241,7 +241,8 @@ object Layout {
   def clusteredOptimize(
       spark: org.apache.spark.sql.SparkSession,
       dir: String, numFiles: Int, sortCols: Seq[String],
-      maxGenerations: Int = 0): Long = {
+      maxGenerations: Int = 0,
+      writerOptions: Map[String, String] = Map.empty): Long = {
     require(sortCols.nonEmpty, "clusteredOptimize needs sort columns")
     val conf = spark.sparkContext.hadoopConfiguration
     val dirPath = new org.apache.hadoop.fs.Path(dir)
@@ -265,7 +266,7 @@ object Layout {
           val n = df.count()
           df.repartitionByRange(numFiles, sortCols.map(col): _*)
             .sortWithinPartitions(sortCols.head, sortCols.tail: _*)
-            .write.mode("errorifexists")
+            .write.mode("errorifexists").options(writerOptions)
             .parquet(new org.apache.hadoop.fs.Path(dirPath, s"gen-$next").toString)
           // Hadoop Path handles unencoded inputFiles strings (spaces
           // etc.) that java.net.URI.create would reject
@@ -278,7 +279,7 @@ object Layout {
       }
     if (maxGenerations > 0 &&
       generations(fs, dirPath).size > maxGenerations)
-      clusteredConsolidate(spark, dir, numFiles, sortCols)
+      clusteredConsolidate(spark, dir, numFiles, sortCols, writerOptions)
     compacted
   }
 
@@ -307,7 +308,8 @@ object Layout {
     * see [[clusteredOptimize]]. */
   def clusteredConsolidate(
       spark: org.apache.spark.sql.SparkSession,
-      dir: String, numFiles: Int, sortCols: Seq[String]): Long = {
+      dir: String, numFiles: Int, sortCols: Seq[String],
+      writerOptions: Map[String, String] = Map.empty): Long = {
     require(sortCols.nonEmpty, "clusteredConsolidate needs sort columns")
     val conf = spark.sparkContext.hadoopConfiguration
     val dirPath = new org.apache.hadoop.fs.Path(dir)
@@ -324,7 +326,7 @@ object Layout {
     val n = df.count()
     df.repartitionByRange(numFiles, sortCols.map(col): _*)
       .sortWithinPartitions(sortCols.head, sortCols.tail: _*)
-      .write.mode("errorifexists")
+      .write.mode("errorifexists").options(writerOptions)
       .parquet(new org.apache.hadoop.fs.Path(dirPath, s"gen-$next").toString)
     genPaths.foreach(p => fs.delete(p, true))
     n

@@ -855,9 +855,11 @@ object Similarity {
       spark: SparkSession,
       indexDir: String,
       numFiles: Int,
-      maxGenerations: Int = 0): Long =
+      maxGenerations: Int = 0,
+      writerOptions: Map[String, String] = Map.empty): Long =
     graft.ops.Layout.clusteredOptimize(spark, s"$indexDir/codes",
-      numFiles, Seq("list_id", "neighbor_id"), maxGenerations)
+      numFiles, Seq("list_id", "neighbor_id"), maxGenerations,
+      writerOptions)
 
   /** [[ivfPqSearch]] over a PERSISTED index ([[ivfPqWriteIndex]] or
     * [[ivfPqWriteIndexTrained]]): identical results (same probes, same
