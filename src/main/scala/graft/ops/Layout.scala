@@ -147,6 +147,9 @@ object Layout {
   //                 a narrow projection, no shuffle at ingest time)
   //   dir/gen-K/    each zorderOptimize pass re-clusters ONLY the tail
   //                 into the next generation and removes it
+  //   dir/deletes/  tombstoned delete keys (zorderDelete/tombstone) —
+  //                 anti-joined at read, purged physically at the next
+  //                 consolidate
   //
   // Every generation is internally z-clustered, so a box query prunes
   // within each generation independently: scanned rows ≈ (#generations)
@@ -185,14 +188,105 @@ object Layout {
     * so the lifecycle works on any scheme (file:, hdfs:, s3a:…); the
     * table's 100 TB home is an object store, where a local-File
     * `exists()` is silently false and a File-based pass would no-op
-    * indistinguishably from "no tail". */
+    * indistinguishably from "no tail". Only names matching exactly
+    * `gen-<digits>` count: a foreign entry (gen-1.bak, gen-tmp, a stray
+    * backup) is IGNORED, not parsed — a NumberFormatException here would
+    * permanently fail every optimize pass on the table. */
   private def generations(
       fs: org.apache.hadoop.fs.FileSystem,
       dirPath: org.apache.hadoop.fs.Path): Seq[Int] =
     if (!fs.exists(dirPath)) Seq.empty
     else fs.listStatus(dirPath).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("gen-"))
+      .filter(st => st.isDirectory && st.getPath.getName.matches("gen-\\d+"))
       .map(_.getPath.getName.stripPrefix("gen-").toInt)
+
+  /** True if `p` is a directory holding at least one parquet data file
+    * (a dir surviving with only `_SUCCESS` fails schema inference). */
+  private def hasParquetData(
+      fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Boolean =
+    fs.exists(p) && fs.listStatus(p)
+      .exists(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+
+  // --- Tombstone deletes (merge-on-read, applied at compaction) ---------
+  //
+  // Dedup pipelines DELETE rows (M14/M67 emit drop lists), but appends
+  // only grow the table. The minimal lakehouse answer (Delta's
+  // merge-on-read deletion vectors, Iceberg equality deletes, FAISS
+  // remove_ids) is a TOMBSTONE relation:
+  //
+  //   dir/deletes/   single-column parquet — the delete-key values
+  //
+  // Readers ([[clusteredTable]]/[[zorderTable]]) anti-join it, so a
+  // delete is visible immediately at read time without rewriting data;
+  // [[clusteredConsolidate]] applies it PHYSICALLY (the merged
+  // generation drops tombstoned rows) and empties the relation once no
+  // un-compacted tail remains. The tombstone column NAME is the delete
+  // key — discovered from the relation's schema at read time, so one
+  // reader serves any key (z_key tables delete by row key, the IVF+PQ
+  // index by neighbor_id).
+
+  /** Append delete keys for rows of the lifecycle table at `dir`:
+    * `ids` must contain `keyCol`, which must be a column of the table.
+    * Idempotent (tombstoning the same key twice is harmless — readers
+    * anti-join the distinct set). Deleting a key that is later
+    * re-appended REQUIRES the tombstones to have been purged first
+    * (consolidate), else the re-appended row is masked too — the same
+    * contract as Delta merge-on-read deletes within one version. */
+  def tombstone(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String, keyCol: String, ids: DataFrame): Unit =
+    ids.select(col(keyCol))
+      .write.mode("append").parquet(s"$dir/deletes")
+
+  /** The tombstone relation at `dir`, if any data exists — pinned to
+    * the file list seen NOW, so a compaction pass applies and (later)
+    * purges exactly the same tombstones even if a delete lands
+    * mid-pass. */
+  private def tombstones(
+      spark: org.apache.spark.sql.SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      dirPath: org.apache.hadoop.fs.Path): Option[(DataFrame, Seq[org.apache.hadoop.fs.Path])] = {
+    val delPath = new org.apache.hadoop.fs.Path(dirPath, "deletes")
+    if (!hasParquetData(fs, delPath)) None
+    else {
+      val files = fs.listStatus(delPath).toSeq
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath)
+      Some((spark.read.parquet(files.map(_.toString): _*), files))
+    }
+  }
+
+  /** Read the whole lifecycle table at `dir` — every gen-K generation
+    * plus any unoptimized tail, MINUS tombstoned keys ([[tombstone]]);
+    * the anti-join key is the tombstone relation's (single) column.
+    * Paths are discovered with the Hadoop FS API (never a glob, which
+    * would also match the deletes relation), and predicates on table
+    * columns still push down to the scans — Catalyst pushes left-side
+    * filters through the left-anti join. */
+  def clusteredTable(
+      spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = dirPath.getFileSystem(conf)
+    val genPaths = generations(fs, dirPath).sorted
+      .map(g => new org.apache.hadoop.fs.Path(dirPath, s"gen-$g"))
+    val tailPath = new org.apache.hadoop.fs.Path(dirPath, "tail")
+    val parts = (genPaths ++
+      (if (hasParquetData(fs, tailPath)) Seq(tailPath) else Seq.empty))
+      .map(_.toString)
+    require(parts.nonEmpty, s"no generations or tail data under $dir")
+    val base = spark.read.parquet(parts: _*)
+    tombstones(spark, fs, dirPath) match {
+      case Some((del, _)) =>
+        require(del.schema.fields.length == 1,
+          s"tombstone relation at $dir/deletes must have exactly one " +
+            s"column, found ${del.schema.fieldNames.mkString(", ")}")
+        base.join(del.distinct(), Seq(del.schema.fields.head.name),
+          "left_anti")
+      case None => base
+    }
+  }
 
   /** OPTIMIZE pass: re-cluster ONLY the unsorted tail into the next
     * `gen-K` directory (range-repartition + sort by the z_key the
@@ -251,10 +345,8 @@ object Layout {
     // data-file precheck: after a prior optimize the tail dir survives
     // holding only _SUCCESS, and spark.read.parquet on a data-less dir
     // fails schema inference
-    val hasData = fs.exists(tailPath) && fs.listStatus(tailPath)
-      .exists(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
     val compacted =
-      if (!hasData) 0L
+      if (!hasParquetData(fs, tailPath)) 0L
       else {
         val next = generations(fs, dirPath).foldLeft(-1)(math.max) + 1
         val snapshot = spark.read.parquet(tailPath.toString).inputFiles
@@ -262,8 +354,18 @@ object Layout {
         else {
           // re-read pinned to the snapshot list: rows compacted == files
           // deleted even if appends land mid-pass
-          val df = spark.read.parquet(snapshot.toIndexedSeq: _*)
-          val n = df.count()
+          val df0 = spark.read.parquet(snapshot.toIndexedSeq: _*)
+          val n = df0.count()
+          // tombstoned rows are dropped PHYSICALLY from the new
+          // generation (merge-on-read applied at compaction); the
+          // tombstones themselves survive — older generations may still
+          // hold the keys, and only consolidate (a full rewrite) can
+          // retire them
+          val df = tombstones(spark, fs, dirPath) match {
+            case Some((del, _)) => df0.join(del.distinct(),
+              Seq(del.schema.fields.head.name), "left_anti")
+            case None => df0
+          }
           df.repartitionByRange(numFiles, sortCols.map(col): _*)
             .sortWithinPartitions(sortCols.head, sortCols.tail: _*)
             .write.mode("errorifexists").options(writerOptions)
@@ -305,7 +407,26 @@ object Layout {
     clusteredConsolidate(spark, dir, numFiles, Seq("z_key"))
 
   /** [[zorderConsolidate]] generalized to any cluster-key column list —
-    * see [[clusteredOptimize]]. */
+    * see [[clusteredOptimize]]. Also the PHYSICAL-delete pass: the
+    * merged generation drops tombstoned rows ([[tombstone]]), and once
+    * no un-compacted tail remains the tombstone relation is emptied —
+    * every surviving copy of a deleted key has been rewritten away, so
+    * the table needs no anti-join to serve reads. (With a non-empty
+    * tail the tombstones are RETAINED: the tail may still hold deleted
+    * keys, and purging early would resurrect them.) A single generation
+    * plus pending tombstones is enough to trigger the rewrite — the
+    * usual two-generation minimum exists only because merging one
+    * generation is otherwise a no-op.
+    *
+    * Reader-side race: old gen-K directories are deleted AFTER the
+    * merged generation commits, but a concurrent reader that resolved
+    * its file list before the delete ([[clusteredTable]] /
+    * [[graft.similarity.Similarity.ivfPqSearchPersisted]]) can fail
+    * mid-scan with FileNotFoundException — a wider window than the
+    * per-file tail deletes of [[clusteredOptimize]], because whole
+    * directories go at once. Schedule consolidation off query windows
+    * (or retry the read); the single-OPTIMIZE-writer contract protects
+    * WRITERS only. */
   def clusteredConsolidate(
       spark: org.apache.spark.sql.SparkSession,
       dir: String, numFiles: Int, sortCols: Seq[String],
@@ -315,30 +436,56 @@ object Layout {
     val dirPath = new org.apache.hadoop.fs.Path(dir)
     val fs = dirPath.getFileSystem(conf)
     val gens = generations(fs, dirPath)
-    if (gens.size < 2) return 0L
+    val del = tombstones(spark, fs, dirPath)
+    if (gens.size < 2 && (del.isEmpty || gens.isEmpty)) return 0L
     val next = gens.max + 1
     val genPaths = gens.sorted
       .map(g => new org.apache.hadoop.fs.Path(dirPath, s"gen-$g"))
     // snapshot-pinned like clusteredOptimize: the merged write and the
     // deletes cover exactly the files seen here
     val snapshot = spark.read.parquet(genPaths.map(_.toString): _*).inputFiles
-    val df = spark.read.parquet(snapshot.toIndexedSeq: _*)
+    val df0 = spark.read.parquet(snapshot.toIndexedSeq: _*)
+    val df = del match {
+      case Some((d, _)) => df0.join(d.distinct(),
+        Seq(d.schema.fields.head.name), "left_anti")
+      case None => df0
+    }
     val n = df.count()
     df.repartitionByRange(numFiles, sortCols.map(col): _*)
       .sortWithinPartitions(sortCols.head, sortCols.tail: _*)
       .write.mode("errorifexists").options(writerOptions)
       .parquet(new org.apache.hadoop.fs.Path(dirPath, s"gen-$next").toString)
     genPaths.foreach(p => fs.delete(p, true))
+    // retire EXACTLY the tombstone files applied above, once nothing
+    // outside the merged generation can still hold a deleted key (the
+    // deletes dir survives, like the tail, and tombstone() appends
+    // landing mid-pass are neither applied nor purged — next pass)
+    val tailPath = new org.apache.hadoop.fs.Path(dirPath, "tail")
+    del match {
+      case Some((_, files)) if !hasParquetData(fs, tailPath) =>
+        files.foreach(p => fs.delete(p, false))
+      case _ => ()
+    }
     n
   }
 
-  /** Read the whole lifecycle table (all generations + any unoptimized
-    * tail). Pruning predicates ([[inZRanges]] + the exact box filter)
-    * apply uniformly; unsorted tail files simply prune worse until the
-    * next [[zorderOptimize]]. */
+  /** Read the whole z-order lifecycle table (all generations + any
+    * unoptimized tail, minus tombstoned rows) — [[clusteredTable]] with
+    * the z-order key's vocabulary. Pruning predicates ([[inZRanges]] +
+    * the exact box filter) apply uniformly; unsorted tail files simply
+    * prune worse until the next [[zorderOptimize]]. */
   def zorderTable(
       spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/*")
+    clusteredTable(spark, dir)
+
+  /** Tombstone rows of the z-order table by a key column — readers mask
+    * them immediately; the next [[zorderConsolidate]] (or a
+    * `maxGenerations`-triggered one) drops them physically and retires
+    * the tombstones. See [[tombstone]]. */
+  def zorderDelete(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String, keyCol: String, ids: DataFrame): Unit =
+    tombstone(spark, dir, keyCol, ids)
 
   // --- Bloom-filter point-lookup layout (M72) ---------------------------
   //

@@ -71,6 +71,15 @@ object RankFusion {
     * embedding of doc_id i; query embeddings are rows vec_id < max
     * query_id + 1, mirroring the kNN operators' query convention).
     * `kEach` bounds each leg's candidates; the fused top-k ≤ k. */
+  /** Materialize a leg's top-k before fusion: legs are QUERY-scale
+    * (≤ nQueries·kEach rows) but their lineage is corpus-scale, and
+    * fusing two live corpus-scale plans in one query makes the executor
+    * interleave both scans and re-derive shared intermediates — B44
+    * measured the fused run at 1.65× the leg sum before this, ~1.0×
+    * after. localCheckpoint is eager and truncates lineage; the rows
+    * kept are bounded by construction, never by data. */
+  private def materialized(leg: DataFrame): DataFrame = leg.localCheckpoint()
+
   def hybridSearch(
       spark: SparkSession,
       docs: DataFrame,
@@ -88,7 +97,7 @@ object RankFusion {
     val sem = graft.similarity.Similarity
       .cosineTopKIds(embeddings, queries.map(_._1.toLong), kEach)
       .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
-    rrfFuse(Seq(lex, sem), k, rrfK)
+    rrfFuse(Seq(materialized(lex), materialized(sem)), k, rrfK)
   }
 
   /** [[hybridSearch]] with the IVF+PQ approximate semantic leg — the
@@ -116,6 +125,38 @@ object RankFusion {
       .ivfPqSearch(embeddings, nQueries = queries.length, k = kEach,
         m, dims, centroidMod, coarseMod, nprobe)
       .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
-    rrfFuse(Seq(lex, sem), k, rrfK)
+    rrfFuse(Seq(materialized(lex), materialized(sem)), k, rrfK)
+  }
+
+  /** [[hybridSearchAnn]] with STANDALONE query embeddings — the
+    * production form: `queryEmbeddings` is any (query_id, embedding)
+    * relation carrying one row per entry of `queries` (matched by id),
+    * so the query workload needs no presence in the corpus embeddings
+    * table and no id-prefix convention. `excludeSelf` as in
+    * [[graft.similarity.Similarity.ivfPqSearchPersistedQ]] — false (the
+    * default) is the external-workload contract. */
+  def hybridSearchAnnQ(
+      spark: SparkSession,
+      docs: DataFrame,
+      embeddings: DataFrame,
+      queries: Seq[(Int, String)],
+      queryEmbeddings: DataFrame,
+      kEach: Int = 10,
+      k: Int = 5,
+      rrfK: Int = 60,
+      m: Int = 8,
+      dims: Int = 64,
+      centroidMod: Int = 97,
+      coarseMod: Int = 83,
+      nprobe: Int = 2,
+      excludeSelf: Boolean = false): DataFrame = {
+    require(queries.nonEmpty, "hybridSearchAnnQ needs at least one query")
+    val lex = graft.text.Bm25.search(spark, docs, queries, topK = kEach)
+      .select(col("query_id"), col("doc_id"), col("rank"))
+    val sem = graft.similarity.Similarity
+      .ivfPqSearchQ(embeddings, queryEmbeddings, k = kEach,
+        m, dims, centroidMod, coarseMod, nprobe, excludeSelf)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+    rrfFuse(Seq(materialized(lex), materialized(sem)), k, rrfK)
   }
 }

@@ -677,20 +677,56 @@ object Similarity {
       dims: Int,
       centroidMod: Int,
       coarseMod: Int,
-      nprobe: Int): DataFrame = {
+      nprobe: Int): DataFrame =
+    ivfPqScoredQ(embeddings, prefixQueries(embeddings, nQueries), m, dims,
+      centroidMod, coarseMod, nprobe, excludeSelf = true)
+
+  /** The ONE copy of the in-plan IVF+PQ candidate scan, over an explicit
+    * (query_id, v) query relation — shared by the vec_id-prefix form
+    * above and the standalone-query form ([[ivfPqSearchQ]]). */
+  private[graft] def ivfPqScoredQ(
+      embeddings: DataFrame,
+      qv: DataFrame,
+      m: Int,
+      dims: Int,
+      centroidMod: Int,
+      coarseMod: Int,
+      nprobe: Int,
+      excludeSelf: Boolean): DataFrame = {
+    require(dims % m == 0, s"dims=$dims not divisible by m=$m")
     val index = ivfPqIndex(embeddings, m, dims, centroidMod, coarseMod)
     val cents = coarseCents(embeddings, coarseMod)
-    val probes = ivfProbes(embeddings, cents, nQueries, nprobe)
+    val probes = ivfProbesQ(qv, cents, nprobe)
     // (query, probed list, LUT): nQueries × nprobe rows — broadcast;
     // the corpus-side join key is list_id, so unprobed lists never leave
     // the scan
-    val probeLut = probes
-      .join(adcLutArr(embeddings, nQueries, m, dims, centroidMod), "query_id")
-    index
-      .join(broadcast(probeLut), Seq("list_id"))
-      .where(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        adcSum(m, centroidMod).as("adc_dist"))
+    val probeLut = probes.join(
+      adcLutFrom(qv, pqCodebooks(embeddings, m, dims, centroidMod),
+        m, dims / m, centroidMod), "query_id")
+    val joined = index.join(broadcast(probeLut), Seq("list_id"))
+    val kept =
+      if (excludeSelf) joined.where(col("neighbor_id") =!= col("query_id"))
+      else joined
+    kept.select(col("query_id"), col("neighbor_id"),
+      adcSum(m, centroidMod).as("adc_dist"))
+  }
+
+  /** [[ivfPqSearch]] serving a STANDALONE (query_id, embedding) query
+    * relation — see [[ivfPqSearchPersistedQ]] for the signature
+    * rationale and the `excludeSelf` contract. */
+  def ivfPqSearchQ(
+      embeddings: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      m: Int = 8,
+      dims: Int = 64,
+      centroidMod: Int = 97,
+      coarseMod: Int = 83,
+      nprobe: Int = 2,
+      excludeSelf: Boolean = false): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    adcTopK(ivfPqScoredQ(embeddings, quantQueries(queries), m, dims,
+      centroidMod, coarseMod, nprobe, excludeSelf), k)
   }
 
   // --- Persisted IVF+PQ index (the 100 TB storage shape) ----------------
@@ -818,25 +854,46 @@ object Similarity {
     * are whatever the writer stored (subset vec_ids or trained
     * indices), and the encode/assign arithmetic is the shared kernels,
     * so appended codes are bit-identical to what a full rebuild with
-    * the same codebooks would produce (spec-pinned). */
+    * the same codebooks would produce (spec-pinned).
+    *
+    * Duplicate ids: the default append is BLIND — re-ingesting a batch
+    * double-inserts its vec_ids (FAISS `add()` behaves the same: ids
+    * are caller-managed). Pass `dedupAgainstIndex = true` to anti-join
+    * the incoming vec_ids against the live index (one distributed join
+    * of the NEW batch against the index's id column — the index side is
+    * never shuffled wide, and tombstoned ids don't block re-insertion
+    * because the lifecycle reader already masks them). */
   def ivfPqAppendIndex(
       spark: SparkSession,
       indexDir: String,
       newVecs: DataFrame,
       m: Int = 8,
-      dims: Int = 64): Unit = {
+      dims: Int = 64,
+      dedupAgainstIndex: Boolean = false): Unit = {
     require(dims % m == 0, s"dims=$dims not divisible by m=$m")
     val subDim = dims / m
     val bookRows = spark.read.parquet(s"$indexDir/book")
       .collect().sortBy(_.getLong(0))
     require(bookRows.nonEmpty, s"no codebook at $indexDir/book")
+    // same driver bound as pqEncode: a subset-writer book is
+    // N/centroidMod rows (grows with the corpus) and this collect must
+    // never become a driver OOM at production scale
+    require(bookRows.length.toLong * dims <= (16L << 20),
+      s"codebook ${bookRows.length}x$dims exceeds the driver bound; " +
+        "raise centroidMod (or use the trained writer's fixed ksub)")
     val ids = bookRows.map(_.getLong(0))
     val books = bookRows.map(_.getSeq[Double](1).toArray)
     val cents = spark.read.parquet(s"$indexDir/cents")
+    val incoming =
+      if (!dedupAgainstIndex) newVecs
+      else newVecs.join(
+        graft.ops.Layout.clusteredTable(spark, s"$indexDir/codes")
+          .select(col("neighbor_id").as("vec_id")),
+        Seq("vec_id"), "left_anti")
     val assign = trainedAssign(
-      newVecs.select(col("vec_id"), quantize(col("embedding")).as("v")),
+      incoming.select(col("vec_id"), quantize(col("embedding")).as("v")),
       cents)
-    newVecs
+    incoming
       .select(col("vec_id"),
         graft.functions.PqEncodeExpr.col(
           quantize(col("embedding")), books, ids, m, subDim).as("codes"))
@@ -889,9 +946,60 @@ object Similarity {
       centroidMod: Int = 97,
       nprobe: Int = 2): DataFrame = {
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
-    adcTopK(ivfPqScoredPersisted(
-      spark, indexDir, embeddings, nQueries, m, dims, centroidMod,
-      nprobe), k)
+    adcTopK(ivfPqScoredPersistedQ(
+      spark, indexDir, prefixQueries(embeddings, nQueries), m, dims,
+      centroidMod, nprobe, excludeSelf = true), k)
+  }
+
+  /** [[ivfPqSearchPersisted]] serving a STANDALONE query relation — the
+    * production signature (FAISS `index.search(xq, k)`, Jégou 2011 §V):
+    * `queries` is any (query_id, embedding) DataFrame, NOT rows of the
+    * corpus the index was built from. Identical probes/LUT/ADC
+    * arithmetic (gate q_ivfpq_persisted_q pins it equal to the
+    * vec_id-prefix form on the same fixture); what changes is only
+    * where the query vectors come from.
+    *
+    * `excludeSelf` controls the fixture-era self-exclusion: the default
+    * `false` is the FAISS contract (an indexed vector identical to the
+    * query IS its nearest neighbor and must surface — external query
+    * ids share no id space with the corpus, so filtering
+    * `neighbor_id != query_id` would drop an unrelated corpus row);
+    * pass `true` only when query ids ARE corpus vec_ids and the caller
+    * wants the kNN convention of not returning the query itself. */
+  def ivfPqSearchPersistedQ(
+      spark: SparkSession,
+      indexDir: String,
+      queries: DataFrame,
+      k: Int,
+      m: Int = 8,
+      dims: Int = 64,
+      centroidMod: Int = 97,
+      nprobe: Int = 2,
+      excludeSelf: Boolean = false): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    adcTopK(ivfPqScoredPersistedQ(
+      spark, indexDir, quantQueries(queries), m, dims, centroidMod,
+      nprobe, excludeSelf), k)
+  }
+
+  /** [[ivfPqSearchPersistedQ]] for LITERAL query vectors (id, values) —
+    * values in the embedding column's units (quantized internally). */
+  def ivfPqSearchPersistedVecs(
+      spark: SparkSession,
+      indexDir: String,
+      queries: Seq[(Long, Array[Double])],
+      k: Int,
+      m: Int = 8,
+      dims: Int = 64,
+      centroidMod: Int = 97,
+      nprobe: Int = 2,
+      excludeSelf: Boolean = false): DataFrame = {
+    require(queries.nonEmpty, "need at least one query vector")
+    val df = spark.createDataFrame(
+      queries.map { case (id, v) => (id, v.toSeq) })
+      .toDF("query_id", "embedding")
+    ivfPqSearchPersistedQ(spark, indexDir, df, k, m, dims, centroidMod,
+      nprobe, excludeSelf)
   }
 
   /** Candidate relation of [[ivfPqSearchPersisted]] before top-k —
@@ -905,32 +1013,77 @@ object Similarity {
       m: Int,
       dims: Int,
       centroidMod: Int,
-      nprobe: Int): DataFrame = {
+      nprobe: Int): DataFrame =
+    ivfPqScoredPersistedQ(spark, indexDir,
+      prefixQueries(embeddings, nQueries), m, dims, centroidMod, nprobe,
+      excludeSelf = true)
+
+  /** The ONE copy of the persisted-index candidate scan, over an
+    * explicit (query_id, v) query relation. Index rows come from the
+    * lifecycle reader ([[graft.ops.Layout.clusteredTable]]), so
+    * tombstoned neighbors ([[ivfPqDeleteIndex]]) are masked, and the
+    * probed-list predicate is CHUNKED to the session's parquet
+    * IN-pushdown threshold: above
+    * `spark.sql.parquet.pushdown.inFilterThreshold` values Spark
+    * silently degrades a pushed In to a [min,max] range — which
+    * un-prunes the scan exactly when a workload probes many lists — so
+    * the scan is a union of ≤-threshold-sized In reads over the SORTED
+    * probed lists (each chunk a contiguous list range, so its row-group
+    * pruning stays tight). PlanSpec pins both the pushed In and the
+    * above-threshold chunking. */
+  private[graft] def ivfPqScoredPersistedQ(
+      spark: SparkSession,
+      indexDir: String,
+      qv: DataFrame,
+      m: Int,
+      dims: Int,
+      centroidMod: Int,
+      nprobe: Int,
+      excludeSelf: Boolean): DataFrame = {
     require(dims % m == 0, s"dims=$dims not divisible by m=$m")
     val subDim = dims / m
     val cents = spark.read.parquet(s"$indexDir/cents")
-    val probes = ivfProbes(embeddings, cents, nQueries, nprobe)
+    val probes = ivfProbesQ(qv, cents, nprobe)
     // the probed-list UNION, driver-collected: nQueries × nprobe longs.
     // isInCollection emits an In predicate the parquet source accepts,
     // so row groups whose [min,max] list range misses every probed list
     // are dropped at the scan — bytes read ≈ probed fraction.
     val probedLists = probes.select("list_id").distinct()
       .collect().map(_.getLong(0)).toIndexedSeq.sorted
-    val index = spark.read.parquet(s"$indexDir/codes/*")
-      .where(col("list_id").isInCollection(probedLists))
+    require(probedLists.nonEmpty,
+      "no probed lists - is the query relation empty?")
+    val inThreshold = math.max(1, spark.conf
+      .get("spark.sql.parquet.pushdown.inFilterThreshold", "10").toInt)
+    val base = graft.ops.Layout.clusteredTable(spark, s"$indexDir/codes")
+    val index = probedLists.grouped(inThreshold)
+      .map(chunk => base.where(col("list_id").isInCollection(chunk)))
+      .reduce(_.unionByName(_))
     val books = subspaceBooks(
       spark.read.parquet(s"$indexDir/book"), m, subDim)
-    val queries = embeddings
-      .where(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), quantize(col("embedding")).as("v"))
     val probeLut = probes
-      .join(adcLutFrom(queries, books, m, subDim, centroidMod), "query_id")
-    index
-      .join(broadcast(probeLut), Seq("list_id"))
-      .where(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        adcSum(m, centroidMod).as("adc_dist"))
+      .join(adcLutFrom(qv, books, m, subDim, centroidMod), "query_id")
+    val joined = index.join(broadcast(probeLut), Seq("list_id"))
+    val kept =
+      if (excludeSelf) joined.where(col("neighbor_id") =!= col("query_id"))
+      else joined
+    kept.select(col("query_id"), col("neighbor_id"),
+      adcSum(m, centroidMod).as("adc_dist"))
   }
+
+  /** Tombstone index entries by vector id — FAISS `remove_ids` as
+    * merge-on-read: `vecIds` (a `vec_id` column) land in
+    * `indexDir/codes/deletes`, every search masks them immediately, and
+    * the next [[ivfPqOptimizeIndex]] consolidation pass (triggered by
+    * `maxGenerations`, or [[graft.ops.Layout.clusteredConsolidate]]
+    * directly) rewrites them away and retires the tombstones. Deleting
+    * then re-appending the same vec_id requires a consolidate in
+    * between — the [[graft.ops.Layout.tombstone]] contract. */
+  def ivfPqDeleteIndex(
+      spark: SparkSession,
+      indexDir: String,
+      vecIds: DataFrame): Unit =
+    graft.ops.Layout.tombstone(spark, s"$indexDir/codes", "neighbor_id",
+      vecIds.select(col("vec_id").cast("long").as("neighbor_id")))
 
   // --- Lloyd-trained PQ codebooks (fixed ksub) ---------------------------
   //
@@ -1038,7 +1191,36 @@ object Similarity {
       dims: Int = 64,
       ksub: Int = 256,
       iters: Int = 3,
-      trainMod: Int = 1): DataFrame = {
+      trainMod: Int = 1): DataFrame =
+    pqSearchTrainedCore(embeddings, prefixQueries(embeddings, nQueries), k,
+      m, dims, ksub, iters, trainMod, excludeSelf = true)
+
+  /** [[pqSearchTrained]] serving a STANDALONE (query_id, embedding)
+    * query relation — see [[ivfPqSearchPersistedQ]] for the signature
+    * rationale and the `excludeSelf` contract. */
+  def pqSearchTrainedQ(
+      embeddings: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      m: Int = 8,
+      dims: Int = 64,
+      ksub: Int = 256,
+      iters: Int = 3,
+      trainMod: Int = 1,
+      excludeSelf: Boolean = false): DataFrame =
+    pqSearchTrainedCore(embeddings, quantQueries(queries), k, m, dims,
+      ksub, iters, trainMod, excludeSelf)
+
+  private def pqSearchTrainedCore(
+      embeddings: DataFrame,
+      qv: DataFrame,
+      k: Int,
+      m: Int,
+      dims: Int,
+      ksub: Int,
+      iters: Int,
+      trainMod: Int,
+      excludeSelf: Boolean): DataFrame = {
     val subDim = dims / m
     val spark = embeddings.sparkSession
     val books = pqTrainCodebooks(embeddings, m, dims, ksub, iters, trainMod)
@@ -1050,9 +1232,7 @@ object Similarity {
       .withColumn("cn", dot(col("cs"), col("cs")))
     val subsDf = spark.createDataFrame(
       Seq.tabulate(m)(s => Tuple1(s))).toDF("sub")
-    val perEntry = embeddings
-      .where(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), quantize(col("embedding")).as("v"))
+    val perEntry = qv
       .crossJoin(broadcast(subsDf))
       .withColumn("vs", slice(col("v"), col("sub") * subDim + 1, lit(subDim)))
       .withColumn("vn", dot(col("vs"), col("vs")))
@@ -1060,15 +1240,16 @@ object Similarity {
       .select(col("query_id"), col("sub"), col("centroid_id"),
         (col("vn") - lit(2) * dot(col("vs"), col("cs")) + col("cn")).as("pd"))
     val lutArr = lutFold(perEntry, Seq("query_id"), 1)
-    val scored = embeddings
+    val joined = embeddings
       .select(col("vec_id").as("neighbor_id"),
         graft.functions.PqEncodeExpr.col(
           quantize(col("embedding")), books, ids, m, subDim).as("codes"))
       .crossJoin(broadcast(lutArr))
-      .where(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        adcSum(m, 1).as("adc_dist"))
-    adcTopK(scored, k)
+    val kept =
+      if (excludeSelf) joined.where(col("neighbor_id") =!= col("query_id"))
+      else joined
+    adcTopK(kept.select(col("query_id"), col("neighbor_id"),
+      adcSum(m, 1).as("adc_dist")), k)
   }
 
   // --- Lloyd-trained coarse quantizer (fixed nlists) ---------------------
@@ -1270,6 +1451,21 @@ object Similarity {
       .select(col("vec_id").as("list_id"), quantize(col("embedding")).as("cv"))
       .withColumn("cn", dot(col("cv"), col("cv")))
 
+  /** The query-prefix convention as a (query_id, v) relation: queries
+    * are the corpus rows vec_id < nQueries, quantized — the fixture
+    * form every `nQueries`-taking operator uses. */
+  private def prefixQueries(embeddings: DataFrame, nQueries: Int): DataFrame =
+    embeddings
+      .where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), quantize(col("embedding")).as("v"))
+
+  /** A STANDALONE (query_id, embedding) relation as the internal
+    * (query_id, v) quantized form — the production query shape (FAISS's
+    * `index.search(xq, k)`: queries need not live in the corpus). */
+  private def quantQueries(queries: DataFrame): DataFrame =
+    queries.select(col("query_id").cast("long").as("query_id"),
+      quantize(col("embedding")).as("v"))
+
   /** nprobe nearest coarse lists per query (query_id, list_id) — the
     * ONE copy of the probe-selection contract: the same rounded-cosine
     * + (cos desc, list_id) tie-break arithmetic as [[ivfAssign]], kept
@@ -1279,12 +1475,17 @@ object Similarity {
       embeddings: DataFrame,
       cents: DataFrame,
       nQueries: Int,
+      nprobe: Int): DataFrame =
+    ivfProbesQ(prefixQueries(embeddings, nQueries), cents, nprobe)
+
+  /** [[ivfProbes]] over an explicit (query_id, v) query relation. */
+  private[graft] def ivfProbesQ(
+      qv: DataFrame,
+      cents: DataFrame,
       nprobe: Int): DataFrame = {
     val probeWin = Window.partitionBy("query_id")
       .orderBy(col("cos_sim").desc, col("list_id"))
-    embeddings
-      .where(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), quantize(col("embedding")).as("v"))
+    qv
       .withColumn("n", dot(col("v"), col("v")))
       .crossJoin(broadcast(cents))
       .withColumn("cos_sim",

@@ -242,6 +242,79 @@ class LayoutSpec extends SparkSpec {
       .select(countDistinct("v")).collect()(0).getLong(0) == 3700L)
   }
 
+  test("tombstone deletes: masked at read immediately, dropped from the " +
+    "compacted tail, purged physically at consolidate") {
+    val n = 64
+    def grid(lo: Long, hi: Long) = spark.range(lo, hi).select(
+      (col("id") / n % n).cast("long").as("ix"), (col("id") % n).as("iy"),
+      col("id").as("v"))
+    val dir = java.nio.file.Files.createTempDirectory("zdel").toString
+    def delFiles() = Option(new java.io.File(s"$dir/deletes").listFiles())
+      .getOrElse(Array[java.io.File]())
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    Layout.zorderWrite(grid(0L, 2000L), col("ix"), col("iy"), 2, dir)
+    Layout.zorderAppend(grid(2000L, 2500L), col("ix"), col("iy"), dir)
+    // delete keys from BOTH a generation (10, 1999) and the tail (2100)
+    Layout.zorderDelete(spark, dir, "v",
+      spark.createDataFrame(Seq(Tuple1(10L), Tuple1(1999L), Tuple1(2100L)))
+        .toDF("v"))
+    // read-with-tombstones ≡ the same table rebuilt without the deleted
+    // rows — the merge-on-read equivalence the whole design hangs on
+    val want = grid(0L, 2500L)
+      .where(!col("v").isin(10L, 1999L, 2100L))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    def table() = Layout.zorderTable(spark, dir).select("ix", "iy", "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(table() == want)
+    // optimize: the compacted generation physically lacks the deleted
+    // tail row; tombstones are RETAINED (gen-0 still holds 10 and 1999)
+    assert(Layout.zorderOptimize(spark, dir, 2) == 500L)
+    assert(spark.read.parquet(s"$dir/gen-1").count() == 499L)
+    assert(spark.read.parquet(s"$dir/gen-1")
+      .where(col("v") === 2100L).count() == 0L)
+    assert(delFiles().nonEmpty, "tombstones purged while gen-0 is dirty")
+    assert(table() == want)
+    // consolidate: the merged generation drops every tombstoned row and
+    // the tombstone relation is emptied — reads no longer anti-join
+    assert(Layout.zorderConsolidate(spark, dir, 2) == 2497L)
+    val merged = spark.read.parquet(s"$dir/gen-2")
+    assert(merged.count() == 2497L)
+    assert(merged.where(col("v").isin(10L, 1999L, 2100L)).count() == 0L)
+    assert(delFiles().isEmpty, "tombstones must be retired by consolidate")
+    assert(table() == want)
+    // retired tombstones unblock re-insertion of a deleted key
+    Layout.zorderAppend(grid(10L, 11L), col("ix"), col("iy"), dir)
+    assert(Layout.zorderTable(spark, dir).where(col("v") === 10L).count() == 1L)
+    assert(Layout.zorderOptimize(spark, dir, 2) == 1L)
+    // pending tombstones trigger a physical rewrite even from a single
+    // generation (the two-generation minimum is a no-merge shortcut,
+    // not a delete-blocking rule)
+    Layout.zorderConsolidate(spark, dir, 2) // fold gen-2 + gen-3 first
+    Layout.zorderDelete(spark, dir, "v",
+      spark.createDataFrame(Seq(Tuple1(42L))).toDF("v"))
+    assert(Layout.zorderConsolidate(spark, dir, 2) == 2497L)
+    assert(delFiles().isEmpty)
+    assert(Layout.zorderTable(spark, dir).where(col("v") === 42L).count() == 0L)
+  }
+
+  test("generations discovery ignores foreign gen-* entries instead of " +
+    "failing the lifecycle") {
+    val n = 64
+    def grid(lo: Long, hi: Long) = spark.range(lo, hi).select(
+      (col("id") / n % n).cast("long").as("ix"), (col("id") % n).as("iy"),
+      col("id").as("v"))
+    val dir = java.nio.file.Files.createTempDirectory("zforeign").toString
+    Layout.zorderWrite(grid(0L, 1000L), col("ix"), col("iy"), 2, dir)
+    // a stray backup dir that used to throw NumberFormatException and
+    // permanently brick every optimize pass on the table
+    assert(new java.io.File(s"$dir/gen-0.bak").mkdir())
+    assert(new java.io.File(s"$dir/gen-tmp").mkdir())
+    Layout.zorderAppend(grid(1000L, 1200L), col("ix"), col("iy"), dir)
+    assert(Layout.zorderOptimize(spark, dir, 2) == 200L)
+    assert(spark.read.parquet(s"$dir/gen-1").count() == 200L)
+    assert(Layout.zorderTable(spark, dir).count() == 1200L)
+  }
+
   // --- M72 bloom-filter point-lookup layout -----------------------------
 
   test("bloomLayout: point lookup scans a fraction of the row groups, same rows") {

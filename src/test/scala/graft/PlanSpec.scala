@@ -301,6 +301,73 @@ class PlanSpec extends SparkSpec {
     assert(scored.count() > 0)
   }
 
+  test("persisted search CHUNKS the probed-list IN above the session's " +
+    "pushdown threshold: every scan keeps a pushed In and reads stay at " +
+    "the probed fraction (no silent [min,max] degradation)") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.functions._
+    // 4000 vectors over 1000 coarse lists (~4 rows each), the codes
+    // relation clustered into 200 files (~5 lists per file) so FILE
+    // pruning resolves the probed fraction
+    val big = spark.range(4000L).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(3)),
+        d => (((col("id") * 13 + d * 11) % 29) + (col("id") % 5) + 1)
+          .cast("float"))
+        .as("embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("planspec_chunk").toString
+    graft.similarity.Similarity.ivfPqWriteIndex(big, s"$dir/index",
+      numFiles = 200, m = 2, dims = 4, centroidMod = 7, coarseMod = 4)
+    def scanned(df: DataFrame): Long = {
+      df.queryExecution.toRdd.count()
+      def scans(plan: SparkPlan): Seq[FileSourceScanExec] = plan match {
+        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+        case q: QueryStageExec => scans(q.plan)
+        case s: FileSourceScanExec => Seq(s)
+        case other => other.children.flatMap(scans)
+      }
+      scans(df.queryExecution.executedPlan)
+        .filter(_.toString.contains("codes"))
+        .map(_.metrics("numOutputRows").value).sum
+    }
+    def search() = graft.similarity.Similarity.ivfPqScoredPersisted(spark,
+      s"$dir/index", big, nQueries = 10, m = 2, dims = 4, centroidMod = 7,
+      nprobe = 4)
+    val key = "spark.sql.parquet.pushdown.inFilterThreshold"
+    val prior = spark.conf.get(key, "10")
+    try {
+      // ideal single-IN reference: threshold far above the probed count
+      spark.conf.set(key, "10000")
+      val ideal = search()
+      val idealRows = ideal.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val idealScanned = scanned(search())
+      // the cliff regime: ~40 distinct probed lists over a threshold of
+      // 16 — pre-chunking this degraded the pushed In to one [min,max]
+      // range spanning most of the key domain
+      spark.conf.set(key, "16")
+      val chunked = search()
+      val chunkedRows = chunked.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(chunkedRows == idealRows)
+      val plan = chunked.queryExecution.executedPlan.toString
+      assert(plan.contains("Union"), s"expected chunked-union scans:\n$plan")
+      val pushedIns = "In\\(list_id".r.findAllIn(plan.replaceAll("\\s", "")).size
+      assert(pushedIns >= 2,
+        s"expected >= 2 chunked In(list_id) pushdowns, got $pushedIns:\n$plan")
+      val chunkedScanned = scanned(search())
+      // chunks are contiguous slices of the SORTED probed lists, so a
+      // file can straddle at most two adjacent chunks — scanned rows
+      // stay within a boundary-file margin of the ideal single-IN scan
+      assert(chunkedScanned <= (1.5 * idealScanned).toLong + 1,
+        s"chunked scan read $chunkedScanned rows vs ideal $idealScanned")
+      // and the probed fraction is what is READ, not the whole index
+      assert(chunkedScanned <= 2000L,
+        s"chunked scan read $chunkedScanned of 4000 rows - not pruning")
+    } finally spark.conf.set(key, prior)
+  }
+
   test("quantizeInt8 plans ZERO shuffle exchanges (narrow per-row kernels)") {
     val emb = spark.createDataFrame(Seq(
       (1L, Array(0.1f, -0.2f)), (2L, Array(0.3f, 0.4f))))

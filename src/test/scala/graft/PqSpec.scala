@@ -528,6 +528,165 @@ class PqSpec extends SparkSpec {
     assert(scored(70L) == scored.values.min)
   }
 
+  // --- Standalone query-relation API (the FAISS index.search shape) -----
+
+  test("ivfPqSearchPersistedQ with excludeSelf=true equals the " +
+    "vec_id-prefix form; the Vecs literal form matches too") {
+    import org.apache.spark.sql.functions._
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+      .toSet
+    val dir = java.nio.file.Files.createTempDirectory("ivfpqq").toString
+    Similarity.ivfPqWriteIndexTrained(bigWithDup, s"$dir/index",
+      numFiles = 3, m = 2, dims = 4, ksub = 4, nlists = 3,
+      iters = 1, trainMod = 3)
+    val viaPrefix = rows(Similarity.ivfPqSearchPersisted(spark,
+      s"$dir/index", bigWithDup, nQueries = 5, k = 4,
+      m = 2, dims = 4, centroidMod = 1, nprobe = 2))
+    val qDf = bigWithDup.where(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val viaQ = rows(Similarity.ivfPqSearchPersistedQ(spark, s"$dir/index",
+      qDf, k = 4, m = 2, dims = 4, centroidMod = 1, nprobe = 2,
+      excludeSelf = true))
+    assert(viaQ == viaPrefix)
+    val lits = bigWithDup.where(col("vec_id") < 5).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toSeq
+    val viaVecs = rows(Similarity.ivfPqSearchPersistedVecs(spark,
+      s"$dir/index", lits, k = 4, m = 2, dims = 4, centroidMod = 1,
+      nprobe = 2, excludeSelf = true))
+    assert(viaVecs == viaPrefix)
+  }
+
+  test("standalone queries OUTSIDE the corpus id space: excludeSelf=false " +
+    "surfaces the identical indexed vector as top-1 at distance 0") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("ivfpqx").toString
+    Similarity.ivfPqWriteIndexTrained(bigWithDup, s"$dir/index",
+      numFiles = 3, m = 2, dims = 4, ksub = 4, nlists = 3,
+      iters = 1, trainMod = 3)
+    // external workload: ids 9001..9005 carry copies of corpus vectors
+    // 0..4 — no overlap with corpus vec_ids, so nothing may be excluded
+    val ext = bigWithDup.where(col("vec_id") < 5)
+      .select((col("vec_id") + 9001L).as("query_id"), col("embedding"))
+    val out = Similarity.ivfPqSearchPersistedQ(spark, s"$dir/index", ext,
+      k = 20, m = 2, dims = 4, centroidMod = 1, nprobe = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    val byQ = out.groupBy(_._1)
+    assert(byQ.keySet == (9001L to 9005L).toSet)
+    byQ.foreach { case (qid, hits) =>
+      val src = qid - 9001L
+      // the indexed copy of the query vector carries the codes nearest
+      // the query in EVERY subspace, so its ADC distance is the global
+      // minimum — it must surface (never self-excluded) at min distance
+      val srcHit = hits.find(_._2 == src)
+      assert(srcHit.isDefined, s"query $qid: indexed copy $src missing")
+      assert(srcHit.get._3 == hits.map(_._3).min,
+        s"query $qid: copy not at the ADC floor: $srcHit vs ${hits.minBy(_._3)}")
+    }
+  }
+
+  test("ivfPqSearchQ (in-plan) and pqSearchTrainedQ equal their prefix " +
+    "forms with excludeSelf=true") {
+    import org.apache.spark.sql.functions._
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+      .toSet
+    val qDf = bigWithDup.where(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    assert(
+      rows(Similarity.ivfPqSearchQ(bigWithDup, qDf, k = 4, m = 2, dims = 4,
+        centroidMod = 7, coarseMod = 20, nprobe = 2, excludeSelf = true)) ==
+      rows(Similarity.ivfPqSearch(bigWithDup, nQueries = 5, k = 4, m = 2,
+        dims = 4, centroidMod = 7, coarseMod = 20, nprobe = 2)))
+    assert(
+      rows(Similarity.pqSearchTrainedQ(bigWithDup, qDf, k = 4, m = 2,
+        dims = 4, ksub = 4, iters = 1, trainMod = 3, excludeSelf = true)) ==
+      rows(Similarity.pqSearchTrained(bigWithDup, nQueries = 5, k = 4,
+        m = 2, dims = 4, ksub = 4, iters = 1, trainMod = 3)))
+  }
+
+  // --- Tombstone deletes (FAISS remove_ids as merge-on-read) ------------
+
+  test("ivfPqDeleteIndex masks neighbors immediately; consolidate drops " +
+    "them physically, retires the tombstones, and read-with-tombstones " +
+    "== rebuild-without-deleted") {
+    import org.apache.spark.sql.functions._
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+      .toSet
+    // deleted ids avoid the training subset (none ≡ 0 mod 3), so an
+    // index REBUILT from the corpus minus the deleted rows trains
+    // bit-identical books/cents — making the equivalence exact
+    val deleted = Seq(10L, 22L, 61L)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpqdel").toString
+    Similarity.ivfPqWriteIndexTrained(bigWithDup, s"$dir/index",
+      numFiles = 3, m = 2, dims = 4, ksub = 4, nlists = 3,
+      iters = 1, trainMod = 3)
+    Similarity.ivfPqDeleteIndex(spark, s"$dir/index",
+      spark.createDataFrame(deleted.map(Tuple1(_))).toDF("vec_id"))
+    def search() = rows(Similarity.ivfPqSearchPersisted(spark,
+      s"$dir/index", bigWithDup, nQueries = 5, k = 4, m = 2, dims = 4,
+      centroidMod = 1, nprobe = 2))
+    val masked = search()
+    assert(masked.nonEmpty)
+    assert(masked.forall(r => !deleted.contains(r._2)),
+      s"deleted neighbor surfaced: $masked")
+    // rebuild-without-deleted: same training subset -> same index, so
+    // the masked search must equal a fresh index over the kept rows
+    val rebuildDir = java.nio.file.Files.createTempDirectory("ivfpqreb").toString
+    Similarity.ivfPqWriteIndexTrained(
+      bigWithDup.where(!col("vec_id").isin(deleted: _*)),
+      s"$rebuildDir/index", numFiles = 3, m = 2, dims = 4, ksub = 4,
+      nlists = 3, iters = 1, trainMod = 3)
+    val rebuilt = rows(Similarity.ivfPqSearchPersisted(spark,
+      s"$rebuildDir/index", bigWithDup, nQueries = 5, k = 4, m = 2,
+      dims = 4, centroidMod = 1, nprobe = 2))
+    assert(masked == rebuilt)
+    // physical apply: consolidate rewrites the codes without the
+    // deleted ids and empties the tombstone relation
+    graft.ops.Layout.clusteredConsolidate(spark, s"$dir/index/codes", 2,
+      Seq("list_id", "neighbor_id"))
+    val codes = spark.read.parquet(s"$dir/index/codes/gen-1")
+    assert(codes.where(col("neighbor_id").isin(deleted: _*)).count() == 0L)
+    assert(codes.count() == 62L - deleted.size)
+    val delFiles = Option(
+      new java.io.File(s"$dir/index/codes/deletes").listFiles())
+      .getOrElse(Array[java.io.File]())
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    assert(delFiles.isEmpty, "tombstones must be retired by consolidate")
+    assert(search() == rebuilt)
+  }
+
+  test("ivfPqAppendIndex(dedupAgainstIndex=true) skips already-indexed " +
+    "vec_ids; the default append is blind (the FAISS add contract)") {
+    import org.apache.spark.sql.functions._
+    val appended = Seq(62L, 64L, 65L)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpqdup").toString
+    Similarity.ivfPqWriteIndexTrained(vecsFor(0L until 62L), s"$dir/index",
+      numFiles = 3, m = 2, dims = 4, ksub = 4, nlists = 3,
+      iters = 1, trainMod = 3)
+    Similarity.ivfPqAppendIndex(spark, s"$dir/index", vecsFor(appended),
+      m = 2, dims = 4)
+    assert(spark.read.parquet(s"$dir/index/codes/tail").count() == 3L)
+    // re-ingesting the same batch with the dedup guard appends nothing
+    Similarity.ivfPqAppendIndex(spark, s"$dir/index", vecsFor(appended),
+      m = 2, dims = 4, dedupAgainstIndex = true)
+    assert(spark.read.parquet(s"$dir/index/codes/tail").count() == 3L)
+    // a mixed batch appends only the genuinely new ids
+    Similarity.ivfPqAppendIndex(spark, s"$dir/index",
+      vecsFor(Seq(64L, 67L)), m = 2, dims = 4, dedupAgainstIndex = true)
+    val tail = spark.read.parquet(s"$dir/index/codes/tail")
+    assert(tail.count() == 4L)
+    assert(tail.groupBy("neighbor_id").count()
+      .where(col("count") > 1).count() == 0L)
+    // and the blind default double-inserts (documented FAISS behavior)
+    Similarity.ivfPqAppendIndex(spark, s"$dir/index", vecsFor(Seq(67L)),
+      m = 2, dims = 4)
+    assert(spark.read.parquet(s"$dir/index/codes/tail")
+      .where(col("neighbor_id") === 67L).count() == 2L)
+  }
+
   test("ivfPqSearchTrainedFull with nprobe >= nlists degenerates to " +
     "pqSearchTrained exactly") {
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()

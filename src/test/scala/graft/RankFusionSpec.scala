@@ -86,6 +86,41 @@ class RankFusionSpec extends SparkSpec {
     }
   }
 
+  test("hybridSearchAnnQ with standalone query embeddings equals the " +
+    "prefix form, and frees the query ids from the prefix convention") {
+    import org.apache.spark.sql.functions.{col, lit, sequence, transform}
+    val docs = spark.range(60L).select(col("id").as("doc_id"),
+      concat_ws(" ", lit("w"), (col("id") % 7).cast("string"),
+        lit("hash"), lit("join")).as("text"))
+    val embeddings = spark.range(60L).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(3)),
+        d => (((col("id") * 13 + d * 11) % 29) + (col("id") % 5) + 1)
+          .cast("float")).as("embedding"))
+    val queries = Seq((0, "hash join"), (1, "w 1"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3),
+        r.getLong(4))).toSet
+    val viaPrefix = rows(RankFusion.hybridSearchAnn(spark, docs, embeddings,
+      queries, kEach = 5, k = 3, m = 2, dims = 4, centroidMod = 7,
+      coarseMod = 20, nprobe = 3))
+    // standalone embeddings for the same query ids — excludeSelf=true
+    // reproduces the prefix form's kNN convention exactly
+    val qEmb = embeddings.where(col("vec_id") < 2)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val viaQ = rows(RankFusion.hybridSearchAnnQ(spark, docs, embeddings,
+      queries, qEmb, kEach = 5, k = 3, m = 2, dims = 4, centroidMod = 7,
+      coarseMod = 20, nprobe = 3, excludeSelf = true))
+    assert(viaQ == viaPrefix)
+    // NON-prefix ids (which hybridSearchAnn rejects) work in the Q form
+    val shifted = Seq((7, "hash join"), (9, "w 1"))
+    val qEmbShifted = embeddings.where(col("vec_id") < 2)
+      .select((col("vec_id") * 2 + 7).as("query_id"), col("embedding"))
+    val viaShifted = rows(RankFusion.hybridSearchAnnQ(spark, docs,
+      embeddings, shifted, qEmbShifted, kEach = 5, k = 3, m = 2, dims = 4,
+      centroidMod = 7, coarseMod = 20, nprobe = 3))
+    assert(viaShifted.map(_._1).toSet == Set(7L, 9L))
+  }
+
   test("rrfFuse dedupes a malformed leg to its best rank per (query, doc)") {
     // leg A returns doc 10 TWICE (rank 1 and rank 3) — a caller passing
     // a non-top-k relation. The fusion must count it once, at rank 1,
