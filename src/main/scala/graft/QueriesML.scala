@@ -117,6 +117,20 @@ object QueriesML {
       |  FROM fused)
       |WHERE rank <= 5""".stripMargin
 
+  /** The ONE copy of the ANN-hybrid oracle (BM25 leg + IVF+PQ ADC leg +
+    * RRF fusion), shared by q_hybrid_rrf_ann and its standalone-query
+    * twin q_hybrid_rrf_ann_q — the Q form changes only where the query
+    * embeddings come from, never the fused arithmetic. */
+  private lazy val HybridAnnOracle: String = s"""WITH $QuantCte,
+        |$Bm25LexLegCtes,
+        |${ivfPqAdcCtes(4)},
+        |semleg AS (SELECT query_id, neighbor_id AS doc_id, rank FROM (
+        |             SELECT query_id, neighbor_id,
+        |                    row_number() OVER (PARTITION BY query_id
+        |                      ORDER BY adc_dist, neighbor_id) AS rank
+        |             FROM adc) WHERE rank <= 10),
+        |$RrfTailSql""".stripMargin
+
   private val IvfPqAdcCtes: String =
     """subs AS (SELECT vec_id, s, list_slice(v, s*8+1, s*8+8) AS vs
       |         FROM q, range(8) t(s)),
@@ -1573,15 +1587,22 @@ object QueriesML {
           (0, "hash join table"), (1, "stream window agg"),
           (2, "scan filter column"), (3, "sort merge dup")),
         kEach = 10, k = 5),
-      Some(s"""WITH $QuantCte,
-        |$Bm25LexLegCtes,
-        |${ivfPqAdcCtes(4)},
-        |semleg AS (SELECT query_id, neighbor_id AS doc_id, rank FROM (
-        |             SELECT query_id, neighbor_id,
-        |                    row_number() OVER (PARTITION BY query_id
-        |                      ORDER BY adc_dist, neighbor_id) AS rank
-        |             FROM adc) WHERE rank <= 10),
-        |$RrfTailSql""".stripMargin)),
+      Some(HybridAnnOracle)),
+
+    // The standalone-query form of the ANN hybrid (M79 + the M70 Q
+    // API): query embeddings come from their OWN relation, freeing the
+    // workload from the vec_id-prefix convention; excludeSelf = true
+    // reproduces the prefix form on the fixture, so the oracle is
+    // shared verbatim.
+    Q("q_hybrid_rrf_ann_q",
+      (s, d) => ops.RankFusion.hybridSearchAnnQ(s, documents(s, d),
+        embeddings(s, d), Seq(
+          (0, "hash join table"), (1, "stream window agg"),
+          (2, "scan filter column"), (3, "sort merge dup")),
+        embeddings(s, d).where(col("vec_id") < 4)
+          .select(col("vec_id").as("query_id"), col("embedding")),
+        kEach = 10, k = 5, excludeSelf = true),
+      Some(HybridAnnOracle)),
 
     // M36 deterministic shard shuffle: content-stable pseudo-random
     // permutation into training shards (one shuffle + per-shard sort).
@@ -2674,6 +2695,51 @@ object QueriesML {
       },
       Some(IvfPqTrainedOracle.replace(
         "WHERE vec_id % 7 = 0", "WHERE vec_id % 7 = 0 AND vec_id < 400"))),
+
+    // The STANDALONE query-relation form (FAISS index.search(xq, k) —
+    // queries come from their own (query_id, embedding) relation, not
+    // from corpus rows below an id threshold). Same fixture and the
+    // same oracle: excludeSelf = true reproduces the threshold form's
+    // kNN convention bit-for-bit, pinning that the production signature
+    // and the fixture signature share one arithmetic path.
+    Q("q_ivfpq_persisted_q",
+      (s, d) => {
+        val dir = java.nio.file.Files.createTempDirectory("ivfpqq").toString
+        val emb = embeddings(s, d)
+        Similarity.ivfPqWriteIndexTrained(emb, s"$dir/index",
+          numFiles = 4, m = 8, dims = 64, ksub = 4, nlists = 4,
+          iters = 1, trainMod = 7)
+        Similarity.ivfPqSearchPersistedQ(s, s"$dir/index",
+          emb.where(col("vec_id") < 20)
+            .select(col("vec_id").as("query_id"), col("embedding")),
+          k = 5, m = 8, dims = 64, centroidMod = 1, nprobe = 2,
+          excludeSelf = true)
+      },
+      Some(IvfPqTrainedOracle)),
+
+    // Tombstone deletes over the persisted index (FAISS remove_ids as
+    // merge-on-read): vec_id % 5 = 3 is tombstoned, a consolidate pass
+    // applies the deletes PHYSICALLY and retires the tombstones, and
+    // the search runs over the rewritten index — the oracle is the
+    // trained chain with the deleted ids excluded from the ADC scan.
+    Q("q_ivfpq_delete",
+      (s, d) => {
+        val dir = java.nio.file.Files.createTempDirectory("ivfpqdel").toString
+        val emb = embeddings(s, d)
+        Similarity.ivfPqWriteIndexTrained(emb, s"$dir/index",
+          numFiles = 4, m = 8, dims = 64, ksub = 4, nlists = 4,
+          iters = 1, trainMod = 7)
+        Similarity.ivfPqDeleteIndex(s, s"$dir/index",
+          emb.where(col("vec_id") % 5 === 3).select(col("vec_id")))
+        graft.ops.Layout.clusteredConsolidate(s, s"$dir/index/codes", 2,
+          Seq("list_id", "neighbor_id"))
+        Similarity.ivfPqSearchPersisted(s, s"$dir/index", emb,
+          nQueries = 20, k = 5, m = 8, dims = 64, centroidMod = 1,
+          nprobe = 2)
+      },
+      Some(IvfPqTrainedOracle.replace(
+        "WHERE c.vec_id <> lut.query_id",
+        "WHERE c.vec_id <> lut.query_id AND c.vec_id % 5 <> 3"))),
 
     // M70 ADC top-R + exact re-rank (the FAISS refine stage,
     // IndexRefineFlat): PQ buys the scan, raw vectors re-score the few
