@@ -97,6 +97,50 @@ object QueriesML {
       |                      ORDER BY score_nanos DESC, doc_id) AS rank
       |             FROM bs) WHERE rank <= 10)""".stripMargin
 
+  /** The four fixed BM25 gate queries, shared by the in-plan gate and
+    * the persisted-index lifecycle gates (which must reproduce the
+    * in-plan scores bit-for-bit on the same workload). */
+  private val Bm25Queries: Seq[(Int, String)] = Seq(
+    (0, "hash join table"), (1, "stream window agg"),
+    (2, "scan filter column"), (3, "sort merge dup"))
+
+  /** The ONE copy of the full BM25 oracle (idf micro-units, nano-unit
+    * contribution chain, exact BIGINT scores, top-10), shared by
+    * q_bm25 and the persisted-index gates q_bm25_persisted /
+    * q_bm25_append / q_bm25_delete (the last filters `documents`). */
+  private val Bm25Oracle: String =
+    """WITH q(query_id, qtext) AS (VALUES
+      |         (0, 'hash join table'), (1, 'stream window agg'),
+      |         (2, 'scan filter column'), (3, 'sort merge dup')),
+      |qt AS (SELECT DISTINCT query_id,
+      |              unnest(string_split(qtext, ' ')) AS term FROM q),
+      |d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |stats AS (SELECT count(*)::DOUBLE AS n,
+      |                 sum(len(w))::DOUBLE / count(*)::DOUBLE AS avgdl FROM d),
+      |tok AS (SELECT doc_id, len(w)::DOUBLE AS dl, unnest(w) AS term FROM d),
+      |tf AS (SELECT doc_id, term, max(dl) AS dl, count(*)::DOUBLE AS tf
+      |       FROM tok WHERE term IN (SELECT DISTINCT term FROM qt)
+      |       GROUP BY 1, 2),
+      |idf AS (SELECT term,
+      |               round(ln(1.0 + (n - count(*)::DOUBLE + 0.5)
+      |                 / (count(*)::DOUBLE + 0.5)) * 1000000.0)::BIGINT AS idf_micro
+      |        FROM tf, stats GROUP BY term, n),
+      |sc AS (SELECT qt.query_id, tf.doc_id,
+      |              round(idf_micro * (tf * (1.2 + 1.0)
+      |                / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)))
+      |                * 1000.0)::BIGINT AS contrib_nanos
+      |       FROM tf JOIN idf USING (term) JOIN qt USING (term), stats),
+      |s AS (SELECT query_id, doc_id,
+      |             sum(contrib_nanos)::BIGINT AS score_nanos
+      |      FROM sc GROUP BY 1, 2),
+      |r AS (SELECT query_id, doc_id, score_nanos,
+      |             row_number() OVER (PARTITION BY query_id
+      |               ORDER BY score_nanos DESC, doc_id) AS rank
+      |      FROM s)
+      |SELECT query_id, rank, doc_id, score_nanos,
+      |       score_nanos / 1000000000.0 AS score
+      |FROM r WHERE rank <= 10""".stripMargin
+
   /** RRF fusion tail over lexleg + semleg (both (query_id, doc_id,
     * rank)) — the same integer nano-unit arithmetic as
     * `RankFusion.rrfFuse`, shared by both hybrid gates. */
@@ -1514,40 +1558,62 @@ object QueriesML {
     // idf quantized to micro-units, contributions to nano-units so the
     // per-doc score is an exact BIGINT sum (order-independent).
     Q("q_bm25",
-      (s, d) => graft.text.Bm25.search(s, documents(s, d), Seq(
-        (0, "hash join table"), (1, "stream window agg"),
-        (2, "scan filter column"), (3, "sort merge dup"))),
-      Some("""WITH q(query_id, qtext) AS (VALUES
-        |         (0, 'hash join table'), (1, 'stream window agg'),
-        |         (2, 'scan filter column'), (3, 'sort merge dup')),
-        |qt AS (SELECT DISTINCT query_id,
-        |              unnest(string_split(qtext, ' ')) AS term FROM q),
-        |d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |stats AS (SELECT count(*)::DOUBLE AS n,
-        |                 sum(len(w))::DOUBLE / count(*)::DOUBLE AS avgdl FROM d),
-        |tok AS (SELECT doc_id, len(w)::DOUBLE AS dl, unnest(w) AS term FROM d),
-        |tf AS (SELECT doc_id, term, max(dl) AS dl, count(*)::DOUBLE AS tf
-        |       FROM tok WHERE term IN (SELECT DISTINCT term FROM qt)
-        |       GROUP BY 1, 2),
-        |idf AS (SELECT term,
-        |               round(ln(1.0 + (n - count(*)::DOUBLE + 0.5)
-        |                 / (count(*)::DOUBLE + 0.5)) * 1000000.0)::BIGINT AS idf_micro
-        |        FROM tf, stats GROUP BY term, n),
-        |sc AS (SELECT qt.query_id, tf.doc_id,
-        |              round(idf_micro * (tf * (1.2 + 1.0)
-        |                / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)))
-        |                * 1000.0)::BIGINT AS contrib_nanos
-        |       FROM tf JOIN idf USING (term) JOIN qt USING (term), stats),
-        |s AS (SELECT query_id, doc_id,
-        |             sum(contrib_nanos)::BIGINT AS score_nanos
-        |      FROM sc GROUP BY 1, 2),
-        |r AS (SELECT query_id, doc_id, score_nanos,
-        |             row_number() OVER (PARTITION BY query_id
-        |               ORDER BY score_nanos DESC, doc_id) AS rank
-        |      FROM s)
-        |SELECT query_id, rank, doc_id, score_nanos,
-        |       score_nanos / 1000000000.0 AS score
-        |FROM r WHERE rank <= 10""".stripMargin)),
+      (s, d) => graft.text.Bm25.search(s, documents(s, d), Bm25Queries),
+      Some(Bm25Oracle)),
+
+    // M41 persisted inverted index (the Lucene-shape serving artifact —
+    // the r17 persisted-IVF+PQ story on the lexical leg): postings
+    // range-clustered by term through the shared lifecycle, additive
+    // (n, sum_dl) stats rows, df derived from the pruned postings at
+    // serve time. searchPersisted shares search()'s scoring tail, so
+    // the gate shares q_bm25's oracle verbatim.
+    Q("q_bm25_persisted",
+      (s, d) => {
+        val dir = java.nio.file.Files.createTempDirectory("bm25idx").toString
+        graft.text.Bm25.writeIndex(s, documents(s, d), s"$dir/index",
+          numFiles = 4)
+        graft.text.Bm25.searchPersisted(s, s"$dir/index", Bm25Queries)
+      },
+      Some(Bm25Oracle)),
+
+    // Incremental maintenance on the lexical index (the FAISS add()
+    // contract, M70-style): build on a prefix, append the rest
+    // shuffle-free (postings tail + one additive stats row), optimize
+    // re-clusters the tail. The additive stats keep N/avgdl exact, so
+    // the result is bit-identical to indexing the full corpus — the
+    // oracle is q_bm25's, unchanged.
+    Q("q_bm25_append",
+      (s, d) => {
+        val dir = java.nio.file.Files.createTempDirectory("bm25app").toString
+        val docs = documents(s, d)
+        graft.text.Bm25.writeIndex(s, docs.where(col("doc_id") < 250),
+          s"$dir/index", numFiles = 4)
+        graft.text.Bm25.appendIndex(s, s"$dir/index",
+          docs.where(col("doc_id") >= 250))
+        graft.text.Bm25.optimizeIndex(s, s"$dir/index", numFiles = 2)
+        graft.text.Bm25.searchPersisted(s, s"$dir/index", Bm25Queries)
+      },
+      Some(Bm25Oracle)),
+
+    // Tombstone deletes on the lexical index: doc_id % 7 = 2 is
+    // deleted (masked immediately; one NEGATIVE stats row keeps
+    // N/avgdl exact, df self-corrects because it is counted over the
+    // visible postings), then consolidate applies the tombstones
+    // physically and retires them. Oracle = q_bm25's chain over the
+    // corpus WITHOUT the deleted docs — persisted-after-delete must be
+    // bit-identical to a rebuild without them.
+    Q("q_bm25_delete",
+      (s, d) => {
+        val dir = java.nio.file.Files.createTempDirectory("bm25del").toString
+        val docs = documents(s, d)
+        graft.text.Bm25.writeIndex(s, docs, s"$dir/index", numFiles = 4)
+        graft.text.Bm25.deleteIndex(s, s"$dir/index",
+          docs.where(col("doc_id") % 7 === 2).select("doc_id"))
+        graft.text.Bm25.consolidateIndex(s, s"$dir/index", numFiles = 2)
+        graft.text.Bm25.searchPersisted(s, s"$dir/index", Bm25Queries)
+      },
+      Some(Bm25Oracle.replace(
+        "FROM documents)", "FROM documents WHERE doc_id % 7 <> 2)"))),
 
     // M79 hybrid retrieval: BM25 (M41) + exact-cosine kNN (M5) legs
     // fused by reciprocal-rank fusion (Cormack 2009, K=60). Per-rank
@@ -1602,6 +1668,31 @@ object QueriesML {
         embeddings(s, d).where(col("vec_id") < 4)
           .select(col("vec_id").as("query_id"), col("embedding")),
         kEach = 10, k = 5, excludeSelf = true),
+      Some(HybridAnnOracle)),
+
+    // M79 hybrid retrieval served ENTIRELY from persisted artifacts —
+    // the production serving stack: BM25 from its inverted index (scan
+    // pruned to the query terms), ANN from the persisted IVF+PQ index
+    // (scan pruned to the probed lists), standalone query embeddings,
+    // RRF on top. Neither corpus relation is read at serve time. Both
+    // persisted legs are pinned ≡ their in-plan forms by their own
+    // gates, so this composition shares the in-plan hybrid's oracle.
+    Q("q_hybrid_persisted",
+      (s, d) => {
+        val dir = java.nio.file.Files.createTempDirectory("hybidx").toString
+        val emb = embeddings(s, d)
+        graft.text.Bm25.writeIndex(s, documents(s, d), s"$dir/bm25",
+          numFiles = 4)
+        Similarity.ivfPqWriteIndex(emb, s"$dir/ann", numFiles = 4,
+          m = 8, dims = 64, centroidMod = 97, coarseMod = 83)
+        ops.RankFusion.hybridSearchPersisted(s, s"$dir/bm25", s"$dir/ann",
+          Seq((0, "hash join table"), (1, "stream window agg"),
+            (2, "scan filter column"), (3, "sort merge dup")),
+          emb.where(col("vec_id") < 4)
+            .select(col("vec_id").as("query_id"), col("embedding")),
+          kEach = 10, k = 5, centroidMod = 97, nprobe = 2,
+          excludeSelf = true)
+      },
       Some(HybridAnnOracle)),
 
     // M36 deterministic shard shuffle: content-stable pseudo-random
@@ -2731,8 +2822,7 @@ object QueriesML {
           iters = 1, trainMod = 7)
         Similarity.ivfPqDeleteIndex(s, s"$dir/index",
           emb.where(col("vec_id") % 5 === 3).select(col("vec_id")))
-        graft.ops.Layout.clusteredConsolidate(s, s"$dir/index/codes", 2,
-          Seq("list_id", "neighbor_id"))
+        Similarity.ivfPqConsolidateIndex(s, s"$dir/index", numFiles = 2)
         Similarity.ivfPqSearchPersisted(s, s"$dir/index", emb,
           nQueries = 20, k = 5, m = 8, dims = 64, centroidMod = 1,
           nprobe = 2)

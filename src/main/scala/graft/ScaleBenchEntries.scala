@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.similarity.Similarity
 
@@ -25,6 +26,16 @@ import graft.similarity.Similarity
   *    docs / 1M vectors — certifies the COMPOSITION, not just the legs.
   *  - B45:  fully-trained IVF+PQ search in-plan — recall + balanced-scan
   *    REQUIREs at 1M (trained cells land at 1.003× balanced).
+  *  - B46d (inside b43t, r18): DELETE lifecycle on the persisted index —
+  *    tombstones masked immediately, applied physically + retired at
+  *    consolidate, pruning preserved.
+  *  - B47 (r18): recall-vs-nprobe operating curve on the trained
+  *    persisted index against brute-force ground truth — the FAISS
+  *    tuning sweep a deployment picks nprobe from.
+  *  - B48 (r18): persisted BM25 inverted index at 1M docs (postings
+  *    scan reads ≈ the queried terms' postings) + the FULLY-persisted
+  *    hybrid stack (BM25 index ⊕ trained IVF+PQ index ⊕ RRF) with
+  *    standalone query embeddings.
   */
 object ScaleBenchEntries {
 
@@ -337,6 +348,68 @@ object ScaleBenchEntries {
         " - the unclustered tail should have been scanned nearly in full")
     require(b46post <= 1100100L / 8,
       s"B46 post-optimize scan $b46post of 1.1M rows - pruning not restored")
+
+    // --- B46d (continues on the optimized index): DELETE lifecycle ----
+    // Tombstone the 10 ORIGINAL planted duplicates (ids 1M+q) via
+    // ivfPqDeleteIndex — FAISS remove_ids as merge-on-read. Contract:
+    //   1. deletes are visible IMMEDIATELY: query q's top-1 flips from
+    //      1M+q to the appended duplicate 1.1M+q with no data rewrite;
+    //   2. consolidation applies them PHYSICALLY: the folded generation
+    //      holds ZERO deleted rows (checked on the RAW files, bypassing
+    //      the reader's anti-join mask) and the tombstone relation is
+    //      emptied — reads pay no anti-join afterwards;
+    //   3. recall and scan-level pruning survive the rewrite.
+    val (b46dds, _) = time {
+      Similarity.ivfPqDeleteIndex(spark, s"$dir/index",
+        spark.range(1000000L, 1000010L).select(col("id").as("vec_id")))
+      10L
+    }
+    def b46top1(stage: String): Unit = {
+      val top1 = Similarity.ivfPqSearchPersisted(spark, s"$dir/index",
+        vecs, nQueries = 10, k = 10, m = 8, dims = 32, centroidMod = 1,
+        nprobe = 4)
+        .where(col("rank") === 1)
+        .select(col("query_id"), col("neighbor_id")).collect()
+      require(top1.length == 10, s"B46d $stage: ${top1.length} rank-1 rows")
+      top1.foreach { r =>
+        require(r.getLong(1) == 1100000L + r.getLong(0),
+          s"B46d $stage: query ${r.getLong(0)} top-1 ${r.getLong(1)} != " +
+            s"appended duplicate ${1100000L + r.getLong(0)} - the deleted " +
+            "original is not masked") }
+    }
+    b46top1("masked") // visible immediately, merge-on-read
+    val (b46dcs, b46dn) = time {
+      Similarity.ivfPqConsolidateIndex(spark, s"$dir/index", numFiles = 64,
+        writerOptions = Map("parquet.block.size" -> (64L << 10).toString))
+    }
+    require(b46dn == 1100090L,
+      s"B46d consolidate rewrote $b46dn rows, want 1100090 (10 deleted)")
+    // PHYSICAL check on the raw generation files — no reader masking
+    val b46raw = spark.read.parquet(s"$dir/index/codes/gen-*")
+    val b46rawN = b46raw.count()
+    require(b46rawN == 1100090L,
+      s"B46d raw files hold $b46rawN rows, want 1100090")
+    val b46survivors = b46raw
+      .where(col("neighbor_id").between(1000000L, 1000009L)).count()
+    require(b46survivors == 0L,
+      s"B46d $b46survivors deleted rows survive in the consolidated files")
+    // tombstones retired: the deletes relation holds no data files
+    val b46delDir = java.nio.file.Paths.get(s"$dir/index/codes/deletes")
+    val b46delFiles =
+      if (!java.nio.file.Files.isDirectory(b46delDir)) 0L
+      else {
+        import scala.jdk.CollectionConverters._
+        val s = java.nio.file.Files.list(b46delDir)
+        try s.iterator().asScala.count(_.toString.endsWith(".parquet")).toLong
+        finally s.close()
+      }
+    require(b46delFiles == 0L,
+      s"B46d $b46delFiles tombstone files survive consolidate - not retired")
+    b46top1("consolidated") // still the appended dup, now physically
+    val b46dscan = b46scan()
+    require(b46dscan <= 1100090L / 8,
+      s"B46d post-consolidate scan $b46dscan of 1.1M rows - pruning lost")
+
     vecs.unpersist()
     deleteRecursive(dir)
     Caching.release()
@@ -349,7 +422,12 @@ object ScaleBenchEntries {
       s""""b46_append_sec":$b46as,"b46_appended":$b46an,""" +
       s""""b46_optimize_sec":$b46os,"b46_recall_top2":"planted both",""" +
       s""""b46_scan_pre_opt":$b46pre,"b46_scan_post_opt":$b46post,""" +
-      s""""b46_scan_post_frac":${"%.4f".format(b46post.toDouble / 1100100L)}"""
+      s""""b46_scan_post_frac":${"%.4f".format(b46post.toDouble / 1100100L)},""" +
+      s""""b46d_delete_sec":$b46dds,"b46d_deleted":10,""" +
+      s""""b46d_consolidate_sec":$b46dcs,"b46d_rows_after":$b46rawN,""" +
+      s""""b46d_deleted_survivors":$b46survivors,""" +
+      s""""b46d_tombstone_files_after":$b46delFiles,""" +
+      s""""b46d_scan_post":$b46dscan"""
   }
 
   // --- B33t: Lloyd-trained fixed-ksub PQ codebooks ------------------------
@@ -399,7 +477,10 @@ object ScaleBenchEntries {
   // planted doc's vector (semantic ground truth), so the fused top-1
   // must be the planted doc for all 100 queries. Wall-time REQUIRE:
   // fusion adds only query-scale work, so the fused run must stay
-  // within 1.5× the sum of its two leg costs (+5 s fixed slack).
+  // within 1.2× the sum of its two leg costs (+2 s fixed slack) — the
+  // legs are localCheckpointed before fusion (RankFusion.materialized),
+  // so the fused plan never re-derives corpus-scale intermediates (the
+  // r17 pre-fix shape cost 1.65× the leg sum).
   def b44(spark: SparkSession): String = {
     val vecs = dupVecs(spark).persist()
     vecs.count()
@@ -431,9 +512,10 @@ object ScaleBenchEntries {
       b44top1 = top1.length
       out.count()
     }
-    require(b44s <= 1.5 * (b44lexs + b44sems) + 5.0,
-      s"B44 fused $b44s s > 1.5x legs (${b44lexs + b44sems} s) + 5 - " +
-        "fusion is doing corpus-scale work")
+    require(b44s <= 1.2 * (b44lexs + b44sems) + 2.0,
+      s"B44 fused $b44s s > 1.2x legs (${b44lexs + b44sems} s) + 2 - " +
+        "fusion is doing corpus-scale work (r17's 1.65x came from fusing " +
+        "two live corpus-scale plans; legs are localCheckpointed now)")
     vecs.unpersist()
     docs.unpersist()
     Caching.release()
@@ -491,11 +573,251 @@ object ScaleBenchEntries {
       s""""b45_scan_frac":${"%.4f".format(b45scanned.toDouble / (100L * 1000100L))}"""
   }
 
-  /** All round-17 entries in run order — ScaleBench.main splices these
-    * fragments into its JSON line. */
+  // --- B47: recall-vs-nprobe OPERATING CURVE on the trained persisted
+  // index — the FAISS tuning sweep (Jégou 2011 §V; faiss AutoTune):
+  // a deployment picks nprobe from measured (recall, scan-fraction)
+  // pairs, not folklore. Ground truth is the EXACT top-10 under the
+  // index's own metric (squared L2 over the quantized vectors, self
+  // excluded) by one brute-force pass over the 1M corpus; each nprobe
+  // ∈ {1,2,4,8,16} then reports recall@10 = |ADC top-10 ∩ exact
+  // top-10| / 100 over the 10 queries, the rows the pruned scan
+  // actually read, and wall time. The curve's shape is the content:
+  // recall rises with nprobe to the PQ-distortion plateau while scan
+  // cost rises ~linearly — the knee is where a deployment should sit.
+  // REQUIREs: the planted duplicate is rank-1 at every nprobe (an
+  // exact duplicate shares its query's list, probed first); scanned
+  // rows ≤ 3× the exact probed rows at every nprobe (the B43/B43t
+  // row-group-granularity bound) and non-decreasing in nprobe; recall
+  // never drops more than 0.05 step-to-step (candidate sets are
+  // supersets, but ADC re-ranking may swap the tail) and the sweep top
+  // ≥ the sweep bottom.
+  def b47(spark: SparkSession): String = {
+    val vecs = dupVecs(spark).persist()
+    vecs.count()
+    val dir = java.nio.file.Files.createTempDirectory("scale_ivfpq_sweep")
+    Similarity.ivfPqWriteIndexTrained(vecs, s"$dir/index", numFiles = 64,
+      m = 8, dims = 32, ksub = 245, nlists = 1024, iters = 2,
+      trainMod = 97,
+      writerOptions = Map("parquet.block.size" -> (64L << 10).toString))
+
+    // exact ground truth: brute-force squared-L2 top-10 per query over
+    // the full corpus (10 queries × 1M rows; the one pass the index
+    // exists to avoid, paid here once to calibrate it)
+    val q10 = vecs.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"),
+        Similarity.quantize(col("embedding")).as("qv"))
+    val exactWin = Window.partitionBy("query_id")
+      .orderBy(col("d2").asc, col("neighbor_id").asc)
+    val exact = vecs
+      .select(col("vec_id").as("neighbor_id"),
+        Similarity.quantize(col("embedding")).as("v"))
+      .crossJoin(broadcast(q10))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        aggregate(zip_with(col("v"), col("qv"),
+          (a, b) => (a - b) * (a - b)), lit(0.0d), (acc, x) => acc + x)
+          .cast("long").as("d2"))
+      .withColumn("rn", row_number().over(exactWin))
+      .where(col("rn") <= 10)
+    val (b47gts, _) = time(exact.count())
+    val exactSet = exact.select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    require(exactSet.size == 100,
+      s"B47 exact ground truth has ${exactSet.size} pairs, want 100")
+    (0 until 10).foreach { q =>
+      require(exactSet((q.toLong, 1000000L + q)),
+        s"B47 exact top-10 of query $q misses its planted duplicate") }
+
+    val cents = spark.read.parquet(s"$dir/index/cents")
+    val listCounts = spark.read.parquet(s"$dir/index/codes/gen-0")
+      .groupBy("list_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    var prevRecall = -1.0
+    var prevScan = -1L
+    val points = Seq(1, 2, 4, 8, 16).map { np =>
+      val probedRows = Similarity.ivfProbes(vecs, cents, 10, np)
+        .select("list_id").distinct().collect().map(_.getLong(0))
+        .map(listCounts.getOrElse(_, 0L)).sum
+      var hits = 0L
+      val (sSec, _) = time {
+        val res = Similarity.ivfPqSearchPersisted(spark, s"$dir/index",
+          vecs, nQueries = 10, k = 10, m = 8, dims = 32, centroidMod = 1,
+          nprobe = np)
+          .select("query_id", "neighbor_id", "rank").collect()
+        require(res.length == 100, s"B47 nprobe=$np: ${res.length} rows")
+        res.filter(_.getInt(2) == 1).foreach { r =>
+          require(r.getLong(1) == r.getLong(0) + 1000000L,
+            s"B47 nprobe=$np query ${r.getLong(0)}: top-1 ${r.getLong(1)} " +
+              s"is not the planted duplicate") }
+        hits = res.count(r => exactSet((r.getLong(0), r.getLong(1)))).toLong
+        res.length.toLong
+      }
+      val (_, scanned) = scanMetrics(Similarity.ivfPqScoredPersisted(
+        spark, s"$dir/index", vecs, nQueries = 10, m = 8, dims = 32,
+        centroidMod = 1, nprobe = np))
+      val recall = hits / 100.0
+      require(scanned <= 3L * probedRows,
+        s"B47 nprobe=$np scan read $scanned rows > 3x exact probed " +
+          s"$probedRows - row-group pruning lost")
+      require(scanned >= prevScan,
+        s"B47 nprobe=$np scanned $scanned < previous $prevScan - " +
+          "scan cost must be non-decreasing in nprobe")
+      require(recall >= prevRecall - 0.05,
+        s"B47 nprobe=$np recall@10 $recall dropped > 0.05 from " +
+          s"$prevRecall - candidate supersets cannot lose this much")
+      prevRecall = math.max(prevRecall, recall)
+      prevScan = scanned
+      (np, recall, scanned, sSec)
+    }
+    // the curve must actually RISE — a flat sweep would mean probing
+    // buys nothing and the tuning knob is dead (measured: 0.23 → 0.40,
+    // deterministic arithmetic so the numbers replay exactly)
+    require(points.last._2 >= points.head._2 + 0.1,
+      s"B47 recall@10 at nprobe=16 (${points.last._2}) is not >= 0.1 " +
+        s"above nprobe=1 (${points.head._2}) - the curve does not rise")
+    vecs.unpersist()
+    deleteRecursive(dir)
+    Caching.release()
+    val curve = points.map { case (np, r, sc, s) =>
+      s"""{"nprobe":$np,"recall10":$r,"scan_rows":$sc,""" +
+        s""""scan_frac":${"%.4f".format(sc.toDouble / 1000100L)},""" +
+        s""""search_sec":${"%.2f".format(s)}}"""
+    }.mkString(",")
+    s""""b47_ground_truth_sec":$b47gts,"b47_queries":10,""" +
+      s""""b47_nlists":1024,"b47_curve":[$curve]"""
+  }
+
+  // --- B48: persisted BM25 index + FULLY-persisted hybrid at 1M ---------
+  //
+  // B43/B43t closed the bytes-read story for the SEMANTIC leg; this
+  // entry closes it for the LEXICAL leg and then serves the whole
+  // hybrid stack from artifacts. Bm25.search re-explodes the 1M-doc
+  // corpus per query batch; Bm25.writeIndex persists the postings
+  // term-clustered (the Lucene inverted-list contract as a parquet
+  // layout), so a query batch READS ≈ its terms' postings. REQUIREs:
+  //   1. persisted top-1 = the planted doc (each query's token is
+  //      unique to it) for all 100 queries, scores bit-identical to
+  //      the in-plan search (sampled equality);
+  //   2. the postings scan reads ≤ 2% of the 5M-row relation (vs 100%
+  //      for the in-plan explode) and ≥ the 100 matched rows;
+  //   3. the fully-persisted hybrid (BM25 index + trained IVF+PQ index,
+  //      standalone query embeddings, RRF) fuses the double-planted
+  //      doc to rank 1 for all 100 queries at leg-additive wall time.
+  def b48(spark: SparkSession): String = {
+    val docs = spark.range(1000100L).select(
+      col("id").as("doc_id"),
+      concat(lit("alpha beta gamma delta tok"), col("id")).as("text"))
+      .persist()
+    docs.count()
+    val queries = (0 until 100).map(q => (q, s"tok${1000000 + q}"))
+    val (b48ips, _) = time {
+      graft.text.Bm25.search(spark, docs, queries, topK = 10).count()
+    }
+    val dir = java.nio.file.Files.createTempDirectory("scale_bm25_idx")
+    val (b48ws, b48wn) = time {
+      graft.text.Bm25.writeIndex(spark, docs, s"$dir/bm25", numFiles = 64,
+        writerOptions = Map("parquet.block.size" -> (64L << 10).toString))
+      spark.read.parquet(s"$dir/bm25/postings/gen-0").count()
+    }
+    require(b48wn == 5000500L, s"B48 postings hold $b48wn rows, want 5.0005M")
+    // in-plan reference rows for the sampled-equality REQUIRE
+    val inPlanRows = graft.text.Bm25
+      .search(spark, docs, queries.take(10), topK = 10)
+      .select("query_id", "rank", "doc_id", "score_nanos").collect()
+      .map(r => (r.getInt(0), r.getInt(1))-> (r.getLong(2), r.getLong(3)))
+      .toMap
+    var b48top1 = 0L
+    val (b48ps, _) = time {
+      val out = graft.text.Bm25
+        .searchPersisted(spark, s"$dir/bm25", queries, topK = 10)
+        .where(col("rank") === 1)
+        .select(col("query_id"), col("doc_id")).collect()
+      require(out.length == 100, s"B48 ${out.length} rank-1 rows, want 100")
+      out.foreach { r =>
+        require(r.getLong(1) == r.getInt(0) + 1000000L,
+          s"B48 query ${r.getInt(0)}: top-1 ${r.getLong(1)} is not the " +
+            s"planted doc ${r.getInt(0) + 1000000L}") }
+      b48top1 = out.length
+      out.length.toLong
+    }
+    val persistedRows = graft.text.Bm25
+      .searchPersisted(spark, s"$dir/bm25", queries.take(10), topK = 10)
+      .select("query_id", "rank", "doc_id", "score_nanos").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    require(persistedRows == inPlanRows,
+      "B48 persisted scores diverge from the in-plan search - the shared " +
+        "scoring tail is not shared")
+    val (b48ss, b48scanned) = time {
+      val probe = graft.text.Bm25
+        .searchPersisted(spark, s"$dir/bm25", queries, topK = 10)
+      val (_, sc) = scanMetrics(probe)
+      sc
+    }
+    require(b48scanned >= 100L,
+      s"B48 scan read $b48scanned < the 100 matched postings")
+    require(b48scanned <= 5000500L / 50,
+      s"B48 postings scan read $b48scanned of 5.0005M rows (> 2%) - " +
+        "term-clustered pruning is not engaging")
+
+    // fully-persisted hybrid: trained ANN index + the BM25 index above
+    val vecs = dupVecs(spark).persist()
+    vecs.count()
+    val (b48aws, _) = time {
+      Similarity.ivfPqWriteIndexTrained(vecs, s"$dir/ann", numFiles = 64,
+        m = 8, dims = 32, ksub = 245, nlists = 1024, iters = 2,
+        trainMod = 97,
+        writerOptions = Map("parquet.block.size" -> (64L << 10).toString))
+      0L
+    }
+    val qEmb = vecs.where(col("vec_id") < 100L)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val (b48lexs, _) = time {
+      graft.text.Bm25.searchPersisted(spark, s"$dir/bm25", queries,
+        topK = 10).count()
+    }
+    val (b48sems, _) = time {
+      Similarity.ivfPqSearchPersistedQ(spark, s"$dir/ann", qEmb, k = 10,
+        m = 8, dims = 32, centroidMod = 1, nprobe = 4,
+        excludeSelf = true).count()
+    }
+    var b48fused = 0L
+    val (b48hs, _) = time {
+      val out = graft.ops.RankFusion.hybridSearchPersisted(spark,
+        s"$dir/bm25", s"$dir/ann", queries, qEmb, kEach = 10, k = 5,
+        m = 8, dims = 32, centroidMod = 1, nprobe = 4,
+        excludeSelf = true)
+        .where(col("rank") === 1)
+        .select(col("query_id"), col("doc_id")).collect()
+      require(out.length == 100, s"B48 hybrid ${out.length} rank-1 rows")
+      out.foreach { r =>
+        require(r.getLong(1) == r.getLong(0) + 1000000L,
+          s"B48 hybrid query ${r.getLong(0)}: fused top-1 ${r.getLong(1)} " +
+            s"is not the double-planted doc ${r.getLong(0) + 1000000L}") }
+      b48fused = out.length
+      out.length.toLong
+    }
+    require(b48hs <= 1.2 * (b48lexs + b48sems) + 2.0,
+      s"B48 fused $b48hs s > 1.2x persisted legs (${b48lexs + b48sems} s) " +
+        "+ 2 - fusion is doing corpus-scale work")
+    docs.unpersist()
+    vecs.unpersist()
+    deleteRecursive(dir)
+    Caching.release()
+    s""""b48_inplan_search_sec":$b48ips,"b48_index_write_sec":$b48ws,""" +
+      s""""b48_postings_rows":$b48wn,"b48_persisted_search_sec":$b48ps,""" +
+      s""""b48_recall_top1":$b48top1,"b48_scan_rows":$b48scanned,""" +
+      s""""b48_scan_frac":${"%.4f".format(b48scanned.toDouble / 5000500L)},""" +
+      s""""b48_scan_count_sec":$b48ss,"b48_ann_write_sec":$b48aws,""" +
+      s""""b48_hybrid_lex_sec":$b48lexs,"b48_hybrid_sem_sec":$b48sems,""" +
+      s""""b48_hybrid_sec":$b48hs,"b48_hybrid_top1":$b48fused"""
+  }
+
+  /** All round-17/18 entries in run order — ScaleBench.main splices
+    * these fragments into its JSON line. */
   def all(spark: SparkSession): String =
     Seq(b42c(spark), b43(spark), b43t(spark), b33t(spark), b44(spark),
-      b45(spark)).mkString(",")
+      b45(spark), b47(spark), b48(spark)).mkString(",")
 }
 
 /** Run individual ScaleBench entries by name — the monolithic
@@ -513,7 +835,9 @@ object ScaleBenchOne {
       "b43t" -> ScaleBenchEntries.b43t,
       "b33t" -> ScaleBenchEntries.b33t,
       "b44" -> ScaleBenchEntries.b44,
-      "b45" -> ScaleBenchEntries.b45)
+      "b45" -> ScaleBenchEntries.b45,
+      "b47" -> ScaleBenchEntries.b47,
+      "b48" -> ScaleBenchEntries.b48)
     args.foreach { name =>
       val fragment = entries.getOrElse(name,
         sys.error(s"unknown entry '$name'; have ${entries.keys.mkString(", ")}"))

@@ -159,4 +159,40 @@ object RankFusion {
       .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
     rrfFuse(Seq(materialized(lex), materialized(sem)), k, rrfK)
   }
+
+  /** Hybrid retrieval served ENTIRELY from persisted artifacts — the
+    * production serving stack: the lexical leg reads the
+    * [[graft.text.Bm25.writeIndex]] inverted index at `bm25Dir` (scan
+    * pruned to the query terms' postings), the semantic leg reads the
+    * [[graft.similarity.Similarity.ivfPqWriteIndex]] /
+    * `ivfPqWriteIndexTrained` index at `annDir` (scan pruned to the
+    * probed lists), and fusion is the same query-scale [[rrfFuse]] —
+    * neither the corpus text nor the corpus embeddings are ever read.
+    * Legs are pinned equal to their in-plan forms by their own gates,
+    * so this composition shares the in-plan hybrid's oracle
+    * (q_hybrid_persisted). */
+  def hybridSearchPersisted(
+      spark: SparkSession,
+      bm25Dir: String,
+      annDir: String,
+      queries: Seq[(Int, String)],
+      queryEmbeddings: DataFrame,
+      kEach: Int = 10,
+      k: Int = 5,
+      rrfK: Int = 60,
+      m: Int = 8,
+      dims: Int = 64,
+      centroidMod: Int = 97,
+      nprobe: Int = 2,
+      excludeSelf: Boolean = false): DataFrame = {
+    require(queries.nonEmpty, "hybridSearchPersisted needs >= 1 query")
+    val lex = graft.text.Bm25
+      .searchPersisted(spark, bm25Dir, queries, topK = kEach)
+      .select(col("query_id"), col("doc_id"), col("rank"))
+    val sem = graft.similarity.Similarity
+      .ivfPqSearchPersistedQ(spark, annDir, queryEmbeddings, k = kEach,
+        m, dims, centroidMod, nprobe, excludeSelf)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+    rrfFuse(Seq(materialized(lex), materialized(sem)), k, rrfK)
+  }
 }

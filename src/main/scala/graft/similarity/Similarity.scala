@@ -918,6 +918,23 @@ object Similarity {
       numFiles, Seq("list_id", "neighbor_id"), maxGenerations,
       writerOptions)
 
+  /** CONSOLIDATE pass for the persisted index: fold every generation
+    * into one freshly (list_id, neighbor_id)-clustered generation,
+    * applying [[ivfPqDeleteIndex]] tombstones PHYSICALLY and retiring
+    * them once no un-compacted tail remains — the compaction half of
+    * FAISS `remove_ids`, after which reads pay no anti-join and no
+    * data file holds a deleted row. Returns rows rewritten (0 = single
+    * generation and no pending tombstones, no-op). Same single-
+    * OPTIMIZE-writer and reader-race contracts as
+    * [[graft.ops.Layout.clusteredConsolidate]]. */
+  def ivfPqConsolidateIndex(
+      spark: SparkSession,
+      indexDir: String,
+      numFiles: Int,
+      writerOptions: Map[String, String] = Map.empty): Long =
+    graft.ops.Layout.clusteredConsolidate(spark, s"$indexDir/codes",
+      numFiles, Seq("list_id", "neighbor_id"), writerOptions)
+
   /** [[ivfPqSearch]] over a PERSISTED index ([[ivfPqWriteIndex]] or
     * [[ivfPqWriteIndexTrained]]): identical results (same probes, same
     * LUTs, same ADC arithmetic — SimilaritySpec pins equality), but

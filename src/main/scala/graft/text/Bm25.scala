@@ -32,39 +32,42 @@ import org.apache.spark.sql.functions._
   */
 object Bm25 {
 
-  /** @param queries (query_id, whitespace-tokenized query text)
-    * @return (query_id, rank, doc_id, score_nanos, score), rank ≤ topK
-    *         per query, ordered by (score desc, doc_id asc). */
-  def search(
-      spark: SparkSession,
-      docs: DataFrame,
-      queries: Seq[(Int, String)],
-      k1: Double = 1.2,
-      b: Double = 0.75,
-      topK: Int = 10): DataFrame = {
-    val qterms = broadcast(
+  private def queryTerms(
+      spark: SparkSession, queries: Seq[(Int, String)]): DataFrame =
+    broadcast(
       spark.createDataFrame(
         queries.flatMap { case (qid, t) => t.split(" ").map(qid -> _) }.distinct)
         .toDF("query_id", "term"))
-    val terms = qterms.select("term").distinct()
 
-    val d = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
-    // N and avgdl: integer sums (exact), one terminal division — the
-    // single-row result is cross-joined (broadcast) into the score.
-    val stats = d.agg(
-      count(lit(1)).cast("double").as("n"),
-      (sum(size(col("w"))).cast("double") /
-        count(lit(1)).cast("double")).as("avgdl"))
-
-    // Token explode pre-filtered by the broadcast term list: only words
-    // that appear in some query survive to the (doc, term) shuffle.
-    val tf = d
+  /** The (term, doc_id, dl, tf) postings relation of `docs` — the
+    * classic inverted-index row, restricted to `terms` when given (the
+    * broadcast pre-filter on the token explode: only words appearing in
+    * some query survive to the (doc, term) shuffle). Shared verbatim by
+    * the in-plan [[search]] and the index writer ([[writeIndex]] /
+    * [[appendIndex]], which persist it UNrestricted), so persisted
+    * serving is the same arithmetic as in-plan search by construction. */
+  private def postingsOf(
+      docs: DataFrame, terms: Option[DataFrame]): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(col("doc_id"), size(col("w")).cast("double").as("dl"),
         explode(col("w")).as("term"))
-      .join(broadcast(terms), "term")
+    terms.fold(tok)(t => tok.join(broadcast(t), "term"))
       .groupBy("doc_id", "term")
       .agg(max("dl").as("dl"), count(lit(1)).cast("double").as("tf"))
+  }
 
+  /** The scoring tail shared by [[search]] and [[searchPersisted]]:
+    * df/idf from the matched postings, the fixed-order contribution
+    * chain, the exact BIGINT per-doc sum, and the salted two-phase
+    * top-k. `stats` must be a single-row (n, avgdl) relation. */
+  private def scoreAndRank(
+      tf: DataFrame,
+      stats: DataFrame,
+      qterms: DataFrame,
+      k1: Double,
+      b: Double,
+      topK: Int): DataFrame = {
     // idf quantized to micro-units per term: |query terms| rows, tiny.
     val idf = tf
       .groupBy("term").agg(count(lit(1)).cast("double").as("df"))
@@ -104,5 +107,214 @@ object Bm25 {
       .select(col("query_id"), col("rank"), col("doc_id"),
         col("score_nanos"),
         (col("score_nanos") / lit(1.0e9)).as("score"))
+  }
+
+  /** @param queries (query_id, whitespace-tokenized query text)
+    * @return (query_id, rank, doc_id, score_nanos, score), rank ≤ topK
+    *         per query, ordered by (score desc, doc_id asc). */
+  def search(
+      spark: SparkSession,
+      docs: DataFrame,
+      queries: Seq[(Int, String)],
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      topK: Int = 10): DataFrame = {
+    val qterms = queryTerms(spark, queries)
+    val d = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+    // N and avgdl: integer sums (exact), one terminal division — the
+    // single-row result is cross-joined (broadcast) into the score.
+    val stats = d.agg(
+      count(lit(1)).cast("double").as("n"),
+      (sum(size(col("w"))).cast("double") /
+        count(lit(1)).cast("double")).as("avgdl"))
+    val tf = postingsOf(docs, Some(qterms.select("term").distinct()))
+    scoreAndRank(tf, stats, qterms, k1, b, topK)
+  }
+
+  // --- Persisted inverted index (the Lucene-shape serving artifact) ----
+  //
+  // [[search]] recomputes the postings of its query terms from the raw
+  // corpus on EVERY query batch — one full token explode per batch. At
+  // 100 TB the lexical leg must serve from a built artifact whose scan
+  // cost tracks the QUERY, not the corpus (exactly the r17 persisted
+  // IVF+PQ story, M70 — this is its lexical twin). Layout under `dir`:
+  //
+  //   postings/   (term, doc_id, dl, tf) range-clustered by
+  //               (term, doc_id) through the shared
+  //               [[graft.ops.Layout]] lifecycle (gen-K + tail +
+  //               deletes) — each parquet file owns a contiguous term
+  //               range, so the query-term IN (chunked to the session's
+  //               parquet pushdown threshold, like the ANN probed-list
+  //               union) drops non-matching row groups UNREAD: bytes
+  //               read ≈ the queried terms' postings, Lucene's
+  //               inverted-list contract as a parquet layout.
+  //   docstats/   (doc_id, dl) range-clustered by doc_id — the per-doc
+  //               relation deletes are accounted against.
+  //   stats/      ADDITIVE (n_docs, sum_dl) batch rows: every write/
+  //               append lands one row, every delete a NEGATIVE row, so
+  //               the serving-time corpus stats are a sum over a
+  //               relation with one row per maintenance op — N and
+  //               avgdl stay EXACT (integer sums) under any append/
+  //               delete history, which is what keeps persisted scores
+  //               bit-identical to an in-plan search over the visible
+  //               corpus (Lucene, by contrast, lets deleted docs skew
+  //               df/avgdl until segment merge).
+  //
+  // Appends are shuffle-free on existing data (new postings land in the
+  // tail, one narrow explode+aggregate of the NEW docs only); deletes
+  // are tombstones ([[graft.ops.Layout.tombstone]] on doc_id) masked by
+  // every read and applied physically at consolidate; df needs no
+  // stored relation at all — it is a per-term count over the (pruned,
+  // tombstone-masked) postings the search already reads, so it is
+  // always exactly the visible corpus's df.
+
+  /** Build the persisted BM25 index of `docs` at `dir`. Paid once;
+    * [[searchPersisted]] then serves any query workload reading ≈ the
+    * queried terms' postings. */
+  def writeIndex(
+      spark: SparkSession,
+      docs: DataFrame,
+      dir: String,
+      numFiles: Int,
+      writerOptions: Map[String, String] = Map.empty): Unit = {
+    postingsOf(docs, None)
+      .select(col("term"), col("doc_id"), col("dl"), col("tf"))
+      .repartitionByRange(numFiles, col("term"), col("doc_id"))
+      .sortWithinPartitions("term", "doc_id")
+      .write.mode("errorifexists").options(writerOptions)
+      .parquet(s"$dir/postings/gen-0")
+    docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("dl"))
+      .repartitionByRange(math.max(1, numFiles / 4), col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .write.mode("errorifexists").options(writerOptions)
+      .parquet(s"$dir/docstats/gen-0")
+    appendStats(spark, dir, docs, sign = 1L)
+  }
+
+  /** One additive stats row for `docs` (sign = −1 for a delete batch). */
+  private def appendStats(
+      spark: SparkSession, dir: String, docs: DataFrame, sign: Long): Unit =
+    docs.select(size(split(col("text"), " ")).cast("long").as("dl"))
+      .agg((count(lit(1)) * sign).as("n_docs"),
+        (coalesce(sum("dl"), lit(0L)) * sign).as("sum_dl"))
+      .coalesce(1).write.mode("append").parquet(s"$dir/stats")
+
+  /** Incremental maintenance — add `docs` to the index without touching
+    * existing data (the [[graft.similarity.Similarity.ivfPqAppendIndex]]
+    * contract on the lexical leg): new postings land in the tail
+    * (term-unclustered — they prune poorly until [[optimizeIndex]]
+    * re-clusters them, the honest cost of shuffle-free ingest), the new
+    * docstats rows in theirs, and one additive stats row keeps N/avgdl
+    * exact. Blind to duplicate doc_ids, like the ANN append — re-adding
+    * a doc requires deleting it first. */
+  def appendIndex(
+      spark: SparkSession,
+      dir: String,
+      docs: DataFrame): Unit = {
+    postingsOf(docs, None)
+      .select(col("term"), col("doc_id"), col("dl"), col("tf"))
+      .write.mode("append").parquet(s"$dir/postings/tail")
+    docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("dl"))
+      .write.mode("append").parquet(s"$dir/docstats/tail")
+    appendStats(spark, dir, docs, sign = 1L)
+  }
+
+  /** Delete documents from the index by id — tombstones on BOTH
+    * lifecycle relations (masked immediately by [[searchPersisted]],
+    * applied physically at [[consolidateIndex]]) plus one NEGATIVE
+    * stats row, so N/avgdl/df all reflect the visible corpus exactly:
+    * a post-delete search is bit-identical to a rebuild without the
+    * deleted docs (spec-pinned), with no rewrite. Repeat-safe: the
+    * stats delta is computed against the VISIBLE docstats, so
+    * re-deleting an already-deleted (or absent) id contributes zero. */
+  def deleteIndex(
+      spark: SparkSession,
+      dir: String,
+      docIds: DataFrame): Unit = {
+    val victims = graft.ops.Layout
+      .clusteredTable(spark, s"$dir/docstats")
+      .join(docIds.select(col("doc_id").cast("long").as("doc_id"))
+        .distinct(), Seq("doc_id"), "left_semi")
+      .persist()
+    val d = victims.agg(count(lit(1)), coalesce(sum("dl"), lit(0L)))
+      .collect()(0)
+    val (nDel, dlDel) = (d.getLong(0), d.getLong(1))
+    if (nDel > 0L) {
+      graft.ops.Layout.tombstone(spark, s"$dir/postings", "doc_id",
+        victims.select("doc_id"))
+      graft.ops.Layout.tombstone(spark, s"$dir/docstats", "doc_id",
+        victims.select("doc_id"))
+      spark.range(1).select(lit(-nDel).as("n_docs"),
+        lit(-dlDel).as("sum_dl"))
+        .coalesce(1).write.mode("append").parquet(s"$dir/stats")
+    }
+    victims.unpersist()
+  }
+
+  /** OPTIMIZE pass: re-cluster both tails into their next generations
+    * (term order for postings, doc order for docstats) — the shared
+    * [[graft.ops.Layout.clusteredOptimize]] lifecycle. Returns postings
+    * rows compacted. */
+  def optimizeIndex(
+      spark: SparkSession,
+      dir: String,
+      numFiles: Int,
+      maxGenerations: Int = 0,
+      writerOptions: Map[String, String] = Map.empty): Long = {
+    val n = graft.ops.Layout.clusteredOptimize(spark, s"$dir/postings",
+      numFiles, Seq("term", "doc_id"), maxGenerations, writerOptions)
+    graft.ops.Layout.clusteredOptimize(spark, s"$dir/docstats",
+      math.max(1, numFiles / 4), Seq("doc_id"), maxGenerations,
+      writerOptions)
+    n
+  }
+
+  /** CONSOLIDATE pass: fold all generations of both relations, applying
+    * tombstones physically and retiring them — after this no data file
+    * holds a deleted doc and reads pay no anti-join. Returns postings
+    * rows rewritten. */
+  def consolidateIndex(
+      spark: SparkSession,
+      dir: String,
+      numFiles: Int,
+      writerOptions: Map[String, String] = Map.empty): Long = {
+    val n = graft.ops.Layout.clusteredConsolidate(spark, s"$dir/postings",
+      numFiles, Seq("term", "doc_id"), writerOptions)
+    graft.ops.Layout.clusteredConsolidate(spark, s"$dir/docstats",
+      math.max(1, numFiles / 4), Seq("doc_id"), writerOptions)
+    n
+  }
+
+  /** [[search]] served from a persisted index — identical output (the
+    * scoring tail is the same code over the same relations; gate
+    * q_bm25_persisted shares q_bm25's oracle verbatim), but the corpus
+    * is never read: the postings scan is pruned to the query terms
+    * (an IN chunked to the session's parquet pushdown threshold, each
+    * chunk a contiguous slice of the sorted term list so row-group
+    * min/max stats on the clustering key drop everything else), and
+    * N/avgdl are a sum over the metadata-sized additive stats rows. */
+  def searchPersisted(
+      spark: SparkSession,
+      dir: String,
+      queries: Seq[(Int, String)],
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      topK: Int = 10): DataFrame = {
+    val qterms = queryTerms(spark, queries)
+    val termList = queries.flatMap(_._2.split(" ")).distinct.sorted
+    require(termList.nonEmpty, "searchPersisted needs at least one term")
+    val inThreshold = math.max(1, spark.conf
+      .get("spark.sql.parquet.pushdown.inFilterThreshold", "10").toInt)
+    val base = graft.ops.Layout.clusteredTable(spark, s"$dir/postings")
+    val tf = termList.grouped(inThreshold)
+      .map(chunk => base.where(col("term").isInCollection(chunk)))
+      .reduce(_.unionByName(_))
+    val stats = spark.read.parquet(s"$dir/stats")
+      .agg(sum("n_docs").as("nl"), sum("sum_dl").as("dll"))
+      .select(col("nl").cast("double").as("n"),
+        (col("dll").cast("double") / col("nl").cast("double")).as("avgdl"))
+    scoreAndRank(tf, stats, qterms, k1, b, topK)
   }
 }

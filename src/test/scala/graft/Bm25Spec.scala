@@ -38,6 +38,84 @@ class Bm25Spec extends SparkSpec {
       (1L to 5L).toSeq)
   }
 
+  test("persisted index serves search() verbatim across the lifecycle " +
+    "(write -> append -> optimize -> delete -> consolidate)") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.createDataFrame((0L until 40L).map(i =>
+      (i, s"alpha w${i % 7} beta w${i % 11} " +
+        (if (i % 3 == 0) "gamma" else "delta"))))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("bm25life").toString
+    val queries = Seq((0, "alpha w3"), (1, "gamma w5 beta"), (2, "w10 delta"))
+    def res(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+
+    Bm25.writeIndex(spark, docs.where(col("doc_id") < 25), dir, numFiles = 3)
+    Bm25.appendIndex(spark, dir, docs.where(col("doc_id") >= 25))
+    val full = res(Bm25.search(spark, docs, queries))
+    assert(res(Bm25.searchPersisted(spark, dir, queries)) == full,
+      "tail state (unoptimized append) must already serve the full corpus")
+    assert(Bm25.optimizeIndex(spark, dir, numFiles = 2) > 0L)
+    assert(res(Bm25.searchPersisted(spark, dir, queries)) == full)
+
+    // deletes: masked immediately, N/avgdl/df corrected exactly —
+    // bit-identical to a rebuild without the deleted docs
+    val victims = docs.where(col("doc_id") % 4 === 1).select("doc_id")
+    Bm25.deleteIndex(spark, dir, victims)
+    val afterDel = res(Bm25.search(
+      spark, docs.where(col("doc_id") % 4 =!= 1), queries))
+    assert(afterDel != full, "fixture too weak: delete changed nothing")
+    assert(res(Bm25.searchPersisted(spark, dir, queries)) == afterDel)
+    // repeat delete contributes zero (stats not double-subtracted)
+    Bm25.deleteIndex(spark, dir, victims)
+    assert(res(Bm25.searchPersisted(spark, dir, queries)) == afterDel)
+
+    // consolidate applies tombstones physically and retires them
+    assert(Bm25.consolidateIndex(spark, dir, numFiles = 2) > 0L)
+    assert(res(Bm25.searchPersisted(spark, dir, queries)) == afterDel)
+    val raw = spark.read.parquet(s"$dir/postings/gen-*")
+    assert(raw.where(col("doc_id") % 4 === 1).count() == 0,
+      "deleted docs survive in the consolidated postings files")
+    val delDir = new java.io.File(s"$dir/postings/deletes")
+    assert(!delDir.exists() ||
+      !delDir.listFiles.exists(_.getName.endsWith(".parquet")),
+      "tombstones not retired after consolidate")
+  }
+
+  test("searchPersisted reads ~ the queried terms' postings: pushed " +
+    "In(term) prunes the term-clustered scan") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.functions._
+    // 3000 docs x 3 distinct-term slots -> ~9000 postings over 30 files
+    val docs = spark.createDataFrame((0L until 3000L).map(i =>
+      (i, s"t${i % 500} u${i % 301} v${i % 97}"))).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("bm25prune").toString
+    Bm25.writeIndex(spark, docs, dir, numFiles = 30,
+      writerOptions = Map("parquet.block.size" -> (16L << 10).toString))
+    val out = Bm25.searchPersisted(spark, dir, Seq((0, "t123 v55")))
+    val hits = out.queryExecution.toRdd.count() // executes THIS plan,
+    assert(hits > 0)                            // populating its metrics
+    def scans(plan: SparkPlan): Seq[FileSourceScanExec] = plan match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case s: FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(scans)
+    }
+    val planStr = out.queryExecution.executedPlan.toString
+    assert(planStr.replaceAll("\\s", "").contains("In(term"),
+      s"query-term IN not pushed to the postings scan:\n$planStr")
+    val scanned = scans(out.queryExecution.executedPlan)
+      .filter(_.toString.contains("postings"))
+      .map(_.metrics("numOutputRows").value).sum
+    // matched postings: df(t123)=6 + df(v55)=~31. Granularity, not
+    // volume, bounds the read: 2 matched term regions x <= 2 straddled
+    // 300-row files each = 1200 rows, ~13% of the relation (vs 100%
+    // unpruned); the exact-row fraction shrinks with file count.
+    assert(scanned <= 1200L,
+      s"postings scan read $scanned of ~9000 rows - term pruning lost")
+  }
+
   test("corpus is never broadcast; token shuffle is term-pruned") {
     val dir = java.nio.file.Files.createTempDirectory("bm25spec").toString
     spark.createDataFrame(

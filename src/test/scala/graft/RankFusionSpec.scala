@@ -121,6 +121,36 @@ class RankFusionSpec extends SparkSpec {
     assert(viaShifted.map(_._1).toSet == Set(7L, 9L))
   }
 
+  test("hybridSearchPersisted (both legs from persisted artifacts) " +
+    "equals the in-plan standalone-query hybrid") {
+    import org.apache.spark.sql.functions.{col, lit, sequence, transform}
+    val docs = spark.range(60L).select(col("id").as("doc_id"),
+      concat_ws(" ", lit("w"), (col("id") % 7).cast("string"),
+        lit("hash"), lit("join")).as("text"))
+    val embeddings = spark.range(60L).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(3)),
+        d => (((col("id") * 13 + d * 11) % 29) + (col("id") % 5) + 1)
+          .cast("float")).as("embedding"))
+    val queries = Seq((0, "hash join"), (1, "w 1"))
+    val qEmb = embeddings.where(col("vec_id") < 2)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3),
+        r.getLong(4))).toSet
+    val inPlan = rows(RankFusion.hybridSearchAnnQ(spark, docs, embeddings,
+      queries, qEmb, kEach = 5, k = 3, m = 2, dims = 4, centroidMod = 7,
+      coarseMod = 20, nprobe = 3, excludeSelf = true))
+    val dir = java.nio.file.Files.createTempDirectory("hybper").toString
+    graft.text.Bm25.writeIndex(spark, docs, s"$dir/bm25", numFiles = 2)
+    graft.similarity.Similarity.ivfPqWriteIndex(embeddings, s"$dir/ann",
+      numFiles = 2, m = 2, dims = 4, centroidMod = 7, coarseMod = 20)
+    val persisted = rows(RankFusion.hybridSearchPersisted(spark,
+      s"$dir/bm25", s"$dir/ann", queries, qEmb, kEach = 5, k = 3,
+      m = 2, dims = 4, centroidMod = 7, nprobe = 3, excludeSelf = true))
+    assert(persisted == inPlan,
+      "persisted-artifact hybrid must reproduce the in-plan hybrid")
+  }
+
   test("rrfFuse dedupes a malformed leg to its best rank per (query, doc)") {
     // leg A returns doc 10 TWICE (rank 1 and rank 3) — a caller passing
     // a non-top-k relation. The fusion must count it once, at rank 1,
