@@ -14,6 +14,13 @@ package graft
   *   run <query> [sfDir] [reps] time one gate query by name
   *   scalebench                 the B-series scale proofs (writes BENCH_SCALE.json)
   *   queries [substring]        list registered gate queries
+  *   bm25-index <docs.parquet> <indexDir> [numFiles]
+  *                              build the persisted BM25 inverted index
+  *   bm25-search <indexDir> <query words...>
+  *                              top-10 docs from the persisted index
+  *   ann-search <indexDir> <queries.parquet> [k] [nprobe] [m] [dims] [lutDiv]
+  *                              persisted IVF+PQ search; queries.parquet
+  *                              holds (query_id, embedding)
   */
 object Cli {
 
@@ -28,6 +35,12 @@ object Cli {
       |  run <query> [sfDir] [reps]  time one gate query by name
       |  scalebench                  B-series scale proofs -> BENCH_SCALE.json
       |  queries [substring]         list registered gate queries (optionally filtered)
+      |  bm25-index <docs.parquet> <indexDir> [numFiles]
+      |                              build the persisted BM25 inverted index
+      |  bm25-search <indexDir> <query words...>
+      |                              top-10 docs from the persisted index
+      |  ann-search <indexDir> <queries.parquet> [k] [nprobe] [m] [dims] [lutDiv]
+      |                              persisted IVF+PQ search ((query_id, embedding) parquet)
       |""".stripMargin
 
   def main(args: Array[String]): Unit = {
@@ -52,6 +65,41 @@ object Cli {
       println(s"${names.length} queries" +
         (if (filter.nonEmpty) s" matching '$filter'" else ""))
       0
+    // Serving-surface commands (r18): build and query the persisted
+    // indexes without writing Scala — the library-first entry points
+    // wrapped for operators. Each prints a small result table.
+    case Some("bm25-index") if args.length >= 3 =>
+      val spark = GraftSession.build(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      graft.text.Bm25.writeIndex(spark, spark.read.parquet(args(1)),
+        args(2), numFiles = args.lift(3).map(_.toInt).getOrElse(16))
+      println(s"[bm25-index] built ${args(2)} from ${args(1)}")
+      0
+    case Some("bm25-search") if args.length >= 3 =>
+      val spark = GraftSession.build(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      graft.text.Bm25.searchPersisted(spark, args(1),
+        Seq((0, args.drop(2).mkString(" "))))
+        .select("rank", "doc_id", "score").collect()
+        .foreach(r => println(
+          f"[bm25-search] ${r.getInt(0)}%2d  doc ${r.getLong(1)}%-12d " +
+            f"${r.getDouble(2)}%.6f"))
+      0
+    case Some("ann-search") if args.length >= 3 =>
+      val spark = GraftSession.build(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      graft.similarity.Similarity.ivfPqSearchPersistedQ(spark, args(1),
+        spark.read.parquet(args(2)),
+        k = args.lift(3).map(_.toInt).getOrElse(10),
+        m = args.lift(5).map(_.toInt).getOrElse(8),
+        dims = args.lift(6).map(_.toInt).getOrElse(64),
+        centroidMod = args.lift(7).map(_.toInt).getOrElse(1),
+        nprobe = args.lift(4).map(_.toInt).getOrElse(2))
+        .select("query_id", "rank", "neighbor_id", "adc_dist").collect()
+        .foreach(r => println(
+          s"[ann-search] q${r.get(0)} #${r.getInt(1)} " +
+            s"-> ${r.getLong(2)} (adc ${r.getLong(3)})"))
+      0
+    case Some(cmd @ ("bm25-index" | "bm25-search" | "ann-search")) =>
+      System.err.print(s"$cmd: missing arguments\n$help")
+      2
     case None =>
       print(help) // bare invocation: asking for help IS success
       0

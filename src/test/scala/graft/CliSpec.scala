@@ -35,6 +35,47 @@ class CliSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(err.contains("usage:"))
   }
 
+  test("bm25-index / bm25-search / ann-search serve persisted artifacts " +
+    "from the command line") {
+    import org.apache.spark.sql.functions._
+    val spark = TestSpark.spark
+    val dir = java.nio.file.Files.createTempDirectory("clisrv").toString
+    spark.range(30).select(col("id").as("doc_id"),
+      concat(lit("alpha tok"), col("id")).as("text"))
+      .write.parquet(s"$dir/docs")
+    var code = -1
+    val out1 = captureOut {
+      code = Cli.run(Array("bm25-index", s"$dir/docs", s"$dir/bm25", "2"))
+    }
+    assert(code == 0 && out1.contains("built"), out1)
+    val out2 = captureOut {
+      code = Cli.run(Array("bm25-search", s"$dir/bm25", "tok7"))
+    }
+    assert(code == 0)
+    // tok7 is unique to doc 7 — it must be rank 1
+    assert(out2.linesIterator.next().contains("doc 7"), out2)
+
+    spark.range(30).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(3)),
+        d => ((col("id") % 5) + d).cast("float")).as("embedding"))
+      .write.parquet(s"$dir/emb")
+    graft.similarity.Similarity.ivfPqWriteIndexTrained(
+      spark.read.parquet(s"$dir/emb"), s"$dir/ann", numFiles = 2,
+      m = 2, dims = 4, ksub = 4, nlists = 2, iters = 1, trainMod = 3)
+    spark.read.parquet(s"$dir/emb").where(col("vec_id") < 2)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+      .write.parquet(s"$dir/q")
+    val out3 = captureOut {
+      code = Cli.run(Array("ann-search", s"$dir/ann", s"$dir/q",
+        "3", "2", "2", "4", "1"))
+    }
+    assert(code == 0)
+    assert(out3.linesIterator.size == 6, s"want 2 queries x k=3:\n$out3")
+
+    val err = captureErr { code = Cli.run(Array("bm25-search", "onlydir")) }
+    assert(code == 2 && err.contains("missing arguments"))
+  }
+
   test("queries lists every registered gate query and filters by substring") {
     val out = captureOut(Cli.run(Array("queries")))
     val lines = out.linesIterator.toSeq
