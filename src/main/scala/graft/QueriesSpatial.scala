@@ -657,6 +657,44 @@ object QueriesSpatial {
         |WHERE cell_id // 64 BETWEEN 13 AND 47 AND cell_id % 64 BETWEEN 9 AND 52
         |GROUP BY 1""".stripMargin)),
 
+    // Z-order table DELETE lifecycle (M69, r18): write → append →
+    // tombstone (merge-on-read, visible immediately through the
+    // box-pruned read) → consolidate (applied physically, tombstones
+    // retired) → read. The oracle is the plain box aggregate over the
+    // base rows WITHOUT the deleted cells, so a hash match proves both
+    // the masked read and the post-consolidate physical state return
+    // exactly rebuild-without-deleted.
+    Q("q_zorder_delete",
+      (s, d) => {
+        import graft.ops.Layout
+        val dir = java.nio.file.Files.createTempDirectory("zdel").toString
+        val ix = col("cell_id") / lit(64L) cast "long"
+        val iy = col("cell_id") % 64
+        val base = emissions(s, d)
+        Layout.zorderWrite(
+          base.where(col("cell_id") < 2048), ix, iy, 4, dir)
+        Layout.zorderAppend(base.where(col("cell_id") >= 2048), ix, iy, dir)
+        Layout.zorderDelete(s, dir, "cell_id",
+          base.where(col("cell_id") % 9 === 4).select("cell_id").distinct())
+        Layout.zorderConsolidate(s, dir, 2)
+        val ranges = Layout.zRangesForBox(13, 47, 9, 52, bits = 6,
+          maxRanges = 12)
+        val rix = col("cell_id") / lit(64L) cast "long"
+        val riy = col("cell_id") % 64
+        Layout.zorderTable(s, dir)
+          .where(Layout.inZRanges(col("z_key"), ranges))
+          .where(rix.between(13, 47) && riy.between(9, 52))
+          .groupBy("substance")
+          .agg(sum("value").as("total"),
+            countDistinct("cell_id").as("n_cells"))
+      },
+      Some(s"""$EmiCte
+        |SELECT substance, sum(value) AS total, count(DISTINCT cell_id) AS n_cells
+        |FROM emissions
+        |WHERE cell_id // 64 BETWEEN 13 AND 47 AND cell_id % 64 BETWEEN 9 AND 52
+        |  AND cell_id % 9 <> 4
+        |GROUP BY 1""".stripMargin)),
+
     // Bloom-filter point-lookup layout (M72): documents hash-clustered
     // by content hash and written with a parquet bloom filter on the
     // key, then point-looked-up by the keys of three probe docs through

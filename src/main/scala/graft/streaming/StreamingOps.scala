@@ -511,4 +511,60 @@ object StreamingOps {
       .select(
         col("event_id"), col("ts"), col("event_type"),
         (col("value") * coalesce(col("sf"), lit(1.0))).as("scaled_value"))
+
+  // --- Continuous index maintenance (r18) --------------------------------
+  //
+  // The persisted indexes (M41 BM25 inverted index, M70 IVF+PQ) maintain
+  // incrementally via shuffle-free tail appends; these sinks wire a
+  // STREAM of new rows into that append path — foreachBatch, one append
+  // per micro-batch, rows searchable at the very next read. foreachBatch
+  // REPLAYS a batch after a failure (at-least-once), so both sinks
+  // default dedupAgainstIndex = true: a replayed batch anti-joins to
+  // zero incoming rows and the append is a no-op — idempotent ingest
+  // without a transactional sink (StreamingSpec pins the replay).
+  // Compaction stays a maintenance-side concern (optimizeIndex on a
+  // cadence), exactly as for batch appends — ingest never shuffles
+  // existing data.
+
+  /** Stream (vec_id, embedding) rows into a persisted IVF+PQ index —
+    * frozen-codebook [[graft.similarity.Similarity.ivfPqAppendIndex]]
+    * per micro-batch. */
+  def annIndexIngest(
+      vecs: DataFrame,
+      indexDir: String,
+      checkpointDir: String,
+      m: Int = 8,
+      dims: Int = 64,
+      dedupAgainstIndex: Boolean = true)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          graft.similarity.Similarity.ivfPqAppendIndex(
+            batch.sparkSession, indexDir, batch, m, dims,
+            dedupAgainstIndex)
+        ()
+      }
+      .start()
+
+  /** Stream (doc_id, text) rows into a persisted BM25 inverted index —
+    * [[graft.text.Bm25.appendIndex]] per micro-batch (postings tail +
+    * docstats tail + one additive stats row, so N/avgdl stay exact as
+    * the stream grows the corpus). */
+  def bm25IndexIngest(
+      docs: DataFrame,
+      indexDir: String,
+      checkpointDir: String,
+      dedupAgainstIndex: Boolean = true)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          graft.text.Bm25.appendIndex(
+            batch.sparkSession, indexDir, batch, dedupAgainstIndex)
+        ()
+      }
+      .start()
 }

@@ -206,19 +206,32 @@ object Bm25 {
     * (term-unclustered — they prune poorly until [[optimizeIndex]]
     * re-clusters them, the honest cost of shuffle-free ingest), the new
     * docstats rows in theirs, and one additive stats row keeps N/avgdl
-    * exact. Blind to duplicate doc_ids, like the ANN append — re-adding
-    * a doc requires deleting it first. */
+    * exact. Blind to duplicate doc_ids by default, like the ANN append —
+    * re-adding a doc requires deleting it first — unless
+    * `dedupAgainstIndex` is set (see the inline note). */
   def appendIndex(
       spark: SparkSession,
       dir: String,
-      docs: DataFrame): Unit = {
-    postingsOf(docs, None)
+      docs: DataFrame,
+      dedupAgainstIndex: Boolean = false): Unit = {
+    // dedupAgainstIndex = true anti-joins incoming doc_ids against the
+    // VISIBLE docstats (one bounded join of the new batch against a
+    // (doc_id, dl) relation), making a re-ingested batch a no-op for
+    // postings AND stats — the idempotence the streaming ingest sink
+    // relies on (foreachBatch replays a batch after a failure)
+    val incoming =
+      if (!dedupAgainstIndex) docs
+      else docs.join(
+        graft.ops.Layout.clusteredTable(spark, s"$dir/docstats")
+          .select("doc_id"),
+        Seq("doc_id"), "left_anti")
+    postingsOf(incoming, None)
       .select(col("term"), col("doc_id"), col("dl"), col("tf"))
       .write.mode("append").parquet(s"$dir/postings/tail")
-    docs.select(col("doc_id"),
+    incoming.select(col("doc_id"),
       size(split(col("text"), " ")).cast("long").as("dl"))
       .write.mode("append").parquet(s"$dir/docstats/tail")
-    appendStats(spark, dir, docs, sign = 1L)
+    appendStats(spark, dir, incoming, sign = 1L)
   }
 
   /** Delete documents from the index by id — tombstones on BOTH

@@ -433,4 +433,70 @@ class StreamingSpec extends SparkSpec {
       assert(out == Map("a" -> 2L, "b" -> 1L))
     } finally q.stop()
   }
+
+  test("bm25IndexIngest streams docs into the persisted index; replayed " +
+    "batches are idempotent; results equal a batch rebuild") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("bm25ing").toString
+    val allDocs = spark.createDataFrame((0L until 30L).map(i =>
+      (i, s"alpha w${i % 7} tok$i"))).toDF("doc_id", "text")
+    graft.text.Bm25.writeIndex(spark,
+      allDocs.where(col("doc_id") < 10), s"$dir/index", numFiles = 2)
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingOps.bm25IndexIngest(
+      mem.toDF().toDF("doc_id", "text"), s"$dir/index", s"$dir/ckpt")
+    try {
+      mem.addData((10L until 20L).map(i => (i, s"alpha w${i % 7} tok$i")): _*)
+      q.processAllAvailable()
+      // second batch OVERLAPS the first (docs 15..19 again) — the
+      // foreachBatch replay shape; dedupAgainstIndex must make the
+      // duplicates a no-op for postings AND stats
+      mem.addData((15L until 30L).map(i => (i, s"alpha w${i % 7} tok$i")): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val queries = Seq((0, "alpha w3"), (1, "tok25 w4"))
+    def res(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    assert(res(graft.text.Bm25.searchPersisted(spark, s"$dir/index", queries))
+      == res(graft.text.Bm25.search(spark, allDocs, queries)),
+      "streamed index must serve exactly the batch-rebuild results")
+  }
+
+  test("annIndexIngest streams vectors into the persisted IVF+PQ index; " +
+    "appended vectors are searchable; replays are idempotent") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("anning").toString
+    def vec(i: Long): Seq[Float] =
+      (0 until 4).map(d => ((i % 5) + d).toFloat)
+    val base = spark.createDataFrame((0L until 30L).map(i => (i, vec(i))))
+      .toDF("vec_id", "embedding")
+    graft.similarity.Similarity.ivfPqWriteIndexTrained(base, s"$dir/index",
+      numFiles = 2, m = 2, dims = 4, ksub = 4, nlists = 2, iters = 1,
+      trainMod = 3)
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingOps.annIndexIngest(
+      mem.toDF().toDF("vec_id", "embedding"), s"$dir/index", s"$dir/ckpt",
+      m = 2, dims = 4)
+    try {
+      mem.addData((30L until 40L).map(i => (i, vec(i))): _*)
+      q.processAllAvailable()
+      mem.addData((35L until 45L).map(i => (i, vec(i))): _*) // replay 35..39
+      q.processAllAvailable()
+    } finally q.stop()
+    // every id ingested exactly once despite the overlap
+    val tail = spark.read.parquet(s"$dir/index/codes/tail")
+    assert(tail.count() == 15L, s"tail holds ${tail.count()}, want 15")
+    assert(tail.select("neighbor_id").distinct().count() == 15L)
+    // and the streamed vectors are searchable: ids ≡ 0 (mod 5) all
+    // share vec(40)'s exact vector (9 of them among ids 0..44), so at
+    // k = 15 the tie-broken top-k must include the STREAMED copy 40
+    val out = graft.similarity.Similarity.ivfPqSearchPersistedVecs(spark,
+      s"$dir/index", Seq((0L, vec(40L).map(_.toDouble).toArray)), k = 15,
+      m = 2, dims = 4, centroidMod = 1, nprobe = 2)
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    assert(out.contains(40L),
+      s"streamed vector 40 not surfaced by the persisted search: $out")
+  }
 }
