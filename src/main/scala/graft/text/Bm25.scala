@@ -286,8 +286,14 @@ object Bm25 {
 
   /** CONSOLIDATE pass: fold all generations of both relations, applying
     * tombstones physically and retiring them — after this no data file
-    * holds a deleted doc and reads pay no anti-join. Returns postings
-    * rows rewritten. */
+    * holds a deleted doc and reads pay no anti-join. Also COMPACTS the
+    * additive stats relation to a single row: every maintenance op
+    * (write/append/delete) appends one small stats file, so a
+    * long-lived index would otherwise pay an ever-growing file listing
+    * on every search; the fold is sum-preserving by construction
+    * (integer sums), snapshot-pinned like the tombstone retirement so a
+    * stats row landing mid-pass is neither folded nor deleted. Returns
+    * postings rows rewritten. */
   def consolidateIndex(
       spark: SparkSession,
       dir: String,
@@ -297,6 +303,18 @@ object Bm25 {
       numFiles, Seq("term", "doc_id"), writerOptions)
     graft.ops.Layout.clusteredConsolidate(spark, s"$dir/docstats",
       math.max(1, numFiles / 4), Seq("doc_id"), writerOptions)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val statsPath = new org.apache.hadoop.fs.Path(s"$dir/stats")
+    val fs = statsPath.getFileSystem(conf)
+    val statFiles = fs.listStatus(statsPath).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath)
+    if (statFiles.length > 1) {
+      spark.read.parquet(statFiles.map(_.toString): _*)
+        .agg(sum("n_docs").as("n_docs"), sum("sum_dl").as("sum_dl"))
+        .coalesce(1).write.mode("append").parquet(s"$dir/stats")
+      statFiles.foreach(p => fs.delete(p, false))
+    }
     n
   }
 

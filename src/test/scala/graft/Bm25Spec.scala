@@ -80,6 +80,12 @@ class Bm25Spec extends SparkSpec {
     assert(!delDir.exists() ||
       !delDir.listFiles.exists(_.getName.endsWith(".parquet")),
       "tombstones not retired after consolidate")
+    // consolidate also compacts the additive stats relation (4
+    // maintenance ops appended 4 rows) to ONE sum-preserving file
+    val statFiles = new java.io.File(s"$dir/stats")
+      .listFiles.count(_.getName.endsWith(".parquet"))
+    assert(statFiles == 1,
+      s"stats relation holds $statFiles files after consolidate, want 1")
   }
 
   test("searchPersisted reads ~ the queried terms' postings: pushed " +
