@@ -78,7 +78,7 @@ object Cli {
       val spark = GraftSession.build(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
       graft.text.Bm25.searchPersisted(spark, args(1),
         Seq((0, args.drop(2).mkString(" "))))
-        .select("rank", "doc_id", "score").collect()
+        .select("rank", "doc_id", "score").orderBy("rank").collect()
         .foreach(r => println(
           f"[bm25-search] ${r.getInt(0)}%2d  doc ${r.getLong(1)}%-12d " +
             f"${r.getDouble(2)}%.6f"))
@@ -92,7 +92,8 @@ object Cli {
         dims = args.lift(6).map(_.toInt).getOrElse(64),
         centroidMod = args.lift(7).map(_.toInt).getOrElse(1),
         nprobe = args.lift(4).map(_.toInt).getOrElse(2))
-        .select("query_id", "rank", "neighbor_id", "adc_dist").collect()
+        .select("query_id", "rank", "neighbor_id", "adc_dist")
+        .orderBy("query_id", "rank").collect()
         .foreach(r => println(
           s"[ann-search] q${r.get(0)} #${r.getInt(1)} " +
             s"-> ${r.getLong(2)} (adc ${r.getLong(3)})"))

@@ -1623,9 +1623,7 @@ object QueriesML {
     // and the same union→sum→rank fusion.
     Q("q_hybrid_rrf",
       (s, d) => ops.RankFusion.hybridSearch(s, documents(s, d),
-        embeddings(s, d), Seq(
-          (0, "hash join table"), (1, "stream window agg"),
-          (2, "scan filter column"), (3, "sort merge dup")),
+        embeddings(s, d), Bm25Queries,
         kEach = 10, k = 5),
       Some(s"""WITH $QuantCte,
         |$Bm25LexLegCtes,
@@ -1649,9 +1647,7 @@ object QueriesML {
     // chain (nQueries=4) capped at rank <= 10.
     Q("q_hybrid_rrf_ann",
       (s, d) => ops.RankFusion.hybridSearchAnn(s, documents(s, d),
-        embeddings(s, d), Seq(
-          (0, "hash join table"), (1, "stream window agg"),
-          (2, "scan filter column"), (3, "sort merge dup")),
+        embeddings(s, d), Bm25Queries,
         kEach = 10, k = 5),
       Some(HybridAnnOracle)),
 
@@ -1662,9 +1658,7 @@ object QueriesML {
     // shared verbatim.
     Q("q_hybrid_rrf_ann_q",
       (s, d) => ops.RankFusion.hybridSearchAnnQ(s, documents(s, d),
-        embeddings(s, d), Seq(
-          (0, "hash join table"), (1, "stream window agg"),
-          (2, "scan filter column"), (3, "sort merge dup")),
+        embeddings(s, d), Bm25Queries,
         embeddings(s, d).where(col("vec_id") < 4)
           .select(col("vec_id").as("query_id"), col("embedding")),
         kEach = 10, k = 5, excludeSelf = true),
@@ -1686,8 +1680,7 @@ object QueriesML {
         Similarity.ivfPqWriteIndex(emb, s"$dir/ann", numFiles = 4,
           m = 8, dims = 64, centroidMod = 97, coarseMod = 83)
         ops.RankFusion.hybridSearchPersisted(s, s"$dir/bm25", s"$dir/ann",
-          Seq((0, "hash join table"), (1, "stream window agg"),
-            (2, "scan filter column"), (3, "sort merge dup")),
+          Bm25Queries,
           emb.where(col("vec_id") < 4)
             .select(col("vec_id").as("query_id"), col("embedding")),
           kEach = 10, k = 5, centroidMod = 97, nprobe = 2,

@@ -257,6 +257,61 @@ object Layout {
     }
   }
 
+  /** `base` filtered to `column IN sortedValues`, CHUNKED to the
+    * session's parquet IN-pushdown threshold: above
+    * `spark.sql.parquet.pushdown.inFilterThreshold` Spark silently
+    * degrades a pushed In to a [min,max] RANGE — which un-prunes the
+    * scan exactly when a workload probes many keys — so the read is a
+    * union of ≤-threshold-sized In scans over the SORTED values (each
+    * chunk a contiguous key range, so its row-group pruning stays
+    * tight and a file straddles at most two adjacent chunks). The ONE
+    * copy of the idiom, shared by the IVF+PQ probed-list scan and the
+    * BM25 query-term scan; PlanSpec pins the cliff regime. */
+  def chunkedIn(
+      spark: org.apache.spark.sql.SparkSession,
+      base: DataFrame, column: String,
+      sortedValues: Seq[Any]): DataFrame = {
+    require(sortedValues.nonEmpty, s"chunkedIn needs values for $column")
+    val threshold = math.max(1, spark.conf
+      .get("spark.sql.parquet.pushdown.inFilterThreshold", "10").toInt)
+    sortedValues.grouped(threshold)
+      .map(chunk => base.where(col(column).isInCollection(chunk)))
+      .reduce(_.unionByName(_))
+  }
+
+  /** Count of `incoming` keys still PENDING in `dir`'s tombstone
+    * relation (0 when none exist). Appending such a key is the silent
+    * permanent-loss path: every reader masks the new row, and the next
+    * compaction drops it physically while consolidate retires the
+    * tombstone — so delete-then-re-add REQUIRES a consolidate in
+    * between ([[tombstone]]'s contract); appenders call this to fail
+    * LOUDLY instead. Free when no tombstones exist (no job runs). */
+  def pendingTombstoned(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String, keyCol: String, incoming: DataFrame): Long = {
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    tombstones(spark, fs, dirPath) match {
+      case None => 0L
+      case Some((del, _)) => incoming.select(col(keyCol))
+        .join(del.distinct(), Seq(keyCol), "left_semi").count()
+    }
+  }
+
+  /** [[clusteredTable]], or None when `dir` holds no generation or
+    * tail data yet — the bootstrap read for appenders that dedup
+    * against a table which may not exist before the first batch. */
+  def clusteredTableIfAny(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): Option[DataFrame] = {
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val anyGen = generations(fs, dirPath).nonEmpty
+    val anyTail =
+      hasParquetData(fs, new org.apache.hadoop.fs.Path(dirPath, "tail"))
+    if (anyGen || anyTail) Some(clusteredTable(spark, dir)) else None
+  }
+
   /** Read the whole lifecycle table at `dir` — every gen-K generation
     * plus any unoptimized tail, MINUS tombstoned keys ([[tombstone]]);
     * the anti-join key is the tombstone relation's (single) column.

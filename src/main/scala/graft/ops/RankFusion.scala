@@ -76,9 +76,18 @@ object RankFusion {
     * fusing two live corpus-scale plans in one query makes the executor
     * interleave both scans and re-derive shared intermediates — B44
     * measured the fused run at 1.65× the leg sum before this, ~1.0×
-    * after. localCheckpoint is eager and truncates lineage; the rows
-    * kept are bounded by construction, never by data. */
-  private def materialized(leg: DataFrame): DataFrame = leg.localCheckpoint()
+    * after. Registry-tracked persist + an eager count (NOT
+    * localCheckpoint, which truncates lineage: a lost executor's
+    * checkpoint blocks would abort the fused query unrecoverably,
+    * where a persisted leg just recomputes) — the cached rows are
+    * bounded by construction, never by data, and the harness-level
+    * [[graft.Caching.release]] drops them after the result is
+    * consumed. */
+  private def materialized(leg: DataFrame): DataFrame = {
+    val c = graft.Caching.cache(leg)
+    c.count()
+    c
+  }
 
   def hybridSearch(
       spark: SparkSession,

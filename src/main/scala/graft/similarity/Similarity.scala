@@ -861,8 +861,15 @@ object Similarity {
     * are caller-managed). Pass `dedupAgainstIndex = true` to anti-join
     * the incoming vec_ids against the live index (one distributed join
     * of the NEW batch against the index's id column — the index side is
-    * never shuffled wide, and tombstoned ids don't block re-insertion
-    * because the lifecycle reader already masks them). */
+    * never shuffled wide).
+    *
+    * Delete-then-re-add: an id with a PENDING tombstone
+    * ([[ivfPqDeleteIndex]]) must not be re-appended — the reader would
+    * mask the new row and the next compaction would drop it physically
+    * (silent permanent loss), so this append REJECTS such ids loudly;
+    * run [[ivfPqConsolidateIndex]] first to retire the tombstones (the
+    * [[graft.ops.Layout.tombstone]] contract). The check costs nothing
+    * when no tombstones are pending. */
   def ivfPqAppendIndex(
       spark: SparkSession,
       indexDir: String,
@@ -884,6 +891,13 @@ object Similarity {
     val ids = bookRows.map(_.getLong(0))
     val books = bookRows.map(_.getSeq[Double](1).toArray)
     val cents = spark.read.parquet(s"$indexDir/cents")
+    val pendingDel = graft.ops.Layout.pendingTombstoned(spark,
+      s"$indexDir/codes", "neighbor_id",
+      newVecs.select(col("vec_id").as("neighbor_id")))
+    require(pendingDel == 0L,
+      s"$pendingDel incoming vec_ids have PENDING tombstones - appending " +
+        "them would be silently masked and dropped at the next compaction; " +
+        "run ivfPqConsolidateIndex first (delete-then-re-add contract)")
     val incoming =
       if (!dedupAgainstIndex) newVecs
       else newVecs.join(
@@ -1069,12 +1083,9 @@ object Similarity {
       .collect().map(_.getLong(0)).toIndexedSeq.sorted
     require(probedLists.nonEmpty,
       "no probed lists - is the query relation empty?")
-    val inThreshold = math.max(1, spark.conf
-      .get("spark.sql.parquet.pushdown.inFilterThreshold", "10").toInt)
-    val base = graft.ops.Layout.clusteredTable(spark, s"$indexDir/codes")
-    val index = probedLists.grouped(inThreshold)
-      .map(chunk => base.where(col("list_id").isInCollection(chunk)))
-      .reduce(_.unionByName(_))
+    val index = graft.ops.Layout.chunkedIn(spark,
+      graft.ops.Layout.clusteredTable(spark, s"$indexDir/codes"),
+      "list_id", probedLists)
     val books = subspaceBooks(
       spark.read.parquet(s"$indexDir/book"), m, subDim)
     val probeLut = probes

@@ -219,12 +219,30 @@ object Bm25 {
     // (doc_id, dl) relation), making a re-ingested batch a no-op for
     // postings AND stats — the idempotence the streaming ingest sink
     // relies on (foreachBatch replays a batch after a failure)
-    val incoming =
+    val pendingDel = graft.ops.Layout.pendingTombstoned(spark,
+      s"$dir/docstats", "doc_id", docs)
+    require(pendingDel == 0L,
+      s"$pendingDel incoming doc_ids have PENDING tombstones - appending " +
+        "them would be silently masked and dropped at the next compaction; " +
+        "run consolidateIndex first (delete-then-re-add contract)")
+    // clusteredTableIfAny: the dedup anti-join must also work on a
+    // FRESH dir (the streaming sink's first micro-batch bootstraps the
+    // index) where no docstats data exists yet
+    val incoming0 =
       if (!dedupAgainstIndex) docs
-      else docs.join(
-        graft.ops.Layout.clusteredTable(spark, s"$dir/docstats")
-          .select("doc_id"),
-        Seq("doc_id"), "left_anti")
+      else graft.ops.Layout.clusteredTableIfAny(spark, s"$dir/docstats")
+        .fold(docs)(vis =>
+          docs.join(vis.select("doc_id"), Seq("doc_id"), "left_anti"))
+    // SNAPSHOT before writing: the docstats write below lands on the
+    // very relation the dedup anti-join READS, and Spark's insert
+    // commit refreshes cached plans/file listings on the written path —
+    // a persist()ed incoming is invalidated by its OWN docstats write
+    // and re-evaluates the anti-join against the just-written rows,
+    // silently deduping the batch against itself (stats row = 0).
+    // localCheckpoint is an eager, lineage-free snapshot: evaluated
+    // ONCE (also fixing the triple tokenize/join evaluation), immune
+    // to the refresh, bounded by the ingest batch size.
+    val incoming = incoming0.localCheckpoint()
     postingsOf(incoming, None)
       .select(col("term"), col("doc_id"), col("dl"), col("tf"))
       .write.mode("append").parquet(s"$dir/postings/tail")
@@ -292,8 +310,16 @@ object Bm25 {
     * long-lived index would otherwise pay an ever-growing file listing
     * on every search; the fold is sum-preserving by construction
     * (integer sums), snapshot-pinned like the tombstone retirement so a
-    * stats row landing mid-pass is neither folded nor deleted. Returns
-    * postings rows rewritten. */
+    * stats row landing mid-pass is neither folded nor deleted.
+    *
+    * The fold row commits BEFORE the originals are deleted — the same
+    * deliberately NON-transactional write-then-delete shape as every
+    * other pass in this lifecycle ([[graft.ops.Layout.zorderOptimize]]
+    * docs): a crash (or a reader listing files) inside that window sees
+    * both and double-counts; never lose data, run a single OPTIMIZE
+    * writer, schedule maintenance off query windows, and wrap in a
+    * manifest/lakehouse commit protocol for transactional guarantees.
+    * Returns postings rows rewritten. */
   def consolidateIndex(
       spark: SparkSession,
       dir: String,
@@ -336,12 +362,9 @@ object Bm25 {
     val qterms = queryTerms(spark, queries)
     val termList = queries.flatMap(_._2.split(" ")).distinct.sorted
     require(termList.nonEmpty, "searchPersisted needs at least one term")
-    val inThreshold = math.max(1, spark.conf
-      .get("spark.sql.parquet.pushdown.inFilterThreshold", "10").toInt)
-    val base = graft.ops.Layout.clusteredTable(spark, s"$dir/postings")
-    val tf = termList.grouped(inThreshold)
-      .map(chunk => base.where(col("term").isInCollection(chunk)))
-      .reduce(_.unionByName(_))
+    val tf = graft.ops.Layout.chunkedIn(spark,
+      graft.ops.Layout.clusteredTable(spark, s"$dir/postings"),
+      "term", termList)
     val stats = spark.read.parquet(s"$dir/stats")
       .agg(sum("n_docs").as("nl"), sum("sum_dl").as("dll"))
       .select(col("nl").cast("double").as("n"),

@@ -69,6 +69,12 @@ class Bm25Spec extends SparkSpec {
     // repeat delete contributes zero (stats not double-subtracted)
     Bm25.deleteIndex(spark, dir, victims)
     assert(res(Bm25.searchPersisted(spark, dir, queries)) == afterDel)
+    // re-adding a tombstone-PENDING doc is the silent-loss path — the
+    // append must reject it loudly (consolidate first, then re-add)
+    intercept[IllegalArgumentException] {
+      Bm25.appendIndex(spark, dir,
+        docs.where(col("doc_id") === 5)) // 5 % 4 == 1, tombstoned
+    }
 
     // consolidate applies tombstones physically and retires them
     assert(Bm25.consolidateIndex(spark, dir, numFiles = 2) > 0L)
@@ -86,6 +92,35 @@ class Bm25Spec extends SparkSpec {
       .listFiles.count(_.getName.endsWith(".parquet"))
     assert(statFiles == 1,
       s"stats relation holds $statFiles files after consolidate, want 1")
+  }
+
+  test("dedup append is not poisoned by its own writes: consecutive " +
+    "overlapping dedupAgainstIndex batches keep stats exact") {
+    import org.apache.spark.sql.functions._
+    // REGRESSION: the dedup anti-join READS docstats while the append
+    // WRITES it; a persist()ed incoming was invalidated by its own
+    // docstats write (Spark refreshes cached plans on the written
+    // path) and re-evaluated the anti-join against the just-written
+    // rows — the batch deduped against ITSELF and its stats row
+    // landed as (0,0), silently skewing every subsequent idf/avgdl.
+    // appendIndex snapshots the batch (localCheckpoint) instead.
+    val docs = spark.createDataFrame((0L until 30L).map(i =>
+      (i, s"alpha w${i % 7} tok$i"))).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("bm25selfref").toString
+    Bm25.writeIndex(spark, docs.where(col("doc_id") < 10), dir, numFiles = 2)
+    Bm25.appendIndex(spark, dir,
+      docs.where(col("doc_id") >= 10 && col("doc_id") < 20),
+      dedupAgainstIndex = true)
+    Bm25.appendIndex(spark, dir,
+      docs.where(col("doc_id") >= 15), dedupAgainstIndex = true)
+    val n = spark.read.parquet(s"$dir/stats")
+      .agg(sum("n_docs")).collect()(0).getLong(0)
+    assert(n == 30L, s"stats n=$n after overlapping dedup appends, want 30")
+    def res(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    val queries = Seq((0, "alpha w3"), (1, "tok25 w4"))
+    assert(res(Bm25.searchPersisted(spark, dir, queries)) ==
+      res(Bm25.search(spark, docs, queries)))
   }
 
   test("searchPersisted reads ~ the queried terms' postings: pushed " +

@@ -463,6 +463,30 @@ class StreamingSpec extends SparkSpec {
       "streamed index must serve exactly the batch-rebuild results")
   }
 
+  test("bm25IndexIngest BOOTSTRAPS a fresh index dir: the first " +
+    "micro-batch creates it, dedup stays on") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("bm25boot").toString
+    val allDocs = spark.createDataFrame((0L until 12L).map(i =>
+      (i, s"alpha w${i % 3} tok$i"))).toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingOps.bm25IndexIngest(
+      mem.toDF().toDF("doc_id", "text"), s"$dir/index", s"$dir/ckpt")
+    try {
+      mem.addData((0L until 8L).map(i => (i, s"alpha w${i % 3} tok$i")): _*)
+      q.processAllAvailable()
+      mem.addData((6L until 12L).map(i => (i, s"alpha w${i % 3} tok$i")): _*)
+      q.processAllAvailable() // overlap 6..7 deduped against batch 0
+    } finally q.stop()
+    val queries = Seq((0, "alpha w2"), (1, "tok9"))
+    def res(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    assert(res(graft.text.Bm25.searchPersisted(spark, s"$dir/index", queries))
+      == res(graft.text.Bm25.search(spark, allDocs, queries)),
+      "bootstrapped streamed index must equal the batch rebuild")
+  }
+
   test("annIndexIngest streams vectors into the persisted IVF+PQ index; " +
     "appended vectors are searchable; replays are idempotent") {
     import spark.implicits._
