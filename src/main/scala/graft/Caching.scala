@@ -31,12 +31,17 @@ object Caching {
     df.unpersist()
   }
 
-  /** Unpersist every tracked DataFrame (blocking=false: async drop). */
+  /** Unpersist every tracked DataFrame (blocking=false: async drop),
+    * and purge gate-created temp directories ([[TempDirs]]) — the two
+    * registries share the release point because they share the reason:
+    * a gate's resources outlive the gate function, and only the
+    * harness knows when the result has been consumed. */
   def release(): Unit = {
     var df = registry.poll()
     while (df != null) {
       df.unpersist()
       df = registry.poll()
     }
+    TempDirs.purge()
   }
 }

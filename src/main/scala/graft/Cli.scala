@@ -18,9 +18,14 @@ package graft
   *                              build the persisted BM25 inverted index
   *   bm25-search <indexDir> <query words...>
   *                              top-10 docs from the persisted index
-  *   ann-search <indexDir> <queries.parquet> [k] [nprobe] [m] [dims] [lutDiv]
+  *   ann-search <indexDir> <queries.parquet> [k] [nprobe] [m] [dims] [centroidMod]
   *                              persisted IVF+PQ search; queries.parquet
-  *                              holds (query_id, embedding)
+  *                              holds (query_id, embedding). centroidMod
+  *                              must match the index's codebook mod: the
+  *                              default 1 suits ivfPqWriteIndexTrained
+  *                              indexes (codes are codebook indices);
+  *                              subset-codebook ivfPqWriteIndex indexes
+  *                              need the writer's centroidMod (e.g. 97).
   */
 object Cli {
 
@@ -39,8 +44,10 @@ object Cli {
       |                              build the persisted BM25 inverted index
       |  bm25-search <indexDir> <query words...>
       |                              top-10 docs from the persisted index
-      |  ann-search <indexDir> <queries.parquet> [k] [nprobe] [m] [dims] [lutDiv]
-      |                              persisted IVF+PQ search ((query_id, embedding) parquet)
+      |  ann-search <indexDir> <queries.parquet> [k] [nprobe] [m] [dims] [centroidMod]
+      |                              persisted IVF+PQ search ((query_id, embedding) parquet);
+      |                              centroidMod must match the index writer's codebook mod
+      |                              (default 1 = trained indexes; subset writers need theirs)
       |""".stripMargin
 
   def main(args: Array[String]): Unit = {

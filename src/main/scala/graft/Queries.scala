@@ -135,7 +135,7 @@ object Queries {
     // the parquet round-trip bit-exactly).
     Q("q_weight_cache",
       (s, _) => {
-        val dir = java.nio.file.Files.createTempDirectory("wcache").toString
+        val dir = TempDirs.create("wcache")
         Regrid.cachedWeights(s, srcGrid, dstGrid, dir).count() // write path
         Regrid.cachedWeights(s, srcGrid, dstGrid, dir) // read-back path
       },

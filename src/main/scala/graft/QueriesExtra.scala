@@ -450,7 +450,7 @@ object QueriesExtra {
           lit("day_of_week").as("kind"), col("id").cast("int").as("position"),
           (lit(0.5) + col("id") * lit(0.25)).as("sf"))
         val sf = sfHod.unionByName(sfDow)
-        val dir = java.nio.file.Files.createTempDirectory("wrfchemi").toString
+        val dir = TempDirs.create("wrfchemi")
         val files = Exports.wrfChemiExport(s, emi, grid,
           Seq(("F", 46.0), ("O", 30.0)), sf, "2024-01-01 23:00:00", 3, dir)
         val rows = files.flatMap { f =>
@@ -501,7 +501,7 @@ object QueriesExtra {
           (2L, "XB", 0.5), (3L, "XA", 0.5), (3L, "XB", 0.5),
           (4L, "XB", 1.0), (5L, "XA", 0.25)))
           .toDF("cell_id", "country", "fraction")
-        val dir = java.nio.file.Files.createTempDirectory("fluxie").toString
+        val dir = TempDirs.create("fluxie")
         val files = Exports.fluxieExportNc(
           emi, grid, dir, countryFractions = Some(cf))
         val countries = Seq("XA", "XB") // sorted, as the writer lays out
@@ -565,7 +565,7 @@ object QueriesExtra {
         val w = org.apache.spark.sql.expressions.Window.partitionBy("category")
         val vert = prof.select(col("category"), col("level"),
           (col("q") / sum("q").over(w)).as("r"))
-        val dir = java.nio.file.Files.createTempDirectory("vertnc").toString
+        val dir = TempDirs.create("vertnc")
         IconExport.writeVerticalNc(vert, heights, dir)
         val nc = graft.sources.NcAdapter.open(
           java.nio.file.Files.readAllBytes(
@@ -605,7 +605,7 @@ object QueriesExtra {
           lit("A").as("category"), lit("F").as("substance"),
           col("id").cast("int").as("hour_of_day"),
           (lit(1.0) + col("id") / lit(64.0)).as("sf"))
-        val dir = java.nio.file.Files.createTempDirectory("hourlydist").toString
+        val dir = TempDirs.create("hourlydist")
         val files = Exports.hourlyExportNcDistributed(
           emissionsAgg(s, d), sf, "2024-03-01 00:00:00", 6, srcGrid, dir)
         val rows = files.flatMap { f =>
@@ -635,7 +635,7 @@ object QueriesExtra {
     // ring) against SQL that rebuilds both from cell arithmetic.
     Q("q_geoparquet",
       (s, d) => {
-        val dir = java.nio.file.Files.createTempDirectory("geopq")
+        val dir = TempDirs.createPath("geopq")
           .toString + "/out"
         Exports.geoParquetExport(s,
           emissionsAgg(s, d).where(col("cell_id") < 10), srcGrid, Some(dir))
@@ -673,7 +673,7 @@ object QueriesExtra {
             pointUdf((col("s_suppkey") % 100).cast("double"),
               (col("s_suppkey") % 7).cast("double")).as("geom"),
             col("s_nationkey").cast("long").as("nation"))
-        val path = java.nio.file.Files.createTempDirectory("gpkg")
+        val path = TempDirs.createPath("gpkg")
           .toString + "/inv.gpkg"
         GeoPackage.exportToGeopackage(s, path,
           gdfs = Map("suppliers" -> sup),
@@ -722,7 +722,7 @@ object QueriesExtra {
     // creation time is the documented reproducible epoch default.
     Q("q_cf_attrs",
       (s, _) => {
-        val dir = java.nio.file.Files.createTempDirectory("cfnc").toString
+        val dir = TempDirs.create("cfnc")
         val emi = s.createDataFrame(Seq(
           (0L, "A", "CO2", 1.0), (3L, "A", "CO2", 2.0)))
           .toDF("cell_id", "category", "substance", "value")
@@ -755,7 +755,7 @@ object QueriesExtra {
     Q("q_duck_inventory",
       (s, d) => {
         import graft.sources.Wkb
-        val dir = java.nio.file.Files.createTempDirectory("duckinv").toString
+        val dir = TempDirs.create("duckinv")
         // explicit order: a bare limit(10) depends on file/partition
         // order, and the pinned-literal oracle needs stable row choice
         val nat = nation(s, d).orderBy("n_nationkey").limit(10).collect()

@@ -1569,7 +1569,7 @@ object QueriesML {
     // the gate shares q_bm25's oracle verbatim.
     Q("q_bm25_persisted",
       (s, d) => {
-        val dir = java.nio.file.Files.createTempDirectory("bm25idx").toString
+        val dir = TempDirs.create("bm25idx")
         graft.text.Bm25.writeIndex(s, documents(s, d), s"$dir/index",
           numFiles = 4)
         graft.text.Bm25.searchPersisted(s, s"$dir/index", Bm25Queries)
@@ -1584,7 +1584,7 @@ object QueriesML {
     // oracle is q_bm25's, unchanged.
     Q("q_bm25_append",
       (s, d) => {
-        val dir = java.nio.file.Files.createTempDirectory("bm25app").toString
+        val dir = TempDirs.create("bm25app")
         val docs = documents(s, d)
         graft.text.Bm25.writeIndex(s, docs.where(col("doc_id") < 250),
           s"$dir/index", numFiles = 4)
@@ -1604,7 +1604,7 @@ object QueriesML {
     // bit-identical to a rebuild without them.
     Q("q_bm25_delete",
       (s, d) => {
-        val dir = java.nio.file.Files.createTempDirectory("bm25del").toString
+        val dir = TempDirs.create("bm25del")
         val docs = documents(s, d)
         graft.text.Bm25.writeIndex(s, docs, s"$dir/index", numFiles = 4)
         graft.text.Bm25.deleteIndex(s, s"$dir/index",
@@ -1673,7 +1673,7 @@ object QueriesML {
     // gates, so this composition shares the in-plan hybrid's oracle.
     Q("q_hybrid_persisted",
       (s, d) => {
-        val dir = java.nio.file.Files.createTempDirectory("hybidx").toString
+        val dir = TempDirs.create("hybidx")
         val emb = embeddings(s, d)
         graft.text.Bm25.writeIndex(s, documents(s, d), s"$dir/bm25",
           numFiles = 4)
@@ -1766,7 +1766,7 @@ object QueriesML {
           map(
             lit("json"), encode(to_json(struct(col("doc_id"), col("lang"))), "UTF-8"),
             lit("txt"), encode(col("text"), "UTF-8")).as("files"))
-        val dir = java.nio.file.Files.createTempDirectory("wds").toString
+        val dir = TempDirs.create("wds")
         graft.sinks.TarShards.writeShards(s, staged, dir)
         val back = graft.sinks.TarShards.readShards(s, dir)
         // reassemble each sample with ONE (shard,key)-keyed aggregate (a
@@ -1808,7 +1808,7 @@ object QueriesML {
           map(
             lit("json"), encode(to_json(struct(col("doc_id"), col("lang"))), "UTF-8"),
             lit("txt"), encode(col("text"), "UTF-8")).as("files"))
-        val dir = java.nio.file.Files.createTempDirectory("wdss").toString
+        val dir = TempDirs.create("wdss")
         graft.sinks.TarShards.writeShards(s, staged, dir)
         val samples = graft.sinks.TarShards.streamSamples(s, dir)
           .select(col("shard"),
@@ -2580,7 +2580,7 @@ object QueriesML {
     // REQUIREs the scan-level row count at 1M vectors).
     Q("q_ivfpq_persisted",
       (s, d) => {
-        val dir = java.nio.file.Files.createTempDirectory("ivfpqidx").toString
+        val dir = TempDirs.create("ivfpqidx")
         Similarity.ivfPqWriteIndex(embeddings(s, d), s"$dir/index",
           numFiles = 4, m = 8, dims = 64, centroidMod = 97, coarseMod = 83)
         Similarity.ivfPqSearchPersisted(s, s"$dir/index", embeddings(s, d),
@@ -2745,7 +2745,7 @@ object QueriesML {
     // never the arithmetic.
     Q("q_ivfpq_trained_persisted",
       (s, d) => {
-        val dir = java.nio.file.Files.createTempDirectory("ivfpqtidx").toString
+        val dir = TempDirs.create("ivfpqtidx")
         Similarity.ivfPqWriteIndexTrained(embeddings(s, d), s"$dir/index",
           numFiles = 4, m = 8, dims = 64, ksub = 4, nlists = 4,
           iters = 1, trainMod = 7)
@@ -2765,7 +2765,7 @@ object QueriesML {
     // relations, which is exactly what the engine's append does.
     Q("q_ivfpq_append",
       (s, d) => {
-        val dir = java.nio.file.Files.createTempDirectory("ivfpqapp").toString
+        val dir = TempDirs.create("ivfpqapp")
         val emb = embeddings(s, d)
         Similarity.ivfPqWriteIndexTrained(emb.where(col("vec_id") < 400),
           s"$dir/index", numFiles = 4, m = 8, dims = 64, ksub = 4,
@@ -2788,7 +2788,7 @@ object QueriesML {
     // and the fixture signature share one arithmetic path.
     Q("q_ivfpq_persisted_q",
       (s, d) => {
-        val dir = java.nio.file.Files.createTempDirectory("ivfpqq").toString
+        val dir = TempDirs.create("ivfpqq")
         val emb = embeddings(s, d)
         Similarity.ivfPqWriteIndexTrained(emb, s"$dir/index",
           numFiles = 4, m = 8, dims = 64, ksub = 4, nlists = 4,
@@ -2808,7 +2808,7 @@ object QueriesML {
     // trained chain with the deleted ids excluded from the ADC scan.
     Q("q_ivfpq_delete",
       (s, d) => {
-        val dir = java.nio.file.Files.createTempDirectory("ivfpqdel").toString
+        val dir = TempDirs.create("ivfpqdel")
         val emb = embeddings(s, d)
         Similarity.ivfPqWriteIndexTrained(emb, s"$dir/index",
           numFiles = 4, m = 8, dims = 64, ksub = 4, nlists = 4,

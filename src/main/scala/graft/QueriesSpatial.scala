@@ -667,7 +667,7 @@ object QueriesSpatial {
     Q("q_zorder_delete",
       (s, d) => {
         import graft.ops.Layout
-        val dir = java.nio.file.Files.createTempDirectory("zdel").toString
+        val dir = TempDirs.create("zdel")
         val ix = col("cell_id") / lit(64L) cast "long"
         val iy = col("cell_id") % 64
         val base = emissions(s, d)

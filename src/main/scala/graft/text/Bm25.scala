@@ -365,10 +365,23 @@ object Bm25 {
     val tf = graft.ops.Layout.chunkedIn(spark,
       graft.ops.Layout.clusteredTable(spark, s"$dir/postings"),
       "term", termList)
-    val stats = spark.read.parquet(s"$dir/stats")
-      .agg(sum("n_docs").as("nl"), sum("sum_dl").as("dll"))
-      .select(col("nl").cast("double").as("n"),
-        (col("dll").cast("double") / col("nl").cast("double")).as("avgdl"))
+    // additive stats summed EAGERLY (one metadata-sized driver read) so
+    // an all-deleted index fails LOUDLY here instead of silently
+    // null-scoring downstream: net n_docs = 0 makes avgdl a NaN and idf
+    // a null, and unlike the other lifecycle misuse paths nothing else
+    // would raise. The literal single-row relation is bit-identical to
+    // the lazy aggregate it replaces (same longs, same IEEE division).
+    val statsRow = spark.read.parquet(s"$dir/stats")
+      .agg(coalesce(sum("n_docs"), lit(0L)), coalesce(sum("sum_dl"), lit(0L)))
+      .collect()(0)
+    val (nSum, dlSum) = (statsRow.getLong(0), statsRow.getLong(1))
+    require(nSum > 0L,
+      s"BM25 index at $dir has net n_docs=$nSum - every document has " +
+        "been deleted (or the stats relation is inconsistent); idf/avgdl " +
+        "are undefined over an empty corpus (delete-lifecycle contract)")
+    val stats = spark.range(1).select(
+      lit(nSum.toDouble).as("n"),
+      lit(dlSum.toDouble / nSum.toDouble).as("avgdl"))
     scoreAndRank(tf, stats, qterms, k1, b, topK)
   }
 }
