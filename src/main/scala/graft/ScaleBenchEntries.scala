@@ -129,6 +129,9 @@ object ScaleBenchEntries {
       require(compacted == 1000000L,
         s"B42c cycle $i compacted $compacted rows, want 1M")
       optSecTotal += s
+      // vacuum models the operator cadence (reclaim retired inputs each
+      // cycle) so the on-disk listing below counts LIVE generations
+      graft.ops.Layout.vacuum(spark, dir.toString)
       val gens = Option(new java.io.File(dir.toString).listFiles())
         .getOrElse(Array())
         .count(f => f.isDirectory && f.getName.startsWith("gen-"))
@@ -384,6 +387,11 @@ object ScaleBenchEntries {
     }
     require(b46dn == 1100090L,
       s"B46d consolidate rewrote $b46dn rows, want 1100090 (10 deleted)")
+    // vacuum first: the consolidate's manifest commit RETIRES the old
+    // generations and applied tombstones but keeps them on disk one
+    // maintenance interval (r19 reader-race closure) — the raw-file
+    // checks below are about the LIVE snapshot's physical state
+    Similarity.ivfPqVacuumIndex(spark, s"$dir/index")
     // PHYSICAL check on the raw generation files — no reader masking
     val b46raw = spark.read.parquet(s"$dir/index/codes/gen-*")
     val b46rawN = b46raw.count()

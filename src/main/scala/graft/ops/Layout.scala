@@ -165,17 +165,27 @@ object Layout {
   // scanned-row count moves). ScaleBench B42 REQUIREs the bound;
   // LayoutSpec pins optimize ≡ full re-layout on the tail rows.
   //
-  // NOT transactional (deliberately): a crash between the gen-K write
-  // and the tail delete leaves both on disk (duplicate reads) — the
-  // production wrapper is a manifest/lakehouse commit protocol, which is
-  // orthogonal to the layout math proven here.
+  // Commit protocol ([[TableManifest]], r19): every maintenance pass
+  // commits ONE `_manifest-<seq>` file by atomic rename, flipping the
+  // visible snapshot — the new generation becomes live and the inputs
+  // (old generations, compacted tail files, applied tombstones) retire
+  // in the same instant; physical deletion is deferred one maintenance
+  // interval ([[vacuum]] reclaims immediately). A crash between the
+  // data write and the commit leaves a half-written generation that is
+  // INVISIBLE (not in the manifest) and reclaimed by the next pass —
+  // readers never see duplicates or partial output. Directories with no
+  // manifest (plain writes) fall back to live listing.
 
-  /** Initial generation: z-cluster `df` and write it to `dir/gen-0`. */
+  /** Initial generation: z-cluster `df`, write it to `dir/gen-0`, and
+    * seal the first manifest so the table is commit-governed from
+    * birth. */
   def zorderWrite(
       df: DataFrame, ix: Column, iy: Column, numFiles: Int,
-      dir: String): Unit =
+      dir: String): Unit = {
     zorderLayout(df, ix, iy, numFiles)
       .write.mode("errorifexists").parquet(s"$dir/gen-0")
+    sealInitial(df.sparkSession, dir)
+  }
 
   /** Ingest-time append: z-key the batch (narrow projection — NO sort,
     * NO shuffle; ingest stays cheap) and land it in `dir/tail`. */
@@ -183,16 +193,39 @@ object Layout {
     df.withColumn("z_key", zorderKey(ix, iy))
       .write.mode("append").parquet(s"$dir/tail")
 
-  /** Generation numbers present under `dir` (gen-K directories), via the
-    * Hadoop [[org.apache.hadoop.fs.FileSystem]] API — NOT java.io.File,
-    * so the lifecycle works on any scheme (file:, hdfs:, s3a:…); the
-    * table's 100 TB home is an object store, where a local-File
-    * `exists()` is silently false and a File-based pass would no-op
-    * indistinguishably from "no tail". Only names matching exactly
-    * `gen-<digits>` count: a foreign entry (gen-1.bak, gen-tmp, a stray
-    * backup) is IGNORED, not parsed — a NumberFormatException here would
-    * permanently fail every optimize pass on the table. */
+  /** LIVE generation numbers under `dir`. When a `_manifest-<seq>`
+    * snapshot exists ([[TableManifest]]) its inclusive gen set is the
+    * truth — a generation a maintenance pass retired (or a crashed pass
+    * half-wrote) is invisible even though its directory is still on
+    * disk, which is what closes the consolidate reader race: retirement
+    * flips in one atomic manifest rename, and the retired directories
+    * survive until the next maintenance pass ([[vacuum]]) so an
+    * in-flight reader's resolved file list stays valid.
+    *
+    * Without a manifest (pre-manifest tables, plain writes) this falls
+    * back to listing, via the Hadoop [[org.apache.hadoop.fs.FileSystem]]
+    * API — NOT java.io.File, so the lifecycle works on any scheme
+    * (file:, hdfs:, s3a:…); the table's 100 TB home is an object store,
+    * where a local-File `exists()` is silently false and a File-based
+    * pass would no-op indistinguishably from "no tail". Only names
+    * matching exactly `gen-<digits>` count: a foreign entry (gen-1.bak,
+    * gen-tmp, a stray backup) is IGNORED, not parsed — a
+    * NumberFormatException here would permanently fail every optimize
+    * pass on the table. */
   private def generations(
+      fs: org.apache.hadoop.fs.FileSystem,
+      dirPath: org.apache.hadoop.fs.Path): Seq[Int] =
+    TableManifest.latest(fs, dirPath).flatMap(_.gens) match {
+      case Some(live) =>
+        live.filter(_.matches("gen-\\d+"))
+          .map(_.stripPrefix("gen-").toInt)
+      case None => listedGenerations(fs, dirPath)
+    }
+
+  /** Generation numbers present ON DISK (manifest-blind) — the fallback
+    * resolution, and the input to [[purgeRetired]] (disk minus live =
+    * retired or crashed, safe to delete). */
+  private def listedGenerations(
       fs: org.apache.hadoop.fs.FileSystem,
       dirPath: org.apache.hadoop.fs.Path): Seq[Int] =
     if (!fs.exists(dirPath)) Seq.empty
@@ -239,10 +272,15 @@ object Layout {
     ids.select(col(keyCol))
       .write.mode("append").parquet(s"$dir/deletes")
 
-  /** The tombstone relation at `dir`, if any data exists — pinned to
-    * the file list seen NOW, so a compaction pass applies and (later)
-    * purges exactly the same tombstones even if a delete lands
-    * mid-pass. */
+  /** The tombstone relation at `dir`, if any LIVE data exists — pinned
+    * to the file list seen NOW, so a compaction pass applies and
+    * (later) retires exactly the same tombstones even if a delete lands
+    * mid-pass. Tombstones are appended by arbitrary writers and must be
+    * visible immediately, so the manifest governs them by EXCLUSION
+    * (`xdel:` = applied-and-retired file names); a retired tombstone is
+    * invisible even though the file survives until [[vacuum]] — which
+    * is also what re-enables appending a previously-deleted key right
+    * after a consolidate ([[pendingTombstoned]] sees the live set). */
   private def tombstones(
       spark: org.apache.spark.sql.SparkSession,
       fs: org.apache.hadoop.fs.FileSystem,
@@ -250,10 +288,121 @@ object Layout {
     val delPath = new org.apache.hadoop.fs.Path(dirPath, "deletes")
     if (!hasParquetData(fs, delPath)) None
     else {
+      val retired = TableManifest.latest(fs, dirPath)
+        .map(_.xdel).getOrElse(Set.empty)
       val files = fs.listStatus(delPath).toSeq
-        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet")
+          && !retired.contains(st.getPath.getName))
         .map(_.getPath)
-      Some((spark.read.parquet(files.map(_.toString): _*), files))
+      if (files.isEmpty) None
+      else Some((spark.read.parquet(files.map(_.toString): _*), files))
+    }
+  }
+
+  /** Physically delete entries a previous maintenance pass RETIRED in
+    * the manifest (generations not in the live set, `xdel` tombstone
+    * files still on disk). Called at the start of every maintenance
+    * pass — so retired files survive one full maintenance interval for
+    * in-flight readers — and by [[vacuum]] for immediate reclamation.
+    * No-op (0) when the dir has no manifest: without a live set there
+    * is no retired set. Returns entries deleted. */
+  private def purgeRetired(
+      fs: org.apache.hadoop.fs.FileSystem,
+      dirPath: org.apache.hadoop.fs.Path): Long =
+    TableManifest.latest(fs, dirPath) match {
+      case None => 0L
+      case Some(snap) =>
+        var purged = 0L
+        snap.gens.foreach { live =>
+          val liveSet = live.toSet
+          listedGenerations(fs, dirPath).map(g => s"gen-$g")
+            .filterNot(liveSet.contains).foreach { g =>
+              if (fs.delete(new org.apache.hadoop.fs.Path(dirPath, g), true))
+                purged += 1L
+            }
+        }
+        val delPath = new org.apache.hadoop.fs.Path(dirPath, "deletes")
+        if (snap.xdel.nonEmpty && fs.exists(delPath))
+          fs.listStatus(delPath).foreach { st =>
+            if (st.isFile && snap.xdel.contains(st.getPath.getName)) {
+              if (fs.delete(st.getPath, false)) purged += 1L
+            }
+          }
+        val tailPath = new org.apache.hadoop.fs.Path(dirPath, "tail")
+        if (snap.xtail.nonEmpty && fs.exists(tailPath))
+          fs.listStatus(tailPath).foreach { st =>
+            if (st.isFile && snap.xtail.contains(st.getPath.getName)) {
+              if (fs.delete(st.getPath, false)) purged += 1L
+            }
+          }
+        purged
+    }
+
+  /** Immediately reclaim space held for in-flight readers: delete every
+    * generation directory and tombstone file the manifest has retired.
+    * The lifecycle defers physical deletion to the NEXT maintenance
+    * pass by default (the retention window that closes the reader
+    * race); call this when space matters more than the window — after
+    * it, a reader that resolved the pre-consolidate snapshot will fail
+    * (the pre-manifest contract). Returns entries deleted. */
+  def vacuum(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Long = {
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    purgeRetired(fs, dirPath)
+  }
+
+  /** Commit the table's FIRST manifest, sealing the generation set
+    * currently on disk as the live snapshot — called by the initial
+    * writers ([[zorderWrite]], the index writers) right after gen-0
+    * lands, so every later maintenance pass is manifest-governed (the
+    * closed-race regime) from birth instead of from the first
+    * optimize. Idempotent in effect: committing over an existing
+    * manifest just re-seals the current live set. */
+  def sealInitial(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val gens = generations(fs, dirPath).sorted.map(g => s"gen-$g")
+    TableManifest.commit(fs, dirPath, TableManifest.Snapshot(
+      0, Some(gens), Set.empty, Set.empty, Seq.empty, Set.empty))
+  }
+
+  /** `names` restricted to files still present in `dir/<sub>` — keeps
+    * re-committed exclusion sets from accumulating names whose files a
+    * purge already reclaimed. */
+  private def stillOnDisk(
+      fs: org.apache.hadoop.fs.FileSystem,
+      dirPath: org.apache.hadoop.fs.Path,
+      sub: String,
+      names: Set[String]): Set[String] =
+    if (names.isEmpty) names
+    else {
+      val p = new org.apache.hadoop.fs.Path(dirPath, sub)
+      if (!fs.exists(p)) Set.empty
+      else {
+        val present = fs.listStatus(p).toSeq
+          .filter(_.isFile).map(_.getPath.getName).toSet
+        names.intersect(present)
+      }
+    }
+
+  /** LIVE tail files at `dir` — the listed tail parquet files minus the
+    * manifest's `xtail` retirements (files an optimize pass already
+    * compacted into a generation but has not yet physically purged).
+    * Fresh appends are new UUID-named files, visible immediately. */
+  private def tailFiles(
+      fs: org.apache.hadoop.fs.FileSystem,
+      dirPath: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
+    val tailPath = new org.apache.hadoop.fs.Path(dirPath, "tail")
+    if (!fs.exists(tailPath)) Seq.empty
+    else {
+      val retired = TableManifest.latest(fs, dirPath)
+        .map(_.xtail).getOrElse(Set.empty)
+      fs.listStatus(tailPath).toSeq
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet")
+          && !retired.contains(st.getPath.getName))
+        .map(_.getPath)
     }
   }
 
@@ -307,8 +456,7 @@ object Layout {
     val dirPath = new org.apache.hadoop.fs.Path(dir)
     val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val anyGen = generations(fs, dirPath).nonEmpty
-    val anyTail =
-      hasParquetData(fs, new org.apache.hadoop.fs.Path(dirPath, "tail"))
+    val anyTail = tailFiles(fs, dirPath).nonEmpty
     if (anyGen || anyTail) Some(clusteredTable(spark, dir)) else None
   }
 
@@ -326,10 +474,8 @@ object Layout {
     val fs = dirPath.getFileSystem(conf)
     val genPaths = generations(fs, dirPath).sorted
       .map(g => new org.apache.hadoop.fs.Path(dirPath, s"gen-$g"))
-    val tailPath = new org.apache.hadoop.fs.Path(dirPath, "tail")
-    val parts = (genPaths ++
-      (if (hasParquetData(fs, tailPath)) Seq(tailPath) else Seq.empty))
-      .map(_.toString)
+    val parts =
+      (genPaths ++ tailFiles(fs, dirPath)).map(_.toString)
     require(parts.nonEmpty, s"no generations or tail data under $dir")
     val base = spark.read.parquet(parts: _*)
     tombstones(spark, fs, dirPath) match {
@@ -346,9 +492,11 @@ object Layout {
   /** OPTIMIZE pass: re-cluster ONLY the unsorted tail into the next
     * `gen-K` directory (range-repartition + sort by the z_key the
     * appends already carry — the exact arithmetic of [[zorderLayout]]),
-    * then drop EXACTLY the tail files that were compacted. Returns rows
-    * compacted (0 = no tail, no-op). Cost is one sort of the TAIL, not
-    * the table — the whole point versus a full re-layout.
+    * then RETIRE exactly the tail files that were compacted in the same
+    * manifest commit that makes the generation live (physical deletion
+    * deferred one pass — see [[TableManifest]]). Returns rows compacted
+    * (0 = no tail, no-op). Cost is one sort of the TAIL, not the
+    * table — the whole point versus a full re-layout.
     *
     * Generation policy: every pass adds a generation, and a box query
     * scans ≈ (#generations) × the fresh-layout fraction (each gen prunes
@@ -396,47 +544,57 @@ object Layout {
     val conf = spark.sparkContext.hadoopConfiguration
     val dirPath = new org.apache.hadoop.fs.Path(dir)
     val fs = dirPath.getFileSystem(conf)
-    val tailPath = new org.apache.hadoop.fs.Path(dirPath, "tail")
-    // data-file precheck: after a prior optimize the tail dir survives
-    // holding only _SUCCESS, and spark.read.parquet on a data-less dir
-    // fails schema inference
+    // entries a PREVIOUS pass retired in the manifest have now survived
+    // one full maintenance interval — reclaim them first
+    purgeRetired(fs, dirPath)
+    val snapshot = tailFiles(fs, dirPath)
     val compacted =
-      if (!hasParquetData(fs, tailPath)) 0L
+      if (snapshot.isEmpty) 0L
       else {
-        val next = generations(fs, dirPath).foldLeft(-1)(math.max) + 1
-        val snapshot = spark.read.parquet(tailPath.toString).inputFiles
-        if (snapshot.isEmpty) 0L
-        else {
-          // re-read pinned to the snapshot list: rows compacted == files
-          // deleted even if appends land mid-pass
-          val df0 = spark.read.parquet(snapshot.toIndexedSeq: _*)
-          val n = df0.count()
-          // tombstoned rows are dropped PHYSICALLY from the new
-          // generation (merge-on-read applied at compaction); the
-          // tombstones themselves survive — older generations may still
-          // hold the keys, and only consolidate (a full rewrite) can
-          // retire them
-          val df = tombstones(spark, fs, dirPath) match {
-            case Some((del, _)) => df0.join(del.distinct(),
-              Seq(del.schema.fields.head.name), "left_anti")
-            case None => df0
-          }
-          df.repartitionByRange(numFiles, sortCols.map(col): _*)
-            .sortWithinPartitions(sortCols.head, sortCols.tail: _*)
-            .write.mode("errorifexists").options(writerOptions)
-            .parquet(new org.apache.hadoop.fs.Path(dirPath, s"gen-$next").toString)
-          // Hadoop Path handles unencoded inputFiles strings (spaces
-          // etc.) that java.net.URI.create would reject
-          snapshot.foreach { s =>
-            val p = new org.apache.hadoop.fs.Path(s)
-            p.getFileSystem(conf).delete(p, false)
-          }
-          n
+        val live = generations(fs, dirPath)
+        val next = (live ++ listedGenerations(fs, dirPath))
+          .foldLeft(-1)(math.max) + 1
+        // read pinned to the live-tail snapshot: appends landing
+        // mid-pass are neither compacted nor retired (next pass)
+        val df0 = spark.read.parquet(snapshot.map(_.toString): _*)
+        val n = df0.count()
+        // tombstoned rows are dropped PHYSICALLY from the new
+        // generation (merge-on-read applied at compaction); the
+        // tombstones themselves survive — older generations may still
+        // hold the keys, and only consolidate (a full rewrite) can
+        // retire them
+        val manifest = TableManifest.latest(fs, dirPath)
+        val df = tombstones(spark, fs, dirPath) match {
+          case Some((del, _)) => df0.join(del.distinct(),
+            Seq(del.schema.fields.head.name), "left_anti")
+          case None => df0
         }
+        df.repartitionByRange(numFiles, sortCols.map(col): _*)
+          .sortWithinPartitions(sortCols.head, sortCols.tail: _*)
+          .write.mode("errorifexists").options(writerOptions)
+          .parquet(new org.apache.hadoop.fs.Path(dirPath, s"gen-$next").toString)
+        // ONE commit flips the snapshot: gen-next becomes live and the
+        // compacted tail files retire in the same instant — no reader
+        // can see the rows twice (pre-manifest lifecycles deleted the
+        // tail AFTER the gen write, a duplicate-read window) or lose
+        // them. Physical deletion is deferred to the next pass.
+        TableManifest.commit(fs, dirPath, TableManifest.Snapshot(
+          0,
+          Some((live.sorted :+ next).map(g => s"gen-$g")),
+          stillOnDisk(fs, dirPath, "deletes",
+            manifest.map(_.xdel).getOrElse(Set.empty)),
+          stillOnDisk(fs, dirPath, "tail",
+            manifest.map(_.xtail).getOrElse(Set.empty)) ++
+            snapshot.map(_.getName),
+          Seq.empty, Set.empty))
+        n
       }
     if (maxGenerations > 0 &&
       generations(fs, dirPath).size > maxGenerations)
-      clusteredConsolidate(spark, dir, numFiles, sortCols, writerOptions)
+      // skipPurge: this pass's own commit just retired the tail files —
+      // purging them zero interval later would defeat the reader grace
+      consolidateImpl(spark, dir, numFiles, sortCols, writerOptions,
+        skipPurge = true)
     compacted
   }
 
@@ -473,31 +631,43 @@ object Layout {
     * usual two-generation minimum exists only because merging one
     * generation is otherwise a no-op.
     *
-    * Reader-side race: old gen-K directories are deleted AFTER the
-    * merged generation commits, but a concurrent reader that resolved
-    * its file list before the delete ([[clusteredTable]] /
-    * [[graft.similarity.Similarity.ivfPqSearchPersisted]]) can fail
-    * mid-scan with FileNotFoundException — a wider window than the
-    * per-file tail deletes of [[clusteredOptimize]], because whole
-    * directories go at once. Schedule consolidation off query windows
-    * (or retry the read); the single-OPTIMIZE-writer contract protects
-    * WRITERS only. */
+    * Reader-side race: CLOSED since r19 by the manifest commit. The
+    * merged generation becomes live and the inputs retire in one
+    * atomic `_manifest` rename; the old generation directories stay on
+    * disk until the next maintenance pass (or [[vacuum]]), so a reader
+    * that resolved its file list before the commit
+    * ([[clusteredTable]] /
+    * [[graft.similarity.Similarity.ivfPqSearchPersisted]]) finishes
+    * its scan over the consistent pre-consolidate snapshot. Only a
+    * reader outliving a FULL maintenance interval (or racing an
+    * explicit vacuum) can still hit FileNotFoundException — the
+    * standard lakehouse retention contract. */
   def clusteredConsolidate(
       spark: org.apache.spark.sql.SparkSession,
       dir: String, numFiles: Int, sortCols: Seq[String],
-      writerOptions: Map[String, String] = Map.empty): Long = {
+      writerOptions: Map[String, String] = Map.empty): Long =
+    consolidateImpl(spark, dir, numFiles, sortCols, writerOptions,
+      skipPurge = false)
+
+  private def consolidateImpl(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String, numFiles: Int, sortCols: Seq[String],
+      writerOptions: Map[String, String],
+      skipPurge: Boolean): Long = {
     require(sortCols.nonEmpty, "clusteredConsolidate needs sort columns")
     val conf = spark.sparkContext.hadoopConfiguration
     val dirPath = new org.apache.hadoop.fs.Path(dir)
     val fs = dirPath.getFileSystem(conf)
+    // reclaim what the PREVIOUS pass retired (one interval has passed)
+    if (!skipPurge) purgeRetired(fs, dirPath)
     val gens = generations(fs, dirPath)
     val del = tombstones(spark, fs, dirPath)
     if (gens.size < 2 && (del.isEmpty || gens.isEmpty)) return 0L
-    val next = gens.max + 1
+    val next = (gens ++ listedGenerations(fs, dirPath)).max + 1
     val genPaths = gens.sorted
       .map(g => new org.apache.hadoop.fs.Path(dirPath, s"gen-$g"))
-    // snapshot-pinned like clusteredOptimize: the merged write and the
-    // deletes cover exactly the files seen here
+    // snapshot-pinned like clusteredOptimize: the merged write covers
+    // exactly the files seen here
     val snapshot = spark.read.parquet(genPaths.map(_.toString): _*).inputFiles
     val df0 = spark.read.parquet(snapshot.toIndexedSeq: _*)
     val df = del match {
@@ -510,17 +680,29 @@ object Layout {
       .sortWithinPartitions(sortCols.head, sortCols.tail: _*)
       .write.mode("errorifexists").options(writerOptions)
       .parquet(new org.apache.hadoop.fs.Path(dirPath, s"gen-$next").toString)
-    genPaths.foreach(p => fs.delete(p, true))
-    // retire EXACTLY the tombstone files applied above, once nothing
-    // outside the merged generation can still hold a deleted key (the
-    // deletes dir survives, like the tail, and tombstone() appends
-    // landing mid-pass are neither applied nor purged — next pass)
-    val tailPath = new org.apache.hadoop.fs.Path(dirPath, "tail")
-    del match {
-      case Some((_, files)) if !hasParquetData(fs, tailPath) =>
-        files.foreach(p => fs.delete(p, false))
-      case _ => ()
+    // ONE commit: the merged generation becomes live, the inputs and —
+    // once nothing outside it can still hold a deleted key (no live
+    // tail) — EXACTLY the tombstone files applied above retire, all in
+    // the same atomic rename. tombstone() appends landing mid-pass are
+    // neither applied nor retired (next pass). The old generation
+    // directories and retired tombstone files stay on DISK until the
+    // next maintenance pass (or [[vacuum]]): a reader that resolved the
+    // pre-consolidate snapshot keeps scanning a consistent table — the
+    // FileNotFoundException race the r18 verdict documented is closed.
+    val manifest = TableManifest.latest(fs, dirPath)
+    val retiredDel: Set[String] = del match {
+      case Some((_, files)) if tailFiles(fs, dirPath).isEmpty =>
+        files.map(_.getName).toSet
+      case _ => Set.empty
     }
+    TableManifest.commit(fs, dirPath, TableManifest.Snapshot(
+      0,
+      Some(Seq(s"gen-$next")),
+      stillOnDisk(fs, dirPath, "deletes",
+        manifest.map(_.xdel).getOrElse(Set.empty)) ++ retiredDel,
+      stillOnDisk(fs, dirPath, "tail",
+        manifest.map(_.xtail).getOrElse(Set.empty)),
+      Seq.empty, Set.empty))
     n
   }
 

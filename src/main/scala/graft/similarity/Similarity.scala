@@ -782,6 +782,7 @@ object Similarity {
       .sortWithinPartitions("list_id", "neighbor_id")
       .write.mode("errorifexists").options(writerOptions)
       .parquet(s"$dir/codes/gen-0")
+    graft.ops.Layout.sealInitial(embeddings.sparkSession, s"$dir/codes")
     coarseCents(embeddings, coarseMod)
       .coalesce(1).write.mode("errorifexists").parquet(s"$dir/cents")
     embeddings
@@ -830,6 +831,7 @@ object Similarity {
       .sortWithinPartitions("list_id", "neighbor_id")
       .write.mode("errorifexists").options(writerOptions)
       .parquet(s"$dir/codes/gen-0")
+    graft.ops.Layout.sealInitial(spark, s"$dir/codes")
     cents.coalesce(1).write.mode("errorifexists").parquet(s"$dir/cents")
     spark.createDataFrame(
       books.toIndexedSeq.zipWithIndex.map { case (b, i) => (i.toLong, b.toSeq) })
@@ -948,6 +950,13 @@ object Similarity {
       writerOptions: Map[String, String] = Map.empty): Long =
     graft.ops.Layout.clusteredConsolidate(spark, s"$indexDir/codes",
       numFiles, Seq("list_id", "neighbor_id"), writerOptions)
+
+  /** Immediately reclaim index files the manifests have retired (old
+    * generations, compacted tail, applied tombstones) instead of
+    * waiting one maintenance interval — [[graft.ops.Layout.vacuum]]
+    * over the index's lifecycle relations. */
+  def ivfPqVacuumIndex(spark: SparkSession, indexDir: String): Long =
+    graft.ops.Layout.vacuum(spark, s"$indexDir/codes")
 
   /** [[ivfPqSearch]] over a PERSISTED index ([[ivfPqWriteIndex]] or
     * [[ivfPqWriteIndexTrained]]): identical results (same probes, same

@@ -189,6 +189,8 @@ object Bm25 {
       .sortWithinPartitions("doc_id")
       .write.mode("errorifexists").options(writerOptions)
       .parquet(s"$dir/docstats/gen-0")
+    graft.ops.Layout.sealInitial(spark, s"$dir/postings")
+    graft.ops.Layout.sealInitial(spark, s"$dir/docstats")
     appendStats(spark, dir, docs, sign = 1L)
   }
 
@@ -302,6 +304,51 @@ object Bm25 {
     n
   }
 
+  /** The VISIBLE additive-stats files at `dir/stats`: directly-landed
+    * parquet files (every maintenance op appends one — visible the
+    * moment they exist) plus manifest-admitted staged fold files, minus
+    * manifest-retired ones. The stats dir carries its own
+    * [[graft.ops.TableManifest]] chain so the consolidate fold swaps
+    * atomically — see [[consolidateIndex]]. */
+  private def statsFiles(
+      spark: SparkSession, dir: String): Seq[org.apache.hadoop.fs.Path] = {
+    val statsPath = new org.apache.hadoop.fs.Path(s"$dir/stats")
+    val fs = statsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(statsPath)) return Seq.empty
+    val manifest = graft.ops.TableManifest.latest(fs, statsPath)
+    val retired = manifest.map(_.xstat).getOrElse(Set.empty)
+    val direct = fs.listStatus(statsPath).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet")
+        && !retired.contains(st.getPath.getName))
+      .map(_.getPath)
+    val staged = manifest.map(_.stat).getOrElse(Seq.empty)
+      .filterNot(retired.contains)
+      .map(rel => new org.apache.hadoop.fs.Path(statsPath, rel))
+      .filter(fs.exists(_))
+    direct ++ staged
+  }
+
+  /** Physically reclaim stats files a previous fold retired, plus any
+    * staged directory no longer referenced by the manifest (a crashed
+    * uncommitted fold, or a fully-retired old stage). */
+  private def purgeStats(spark: SparkSession, dir: String): Unit = {
+    val statsPath = new org.apache.hadoop.fs.Path(s"$dir/stats")
+    val fs = statsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(statsPath)) return
+    graft.ops.TableManifest.latest(fs, statsPath).foreach { m =>
+      m.xstat.foreach { rel =>
+        fs.delete(new org.apache.hadoop.fs.Path(statsPath, rel), false)
+      }
+      val referencedDirs = m.stat.filterNot(m.xstat.contains)
+        .map(_.split("/").head).toSet
+      fs.listStatus(statsPath).foreach { st =>
+        if (st.isDirectory && st.getPath.getName.startsWith("staged-")
+          && !referencedDirs.contains(st.getPath.getName))
+          fs.delete(st.getPath, true)
+      }
+    }
+  }
+
   /** CONSOLIDATE pass: fold all generations of both relations, applying
     * tombstones physically and retiring them — after this no data file
     * holds a deleted doc and reads pay no anti-join. Also COMPACTS the
@@ -310,15 +357,17 @@ object Bm25 {
     * long-lived index would otherwise pay an ever-growing file listing
     * on every search; the fold is sum-preserving by construction
     * (integer sums), snapshot-pinned like the tombstone retirement so a
-    * stats row landing mid-pass is neither folded nor deleted.
+    * stats row landing mid-pass is neither folded nor retired.
     *
-    * The fold row commits BEFORE the originals are deleted — the same
-    * deliberately NON-transactional write-then-delete shape as every
-    * other pass in this lifecycle ([[graft.ops.Layout.zorderOptimize]]
-    * docs): a crash (or a reader listing files) inside that window sees
-    * both and double-counts; never lose data, run a single OPTIMIZE
-    * writer, schedule maintenance off query windows, and wrap in a
-    * manifest/lakehouse commit protocol for transactional guarantees.
+    * Fold atomicity (r19, closing the r18 double-count window): the
+    * folded row is written to an UNREFERENCED staged subdirectory —
+    * invisible to [[statsFiles]] — and ONE manifest commit then admits
+    * it and retires the originals in the same atomic rename. A crash
+    * before the commit leaves the visible set untouched (the orphan
+    * stage is reclaimed next pass); there is no instant at which a
+    * reader can see both the fold and its inputs. Retired files stay on
+    * disk one maintenance interval for in-flight readers, like every
+    * other lifecycle retirement ([[graft.ops.TableManifest]]).
     * Returns postings rows rewritten. */
   def consolidateIndex(
       spark: SparkSession,
@@ -329,18 +378,45 @@ object Bm25 {
       numFiles, Seq("term", "doc_id"), writerOptions)
     graft.ops.Layout.clusteredConsolidate(spark, s"$dir/docstats",
       math.max(1, numFiles / 4), Seq("doc_id"), writerOptions)
-    val conf = spark.sparkContext.hadoopConfiguration
     val statsPath = new org.apache.hadoop.fs.Path(s"$dir/stats")
-    val fs = statsPath.getFileSystem(conf)
-    val statFiles = fs.listStatus(statsPath).toSeq
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-      .map(_.getPath)
-    if (statFiles.length > 1) {
-      spark.read.parquet(statFiles.map(_.toString): _*)
+    val fs = statsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    purgeStats(spark, dir)
+    val visible = statsFiles(spark, dir)
+    if (visible.length > 1) {
+      val manifest = graft.ops.TableManifest.latest(fs, statsPath)
+      val stageSeq = manifest.map(_.seq + 1).getOrElse(0)
+      val stageDir = new org.apache.hadoop.fs.Path(statsPath, s"staged-$stageSeq")
+      // overwrite: a same-named stage can only be a crashed UNcommitted
+      // fold — never referenced, safe to replace
+      spark.read.parquet(visible.map(_.toString): _*)
         .agg(sum("n_docs").as("n_docs"), sum("sum_dl").as("sum_dl"))
-        .coalesce(1).write.mode("append").parquet(s"$dir/stats")
-      statFiles.foreach(p => fs.delete(p, false))
+        .coalesce(1).write.mode("overwrite").parquet(stageDir.toString)
+      val stagedRel = fs.listStatus(stageDir).toSeq
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        .map(st => s"staged-$stageSeq/${st.getPath.getName}")
+      val visibleRel = visible.map { p =>
+        if (p.getParent.getName.startsWith("staged-"))
+          s"${p.getParent.getName}/${p.getName}"
+        else p.getName
+      }
+      graft.ops.TableManifest.commit(fs, statsPath,
+        graft.ops.TableManifest.Snapshot(
+          0, None, Set.empty, Set.empty,
+          stagedRel,
+          manifest.map(_.xstat).getOrElse(Set.empty) ++ visibleRel))
     }
+    n
+  }
+
+  /** Immediately reclaim everything the index's manifests have retired
+    * (old generations, applied tombstones, folded stats files) instead
+    * of waiting for the next maintenance pass — trades the in-flight-
+    * reader grace window for disk space, like
+    * [[graft.ops.Layout.vacuum]]. */
+  def vacuumIndex(spark: SparkSession, dir: String): Long = {
+    val n = graft.ops.Layout.vacuum(spark, s"$dir/postings") +
+      graft.ops.Layout.vacuum(spark, s"$dir/docstats")
+    purgeStats(spark, dir)
     n
   }
 
@@ -371,7 +447,10 @@ object Bm25 {
     // a null, and unlike the other lifecycle misuse paths nothing else
     // would raise. The literal single-row relation is bit-identical to
     // the lazy aggregate it replaces (same longs, same IEEE division).
-    val statsRow = spark.read.parquet(s"$dir/stats")
+    val statFileList = statsFiles(spark, dir)
+    require(statFileList.nonEmpty, s"no stats relation at $dir/stats - " +
+      "is this a writeIndex-built BM25 index directory?")
+    val statsRow = spark.read.parquet(statFileList.map(_.toString): _*)
       .agg(coalesce(sum("n_docs"), lit(0L)), coalesce(sum("sum_dl"), lit(0L)))
       .collect()(0)
     val (nSum, dlSum) = (statsRow.getLong(0), statsRow.getLong(1))

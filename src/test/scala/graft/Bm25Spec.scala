@@ -76,9 +76,15 @@ class Bm25Spec extends SparkSpec {
         docs.where(col("doc_id") === 5)) // 5 % 4 == 1, tombstoned
     }
 
-    // consolidate applies tombstones physically and retires them
+    // consolidate applies tombstones physically and retires them in
+    // ONE manifest commit; the retired inputs stay on DISK one
+    // maintenance interval for in-flight readers (r19 contract), so
+    // vacuum first to let the raw-file assertions see the live snapshot
     assert(Bm25.consolidateIndex(spark, dir, numFiles = 2) > 0L)
     assert(res(Bm25.searchPersisted(spark, dir, queries)) == afterDel)
+    Bm25.vacuumIndex(spark, dir)
+    assert(res(Bm25.searchPersisted(spark, dir, queries)) == afterDel,
+      "vacuum must not change what a fresh reader sees")
     val raw = spark.read.parquet(s"$dir/postings/gen-*")
     assert(raw.where(col("doc_id") % 4 === 1).count() == 0,
       "deleted docs survive in the consolidated postings files")
@@ -87,11 +93,17 @@ class Bm25Spec extends SparkSpec {
       !delDir.listFiles.exists(_.getName.endsWith(".parquet")),
       "tombstones not retired after consolidate")
     // consolidate also compacts the additive stats relation (4
-    // maintenance ops appended 4 rows) to ONE sum-preserving file
-    val statFiles = new java.io.File(s"$dir/stats")
-      .listFiles.count(_.getName.endsWith(".parquet"))
+    // maintenance ops appended 4 rows) to ONE sum-preserving staged
+    // file — admitted and the originals retired in a single manifest
+    // commit (no double-count window); post-vacuum only the fold
+    // remains on disk
+    def walkParquet(f: java.io.File): Int =
+      if (f.isDirectory)
+        Option(f.listFiles).getOrElse(Array[java.io.File]()).map(walkParquet).sum
+      else if (f.getName.endsWith(".parquet")) 1 else 0
+    val statFiles = walkParquet(new java.io.File(s"$dir/stats"))
     assert(statFiles == 1,
-      s"stats relation holds $statFiles files after consolidate, want 1")
+      s"stats relation holds $statFiles files after consolidate+vacuum, want 1")
   }
 
   test("dedup append is not poisoned by its own writes: consecutive " +

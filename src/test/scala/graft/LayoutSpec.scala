@@ -119,8 +119,16 @@ class LayoutSpec extends SparkSpec {
     assert(Layout.zorderTable(spark, dir).count() == 4096L)
     val compacted = Layout.zorderOptimize(spark, dir, numFiles = 2)
     assert(compacted == 1096L)
-    // the tail DIRECTORY survives (never deleted — see zorderOptimize's
-    // concurrency note) but holds no data files
+    // r19 contract: the compacted tail files are RETIRED in the manifest
+    // (invisible to readers) but survive on disk one maintenance
+    // interval for in-flight readers; vacuum reclaims them now. The tail
+    // DIRECTORY itself survives (never deleted — see zorderOptimize's
+    // concurrency note) but then holds no data files.
+    val retained = Option(new java.io.File(s"$dir/tail").listFiles())
+      .getOrElse(Array[java.io.File]())
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    assert(retained.nonEmpty, "retired tail files must survive until vacuum")
+    assert(Layout.vacuum(spark, dir) == retained.length.toLong)
     val tailFiles = Option(new java.io.File(s"$dir/tail").listFiles())
       .getOrElse(Array[java.io.File]())
       .filter(f => f.isFile && f.getName.endsWith(".parquet"))
@@ -184,7 +192,9 @@ class LayoutSpec extends SparkSpec {
     assert(Layout.zorderOptimize(spark, dir, 2) == 300L)
     assert(spark.read.parquet(s"$dir/gen-1").count() == 300L)
     assert(Layout.zorderTable(spark, dir).count() == 1300L)
-    // tail data files are gone (deleted through the same FileSystem)
+    // tail data files are gone after vacuum (purged through the same
+    // scheme-qualified FileSystem)
+    Layout.vacuum(spark, dir)
     val tailFiles = Option(new java.io.File(s"$local/tail").listFiles())
       .getOrElse(Array[java.io.File]())
       .filter(f => f.isFile && f.getName.endsWith(".parquet"))
@@ -211,7 +221,11 @@ class LayoutSpec extends SparkSpec {
       .map(_.getName).toSeq.sorted
     assert(gens() == Seq("gen-0", "gen-1", "gen-2", "gen-3"))
     assert(Layout.zorderConsolidate(spark, dir, 3) == 3500L)
-    // one generation left, numbered past the old max; old gens deleted
+    // the manifest retires gen-0..3 atomically; they stay on disk for
+    // in-flight readers until vacuum, then one generation remains,
+    // numbered past the old max
+    assert(gens() == Seq("gen-0", "gen-1", "gen-2", "gen-3", "gen-4"))
+    Layout.vacuum(spark, dir)
     assert(gens() == Seq("gen-4"))
     val merged = spark.read.parquet(s"$dir/gen-4")
     // consolidation ≡ full re-layout of the same rows: identical row
@@ -235,7 +249,9 @@ class LayoutSpec extends SparkSpec {
       assert(Layout.zorderOptimize(spark, dir, 2, maxGenerations = 2) == 100L)
     }
     // after cycle 1: gen-4 + gen-5 (2 ≤ G, no merge); after cycle 2 the
-    // third generation trips the policy and all merge into one
+    // third generation trips the policy and all merge into one (the
+    // retired inputs linger on disk until vacuum)
+    Layout.vacuum(spark, dir)
     assert(gens().size == 1, gens().mkString(","))
     assert(Layout.zorderTable(spark, dir).count() == 3700L)
     assert(Layout.zorderTable(spark, dir)
@@ -280,9 +296,11 @@ class LayoutSpec extends SparkSpec {
     val merged = spark.read.parquet(s"$dir/gen-2")
     assert(merged.count() == 2497L)
     assert(merged.where(col("v").isin(10L, 1999L, 2100L)).count() == 0L)
-    assert(delFiles().isEmpty, "tombstones must be retired by consolidate")
     assert(table() == want)
-    // retired tombstones unblock re-insertion of a deleted key
+    // retired tombstones unblock re-insertion of a deleted key WITHOUT
+    // a vacuum: pendingTombstoned resolves the LIVE tombstone set from
+    // the manifest, and the retired files (still on disk for in-flight
+    // readers) are invisible to it
     Layout.zorderAppend(grid(10L, 11L), col("ix"), col("iy"), dir)
     assert(Layout.zorderTable(spark, dir).where(col("v") === 10L).count() == 1L)
     assert(Layout.zorderOptimize(spark, dir, 2) == 1L)
@@ -293,8 +311,69 @@ class LayoutSpec extends SparkSpec {
     Layout.zorderDelete(spark, dir, "v",
       spark.createDataFrame(Seq(Tuple1(42L))).toDF("v"))
     assert(Layout.zorderConsolidate(spark, dir, 2) == 2497L)
+    Layout.vacuum(spark, dir)
     assert(delFiles().isEmpty)
     assert(Layout.zorderTable(spark, dir).where(col("v") === 42L).count() == 0L)
+  }
+
+  test("manifest commit closes the consolidate reader race: a reader " +
+    "resolved pre-consolidate finishes over the old snapshot, fresh " +
+    "readers flip atomically, crashed passes are invisible") {
+    val n = 64
+    def grid(lo: Long, hi: Long) = spark.range(lo, hi).select(
+      (col("id") / n % n).cast("long").as("ix"), (col("id") % n).as("iy"),
+      col("id").as("v"))
+    val dir = java.nio.file.Files.createTempDirectory("zrace").toString
+    Layout.zorderWrite(grid(0L, 2000L), col("ix"), col("iy"), 2, dir)
+    Layout.zorderAppend(grid(2000L, 2500L), col("ix"), col("iy"), dir)
+    assert(Layout.zorderOptimize(spark, dir, 2) == 500L)
+
+    // reader A resolves its file list NOW (spark.read.parquet builds
+    // its file index eagerly): gen-0 + gen-1
+    val readerA = Layout.zorderTable(spark, dir)
+    assert(readerA.inputFiles.nonEmpty)
+
+    assert(Layout.zorderConsolidate(spark, dir, 2) == 2500L)
+
+    // reader A scans AFTER the consolidate committed — pre-r19 this was
+    // the documented FileNotFoundException window; now the retired
+    // generations are still on disk and the scan completes over the
+    // consistent pre-consolidate snapshot
+    assert(readerA.count() == 2500L)
+    assert(readerA.select(countDistinct("v")).collect()(0).getLong(0) == 2500L)
+
+    // a fresh reader resolves the NEW snapshot atomically: only the
+    // merged generation, no double-reads from the lingering inputs
+    val readerB = Layout.zorderTable(spark, dir)
+    assert(readerB.count() == 2500L)
+    assert(readerB.inputFiles.forall(_.contains("gen-2")),
+      readerB.inputFiles.filterNot(_.contains("gen-2")).mkString(","))
+
+    // a CRASHED maintenance pass (generation written, manifest never
+    // committed) is invisible to readers …
+    grid(9000L, 9100L)
+      .withColumn("z_key", Layout.zorderKey(col("ix"), col("iy")))
+      .write.parquet(s"$dir/gen-7")
+    assert(Layout.zorderTable(spark, dir).count() == 2500L,
+      "uncommitted generation leaked into the read")
+    // … and the next maintenance pass reclaims it
+    Layout.zorderAppend(grid(2500L, 2600L), col("ix"), col("iy"), dir)
+    assert(Layout.zorderOptimize(spark, dir, 2) == 100L)
+    assert(!new java.io.File(s"$dir/gen-7").exists(),
+      "crashed-pass orphan not reclaimed")
+    assert(Layout.zorderTable(spark, dir).count() == 2600L)
+
+    // the optimize commit is atomic the same way: tail files retire in
+    // the instant gen-8 goes live (gen numbering skips the reclaimed
+    // orphan's slot only if lower — here next = max+1 over live+disk)
+    val postOpt = Layout.zorderTable(spark, dir)
+    assert(postOpt.inputFiles.count(_.contains("/tail/")) == 0,
+      "retired tail files still visible to a fresh reader")
+
+    // vacuum reclaims the retired inputs; results unchanged
+    assert(Layout.vacuum(spark, dir) > 0L)
+    assert(!new java.io.File(s"$dir/gen-0").exists())
+    assert(Layout.zorderTable(spark, dir).count() == 2600L)
   }
 
   test("generations discovery ignores foreign gen-* entries instead of " +

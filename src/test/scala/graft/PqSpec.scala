@@ -650,6 +650,10 @@ class PqSpec extends SparkSpec {
     val codes = spark.read.parquet(s"$dir/index/codes/gen-1")
     assert(codes.where(col("neighbor_id").isin(deleted: _*)).count() == 0L)
     assert(codes.count() == 62L - deleted.size)
+    // the applied tombstones are RETIRED in the consolidate's manifest
+    // commit (invisible to readers) but stay on disk one maintenance
+    // interval for in-flight readers; vacuum reclaims them now
+    Similarity.ivfPqVacuumIndex(spark, s"$dir/index")
     val delFiles = Option(
       new java.io.File(s"$dir/index/codes/deletes").listFiles())
       .getOrElse(Array[java.io.File]())
