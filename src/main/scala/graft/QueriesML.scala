@@ -220,6 +220,57 @@ object QueriesML {
       |        WHERE c.vec_id <> lut.query_id
       |        GROUP BY 1, 2)""".stripMargin
 
+  /** The ONE copy of the ADC-top-R + exact-re-rank oracle (the FAISS
+    * refine chain: q_ivfpq_search's ADC candidates capped at rank <= 10,
+    * then q_embed_knn's exact rounded-cosine arithmetic) — shared by
+    * q_ivfpq_rerank and q_ivfpq_rerank_persisted: the persisted variant
+    * changes only where the relations come from (codes scan pruned by
+    * the probed-list IN, raw vectors fetched from the vec_id-clustered
+    * refine relation), never the arithmetic. */
+  private lazy val IvfPqRerankOracle: String = s"""WITH $QuantCte,
+        |$IvfPqAdcCtes,
+        |cand AS (SELECT query_id, neighbor_id FROM (
+        |           SELECT *, row_number() OVER (PARTITION BY query_id
+        |                        ORDER BY adc_dist, neighbor_id) AS rank
+        |           FROM adc)
+        |         WHERE rank <= 10),
+        |ex AS (SELECT c.query_id, c.neighbor_id,
+        |              round(list_dot_product(qq.v, nn.v)
+        |                / (sqrt(qq.n) * sqrt(nn.n)), 6) AS cos_sim
+        |       FROM cand c
+        |         JOIN cvecs qq ON qq.vec_id = c.query_id
+        |         JOIN cvecs nn ON nn.vec_id = c.neighbor_id)
+        |SELECT query_id, neighbor_id, rank, cos_sim FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |               ORDER BY cos_sim DESC, neighbor_id) AS rank
+        |  FROM ex)
+        |WHERE rank <= 5""".stripMargin
+
+  /** The hybrid oracle with the exact-reranked semantic leg (RRF over
+    * the BM25 lexical leg + the refine chain capped at kEach=10) —
+    * q_hybrid_persisted_rerank. Exact-leg aliases avoid the qq VALUES
+    * table of the lexical chain. */
+  private lazy val HybridRerankOracle: String = s"""WITH $QuantCte,
+        |$Bm25LexLegCtes,
+        |${ivfPqAdcCtes(4)},
+        |cand AS (SELECT query_id, neighbor_id FROM (
+        |           SELECT *, row_number() OVER (PARTITION BY query_id
+        |                        ORDER BY adc_dist, neighbor_id) AS rank
+        |           FROM adc)
+        |         WHERE rank <= 10),
+        |ex AS (SELECT c.query_id, c.neighbor_id,
+        |              round(list_dot_product(eq.v, nn.v)
+        |                / (sqrt(eq.n) * sqrt(nn.n)), 6) AS cos_sim
+        |       FROM cand c
+        |         JOIN cvecs eq ON eq.vec_id = c.query_id
+        |         JOIN cvecs nn ON nn.vec_id = c.neighbor_id),
+        |semleg AS (SELECT query_id, neighbor_id AS doc_id, rank FROM (
+        |             SELECT query_id, neighbor_id,
+        |                    row_number() OVER (PARTITION BY query_id
+        |                      ORDER BY cos_sim DESC, neighbor_id) AS rank
+        |             FROM ex) WHERE rank <= 10),
+        |$RrfTailSql""".stripMargin
+
   /** The ONE copy of the fully-trained IVF+PQ oracle (coarse training +
     * corpus assignment + PQ training + corpus encode + probes + LUT +
     * ADC over probed lists), shared by q_ivfpq_trained and
@@ -1688,6 +1739,29 @@ object QueriesML {
       },
       Some(HybridAnnOracle)),
 
+    // The fully-persisted hybrid with the EXACT-reranked semantic leg
+    // (rerankR > 0): the production IVFPQ+refine retrieval stack —
+    // ADC candidates from the pruned index scan, raw vectors from the
+    // vecs refine relation, exact cosine ordering into the fusion.
+    // The oracle swaps the ADC-ordered semleg for the refine chain.
+    Q("q_hybrid_persisted_rerank",
+      (s, d) => {
+        val dir = TempDirs.create("hybrr")
+        val emb = embeddings(s, d)
+        graft.text.Bm25.writeIndex(s, documents(s, d), s"$dir/bm25",
+          numFiles = 4)
+        Similarity.ivfPqWriteIndex(emb, s"$dir/ann", numFiles = 4,
+          m = 8, dims = 64, centroidMod = 97, coarseMod = 83,
+          storeVecs = true)
+        ops.RankFusion.hybridSearchPersisted(s, s"$dir/bm25", s"$dir/ann",
+          Bm25Queries,
+          emb.where(col("vec_id") < 4)
+            .select(col("vec_id").as("query_id"), col("embedding")),
+          kEach = 10, k = 5, centroidMod = 97, nprobe = 2,
+          excludeSelf = true, rerankR = 10)
+      },
+      Some(HybridRerankOracle)),
+
     // M36 deterministic shard shuffle: content-stable pseudo-random
     // permutation into training shards (one shuffle + per-shard sort).
     Q("q_shard_shuffle",
@@ -2833,24 +2907,31 @@ object QueriesML {
       (s, d) => Similarity.ivfPqRerank(embeddings(s, d), nQueries = 20,
         k = 5, rerankR = 10, m = 8, dims = 64, centroidMod = 97,
         coarseMod = 83, nprobe = 2),
-      Some(s"""WITH $QuantCte,
-        |$IvfPqAdcCtes,
-        |cand AS (SELECT query_id, neighbor_id FROM (
-        |           SELECT *, row_number() OVER (PARTITION BY query_id
-        |                        ORDER BY adc_dist, neighbor_id) AS rank
-        |           FROM adc)
-        |         WHERE rank <= 10),
-        |ex AS (SELECT c.query_id, c.neighbor_id,
-        |              round(list_dot_product(qq.v, nn.v)
-        |                / (sqrt(qq.n) * sqrt(nn.n)), 6) AS cos_sim
-        |       FROM cand c
-        |         JOIN cvecs qq ON qq.vec_id = c.query_id
-        |         JOIN cvecs nn ON nn.vec_id = c.neighbor_id)
-        |SELECT query_id, neighbor_id, rank, cos_sim FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY query_id
-        |               ORDER BY cos_sim DESC, neighbor_id) AS rank
-        |  FROM ex)
-        |WHERE rank <= 5""".stripMargin)),
+      Some(IvfPqRerankOracle)),
+
+    // The refine stage composed into the PERSISTED serving path (r19):
+    // the ADC candidates come from the lifecycle index scan (probed-
+    // list IN pushed down), their raw vectors from the vec_id-clustered
+    // vecs refine relation written at storeVecs=true index-build time
+    // (fetched by a pushed-down candidate-id IN — candidate-scale
+    // bytes), and the exact rounded-cosine re-rank is ivfPqRerank's
+    // arithmetic verbatim — so the gate shares its oracle. Queries are
+    // the standalone (query_id, embedding) form with excludeSelf=true
+    // reproducing the prefix convention on the fixture.
+    Q("q_ivfpq_rerank_persisted",
+      (s, d) => {
+        val dir = TempDirs.create("ivfpqrr")
+        val emb = embeddings(s, d)
+        Similarity.ivfPqWriteIndex(emb, s"$dir/index", numFiles = 4,
+          m = 8, dims = 64, centroidMod = 97, coarseMod = 83,
+          storeVecs = true)
+        Similarity.ivfPqRerankPersistedQ(s, s"$dir/index",
+          emb.where(col("vec_id") < 20)
+            .select(col("vec_id").as("query_id"), col("embedding")),
+          k = 5, rerankR = 10, m = 8, dims = 64, centroidMod = 97,
+          nprobe = 2, excludeSelf = true)
+      },
+      Some(IvfPqRerankOracle)),
 
     // M70 residual IVF+PQ (FAISS IVFPQ DEFAULT, by_residual=true,
     // Jégou 2011 §IV.C): codes quantize x − c(list) instead of x, so

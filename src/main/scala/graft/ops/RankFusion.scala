@@ -180,6 +180,13 @@ object RankFusion {
     * Legs are pinned equal to their in-plan forms by their own gates,
     * so this composition shares the in-plan hybrid's oracle
     * (q_hybrid_persisted). */
+  /** `rerankR` > 0 upgrades the semantic leg to the exact-refine
+    * serving path ([[graft.similarity.Similarity.ivfPqRerankPersistedQ]]
+    * — requires an index written with `storeVecs = true`): the leg's
+    * top-`kEach` comes from exact cosine over the `rerankR` ADC
+    * candidates instead of quantized ADC order, the IVFPQ+refine recall
+    * a production retrieval stack serves with. 0 (default) keeps the
+    * ADC-only leg. */
   def hybridSearchPersisted(
       spark: SparkSession,
       bm25Dir: String,
@@ -193,14 +200,20 @@ object RankFusion {
       dims: Int = 64,
       centroidMod: Int = 97,
       nprobe: Int = 2,
-      excludeSelf: Boolean = false): DataFrame = {
+      excludeSelf: Boolean = false,
+      rerankR: Int = 0): DataFrame = {
     require(queries.nonEmpty, "hybridSearchPersisted needs >= 1 query")
     val lex = graft.text.Bm25
       .searchPersisted(spark, bm25Dir, queries, topK = kEach)
       .select(col("query_id"), col("doc_id"), col("rank"))
-    val sem = graft.similarity.Similarity
-      .ivfPqSearchPersistedQ(spark, annDir, queryEmbeddings, k = kEach,
-        m, dims, centroidMod, nprobe, excludeSelf)
+    val sem = (if (rerankR > 0)
+      graft.similarity.Similarity.ivfPqRerankPersistedQ(spark, annDir,
+        queryEmbeddings, k = kEach, rerankR = rerankR, m, dims,
+        centroidMod, nprobe, excludeSelf)
+    else
+      graft.similarity.Similarity.ivfPqSearchPersistedQ(spark, annDir,
+        queryEmbeddings, k = kEach, m, dims, centroidMod, nprobe,
+        excludeSelf))
       .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
     rrfFuse(Seq(materialized(lex), materialized(sem)), k, rrfK)
   }

@@ -776,7 +776,8 @@ object Similarity {
       dims: Int = 64,
       centroidMod: Int = 97,
       coarseMod: Int = 83,
-      writerOptions: Map[String, String] = Map.empty): Unit = {
+      writerOptions: Map[String, String] = Map.empty,
+      storeVecs: Boolean = false): Unit = {
     ivfPqIndex(embeddings, m, dims, centroidMod, coarseMod)
       .repartitionByRange(numFiles, col("list_id"), col("neighbor_id"))
       .sortWithinPartitions("list_id", "neighbor_id")
@@ -789,6 +790,36 @@ object Similarity {
       .where(col("vec_id") % centroidMod === 0)
       .select(col("vec_id").as("centroid_id"), quantize(col("embedding")).as("v"))
       .coalesce(1).write.mode("errorifexists").parquet(s"$dir/book")
+    if (storeVecs) writeVecs(embeddings, dir, numFiles, writerOptions)
+  }
+
+  /** The raw-vector refine relation at `dir/vecs` — (vec_id, v)
+    * range-clustered by vec_id through the shared lifecycle, so the
+    * exact re-rank stage ([[ivfPqRerankPersistedQ]]) fetches ONLY its
+    * candidates' vectors (a pushed-down id IN over the clustering key)
+    * instead of touching the corpus: the FAISS `IndexRefineFlat`
+    * storage half. Doubles the index's byte footprint (codes are
+    * compressed, raw vectors are not) — which is exactly the
+    * IVFPQ+refine trade every production FAISS deployment makes for
+    * recall (Jégou 2011 §VII). */
+  private def writeVecs(
+      embeddings: DataFrame,
+      dir: String,
+      numFiles: Int,
+      writerOptions: Map[String, String]): Unit = {
+    embeddings
+      .select(col("vec_id"), quantize(col("embedding")).as("v"))
+      .repartitionByRange(numFiles, col("vec_id"))
+      .sortWithinPartitions("vec_id")
+      .write.mode("errorifexists").options(writerOptions)
+      .parquet(s"$dir/vecs/gen-0")
+    graft.ops.Layout.sealInitial(embeddings.sparkSession, s"$dir/vecs")
+  }
+
+  /** True when the index at `dir` carries the refine relation. */
+  private def hasVecs(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/vecs")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
   /** Build the FULLY-TRAINED persisted index — [[ivfPqWriteIndex]]'s
@@ -810,7 +841,8 @@ object Similarity {
       nlists: Int = 16,
       iters: Int = 2,
       trainMod: Int = 1,
-      writerOptions: Map[String, String] = Map.empty): Unit = {
+      writerOptions: Map[String, String] = Map.empty,
+      storeVecs: Boolean = false): Unit = {
     require(dims % m == 0, s"dims=$dims not divisible by m=$m")
     val subDim = dims / m
     val spark = embeddings.sparkSession
@@ -837,6 +869,7 @@ object Similarity {
       books.toIndexedSeq.zipWithIndex.map { case (b, i) => (i.toLong, b.toSeq) })
       .toDF("centroid_id", "v")
       .coalesce(1).write.mode("errorifexists").parquet(s"$dir/book")
+    if (storeVecs) writeVecs(embeddings, dir, numFiles, writerOptions)
   }
 
   /** INCREMENTAL index maintenance — the FAISS `add()` contract: encode
@@ -916,6 +949,12 @@ object Similarity {
       .join(assign, "vec_id")
       .select(col("vec_id").as("neighbor_id"), col("list_id"), col("codes"))
       .write.mode("append").parquet(s"$indexDir/codes/tail")
+    // a refine-enabled index keeps its raw-vector relation in lockstep
+    // (same ids, same lifecycle) — the re-rank stage must be able to
+    // fetch any candidate the codes relation can surface
+    if (hasVecs(spark, indexDir))
+      incoming.select(col("vec_id"), quantize(col("embedding")).as("v"))
+        .write.mode("append").parquet(s"$indexDir/vecs/tail")
   }
 
   /** OPTIMIZE pass for the persisted index: re-cluster the codes TAIL
@@ -929,10 +968,15 @@ object Similarity {
       indexDir: String,
       numFiles: Int,
       maxGenerations: Int = 0,
-      writerOptions: Map[String, String] = Map.empty): Long =
-    graft.ops.Layout.clusteredOptimize(spark, s"$indexDir/codes",
+      writerOptions: Map[String, String] = Map.empty): Long = {
+    val n = graft.ops.Layout.clusteredOptimize(spark, s"$indexDir/codes",
       numFiles, Seq("list_id", "neighbor_id"), maxGenerations,
       writerOptions)
+    if (hasVecs(spark, indexDir))
+      graft.ops.Layout.clusteredOptimize(spark, s"$indexDir/vecs",
+        numFiles, Seq("vec_id"), maxGenerations, writerOptions)
+    n
+  }
 
   /** CONSOLIDATE pass for the persisted index: fold every generation
     * into one freshly (list_id, neighbor_id)-clustered generation,
@@ -947,16 +991,24 @@ object Similarity {
       spark: SparkSession,
       indexDir: String,
       numFiles: Int,
-      writerOptions: Map[String, String] = Map.empty): Long =
-    graft.ops.Layout.clusteredConsolidate(spark, s"$indexDir/codes",
+      writerOptions: Map[String, String] = Map.empty): Long = {
+    val n = graft.ops.Layout.clusteredConsolidate(spark, s"$indexDir/codes",
       numFiles, Seq("list_id", "neighbor_id"), writerOptions)
+    if (hasVecs(spark, indexDir))
+      graft.ops.Layout.clusteredConsolidate(spark, s"$indexDir/vecs",
+        numFiles, Seq("vec_id"), writerOptions)
+    n
+  }
 
   /** Immediately reclaim index files the manifests have retired (old
     * generations, compacted tail, applied tombstones) instead of
     * waiting one maintenance interval — [[graft.ops.Layout.vacuum]]
     * over the index's lifecycle relations. */
   def ivfPqVacuumIndex(spark: SparkSession, indexDir: String): Long =
-    graft.ops.Layout.vacuum(spark, s"$indexDir/codes")
+    graft.ops.Layout.vacuum(spark, s"$indexDir/codes") +
+      (if (hasVecs(spark, indexDir))
+        graft.ops.Layout.vacuum(spark, s"$indexDir/vecs")
+      else 0L)
 
   /** [[ivfPqSearch]] over a PERSISTED index ([[ivfPqWriteIndex]] or
     * [[ivfPqWriteIndexTrained]]): identical results (same probes, same
@@ -1042,6 +1094,75 @@ object Similarity {
       nprobe, excludeSelf)
   }
 
+  /** [[ivfPqSearchPersistedQ]] + EXACT re-rank from the index's stored
+    * raw-vector relation — the complete FAISS IVFPQ+refine SERVING path
+    * (`IndexRefineFlat`, Jégou 2011 §VII): the ADC scan (pruned to the
+    * probed lists at the parquet reader) surfaces `rerankR` candidates
+    * per query, their raw vectors are fetched from `dir/vecs` by a
+    * pushed-down id IN over the vec_id clustering key (candidate-scale
+    * bytes, not corpus-scale), and the final top-`k` ranking is the
+    * exact rounded-cosine arithmetic of [[ivfPqRerank]] — zero
+    * quantization error in the result; only coarse-pruning recall loss
+    * remains (B47 quantifies: ADC-only recall@10 0.23–0.40 over
+    * nprobe 1–16; reranked ≥ 0.9 at nprobe 16 / rerankR 100).
+    *
+    * Requires an index written with `storeVecs = true` (and appends
+    * made through [[ivfPqAppendIndex]], which keeps the refine relation
+    * in lockstep); fails loudly otherwise. Scale shape: the candidate
+    * relation (nQueries × rerankR rows) is the SAME query-scale driver
+    * bound as the probed-list IN; the vecs scan reads ≈ the candidates'
+    * rows; the corpus is never shuffled. Output schema matches
+    * [[ivfPqRerank]]: (query_id, neighbor_id, rank, cos_sim). */
+  def ivfPqRerankPersistedQ(
+      spark: SparkSession,
+      indexDir: String,
+      queries: DataFrame,
+      k: Int,
+      rerankR: Int,
+      m: Int = 8,
+      dims: Int = 64,
+      centroidMod: Int = 97,
+      nprobe: Int = 2,
+      excludeSelf: Boolean = false): DataFrame = {
+    require(rerankR >= k, s"rerankR=$rerankR must be >= k=$k")
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    require(hasVecs(spark, indexDir),
+      s"no raw-vector relation at $indexDir/vecs - write the index with " +
+        "storeVecs = true to enable the exact re-rank stage")
+    val qv = quantQueries(queries)
+    val cand = adcTopK(ivfPqScoredPersistedQ(spark, indexDir, qv, m, dims,
+      centroidMod, nprobe, excludeSelf), rerankR)
+      .select(col("query_id"), col("neighbor_id"))
+      .collect()
+    require(cand.nonEmpty, "no ADC candidates to re-rank - empty index?")
+    // candidate ids, driver-collected: nQueries × rerankR longs — the
+    // same query-scale bound as the probed-list IN, pushed down so the
+    // vecs scan reads only row groups that may hold a candidate
+    val candIds = cand.map(_.getLong(1)).distinct.sorted.toIndexedSeq
+    val candDf = broadcast(spark.createDataFrame(
+      cand.toIndexedSeq.map(r => (r.getLong(0), r.getLong(1))))
+      .toDF("query_id", "neighbor_id"))
+    val vecs = graft.ops.Layout.chunkedIn(spark,
+      graft.ops.Layout.clusteredTable(spark, s"$indexDir/vecs"),
+      "vec_id", candIds)
+    val qn = broadcast(qv
+      .select(col("query_id"), col("v").as("qv"))
+      .withColumn("qn", dot(col("qv"), col("qv"))))
+    val exact = vecs
+      .select(col("vec_id").as("neighbor_id"), col("v").as("cv"))
+      .withColumn("cn", dot(col("cv"), col("cv")))
+      .join(candDf, "neighbor_id")
+      .join(qn, "query_id")
+      .withColumn("cos_sim",
+        round(dot(col("qv"), col("cv")) / (sqrt(col("qn")) * sqrt(col("cn"))), 6))
+    val win = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    exact
+      .withColumn("rank", row_number().over(win))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cos_sim")
+  }
+
   /** Candidate relation of [[ivfPqSearchPersisted]] before top-k —
     * exposed (like [[ivfPqScored]]) so ScaleBench B43 can read the
     * executed plan's scan metrics. */
@@ -1118,9 +1239,13 @@ object Similarity {
   def ivfPqDeleteIndex(
       spark: SparkSession,
       indexDir: String,
-      vecIds: DataFrame): Unit =
+      vecIds: DataFrame): Unit = {
     graft.ops.Layout.tombstone(spark, s"$indexDir/codes", "neighbor_id",
       vecIds.select(col("vec_id").cast("long").as("neighbor_id")))
+    if (hasVecs(spark, indexDir))
+      graft.ops.Layout.tombstone(spark, s"$indexDir/vecs", "vec_id",
+        vecIds.select(col("vec_id").cast("long").as("vec_id")))
+  }
 
   // --- Lloyd-trained PQ codebooks (fixed ksub) ---------------------------
   //

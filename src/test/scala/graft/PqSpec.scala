@@ -662,6 +662,74 @@ class PqSpec extends SparkSpec {
     assert(search() == rebuilt)
   }
 
+  test("ivfPqRerankPersistedQ == the in-plan ivfPqRerank; the vecs " +
+    "refine relation tracks append/delete/consolidate in lockstep") {
+    import org.apache.spark.sql.functions._
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .toSet
+    val dir = java.nio.file.Files.createTempDirectory("ivfpqrr").toString
+    Similarity.ivfPqWriteIndex(bigWithDup, s"$dir/index", numFiles = 3,
+      m = 2, dims = 4, centroidMod = 2, coarseMod = 20, storeVecs = true)
+    val queries = bigWithDup.where(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val persisted = rows(Similarity.ivfPqRerankPersistedQ(spark,
+      s"$dir/index", queries, k = 4, rerankR = 8, m = 2, dims = 4,
+      centroidMod = 2, nprobe = 2, excludeSelf = true))
+    val inPlan = rows(Similarity.ivfPqRerank(bigWithDup, nQueries = 5,
+      k = 4, rerankR = 8, m = 2, dims = 4, centroidMod = 2,
+      coarseMod = 20, nprobe = 2))
+    assert(persisted == inPlan,
+      "persisted refine diverged from the in-plan rerank")
+
+    // lifecycle lockstep: build on a prefix, append the rest (incl.
+    // vec 61, the exact duplicate of vec 1) — the refine relation must
+    // serve APPENDED candidates, surfacing the duplicate at cos 1.0
+    val dirA = java.nio.file.Files.createTempDirectory("ivfpqrrA").toString
+    Similarity.ivfPqWriteIndexTrained(bigWithDup.where(col("vec_id") < 55),
+      s"$dirA/index", numFiles = 3, m = 2, dims = 4, ksub = 4,
+      nlists = 3, iters = 1, trainMod = 3, storeVecs = true)
+    Similarity.ivfPqAppendIndex(spark, s"$dirA/index",
+      bigWithDup.where(col("vec_id") >= 55), m = 2, dims = 4)
+    Similarity.ivfPqOptimizeIndex(spark, s"$dirA/index", numFiles = 2)
+    // rerankR = corpus: with ksub=4 the ADC buckets tie massively and
+    // the id tie-break can push 61 out of a small candidate set — full
+    // coverage makes the rerank the exact brute-force ranking, where
+    // the duplicate MUST surface at cos 1.0
+    val afterApp = rows(Similarity.ivfPqRerankPersistedQ(spark,
+      s"$dirA/index", queries, k = 4, rerankR = 62, m = 2, dims = 4,
+      centroidMod = 1, nprobe = 3, excludeSelf = true))
+    // (vec 10 happens to equal vec 1 too in this fixture and wins the
+    // id tie-break at rank 1 — the appended duplicate must still be
+    // re-ranked to exact cos 1.0 from the refine relation's raw vector)
+    assert(afterApp.exists(t => t._1 == 1L && t._2 == 61L && t._4 == 1.0),
+      s"appended exact duplicate not served by the refine relation: " +
+        afterApp.filter(_._1 == 1L).toSeq.sortBy(_._3).mkString(", "))
+
+    val dir2 = java.nio.file.Files.createTempDirectory("ivfpqrr2").toString
+    Similarity.ivfPqWriteIndexTrained(bigWithDup, s"$dir2/index",
+      numFiles = 3, m = 2, dims = 4, ksub = 4, nlists = 3, iters = 1,
+      trainMod = 3, storeVecs = true)
+    val dir3 = java.nio.file.Files.createTempDirectory("ivfpqrr3").toString
+    Similarity.ivfPqWriteIndexTrained(bigWithDup, s"$dir3/index",
+      numFiles = 3, m = 2, dims = 4, ksub = 4, nlists = 3, iters = 1,
+      trainMod = 3, storeVecs = true)
+    // dir3 gets a delete + consolidate; its rerank must equal a search
+    // that can never surface the deleted id, with vecs still aligned
+    Similarity.ivfPqDeleteIndex(spark, s"$dir3/index",
+      spark.createDataFrame(Seq(Tuple1(7L))).toDF("vec_id"))
+    Similarity.ivfPqConsolidateIndex(spark, s"$dir3/index", numFiles = 2)
+    val afterDel = rows(Similarity.ivfPqRerankPersistedQ(spark,
+      s"$dir3/index", queries, k = 4, rerankR = 8, m = 2, dims = 4,
+      centroidMod = 1, nprobe = 2, excludeSelf = true))
+    assert(afterDel.nonEmpty)
+    assert(!afterDel.exists(_._2 == 7L), "deleted id surfaced in rerank")
+    val baseline = rows(Similarity.ivfPqRerankPersistedQ(spark,
+      s"$dir2/index", queries, k = 4, rerankR = 8, m = 2, dims = 4,
+      centroidMod = 1, nprobe = 2, excludeSelf = true))
+    assert(baseline != afterDel, "fixture too weak: delete changed nothing")
+  }
+
   test("ivfPqAppendIndex rejects vec_ids with PENDING tombstones " +
     "(delete-then-re-add requires a consolidate in between)") {
     import org.apache.spark.sql.functions._
