@@ -1666,6 +1666,27 @@ object QueriesML {
       Some(Bm25Oracle.replace(
         "FROM documents)", "FROM documents WHERE doc_id % 7 <> 2)"))),
 
+    // UPSERT on the lexical index (r19): the index is built over a
+    // corpus whose doc_id % 9 == 4 rows carry STALE text, then the true
+    // rows are upserted — delete-visible + physical rewrite + append,
+    // the supported form of delete-then-re-add. The final index must be
+    // bit-identical to one built over the true corpus, so the oracle is
+    // q_bm25's, verbatim (additive stats subtract the stale rows and
+    // add the true ones; df is counted over the visible postings).
+    Q("q_bm25_upsert",
+      (s, d) => {
+        val dir = TempDirs.create("bm25ups")
+        val docs = documents(s, d)
+        val stale = docs.withColumn("text",
+          when(col("doc_id") % 9 === 4, lit("stale placeholder row"))
+            .otherwise(col("text")))
+        graft.text.Bm25.writeIndex(s, stale, s"$dir/index", numFiles = 4)
+        graft.text.Bm25.upsertIndex(s, s"$dir/index",
+          docs.where(col("doc_id") % 9 === 4), numFiles = 2)
+        graft.text.Bm25.searchPersisted(s, s"$dir/index", Bm25Queries)
+      },
+      Some(Bm25Oracle)),
+
     // M79 hybrid retrieval: BM25 (M41) + exact-cosine kNN (M5) legs
     // fused by reciprocal-rank fusion (Cormack 2009, K=60). Per-rank
     // contributions are quantized to integer nano-units so the fused
@@ -2897,6 +2918,33 @@ object QueriesML {
       Some(IvfPqTrainedOracle.replace(
         "WHERE c.vec_id <> lut.query_id",
         "WHERE c.vec_id <> lut.query_id AND c.vec_id % 5 <> 3"))),
+
+    // UPSERT on the persisted ANN index (r19): the index is written
+    // over embeddings whose vec_id % 7 == 3 rows are NEGATED (disjoint
+    // from the % 7 == 0 training subset, so the trained codebooks and
+    // centroids are identical to the true corpus's), then the true
+    // vectors are upserted — visible copies tombstoned, rewritten away,
+    // re-encoded against the FROZEN books. Final state == an index over
+    // the true corpus, so the oracle is the trained chain verbatim.
+    Q("q_ivfpq_upsert",
+      (s, d) => {
+        val dir = TempDirs.create("ivfpqups")
+        val emb = embeddings(s, d)
+        val stale = emb.withColumn("embedding",
+          when(col("vec_id") % 7 === 3,
+            transform(col("embedding"), x => -x))
+            .otherwise(col("embedding")))
+        Similarity.ivfPqWriteIndexTrained(stale, s"$dir/index",
+          numFiles = 4, m = 8, dims = 64, ksub = 4, nlists = 4,
+          iters = 1, trainMod = 7)
+        Similarity.ivfPqUpsertIndex(s, s"$dir/index",
+          emb.where(col("vec_id") % 7 === 3), numFiles = 2,
+          m = 8, dims = 64)
+        Similarity.ivfPqSearchPersisted(s, s"$dir/index", emb,
+          nQueries = 20, k = 5, m = 8, dims = 64, centroidMod = 1,
+          nprobe = 2)
+      },
+      Some(IvfPqTrainedOracle)),
 
     // M70 ADC top-R + exact re-rank (the FAISS refine stage,
     // IndexRefineFlat): PQ buys the scan, raw vectors re-score the few

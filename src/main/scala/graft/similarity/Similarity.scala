@@ -1000,6 +1000,37 @@ object Similarity {
     n
   }
 
+  /** UPSERT: replace-or-insert `newVecs` by vec_id — the supported
+    * form of delete-then-re-add (the [[ivfPqAppendIndex]] pending-
+    * tombstone require's escape hatch, same shape as
+    * [[graft.text.Bm25.upsertIndex]]): ids present in the visible
+    * index are tombstoned (absent ids are NOT — a blind tombstone of a
+    * new id would mask its own append), the tombstones are applied
+    * physically and retired (optimize folds the tail, consolidate
+    * rewrites), then the batch appends against the frozen codebooks.
+    * A batch of purely-new ids skips the rewrite entirely. Cost
+    * honesty + single-maintenance-writer contract as the BM25 twin. */
+  def ivfPqUpsertIndex(
+      spark: SparkSession,
+      indexDir: String,
+      newVecs: DataFrame,
+      numFiles: Int,
+      m: Int = 8,
+      dims: Int = 64,
+      writerOptions: Map[String, String] = Map.empty): Unit = {
+    val victims = newVecs.select(col("vec_id").cast("long").as("vec_id"))
+      .join(graft.ops.Layout.clusteredTable(spark, s"$indexDir/codes")
+        .select(col("neighbor_id").as("vec_id")), Seq("vec_id"),
+        "left_semi")
+    if (victims.limit(1).count() > 0L) {
+      ivfPqDeleteIndex(spark, indexDir, victims)
+      ivfPqOptimizeIndex(spark, indexDir, numFiles,
+        writerOptions = writerOptions)
+      ivfPqConsolidateIndex(spark, indexDir, numFiles, writerOptions)
+    }
+    ivfPqAppendIndex(spark, indexDir, newVecs, m, dims)
+  }
+
   /** Immediately reclaim index files the manifests have retired (old
     * generations, compacted tail, applied tombstones) instead of
     * waiting one maintenance interval — [[graft.ops.Layout.vacuum]]

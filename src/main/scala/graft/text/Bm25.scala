@@ -420,6 +420,38 @@ object Bm25 {
     n
   }
 
+  /** UPSERT: replace-or-insert `docs` by doc_id — the operation the
+    * loud [[appendIndex]] pending-tombstone require converts from
+    * silent loss to a contract, made SUPPORTED: visible copies of the
+    * incoming ids are tombstoned, the tombstones are applied physically
+    * and retired (optimize folds any live tail so consolidate's
+    * retirement condition holds, then consolidate rewrites), and the
+    * new rows append — after which a search is bit-identical to an
+    * index over the corpus with those docs replaced (spec-pinned; the
+    * additive stats subtract the old rows and add the new, so N/avgdl
+    * stay exact through the swap).
+    *
+    * Cost honesty: a batch that actually replaces documents pays ONE
+    * full-index consolidate (the physical rewrite no tombstone design
+    * avoids) — batch upserts accordingly; a batch of purely-new ids
+    * skips the rewrite entirely (delete finds no victims, the append
+    * is the normal shuffle-free tail write). Single-maintenance-writer
+    * contract applies (this call runs maintenance passes). */
+  def upsertIndex(
+      spark: SparkSession,
+      dir: String,
+      docs: DataFrame,
+      numFiles: Int,
+      writerOptions: Map[String, String] = Map.empty): Unit = {
+    deleteIndex(spark, dir, docs.select("doc_id"))
+    if (graft.ops.Layout.pendingTombstoned(spark, s"$dir/docstats",
+      "doc_id", docs) > 0L) {
+      optimizeIndex(spark, dir, numFiles, writerOptions = writerOptions)
+      consolidateIndex(spark, dir, numFiles, writerOptions)
+    }
+    appendIndex(spark, dir, docs)
+  }
+
   /** [[search]] served from a persisted index — identical output (the
     * scoring tail is the same code over the same relations; gate
     * q_bm25_persisted shares q_bm25's oracle verbatim), but the corpus

@@ -106,6 +106,49 @@ class Bm25Spec extends SparkSpec {
       s"stats relation holds $statFiles files after consolidate+vacuum, want 1")
   }
 
+  test("upsertIndex: replaced docs serve the NEW text bit-identically " +
+    "to a rebuild; purely-new ids skip the physical rewrite") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.createDataFrame((0L until 40L).map(i =>
+      (i, s"alpha w${i % 7} beta w${i % 11}"))).toDF("doc_id", "text")
+    val stale = docs.withColumn("text",
+      when(col("doc_id") % 8 === 2, lit("stale row")).otherwise(col("text")))
+    val dir = java.nio.file.Files.createTempDirectory("bm25ups").toString
+    val queries = Seq((0, "alpha w3"), (1, "w10 beta"), (2, "stale"))
+    def res(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    Bm25.writeIndex(spark, stale, dir, numFiles = 3)
+    // replace the stale docs with their true text
+    Bm25.upsertIndex(spark, dir,
+      docs.where(col("doc_id") % 8 === 2), numFiles = 2)
+    assert(res(Bm25.searchPersisted(spark, dir, queries)) ==
+      res(Bm25.search(spark, docs, queries)),
+      "upserted index diverged from a rebuild over the true corpus")
+    // idempotence: upserting the same batch again is still the same
+    // corpus (delete subtracts what the previous upsert added, append
+    // re-adds it — stats stay exact)
+    Bm25.upsertIndex(spark, dir,
+      docs.where(col("doc_id") % 8 === 2), numFiles = 2)
+    assert(res(Bm25.searchPersisted(spark, dir, queries)) ==
+      res(Bm25.search(spark, docs, queries)))
+    // purely-new ids: no visible victims -> no tombstones -> no
+    // physical rewrite (the generation set is untouched; the batch
+    // lands in the tail like a plain append)
+    def gens(): Set[String] = Option(
+      new java.io.File(s"$dir/postings").listFiles())
+      .getOrElse(Array[java.io.File]())
+      .filter(f => f.isDirectory && f.getName.startsWith("gen-"))
+      .map(_.getName).toSet
+    val gensBefore = gens()
+    val extra = spark.createDataFrame(Seq((100L, "omega w3 alpha")))
+      .toDF("doc_id", "text")
+    Bm25.upsertIndex(spark, dir, extra, numFiles = 2)
+    assert(gens() == gensBefore,
+      "purely-new upsert triggered a physical rewrite")
+    assert(res(Bm25.searchPersisted(spark, dir, queries)) ==
+      res(Bm25.search(spark, docs.unionByName(extra), queries)))
+  }
+
   test("dedup append is not poisoned by its own writes: consecutive " +
     "overlapping dedupAgainstIndex batches keep stats exact") {
     import org.apache.spark.sql.functions._

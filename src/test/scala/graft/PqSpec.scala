@@ -730,6 +730,50 @@ class PqSpec extends SparkSpec {
     assert(baseline != afterDel, "fixture too weak: delete changed nothing")
   }
 
+  test("ivfPqUpsertIndex: replaced vectors re-encode against the frozen " +
+    "books == a rebuild over the true corpus; new ids skip the rewrite") {
+    import org.apache.spark.sql.functions._
+    // stale set disjoint from the trainMod=5 training subset (ids
+    // 0,5,...,60), so training over the stale corpus is identical to
+    // training over the true one and only the ENCODED rows differ
+    val staleIds = Seq(3L, 17L, 24L, 38L, 59L)
+    val stale = bigWithDup.withColumn("embedding",
+      when(col("vec_id").isin(staleIds: _*),
+        transform(col("embedding"), x => -x))
+        .otherwise(col("embedding")))
+    val dir = java.nio.file.Files.createTempDirectory("ivfpqups").toString
+    Similarity.ivfPqWriteIndexTrained(stale, s"$dir/index", numFiles = 3,
+      m = 2, dims = 4, ksub = 4, nlists = 3, iters = 1, trainMod = 5)
+    Similarity.ivfPqUpsertIndex(spark, s"$dir/index",
+      bigWithDup.where(col("vec_id").isin(staleIds: _*)), numFiles = 2,
+      m = 2, dims = 4)
+    val rebuildDir = java.nio.file.Files.createTempDirectory("ivfpqupsr").toString
+    Similarity.ivfPqWriteIndexTrained(bigWithDup, s"$rebuildDir/index",
+      numFiles = 3, m = 2, dims = 4, ksub = 4, nlists = 3, iters = 1,
+      trainMod = 5)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+      .toSet
+    assert(rows(Similarity.ivfPqSearchPersisted(spark, s"$dir/index",
+      bigWithDup, nQueries = 5, k = 4, m = 2, dims = 4, centroidMod = 1,
+      nprobe = 3)) ==
+      rows(Similarity.ivfPqSearchPersisted(spark, s"$rebuildDir/index",
+        bigWithDup, nQueries = 5, k = 4, m = 2, dims = 4, centroidMod = 1,
+        nprobe = 3)),
+      "upserted index diverged from a rebuild over the true corpus")
+    // purely-new ids skip the physical rewrite
+    def gens(): Set[String] = Option(
+      new java.io.File(s"$dir/index/codes").listFiles())
+      .getOrElse(Array[java.io.File]())
+      .filter(f => f.isDirectory && f.getName.startsWith("gen-"))
+      .map(_.getName).toSet
+    val before = gens()
+    Similarity.ivfPqUpsertIndex(spark, s"$dir/index",
+      spark.createDataFrame(Seq((200L, Seq(1f, 2f, 3f, 4f))))
+        .toDF("vec_id", "embedding"), numFiles = 2, m = 2, dims = 4)
+    assert(gens() == before, "purely-new upsert triggered a rewrite")
+  }
+
   test("ivfPqAppendIndex rejects vec_ids with PENDING tombstones " +
     "(delete-then-re-add requires a consolidate in between)") {
     import org.apache.spark.sql.functions._
