@@ -822,6 +822,38 @@ object Similarity {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
+  /** The persisted coarse-centroid relation, served from the driver
+    * metadata cache ([[graft.ops.ServingCache]]): collected once per
+    * (dir, lifecycle fingerprint), rebuilt as a local relation per call
+    * — a repeat search pays a directory listing, not a parquet job.
+    * Metadata-sized by construction (nlists rows). */
+  private def centsCached(spark: SparkSession, indexDir: String): DataFrame = {
+    val rows = graft.ops.ServingCache
+      .cached("cents", spark, s"$indexDir/cents") {
+        spark.read.parquet(s"$indexDir/cents").collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+          .toIndexedSeq
+      }
+    spark.createDataFrame(rows).toDF("list_id", "cv", "cn")
+  }
+
+  /** The persisted PQ codebook rows from the driver metadata cache —
+    * same contract as [[centsCached]]; the collect is bounded by the
+    * same 16M-cell require as [[ivfPqAppendIndex]]'s. */
+  private def bookRowsCached(
+      spark: SparkSession,
+      indexDir: String): IndexedSeq[(Long, Seq[Double])] =
+    graft.ops.ServingCache.cached("book", spark, s"$indexDir/book") {
+      spark.read.parquet(s"$indexDir/book").collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1))).toIndexedSeq
+    }
+
+  /** [[bookRowsCached]] as the (centroid_id, v) relation the LUT build
+    * consumes. */
+  private def bookDfCached(spark: SparkSession, indexDir: String): DataFrame =
+    spark.createDataFrame(bookRowsCached(spark, indexDir))
+      .toDF("centroid_id", "v")
+
   /** Build the FULLY-TRAINED persisted index — [[ivfPqWriteIndex]]'s
     * layout (codes clustered by list_id + metadata centroid/codebook
     * relations) with both halves trained at fixed size
@@ -914,8 +946,7 @@ object Similarity {
       dedupAgainstIndex: Boolean = false): Unit = {
     require(dims % m == 0, s"dims=$dims not divisible by m=$m")
     val subDim = dims / m
-    val bookRows = spark.read.parquet(s"$indexDir/book")
-      .collect().sortBy(_.getLong(0))
+    val bookRows = bookRowsCached(spark, indexDir).sortBy(_._1)
     require(bookRows.nonEmpty, s"no codebook at $indexDir/book")
     // same driver bound as pqEncode: a subset-writer book is
     // N/centroidMod rows (grows with the corpus) and this collect must
@@ -923,9 +954,9 @@ object Similarity {
     require(bookRows.length.toLong * dims <= (16L << 20),
       s"codebook ${bookRows.length}x$dims exceeds the driver bound; " +
         "raise centroidMod (or use the trained writer's fixed ksub)")
-    val ids = bookRows.map(_.getLong(0))
-    val books = bookRows.map(_.getSeq[Double](1).toArray)
-    val cents = spark.read.parquet(s"$indexDir/cents")
+    val ids = bookRows.map(_._1).toArray
+    val books = bookRows.map(_._2.toArray).toArray
+    val cents = centsCached(spark, indexDir)
     val pendingDel = graft.ops.Layout.pendingTombstoned(spark,
       s"$indexDir/codes", "neighbor_id",
       newVecs.select(col("vec_id").as("neighbor_id")))
@@ -1234,7 +1265,7 @@ object Similarity {
       excludeSelf: Boolean): DataFrame = {
     require(dims % m == 0, s"dims=$dims not divisible by m=$m")
     val subDim = dims / m
-    val cents = spark.read.parquet(s"$indexDir/cents")
+    val cents = centsCached(spark, indexDir)
     val probes = ivfProbesQ(qv, cents, nprobe)
     // the probed-list UNION, driver-collected: nQueries × nprobe longs.
     // isInCollection emits an In predicate the parquet source accepts,
@@ -1247,8 +1278,7 @@ object Similarity {
     val index = graft.ops.Layout.chunkedIn(spark,
       graft.ops.Layout.clusteredTable(spark, s"$indexDir/codes"),
       "list_id", probedLists)
-    val books = subspaceBooks(
-      spark.read.parquet(s"$indexDir/book"), m, subDim)
+    val books = subspaceBooks(bookDfCached(spark, indexDir), m, subDim)
     val probeLut = probes
       .join(adcLutFrom(qv, books, m, subDim, centroidMod), "query_id")
     val joined = index.join(broadcast(probeLut), Seq("list_id"))

@@ -479,13 +479,21 @@ object Bm25 {
     // a null, and unlike the other lifecycle misuse paths nothing else
     // would raise. The literal single-row relation is bit-identical to
     // the lazy aggregate it replaces (same longs, same IEEE division).
-    val statFileList = statsFiles(spark, dir)
-    require(statFileList.nonEmpty, s"no stats relation at $dir/stats - " +
-      "is this a writeIndex-built BM25 index directory?")
-    val statsRow = spark.read.parquet(statFileList.map(_.toString): _*)
-      .agg(coalesce(sum("n_docs"), lit(0L)), coalesce(sum("sum_dl"), lit(0L)))
-      .collect()(0)
-    val (nSum, dlSum) = (statsRow.getLong(0), statsRow.getLong(1))
+    // memoized per (dir, lifecycle fingerprint): a serving workload
+    // re-querying one index pays a directory listing, not a Spark job,
+    // per batch; any append/delete/consolidate changes the file set
+    // and reloads ([[graft.ops.ServingCache]])
+    val (nSum, dlSum) = graft.ops.ServingCache
+      .cached("bm25stats", spark, s"$dir/stats") {
+        val statFileList = statsFiles(spark, dir)
+        require(statFileList.nonEmpty, s"no stats relation at $dir/stats" +
+          " - is this a writeIndex-built BM25 index directory?")
+        val r = spark.read.parquet(statFileList.map(_.toString): _*)
+          .agg(coalesce(sum("n_docs"), lit(0L)),
+            coalesce(sum("sum_dl"), lit(0L)))
+          .collect()(0)
+        (r.getLong(0), r.getLong(1))
+      }
     require(nSum > 0L,
       s"BM25 index at $dir has net n_docs=$nSum - every document has " +
         "been deleted (or the stats relation is inconsistent); idf/avgdl " +
