@@ -33,13 +33,15 @@ object Bench {
     // (r11: 11 analysis-failed queries read as ~0.1s "improvements").
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val startMs = System.currentTimeMillis() - benchT0
+      BuildPhase.reset() // per-query build-vs-serve accounting
       val t0 = System.nanoTime()
       val err: Option[String] =
         try { fn(spark, sfDir).count(); None }
         catch { case t: Throwable => Some(t.getClass.getSimpleName) }
         finally Caching.release() // no cached blocks leak across queries
       val secs = (System.nanoTime() - t0) / 1e9
-      (name, if (err.isDefined) -1.0 else secs, startMs, err)
+      (name, if (err.isDefined) -1.0 else secs, startMs, err,
+        BuildPhase.taken())
     }
     hotTables.foreach(_.unpersist())
     // 3-decimal timings keep the JSON line compact: the harness that
@@ -47,12 +49,19 @@ object Bench {
     // the line improves the chance it survives intact.
     def d3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + d3(v) }
+    val qs = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + d3(v) }
       .mkString("{", ",", "}")
-    val starts = results.map { case (k, _, st, _) => "\"" + k + "\":" + st }
+    val starts = results.map { case (k, _, st, _, _) => "\"" + k + "\":" + st }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, _, Some(e)) =>
+    val errs = results.collect { case (k, _, _, Some(e), _) =>
       "\"" + k + "\":\"" + e + "\"" }.mkString("{", ",", "}")
+    // build-vs-serve split for the lifecycle gates: wall − build is the
+    // citable SERVE latency; the build half is one-time index
+    // construction the gate replays so Verify can hash the lifecycle
+    val builds = results.filter(r => r._5 > 0.0005 && r._4.isEmpty)
+      .map { case (k, _, _, _, b) => "\"" + k + "\":" + d3(b) }
+      .mkString("{", ",", "}")
+    val buildTotal = results.filter(_._4.isEmpty).map(_._5).sum
     val errCount = results.count(_._4.isDefined)
     val total = results.filter(_._4.isEmpty).map(_._2).sum
     // environment stamp: box contention (not plan regressions) explained
@@ -63,6 +72,8 @@ object Bench {
       s""""cpus":"$cpus","host_cores":${Runtime.getRuntime.availableProcessors},"load_avg":$loadAvg,"hot_cache":${hotTables.nonEmpty}"""
     val line =
       s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":$qs,""" +
+        s""""build_sec":$builds,"build_total":${d3(buildTotal)},""" +
+        s""""serve_total":${d3(total - buildTotal)},""" +
         s""""errors":$errs,"error_count":$errCount,"start_ms":$starts,$env,"sf":"$sfDir"}"""
     println(line)
     // Also persist the line to a file in the repo so per-query numbers
@@ -99,11 +110,12 @@ object Bench {
     // with sbt's trailing "[success]" (~70 chars) a complete JSON line is
     // guaranteed inside the tail. The full map stays in BENCH_LAST.json.
     val top = results.filter(_._4.isEmpty).sortBy(-_._2).take(20)
-    val qsTop = top.map { case (k, v, _, _) => "\"" + k + "\":" + d3(v) }
+    val qsTop = top.map { case (k, v, _, _, _) => "\"" + k + "\":" + d3(v) }
       .mkString("{", ",", "}")
     val compact =
       s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":$qsTop,""" +
         s""""queries_shown":${top.size},"queries_total":${results.size},""" +
+        s""""build_total":${d3(buildTotal)},"serve_total":${d3(total - buildTotal)},""" +
         s""""error_count":$errCount,""" +
         s""""queries_full":"BENCH_LAST.json","sf":"$sfDir"}"""
     println(compact)

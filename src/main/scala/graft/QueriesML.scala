@@ -1621,8 +1621,10 @@ object QueriesML {
     Q("q_bm25_persisted",
       (s, d) => {
         val dir = TempDirs.create("bm25idx")
-        graft.text.Bm25.writeIndex(s, documents(s, d), s"$dir/index",
-          numFiles = 4)
+        BuildPhase.timed {
+          graft.text.Bm25.writeIndex(s, documents(s, d), s"$dir/index",
+            numFiles = 4)
+        }
         graft.text.Bm25.searchPersisted(s, s"$dir/index", Bm25Queries)
       },
       Some(Bm25Oracle)),
@@ -1637,11 +1639,13 @@ object QueriesML {
       (s, d) => {
         val dir = TempDirs.create("bm25app")
         val docs = documents(s, d)
-        graft.text.Bm25.writeIndex(s, docs.where(col("doc_id") < 250),
-          s"$dir/index", numFiles = 4)
-        graft.text.Bm25.appendIndex(s, s"$dir/index",
-          docs.where(col("doc_id") >= 250))
-        graft.text.Bm25.optimizeIndex(s, s"$dir/index", numFiles = 2)
+        BuildPhase.timed {
+          graft.text.Bm25.writeIndex(s, docs.where(col("doc_id") < 250),
+            s"$dir/index", numFiles = 4)
+          graft.text.Bm25.appendIndex(s, s"$dir/index",
+            docs.where(col("doc_id") >= 250))
+          graft.text.Bm25.optimizeIndex(s, s"$dir/index", numFiles = 2)
+        }
         graft.text.Bm25.searchPersisted(s, s"$dir/index", Bm25Queries)
       },
       Some(Bm25Oracle)),
@@ -1657,10 +1661,12 @@ object QueriesML {
       (s, d) => {
         val dir = TempDirs.create("bm25del")
         val docs = documents(s, d)
-        graft.text.Bm25.writeIndex(s, docs, s"$dir/index", numFiles = 4)
-        graft.text.Bm25.deleteIndex(s, s"$dir/index",
-          docs.where(col("doc_id") % 7 === 2).select("doc_id"))
-        graft.text.Bm25.consolidateIndex(s, s"$dir/index", numFiles = 2)
+        BuildPhase.timed {
+          graft.text.Bm25.writeIndex(s, docs, s"$dir/index", numFiles = 4)
+          graft.text.Bm25.deleteIndex(s, s"$dir/index",
+            docs.where(col("doc_id") % 7 === 2).select("doc_id"))
+          graft.text.Bm25.consolidateIndex(s, s"$dir/index", numFiles = 2)
+        }
         graft.text.Bm25.searchPersisted(s, s"$dir/index", Bm25Queries)
       },
       Some(Bm25Oracle.replace(
@@ -1680,9 +1686,11 @@ object QueriesML {
         val stale = docs.withColumn("text",
           when(col("doc_id") % 9 === 4, lit("stale placeholder row"))
             .otherwise(col("text")))
-        graft.text.Bm25.writeIndex(s, stale, s"$dir/index", numFiles = 4)
-        graft.text.Bm25.upsertIndex(s, s"$dir/index",
-          docs.where(col("doc_id") % 9 === 4), numFiles = 2)
+        BuildPhase.timed {
+          graft.text.Bm25.writeIndex(s, stale, s"$dir/index", numFiles = 4)
+          graft.text.Bm25.upsertIndex(s, s"$dir/index",
+            docs.where(col("doc_id") % 9 === 4), numFiles = 2)
+        }
         graft.text.Bm25.searchPersisted(s, s"$dir/index", Bm25Queries)
       },
       Some(Bm25Oracle)),
@@ -1747,10 +1755,12 @@ object QueriesML {
       (s, d) => {
         val dir = TempDirs.create("hybidx")
         val emb = embeddings(s, d)
-        graft.text.Bm25.writeIndex(s, documents(s, d), s"$dir/bm25",
-          numFiles = 4)
-        Similarity.ivfPqWriteIndex(emb, s"$dir/ann", numFiles = 4,
-          m = 8, dims = 64, centroidMod = 97, coarseMod = 83)
+        BuildPhase.timed {
+          graft.text.Bm25.writeIndex(s, documents(s, d), s"$dir/bm25",
+            numFiles = 4)
+          Similarity.ivfPqWriteIndex(emb, s"$dir/ann", numFiles = 4,
+            m = 8, dims = 64, centroidMod = 97, coarseMod = 83)
+        }
         ops.RankFusion.hybridSearchPersisted(s, s"$dir/bm25", s"$dir/ann",
           Bm25Queries,
           emb.where(col("vec_id") < 4)
@@ -1769,11 +1779,13 @@ object QueriesML {
       (s, d) => {
         val dir = TempDirs.create("hybrr")
         val emb = embeddings(s, d)
-        graft.text.Bm25.writeIndex(s, documents(s, d), s"$dir/bm25",
-          numFiles = 4)
-        Similarity.ivfPqWriteIndex(emb, s"$dir/ann", numFiles = 4,
-          m = 8, dims = 64, centroidMod = 97, coarseMod = 83,
-          storeVecs = true)
+        BuildPhase.timed {
+          graft.text.Bm25.writeIndex(s, documents(s, d), s"$dir/bm25",
+            numFiles = 4)
+          Similarity.ivfPqWriteIndex(emb, s"$dir/ann", numFiles = 4,
+            m = 8, dims = 64, centroidMod = 97, coarseMod = 83,
+            storeVecs = true)
+        }
         ops.RankFusion.hybridSearchPersisted(s, s"$dir/bm25", s"$dir/ann",
           Bm25Queries,
           emb.where(col("vec_id") < 4)
@@ -2676,8 +2688,10 @@ object QueriesML {
     Q("q_ivfpq_persisted",
       (s, d) => {
         val dir = TempDirs.create("ivfpqidx")
-        Similarity.ivfPqWriteIndex(embeddings(s, d), s"$dir/index",
-          numFiles = 4, m = 8, dims = 64, centroidMod = 97, coarseMod = 83)
+        BuildPhase.timed {
+          Similarity.ivfPqWriteIndex(embeddings(s, d), s"$dir/index",
+            numFiles = 4, m = 8, dims = 64, centroidMod = 97, coarseMod = 83)
+        }
         Similarity.ivfPqSearchPersisted(s, s"$dir/index", embeddings(s, d),
           nQueries = 20, k = 5, m = 8, dims = 64, centroidMod = 97,
           nprobe = 2)
@@ -2841,9 +2855,11 @@ object QueriesML {
     Q("q_ivfpq_trained_persisted",
       (s, d) => {
         val dir = TempDirs.create("ivfpqtidx")
-        Similarity.ivfPqWriteIndexTrained(embeddings(s, d), s"$dir/index",
-          numFiles = 4, m = 8, dims = 64, ksub = 4, nlists = 4,
-          iters = 1, trainMod = 7)
+        BuildPhase.timed {
+          Similarity.ivfPqWriteIndexTrained(embeddings(s, d), s"$dir/index",
+            numFiles = 4, m = 8, dims = 64, ksub = 4, nlists = 4,
+            iters = 1, trainMod = 7)
+        }
         Similarity.ivfPqSearchPersisted(s, s"$dir/index", embeddings(s, d),
           nQueries = 20, k = 5, m = 8, dims = 64, centroidMod = 1,
           nprobe = 2)
@@ -2862,12 +2878,14 @@ object QueriesML {
       (s, d) => {
         val dir = TempDirs.create("ivfpqapp")
         val emb = embeddings(s, d)
-        Similarity.ivfPqWriteIndexTrained(emb.where(col("vec_id") < 400),
-          s"$dir/index", numFiles = 4, m = 8, dims = 64, ksub = 4,
-          nlists = 4, iters = 1, trainMod = 7)
-        Similarity.ivfPqAppendIndex(s, s"$dir/index",
-          emb.where(col("vec_id") >= 400), m = 8, dims = 64)
-        Similarity.ivfPqOptimizeIndex(s, s"$dir/index", numFiles = 2)
+        BuildPhase.timed {
+          Similarity.ivfPqWriteIndexTrained(emb.where(col("vec_id") < 400),
+            s"$dir/index", numFiles = 4, m = 8, dims = 64, ksub = 4,
+            nlists = 4, iters = 1, trainMod = 7)
+          Similarity.ivfPqAppendIndex(s, s"$dir/index",
+            emb.where(col("vec_id") >= 400), m = 8, dims = 64)
+          Similarity.ivfPqOptimizeIndex(s, s"$dir/index", numFiles = 2)
+        }
         Similarity.ivfPqSearchPersisted(s, s"$dir/index", emb,
           nQueries = 20, k = 5, m = 8, dims = 64, centroidMod = 1,
           nprobe = 2)
@@ -2885,9 +2903,11 @@ object QueriesML {
       (s, d) => {
         val dir = TempDirs.create("ivfpqq")
         val emb = embeddings(s, d)
-        Similarity.ivfPqWriteIndexTrained(emb, s"$dir/index",
-          numFiles = 4, m = 8, dims = 64, ksub = 4, nlists = 4,
-          iters = 1, trainMod = 7)
+        BuildPhase.timed {
+          Similarity.ivfPqWriteIndexTrained(emb, s"$dir/index",
+            numFiles = 4, m = 8, dims = 64, ksub = 4, nlists = 4,
+            iters = 1, trainMod = 7)
+        }
         Similarity.ivfPqSearchPersistedQ(s, s"$dir/index",
           emb.where(col("vec_id") < 20)
             .select(col("vec_id").as("query_id"), col("embedding")),
@@ -2905,12 +2925,14 @@ object QueriesML {
       (s, d) => {
         val dir = TempDirs.create("ivfpqdel")
         val emb = embeddings(s, d)
-        Similarity.ivfPqWriteIndexTrained(emb, s"$dir/index",
-          numFiles = 4, m = 8, dims = 64, ksub = 4, nlists = 4,
-          iters = 1, trainMod = 7)
-        Similarity.ivfPqDeleteIndex(s, s"$dir/index",
-          emb.where(col("vec_id") % 5 === 3).select(col("vec_id")))
-        Similarity.ivfPqConsolidateIndex(s, s"$dir/index", numFiles = 2)
+        BuildPhase.timed {
+          Similarity.ivfPqWriteIndexTrained(emb, s"$dir/index",
+            numFiles = 4, m = 8, dims = 64, ksub = 4, nlists = 4,
+            iters = 1, trainMod = 7)
+          Similarity.ivfPqDeleteIndex(s, s"$dir/index",
+            emb.where(col("vec_id") % 5 === 3).select(col("vec_id")))
+          Similarity.ivfPqConsolidateIndex(s, s"$dir/index", numFiles = 2)
+        }
         Similarity.ivfPqSearchPersisted(s, s"$dir/index", emb,
           nQueries = 20, k = 5, m = 8, dims = 64, centroidMod = 1,
           nprobe = 2)
@@ -2934,12 +2956,14 @@ object QueriesML {
           when(col("vec_id") % 7 === 3,
             transform(col("embedding"), x => -x))
             .otherwise(col("embedding")))
-        Similarity.ivfPqWriteIndexTrained(stale, s"$dir/index",
-          numFiles = 4, m = 8, dims = 64, ksub = 4, nlists = 4,
-          iters = 1, trainMod = 7)
-        Similarity.ivfPqUpsertIndex(s, s"$dir/index",
-          emb.where(col("vec_id") % 7 === 3), numFiles = 2,
-          m = 8, dims = 64)
+        BuildPhase.timed {
+          Similarity.ivfPqWriteIndexTrained(stale, s"$dir/index",
+            numFiles = 4, m = 8, dims = 64, ksub = 4, nlists = 4,
+            iters = 1, trainMod = 7)
+          Similarity.ivfPqUpsertIndex(s, s"$dir/index",
+            emb.where(col("vec_id") % 7 === 3), numFiles = 2,
+            m = 8, dims = 64)
+        }
         Similarity.ivfPqSearchPersisted(s, s"$dir/index", emb,
           nQueries = 20, k = 5, m = 8, dims = 64, centroidMod = 1,
           nprobe = 2)
@@ -2970,9 +2994,11 @@ object QueriesML {
       (s, d) => {
         val dir = TempDirs.create("ivfpqrr")
         val emb = embeddings(s, d)
-        Similarity.ivfPqWriteIndex(emb, s"$dir/index", numFiles = 4,
-          m = 8, dims = 64, centroidMod = 97, coarseMod = 83,
-          storeVecs = true)
+        BuildPhase.timed {
+          Similarity.ivfPqWriteIndex(emb, s"$dir/index", numFiles = 4,
+            m = 8, dims = 64, centroidMod = 97, coarseMod = 83,
+            storeVecs = true)
+        }
         Similarity.ivfPqRerankPersistedQ(s, s"$dir/index",
           emb.where(col("vec_id") < 20)
             .select(col("vec_id").as("query_id"), col("embedding")),

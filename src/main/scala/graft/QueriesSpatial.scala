@@ -671,12 +671,14 @@ object QueriesSpatial {
         val ix = col("cell_id") / lit(64L) cast "long"
         val iy = col("cell_id") % 64
         val base = emissions(s, d)
-        Layout.zorderWrite(
-          base.where(col("cell_id") < 2048), ix, iy, 4, dir)
-        Layout.zorderAppend(base.where(col("cell_id") >= 2048), ix, iy, dir)
-        Layout.zorderDelete(s, dir, "cell_id",
-          base.where(col("cell_id") % 9 === 4).select("cell_id").distinct())
-        Layout.zorderConsolidate(s, dir, 2)
+        BuildPhase.timed {
+          Layout.zorderWrite(
+            base.where(col("cell_id") < 2048), ix, iy, 4, dir)
+          Layout.zorderAppend(base.where(col("cell_id") >= 2048), ix, iy, dir)
+          Layout.zorderDelete(s, dir, "cell_id",
+            base.where(col("cell_id") % 9 === 4).select("cell_id").distinct())
+          Layout.zorderConsolidate(s, dir, 2)
+        }
         val ranges = Layout.zRangesForBox(13, 47, 9, 52, bits = 6,
           maxRanges = 12)
         val rix = col("cell_id") / lit(64L) cast "long"
