@@ -939,7 +939,11 @@ object ScaleBenchEntries {
       val commits = new java.io.File(s"$ckpt/commits")
       val last = Option(commits.listFiles()).getOrElse(Array())
         .filter(_.getName.matches("\\d+")).maxBy(_.getName.toInt)
-      require(last.delete(), s"B49 could not delete commit ${last}")
+      // the local ChecksumFileSystem keeps a .N.crc sidecar; leaving it
+      // behind makes the restart's re-commit rename fail spuriously
+      val crc = new java.io.File(commits, s".${last.getName}.crc")
+      require(last.delete(), s"B49 could not delete commit $last")
+      if (crc.exists()) crc.delete()
     }
 
     // ---- leg 1: BM25 ----

@@ -428,6 +428,60 @@ object Layout {
       .reduce(_.unionByName(_))
   }
 
+  /** Merge sorted distinct long keys into ≤ `maxRanges` inclusive
+    * intervals — consecutive keys coalesce for free, then the smallest
+    * inter-range gaps are swallowed until the budget holds (the
+    * [[zRangesForBox]] cap idea on a 1-D key set). The result COVERS
+    * the input (a superset — swallowed gaps admit extra keys, never
+    * drop one). */
+  def mergeRanges(
+      sortedKeys: Seq[Long], maxRanges: Int): Seq[(Long, Long)] = {
+    require(sortedKeys.nonEmpty && maxRanges >= 1, "empty keys or budget")
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    sortedKeys.foreach { v =>
+      if (buf.nonEmpty && buf.last._2 + 1 >= v)
+        buf(buf.length - 1) = (buf.last._1, math.max(buf.last._2, v))
+      else buf += ((v, v))
+    }
+    var ranges = buf.toVector
+    if (ranges.length > maxRanges) {
+      val keep = ranges.sliding(2).map { case Vector(a, b) => b._1 - a._2 }
+        .toVector.zipWithIndex.sortBy(-_._1).take(maxRanges - 1)
+        .map(_._2).toSet
+      val out = scala.collection.mutable.ArrayBuffer(ranges.head)
+      for (i <- 1 until ranges.length) {
+        if (keep.contains(i - 1)) out += ranges(i)
+        else out(out.length - 1) = (out.last._1, ranges(i)._2)
+      }
+      ranges = out.toVector
+    }
+    ranges
+  }
+
+  /** `base` filtered to a SUPERSET cover of `column IN sortedKeys` as
+    * ONE scan: an OR-of-BETWEEN over ≤ `maxRanges` merged key ranges —
+    * the predicate shape parquet row-group pruning evaluates from
+    * footer min/max without decoding, with plan size O(maxRanges)
+    * regardless of key count. The complement of [[chunkedIn]] for the
+    * HIGH-key-count regime: a chunked IN stays exact but its union
+    * plan grows as O(keys / threshold), so a caller probing tens of
+    * thousands of keys pays plan build/compile cost linear in probes;
+    * the cover holds the plan constant and lets a downstream EXACT
+    * membership step (an equi-join against the broadcast key relation
+    * — which the IVF+PQ probe join already is) drop the admitted
+    * extras. Callers without an exact downstream filter must add one.
+    * On a relation CLUSTERED by `column`, swallowed gaps admit only
+    * row groups adjacent to probed ranges, so bytes read stay close to
+    * the probed fraction for clustered or moderately-dense key sets. */
+  def rangeCoverScan(
+      spark: org.apache.spark.sql.SparkSession,
+      base: DataFrame, column: String,
+      sortedKeys: Seq[Long], maxRanges: Int = 64): DataFrame = {
+    val ranges = mergeRanges(sortedKeys, maxRanges)
+    base.where(ranges.map { case (lo, hi) =>
+      col(column).between(lo, hi) }.reduce(_ || _))
+  }
+
   /** Count of `incoming` keys still PENDING in `dir`'s tombstone
     * relation (0 when none exist). Appending such a key is the silent
     * permanent-loss path: every reader masks the new row, and the next

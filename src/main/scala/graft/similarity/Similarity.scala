@@ -816,6 +816,14 @@ object Similarity {
     graft.ops.Layout.sealInitial(embeddings.sparkSession, s"$dir/vecs")
   }
 
+  /** Chunk budget for the probed-list scan: up to this many
+    * ≤-threshold IN chunks stay exact-at-the-scan; past it the plan
+    * switches to the O(1)-size range-cover scan. 16 chunks × the
+    * default threshold 10 ≈ 160 probed lists — far above any tested
+    * workload (nprobe ≤ 16 × 10 queries), so the cover path is purely
+    * the asymptotic safety net. */
+  private val MaxInChunks = 16
+
   /** True when the index at `dir` carries the refine relation. */
   private def hasVecs(spark: SparkSession, dir: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/vecs")
@@ -1275,9 +1283,24 @@ object Similarity {
       .collect().map(_.getLong(0)).toIndexedSeq.sorted
     require(probedLists.nonEmpty,
       "no probed lists - is the query relation empty?")
-    val index = graft.ops.Layout.chunkedIn(spark,
-      graft.ops.Layout.clusteredTable(spark, s"$indexDir/codes"),
-      "list_id", probedLists)
+    // plan-size bound (r19): the chunked IN is exact at the scan but
+    // its union grows O(probes / threshold) — a workload probing tens
+    // of thousands of lists would build a hundred-scan plan. Above a
+    // fixed chunk budget, switch to ONE scan under an OR-of-BETWEEN
+    // cover of ≤ 64 merged list ranges: a SUPERSET is safe here
+    // because the broadcast probe equi-join below is the exact
+    // membership filter — admitted extras cost scan rows (adjacent
+    // row groups on the list-clustered layout), never wrong results.
+    // PlanSpec pins both regimes and their equality.
+    val threshold = math.max(1, spark.conf
+      .get("spark.sql.parquet.pushdown.inFilterThreshold", "10").toInt)
+    val table = graft.ops.Layout.clusteredTable(spark, s"$indexDir/codes")
+    val index =
+      if (probedLists.length <= threshold * MaxInChunks)
+        graft.ops.Layout.chunkedIn(spark, table, "list_id", probedLists)
+      else
+        graft.ops.Layout.rangeCoverScan(spark, table, "list_id",
+          probedLists)
     val books = subspaceBooks(bookDfCached(spark, indexDir), m, subDim)
     val probeLut = probes
       .join(adcLutFrom(qv, books, m, subDim, centroidMod), "query_id")

@@ -394,6 +394,25 @@ class LayoutSpec extends SparkSpec {
     assert(Layout.zorderTable(spark, dir).count() == 1200L)
   }
 
+  test("mergeRanges: covers every key, respects the budget, merges " +
+    "consecutive runs for free") {
+    val keys = Seq(1L, 2L, 3L, 7L, 8L, 20L, 21L, 22L, 40L, 90L, 91L)
+    val free = Layout.mergeRanges(keys, maxRanges = 100)
+    assert(free == Seq((1L, 3L), (7L, 8L), (20L, 22L), (40L, 40L), (90L, 91L)))
+    val capped = Layout.mergeRanges(keys, maxRanges = 3)
+    assert(capped.length <= 3)
+    // superset: every key inside some range; ranges ascending disjoint
+    keys.foreach(k => assert(capped.exists { case (lo, hi) =>
+      lo <= k && k <= hi }, s"key $k lost by the cap"))
+    capped.sliding(2).foreach {
+      case Seq(a, b) => assert(a._2 < b._1, s"$a $b overlap")
+      case _ =>
+    }
+    // the cap swallows the SMALLEST gaps first: the 90-91 run (gap 50)
+    // and 40 (gap 18) survive as separate ranges
+    assert(capped == Seq((1L, 22L), (40L, 40L), (90L, 91L)))
+  }
+
   // --- M72 bloom-filter point-lookup layout -----------------------------
 
   test("bloomLayout: point lookup scans a fraction of the row groups, same rows") {

@@ -365,6 +365,39 @@ class PlanSpec extends SparkSpec {
       // and the probed fraction is what is READ, not the whole index
       assert(chunkedScanned <= 2000L,
         s"chunked scan read $chunkedScanned of 4000 rows - not pruning")
+
+      // the O(1)-PLAN regime (r19): past 16 chunks' worth of probed
+      // lists the union would grow linearly with the probe count, so
+      // the scan switches to ONE range-cover scan — a superset predicate
+      // made exact by the broadcast probe equi-join. threshold=2 puts
+      // the ~40 probed lists at > 2×16, forcing the cover path.
+      spark.conf.set(key, "2")
+      val covered = search()
+      val coveredRows = covered.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(coveredRows == idealRows,
+        "range-cover scan changed the candidate relation")
+      val coverPlan = covered.queryExecution.executedPlan.toString
+      assert(!coverPlan.contains("Union"),
+        s"cover regime still built a chunk union:\n$coverPlan")
+      // count actual scan NODES (the AQE plan string prints the same
+      // scan in both its Initial and Final sections)
+      def scanNodes(plan: SparkPlan): Seq[FileSourceScanExec] = plan match {
+        case a: AdaptiveSparkPlanExec => scanNodes(a.executedPlan)
+        case q: QueryStageExec => scanNodes(q.plan)
+        case s: FileSourceScanExec => Seq(s)
+        case other => other.children.flatMap(scanNodes)
+      }
+      val coverScanNodes = scanNodes(covered.queryExecution.executedPlan)
+        .filter(_.toString.contains("codes"))
+      assert(coverScanNodes.length == 1,
+        s"cover regime built ${coverScanNodes.length} codes scans, " +
+          s"want 1:\n$coverPlan")
+      // the range cover is PUSHED to the source (the display string
+      // truncates long filter lists, so read the scan's metadata)
+      val pushed = coverScanNodes.head.metadata.getOrElse("PushedFilters", "")
+      assert(pushed.contains("GreaterThanOrEqual(list_id"),
+        s"no pushed range predicate on list_id: $pushed")
     } finally spark.conf.set(key, prior)
   }
 
