@@ -844,6 +844,22 @@ object ScaleBenchEntries {
     require(persistedRows == inPlanRows,
       "B48 persisted scores diverge from the in-plan search - the shared " +
         "scoring tail is not shared")
+    // serving-cache REQUIRE (r19): a REPEAT search of the unchanged
+    // index must serve its stats from the driver cache — checked by
+    // the cache's own hit counter (deterministic, unlike a wall-clock
+    // delta on a contended box), with the repeat wall time recorded
+    val (h0, _) = graft.ops.ServingCache.stats()
+    var b48rep = 0L
+    val (b48ps2, _) = time {
+      b48rep = graft.text.Bm25
+        .searchPersisted(spark, s"$dir/bm25", queries, topK = 10)
+        .where(col("rank") === 1).count()
+      b48rep
+    }
+    require(b48rep == 100L, s"B48 repeat search returned $b48rep rank-1 rows")
+    val (h1, _) = graft.ops.ServingCache.stats()
+    require(h1 > h0,
+      s"B48 repeat search did not hit the serving cache (hits $h0 -> $h1)")
     val (b48ss, b48scanned) = time {
       val probe = graft.text.Bm25
         .searchPersisted(spark, s"$dir/bm25", queries, topK = 10)
@@ -902,6 +918,7 @@ object ScaleBenchEntries {
     Caching.release()
     s""""b48_inplan_search_sec":$b48ips,"b48_index_write_sec":$b48ws,""" +
       s""""b48_postings_rows":$b48wn,"b48_persisted_search_sec":$b48ps,""" +
+      s""""b48_repeat_search_sec":$b48ps2,""" +
       s""""b48_recall_top1":$b48top1,"b48_scan_rows":$b48scanned,""" +
       s""""b48_scan_frac":${"%.4f".format(b48scanned.toDouble / 5000500L)},""" +
       s""""b48_scan_count_sec":$b48ss,"b48_ann_write_sec":$b48aws,""" +

@@ -24,6 +24,13 @@ object ServingCache {
 
   private val map =
     new java.util.concurrent.ConcurrentHashMap[(String, String), (String, Any)]()
+  private val hitCount = new java.util.concurrent.atomic.AtomicLong()
+  private val missCount = new java.util.concurrent.atomic.AtomicLong()
+
+  /** (hits, misses) since the last [[invalidate]] — lets benches/specs
+    * REQUIRE that a repeat search actually served from the cache
+    * instead of inferring it from noisy wall-clock deltas. */
+  def stats(): (Long, Long) = (hitCount.get(), missCount.get())
 
   /** The lifecycle fingerprint of `dir` — recursive sorted
     * (path, len, mtime) digest; "absent" when the dir does not exist. */
@@ -52,14 +59,22 @@ object ServingCache {
     val fp = fingerprint(spark, dir)
     val key = (kind, dir)
     val cur = map.get(key)
-    if (cur != null && cur._1 == fp) cur._2.asInstanceOf[T]
-    else {
+    if (cur != null && cur._1 == fp) {
+      hitCount.incrementAndGet()
+      cur._2.asInstanceOf[T]
+    } else {
+      missCount.incrementAndGet()
       val v = load
       map.put(key, (fp, v))
       v
     }
   }
 
-  /** Drop every entry (tests; or a session serving untrusted dirs). */
-  def invalidate(): Unit = map.clear()
+  /** Drop every entry and zero the counters (tests; or a session
+    * serving untrusted dirs). */
+  def invalidate(): Unit = {
+    map.clear()
+    hitCount.set(0L)
+    missCount.set(0L)
+  }
 }
