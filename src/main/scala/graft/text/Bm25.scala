@@ -243,8 +243,13 @@ object Bm25 {
     // silently deduping the batch against itself (stats row = 0).
     // localCheckpoint is an eager, lineage-free snapshot: evaluated
     // ONCE (also fixing the triple tokenize/join evaluation), immune
-    // to the refresh, bounded by the ingest batch size.
-    val incoming = incoming0.localCheckpoint()
+    // to the refresh, bounded by the ingest batch size. Fanned out to
+    // the session's parallelism first: a streaming micro-batch arrives
+    // as one file/partition and the snapshot would pin the tokenize
+    // explode to one core (the ANN append's measured pathology).
+    val par = spark.sparkContext.defaultParallelism
+    val incoming = (if (incoming0.rdd.getNumPartitions >= par) incoming0
+      else incoming0.repartition(par)).localCheckpoint()
     postingsOf(incoming, None)
       .select(col("term"), col("doc_id"), col("dl"), col("tf"))
       .write.mode("append").parquet(s"$dir/postings/tail")
