@@ -487,6 +487,43 @@ class StreamingSpec extends SparkSpec {
       "bootstrapped streamed index must equal the batch rebuild")
   }
 
+  test("annIndexIngest keeps a refine-enabled index's vecs relation in " +
+    "lockstep: a streamed vector is exact-rerankable at cos 1.0") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("anningv").toString
+    def vec(i: Long): Seq[Float] =
+      (0 until 4).map(d => ((i % 7) * 3 + d + 1).toFloat)
+    val base = spark.createDataFrame((0L until 30L).map(i => (i, vec(i))))
+      .toDF("vec_id", "embedding")
+    graft.similarity.Similarity.ivfPqWriteIndexTrained(base, s"$dir/index",
+      numFiles = 2, m = 2, dims = 4, ksub = 4, nlists = 2, iters = 1,
+      trainMod = 3, storeVecs = true)
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingOps.annIndexIngest(
+      mem.toDF().toDF("vec_id", "embedding"), s"$dir/index", s"$dir/ckpt",
+      m = 2, dims = 4)
+    try {
+      mem.addData((30L until 40L).map(i => (i, vec(i))): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // the streamed rows landed in BOTH lifecycle relations
+    assert(graft.ops.Layout.clusteredTable(spark, s"$dir/index/vecs")
+      .where(col("vec_id") >= 30L).count() == 10L,
+      "streamed vectors missing from the refine relation")
+    // and the refine path can exact-rerank a streamed candidate: query
+    // with vec(37)'s vector — its streamed copy must surface at
+    // cos_sim 1.0 through the persisted rerank (which reads raw
+    // vectors ONLY from dir/vecs)
+    val out = graft.similarity.Similarity.ivfPqRerankPersistedQ(spark,
+      s"$dir/index",
+      spark.createDataFrame(Seq((900L, vec(37L)))).toDF("query_id", "embedding"),
+      k = 30, rerankR = 40, m = 2, dims = 4, centroidMod = 1, nprobe = 2)
+      .collect().map(r => (r.getLong(1), r.getDouble(3)))
+    assert(out.exists { case (n, c) => n == 37L && c == 1.0 },
+      s"streamed vec 37 not exact-reranked to cos 1.0: ${out.mkString(",")}")
+  }
+
   test("annIndexIngest streams vectors into the persisted IVF+PQ index; " +
     "appended vectors are searchable; replays are idempotent") {
     import spark.implicits._
