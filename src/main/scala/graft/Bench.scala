@@ -35,11 +35,16 @@ object Bench {
       val startMs = System.currentTimeMillis() - benchT0
       BuildPhase.reset() // per-query build-vs-serve accounting
       val t0 = System.nanoTime()
+      var t1 = t0
+      // the timed window closes BEFORE the finally: Caching.release()
+      // also purges the gate's temp index dirs (TempDirs), and that
+      // cleanup I/O must not land in the wall/serve numbers
       val err: Option[String] =
-        try { fn(spark, sfDir).count(); None }
-        catch { case t: Throwable => Some(t.getClass.getSimpleName) }
+        try { fn(spark, sfDir).count(); t1 = System.nanoTime(); None }
+        catch { case t: Throwable =>
+          t1 = System.nanoTime(); Some(t.getClass.getSimpleName) }
         finally Caching.release() // no cached blocks leak across queries
-      val secs = (System.nanoTime() - t0) / 1e9
+      val secs = (t1 - t0) / 1e9
       (name, if (err.isDefined) -1.0 else secs, startMs, err,
         BuildPhase.taken())
     }

@@ -61,11 +61,8 @@ object ScaleBench {
       (best, n)
     }
 
-    def deleteRecursive(p: java.nio.file.Path): Unit = {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.deleteIfExists(_))
-    }
+    def deleteRecursive(p: java.nio.file.Path): Unit =
+      TempDirs.deleteRecursive(p)
 
     spark.range(1000000).agg(sum("id")).collect() // warmup
 
@@ -384,13 +381,10 @@ object ScaleBench {
     // metastore entry — DROP is then a no-op and saveAsTable fails with
     // LOCATION_ALREADY_EXISTS. Clear the directories directly.
     locally {
-      def rmrf(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmrf))
-        f.delete(); ()
-      }
       val wh = new java.net.URI(
         spark.conf.get("spark.sql.warehouse.dir")).getPath
-      Seq("b14_fact", "b14_w").foreach(t => rmrf(new java.io.File(wh, t)))
+      Seq("b14_fact", "b14_w").foreach(t =>
+        TempDirs.deleteRecursive(new java.io.File(wh, t).toPath))
     }
     val (b14ws, b14wn) = time {
       graft.ops.Bucketing.writeBucketed(emi, "b14_fact", "cell_id")

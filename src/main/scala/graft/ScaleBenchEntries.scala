@@ -45,11 +45,8 @@ object ScaleBenchEntries {
     ((System.nanoTime() - t0) / 1e9, n)
   }
 
-  private def deleteRecursive(p: java.nio.file.Path): Unit = {
-    import scala.jdk.CollectionConverters._
-    java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-      .foreach(java.nio.file.Files.deleteIfExists(_))
-  }
+  private def deleteRecursive(p: java.nio.file.Path): Unit =
+    TempDirs.deleteRecursive(p)
 
   /** The B40 planted-duplicate corpus: 1,000,100 32-dim vectors, ids
     * ≥ 1M duplicating vector (id − 1M) — so query q's true nearest

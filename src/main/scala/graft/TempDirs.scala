@@ -36,7 +36,10 @@ object TempDirs {
     }
   }
 
-  private def deleteRecursive(p: java.nio.file.Path): Unit = {
+  /** Recursive delete (missing entries ignored) — the ONE shared copy;
+    * the bench mains delegate here instead of hand-rolling drifting
+    * variants. Does not follow symlinks. */
+  def deleteRecursive(p: java.nio.file.Path): Unit = {
     if (java.nio.file.Files.isDirectory(p,
       java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
       val s = java.nio.file.Files.list(p)

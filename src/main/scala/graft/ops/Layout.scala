@@ -357,15 +357,21 @@ object Layout {
     * writers ([[zorderWrite]], the index writers) right after gen-0
     * lands, so every later maintenance pass is manifest-governed (the
     * closed-race regime) from birth instead of from the first
-    * optimize. Idempotent in effect: committing over an existing
-    * manifest just re-seals the current live set. */
+    * optimize. Safe to re-invoke on a manifest-governed table: the
+    * live gen set and the existing tombstone/tail RETIREMENTS are
+    * preserved (dropping the exclusion sets would resurrect compacted
+    * tail files and retired tombstones for every reader). */
   def sealInitial(
       spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
     val dirPath = new org.apache.hadoop.fs.Path(dir)
     val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val prior = TableManifest.latest(fs, dirPath)
     val gens = generations(fs, dirPath).sorted.map(g => s"gen-$g")
     TableManifest.commit(fs, dirPath, TableManifest.Snapshot(
-      0, Some(gens), Set.empty, Set.empty, Seq.empty, Set.empty))
+      0, Some(gens),
+      prior.map(_.xdel).getOrElse(Set.empty),
+      prior.map(_.xtail).getOrElse(Set.empty),
+      Seq.empty, Set.empty))
   }
 
   /** `names` restricted to files still present in `dir/<sub>` — keeps

@@ -64,6 +64,18 @@ object ServingCache {
       cur._2.asInstanceOf[T]
     } else {
       missCount.incrementAndGet()
+      // a session serving many short-lived indexes (every Bench rep of
+      // every lifecycle gate creates one) must not accumulate dead
+      // codebooks: once the map outgrows a small bound, drop entries
+      // whose directory no longer exists — their fingerprint can never
+      // match again
+      if (map.size > 64) {
+        val it = map.keySet.iterator()
+        while (it.hasNext) {
+          val k = it.next()
+          if (fingerprint(spark, k._2) == "absent") it.remove()
+        }
+      }
       val v = load
       map.put(key, (fp, v))
       v

@@ -972,23 +972,36 @@ object Similarity {
       s"$pendingDel incoming vec_ids have PENDING tombstones - appending " +
         "them would be silently masked and dropped at the next compaction; " +
         "run ivfPqConsolidateIndex first (delete-then-re-add contract)")
-    val incoming0 =
-      if (!dedupAgainstIndex) newVecs
-      else newVecs.join(
-        graft.ops.Layout.clusteredTable(spark, s"$indexDir/codes")
-          .select(col("neighbor_id").as("vec_id")),
-        Seq("vec_id"), "left_anti")
     // fan the BATCH out to the session's parallelism before the heavy
     // encode/assign work: a streaming micro-batch arrives as ONE file
     // (one partition), and the nlists-way assign crossJoin inherits
     // that — measured 19 min for 10 × 90k-vector batches at nlists
     // 1024 on 32 cores, all on one core. Repartitioning the NEW rows
     // only (a batch-scale shuffle) keeps the no-shuffle-of-existing-
-    // data ingest contract intact.
+    // data ingest contract intact. localCheckpoint: the batch feeds up
+    // to TWO relation appends below (codes + vecs) — snapshot once
+    // instead of re-running the source per write (the Bm25.appendIndex
+    // idiom, minus its self-read hazard which the per-relation dedup
+    // joins below reintroduce: they READ the tables being written, so
+    // they too must be resolved against the snapshot).
     val par = spark.sparkContext.defaultParallelism
-    val incoming =
-      if (incoming0.rdd.getNumPartitions >= par) incoming0
-      else incoming0.repartition(par)
+    val batch =
+      (if (newVecs.rdd.getNumPartitions >= par) newVecs
+      else newVecs.repartition(par)).localCheckpoint()
+    // dedup is PER RELATION, each against its OWN visible table — NOT
+    // one shared filter from the codes side: a crash between the two
+    // appends leaves codes ahead of vecs, and a codes-derived dedup
+    // would make the replayed batch a no-op for BOTH relations,
+    // permanently desyncing the refine relation (the re-rank inner
+    // join would then silently drop those candidates). Independent
+    // anti-joins make each relation converge under at-least-once
+    // replay regardless of where the crash fell.
+    def deduped(sub: String, idCol: String): DataFrame =
+      if (!dedupAgainstIndex) batch
+      else graft.ops.Layout.clusteredTableIfAny(spark, s"$indexDir/$sub")
+        .fold(batch)(vis => batch.join(
+          vis.select(col(idCol).as("vec_id")), Seq("vec_id"), "left_anti"))
+    val incoming = deduped("codes", "neighbor_id")
     val assign = trainedAssign(
       incoming.select(col("vec_id"), quantize(col("embedding")).as("v")),
       cents)
@@ -1002,9 +1015,17 @@ object Similarity {
     // a refine-enabled index keeps its raw-vector relation in lockstep
     // (same ids, same lifecycle) — the re-rank stage must be able to
     // fetch any candidate the codes relation can surface
-    if (hasVecs(spark, indexDir))
-      incoming.select(col("vec_id"), quantize(col("embedding")).as("v"))
+    if (hasVecs(spark, indexDir)) {
+      val pendingVecs = graft.ops.Layout.pendingTombstoned(spark,
+        s"$indexDir/vecs", "vec_id", batch.select("vec_id"))
+      require(pendingVecs == 0L,
+        s"$pendingVecs incoming vec_ids have PENDING tombstones in the " +
+          "vecs refine relation - run ivfPqConsolidateIndex first " +
+          "(delete-then-re-add contract)")
+      deduped("vecs", "vec_id")
+        .select(col("vec_id"), quantize(col("embedding")).as("v"))
         .write.mode("append").parquet(s"$indexDir/vecs/tail")
+    }
   }
 
   /** OPTIMIZE pass for the persisted index: re-cluster the codes TAIL
@@ -1184,8 +1205,14 @@ object Similarity {
     * bytes, not corpus-scale), and the final top-`k` ranking is the
     * exact rounded-cosine arithmetic of [[ivfPqRerank]] — zero
     * quantization error in the result; only coarse-pruning recall loss
-    * remains (B47 quantifies: ADC-only recall@10 0.23–0.40 over
-    * nprobe 1–16; reranked ≥ 0.9 at nprobe 16 / rerankR 100).
+    * remains. B47 quantifies both on an adversarial uniform-random 1M
+    * corpus: ADC-only recall@10 is 0.23–0.40 over nprobe 1–16, while
+    * the reranked path tracks the COARSE CEILING (the fraction of true
+    * neighbors whose list was probed — the only loss refine cannot
+    * touch) within 0.05 at every nprobe (0.62 vs ceiling 0.64 at
+    * nprobe 16). Absolute recall is corpus-geometry-bound: raise
+    * nprobe to move the ceiling; the refine stage recovers what the
+    * ceiling admits.
     *
     * Requires an index written with `storeVecs = true` (and appends
     * made through [[ivfPqAppendIndex]], which keeps the refine relation
@@ -1223,9 +1250,19 @@ object Similarity {
     val candDf = broadcast(spark.createDataFrame(
       cand.toIndexedSeq.map(r => (r.getLong(0), r.getLong(1))))
       .toDF("query_id", "neighbor_id"))
-    val vecs = graft.ops.Layout.chunkedIn(spark,
-      graft.ops.Layout.clusteredTable(spark, s"$indexDir/vecs"),
-      "vec_id", candIds)
+    // same plan-size budget as the probed-list scan: candIds is
+    // nQueries × rerankR distinct ids (B47's operating point is
+    // already ~1000), so past the chunk budget the fetch switches to
+    // ONE range-cover scan — exact membership is the candDf inner
+    // join below either way
+    val vecsTable = graft.ops.Layout.clusteredTable(spark, s"$indexDir/vecs")
+    val fetchThreshold = math.max(1, spark.conf
+      .get("spark.sql.parquet.pushdown.inFilterThreshold", "10").toInt)
+    val vecs =
+      if (candIds.length <= fetchThreshold * MaxInChunks)
+        graft.ops.Layout.chunkedIn(spark, vecsTable, "vec_id", candIds)
+      else
+        graft.ops.Layout.rangeCoverScan(spark, vecsTable, "vec_id", candIds)
     val qn = broadcast(qv
       .select(col("query_id"), col("v").as("qv"))
       .withColumn("qn", dot(col("qv"), col("qv"))))

@@ -774,6 +774,47 @@ class PqSpec extends SparkSpec {
     assert(gens() == before, "purely-new upsert triggered a rewrite")
   }
 
+  test("ivfPqAppendIndex(dedup) converges each relation independently: " +
+    "a crash between the codes and vecs appends cannot permanently " +
+    "desync the refine relation under at-least-once replay") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("ivfpqcrash").toString
+    Similarity.ivfPqWriteIndexTrained(bigWithDup.where(col("vec_id") < 40),
+      s"$dir/index", numFiles = 2, m = 2, dims = 4, ksub = 4, nlists = 3,
+      iters = 1, trainMod = 5, storeVecs = true)
+    val newBatch = bigWithDup.where(col("vec_id") >= 40)
+    Similarity.ivfPqAppendIndex(spark, s"$dir/index", newBatch,
+      m = 2, dims = 4, dedupAgainstIndex = true)
+    // simulate the crash window: the codes append landed but the vecs
+    // append did not — delete the vecs tail the append just wrote
+    val vecsTail = new java.io.File(s"$dir/index/vecs/tail")
+    assert(vecsTail.listFiles().exists(_.getName.endsWith(".parquet")))
+    vecsTail.listFiles().foreach(_.delete())
+    // at-least-once: the SAME batch replays; a codes-derived dedup
+    // would drop every row for both relations — the per-relation dedup
+    // must backfill vecs while leaving codes duplicate-free
+    Similarity.ivfPqAppendIndex(spark, s"$dir/index", newBatch,
+      m = 2, dims = 4, dedupAgainstIndex = true)
+    val codes = graft.ops.Layout.clusteredTable(spark, s"$dir/index/codes")
+    assert(codes.count() == 62L &&
+      codes.select("neighbor_id").distinct().count() == 62L,
+      "replay duplicated codes rows")
+    val vecs = graft.ops.Layout.clusteredTable(spark, s"$dir/index/vecs")
+    assert(vecs.count() == 62L &&
+      vecs.select("vec_id").distinct().count() == 62L,
+      "vecs not backfilled (or duplicated) by the replay")
+    // and the refine path serves the once-lost candidates: vec 61 (the
+    // exact duplicate of vec 1, in the crashed batch) re-ranks to 1.0
+    val out = Similarity.ivfPqRerankPersistedQ(spark, s"$dir/index",
+      bigWithDup.where(col("vec_id") === 1)
+        .select(col("vec_id").as("query_id"), col("embedding")),
+      k = 4, rerankR = 62, m = 2, dims = 4, centroidMod = 1, nprobe = 3,
+      excludeSelf = true).collect()
+      .map(r => (r.getLong(1), r.getDouble(3)))
+    assert(out.exists { case (n, c) => n == 61L && c == 1.0 },
+      s"crashed-batch candidate not served: ${out.mkString(",")}")
+  }
+
   test("ivfPqAppendIndex rejects vec_ids with PENDING tombstones " +
     "(delete-then-re-add requires a consolidate in between)") {
     import org.apache.spark.sql.functions._
