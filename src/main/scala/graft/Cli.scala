@@ -26,6 +26,13 @@ package graft
   *                              indexes (codes are codebook indices);
   *                              subset-codebook ivfPqWriteIndex indexes
   *                              need the writer's centroidMod (e.g. 97).
+  *   ann-rerank <indexDir> <queries.parquet> [k] [rerankR] [nprobe] [m] [dims] [centroidMod]
+  *                              IVFPQ+refine serving: ADC top-rerankR
+  *                              candidates exact-reranked from the
+  *                              index's vecs relation (storeVecs=true)
+  *   bm25-vacuum <indexDir> / ann-vacuum <indexDir>
+  *                              reclaim manifest-retired files now
+  *                              (instead of the next maintenance pass)
   */
 object Cli {
 
@@ -48,6 +55,10 @@ object Cli {
       |                              persisted IVF+PQ search ((query_id, embedding) parquet);
       |                              centroidMod must match the index writer's codebook mod
       |                              (default 1 = trained indexes; subset writers need theirs)
+      |  ann-rerank <indexDir> <queries.parquet> [k] [rerankR] [nprobe] [m] [dims] [centroidMod]
+      |                              IVFPQ+refine: exact re-rank from the vecs relation
+      |  bm25-vacuum <indexDir>      reclaim manifest-retired BM25 index files now
+      |  ann-vacuum <indexDir>       reclaim manifest-retired ANN index files now
       |""".stripMargin
 
   def main(args: Array[String]): Unit = {
@@ -105,7 +116,34 @@ object Cli {
           s"[ann-search] q${r.get(0)} #${r.getInt(1)} " +
             s"-> ${r.getLong(2)} (adc ${r.getLong(3)})"))
       0
-    case Some(cmd @ ("bm25-index" | "bm25-search" | "ann-search")) =>
+    case Some("ann-rerank") if args.length >= 3 =>
+      val spark = GraftSession.build(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      graft.similarity.Similarity.ivfPqRerankPersistedQ(spark, args(1),
+        spark.read.parquet(args(2)),
+        k = args.lift(3).map(_.toInt).getOrElse(10),
+        rerankR = args.lift(4).map(_.toInt).getOrElse(100),
+        nprobe = args.lift(5).map(_.toInt).getOrElse(2),
+        m = args.lift(6).map(_.toInt).getOrElse(8),
+        dims = args.lift(7).map(_.toInt).getOrElse(64),
+        centroidMod = args.lift(8).map(_.toInt).getOrElse(1))
+        .select("query_id", "rank", "neighbor_id", "cos_sim")
+        .orderBy("query_id", "rank").collect()
+        .foreach(r => println(
+          s"[ann-rerank] q${r.get(0)} #${r.getInt(1)} " +
+            f"-> ${r.getLong(2)} (cos ${r.getDouble(3)}%.6f)"))
+      0
+    case Some("bm25-vacuum") if args.length >= 2 =>
+      val spark = GraftSession.build(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      val n = graft.text.Bm25.vacuumIndex(spark, args(1))
+      println(s"[bm25-vacuum] reclaimed $n retired entries under ${args(1)}")
+      0
+    case Some("ann-vacuum") if args.length >= 2 =>
+      val spark = GraftSession.build(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      val n = graft.similarity.Similarity.ivfPqVacuumIndex(spark, args(1))
+      println(s"[ann-vacuum] reclaimed $n retired entries under ${args(1)}")
+      0
+    case Some(cmd @ ("bm25-index" | "bm25-search" | "ann-search"
+                     | "ann-rerank" | "bm25-vacuum" | "ann-vacuum")) =>
       System.err.print(s"$cmd: missing arguments\n$help")
       2
     case None =>

@@ -76,6 +76,43 @@ class CliSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(code == 2 && err.contains("missing arguments"))
   }
 
+  test("ann-rerank serves the IVFPQ+refine path; the vacuum commands " +
+    "reclaim retired lifecycle files") {
+    import org.apache.spark.sql.functions._
+    val spark = TestSpark.spark
+    val dir = java.nio.file.Files.createTempDirectory("clirr").toString
+    spark.range(30).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(3)),
+        d => ((col("id") % 5) + d).cast("float")).as("embedding"))
+      .write.parquet(s"$dir/emb")
+    graft.similarity.Similarity.ivfPqWriteIndexTrained(
+      spark.read.parquet(s"$dir/emb"), s"$dir/ann", numFiles = 2,
+      m = 2, dims = 4, ksub = 4, nlists = 2, iters = 1, trainMod = 3,
+      storeVecs = true)
+    spark.read.parquet(s"$dir/emb").where(col("vec_id") < 2)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+      .write.parquet(s"$dir/q")
+    var code = -1
+    val out = captureOut {
+      code = Cli.run(Array("ann-rerank", s"$dir/ann", s"$dir/q",
+        "3", "10", "2", "2", "4", "1"))
+    }
+    assert(code == 0)
+    assert(out.linesIterator.size == 6, s"want 2 queries x k=3:\n$out")
+    assert(out.contains("cos 1.0"), // ids 0 and 1 share vectors with
+      s"exact duplicates must rerank to cos 1.0:\n$out") // ids %5-equal
+    // vacuum: consolidate retires gen-0, the command reclaims it
+    graft.similarity.Similarity.ivfPqDeleteIndex(spark, s"$dir/ann",
+      spark.createDataFrame(Seq(Tuple1(7L))).toDF("vec_id"))
+    graft.similarity.Similarity.ivfPqConsolidateIndex(spark, s"$dir/ann", 2)
+    val outv = captureOut {
+      code = Cli.run(Array("ann-vacuum", s"$dir/ann"))
+    }
+    assert(code == 0 && outv.contains("reclaimed"), outv)
+    assert(!new java.io.File(s"$dir/ann/codes/gen-0").exists(),
+      "retired generation survived the vacuum command")
+  }
+
   test("queries lists every registered gate query and filters by substring") {
     val out = captureOut(Cli.run(Array("queries")))
     val lines = out.linesIterator.toSeq
