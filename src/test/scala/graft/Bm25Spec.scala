@@ -106,6 +106,42 @@ class Bm25Spec extends SparkSpec {
       s"stats relation holds $statFiles files after consolidate+vacuum, want 1")
   }
 
+  test("stats fold is crash-safe: an UNCOMMITTED staged fold is invisible " +
+    "(no double-count window) and reclaimed; the committed fold retires " +
+    "the originals atomically") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.createDataFrame((0L until 20L).map(i =>
+      (i, s"alpha w${i % 5}"))).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("bm25fold").toString
+    val queries = Seq((0, "alpha w3"))
+    def res() = Bm25.searchPersisted(spark, dir, queries).collect().map(r =>
+      (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    Bm25.writeIndex(spark, docs.where(col("doc_id") < 10), dir, numFiles = 2)
+    Bm25.appendIndex(spark, dir, docs.where(col("doc_id") >= 10))
+    val healthy = res()
+    // simulate a fold that crashed BEFORE its manifest commit: a staged
+    // directory holding a (bogus, double-counting) sum exists but no
+    // manifest references it — the reader must not see it (pre-r19 the
+    // fold row landed as a DIRECT file and double-counted immediately)
+    spark.range(1).select(lit(999L).as("n_docs"), lit(99999L).as("sum_dl"))
+      .coalesce(1).write.parquet(s"$dir/stats/staged-0")
+    graft.ops.ServingCache.invalidate() // drop the cached healthy stats
+    assert(res() == healthy,
+      "uncommitted staged fold leaked into the visible stats")
+    // the next consolidate reclaims the orphan stage and commits a REAL
+    // fold; the visible sums are unchanged (bit-exact scores)
+    Bm25.consolidateIndex(spark, dir, numFiles = 2)
+    assert(res() == healthy, "committed fold changed the stats")
+    Bm25.vacuumIndex(spark, dir)
+    assert(res() == healthy, "vacuum changed the stats")
+    // exactly one visible stats payload remains after the fold+vacuum
+    def walkParquet(f: java.io.File): Int =
+      if (f.isDirectory)
+        Option(f.listFiles).getOrElse(Array[java.io.File]()).map(walkParquet).sum
+      else if (f.getName.endsWith(".parquet")) 1 else 0
+    assert(walkParquet(new java.io.File(s"$dir/stats")) == 1)
+  }
+
   test("upsertIndex: replaced docs serve the NEW text bit-identically " +
     "to a rebuild; purely-new ids skip the physical rewrite") {
     import org.apache.spark.sql.functions._
