@@ -30,9 +30,11 @@ package graft
   *                              IVFPQ+refine serving: ADC top-rerankR
   *                              candidates exact-reranked from the
   *                              index's vecs relation (storeVecs=true)
-  *   bm25-vacuum <indexDir> / ann-vacuum <indexDir>
-  *                              reclaim manifest-retired files now
-  *                              (instead of the next maintenance pass)
+  *   bm25-vacuum <indexDir> [force] / ann-vacuum <indexDir> [force]
+  *                              reclaim manifest-retired files; without
+  *                              `force` the retention guard skips files
+  *                              retired younger than one maintenance
+  *                              interval (in-flight-reader grace)
   */
 object Cli {
 
@@ -134,13 +136,18 @@ object Cli {
       0
     case Some("bm25-vacuum") if args.length >= 2 =>
       val spark = GraftSession.build(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
-      val n = graft.text.Bm25.vacuumIndex(spark, args(1))
-      println(s"[bm25-vacuum] reclaimed $n retired entries under ${args(1)}")
+      val force = args.lift(2).contains("force")
+      val n = graft.text.Bm25.vacuumIndex(spark, args(1), force = force)
+      println(s"[bm25-vacuum] reclaimed $n retired entries under ${args(1)}" +
+        (if (force) " (forced)" else " (retention-guarded; add 'force')"))
       0
     case Some("ann-vacuum") if args.length >= 2 =>
       val spark = GraftSession.build(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
-      val n = graft.similarity.Similarity.ivfPqVacuumIndex(spark, args(1))
-      println(s"[ann-vacuum] reclaimed $n retired entries under ${args(1)}")
+      val force = args.lift(2).contains("force")
+      val n = graft.similarity.Similarity
+        .ivfPqVacuumIndex(spark, args(1), force = force)
+      println(s"[ann-vacuum] reclaimed $n retired entries under ${args(1)}" +
+        (if (force) " (forced)" else " (retention-guarded; add 'force')"))
       0
     case Some(cmd @ ("bm25-index" | "bm25-search" | "ann-search"
                      | "ann-rerank" | "bm25-vacuum" | "ann-vacuum")) =>

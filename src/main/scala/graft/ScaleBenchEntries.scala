@@ -128,7 +128,7 @@ object ScaleBenchEntries {
       optSecTotal += s
       // vacuum models the operator cadence (reclaim retired inputs each
       // cycle) so the on-disk listing below counts LIVE generations
-      graft.ops.Layout.vacuum(spark, dir.toString)
+      graft.ops.Layout.vacuum(spark, dir.toString, force = true)
       val gens = Option(new java.io.File(dir.toString).listFiles())
         .getOrElse(Array())
         .count(f => f.isDirectory && f.getName.startsWith("gen-"))
@@ -388,7 +388,7 @@ object ScaleBenchEntries {
     // generations and applied tombstones but keeps them on disk one
     // maintenance interval (r19 reader-race closure) — the raw-file
     // checks below are about the LIVE snapshot's physical state
-    Similarity.ivfPqVacuumIndex(spark, s"$dir/index")
+    Similarity.ivfPqVacuumIndex(spark, s"$dir/index", force = true)
     // PHYSICAL check on the raw generation files — no reader masking
     val b46raw = spark.read.parquet(s"$dir/index/codes/gen-*")
     val b46rawN = b46raw.count()

@@ -338,18 +338,36 @@ object Layout {
         purged
     }
 
+  /** Nominal maintenance interval for the [[vacuum]] retention guard:
+    * files retired by a manifest younger than this may still have
+    * in-flight readers (the one-interval grace the commit protocol
+    * promises them), so an unforced vacuum refuses to delete them —
+    * the Delta VACUUM retention-check shape. */
+  val DefaultVacuumRetentionMs: Long = 15L * 60L * 1000L
+
   /** Immediately reclaim space held for in-flight readers: delete every
     * generation directory and tombstone file the manifest has retired.
     * The lifecycle defers physical deletion to the NEXT maintenance
     * pass by default (the retention window that closes the reader
     * race); call this when space matters more than the window — after
     * it, a reader that resolved the pre-consolidate snapshot will fail
-    * (the pre-manifest contract). Returns entries deleted. */
+    * (the pre-manifest contract). Returns entries deleted.
+    *
+    * Retention guard (r20): when the newest manifest is younger than
+    * `minAgeMs` the unforced call is a NO-OP returning 0 — a vacuum
+    * issued right after a consolidate would otherwise break the very
+    * reader window the manifest bought; pass `force = true` to assert
+    * no readers are in flight and reclaim now (the documented
+    * space-over-window trade). */
   def vacuum(
-      spark: org.apache.spark.sql.SparkSession, dir: String): Long = {
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      minAgeMs: Long = DefaultVacuumRetentionMs,
+      force: Boolean = false): Long = {
     val dirPath = new org.apache.hadoop.fs.Path(dir)
     val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    purgeRetired(fs, dirPath)
+    val youngManifest = !force &&
+      TableManifest.ageMs(fs, dirPath).exists(_ < minAgeMs)
+    if (youngManifest) 0L else purgeRetired(fs, dirPath)
   }
 
   /** Commit the table's FIRST manifest, sealing the generation set
@@ -607,6 +625,16 @@ object Layout {
     // entries a PREVIOUS pass retired in the manifest have now survived
     // one full maintenance interval — reclaim them first
     purgeRetired(fs, dirPath)
+    // a manifest-less table (bootstrap-by-append: first streaming
+    // micro-batch, zorderAppend into a fresh dir) gets SEALED before
+    // anything is written: without this, a crash between the gen-next
+    // write and the first manifest commit would leave a half-written
+    // generation that the retry's listing fallback ADOPTS into the
+    // live set — sealing first makes gen-next invisible-until-commit
+    // from the table's very first maintenance pass (the documented
+    // crash-invisibility guarantee, now unconditional)
+    if (fs.exists(dirPath) && TableManifest.latest(fs, dirPath).isEmpty)
+      sealInitial(spark, dir)
     val snapshot = tailFiles(fs, dirPath)
     val compacted =
       if (snapshot.isEmpty) 0L
@@ -720,6 +748,13 @@ object Layout {
     val fs = dirPath.getFileSystem(conf)
     // reclaim what the PREVIOUS pass retired (one interval has passed)
     if (!skipPurge) purgeRetired(fs, dirPath)
+    // seal a manifest-less table BEFORE writing gen-next — same
+    // bootstrap crash-window close as [[clusteredOptimize]]: a crash
+    // between the merged-generation write and the commit must leave a
+    // generation the retry treats as crashed (purged), never one the
+    // listing fallback adopts
+    if (fs.exists(dirPath) && TableManifest.latest(fs, dirPath).isEmpty)
+      sealInitial(spark, dir)
     val gens = generations(fs, dirPath)
     val del = tombstones(spark, fs, dirPath)
     if (gens.size < 2 && (del.isEmpty || gens.isEmpty)) return 0L

@@ -22,10 +22,20 @@ import org.apache.spark.sql.SparkSession
   * so the cache never outgrows the set of indexes a session serves. */
 object ServingCache {
 
+  private final class Entry(val fp: String, val value: Any) {
+    @volatile var lastUsed: Long = 0L
+  }
   private val map =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), (String, Any)]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Entry]()
+  private val tick = new java.util.concurrent.atomic.AtomicLong()
   private val hitCount = new java.util.concurrent.atomic.AtomicLong()
   private val missCount = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Bound on live entries — far above the set of indexes one session
+    * serves; reached only by gate/bench loops churning short-lived
+    * temp indexes, where the OLDEST-USED entries are exactly the dead
+    * ones. */
+  private val MaxEntries = 64
 
   /** (hits, misses) since the last [[invalidate]] — lets benches/specs
     * REQUIRE that a repeat search actually served from the cache
@@ -33,7 +43,12 @@ object ServingCache {
   def stats(): (Long, Long) = (hitCount.get(), missCount.get())
 
   /** The lifecycle fingerprint of `dir` — recursive sorted
-    * (path, len, mtime) digest; "absent" when the dir does not exist. */
+    * (path, len, mtime) digest plus the newest manifest SEQUENCE;
+    * "absent" when the dir does not exist. The explicit seq component
+    * makes manifest-governed invalidation STRUCTURAL: even a
+    * same-length in-place overwrite inside one mtime tick (unreachable
+    * through the lifecycle — part names are UUIDs — but cheap to rule
+    * out) flips the fingerprint as soon as a manifest commits. */
   def fingerprint(spark: SparkSession, dir: String): String = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -47,6 +62,8 @@ object ServingCache {
           .append(st.getModificationTime).append(';')
       }
     walk(p)
+    sb.append("seq:")
+      .append(graft.ops.TableManifest.latestSeq(fs, p).getOrElse(-1))
     java.util.UUID
       .nameUUIDFromBytes(sb.result().getBytes("UTF-8")).toString
   }
@@ -59,25 +76,31 @@ object ServingCache {
     val fp = fingerprint(spark, dir)
     val key = (kind, dir)
     val cur = map.get(key)
-    if (cur != null && cur._1 == fp) {
+    if (cur != null && cur.fp == fp) {
       hitCount.incrementAndGet()
-      cur._2.asInstanceOf[T]
+      cur.lastUsed = tick.incrementAndGet()
+      cur.value.asInstanceOf[T]
     } else {
       missCount.incrementAndGet()
       // a session serving many short-lived indexes (every Bench rep of
       // every lifecycle gate creates one) must not accumulate dead
-      // codebooks: once the map outgrows a small bound, drop entries
-      // whose directory no longer exists — their fingerprint can never
-      // match again
-      if (map.size > 64) {
-        val it = map.keySet.iterator()
-        while (it.hasNext) {
-          val k = it.next()
-          if (fingerprint(spark, k._2) == "absent") it.remove()
+      // codebooks: past the bound, evict the LEAST-RECENTLY-USED
+      // entries UNCONDITIONALLY — an in-memory scan, never a
+      // filesystem probe, so a population of 65 live dirs costs one
+      // map pass per eviction instead of a recursive listing of every
+      // cached dir on every miss
+      while (map.size >= MaxEntries) {
+        var oldest: (String, String) = null
+        var oldestUsed = Long.MaxValue
+        map.forEach { (k, e) =>
+          if (e.lastUsed < oldestUsed) { oldestUsed = e.lastUsed; oldest = k }
         }
+        if (oldest == null) map.clear() else map.remove(oldest)
       }
       val v = load
-      map.put(key, (fp, v))
+      val e = new Entry(fp, v)
+      e.lastUsed = tick.incrementAndGet()
+      map.put(key, e)
       v
     }
   }

@@ -60,32 +60,64 @@ private[graft] object TableManifest {
 
   private val Name = "_manifest-(\\d+)".r
 
-  /** The highest-sequence manifest at `dir`, if any. Unparseable or
-    * unreadable candidates are skipped (a crashed `.tmp` never matches
-    * the name pattern, so only committed manifests are candidates). */
+  /** The highest-sequence manifest at `dir`, if any. A crashed `.tmp`
+    * never matches the name pattern, so only committed manifests are
+    * candidates; a candidate that fails to OPEN or READ falls back to
+    * the next-lower sequence — a reader racing two successive commits
+    * can list a manifest that the newer commit's pruning deletes before
+    * the open, and the surviving previous manifest is exactly the
+    * one-interval-grace snapshot it is entitled to. If EVERY candidate
+    * fails the last error propagates (a table whose whole manifest set
+    * is unreadable must fail loudly, not silently degrade to the
+    * manifest-less listing fallback and resurrect retired files). */
   def latest(fs: FileSystem, dir: Path): Option[Snapshot] =
     if (!fs.exists(dir)) None
     else {
-      val found = fs.listStatus(dir).toSeq.collect {
-        case st if st.isFile =>
-          st.getPath.getName match {
-            case Name(n) => Some((n.toInt, st.getPath))
-            case _ => None
-          }
-      }.flatten
-      found.sortBy(-_._1).headOption.map { case (seq, p) => parse(fs, p, seq) }
+      val found = manifestFiles(fs, dir).sortBy { case (seq, _) => -seq }
+      var i = 0
+      var out: Option[Snapshot] = None
+      var lastErr: Throwable = null
+      while (i < found.length && out.isEmpty) {
+        val (seq, p) = found(i)
+        try out = Some(parse(fs, p, seq))
+        catch { case e: java.io.IOException => lastErr = e }
+        i += 1
+      }
+      if (out.isEmpty && lastErr != null) throw lastErr
+      out
     }
 
+  /** (seq, path) of every committed manifest at `dir` (dir must exist). */
+  private def manifestFiles(fs: FileSystem, dir: Path): Seq[(Int, Path)] =
+    fs.listStatus(dir).toSeq.collect {
+      case st if st.isFile =>
+        st.getPath.getName match {
+          case Name(n) => Some((n.toInt, st.getPath))
+          case _ => None
+        }
+    }.flatten
+
+  /** The newest committed manifest SEQUENCE at `dir` (name-only — no
+    * content read), or None without one. Cheap enough for per-call
+    * fingerprints ([[ServingCache]]). */
+  def latestSeq(fs: FileSystem, dir: Path): Option[Int] =
+    if (!fs.exists(dir)) None
+    else manifestFiles(fs, dir).map(_._1).maxOption
+
+  /** Milliseconds since the newest manifest at `dir` was committed —
+    * None when the table has no manifest. The retention-guard input:
+    * a manifest younger than the maintenance interval may still have
+    * in-flight readers on the files it retired ([[Layout.vacuum]]). */
+  def ageMs(fs: FileSystem, dir: Path): Option[Long] =
+    if (!fs.exists(dir)) None
+    else manifestFiles(fs, dir).sortBy { case (seq, _) => -seq }.headOption
+      .map { case (_, p) =>
+        math.max(0L,
+          System.currentTimeMillis() - fs.getFileStatus(p).getModificationTime)
+      }
+
   private def parse(fs: FileSystem, p: Path, seq: Int): Snapshot = {
-    val in = fs.open(p)
-    val text =
-      try {
-        val buf = new java.io.ByteArrayOutputStream()
-        val chunk = new Array[Byte](8192)
-        var n = in.read(chunk)
-        while (n > 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
-        buf.toString("UTF-8")
-      } finally in.close()
+    val text = new String(readFully(fs, p), "UTF-8")
     val lines = text.split("\n").iterator.map(_.trim).filter(_.nonEmpty).toSeq
     val gens = lines.collect { case s if s.startsWith("gen:") => s.drop(4) }
     Snapshot(
@@ -99,12 +131,22 @@ private[graft] object TableManifest {
       lines.collect { case s if s.startsWith("xstat:") => s.drop(6) }.toSet)
   }
 
-  /** Commit a new snapshot: write `_manifest-<seq+1>.tmp`, fsync-close,
-    * atomically rename into place, then drop manifests older than the
-    * PREVIOUS one (kept so a reader that just listed seq N survives the
-    * commit of N+1 — the same one-interval grace as data files). Single
-    * maintenance writer contract: concurrent commits are excluded by
-    * the lifecycle's own writer discipline. */
+  /** Commit a new snapshot: write a uniquely-suffixed
+    * `_manifest-<seq+1>.<uuid>.tmp`, close, atomically rename into
+    * place, then drop manifests older than the PREVIOUS one (kept so a
+    * reader that just listed seq N survives the commit of N+1 — the
+    * same one-interval grace as data files).
+    *
+    * Single maintenance writer ENFORCED, not just contractual: two
+    * racing committers compute the same next seq, and the loser fails
+    * LOUDLY on every FileSystem — on HDFS its rename-onto-existing
+    * returns false (the require below); on local/object-store
+    * semantics where rename silently overwrites, the pre-rename
+    * existence probe plus the post-rename READ-BACK VERIFY (the
+    * committed bytes must be the bytes this writer staged) catch it.
+    * The unique tmp suffix keeps the racers from clobbering each
+    * other's staging file, and a crashed tmp never matches the
+    * manifest name pattern, so it stays invisible. */
   def commit(fs: FileSystem, dir: Path, snap: Snapshot): Unit = {
     if (!fs.exists(dir)) fs.mkdirs(dir)
     val seq = latest(fs, dir).map(_.seq + 1).getOrElse(0)
@@ -117,17 +159,43 @@ private[graft] object TableManifest {
     snap.xtail.toSeq.sorted.foreach(f => lines += s"xtail:$f")
     snap.stat.foreach(f => lines += s"stat:$f")
     snap.xstat.toSeq.sorted.foreach(f => lines += s"xstat:$f")
-    val tmp = new Path(dir, s"_manifest-$seq.tmp")
+    val payload =
+      (lines.result().mkString("\n") + "\n").getBytes("UTF-8")
+    val tmp = new Path(dir,
+      s"_manifest-$seq.${java.util.UUID.randomUUID()}.tmp")
     val dst = new Path(dir, s"_manifest-$seq")
     val out = fs.create(tmp, true)
-    try out.write((lines.result().mkString("\n") + "\n").getBytes("UTF-8"))
+    try out.write(payload)
     finally out.close()
-    require(fs.rename(tmp, dst), s"manifest commit rename failed: $dst")
+    def lose(detail: String): Nothing = {
+      fs.delete(tmp, false)
+      throw new java.util.ConcurrentModificationException(
+        s"manifest commit lost a single-writer race at $dst ($detail) - " +
+          "exactly one maintenance writer may run per table")
+    }
+    if (fs.exists(dst)) lose("destination already committed")
+    if (!fs.rename(tmp, dst)) lose("rename refused")
+    val committed = new String(readFully(fs, dst), "UTF-8")
+    if (committed != new String(payload, "UTF-8"))
+      throw new java.util.ConcurrentModificationException(
+        s"manifest commit at $dst was overwritten by a racing writer - " +
+          "exactly one maintenance writer may run per table")
     fs.listStatus(dir).foreach { st =>
       st.getPath.getName match {
         case Name(n) if n.toInt < seq - 1 => fs.delete(st.getPath, false)
         case _ => ()
       }
     }
+  }
+
+  private def readFully(fs: FileSystem, p: Path): Array[Byte] = {
+    val in = fs.open(p)
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](8192)
+      var n = in.read(chunk)
+      while (n > 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+      buf.toByteArray
+    } finally in.close()
   }
 }

@@ -1089,11 +1089,16 @@ object Similarity {
       m: Int = 8,
       dims: Int = 64,
       writerOptions: Map[String, String] = Map.empty): Unit = {
+    // the victim semi-join is materialized ONCE (localCheckpoint) so
+    // the emptiness probe and the tombstone write share one plan
+    // instead of running the join twice; the checkpointed relation is
+    // batch-scale (ids of the incoming rows at most)
     val victims = newVecs.select(col("vec_id").cast("long").as("vec_id"))
       .join(graft.ops.Layout.clusteredTable(spark, s"$indexDir/codes")
         .select(col("neighbor_id").as("vec_id")), Seq("vec_id"),
         "left_semi")
-    if (victims.limit(1).count() > 0L) {
+      .localCheckpoint()
+    if (!victims.isEmpty) {
       ivfPqDeleteIndex(spark, indexDir, victims)
       ivfPqOptimizeIndex(spark, indexDir, numFiles,
         writerOptions = writerOptions)
@@ -1105,11 +1110,15 @@ object Similarity {
   /** Immediately reclaim index files the manifests have retired (old
     * generations, compacted tail, applied tombstones) instead of
     * waiting one maintenance interval — [[graft.ops.Layout.vacuum]]
-    * over the index's lifecycle relations. */
-  def ivfPqVacuumIndex(spark: SparkSession, indexDir: String): Long =
-    graft.ops.Layout.vacuum(spark, s"$indexDir/codes") +
+    * over the index's lifecycle relations, with its retention guard:
+    * unforced calls no-op while the newest manifest is younger than
+    * the retention window; `force = true` reclaims now. */
+  def ivfPqVacuumIndex(
+      spark: SparkSession, indexDir: String,
+      force: Boolean = false): Long =
+    graft.ops.Layout.vacuum(spark, s"$indexDir/codes", force = force) +
       (if (hasVecs(spark, indexDir))
-        graft.ops.Layout.vacuum(spark, s"$indexDir/vecs")
+        graft.ops.Layout.vacuum(spark, s"$indexDir/vecs", force = force)
       else 0L)
 
   /** [[ivfPqSearch]] over a PERSISTED index ([[ivfPqWriteIndex]] or

@@ -417,11 +417,21 @@ object Bm25 {
     * (old generations, applied tombstones, folded stats files) instead
     * of waiting for the next maintenance pass — trades the in-flight-
     * reader grace window for disk space, like
-    * [[graft.ops.Layout.vacuum]]. */
-  def vacuumIndex(spark: SparkSession, dir: String): Long = {
-    val n = graft.ops.Layout.vacuum(spark, s"$dir/postings") +
-      graft.ops.Layout.vacuum(spark, s"$dir/docstats")
-    purgeStats(spark, dir)
+    * [[graft.ops.Layout.vacuum]], and like it guarded: an unforced
+    * call is a no-op while the newest manifest of a relation is
+    * younger than the retention window (its retired files may still
+    * have in-flight readers); pass `force = true` to reclaim now. */
+  def vacuumIndex(
+      spark: SparkSession, dir: String, force: Boolean = false): Long = {
+    val n = graft.ops.Layout.vacuum(spark, s"$dir/postings", force = force) +
+      graft.ops.Layout.vacuum(spark, s"$dir/docstats", force = force)
+    val statsPath = new org.apache.hadoop.fs.Path(s"$dir/stats")
+    val statsFs = statsPath.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val statsYoung = !force && graft.ops.TableManifest
+      .ageMs(statsFs, statsPath)
+      .exists(_ < graft.ops.Layout.DefaultVacuumRetentionMs)
+    if (!statsYoung) purgeStats(spark, dir)
     n
   }
 

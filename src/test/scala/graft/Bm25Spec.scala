@@ -82,7 +82,7 @@ class Bm25Spec extends SparkSpec {
     // vacuum first to let the raw-file assertions see the live snapshot
     assert(Bm25.consolidateIndex(spark, dir, numFiles = 2) > 0L)
     assert(res(Bm25.searchPersisted(spark, dir, queries)) == afterDel)
-    Bm25.vacuumIndex(spark, dir)
+    Bm25.vacuumIndex(spark, dir, force = true)
     assert(res(Bm25.searchPersisted(spark, dir, queries)) == afterDel,
       "vacuum must not change what a fresh reader sees")
     val raw = spark.read.parquet(s"$dir/postings/gen-*")
@@ -132,7 +132,7 @@ class Bm25Spec extends SparkSpec {
     // fold; the visible sums are unchanged (bit-exact scores)
     Bm25.consolidateIndex(spark, dir, numFiles = 2)
     assert(res() == healthy, "committed fold changed the stats")
-    Bm25.vacuumIndex(spark, dir)
+    Bm25.vacuumIndex(spark, dir, force = true)
     assert(res() == healthy, "vacuum changed the stats")
     // exactly one visible stats payload remains after the fold+vacuum
     def walkParquet(f: java.io.File): Int =

@@ -128,7 +128,7 @@ class LayoutSpec extends SparkSpec {
       .getOrElse(Array[java.io.File]())
       .filter(f => f.isFile && f.getName.endsWith(".parquet"))
     assert(retained.nonEmpty, "retired tail files must survive until vacuum")
-    assert(Layout.vacuum(spark, dir) == retained.length.toLong)
+    assert(Layout.vacuum(spark, dir, force = true) == retained.length.toLong)
     val tailFiles = Option(new java.io.File(s"$dir/tail").listFiles())
       .getOrElse(Array[java.io.File]())
       .filter(f => f.isFile && f.getName.endsWith(".parquet"))
@@ -194,7 +194,7 @@ class LayoutSpec extends SparkSpec {
     assert(Layout.zorderTable(spark, dir).count() == 1300L)
     // tail data files are gone after vacuum (purged through the same
     // scheme-qualified FileSystem)
-    Layout.vacuum(spark, dir)
+    Layout.vacuum(spark, dir, force = true)
     val tailFiles = Option(new java.io.File(s"$local/tail").listFiles())
       .getOrElse(Array[java.io.File]())
       .filter(f => f.isFile && f.getName.endsWith(".parquet"))
@@ -225,7 +225,7 @@ class LayoutSpec extends SparkSpec {
     // in-flight readers until vacuum, then one generation remains,
     // numbered past the old max
     assert(gens() == Seq("gen-0", "gen-1", "gen-2", "gen-3", "gen-4"))
-    Layout.vacuum(spark, dir)
+    Layout.vacuum(spark, dir, force = true)
     assert(gens() == Seq("gen-4"))
     val merged = spark.read.parquet(s"$dir/gen-4")
     // consolidation ≡ full re-layout of the same rows: identical row
@@ -251,7 +251,7 @@ class LayoutSpec extends SparkSpec {
     // after cycle 1: gen-4 + gen-5 (2 ≤ G, no merge); after cycle 2 the
     // third generation trips the policy and all merge into one (the
     // retired inputs linger on disk until vacuum)
-    Layout.vacuum(spark, dir)
+    Layout.vacuum(spark, dir, force = true)
     assert(gens().size == 1, gens().mkString(","))
     assert(Layout.zorderTable(spark, dir).count() == 3700L)
     assert(Layout.zorderTable(spark, dir)
@@ -311,7 +311,7 @@ class LayoutSpec extends SparkSpec {
     Layout.zorderDelete(spark, dir, "v",
       spark.createDataFrame(Seq(Tuple1(42L))).toDF("v"))
     assert(Layout.zorderConsolidate(spark, dir, 2) == 2497L)
-    Layout.vacuum(spark, dir)
+    Layout.vacuum(spark, dir, force = true)
     assert(delFiles().isEmpty)
     assert(Layout.zorderTable(spark, dir).where(col("v") === 42L).count() == 0L)
   }
@@ -371,7 +371,7 @@ class LayoutSpec extends SparkSpec {
       "retired tail files still visible to a fresh reader")
 
     // vacuum reclaims the retired inputs; results unchanged
-    assert(Layout.vacuum(spark, dir) > 0L)
+    assert(Layout.vacuum(spark, dir, force = true) > 0L)
     assert(!new java.io.File(s"$dir/gen-0").exists())
     assert(Layout.zorderTable(spark, dir).count() == 2600L)
   }
@@ -451,5 +451,73 @@ class LayoutSpec extends SparkSpec {
     // with blooms only the row groups that may hold a probe key survive
     assert(scannedB < 2000000L / 10,
       s"bloom scan read $scannedB rows - row-group pruning not engaged")
+  }
+
+  test("bootstrap crash window CLOSED: a maintenance pass on a " +
+    "manifest-less table seals FIRST, so a half-written generation is " +
+    "purged on retry, never adopted") {
+    val n = 64
+    def grid(lo: Long, hi: Long) = spark.range(lo, hi).select(
+      (col("id") / n % n).cast("long").as("ix"), (col("id") % n).as("iy"),
+      col("id").as("v"))
+    // bootstrap-by-append: a fresh dir that has ONLY tail files — the
+    // streaming-ingest shape, no manifest, no generations
+    val dir = java.nio.file.Files.createTempDirectory("zboot").toString
+    Layout.zorderAppend(grid(0L, 1000L), col("ix"), col("iy"), dir)
+    // a previous pass crashed after writing its generation but before
+    // its commit — under the FIXED protocol that pass sealed a manifest
+    // before writing, so replay the fixed sequence: seal, then the
+    // orphaned generation (duplicates of the tail rows, the poison the
+    // old listing fallback would adopt)
+    Layout.sealInitial(spark, dir)
+    grid(0L, 1000L)
+      .withColumn("z_key", Layout.zorderKey(col("ix"), col("iy")))
+      .write.parquet(s"$dir/gen-7")
+    // retry pass: the crashed gen-7 must be INVISIBLE (manifest-governed
+    // live set) and physically purged; the tail compacts exactly once
+    val compacted = Layout.zorderOptimize(spark, dir, numFiles = 2)
+    assert(compacted == 1000L, s"retry compacted $compacted rows")
+    assert(Layout.zorderTable(spark, dir).count() == 1000L,
+      "crashed generation leaked duplicate rows into the table")
+    assert(!new java.io.File(s"$dir/gen-7").exists(),
+      "crashed generation must be purged by the retry pass")
+    // and the general contract: the FIRST pass on any manifest-less
+    // table leaves it manifest-governed with the seal preceding the
+    // pass's own commit (seq 0 = seal, seq 1 = the pass)
+    val dir2 = java.nio.file.Files.createTempDirectory("zboot2").toString
+    Layout.zorderAppend(grid(0L, 500L), col("ix"), col("iy"), dir2)
+    Layout.zorderOptimize(spark, dir2, numFiles = 2)
+    val fs = new org.apache.hadoop.fs.Path(dir2)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val m = graft.ops.TableManifest.latest(fs,
+      new org.apache.hadoop.fs.Path(dir2)).get
+    assert(m.seq >= 1, "expected a seal commit BEFORE the pass commit")
+    assert(m.gens == Some(Seq("gen-0")))
+  }
+
+  test("vacuum retention guard: unforced vacuum right after a " +
+    "consolidate is a no-op; force reclaims now") {
+    val n = 64
+    def grid(lo: Long, hi: Long) = spark.range(lo, hi).select(
+      (col("id") / n % n).cast("long").as("ix"), (col("id") % n).as("iy"),
+      col("id").as("v"))
+    val dir = java.nio.file.Files.createTempDirectory("zvac").toString
+    Layout.zorderWrite(grid(0L, 2000L), col("ix"), col("iy"), 2, dir)
+    Layout.zorderAppend(grid(2000L, 2500L), col("ix"), col("iy"), dir)
+    Layout.zorderOptimize(spark, dir, numFiles = 2)
+    Layout.zorderConsolidate(spark, dir, numFiles = 2)
+    def genDirs() = Option(new java.io.File(dir).listFiles())
+      .getOrElse(Array[java.io.File]())
+      .count(f => f.isDirectory && f.getName.matches("gen-\\d+"))
+    val before = genDirs()
+    assert(before > 1, "fixture must leave retired generations on disk")
+    // the manifest is seconds old: its retired files may still have
+    // in-flight readers — the unforced call must refuse
+    assert(Layout.vacuum(spark, dir) == 0L,
+      "unforced vacuum inside the retention window must be a no-op")
+    assert(genDirs() == before, "unforced vacuum deleted retired files")
+    assert(Layout.vacuum(spark, dir, force = true) > 0L)
+    assert(genDirs() == 1, "forced vacuum must reclaim retired gens")
+    assert(Layout.zorderTable(spark, dir).count() == 2500L)
   }
 }

@@ -653,7 +653,7 @@ class PqSpec extends SparkSpec {
     // the applied tombstones are RETIRED in the consolidate's manifest
     // commit (invisible to readers) but stay on disk one maintenance
     // interval for in-flight readers; vacuum reclaims them now
-    Similarity.ivfPqVacuumIndex(spark, s"$dir/index")
+    Similarity.ivfPqVacuumIndex(spark, s"$dir/index", force = true)
     val delFiles = Option(
       new java.io.File(s"$dir/index/codes/deletes").listFiles())
       .getOrElse(Array[java.io.File]())

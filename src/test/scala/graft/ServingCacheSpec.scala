@@ -99,4 +99,54 @@ class ServingCacheSpec extends SparkSpec {
     assert(a2.nonEmpty)
     assert(res(dirB) == b1, "append to dirA disturbed dirB's serving")
   }
+
+  test("fingerprint is STRUCTURAL under manifest commits: a same-length " +
+    "in-place overwrite within one mtime tick still reloads once a " +
+    "manifest bumps") {
+    val dir = java.nio.file.Files.createTempDirectory("svcseq").toString
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val f = new org.apache.hadoop.fs.Path(dir, "data.bin")
+    def put(payload: String): Unit = {
+      val out = fs.create(f, true)
+      try out.write(payload.getBytes("UTF-8")) finally out.close()
+    }
+    put("aaaa")
+    val mtime = fs.getFileStatus(f).getModificationTime
+    val fp1 = ServingCache.fingerprint(spark, dir)
+    // adversarial overwrite: same path, same length, mtime pinned back
+    // to the original tick — the (path, len, mtime) walk alone cannot
+    // see this
+    put("bbbb")
+    fs.setTimes(f, mtime, -1)
+    assert(ServingCache.fingerprint(spark, dir) == fp1,
+      "fixture too weak: the walk already distinguishes the overwrite")
+    // any lifecycle mutation commits a manifest — the seq component
+    // flips the fingerprint even though the file walk is blind
+    graft.ops.TableManifest.commit(fs, p, graft.ops.TableManifest.Snapshot(
+      0, Some(Seq.empty), Set.empty, Set.empty, Seq.empty, Set.empty))
+    assert(ServingCache.fingerprint(spark, dir) != fp1,
+      "manifest bump must flip the fingerprint")
+  }
+
+  test("eviction is LRU past the bound — no filesystem probes, live " +
+    "dirs evicted oldest-first, recent entries survive") {
+    ServingCache.invalidate()
+    val dir = java.nio.file.Files.createTempDirectory("svclru").toString
+    spark.range(2).write.parquet(s"$dir/t")
+    def load(kind: String): Int = ServingCache.cached(kind, spark, dir)(1)
+    // fill well past the 64-entry bound with live-dir entries — the old
+    // dead-dir sweep would find nothing evictable and rescan forever
+    (0 until 70).foreach(i => load(s"k$i"))
+    val (h0, m0) = ServingCache.stats()
+    assert(m0 == 70 && h0 == 0)
+    // the most recent entries survived
+    load("k69"); load("k68")
+    val (h1, _) = ServingCache.stats()
+    assert(h1 == 2, "recently-used entries were evicted")
+    // the oldest were evicted — a re-access misses and reloads
+    load("k0")
+    val (h2, m2) = ServingCache.stats()
+    assert(h2 == 2 && m2 == 71, "LRU must have evicted the oldest entry")
+  }
 }

@@ -68,4 +68,88 @@ class TableManifestSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(got.seq == 0 && got.gens == Some(Seq("gen-0")),
       "an unrenamed .tmp must never be selected")
   }
+
+  private def snapOf(gs: String*) = TableManifest.Snapshot(
+    0, Some(gs), Set.empty, Set.empty, Seq.empty, Set.empty)
+
+  test("single-writer ENFORCED: a racer that committed the same seq " +
+    "between this writer's seq read and its rename fails loudly, " +
+    "racer's manifest intact") {
+    val (fs, dir) = fsAndDir()
+    // the racer commits seq 0 first
+    TableManifest.commit(fs, dir, snapOf("gen-racer"))
+    // this writer's view of the sequence is STALE: its fs hides
+    // _manifest-0 from listings (as if latest() ran before the racer's
+    // rename) while exists() sees the committed file — the exact TOCTOU
+    // the existence probe converts from silent overwrite to loud
+    val stale = new org.apache.hadoop.fs.FilterFileSystem(fs) {
+      override def listStatus(f: Path): Array[org.apache.hadoop.fs.FileStatus] =
+        super.listStatus(f).filterNot(_.getPath.getName == "_manifest-0")
+    }
+    intercept[java.util.ConcurrentModificationException] {
+      TableManifest.commit(stale, dir, snapOf("gen-loser"))
+    }
+    assert(TableManifest.latest(fs, dir).get.gens == Some(Seq("gen-racer")),
+      "the winning commit must survive the loser's failure")
+    // the loser's staging tmp was cleaned up
+    assert(!fs.listStatus(dir).exists(_.getPath.getName.endsWith(".tmp")))
+  }
+
+  test("single-writer ENFORCED on overwriting-rename filesystems: a " +
+    "racer renaming onto this writer's committed manifest is detected " +
+    "by the read-back verify — one winner, one loud failure") {
+    val (fs, dir) = fsAndDir()
+    // simulate local/object-store rename semantics where the racer's
+    // rename lands right after this writer's: clobber dst post-rename
+    val clobbered = new org.apache.hadoop.fs.FilterFileSystem(fs) {
+      override def rename(src: Path, dst: Path): Boolean = {
+        val r = super.rename(src, dst)
+        val out = super.create(dst, true)
+        try out.write("gen:gen-racer\n".getBytes("UTF-8"))
+        finally out.close()
+        r
+      }
+    }
+    intercept[java.util.ConcurrentModificationException] {
+      TableManifest.commit(clobbered, dir, snapOf("gen-loser"))
+    }
+    assert(TableManifest.latest(fs, dir).get.gens == Some(Seq("gen-racer")),
+      "exactly one commit may win")
+  }
+
+  test("latest(): an unreadable newest manifest falls back to the " +
+    "surviving previous one (the pruning race); all-unreadable throws") {
+    val (fs, dir) = fsAndDir()
+    TableManifest.commit(fs, dir, snapOf("gen-0"))
+    TableManifest.commit(fs, dir, snapOf("gen-1"))
+    // a reader that listed both, racing a commit whose pruning deleted
+    // _manifest-1 before the open
+    val flaky = new org.apache.hadoop.fs.FilterFileSystem(fs) {
+      override def open(f: Path, bufferSize: Int): org.apache.hadoop.fs.FSDataInputStream =
+        if (f.getName == "_manifest-1")
+          throw new java.io.FileNotFoundException(f.toString)
+        else super.open(f, bufferSize)
+    }
+    assert(TableManifest.latest(flaky, dir).get.gens == Some(Seq("gen-0")),
+      "must fall back to the surviving lower-sequence manifest")
+    // but a table whose ENTIRE manifest set is unreadable fails loudly
+    // instead of degrading to the listing fallback
+    val dead = new org.apache.hadoop.fs.FilterFileSystem(fs) {
+      override def open(f: Path, bufferSize: Int): org.apache.hadoop.fs.FSDataInputStream =
+        if (f.getName.startsWith("_manifest"))
+          throw new java.io.FileNotFoundException(f.toString)
+        else super.open(f, bufferSize)
+    }
+    intercept[java.io.FileNotFoundException] {
+      TableManifest.latest(dead, dir)
+    }
+  }
+
+  test("ageMs: None without a manifest, ~0 right after a commit") {
+    val (fs, dir) = fsAndDir()
+    assert(TableManifest.ageMs(fs, dir).isEmpty)
+    TableManifest.commit(fs, dir, snapOf("gen-0"))
+    val age = TableManifest.ageMs(fs, dir).get
+    assert(age >= 0L && age < 60000L, s"fresh manifest aged $age ms")
+  }
 }
