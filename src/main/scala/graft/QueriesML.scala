@@ -365,6 +365,25 @@ object QueriesML {
         |  FROM adc)
         |WHERE rank <= 5""".stripMargin
 
+  /** [[IvfPqTrainedOracle]] with g = 2 coarse-spill indexing: the
+    * corpus ASSIGNMENT keeps rank ≤ 2 (each vector lands in its two
+    * nearest trained lists — the same rounded-cosine + lower-index
+    * arithmetic as the probes), and the ADC scan dedups by
+    * (query, vector) DISTINCT before summing, mirroring the engine's
+    * min-dedup over identical-code copies. */
+  private lazy val IvfPqSpillOracle: String = IvfPqTrainedOracle
+    .replace("FROM qn, ccb1) WHERE rn = 1),",
+      "FROM qn, ccb1) WHERE rn <= 2),")
+    .replace("JOIN assign a ON a.vec_id = c.vec_id",
+      "JOIN hits h ON h.vec_id = c.vec_id")
+    .replace("JOIN probes p ON p.list_id = a.list_id\n", "")
+    .replace("AND lut.query_id = p.query_id",
+      "AND lut.query_id = h.query_id")
+    .replace("adc AS (SELECT lut.query_id",
+      "hits AS (SELECT DISTINCT a.vec_id, pr.query_id\n" +
+        "         FROM assign a JOIN probes pr ON pr.list_id = a.list_id),\n" +
+        "adc AS (SELECT lut.query_id")
+
   val ml: Seq[Q] = Seq(
     Q("q_text_stats",
       (s, d) => TextAnalysis.textStats(documents(s, d), Stopwords),
@@ -2969,6 +2988,59 @@ object QueriesML {
           nprobe = 2)
       },
       Some(IvfPqTrainedOracle)),
+
+    // RETRAIN lifecycle (r20): the index is first written with the
+    // SUBSET quantizers (codebook/centroids = vec_id subsets — the
+    // pre-training index shape) plus the raw-vector refine relation,
+    // then ivfPqRetrainIndex Lloyd-trains fresh fixed-size books and
+    // centroids ON THE STORED VECTORS, re-encodes everything, and
+    // flips one manifest at the index root (a complete replacement
+    // epoch — codes under new books never serve beside the old LUT
+    // metadata). The retrained index must be BIT-IDENTICAL to a fresh
+    // ivfPqWriteIndexTrained over the same corpus, so the oracle is
+    // the trained chain verbatim — training replayed from the raw
+    // corpus, which the stored quantized vectors round-trip exactly.
+    Q("q_ivfpq_retrain",
+      (s, d) => {
+        val dir = TempDirs.create("ivfpqrt")
+        val emb = embeddings(s, d)
+        BuildPhase.timed {
+          Similarity.ivfPqWriteIndex(emb, s"$dir/index", numFiles = 4,
+            m = 8, dims = 64, centroidMod = 97, coarseMod = 83,
+            storeVecs = true)
+          Similarity.ivfPqRetrainIndex(s, s"$dir/index", numFiles = 4,
+            m = 8, dims = 64, ksub = 4, nlists = 4, iters = 1,
+            trainMod = 7)
+        }
+        Similarity.ivfPqSearchPersisted(s, s"$dir/index", emb,
+          nQueries = 20, k = 5, m = 8, dims = 64, centroidMod = 1,
+          nprobe = 2)
+      },
+      Some(IvfPqTrainedOracle)),
+
+    // COARSE-SPILL (multi-assignment) indexing (r20): each vector's
+    // codes row is written into its g = 2 nearest trained lists, so a
+    // true neighbor is findable when ANY of its lists is probed — the
+    // probed-list recall ceiling rises at a bounded 2× codes-size cost
+    // instead of a per-query nprobe increase (Jégou 2011 §V multiple
+    // assignment; ScaleBench B47 REQUIREs the ceiling lift at 1M).
+    // Copies share their codes, so ADC distances are identical and the
+    // engine dedups (query, neighbor) by min before top-k; the oracle
+    // replays assignment at rank <= 2 and dedups by DISTINCT.
+    Q("q_ivfpq_spill",
+      (s, d) => {
+        val dir = TempDirs.create("ivfpqspill")
+        val emb = embeddings(s, d)
+        BuildPhase.timed {
+          Similarity.ivfPqWriteIndexTrained(emb, s"$dir/index",
+            numFiles = 4, m = 8, dims = 64, ksub = 4, nlists = 4,
+            iters = 1, trainMod = 7, spillG = 2)
+        }
+        Similarity.ivfPqSearchPersisted(s, s"$dir/index", emb,
+          nQueries = 20, k = 5, m = 8, dims = 64, centroidMod = 1,
+          nprobe = 2)
+      },
+      Some(IvfPqSpillOracle)),
 
     // M70 ADC top-R + exact re-rank (the FAISS refine stage,
     // IndexRefineFlat): PQ buys the scan, raw vectors re-score the few

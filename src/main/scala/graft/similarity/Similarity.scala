@@ -777,13 +777,24 @@ object Similarity {
       centroidMod: Int = 97,
       coarseMod: Int = 83,
       writerOptions: Map[String, String] = Map.empty,
-      storeVecs: Boolean = false): Unit = {
-    ivfPqIndex(embeddings, m, dims, centroidMod, coarseMod)
+      storeVecs: Boolean = false,
+      spillG: Int = 1): Unit = {
+    require(spillG >= 1, s"spillG must be >= 1, got $spillG")
+    val codes =
+      if (spillG == 1) ivfPqIndex(embeddings, m, dims, centroidMod, coarseMod)
+      else pqEncode(embeddings, m, dims, centroidMod)
+        .join(trainedAssignG(
+          embeddings.select(col("vec_id"),
+            quantize(col("embedding")).as("v")),
+          coarseCents(embeddings, coarseMod), spillG), "vec_id")
+        .select(col("vec_id").as("neighbor_id"), col("list_id"), col("codes"))
+    codes
       .repartitionByRange(numFiles, col("list_id"), col("neighbor_id"))
       .sortWithinPartitions("list_id", "neighbor_id")
       .write.mode("errorifexists").options(writerOptions)
       .parquet(s"$dir/codes/gen-0")
     graft.ops.Layout.sealInitial(embeddings.sparkSession, s"$dir/codes")
+    if (spillG > 1) writeSpillMarker(embeddings.sparkSession, dir, spillG)
     coarseCents(embeddings, coarseMod)
       .coalesce(1).write.mode("errorifexists").parquet(s"$dir/cents")
     embeddings
@@ -824,10 +835,241 @@ object Similarity {
     * the asymptotic safety net. */
   private val MaxInChunks = 16
 
+  // --- Coarse-spill (multi-assignment) indexing --------------------------
+  //
+  // B47 proved the refine stage closes ALL quantization error: reranked
+  // recall@10 equals the PROBED-LIST CEILING — the fraction of true
+  // neighbors whose single assigned list the query probes. The last
+  // recall lever is therefore the ceiling itself. Raising nprobe pays
+  // at query time on every search; SPILL indexing pays once at build
+  // time instead: each vector's codes row is written into its g nearest
+  // coarse lists (the "multiple-assignment" idiom of Jégou 2011 §V /
+  // the non-exhaustive search literature), so a true neighbor is
+  // findable when ANY of its g lists is probed — the ceiling rises from
+  // P(probe its list) to P(probe any of g) at a bounded g× codes-size
+  // cost (the vecs refine relation stays single-copy: one raw vector
+  // per id). Search-time contract: copies share their codes, so the
+  // non-residual ADC distance is IDENTICAL across copies and the scored
+  // relation is deduped by (query_id, neighbor_id) min — equal-valued,
+  // so min == any — before top-k; gate q_ivfpq_spill replays
+  // assign-to-g-lists + dedup-by-best in DuckDB. Lifecycle: appends
+  // re-read the index's recorded g (never the caller's), tombstones
+  // anti-join on neighbor_id and so mask/drop EVERY copy, upsert
+  // victims are semi-join-distinct — multi-copy semantics hold through
+  // append/delete/consolidate/upsert (spec-pinned).
+
+  /** Record the writer's coarse-spill degree at `dir/_spill` so readers
+    * and appends resolve g from the INDEX, never from a caller that
+    * could desync it. Only written when g > 1 (absent marker = 1, the
+    * classic single-assignment index — no behavior change). */
+  private def writeSpillMarker(
+      spark: SparkSession, dir: String, g: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_spill")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(s"$g\n".getBytes("UTF-8")) finally out.close()
+  }
+
+  /** The index's coarse-spill degree — `dir/_spill`, defaulting to 1
+    * (single assignment) when absent. One tiny metadata read per call;
+    * the callers that reach it already run a driver-side probe job. */
+  private[graft] def spillDegree(
+      spark: SparkSession, indexDir: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/_spill")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 1
+    else {
+      val in = fs.open(p)
+      try {
+        val buf = new Array[Byte](32)
+        val n = in.read(buf)
+        new String(buf, 0, math.max(n, 0), "UTF-8").trim.toInt
+      } finally in.close()
+    }
+  }
+
+  /** [[trainedAssign]] generalized to the g NEAREST lists per vector —
+    * the same rounded-cosine + lower-index ordering as the probes
+    * (the probe/assign contract), selected by ITERATED ARGMAX rather
+    * than a rank window: pass r excludes the r−1 winners carried on
+    * each row and re-runs the map-side-combinable argmax aggregate, so
+    * the N×nlists scored rows collapse to N before every shuffle — a
+    * row_number window here would exchange the full scored relation
+    * (1B rows at 1M×1024), the one corpus-scale shuffle the assignment
+    * path must never pay. g passes cost g corpus scans (g is 2–3);
+    * iterated argmax-with-exclusion equals top-g by (cos desc, list
+    * asc) exactly, ties included. */
+  private def trainedAssignG(
+      vecs: DataFrame, cents: DataFrame, g: Int): DataFrame =
+    if (g <= 1) trainedAssign(vecs, cents)
+    else {
+      val first = trainedAssign(vecs, cents)
+      var out = first
+      var priors = first.select(col("vec_id"),
+        array(col("list_id")).as("prior"))
+      var r = 2
+      while (r <= g) {
+        val next = vecs.join(priors, "vec_id")
+          .withColumn("n", dot(col("v"), col("v")))
+          .crossJoin(broadcast(cents))
+          .where(!array_contains(col("prior"), col("list_id")))
+          .withColumn("cos_sim",
+            round(dot(col("v"), col("cv")) / (sqrt(col("n")) * sqrt(col("cn"))), 6))
+          .groupBy("vec_id")
+          .agg(max(struct(col("cos_sim"),
+            (-col("list_id")).as("neg_lid"))).as("w"))
+          .select(col("vec_id"), (-col("w.neg_lid")).as("list_id"))
+        out = out.unionByName(next)
+        if (r < g)
+          priors = priors.join(next.withColumnRenamed("list_id", "nl"),
+            "vec_id")
+            .select(col("vec_id"),
+              array_union(col("prior"), array(col("nl"))).as("prior"))
+        r += 1
+      }
+      out
+    }
+
   /** True when the index at `dir` carries the refine relation. */
   private def hasVecs(spark: SparkSession, dir: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/vecs")
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  // --- Retraining epochs --------------------------------------------------
+  //
+  // Frozen-book appends (the FAISS add() contract) are exact but a
+  // corpus that DRIFTS — a new language, a new embedding version —
+  // degrades ADC resolution with no recovery short of a manual rebuild:
+  // out-of-distribution vectors crowd a few coarse lists and quantize
+  // to a few codes, so the candidate ranking decays toward ties
+  // (ScaleBench B51 plants exactly this). [[ivfPqRetrainIndex]] is the
+  // recovery operator: train FRESH books and centroids on the current
+  // corpus (read back from the index's own refine relation), re-encode
+  // everything, and flip atomically. Atomicity needs a root that can
+  // swap ALL FOUR relations at once — codes encoded with new books
+  // under old LUT metadata would rank garbage — so a retrain writes a
+  // complete replacement index into `indexDir/epoch-<n>/` and commits
+  // ONE [[graft.ops.TableManifest]] at the INDEX root whose live set
+  // names the epoch: readers resolve the root first, so they see the
+  // old index in full until the rename lands, then the new one in full
+  // (the same commit protocol as the per-relation lifecycle, one level
+  // up). Old epochs stay on disk for in-flight readers until
+  // [[ivfPqVacuumIndex]] reclaims them.
+
+  private val EpochName = "epoch-(\\d+)".r
+
+  /** Resolve the LIVE root of the index at `indexDir`: the manifest-
+    * committed epoch directory after a retrain, `indexDir` itself
+    * before one. Every persisted-index entry point resolves this
+    * first (idempotent — an epoch dir carries no root manifest). */
+  private[graft] def indexRoot(
+      spark: SparkSession, indexDir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.ops.TableManifest.latest(fs, p).flatMap(_.gens)
+      .flatMap(_.find(_.matches("epoch-\\d+"))) match {
+      case Some(e) => s"$indexDir/$e"
+      case None => indexDir
+    }
+  }
+
+  /** RETRAIN the persisted index at `indexDir` on its CURRENT corpus:
+    * the raw vectors are read back from the live refine relation
+    * (requires an index built with `storeVecs = true` — the relation
+    * exists precisely so exactness never depends on the original
+    * corpus being reachable), fresh coarse centroids and PQ codebooks
+    * are Lloyd-trained on them ([[ivfTrainCentroids]] /
+    * [[pqTrainCodebooks]]), every vector is re-encoded, and the
+    * complete replacement index (codes + cents + book + vecs, spill
+    * degree preserved unless overridden) lands in `indexDir/epoch-<n>`
+    * behind ONE atomic manifest commit at the index root. The result
+    * is BIT-IDENTICAL to [[ivfPqWriteIndexTrained]] over the same
+    * visible rows (quantization is idempotent, so the stored vectors
+    * round-trip exactly — gate q_ivfpq_retrain pins it); searches
+    * against the retrained index use `centroidMod = 1` (trained codes
+    * are codebook indices).
+    *
+    * Crash safety: a half-written epoch directory without the root
+    * commit is invisible (the root manifest still names the old live
+    * root) and a retry numbers PAST it (listing-based); the abandoned
+    * directory is reclaimed by [[ivfPqVacuumIndex]]. Cost honesty:
+    * this is the full-rebuild operator — one training pass over the
+    * corpus plus one re-encode/re-cluster write, paid when drift has
+    * already cost more in recall (B51 REQUIREs the recovery).
+    * Single-maintenance-writer contract applies. */
+  def ivfPqRetrainIndex(
+      spark: SparkSession,
+      indexDir: String,
+      numFiles: Int,
+      m: Int = 8,
+      dims: Int = 64,
+      ksub: Int = 256,
+      nlists: Int = 16,
+      iters: Int = 2,
+      trainMod: Int = 1,
+      writerOptions: Map[String, String] = Map.empty,
+      spillG: Int = 0): Unit = {
+    val root = indexRoot(spark, indexDir)
+    require(hasVecs(spark, root),
+      s"no raw-vector relation at $root/vecs - retraining re-encodes " +
+        "from the stored vectors; write the index with storeVecs = true")
+    val g = if (spillG > 0) spillG else spillDegree(spark, root)
+    // the live corpus, reconstructed exactly: vecs stores
+    // quantize(embedding) (integer milli-units), and quantize is
+    // idempotent through the /1000 round-trip, so training and
+    // re-encoding below see the same integers a fresh build would
+    val emb = graft.ops.Layout.clusteredTable(spark, s"$root/vecs")
+      .select(col("vec_id"),
+        transform(col("v"), x => x / 1000.0d).as("embedding"))
+    val p = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // number PAST every epoch dir on disk — a crashed (uncommitted)
+    // attempt is skipped, never adopted or collided with
+    val next = fs.listStatus(p).toSeq.collect {
+      case st if st.isDirectory =>
+        st.getPath.getName match {
+          case EpochName(n) => Some(n.toInt)
+          case _ => None
+        }
+    }.flatten.foldLeft(-1)(math.max) + 1
+    val epochDir = s"$indexDir/epoch-$next"
+    ivfPqWriteIndexTrained(emb, epochDir, numFiles, m, dims, ksub,
+      nlists, iters, trainMod, writerOptions, storeVecs = true,
+      spillG = g)
+    // ONE rename flips all four relations together
+    graft.ops.TableManifest.commit(fs, p, graft.ops.TableManifest.Snapshot(
+      0, Some(Seq(s"epoch-$next")), Set.empty, Set.empty,
+      Seq.empty, Set.empty))
+  }
+
+  /** Delete RETIRED epoch directories (not named live by the root
+    * manifest) — the epoch-level half of [[ivfPqVacuumIndex]], with
+    * the same retention guard. The pre-epoch root-level relations are
+    * left in place (they are not epoch-addressable; reclaim them out
+    * of band if the index has been retrained). Returns dirs deleted. */
+  private def purgeEpochs(
+      spark: SparkSession, indexDir: String, force: Boolean): Long = {
+    val p = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.ops.TableManifest.latest(fs, p).flatMap(_.gens) match {
+      case Some(live) if live.exists(_.matches("epoch-\\d+")) =>
+        val young = !force && graft.ops.TableManifest.ageMs(fs, p)
+          .exists(_ < graft.ops.Layout.DefaultVacuumRetentionMs)
+        if (young) 0L
+        else {
+          val liveSet = live.toSet
+          var purged = 0L
+          fs.listStatus(p).foreach { st =>
+            if (st.isDirectory && st.getPath.getName.matches("epoch-\\d+")
+              && !liveSet.contains(st.getPath.getName)) {
+              if (fs.delete(st.getPath, true)) purged += 1L
+            }
+          }
+          purged
+        }
+      case _ => 0L
+    }
   }
 
   /** The persisted coarse-centroid relation, served from the driver
@@ -882,16 +1124,18 @@ object Similarity {
       iters: Int = 2,
       trainMod: Int = 1,
       writerOptions: Map[String, String] = Map.empty,
-      storeVecs: Boolean = false): Unit = {
+      storeVecs: Boolean = false,
+      spillG: Int = 1): Unit = {
     require(dims % m == 0, s"dims=$dims not divisible by m=$m")
+    require(spillG >= 1, s"spillG must be >= 1, got $spillG")
     val subDim = dims / m
     val spark = embeddings.sparkSession
     val coarse = ivfTrainCentroids(embeddings, dims, nlists, iters, trainMod)
     val books = pqTrainCodebooks(embeddings, m, dims, ksub, iters, trainMod)
     val cents = centsDf(spark, coarse)
-    val assign = trainedAssign(
+    val assign = trainedAssignG(
       embeddings.select(col("vec_id"), quantize(col("embedding")).as("v")),
-      cents)
+      cents, spillG)
     embeddings
       .select(col("vec_id"),
         graft.functions.PqEncodeExpr.col(
@@ -904,6 +1148,7 @@ object Similarity {
       .write.mode("errorifexists").options(writerOptions)
       .parquet(s"$dir/codes/gen-0")
     graft.ops.Layout.sealInitial(spark, s"$dir/codes")
+    if (spillG > 1) writeSpillMarker(spark, dir, spillG)
     cents.coalesce(1).write.mode("errorifexists").parquet(s"$dir/cents")
     spark.createDataFrame(
       books.toIndexedSeq.zipWithIndex.map { case (b, i) => (i.toLong, b.toSeq) })
@@ -954,8 +1199,9 @@ object Similarity {
       dedupAgainstIndex: Boolean = false): Unit = {
     require(dims % m == 0, s"dims=$dims not divisible by m=$m")
     val subDim = dims / m
-    val bookRows = bookRowsCached(spark, indexDir).sortBy(_._1)
-    require(bookRows.nonEmpty, s"no codebook at $indexDir/book")
+    val root = indexRoot(spark, indexDir)
+    val bookRows = bookRowsCached(spark, root).sortBy(_._1)
+    require(bookRows.nonEmpty, s"no codebook at $root/book")
     // same driver bound as pqEncode: a subset-writer book is
     // N/centroidMod rows (grows with the corpus) and this collect must
     // never become a driver OOM at production scale
@@ -964,9 +1210,9 @@ object Similarity {
         "raise centroidMod (or use the trained writer's fixed ksub)")
     val ids = bookRows.map(_._1).toArray
     val books = bookRows.map(_._2.toArray).toArray
-    val cents = centsCached(spark, indexDir)
+    val cents = centsCached(spark, root)
     val pendingDel = graft.ops.Layout.pendingTombstoned(spark,
-      s"$indexDir/codes", "neighbor_id",
+      s"$root/codes", "neighbor_id",
       newVecs.select(col("vec_id").as("neighbor_id")))
     require(pendingDel == 0L,
       s"$pendingDel incoming vec_ids have PENDING tombstones - appending " +
@@ -998,33 +1244,36 @@ object Similarity {
     // replay regardless of where the crash fell.
     def deduped(sub: String, idCol: String): DataFrame =
       if (!dedupAgainstIndex) batch
-      else graft.ops.Layout.clusteredTableIfAny(spark, s"$indexDir/$sub")
+      else graft.ops.Layout.clusteredTableIfAny(spark, s"$root/$sub")
         .fold(batch)(vis => batch.join(
           vis.select(col(idCol).as("vec_id")), Seq("vec_id"), "left_anti"))
     val incoming = deduped("codes", "neighbor_id")
-    val assign = trainedAssign(
+    // a spill-written index keeps its multi-assignment degree through
+    // appends — resolved from the index's own marker, never a caller
+    // argument that could desync the copies-per-vector invariant
+    val assign = trainedAssignG(
       incoming.select(col("vec_id"), quantize(col("embedding")).as("v")),
-      cents)
+      cents, spillDegree(spark, root))
     incoming
       .select(col("vec_id"),
         graft.functions.PqEncodeExpr.col(
           quantize(col("embedding")), books, ids, m, subDim).as("codes"))
       .join(assign, "vec_id")
       .select(col("vec_id").as("neighbor_id"), col("list_id"), col("codes"))
-      .write.mode("append").parquet(s"$indexDir/codes/tail")
+      .write.mode("append").parquet(s"$root/codes/tail")
     // a refine-enabled index keeps its raw-vector relation in lockstep
     // (same ids, same lifecycle) — the re-rank stage must be able to
     // fetch any candidate the codes relation can surface
-    if (hasVecs(spark, indexDir)) {
+    if (hasVecs(spark, root)) {
       val pendingVecs = graft.ops.Layout.pendingTombstoned(spark,
-        s"$indexDir/vecs", "vec_id", batch.select("vec_id"))
+        s"$root/vecs", "vec_id", batch.select("vec_id"))
       require(pendingVecs == 0L,
         s"$pendingVecs incoming vec_ids have PENDING tombstones in the " +
           "vecs refine relation - run ivfPqConsolidateIndex first " +
           "(delete-then-re-add contract)")
       deduped("vecs", "vec_id")
         .select(col("vec_id"), quantize(col("embedding")).as("v"))
-        .write.mode("append").parquet(s"$indexDir/vecs/tail")
+        .write.mode("append").parquet(s"$root/vecs/tail")
     }
   }
 
@@ -1040,11 +1289,12 @@ object Similarity {
       numFiles: Int,
       maxGenerations: Int = 0,
       writerOptions: Map[String, String] = Map.empty): Long = {
-    val n = graft.ops.Layout.clusteredOptimize(spark, s"$indexDir/codes",
+    val root = indexRoot(spark, indexDir)
+    val n = graft.ops.Layout.clusteredOptimize(spark, s"$root/codes",
       numFiles, Seq("list_id", "neighbor_id"), maxGenerations,
       writerOptions)
-    if (hasVecs(spark, indexDir))
-      graft.ops.Layout.clusteredOptimize(spark, s"$indexDir/vecs",
+    if (hasVecs(spark, root))
+      graft.ops.Layout.clusteredOptimize(spark, s"$root/vecs",
         numFiles, Seq("vec_id"), maxGenerations, writerOptions)
     n
   }
@@ -1063,10 +1313,11 @@ object Similarity {
       indexDir: String,
       numFiles: Int,
       writerOptions: Map[String, String] = Map.empty): Long = {
-    val n = graft.ops.Layout.clusteredConsolidate(spark, s"$indexDir/codes",
+    val root = indexRoot(spark, indexDir)
+    val n = graft.ops.Layout.clusteredConsolidate(spark, s"$root/codes",
       numFiles, Seq("list_id", "neighbor_id"), writerOptions)
-    if (hasVecs(spark, indexDir))
-      graft.ops.Layout.clusteredConsolidate(spark, s"$indexDir/vecs",
+    if (hasVecs(spark, root))
+      graft.ops.Layout.clusteredConsolidate(spark, s"$root/vecs",
         numFiles, Seq("vec_id"), writerOptions)
     n
   }
@@ -1094,7 +1345,8 @@ object Similarity {
     // instead of running the join twice; the checkpointed relation is
     // batch-scale (ids of the incoming rows at most)
     val victims = newVecs.select(col("vec_id").cast("long").as("vec_id"))
-      .join(graft.ops.Layout.clusteredTable(spark, s"$indexDir/codes")
+      .join(graft.ops.Layout.clusteredTable(spark,
+        s"${indexRoot(spark, indexDir)}/codes")
         .select(col("neighbor_id").as("vec_id")), Seq("vec_id"),
         "left_semi")
       .localCheckpoint()
@@ -1115,11 +1367,14 @@ object Similarity {
     * the retention window; `force = true` reclaims now. */
   def ivfPqVacuumIndex(
       spark: SparkSession, indexDir: String,
-      force: Boolean = false): Long =
-    graft.ops.Layout.vacuum(spark, s"$indexDir/codes", force = force) +
-      (if (hasVecs(spark, indexDir))
-        graft.ops.Layout.vacuum(spark, s"$indexDir/vecs", force = force)
-      else 0L)
+      force: Boolean = false): Long = {
+    val root = indexRoot(spark, indexDir)
+    graft.ops.Layout.vacuum(spark, s"$root/codes", force = force) +
+      (if (hasVecs(spark, root))
+        graft.ops.Layout.vacuum(spark, s"$root/vecs", force = force)
+      else 0L) +
+      purgeEpochs(spark, indexDir, force)
+  }
 
   /** [[ivfPqSearch]] over a PERSISTED index ([[ivfPqWriteIndex]] or
     * [[ivfPqWriteIndexTrained]]): identical results (same probes, same
@@ -1243,8 +1498,9 @@ object Similarity {
       excludeSelf: Boolean = false): DataFrame = {
     require(rerankR >= k, s"rerankR=$rerankR must be >= k=$k")
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
-    require(hasVecs(spark, indexDir),
-      s"no raw-vector relation at $indexDir/vecs - write the index with " +
+    val root = indexRoot(spark, indexDir)
+    require(hasVecs(spark, root),
+      s"no raw-vector relation at $root/vecs - write the index with " +
         "storeVecs = true to enable the exact re-rank stage")
     val qv = quantQueries(queries)
     val cand = adcTopK(ivfPqScoredPersistedQ(spark, indexDir, qv, m, dims,
@@ -1264,7 +1520,7 @@ object Similarity {
     // already ~1000), so past the chunk budget the fetch switches to
     // ONE range-cover scan — exact membership is the candDf inner
     // join below either way
-    val vecsTable = graft.ops.Layout.clusteredTable(spark, s"$indexDir/vecs")
+    val vecsTable = graft.ops.Layout.clusteredTable(spark, s"$root/vecs")
     val fetchThreshold = math.max(1, spark.conf
       .get("spark.sql.parquet.pushdown.inFilterThreshold", "10").toInt)
     val vecs =
@@ -1330,7 +1586,8 @@ object Similarity {
       excludeSelf: Boolean): DataFrame = {
     require(dims % m == 0, s"dims=$dims not divisible by m=$m")
     val subDim = dims / m
-    val cents = centsCached(spark, indexDir)
+    val root = indexRoot(spark, indexDir)
+    val cents = centsCached(spark, root)
     val probes = ivfProbesQ(qv, cents, nprobe)
     // the probed-list UNION, driver-collected: nQueries × nprobe longs.
     // isInCollection emits an In predicate the parquet source accepts,
@@ -1351,22 +1608,30 @@ object Similarity {
     // PlanSpec pins both regimes and their equality.
     val threshold = math.max(1, spark.conf
       .get("spark.sql.parquet.pushdown.inFilterThreshold", "10").toInt)
-    val table = graft.ops.Layout.clusteredTable(spark, s"$indexDir/codes")
+    val table = graft.ops.Layout.clusteredTable(spark, s"$root/codes")
     val index =
       if (probedLists.length <= threshold * MaxInChunks)
         graft.ops.Layout.chunkedIn(spark, table, "list_id", probedLists)
       else
         graft.ops.Layout.rangeCoverScan(spark, table, "list_id",
           probedLists)
-    val books = subspaceBooks(bookDfCached(spark, indexDir), m, subDim)
+    val books = subspaceBooks(bookDfCached(spark, root), m, subDim)
     val probeLut = probes
       .join(adcLutFrom(qv, books, m, subDim, centroidMod), "query_id")
     val joined = index.join(broadcast(probeLut), Seq("list_id"))
     val kept =
       if (excludeSelf) joined.where(col("neighbor_id") =!= col("query_id"))
       else joined
-    kept.select(col("query_id"), col("neighbor_id"),
+    val scored = kept.select(col("query_id"), col("neighbor_id"),
       adcSum(m, centroidMod).as("adc_dist"))
+    // a spill-written index surfaces a vector once per probed copy —
+    // identical adc_dist each time (non-residual codes are shared), so
+    // a min-dedup (partial-aggregatable map-side) restores one row per
+    // (query, neighbor) before top-k; single-assignment indexes skip
+    // the extra exchange entirely
+    if (spillDegree(spark, root) <= 1) scored
+    else scored.groupBy("query_id", "neighbor_id")
+      .agg(min("adc_dist").as("adc_dist"))
   }
 
   /** Tombstone index entries by vector id — FAISS `remove_ids` as
@@ -1381,10 +1646,11 @@ object Similarity {
       spark: SparkSession,
       indexDir: String,
       vecIds: DataFrame): Unit = {
-    graft.ops.Layout.tombstone(spark, s"$indexDir/codes", "neighbor_id",
+    val root = indexRoot(spark, indexDir)
+    graft.ops.Layout.tombstone(spark, s"$root/codes", "neighbor_id",
       vecIds.select(col("vec_id").cast("long").as("neighbor_id")))
-    if (hasVecs(spark, indexDir))
-      graft.ops.Layout.tombstone(spark, s"$indexDir/vecs", "vec_id",
+    if (hasVecs(spark, root))
+      graft.ops.Layout.tombstone(spark, s"$root/vecs", "vec_id",
         vecIds.select(col("vec_id").cast("long").as("vec_id")))
   }
 

@@ -886,4 +886,139 @@ class PqSpec extends SparkSpec {
       iters = 1, trainMod = 3, nprobe = 3))
     assert(composed == full)
   }
+
+  test("coarse-spill g=2: every vector indexed in its TWO nearest " +
+    "lists, probing all lists equals the single-assignment index " +
+    "bit-for-bit, and append/delete/upsert respect multi-copy semantics") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("ivfpqsp").toString
+    val single = java.nio.file.Files.createTempDirectory("ivfpqsp1").toString
+    Similarity.ivfPqWriteIndexTrained(bigWithDup, s"$dir/index",
+      numFiles = 3, m = 2, dims = 4, ksub = 4, nlists = 3, iters = 1,
+      trainMod = 5, spillG = 2)
+    Similarity.ivfPqWriteIndexTrained(bigWithDup, s"$single/index",
+      numFiles = 3, m = 2, dims = 4, ksub = 4, nlists = 3, iters = 1,
+      trainMod = 5)
+    def codes(d: String) = graft.ops.Layout
+      .clusteredTable(spark, s"$d/index/codes")
+    // exactly two copies per vector, in two DISTINCT lists, same codes
+    val per = codes(dir).groupBy("neighbor_id")
+      .agg(count(lit(1)).as("n"),
+        countDistinct("list_id").as("nl"),
+        countDistinct("codes").as("nc")).collect()
+    assert(per.length == 62 && per.forall(r =>
+      r.getLong(1) == 2L && r.getLong(2) == 2L && r.getLong(3) == 1L),
+      "spill must write one codes row per (vector, nearest-2 list)")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+      .toSet
+    // probing EVERY list scores each vector once after dedup — must
+    // equal the single-assignment index exactly (same codes, same LUT)
+    val allProbed = rows(Similarity.ivfPqSearchPersisted(spark,
+      s"$dir/index", bigWithDup, nQueries = 5, k = 4, m = 2, dims = 4,
+      centroidMod = 1, nprobe = 3))
+    assert(allProbed == rows(Similarity.ivfPqSearchPersisted(spark,
+      s"$single/index", bigWithDup, nQueries = 5, k = 4, m = 2, dims = 4,
+      centroidMod = 1, nprobe = 3)),
+      "spill dedup diverged from the single-assignment index")
+    // recall monotonicity at nprobe=1: the spilled candidate pool per
+    // query is a superset of the single-assignment pool
+    def cands(d: String) = Similarity.ivfPqSearchPersisted(spark,
+      s"$d/index", bigWithDup, nQueries = 5, k = 60, m = 2, dims = 4,
+      centroidMod = 1, nprobe = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands(single).subsetOf(cands(dir)),
+      "spilled pool must contain every single-assignment candidate")
+    // append resolves g from the index marker: adds 2 rows per new id
+    Similarity.ivfPqAppendIndex(spark, s"$dir/index",
+      spark.createDataFrame(Seq((100L, Seq(2f, 4f, 6f, 8f)),
+        (101L, Seq(9f, 7f, 5f, 3f)))).toDF("vec_id", "embedding"),
+      m = 2, dims = 4)
+    assert(codes(dir).where(col("neighbor_id") >= 100L).count() == 4L,
+      "append must keep the index's spill degree")
+    // delete masks BOTH copies immediately and drops them physically
+    Similarity.ivfPqDeleteIndex(spark, s"$dir/index",
+      spark.range(1).select(lit(100L).as("vec_id")))
+    assert(codes(dir).where(col("neighbor_id") === 100L).count() == 0L)
+    Similarity.ivfPqConsolidateIndex(spark, s"$dir/index", numFiles = 2)
+    Similarity.ivfPqVacuumIndex(spark, s"$dir/index", force = true)
+    val raw = spark.read.parquet(s"$dir/index/codes/gen-*")
+    assert(raw.where(col("neighbor_id") === 100L).count() == 0L,
+      "consolidate must drop every copy of a tombstoned id")
+    // upsert replaces all copies, leaving exactly two again
+    Similarity.ivfPqUpsertIndex(spark, s"$dir/index",
+      spark.createDataFrame(Seq((101L, Seq(1f, 1f, 1f, 1f))))
+        .toDF("vec_id", "embedding"), numFiles = 2, m = 2, dims = 4)
+    val after = codes(dir).where(col("neighbor_id") === 101L)
+      .select("list_id").collect().map(_.getLong(0))
+    assert(after.length == 2 && after.distinct.length == 2,
+      s"upsert left ${after.length} copies, want 2 in distinct lists")
+  }
+
+  test("ivfPqRetrainIndex: retrained-from-stored-vecs == a fresh " +
+    "trained build; the epoch flip is atomic, crashed epochs are " +
+    "invisible, and post-retrain lifecycle ops hit the live epoch") {
+    import org.apache.spark.sql.functions._
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+      .toSet
+    val dir = java.nio.file.Files.createTempDirectory("ivfpqret").toString
+    Similarity.ivfPqWriteIndex(bigWithDup, s"$dir/index", numFiles = 3,
+      m = 2, dims = 4, centroidMod = 2, coarseMod = 20, storeVecs = true)
+    // a CRASHED retrain attempt: a complete epoch dir exists but the
+    // root manifest was never committed — searches must keep serving
+    // the original index (subset quantizers, centroidMod = 2)
+    Similarity.ivfPqWriteIndexTrained(bigWithDup,
+      s"$dir/index/epoch-0", numFiles = 3, m = 2, dims = 4, ksub = 4,
+      nlists = 3, iters = 1, trainMod = 5, storeVecs = true)
+    val preRetrain = rows(Similarity.ivfPqSearchPersisted(spark,
+      s"$dir/index", bigWithDup, nQueries = 5, k = 4, m = 2, dims = 4,
+      centroidMod = 2, nprobe = 2))
+    assert(preRetrain == rows(Similarity.ivfPqSearch(bigWithDup,
+      nQueries = 5, k = 4, m = 2, dims = 4, centroidMod = 2,
+      coarseMod = 20, nprobe = 2)),
+      "an uncommitted epoch dir must be invisible to readers")
+    // the real retrain: numbers PAST the crashed epoch-0, flips the
+    // root manifest, and the result equals a fresh trained build
+    Similarity.ivfPqRetrainIndex(spark, s"$dir/index", numFiles = 3,
+      m = 2, dims = 4, ksub = 4, nlists = 3, iters = 1, trainMod = 5)
+    assert(new java.io.File(s"$dir/index/epoch-1").isDirectory,
+      "retry must number past the crashed epoch")
+    val freshDir = java.nio.file.Files.createTempDirectory("ivfpqretf").toString
+    Similarity.ivfPqWriteIndexTrained(bigWithDup, s"$freshDir/index",
+      numFiles = 3, m = 2, dims = 4, ksub = 4, nlists = 3, iters = 1,
+      trainMod = 5, storeVecs = true)
+    def searchTrained(d: String) = rows(Similarity.ivfPqSearchPersisted(
+      spark, s"$d/index", bigWithDup, nQueries = 5, k = 4, m = 2,
+      dims = 4, centroidMod = 1, nprobe = 3))
+    assert(searchTrained(dir) == searchTrained(freshDir),
+      "retrained index diverged from a fresh trained build")
+    // post-retrain maintenance targets the live epoch: append, delete,
+    // consolidate, and the refine-stage rerank all resolve the root
+    Similarity.ivfPqAppendIndex(spark, s"$dir/index",
+      spark.createDataFrame(Seq((200L, Seq(2f, 4f, 6f, 8f))))
+        .toDF("vec_id", "embedding"), m = 2, dims = 4)
+    assert(graft.ops.Layout
+      .clusteredTable(spark, s"$dir/index/epoch-1/codes")
+      .where(col("neighbor_id") === 200L).count() == 1L,
+      "append must land in the live epoch")
+    Similarity.ivfPqDeleteIndex(spark, s"$dir/index",
+      spark.range(1).select(lit(200L).as("vec_id")))
+    Similarity.ivfPqConsolidateIndex(spark, s"$dir/index", numFiles = 2)
+    assert(searchTrained(dir) == searchTrained(freshDir),
+      "append+delete+consolidate through the epoch root changed results")
+    val queries = bigWithDup.where(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    assert(Similarity.ivfPqRerankPersistedQ(spark, s"$dir/index",
+      queries, k = 4, rerankR = 8, m = 2, dims = 4, centroidMod = 1,
+      nprobe = 3, excludeSelf = true).count() == 20L,
+      "rerank must serve from the live epoch's vecs relation")
+    // vacuum (forced) reclaims the crashed epoch-0; epoch-1 survives
+    assert(Similarity.ivfPqVacuumIndex(spark, s"$dir/index",
+      force = true) >= 1L)
+    assert(!new java.io.File(s"$dir/index/epoch-0").exists(),
+      "vacuum must reclaim non-live epoch dirs")
+    assert(new java.io.File(s"$dir/index/epoch-1").isDirectory)
+    assert(searchTrained(dir) == searchTrained(freshDir))
+  }
 }
