@@ -1639,10 +1639,11 @@ object QueriesML {
     // the gate shares q_bm25's oracle verbatim.
     Q("q_bm25_persisted",
       (s, d) => {
-        val dir = TempDirs.create("bm25idx")
-        BuildPhase.timed {
-          graft.text.Bm25.writeIndex(s, documents(s, d), s"$dir/index",
-            numFiles = 4)
+        val dir = BuildPhase.timed {
+          FixtureCache.pristine(s"bm25:full:$d") { p =>
+            graft.text.Bm25.writeIndex(s, documents(s, d), s"$p/index",
+              numFiles = 4)
+          }
         }
         graft.text.Bm25.searchPersisted(s, s"$dir/index", Bm25Queries)
       },
@@ -1656,14 +1657,16 @@ object QueriesML {
     // oracle is q_bm25's, unchanged.
     Q("q_bm25_append",
       (s, d) => {
-        val dir = TempDirs.create("bm25app")
         val docs = documents(s, d)
-        BuildPhase.timed {
-          graft.text.Bm25.writeIndex(s, docs.where(col("doc_id") < 250),
-            s"$dir/index", numFiles = 4)
-          graft.text.Bm25.appendIndex(s, s"$dir/index",
+        val dir = BuildPhase.timed {
+          val c = FixtureCache.mutableCopy(s"bm25:lt250:$d", "bm25app") { p =>
+            graft.text.Bm25.writeIndex(s, docs.where(col("doc_id") < 250),
+              s"$p/index", numFiles = 4)
+          }
+          graft.text.Bm25.appendIndex(s, s"$c/index",
             docs.where(col("doc_id") >= 250))
-          graft.text.Bm25.optimizeIndex(s, s"$dir/index", numFiles = 2)
+          graft.text.Bm25.optimizeIndex(s, s"$c/index", numFiles = 2)
+          c
         }
         graft.text.Bm25.searchPersisted(s, s"$dir/index", Bm25Queries)
       },
@@ -1678,13 +1681,15 @@ object QueriesML {
     // bit-identical to a rebuild without them.
     Q("q_bm25_delete",
       (s, d) => {
-        val dir = TempDirs.create("bm25del")
         val docs = documents(s, d)
-        BuildPhase.timed {
-          graft.text.Bm25.writeIndex(s, docs, s"$dir/index", numFiles = 4)
-          graft.text.Bm25.deleteIndex(s, s"$dir/index",
+        val dir = BuildPhase.timed {
+          val c = FixtureCache.mutableCopy(s"bm25:full:$d", "bm25del") { p =>
+            graft.text.Bm25.writeIndex(s, docs, s"$p/index", numFiles = 4)
+          }
+          graft.text.Bm25.deleteIndex(s, s"$c/index",
             docs.where(col("doc_id") % 7 === 2).select("doc_id"))
-          graft.text.Bm25.consolidateIndex(s, s"$dir/index", numFiles = 2)
+          graft.text.Bm25.consolidateIndex(s, s"$c/index", numFiles = 2)
+          c
         }
         graft.text.Bm25.searchPersisted(s, s"$dir/index", Bm25Queries)
       },
@@ -1700,15 +1705,17 @@ object QueriesML {
     // add the true ones; df is counted over the visible postings).
     Q("q_bm25_upsert",
       (s, d) => {
-        val dir = TempDirs.create("bm25ups")
         val docs = documents(s, d)
-        val stale = docs.withColumn("text",
-          when(col("doc_id") % 9 === 4, lit("stale placeholder row"))
-            .otherwise(col("text")))
-        BuildPhase.timed {
-          graft.text.Bm25.writeIndex(s, stale, s"$dir/index", numFiles = 4)
-          graft.text.Bm25.upsertIndex(s, s"$dir/index",
+        val dir = BuildPhase.timed {
+          val c = FixtureCache.mutableCopy(s"bm25:stale9:$d", "bm25ups") { p =>
+            val stale = docs.withColumn("text",
+              when(col("doc_id") % 9 === 4, lit("stale placeholder row"))
+                .otherwise(col("text")))
+            graft.text.Bm25.writeIndex(s, stale, s"$p/index", numFiles = 4)
+          }
+          graft.text.Bm25.upsertIndex(s, s"$c/index",
             docs.where(col("doc_id") % 9 === 4), numFiles = 2)
+          c
         }
         graft.text.Bm25.searchPersisted(s, s"$dir/index", Bm25Queries)
       },
@@ -1772,15 +1779,19 @@ object QueriesML {
     // gates, so this composition shares the in-plan hybrid's oracle.
     Q("q_hybrid_persisted",
       (s, d) => {
-        val dir = TempDirs.create("hybidx")
         val emb = embeddings(s, d)
-        BuildPhase.timed {
-          graft.text.Bm25.writeIndex(s, documents(s, d), s"$dir/bm25",
-            numFiles = 4)
-          Similarity.ivfPqWriteIndex(emb, s"$dir/ann", numFiles = 4,
-            m = 8, dims = 64, centroidMod = 97, coarseMod = 83)
+        val (bm25Dir, annDir) = BuildPhase.timed {
+          (FixtureCache.pristine(s"bm25:full:$d") { p =>
+            graft.text.Bm25.writeIndex(s, documents(s, d), s"$p/index",
+              numFiles = 4)
+          },
+            FixtureCache.pristine(s"ivfpq:subset:$d") { p =>
+              Similarity.ivfPqWriteIndex(emb, s"$p/index", numFiles = 4,
+                m = 8, dims = 64, centroidMod = 97, coarseMod = 83)
+            })
         }
-        ops.RankFusion.hybridSearchPersisted(s, s"$dir/bm25", s"$dir/ann",
+        ops.RankFusion.hybridSearchPersisted(s, s"$bm25Dir/index",
+          s"$annDir/index",
           Bm25Queries,
           emb.where(col("vec_id") < 4)
             .select(col("vec_id").as("query_id"), col("embedding")),
@@ -1796,16 +1807,20 @@ object QueriesML {
     // The oracle swaps the ADC-ordered semleg for the refine chain.
     Q("q_hybrid_persisted_rerank",
       (s, d) => {
-        val dir = TempDirs.create("hybrr")
         val emb = embeddings(s, d)
-        BuildPhase.timed {
-          graft.text.Bm25.writeIndex(s, documents(s, d), s"$dir/bm25",
-            numFiles = 4)
-          Similarity.ivfPqWriteIndex(emb, s"$dir/ann", numFiles = 4,
-            m = 8, dims = 64, centroidMod = 97, coarseMod = 83,
-            storeVecs = true)
+        val (bm25Dir, annDir) = BuildPhase.timed {
+          (FixtureCache.pristine(s"bm25:full:$d") { p =>
+            graft.text.Bm25.writeIndex(s, documents(s, d), s"$p/index",
+              numFiles = 4)
+          },
+            FixtureCache.pristine(s"ivfpq:subsetvecs:$d") { p =>
+              Similarity.ivfPqWriteIndex(emb, s"$p/index", numFiles = 4,
+                m = 8, dims = 64, centroidMod = 97, coarseMod = 83,
+                storeVecs = true)
+            })
         }
-        ops.RankFusion.hybridSearchPersisted(s, s"$dir/bm25", s"$dir/ann",
+        ops.RankFusion.hybridSearchPersisted(s, s"$bm25Dir/index",
+          s"$annDir/index",
           Bm25Queries,
           emb.where(col("vec_id") < 4)
             .select(col("vec_id").as("query_id"), col("embedding")),
@@ -2706,10 +2721,11 @@ object QueriesML {
     // REQUIREs the scan-level row count at 1M vectors).
     Q("q_ivfpq_persisted",
       (s, d) => {
-        val dir = TempDirs.create("ivfpqidx")
-        BuildPhase.timed {
-          Similarity.ivfPqWriteIndex(embeddings(s, d), s"$dir/index",
-            numFiles = 4, m = 8, dims = 64, centroidMod = 97, coarseMod = 83)
+        val dir = BuildPhase.timed {
+          FixtureCache.pristine(s"ivfpq:subset:$d") { p =>
+            Similarity.ivfPqWriteIndex(embeddings(s, d), s"$p/index",
+              numFiles = 4, m = 8, dims = 64, centroidMod = 97, coarseMod = 83)
+          }
         }
         Similarity.ivfPqSearchPersisted(s, s"$dir/index", embeddings(s, d),
           nQueries = 20, k = 5, m = 8, dims = 64, centroidMod = 97,
@@ -2873,11 +2889,12 @@ object QueriesML {
     // never the arithmetic.
     Q("q_ivfpq_trained_persisted",
       (s, d) => {
-        val dir = TempDirs.create("ivfpqtidx")
-        BuildPhase.timed {
-          Similarity.ivfPqWriteIndexTrained(embeddings(s, d), s"$dir/index",
-            numFiles = 4, m = 8, dims = 64, ksub = 4, nlists = 4,
-            iters = 1, trainMod = 7)
+        val dir = BuildPhase.timed {
+          FixtureCache.pristine(s"ivfpq:trained:$d") { p =>
+            Similarity.ivfPqWriteIndexTrained(embeddings(s, d), s"$p/index",
+              numFiles = 4, m = 8, dims = 64, ksub = 4, nlists = 4,
+              iters = 1, trainMod = 7)
+          }
         }
         Similarity.ivfPqSearchPersisted(s, s"$dir/index", embeddings(s, d),
           nQueries = 20, k = 5, m = 8, dims = 64, centroidMod = 1,
@@ -2895,15 +2912,17 @@ object QueriesML {
     // relations, which is exactly what the engine's append does.
     Q("q_ivfpq_append",
       (s, d) => {
-        val dir = TempDirs.create("ivfpqapp")
         val emb = embeddings(s, d)
-        BuildPhase.timed {
-          Similarity.ivfPqWriteIndexTrained(emb.where(col("vec_id") < 400),
-            s"$dir/index", numFiles = 4, m = 8, dims = 64, ksub = 4,
-            nlists = 4, iters = 1, trainMod = 7)
-          Similarity.ivfPqAppendIndex(s, s"$dir/index",
+        val dir = BuildPhase.timed {
+          val c = FixtureCache.mutableCopy(s"ivfpq:t400:$d", "ivfpqapp") { p =>
+            Similarity.ivfPqWriteIndexTrained(emb.where(col("vec_id") < 400),
+              s"$p/index", numFiles = 4, m = 8, dims = 64, ksub = 4,
+              nlists = 4, iters = 1, trainMod = 7)
+          }
+          Similarity.ivfPqAppendIndex(s, s"$c/index",
             emb.where(col("vec_id") >= 400), m = 8, dims = 64)
-          Similarity.ivfPqOptimizeIndex(s, s"$dir/index", numFiles = 2)
+          Similarity.ivfPqOptimizeIndex(s, s"$c/index", numFiles = 2)
+          c
         }
         Similarity.ivfPqSearchPersisted(s, s"$dir/index", emb,
           nQueries = 20, k = 5, m = 8, dims = 64, centroidMod = 1,
@@ -2920,12 +2939,13 @@ object QueriesML {
     // and the fixture signature share one arithmetic path.
     Q("q_ivfpq_persisted_q",
       (s, d) => {
-        val dir = TempDirs.create("ivfpqq")
         val emb = embeddings(s, d)
-        BuildPhase.timed {
-          Similarity.ivfPqWriteIndexTrained(emb, s"$dir/index",
-            numFiles = 4, m = 8, dims = 64, ksub = 4, nlists = 4,
-            iters = 1, trainMod = 7)
+        val dir = BuildPhase.timed {
+          FixtureCache.pristine(s"ivfpq:trained:$d") { p =>
+            Similarity.ivfPqWriteIndexTrained(emb, s"$p/index",
+              numFiles = 4, m = 8, dims = 64, ksub = 4, nlists = 4,
+              iters = 1, trainMod = 7)
+          }
         }
         Similarity.ivfPqSearchPersistedQ(s, s"$dir/index",
           emb.where(col("vec_id") < 20)
@@ -2942,15 +2962,17 @@ object QueriesML {
     // trained chain with the deleted ids excluded from the ADC scan.
     Q("q_ivfpq_delete",
       (s, d) => {
-        val dir = TempDirs.create("ivfpqdel")
         val emb = embeddings(s, d)
-        BuildPhase.timed {
-          Similarity.ivfPqWriteIndexTrained(emb, s"$dir/index",
-            numFiles = 4, m = 8, dims = 64, ksub = 4, nlists = 4,
-            iters = 1, trainMod = 7)
-          Similarity.ivfPqDeleteIndex(s, s"$dir/index",
+        val dir = BuildPhase.timed {
+          val c = FixtureCache.mutableCopy(s"ivfpq:trained:$d", "ivfpqdel") { p =>
+            Similarity.ivfPqWriteIndexTrained(emb, s"$p/index",
+              numFiles = 4, m = 8, dims = 64, ksub = 4, nlists = 4,
+              iters = 1, trainMod = 7)
+          }
+          Similarity.ivfPqDeleteIndex(s, s"$c/index",
             emb.where(col("vec_id") % 5 === 3).select(col("vec_id")))
-          Similarity.ivfPqConsolidateIndex(s, s"$dir/index", numFiles = 2)
+          Similarity.ivfPqConsolidateIndex(s, s"$c/index", numFiles = 2)
+          c
         }
         Similarity.ivfPqSearchPersisted(s, s"$dir/index", emb,
           nQueries = 20, k = 5, m = 8, dims = 64, centroidMod = 1,
@@ -2969,19 +2991,21 @@ object QueriesML {
     // the true corpus, so the oracle is the trained chain verbatim.
     Q("q_ivfpq_upsert",
       (s, d) => {
-        val dir = TempDirs.create("ivfpqups")
         val emb = embeddings(s, d)
-        val stale = emb.withColumn("embedding",
-          when(col("vec_id") % 7 === 3,
-            transform(col("embedding"), x => -x))
-            .otherwise(col("embedding")))
-        BuildPhase.timed {
-          Similarity.ivfPqWriteIndexTrained(stale, s"$dir/index",
-            numFiles = 4, m = 8, dims = 64, ksub = 4, nlists = 4,
-            iters = 1, trainMod = 7)
-          Similarity.ivfPqUpsertIndex(s, s"$dir/index",
+        val dir = BuildPhase.timed {
+          val c = FixtureCache.mutableCopy(s"ivfpq:stale7:$d", "ivfpqups") { p =>
+            val stale = emb.withColumn("embedding",
+              when(col("vec_id") % 7 === 3,
+                transform(col("embedding"), x => -x))
+                .otherwise(col("embedding")))
+            Similarity.ivfPqWriteIndexTrained(stale, s"$p/index",
+              numFiles = 4, m = 8, dims = 64, ksub = 4, nlists = 4,
+              iters = 1, trainMod = 7)
+          }
+          Similarity.ivfPqUpsertIndex(s, s"$c/index",
             emb.where(col("vec_id") % 7 === 3), numFiles = 2,
             m = 8, dims = 64)
+          c
         }
         Similarity.ivfPqSearchPersisted(s, s"$dir/index", emb,
           nQueries = 20, k = 5, m = 8, dims = 64, centroidMod = 1,
@@ -3002,15 +3026,18 @@ object QueriesML {
     // corpus, which the stored quantized vectors round-trip exactly.
     Q("q_ivfpq_retrain",
       (s, d) => {
-        val dir = TempDirs.create("ivfpqrt")
         val emb = embeddings(s, d)
-        BuildPhase.timed {
-          Similarity.ivfPqWriteIndex(emb, s"$dir/index", numFiles = 4,
-            m = 8, dims = 64, centroidMod = 97, coarseMod = 83,
-            storeVecs = true)
-          Similarity.ivfPqRetrainIndex(s, s"$dir/index", numFiles = 4,
+        val dir = BuildPhase.timed {
+          val c = FixtureCache.mutableCopy(
+            s"ivfpq:subsetvecs:$d", "ivfpqrt") { p =>
+            Similarity.ivfPqWriteIndex(emb, s"$p/index", numFiles = 4,
+              m = 8, dims = 64, centroidMod = 97, coarseMod = 83,
+              storeVecs = true)
+          }
+          Similarity.ivfPqRetrainIndex(s, s"$c/index", numFiles = 4,
             m = 8, dims = 64, ksub = 4, nlists = 4, iters = 1,
             trainMod = 7)
+          c
         }
         Similarity.ivfPqSearchPersisted(s, s"$dir/index", emb,
           nQueries = 20, k = 5, m = 8, dims = 64, centroidMod = 1,
@@ -3029,12 +3056,13 @@ object QueriesML {
     // replays assignment at rank <= 2 and dedups by DISTINCT.
     Q("q_ivfpq_spill",
       (s, d) => {
-        val dir = TempDirs.create("ivfpqspill")
         val emb = embeddings(s, d)
-        BuildPhase.timed {
-          Similarity.ivfPqWriteIndexTrained(emb, s"$dir/index",
-            numFiles = 4, m = 8, dims = 64, ksub = 4, nlists = 4,
-            iters = 1, trainMod = 7, spillG = 2)
+        val dir = BuildPhase.timed {
+          FixtureCache.pristine(s"ivfpq:spill2:$d") { p =>
+            Similarity.ivfPqWriteIndexTrained(emb, s"$p/index",
+              numFiles = 4, m = 8, dims = 64, ksub = 4, nlists = 4,
+              iters = 1, trainMod = 7, spillG = 2)
+          }
         }
         Similarity.ivfPqSearchPersisted(s, s"$dir/index", emb,
           nQueries = 20, k = 5, m = 8, dims = 64, centroidMod = 1,
@@ -3064,12 +3092,13 @@ object QueriesML {
     // reproducing the prefix convention on the fixture.
     Q("q_ivfpq_rerank_persisted",
       (s, d) => {
-        val dir = TempDirs.create("ivfpqrr")
         val emb = embeddings(s, d)
-        BuildPhase.timed {
-          Similarity.ivfPqWriteIndex(emb, s"$dir/index", numFiles = 4,
-            m = 8, dims = 64, centroidMod = 97, coarseMod = 83,
-            storeVecs = true)
+        val dir = BuildPhase.timed {
+          FixtureCache.pristine(s"ivfpq:subsetvecs:$d") { p =>
+            Similarity.ivfPqWriteIndex(emb, s"$p/index", numFiles = 4,
+              m = 8, dims = 64, centroidMod = 97, coarseMod = 83,
+              storeVecs = true)
+          }
         }
         Similarity.ivfPqRerankPersistedQ(s, s"$dir/index",
           emb.where(col("vec_id") < 20)

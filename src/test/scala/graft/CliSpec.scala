@@ -105,12 +105,21 @@ class CliSpec extends org.scalatest.funsuite.AnyFunSuite {
     graft.similarity.Similarity.ivfPqDeleteIndex(spark, s"$dir/ann",
       spark.createDataFrame(Seq(Tuple1(7L))).toDF("vec_id"))
     graft.similarity.Similarity.ivfPqConsolidateIndex(spark, s"$dir/ann", 2)
+    // unforced: the manifest is seconds old, so the retention guard
+    // must refuse (its retired files may still have in-flight readers)
     val outv = captureOut {
       code = Cli.run(Array("ann-vacuum", s"$dir/ann"))
     }
-    assert(code == 0 && outv.contains("reclaimed"), outv)
+    assert(code == 0 && outv.contains("reclaimed 0 "), outv)
+    assert(new java.io.File(s"$dir/ann/codes/gen-0").exists(),
+      "unforced vacuum must not break the retention window")
+    // forced: reclaim now (the documented space-over-window trade)
+    val outf = captureOut {
+      code = Cli.run(Array("ann-vacuum", s"$dir/ann", "force"))
+    }
+    assert(code == 0 && outf.contains("(forced)"), outf)
     assert(!new java.io.File(s"$dir/ann/codes/gen-0").exists(),
-      "retired generation survived the vacuum command")
+      "retired generation survived the forced vacuum command")
   }
 
   test("queries lists every registered gate query and filters by substring") {
