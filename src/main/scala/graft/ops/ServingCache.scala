@@ -19,7 +19,9 @@ import org.apache.spark.sql.SparkSession
   * bounds (the codebook collect is require-capped at 16M cells).
   *
   * One live entry per (kind, dir): a stale fingerprint is overwritten,
-  * so the cache never outgrows the set of indexes a session serves. */
+  * and past a small bound the least-recently-used entries are evicted
+  * unconditionally (an in-memory scan, never a filesystem probe), so
+  * the cache never outgrows the set of indexes a session serves. */
 object ServingCache {
 
   private final class Entry(val fp: String, val value: Any) {
