@@ -909,7 +909,7 @@ object Queries {
       (s, d) => {
         // events.parquet is a single file: stream the parent dir with a
         // glob filter (the streaming file source wants a directory)
-        val schema = s.read.parquet(s"$d/events.parquet").schema
+        val schema = Tables.table(s, d, "events").schema
         val stream = Tables.normalizeEventTs(s.readStream.schema(schema)
           .option("pathGlobFilter", "events.parquet").parquet(d))
         val windowed = graft.streaming.StreamingOps.hourlyWindows(stream)
@@ -938,7 +938,7 @@ object Queries {
     // is hash-verified against the batch semantics.
     Q("q_stream_neardup",
       (s, d) => {
-        val schema = s.read.parquet(s"$d/documents.parquet").schema
+        val schema = Tables.table(s, d, "documents").schema
         val stream = s.readStream.schema(schema)
           .option("pathGlobFilter", "documents.parquet").parquet(d)
         val cand = graft.streaming.StreamingOps.lshCandidateStream(
@@ -974,7 +974,7 @@ object Queries {
     // session SQL minus each user's last session.
     Q("q_stream_sessions",
       (s, d) => {
-        val schema = s.read.parquet(s"$d/events.parquet").schema
+        val schema = Tables.table(s, d, "events").schema
         val stream = Tables.normalizeEventTs(s.readStream.schema(schema)
           .option("pathGlobFilter", "events.parquet").parquet(d))
         val sessions = graft.streaming.StreamingOps.sessionizeStream(

@@ -2024,7 +2024,7 @@ object QueriesML {
     // the capped/decrement regime is spec-tested.
     Q("q_stream_heavy_hitters",
       (s, d) => {
-        val schema = s.read.parquet(s"$d/documents.parquet").schema
+        val schema = Tables.table(s, d, "documents").schema
         val stream = s.readStream.schema(schema)
           .option("pathGlobFilter", "documents.parquet").parquet(d)
         val hh = graft.streaming.StreamingOps.heavyHitterStream(
@@ -2221,7 +2221,7 @@ object QueriesML {
     // B29's REQUIRE on the batch path sharing the sketch type).
     Q("q_stream_cardinality",
       (s, d) => {
-        val schema = s.read.parquet(s"$d/events.parquet").schema
+        val schema = Tables.table(s, d, "events").schema
         val stream = s.readStream.schema(schema)
           .option("pathGlobFilter", "events.parquet").parquet(d)
         val card = graft.streaming.StreamingOps.cardinalityStream(
@@ -2255,7 +2255,7 @@ object QueriesML {
     // the update-mode emissions.
     Q("q_stream_frequency",
       (s, d) => {
-        val schema = s.read.parquet(s"$d/events.parquet").schema
+        val schema = Tables.table(s, d, "events").schema
         val stream = s.readStream.schema(schema)
           .option("pathGlobFilter", "events.parquet").parquet(d)
         val freq = graft.streaming.StreamingOps.frequencyStream(
@@ -2291,7 +2291,7 @@ object QueriesML {
     // as a plain DuckDB join on identical microsecond arithmetic.
     Q("q_stream_attribution",
       (s, d) => {
-        val schema = s.read.parquet(s"$d/events.parquet").schema
+        val schema = Tables.table(s, d, "events").schema
         def stream = Tables.normalizeEventTs(s.readStream.schema(schema)
           .option("pathGlobFilter", "events.parquet").parquet(d))
         val out = graft.streaming.StreamingOps.attributionJoin(

@@ -16,8 +16,27 @@ import graft.model.RegularGrid
   * can't drift on aggregation order).
   */
 object Tables {
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Base-table DataFrames memoized per (session, dir, name): the
+    * testdata parquet files are immutable, but every `spark.read
+    * .parquet` call re-runs schema inference — a 1-task Spark job plus
+    * its scheduling gap that EVERY gate paid once per invocation.
+    * Reusing the resolved DataFrame is plan-metadata reuse only (the
+    * object is immutable and lazy); no rows are cached here. Keyed by
+    * session identity so a stopped-and-rebuilt session (specs) never
+    * serves a stale plan. */
+  private val tableMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), DataFrame]()
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val key = (dir, name)
+    val cur = tableMemo.get(key)
+    if (cur != null && (cur.sparkSession eq spark)) cur
+    else {
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      tableMemo.put(key, df)
+      df
+    }
+  }
 
   def lineitem(s: SparkSession, dir: String): DataFrame = table(s, dir, "lineitem")
   def orders(s: SparkSession, dir: String): DataFrame = table(s, dir, "orders")

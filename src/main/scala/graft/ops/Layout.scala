@@ -295,7 +295,7 @@ object Layout {
           && !retired.contains(st.getPath.getName))
         .map(_.getPath)
       if (files.isEmpty) None
-      else Some((spark.read.parquet(files.map(_.toString): _*), files))
+      else Some((ParquetIO.read(spark, files.map(_.toString)), files))
     }
   }
 
@@ -390,6 +390,22 @@ object Layout {
       prior.map(_.xdel).getOrElse(Set.empty),
       prior.map(_.xtail).getOrElse(Set.empty),
       Seq.empty, Set.empty))
+  }
+
+  /** Range-cluster `df` into `numFiles` sorted files — the write-side
+    * layout move every lifecycle writer shares. For `numFiles == 1`
+    * the range exchange is pointless (a single range holds
+    * everything), so the shuffle AND the RangePartitioner's sampling
+    * pass are skipped: `coalesce(1)` + the same intra-partition sort
+    * produces the identical single sorted file for two fewer jobs
+    * (guide §2.4 — remove shuffles outright). */
+  def clusterInto(
+      df: DataFrame, numFiles: Int, sortCols: Seq[String]): DataFrame = {
+    require(sortCols.nonEmpty, "clusterInto needs sort columns")
+    val part =
+      if (numFiles == 1) df.coalesce(1)
+      else df.repartitionByRange(numFiles, sortCols.map(col): _*)
+    part.sortWithinPartitions(sortCols.head, sortCols.tail: _*)
   }
 
   /** `names` restricted to files still present in `dir/<sub>` — keeps
@@ -555,7 +571,7 @@ object Layout {
     val parts =
       (genPaths ++ tailFiles(fs, dirPath)).map(_.toString)
     require(parts.nonEmpty, s"no generations or tail data under $dir")
-    val base = spark.read.parquet(parts: _*)
+    val base = ParquetIO.read(spark, parts)
     tombstones(spark, fs, dirPath) match {
       case Some((del, _)) =>
         require(del.schema.fields.length == 1,
@@ -644,7 +660,7 @@ object Layout {
           .foldLeft(-1)(math.max) + 1
         // read pinned to the live-tail snapshot: appends landing
         // mid-pass are neither compacted nor retired (next pass)
-        val df0 = spark.read.parquet(snapshot.map(_.toString): _*)
+        val df0 = ParquetIO.read(spark, snapshot.map(_.toString))
         val n = df0.count()
         // tombstoned rows are dropped PHYSICALLY from the new
         // generation (merge-on-read applied at compaction); the
@@ -657,8 +673,7 @@ object Layout {
             Seq(del.schema.fields.head.name), "left_anti")
           case None => df0
         }
-        df.repartitionByRange(numFiles, sortCols.map(col): _*)
-          .sortWithinPartitions(sortCols.head, sortCols.tail: _*)
+        clusterInto(df, numFiles, sortCols)
           .write.mode("errorifexists").options(writerOptions)
           .parquet(new org.apache.hadoop.fs.Path(dirPath, s"gen-$next").toString)
         // ONE commit flips the snapshot: gen-next becomes live and the
@@ -762,17 +777,22 @@ object Layout {
     val genPaths = gens.sorted
       .map(g => new org.apache.hadoop.fs.Path(dirPath, s"gen-$g"))
     // snapshot-pinned like clusteredOptimize: the merged write covers
-    // exactly the files seen here
-    val snapshot = spark.read.parquet(genPaths.map(_.toString): _*).inputFiles
-    val df0 = spark.read.parquet(snapshot.toIndexedSeq: _*)
+    // exactly the files seen here. The file list comes from ONE driver
+    // FS listing per generation (not a throwaway spark.read whose only
+    // purpose was .inputFiles — that read cost a schema-inference job).
+    val snapshot = genPaths.flatMap { gp =>
+      fs.listStatus(gp).toSeq
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath.toString)
+    }
+    val df0 = ParquetIO.read(spark, snapshot)
     val df = del match {
       case Some((d, _)) => df0.join(d.distinct(),
         Seq(d.schema.fields.head.name), "left_anti")
       case None => df0
     }
     val n = df.count()
-    df.repartitionByRange(numFiles, sortCols.map(col): _*)
-      .sortWithinPartitions(sortCols.head, sortCols.tail: _*)
+    clusterInto(df, numFiles, sortCols)
       .write.mode("errorifexists").options(writerOptions)
       .parquet(new org.apache.hadoop.fs.Path(dirPath, s"gen-$next").toString)
     // ONE commit: the merged generation becomes live, the inputs and —

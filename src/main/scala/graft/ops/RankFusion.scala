@@ -89,6 +89,29 @@ object RankFusion {
     c
   }
 
+  /** [[materialized]] over BOTH legs CONCURRENTLY (guide §2.6 — overlap
+    * independent jobs): the lexical and semantic legs share no state,
+    * and each leaves executors idle in its scan tails and driver-side
+    * planning, so materializing them from two driver threads lets one
+    * leg's tasks back-fill the other's idle capacity. Results are
+    * unchanged (the same two persisted relations, fused identically);
+    * only the wall-clock overlap moves. */
+  private def materializedAll(legs: Seq[DataFrame]): Seq[DataFrame] = {
+    val cached = legs.map(graft.Caching.cache)
+    if (cached.lengthCompare(2) < 0) { cached.foreach(_.count()); cached }
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(cached.size)
+      try {
+        val futures = cached.map(c =>
+          pool.submit(new java.util.concurrent.Callable[Long] {
+            override def call(): Long = c.count()
+          }))
+        futures.foreach(_.get())
+      } finally pool.shutdown()
+    }
+    cached
+  }
+
   def hybridSearch(
       spark: SparkSession,
       docs: DataFrame,
@@ -106,7 +129,7 @@ object RankFusion {
     val sem = graft.similarity.Similarity
       .cosineTopKIds(embeddings, queries.map(_._1.toLong), kEach)
       .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
-    rrfFuse(Seq(materialized(lex), materialized(sem)), k, rrfK)
+    rrfFuse(materializedAll(Seq(lex, sem)), k, rrfK)
   }
 
   /** [[hybridSearch]] with the IVF+PQ approximate semantic leg — the
@@ -134,7 +157,7 @@ object RankFusion {
       .ivfPqSearch(embeddings, nQueries = queries.length, k = kEach,
         m, dims, centroidMod, coarseMod, nprobe)
       .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
-    rrfFuse(Seq(materialized(lex), materialized(sem)), k, rrfK)
+    rrfFuse(materializedAll(Seq(lex, sem)), k, rrfK)
   }
 
   /** [[hybridSearchAnn]] with STANDALONE query embeddings — the
@@ -166,7 +189,7 @@ object RankFusion {
       .ivfPqSearchQ(embeddings, queryEmbeddings, k = kEach,
         m, dims, centroidMod, coarseMod, nprobe, excludeSelf)
       .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
-    rrfFuse(Seq(materialized(lex), materialized(sem)), k, rrfK)
+    rrfFuse(materializedAll(Seq(lex, sem)), k, rrfK)
   }
 
   /** Hybrid retrieval served ENTIRELY from persisted artifacts — the
@@ -215,6 +238,6 @@ object RankFusion {
         queryEmbeddings, k = kEach, m, dims, centroidMod, nprobe,
         excludeSelf))
       .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
-    rrfFuse(Seq(materialized(lex), materialized(sem)), k, rrfK)
+    rrfFuse(materializedAll(Seq(lex, sem)), k, rrfK)
   }
 }

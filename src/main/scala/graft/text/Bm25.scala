@@ -60,18 +60,22 @@ object Bm25 {
   /** The scoring tail shared by [[search]] and [[searchPersisted]]:
     * df/idf from the matched postings, the fixed-order contribution
     * chain, the exact BIGINT per-doc sum, and the salted two-phase
-    * top-k. `stats` must be a single-row (n, avgdl) relation. */
+    * top-k. `withStat(df, c)` attaches the single corpus statistic
+    * named `c` ("n" or "avgdl") to `df` — a crossJoin of the lazy
+    * single-row stats relation for the in-plan search, a plain literal
+    * column for the persisted path (whose stats are already
+    * driver-resolved longs: same IEEE doubles, two broadcast exchanges
+    * fewer in every serve plan — guide §2.4). */
   private def scoreAndRank(
       tf: DataFrame,
-      stats: DataFrame,
+      withStat: (DataFrame, String) => DataFrame,
       qterms: DataFrame,
       k1: Double,
       b: Double,
       topK: Int): DataFrame = {
     // idf quantized to micro-units per term: |query terms| rows, tiny.
-    val idf = tf
-      .groupBy("term").agg(count(lit(1)).cast("double").as("df"))
-      .crossJoin(stats.select("n"))
+    val idf = withStat(
+      tf.groupBy("term").agg(count(lit(1)).cast("double").as("df")), "n")
       .select(col("term"),
         round(log(lit(1.0) + (col("n") - col("df") + lit(0.5)) /
           (col("df") + lit(0.5))) * lit(1000000.0)).cast("long")
@@ -79,9 +83,7 @@ object Bm25 {
 
     // Fixed-order contribution chain — mirrored verbatim by the oracle:
     // idf_micro * (tf * (k1+1) / (tf + k1 * (1 - b + b * dl/avgdl))) * 1e3
-    val contrib = tf
-      .join(broadcast(idf), "term")
-      .crossJoin(stats.select("avgdl"))
+    val contrib = withStat(tf.join(broadcast(idf), "term"), "avgdl")
       .join(qterms, "term")
       .select(col("query_id"), col("doc_id"),
         round(col("idf_micro") *
@@ -128,7 +130,8 @@ object Bm25 {
       (sum(size(col("w"))).cast("double") /
         count(lit(1)).cast("double")).as("avgdl"))
     val tf = postingsOf(docs, Some(qterms.select("term").distinct()))
-    scoreAndRank(tf, stats, qterms, k1, b, topK)
+    scoreAndRank(tf, (df, c) => df.crossJoin(stats.select(c)),
+      qterms, k1, b, topK)
   }
 
   // --- Persisted inverted index (the Lucene-shape serving artifact) ----
@@ -177,21 +180,24 @@ object Bm25 {
       dir: String,
       numFiles: Int,
       writerOptions: Map[String, String] = Map.empty): Unit = {
-    postingsOf(docs, None)
-      .select(col("term"), col("doc_id"), col("dl"), col("tf"))
-      .repartitionByRange(numFiles, col("term"), col("doc_id"))
-      .sortWithinPartitions("term", "doc_id")
-      .write.mode("errorifexists").options(writerOptions)
-      .parquet(s"$dir/postings/gen-0")
-    docs.select(col("doc_id"),
-      size(split(col("text"), " ")).cast("long").as("dl"))
-      .repartitionByRange(math.max(1, numFiles / 4), col("doc_id"))
-      .sortWithinPartitions("doc_id")
-      .write.mode("errorifexists").options(writerOptions)
-      .parquet(s"$dir/docstats/gen-0")
+    // the three relation writes are independent (disjoint dirs, shared
+    // read-only input) — overlapped on driver threads, guide §2.6
+    graft.Par.run(
+      () => graft.ops.Layout.clusterInto(
+        postingsOf(docs, None)
+          .select(col("term"), col("doc_id"), col("dl"), col("tf")),
+        numFiles, Seq("term", "doc_id"))
+        .write.mode("errorifexists").options(writerOptions)
+        .parquet(s"$dir/postings/gen-0"),
+      () => graft.ops.Layout.clusterInto(
+        docs.select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("dl")),
+        math.max(1, numFiles / 4), Seq("doc_id"))
+        .write.mode("errorifexists").options(writerOptions)
+        .parquet(s"$dir/docstats/gen-0"),
+      () => appendStats(spark, dir, docs, sign = 1L))
     graft.ops.Layout.sealInitial(spark, s"$dir/postings")
     graft.ops.Layout.sealInitial(spark, s"$dir/docstats")
-    appendStats(spark, dir, docs, sign = 1L)
   }
 
   /** One additive stats row for `docs` (sign = −1 for a delete batch). */
@@ -250,13 +256,16 @@ object Bm25 {
     val par = spark.sparkContext.defaultParallelism
     val incoming = (if (incoming0.rdd.getNumPartitions >= par) incoming0
       else incoming0.repartition(par)).localCheckpoint()
-    postingsOf(incoming, None)
-      .select(col("term"), col("doc_id"), col("dl"), col("tf"))
-      .write.mode("append").parquet(s"$dir/postings/tail")
-    incoming.select(col("doc_id"),
-      size(split(col("text"), " ")).cast("long").as("dl"))
-      .write.mode("append").parquet(s"$dir/docstats/tail")
-    appendStats(spark, dir, incoming, sign = 1L)
+    // three independent appends over the one checkpointed snapshot —
+    // disjoint target dirs, overlapped on driver threads (guide §2.6)
+    graft.Par.run(
+      () => postingsOf(incoming, None)
+        .select(col("term"), col("doc_id"), col("dl"), col("tf"))
+        .write.mode("append").parquet(s"$dir/postings/tail"),
+      () => incoming.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("dl"))
+        .write.mode("append").parquet(s"$dir/docstats/tail"),
+      () => appendStats(spark, dir, incoming, sign = 1L))
   }
 
   /** Delete documents from the index by id — tombstones on BOTH
@@ -266,11 +275,12 @@ object Bm25 {
     * a post-delete search is bit-identical to a rebuild without the
     * deleted docs (spec-pinned), with no rewrite. Repeat-safe: the
     * stats delta is computed against the VISIBLE docstats, so
-    * re-deleting an already-deleted (or absent) id contributes zero. */
+    * re-deleting an already-deleted (or absent) id contributes zero.
+    * Returns the number of visible documents deleted. */
   def deleteIndex(
       spark: SparkSession,
       dir: String,
-      docIds: DataFrame): Unit = {
+      docIds: DataFrame): Long = {
     val victims = graft.ops.Layout
       .clusteredTable(spark, s"$dir/docstats")
       .join(docIds.select(col("doc_id").cast("long").as("doc_id"))
@@ -280,15 +290,19 @@ object Bm25 {
       .collect()(0)
     val (nDel, dlDel) = (d.getLong(0), d.getLong(1))
     if (nDel > 0L) {
-      graft.ops.Layout.tombstone(spark, s"$dir/postings", "doc_id",
-        victims.select("doc_id"))
-      graft.ops.Layout.tombstone(spark, s"$dir/docstats", "doc_id",
-        victims.select("doc_id"))
-      spark.range(1).select(lit(-nDel).as("n_docs"),
-        lit(-dlDel).as("sum_dl"))
-        .coalesce(1).write.mode("append").parquet(s"$dir/stats")
+      // both tombstone writes read the already-materialized victims
+      // cache and land in disjoint dirs — overlapped (guide §2.6)
+      graft.Par.run(
+        () => graft.ops.Layout.tombstone(spark, s"$dir/postings", "doc_id",
+          victims.select("doc_id")),
+        () => graft.ops.Layout.tombstone(spark, s"$dir/docstats", "doc_id",
+          victims.select("doc_id")),
+        () => spark.range(1).select(lit(-nDel).as("n_docs"),
+          lit(-dlDel).as("sum_dl"))
+          .coalesce(1).write.mode("append").parquet(s"$dir/stats"))
     }
     victims.unpersist()
+    nDel
   }
 
   /** OPTIMIZE pass: re-cluster both tails into their next generations
@@ -301,11 +315,15 @@ object Bm25 {
       numFiles: Int,
       maxGenerations: Int = 0,
       writerOptions: Map[String, String] = Map.empty): Long = {
-    val n = graft.ops.Layout.clusteredOptimize(spark, s"$dir/postings",
-      numFiles, Seq("term", "doc_id"), maxGenerations, writerOptions)
-    graft.ops.Layout.clusteredOptimize(spark, s"$dir/docstats",
-      math.max(1, numFiles / 4), Seq("doc_id"), maxGenerations,
-      writerOptions)
+    // the two relations' passes are independent (disjoint dirs, own
+    // manifests) — overlapped on driver threads (guide §2.6)
+    var n = 0L
+    graft.Par.run(
+      () => n = graft.ops.Layout.clusteredOptimize(spark, s"$dir/postings",
+        numFiles, Seq("term", "doc_id"), maxGenerations, writerOptions),
+      () => graft.ops.Layout.clusteredOptimize(spark, s"$dir/docstats",
+        math.max(1, numFiles / 4), Seq("doc_id"), maxGenerations,
+        writerOptions))
     n
   }
 
@@ -379,10 +397,14 @@ object Bm25 {
       dir: String,
       numFiles: Int,
       writerOptions: Map[String, String] = Map.empty): Long = {
-    val n = graft.ops.Layout.clusteredConsolidate(spark, s"$dir/postings",
-      numFiles, Seq("term", "doc_id"), writerOptions)
-    graft.ops.Layout.clusteredConsolidate(spark, s"$dir/docstats",
-      math.max(1, numFiles / 4), Seq("doc_id"), writerOptions)
+    // the two relations consolidate independently (disjoint dirs, own
+    // manifests) — overlapped on driver threads (guide §2.6)
+    var n = 0L
+    graft.Par.run(
+      () => n = graft.ops.Layout.clusteredConsolidate(spark,
+        s"$dir/postings", numFiles, Seq("term", "doc_id"), writerOptions),
+      () => graft.ops.Layout.clusteredConsolidate(spark, s"$dir/docstats",
+        math.max(1, numFiles / 4), Seq("doc_id"), writerOptions))
     val statsPath = new org.apache.hadoop.fs.Path(s"$dir/stats")
     val fs = statsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     purgeStats(spark, dir)
@@ -393,7 +415,7 @@ object Bm25 {
       val stageDir = new org.apache.hadoop.fs.Path(statsPath, s"staged-$stageSeq")
       // overwrite: a same-named stage can only be a crashed UNcommitted
       // fold — never referenced, safe to replace
-      spark.read.parquet(visible.map(_.toString): _*)
+      graft.ops.ParquetIO.read(spark, visible.map(_.toString))
         .agg(sum("n_docs").as("n_docs"), sum("sum_dl").as("sum_dl"))
         .coalesce(1).write.mode("overwrite").parquet(stageDir.toString)
       val stagedRel = fs.listStatus(stageDir).toSeq
@@ -458,9 +480,13 @@ object Bm25 {
       docs: DataFrame,
       numFiles: Int,
       writerOptions: Map[String, String] = Map.empty): Unit = {
-    deleteIndex(spark, dir, docs.select("doc_id"))
-    if (graft.ops.Layout.pendingTombstoned(spark, s"$dir/docstats",
-      "doc_id", docs) > 0L) {
+    // deleteIndex already counted the visible victims it tombstoned —
+    // re-scanning the tombstone relation (pendingTombstoned) is only
+    // needed when THIS batch deleted nothing but an EARLIER delete left
+    // one of its ids pending (the short-circuit keeps that edge exact)
+    val nDel = deleteIndex(spark, dir, docs.select("doc_id"))
+    if (nDel > 0L || graft.ops.Layout.pendingTombstoned(spark,
+      s"$dir/docstats", "doc_id", docs) > 0L) {
       optimizeIndex(spark, dir, numFiles, writerOptions = writerOptions)
       consolidateIndex(spark, dir, numFiles, writerOptions)
     }
@@ -503,7 +529,7 @@ object Bm25 {
         val statFileList = statsFiles(spark, dir)
         require(statFileList.nonEmpty, s"no stats relation at $dir/stats" +
           " - is this a writeIndex-built BM25 index directory?")
-        val r = spark.read.parquet(statFileList.map(_.toString): _*)
+        val r = graft.ops.ParquetIO.read(spark, statFileList.map(_.toString))
           .agg(coalesce(sum("n_docs"), lit(0L)),
             coalesce(sum("sum_dl"), lit(0L)))
           .collect()(0)
@@ -513,9 +539,14 @@ object Bm25 {
       s"BM25 index at $dir has net n_docs=$nSum - every document has " +
         "been deleted (or the stats relation is inconsistent); idf/avgdl " +
         "are undefined over an empty corpus (delete-lifecycle contract)")
-    val stats = spark.range(1).select(
-      lit(nSum.toDouble).as("n"),
-      lit(dlSum.toDouble / nSum.toDouble).as("avgdl"))
-    scoreAndRank(tf, stats, qterms, k1, b, topK)
+    // stats are driver-resolved longs here, so they attach as LITERAL
+    // columns: bit-identical to the single-row-relation crossJoin they
+    // replace (same doubles, same IEEE division), two broadcast
+    // exchanges fewer in every serve plan
+    val nLit = lit(nSum.toDouble)
+    val avgdlLit = lit(dlSum.toDouble / nSum.toDouble)
+    scoreAndRank(tf,
+      (df, c) => df.withColumn(c, if (c == "n") nLit else avgdlLit),
+      qterms, k1, b, topK)
   }
 }
