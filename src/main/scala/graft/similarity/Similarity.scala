@@ -489,10 +489,8 @@ object Similarity {
   private def subspaceBooks(
       centRows: DataFrame, m: Int, subDim: Int): DataFrame = {
     val spark = centRows.sparkSession
-    val subsDf = spark.createDataFrame(
-      Seq.tabulate(m)(s => Tuple1(s))).toDF("sub")
     centRows
-      .crossJoin(broadcast(subsDf))
+      .withColumn("sub", explode(lit((0 until m).toArray)))
       .withColumn("cs", slice(col("v"), col("sub") * subDim + 1, lit(subDim)))
       .withColumn("cn", dot(col("cs"), col("cs")))
       .select("sub", "centroid_id", "cs", "cn")
@@ -1880,10 +1878,8 @@ object Similarity {
       (s, c.toLong, books(c).slice(s * subDim, (s + 1) * subDim).toSeq)
     val booksDf = spark.createDataFrame(bookRows).toDF("sub", "centroid_id", "cs")
       .withColumn("cn", dot(col("cs"), col("cs")))
-    val subsDf = spark.createDataFrame(
-      Seq.tabulate(m)(s => Tuple1(s))).toDF("sub")
     val perEntry = qv
-      .crossJoin(broadcast(subsDf))
+      .withColumn("sub", explode(lit((0 until m).toArray)))
       .withColumn("vs", slice(col("v"), col("sub") * subDim + 1, lit(subDim)))
       .withColumn("vn", dot(col("vs"), col("vs")))
       .join(broadcast(booksDf), Seq("sub"))
@@ -2074,12 +2070,10 @@ object Similarity {
       (s, c.toLong, books(c).slice(s * subDim, (s + 1) * subDim).toSeq)
     val booksDf = spark.createDataFrame(bookRows).toDF("sub", "centroid_id", "cs")
       .withColumn("cn", dot(col("cs"), col("cs")))
-    val subsDf = spark.createDataFrame(
-      Seq.tabulate(m)(s => Tuple1(s))).toDF("sub")
     val perEntry = embeddings
       .where(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), quantize(col("embedding")).as("v"))
-      .crossJoin(broadcast(subsDf))
+      .withColumn("sub", explode(lit((0 until m).toArray)))
       .withColumn("vs", slice(col("v"), col("sub") * subDim + 1, lit(subDim)))
       .withColumn("vn", dot(col("vs"), col("vs")))
       .join(broadcast(booksDf), Seq("sub"))
@@ -2261,12 +2255,10 @@ object Similarity {
     val ri = buildResidualIndex(embeddings, m, dims, centroidMod, coarseMod)
     val ResidualIndex(cents, resid, index, subDim) = ri
     // residual codebook subvectors, relational (metadata-sized)
-    val subsDf = spark.createDataFrame(
-      Seq.tabulate(m)(s => Tuple1(s))).toDF("sub")
     val rbooks = resid
       .where(col("vec_id") % centroidMod === 0)
       .select(col("vec_id").as("centroid_id"), col("rv"))
-      .crossJoin(broadcast(subsDf))
+      .withColumn("sub", explode(lit((0 until m).toArray)))
       .withColumn("cs", slice(col("rv"), col("sub") * subDim + 1, lit(subDim)))
       .withColumn("cn", dot(col("cs"), col("cs")))
       .select("sub", "centroid_id", "cs", "cn")
@@ -2283,7 +2275,7 @@ object Similarity {
       .join(qv, "query_id")
       .join(broadcast(cents.select("list_id", "cv")), "list_id")
       .withColumn("qr", zip_with(col("v"), col("cv"), (a, b) => a - b))
-      .crossJoin(broadcast(subsDf))
+      .withColumn("sub", explode(lit((0 until m).toArray)))
       .withColumn("vs", slice(col("qr"), col("sub") * subDim + 1, lit(subDim)))
       .withColumn("vn", dot(col("vs"), col("vs")))
       .join(broadcast(rbooks), Seq("sub"))
@@ -2327,10 +2319,8 @@ object Similarity {
       subDim: Int,
       centroidMod: Int): DataFrame = {
     val spark = queries.sparkSession
-    val subsDf = spark.createDataFrame(
-      Seq.tabulate(m)(s => Tuple1(s))).toDF("sub")
     val perEntry = queries
-      .crossJoin(broadcast(subsDf))
+      .withColumn("sub", explode(lit((0 until m).toArray)))
       .withColumn("vs", slice(col("v"), col("sub") * subDim + 1, lit(subDim)))
       .withColumn("vn", dot(col("vs"), col("vs")))
       .join(broadcast(books), Seq("sub"))
