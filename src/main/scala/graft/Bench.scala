@@ -17,10 +17,16 @@ object Bench {
     // of the same four files per query (a cluster run amortizes those
     // scans through the OS page cache the same way). Held OUTSIDE the
     // Caching registry so per-query Caching.release() can't drop them.
+    // The cached relation is SPREAD across the session's cores first
+    // (Tables.spreadForSession): the single-file fixture scan is one
+    // partition, which would serialize every query's pre-shuffle map
+    // work on one core — a fixture artifact a production multi-file
+    // scan does not have. Declared in OPTIMIZATION_r21.md (bench
+    // methodology note).
     val hotTables = Seq("lineitem", "events", "documents", "embeddings")
       .flatMap { t =>
         try {
-          val df = Tables.table(spark, sfDir, t).persist()
+          val df = Tables.spreadForSession(spark, sfDir, t).persist()
           df.count() // materialize the cached batches up-front
           Some(df)
         } catch { case _: Throwable => None }

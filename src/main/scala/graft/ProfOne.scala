@@ -37,6 +37,12 @@ object ProfOne {
         }
       }
     })
+    // mirror Bench's hot-table methodology (spread + persist)
+    if (!sys.env.get("SPARK_GRAFT_NO_HOT").contains("1"))
+      Seq("lineitem", "events", "documents", "embeddings").foreach { t =>
+        try Tables.spreadForSession(spark, sfDir, t).persist().count()
+        catch { case _: Throwable => () }
+      }
     val fn = SparkEntry.queries(name)
     (1 to reps).foreach { i =>
       done.clear()

@@ -38,6 +38,31 @@ object Tables {
     }
   }
 
+  /** Register the SPREAD form of a hot table for this session — the
+    * bench-harness half of the hot-table methodology ([[graft.Bench]]):
+    * the sf testdata tables are single parquet files with one row
+    * group, so their scan is ONE partition and every query's map-side
+    * work before its first shuffle runs on one core — an artifact of
+    * the fixture layout, not of the operators (a production corpus
+    * scan has file/row-group parallelism; optimization guide §2.5
+    * "input skew: one huge unsplittable file… repartition immediately
+    * after the read"). Spreading the persisted cache across the
+    * session's cores makes the bench measure operator cost instead of
+    * the single-file serialization. Scale-adaptive: a source that
+    * already scans ≥ defaultParallelism partitions is left alone (a
+    * repartition there would only add a shuffle), and the plan is NOT
+    * used outside the session memo, so disk-path reads keep their
+    * pushdown. */
+  def spreadForSession(
+      spark: SparkSession, dir: String, name: String): DataFrame = {
+    val raw = spark.read.parquet(s"$dir/$name.parquet")
+    val par = spark.sparkContext.defaultParallelism
+    val spread =
+      if (raw.rdd.getNumPartitions >= par) raw else raw.repartition(par)
+    tableMemo.put((dir, name), spread)
+    spread
+  }
+
   def lineitem(s: SparkSession, dir: String): DataFrame = table(s, dir, "lineitem")
   def orders(s: SparkSession, dir: String): DataFrame = table(s, dir, "orders")
   def customer(s: SparkSession, dir: String): DataFrame = table(s, dir, "customer")
