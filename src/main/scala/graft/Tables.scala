@@ -56,9 +56,20 @@ object Tables {
   def spreadForSession(
       spark: SparkSession, dir: String, name: String): DataFrame = {
     val raw = spark.read.parquet(s"$dir/$name.parquet")
+    // min(parallelism, 8), overridable via SPARK_GRAFT_SPREAD: wide
+    // enough to unserialize the fixture's 1-partition map side (the
+    // heavy pre-shuffle operators get ~8× their single-core time back;
+    // going to 32 only shaves a further few ms of compute), small
+    // enough that the ~60 sub-second gates don't pay 32-task
+    // scheduling on every narrow stage (measured as a uniform
+    // +0.1-0.3 s tail at 32). Scales with the session: a lower-core
+    // driver run gets min(its cores, 8).
     val par = spark.sparkContext.defaultParallelism
+    val target = sys.env.get("SPARK_GRAFT_SPREAD").map(_.toInt)
+      .getOrElse(math.min(par, 8))
     val spread =
-      if (raw.rdd.getNumPartitions >= par) raw else raw.repartition(par)
+      if (raw.rdd.getNumPartitions >= target) raw
+      else raw.repartition(target)
     tableMemo.put((dir, name), spread)
     spread
   }
