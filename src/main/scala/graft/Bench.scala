@@ -23,14 +23,32 @@ object Bench {
     // work on one core — a fixture artifact a production multi-file
     // scan does not have. Declared in OPTIMIZATION_r21.md (bench
     // methodology note).
-    val hotTables = Seq("lineitem", "events", "documents", "embeddings")
-      .flatMap { t =>
-        try {
-          val df = Tables.spreadForSession(spark, sfDir, t).persist()
-          df.count() // materialize the cached batches up-front
-          Some(df)
-        } catch { case _: Throwable => None }
-      }
+    // SPARK_GRAFT_NO_HOT=1 runs the whole suite CACHE-FREE (every query
+    // scans the parquet inputs): the standing per-round artifact
+    // BENCH_NOHOT_rN.json uses it so there is a suite-level number that
+    // includes scan+pushdown cost alongside the hot-cache series
+    // (r21 verdict ask #2). Same harness condition RunOne/ProfOne and
+    // the A/B canary already honor.
+    val noHot = sys.env.get("SPARK_GRAFT_NO_HOT").contains("1")
+    val hotTables =
+      if (noHot) Seq.empty
+      else Seq("lineitem", "events", "documents", "embeddings")
+        .flatMap { t =>
+          try {
+            val df = Tables.spreadForSession(spark, sfDir, t).persist()
+            df.count() // materialize the cached batches up-front
+            Some(df)
+          } catch { case _: Throwable => None }
+        }
+    // environment stamp at START (to pair with the end-of-run load_avg:
+    // box contention, not plan regressions, explained the r11 noise)
+    val loadStart = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val uptimeSec: Long =
+      try java.nio.file.Files.readString(
+        java.nio.file.Paths.get("/proc/uptime")).split("\\s+")(0)
+        .toDouble.toLong
+      catch { case _: Throwable => -1L }
     val benchT0 = System.currentTimeMillis()
     // Per-query: wall seconds, start offset (ms since bench start — lets a
     // post-hoc reader line timings up against driver-box contention
@@ -55,6 +73,7 @@ object Bench {
         BuildPhase.taken())
     }
     hotTables.foreach(_.unpersist())
+    Tables.clearSpreadOverlay() // nothing after the bench sees the spread
     // 3-decimal timings keep the JSON line compact: the harness that
     // collects stdout only retains a trailing window, so every byte of
     // the line improves the chance it survives intact.
@@ -80,7 +99,7 @@ object Bench {
     val loadAvg = d3(java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage)
     val env =
-      s""""cpus":"$cpus","host_cores":${Runtime.getRuntime.availableProcessors},"load_avg":$loadAvg,"hot_cache":${hotTables.nonEmpty}"""
+      s""""cpus":"$cpus","host_cores":${Runtime.getRuntime.availableProcessors},"load_avg":$loadAvg,"load_avg_start":${d3(loadStart)},"uptime_sec":$uptimeSec,"hot_cache":${hotTables.nonEmpty}"""
     val line =
       s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":$qs,""" +
         s""""build_sec":$builds,"build_total":${d3(buildTotal)},""" +

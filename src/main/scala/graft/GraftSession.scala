@@ -24,6 +24,16 @@ object GraftSession {
       // is proven for BOTH sketch monitors in ScaleBench B41.
       .config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // changelog checkpointing (r22): each micro-batch commit uploads
+      // the batch's CHANGELOG instead of a full RocksDB snapshot —
+      // the production-recommended mode for RocksDB state stores; the
+      // durability contract is unchanged (replay reconstructs state
+      // from snapshot + changelogs; ScaleBench B41/B49 kill/replay
+      // REQUIREs re-certified this round). Cuts the per-commit fixed
+      // cost every stateful micro-batch pays, which at gate scale IS
+      // the stream's cost.
+      .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true")
       // parquet IN pushdown: above this many values Spark degrades the
       // pushed predicate to a [min,max] RANGE, which defeats row-group
       // pruning for scattered key sets — exactly the shape of the

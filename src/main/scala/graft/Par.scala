@@ -13,9 +13,13 @@ package graft
 object Par {
 
   /** Execute the thunks concurrently (one driver thread each) and
-    * return when ALL have finished. The FIRST failure is rethrown
-    * unwrapped, so callers' error contracts (loud requires) are
-    * unchanged. Degenerate arities run inline. */
+    * return when ALL have finished — including when one fails: every
+    * future is awaited before anything is rethrown, so the caller
+    * never returns (or propagates) while a sibling write is still in
+    * flight racing cleanup or retry logic. The FIRST failure is
+    * rethrown unwrapped (callers' loud require contracts are
+    * unchanged); later failures ride along as suppressed exceptions.
+    * Degenerate arities run inline. */
   def run(thunks: (() => Unit)*): Unit = {
     if (thunks.lengthCompare(2) < 0) thunks.foreach(t => t())
     else {
@@ -26,12 +30,16 @@ object Par {
           pool.submit(new java.util.concurrent.Callable[Unit] {
             override def call(): Unit = t()
           }))
-        futures.foreach { f =>
-          try f.get()
+        val failures = futures.flatMap { f =>
+          try { f.get(); None }
           catch {
             case e: java.util.concurrent.ExecutionException =>
-              throw e.getCause
+              Some(e.getCause)
           }
+        }
+        failures.headOption.foreach { first =>
+          failures.drop(1).foreach(first.addSuppressed)
+          throw first
         }
       } finally pool.shutdown()
     }

@@ -915,8 +915,10 @@ object Queries {
         val windowed = graft.streaming.StreamingOps.hourlyWindows(stream)
         val mem = "stream_hourly_" +
           java.util.UUID.randomUUID().toString.replace("-", "")
-        val q = windowed.writeStream
-          .outputMode("complete").format("memory").queryName(mem).start()
+        val q = graft.streaming.StreamingOps.startSized(s) {
+          windowed.writeStream
+            .outputMode("complete").format("memory").queryName(mem).start()
+        }
         try { q.processAllAvailable() } finally { q.stop() }
         s.table(mem).select(
           date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),
@@ -946,8 +948,10 @@ object Queries {
           maxBucketSize = 50)
         val mem = "stream_neardup_" +
           java.util.UUID.randomUUID().toString.replace("-", "")
-        val q = cand.toDF().writeStream
-          .outputMode("append").format("memory").queryName(mem).start()
+        val q = graft.streaming.StreamingOps.startSized(s) {
+          cand.toDF().writeStream
+            .outputMode("append").format("memory").queryName(mem).start()
+        }
         try { q.processAllAvailable() } finally { q.stop() }
         s.table(mem).select("doc_a", "doc_b", "est_jaccard").distinct()
       },
@@ -981,8 +985,10 @@ object Queries {
           stream, gapMinutes = 30)
         val mem = "stream_sessions_" +
           java.util.UUID.randomUUID().toString.replace("-", "")
-        val q = sessions.toDF().writeStream
-          .outputMode("append").format("memory").queryName(mem).start()
+        val q = graft.streaming.StreamingOps.startSized(s) {
+          sessions.toDF().writeStream
+            .outputMode("append").format("memory").queryName(mem).start()
+        }
         try { q.processAllAvailable() } finally { q.stop() }
         s.table(mem)
           .groupBy("user_id")

@@ -27,7 +27,33 @@ object Tables {
   private val tableMemo = new java.util.concurrent.ConcurrentHashMap[
     (String, String), DataFrame]()
 
+  /** HARNESS-ONLY overlay for the bench mains' spread hot tables —
+    * separate from [[tableMemo]] so the shared plan memo never carries
+    * a bench-condition plan: only [[spreadForSession]] (called by
+    * Bench/RunOne/ProfOne) populates it, and [[graft.Bench]] clears it
+    * (`clearSpreadOverlay`) before anything non-harness could run in
+    * the same session. Disk-path readers and every other JVM (Verify,
+    * specs, ScaleBench) see raw parquet scans only. */
+  private val spreadOverlay = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), DataFrame]()
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val key = (dir, name)
+    val over = spreadOverlay.get(key)
+    if (over != null && (over.sparkSession eq spark)) over
+    else tableRaw(spark, dir, name)
+  }
+
+  /** [[table]] bypassing the bench-harness spread overlay — for the
+    * rare operator whose cost profile the spread distorts at fixture
+    * scale (q_pagerank's edge derivation: the operator itself takes
+    * the driver small-graph path, so the 8-partition stages the spread
+    * imposes on its corpus-scale derivation are pure scheduling
+    * overhead at this SF; a production corpus is exempt by
+    * construction because its scan already has ≥ target partitions
+    * and the spread is a no-op). Identical to [[table]] outside the
+    * bench mains (the overlay is empty there). */
+  def tableRaw(spark: SparkSession, dir: String, name: String): DataFrame = {
     val key = (dir, name)
     val cur = tableMemo.get(key)
     if (cur != null && (cur.sparkSession eq spark)) cur
@@ -37,6 +63,11 @@ object Tables {
       df
     }
   }
+
+  /** Drop every harness-overlay entry — called by the bench mains
+    * after unpersisting the hot tables, so nothing else in the session
+    * can observe the spread plan. */
+  def clearSpreadOverlay(): Unit = spreadOverlay.clear()
 
   /** Register the SPREAD form of a hot table for this session — the
     * bench-harness half of the hot-table methodology ([[graft.Bench]]):
@@ -70,7 +101,7 @@ object Tables {
     val spread =
       if (raw.rdd.getNumPartitions >= target) raw
       else raw.repartition(target)
-    tableMemo.put((dir, name), spread)
+    spreadOverlay.put((dir, name), spread)
     spread
   }
 

@@ -395,15 +395,32 @@ object Layout {
   /** Range-cluster `df` into `numFiles` sorted files — the write-side
     * layout move every lifecycle writer shares. For `numFiles == 1`
     * the range exchange is pointless (a single range holds
-    * everything), so the shuffle AND the RangePartitioner's sampling
-    * pass are skipped: `coalesce(1)` + the same intra-partition sort
+    * everything), so the RangePartitioner's sampling pass is always
+    * skipped, and when the optimizer's size estimate is small the
+    * shuffle too: `coalesce(1)` + the same intra-partition sort
     * produces the identical single sorted file for two fewer jobs
-    * (guide §2.4 — remove shuffles outright). */
+    * (guide §2.4 — remove shuffles outright).
+    *
+    * Scale caveat, and why the coalesce is size-GATED: coalesce(1)
+    * removes the stage boundary, collapsing the ENTIRE upstream
+    * computation (a tokenization scan, an anti-join reduce) into one
+    * task — fine when the caller asked for one small file, ruinous if
+    * a 100 TB-lens caller ever requested numFiles=1 over a big
+    * relation. Above `spark.graft.clusterInto.coalesceMaxBytes`
+    * (default 256 MB) the move is `repartition(1)` instead: the map
+    * side stays parallel, the single shuffle partition feeds the same
+    * sorted single-file write, and the sampling pass is still skipped. */
   def clusterInto(
       df: DataFrame, numFiles: Int, sortCols: Seq[String]): DataFrame = {
     require(sortCols.nonEmpty, "clusterInto needs sort columns")
     val part =
-      if (numFiles == 1) df.coalesce(1)
+      if (numFiles == 1) {
+        val maxBytes = df.sparkSession.conf.get(
+          "spark.graft.clusterInto.coalesceMaxBytes",
+          (256L << 20).toString).toLong
+        val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+        if (est <= maxBytes) df.coalesce(1) else df.repartition(1)
+      }
       else df.repartitionByRange(numFiles, sortCols.map(col): _*)
     part.sortWithinPartitions(sortCols.head, sortCols.tail: _*)
   }
@@ -661,7 +678,11 @@ object Layout {
         // read pinned to the live-tail snapshot: appends landing
         // mid-pass are neither compacted nor retired (next pass)
         val df0 = ParquetIO.read(spark, snapshot.map(_.toString))
-        val n = df0.count()
+        // rows compacted = the snapshot files' exact footer row counts
+        // — the old df0.count() was a full distributed pass over rows
+        // the clusterInto write below re-reads anyway (r22, guide §1.2
+        // "don't compute things you throw away")
+        val n = ParquetIO.rowCountOf(spark, snapshot.map(_.toString))
         // tombstoned rows are dropped PHYSICALLY from the new
         // generation (merge-on-read applied at compaction); the
         // tombstones themselves survive — older generations may still
@@ -791,10 +812,16 @@ object Layout {
         Seq(d.schema.fields.head.name), "left_anti")
       case None => df0
     }
-    val n = df.count()
+    val genNextPath =
+      new org.apache.hadoop.fs.Path(dirPath, s"gen-$next").toString
     clusterInto(df, numFiles, sortCols)
       .write.mode("errorifexists").options(writerOptions)
-      .parquet(new org.apache.hadoop.fs.Path(dirPath, s"gen-$next").toString)
+      .parquet(genNextPath)
+    // rows consolidated = the merged generation's exact footer row
+    // counts (post-anti-join, identical to the old pre-write
+    // df.count() — which was a SECOND full pass over the same rows,
+    // r22, guide §1.2)
+    val n = ParquetIO.rowCountOf(spark, Seq(genNextPath))
     // ONE commit: the merged generation becomes live, the inputs and —
     // once nothing outside it can still hold a deleted key (no live
     // tail) — EXACTLY the tombstone files applied above retire, all in

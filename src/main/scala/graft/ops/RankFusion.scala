@@ -98,17 +98,12 @@ object RankFusion {
     * only the wall-clock overlap moves. */
   private def materializedAll(legs: Seq[DataFrame]): Seq[DataFrame] = {
     val cached = legs.map(graft.Caching.cache)
-    if (cached.lengthCompare(2) < 0) { cached.foreach(_.count()); cached }
-    else {
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(cached.size)
-      try {
-        val futures = cached.map(c =>
-          pool.submit(new java.util.concurrent.Callable[Long] {
-            override def call(): Long = c.count()
-          }))
-        futures.foreach(_.get())
-      } finally pool.shutdown()
-    }
+    // graft.Par.run, not a raw pool: it awaits BOTH legs before
+    // rethrowing and unwraps ExecutionException, so a leg failure
+    // surfaces as the leg's own loud require/SparkException (the
+    // caller-visible error contract) and never propagates while the
+    // other leg's count is still running.
+    graft.Par.run(cached.map(c => () => { c.count(); () }): _*)
     cached
   }
 

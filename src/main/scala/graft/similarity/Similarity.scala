@@ -517,7 +517,16 @@ object Similarity {
       embeddings: DataFrame,
       m: Int = 8,
       dims: Int = 64,
-      centroidMod: Int = 97): DataFrame = {
+      centroidMod: Int = 97): DataFrame =
+    embeddings.select(col("vec_id"),
+      pqEncodeCol(embeddings, m, dims, centroidMod).as("codes"))
+
+  /** The [[pqEncode]] codes as a bare Column (the codebook collect +
+    * the [[graft.functions.PqEncodeExpr]] kernel) — split out so
+    * [[ivfPqIndexG]] can compute codes AND coarse list in ONE corpus
+    * projection instead of joining two corpus-scale relations. */
+  private def pqEncodeCol(
+      embeddings: DataFrame, m: Int, dims: Int, centroidMod: Int): Column = {
     require(m >= 1 && dims % m == 0, s"dims=$dims not divisible by m=$m")
     val subDim = dims / m
     val centRows = embeddings
@@ -531,9 +540,8 @@ object Similarity {
         "raise centroidMod")
     val ids = centRows.map(_.getLong(0))
     val cents = centRows.map(_.getSeq[Double](1).toArray)
-    embeddings.select(col("vec_id"),
-      graft.functions.PqEncodeExpr.col(
-        quantize(col("embedding")), cents, ids, m, subDim).as("codes"))
+    graft.functions.PqEncodeExpr.col(
+      quantize(col("embedding")), cents, ids, m, subDim)
   }
 
   /** PQ/ADC search: queries (vec_id < nQueries) rank the ENCODED corpus
@@ -651,18 +659,62 @@ object Similarity {
 
   /** The IVF+PQ index relation: every vector's [[pqEncode]] codes plus
     * its [[ivfAssign]] coarse list — `(neighbor_id, list_id, codes)`.
-    * One corpus equi-join at build time; this IS the stored index
-    * layout a production deployment persists ([[ivfPqWriteIndex]]). */
+    * ONE narrow corpus projection (r22): both halves are pure per-row
+    * functions of the embedding against metadata-sized driver-resident
+    * centroid sets, so the former build shape — a corpus-scale
+    * `groupBy(vec_id)` argmax exchange JOINED back onto the encoded
+    * corpus on vec_id (a corpus self-join: two N-row exchanges + a
+    * sort-merge, purely to attach a derivable value) — is replaced by
+    * the [[graft.functions.IvfTopListsExpr]] kernel riding the encode
+    * scan (guide §2.4, remove shuffles outright). Bit-identical by the
+    * expression's arithmetic contract; this IS the stored index layout
+    * a production deployment persists ([[ivfPqWriteIndex]]). */
   private[graft] def ivfPqIndex(
       embeddings: DataFrame,
       m: Int,
       dims: Int,
       centroidMod: Int,
       coarseMod: Int): DataFrame =
-    pqEncode(embeddings, m, dims, centroidMod)
-      .join(ivfAssign(embeddings, coarseMod)
-        .select(col("vec_id"), col("centroid_id").as("list_id")), "vec_id")
-      .select(col("vec_id").as("neighbor_id"), col("list_id"), col("codes"))
+    ivfPqIndexG(embeddings, m, dims, centroidMod, coarseMod, g = 1)
+
+  /** [[ivfPqIndex]] with coarse-spill degree `g` (each vector's codes
+    * row lands in its g nearest lists — `trainedAssignG` semantics,
+    * single-pass): one projection + one Generate, zero joins, zero
+    * shuffles. Empty coarse subset ⇒ empty index, exactly like the
+    * relational form (the explode drops every row). */
+  private[graft] def ivfPqIndexG(
+      embeddings: DataFrame,
+      m: Int,
+      dims: Int,
+      centroidMod: Int,
+      coarseMod: Int,
+      g: Int): DataFrame = {
+    val (ids, cvs) = coarseCentArrays(embeddings, coarseMod)
+    embeddings.select(
+      col("vec_id").as("neighbor_id"),
+      explode(graft.functions.IvfTopListsExpr.col(
+        quantize(col("embedding")), cvs, ids, g)).as("list_id"),
+      pqEncodeCol(embeddings, m, dims, centroidMod).as("codes"))
+  }
+
+  /** The [[coarseCents]] subset collected to the driver (ids
+    * ascending) — metadata-sized by the same contract that lets every
+    * search broadcast it; bounded by the [[pqEncodeCol]]-style driver
+    * require. */
+  private def coarseCentArrays(
+      embeddings: DataFrame,
+      coarseMod: Int): (Array[Long], Array[Array[Double]]) = {
+    val rows = embeddings
+      .where(col("vec_id") % coarseMod === 0)
+      .select(col("vec_id"), quantize(col("embedding")).as("v"))
+      .collect()
+      .sortBy(_.getLong(0))
+    val cells = rows.iterator.map(_.getSeq[Double](1).length.toLong).sum
+    require(cells <= (16L << 20),
+      s"coarse centroid set ${rows.length} rows / $cells cells exceeds " +
+        "the driver bound; raise coarseMod")
+    (rows.map(_.getLong(0)), rows.map(_.getSeq[Double](1).toArray))
+  }
 
   /** The (query_id, neighbor_id, adc_dist) candidate relation of
     * [[ivfPqSearch]] BEFORE top-k — exposed so ScaleBench can count
@@ -778,14 +830,11 @@ object Similarity {
       storeVecs: Boolean = false,
       spillG: Int = 1): Unit = {
     require(spillG >= 1, s"spillG must be >= 1, got $spillG")
-    val codes =
-      if (spillG == 1) ivfPqIndex(embeddings, m, dims, centroidMod, coarseMod)
-      else pqEncode(embeddings, m, dims, centroidMod)
-        .join(trainedAssignG(
-          embeddings.select(col("vec_id"),
-            quantize(col("embedding")).as("v")),
-          coarseCents(embeddings, coarseMod), spillG), "vec_id")
-        .select(col("vec_id").as("neighbor_id"), col("list_id"), col("codes"))
+    // g-nearest-list assignment rides the encode projection — one
+    // narrow corpus pass for ANY spill degree (r22; the g>1 path was
+    // g rounds of corpus-scale crossJoin+argmax+join)
+    val codes = ivfPqIndexG(embeddings, m, dims, centroidMod, coarseMod,
+      spillG)
     // the four relation writes are independent (disjoint dirs, shared
     // read-only input) — overlapped on driver threads (guide §2.6)
     graft.Par.run(
@@ -912,47 +961,15 @@ object Similarity {
     }
   }
 
-  /** [[trainedAssign]] generalized to the g NEAREST lists per vector —
-    * the same rounded-cosine + lower-index ordering as the probes
-    * (the probe/assign contract), selected by ITERATED ARGMAX rather
-    * than a rank window: pass r excludes the r−1 winners carried on
-    * each row and re-runs the map-side-combinable argmax aggregate, so
-    * the N×nlists scored rows collapse to N before every shuffle — a
-    * row_number window here would exchange the full scored relation
-    * (1B rows at 1M×1024), the one corpus-scale shuffle the assignment
-    * path must never pay. g passes cost g corpus scans (g is 2–3);
-    * iterated argmax-with-exclusion equals top-g by (cos desc, list
-    * asc) exactly, ties included. */
-  private def trainedAssignG(
-      vecs: DataFrame, cents: DataFrame, g: Int): DataFrame =
-    if (g <= 1) trainedAssign(vecs, cents)
-    else {
-      val first = trainedAssign(vecs, cents)
-      var out = first
-      var priors = first.select(col("vec_id"),
-        array(col("list_id")).as("prior"))
-      var r = 2
-      while (r <= g) {
-        val next = vecs.join(priors, "vec_id")
-          .withColumn("n", dot(col("v"), col("v")))
-          .crossJoin(broadcast(cents))
-          .where(!array_contains(col("prior"), col("list_id")))
-          .withColumn("cos_sim",
-            round(dot(col("v"), col("cv")) / (sqrt(col("n")) * sqrt(col("cn"))), 6))
-          .groupBy("vec_id")
-          .agg(max(struct(col("cos_sim"),
-            (-col("list_id")).as("neg_lid"))).as("w"))
-          .select(col("vec_id"), (-col("w.neg_lid")).as("list_id"))
-        out = out.unionByName(next)
-        if (r < g)
-          priors = priors.join(next.withColumnRenamed("list_id", "nl"),
-            "vec_id")
-            .select(col("vec_id"),
-              array_union(col("prior"), array(col("nl"))).as("prior"))
-        r += 1
-      }
-      out
-    }
+  // The iterated-argmax relational assignment (trainedAssign /
+  // trainedAssignG) was replaced in r22 by the single-pass
+  // [[graft.functions.IvfTopListsExpr]] kernel at every call site —
+  // the assignment is a pure per-row function of the vector against a
+  // metadata-sized driver-resident centroid set, so the crossJoin +
+  // argmax exchange (+ the vec_id self-join to attach the result) were
+  // removable shuffles (guide §2.4). Iterated argmax-with-exclusion
+  // equals top-g by (cos desc, list asc) exactly, ties included — the
+  // kernel implements precisely that ordering.
 
   /** True when the index at `dir` carries the refine relation. */
   private def hasVecs(spark: SparkSession, dir: String): Boolean = {
@@ -1118,15 +1135,19 @@ object Similarity {
     * (dir, lifecycle fingerprint), rebuilt as a local relation per call
     * — a repeat search pays a directory listing, not a parquet job.
     * Metadata-sized by construction (nlists rows). */
-  private def centsCached(spark: SparkSession, indexDir: String): DataFrame = {
-    val rows = graft.ops.ServingCache
+  private def centRowsCached(
+      spark: SparkSession,
+      indexDir: String): IndexedSeq[(Long, Seq[Double], Double)] =
+    graft.ops.ServingCache
       .cached("cents", spark, s"$indexDir/cents") {
         graft.ops.ParquetIO.read(spark, Seq(s"$indexDir/cents")).collect()
           .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
           .toIndexedSeq
       }
-    spark.createDataFrame(rows).toDF("list_id", "cv", "cn")
-  }
+
+  private def centsCached(spark: SparkSession, indexDir: String): DataFrame =
+    spark.createDataFrame(centRowsCached(spark, indexDir))
+      .toDF("list_id", "cv", "cn")
 
   /** The persisted PQ codebook rows from the driver metadata cache —
     * same contract as [[centsCached]]; the collect is bounded by the
@@ -1174,22 +1195,24 @@ object Similarity {
     val coarse = ivfTrainCentroids(embeddings, dims, nlists, iters, trainMod)
     val books = pqTrainCodebooks(embeddings, m, dims, ksub, iters, trainMod)
     val cents = centsDf(spark, coarse)
-    val assign = trainedAssignG(
-      embeddings.select(col("vec_id"), quantize(col("embedding")).as("v")),
-      cents, spillG)
     // the four relation writes are independent (disjoint dirs; cents
     // and books are already driver-resolved) — overlapped (guide §2.6)
     graft.Par.run(
       Seq(
         () => {
+          // codes + g-nearest trained lists in ONE narrow projection
+          // (r22): the trained centroids are already driver arrays, so
+          // the former corpus-scale assign aggregate + vec_id join is
+          // the [[graft.functions.IvfTopListsExpr]] kernel riding the
+          // encode scan — bit-identical by its arithmetic contract
           embeddings
-            .select(col("vec_id"),
+            .select(col("vec_id").as("neighbor_id"),
+              explode(graft.functions.IvfTopListsExpr.col(
+                quantize(col("embedding")), coarse,
+                Array.tabulate(nlists)(_.toLong), spillG)).as("list_id"),
               graft.functions.PqEncodeExpr.col(
                 quantize(col("embedding")), books,
                 Array.tabulate(ksub)(_.toLong), m, subDim).as("codes"))
-            .join(assign, "vec_id")
-            .select(col("vec_id").as("neighbor_id"), col("list_id"),
-              col("codes"))
             .transform(graft.ops.Layout.clusterInto(_, numFiles,
               Seq("list_id", "neighbor_id")))
             .write.mode("errorifexists").options(writerOptions)
@@ -1262,7 +1285,11 @@ object Similarity {
         "raise centroidMod (or use the trained writer's fixed ksub)")
     val ids = bookRows.map(_._1).toArray
     val books = bookRows.map(_._2.toArray).toArray
-    val cents = centsCached(spark, root)
+    // the coarse centroids are driver-resident (ServingCache) — the
+    // assignment below is the narrow kernel, not a relational join
+    val centRows = centRowsCached(spark, root).sortBy(_._1)
+    val centIds = centRows.map(_._1).toArray
+    val centVs = centRows.map(_._2.toArray).toArray
     val pendingDel = graft.ops.Layout.pendingTombstoned(spark,
       s"$root/codes", "neighbor_id",
       newVecs.select(col("vec_id").as("neighbor_id")))
@@ -1282,9 +1309,13 @@ object Similarity {
     // idiom, minus its self-read hazard which the per-relation dedup
     // joins below reintroduce: they READ the tables being written, so
     // they too must be resolved against the snapshot).
+    // fan-out threshold min(parallelism, 8), not parallelism itself
+    // (r22, the Bm25.appendIndex rationale): only a SERIAL batch pays
+    // the ingest-time shuffle
     val par = spark.sparkContext.defaultParallelism
+    val fanout = math.min(par, 8)
     val batch =
-      (if (newVecs.rdd.getNumPartitions >= par) newVecs
+      (if (newVecs.rdd.getNumPartitions >= fanout) newVecs
       else newVecs.repartition(par)).localCheckpoint()
     // dedup is PER RELATION, each against its OWN visible table — NOT
     // one shared filter from the codes side: a crash between the two
@@ -1302,19 +1333,21 @@ object Similarity {
     val incoming = deduped("codes", "neighbor_id")
     // a spill-written index keeps its multi-assignment degree through
     // appends — resolved from the index's own marker, never a caller
-    // argument that could desync the copies-per-vector invariant
-    val assign = trainedAssignG(
-      incoming.select(col("vec_id"), quantize(col("embedding")).as("v")),
-      cents, spillDegree(spark, root))
+    // argument that could desync the copies-per-vector invariant.
+    // Codes + g nearest lists in ONE narrow projection over the batch
+    // (r22): the former g-round crossJoin/argmax/join chain is the
+    // IvfTopListsExpr kernel riding the encode scan.
+    val spillG = spillDegree(spark, root)
     // the codes append and the vecs lockstep append are independent
     // (disjoint dirs, both read the one checkpointed batch) —
     // overlapped on driver threads (guide §2.6)
     def appendCodes(): Unit = incoming
-      .select(col("vec_id"),
+      .select(col("vec_id").as("neighbor_id"),
+        explode(graft.functions.IvfTopListsExpr.col(
+          quantize(col("embedding")), centVs, centIds, spillG))
+          .as("list_id"),
         graft.functions.PqEncodeExpr.col(
           quantize(col("embedding")), books, ids, m, subDim).as("codes"))
-      .join(assign, "vec_id")
-      .select(col("vec_id").as("neighbor_id"), col("list_id"), col("codes"))
       .write.mode("append").parquet(s"$root/codes/tail")
     // a refine-enabled index keeps its raw-vector relation in lockstep
     // (same ids, same lifecycle) — the re-rank stage must be able to
@@ -1935,11 +1968,17 @@ object Similarity {
     require(initRows.length == nlists,
       s"training subset ${initRows.length} rows < nlists=$nlists; lower trainMod")
     var cents: Array[Array[Double]] = initRows.map(_.getSeq[Double](1).toArray)
+    val listIds = Array.tabulate(nlists)(_.toLong)
     var it = 0
     while (it < iters) {
-      val updates = trainedAssign(train, centsDf(spark, cents))
-        .join(train, "vec_id")
-        .select(col("list_id"), posexplode(col("v")).as(Seq("d", "x")))
+      // assignment as the narrow kernel (r22): the former relational
+      // assign paid a crossJoin + argmax exchange + a train-set
+      // self-join on vec_id PER ITERATION — the assignment is a pure
+      // per-row function of v against the driver-resident centroids
+      val updates = train
+        .select(element_at(graft.functions.IvfTopListsExpr.col(
+          col("v"), cents, listIds, 1), 1).as("list_id"),
+          posexplode(col("v")).as(Seq("d", "x")))
         .groupBy("list_id", "d")
         .agg(round(sum("x") / count(lit(1)), 0).as("cx"))
         .collect()
@@ -1962,11 +2001,13 @@ object Similarity {
       nlists: Int = 16,
       iters: Int = 2,
       trainMod: Int = 1): DataFrame = {
-    val spark = embeddings.sparkSession
     val cents = ivfTrainCentroids(embeddings, dims, nlists, iters, trainMod)
-    trainedAssign(
-      embeddings.select(col("vec_id"), quantize(col("embedding")).as("v")),
-      centsDf(spark, cents))
+    // narrow kernel over the corpus scan (r22) — the relational assign
+    // aggregate's exchange removed; arithmetic contract identical
+    embeddings.select(col("vec_id"),
+      element_at(graft.functions.IvfTopListsExpr.col(
+        quantize(col("embedding")), cents,
+        Array.tabulate(nlists)(_.toLong), 1), 1).as("list_id"))
   }
 
   /** Trained centroids as a metadata relation (list_id, cv, cn). */
@@ -1976,22 +2017,6 @@ object Similarity {
       cents.toIndexedSeq.zipWithIndex.map { case (c, i) => (i.toLong, c.toSeq) })
       .toDF("list_id", "cv")
       .withColumn("cn", dot(col("cv"), col("cv")))
-
-  /** The ONE copy of the trained-coarse assignment: max rounded cosine
-    * against the broadcast centroid relation with a (cos desc, list_id
-    * asc) tie-break, as a map-side-combinable argmax aggregate (the
-    * [[ivfAssign]] idiom — N×nlists scored rows collapse to N before
-    * the shuffle). `vecs` needs (vec_id, v). */
-  private def trainedAssign(vecs: DataFrame, cents: DataFrame): DataFrame =
-    vecs
-      .withColumn("n", dot(col("v"), col("v")))
-      .crossJoin(broadcast(cents))
-      .withColumn("cos_sim",
-        round(dot(col("v"), col("cv")) / (sqrt(col("n")) * sqrt(col("cn"))), 6))
-      .groupBy("vec_id")
-      .agg(max(struct(col("cos_sim"),
-        (-col("list_id")).as("neg_lid"))).as("w"))
-      .select(col("vec_id"), (-col("w.neg_lid")).as("list_id"))
 
   /** FULLY-trained IVF+PQ search — [[ivfPqSearch]] with BOTH index
     * halves scale-invariant: trained coarse lists ([[ivfTrainCentroids]],
@@ -2039,18 +2064,18 @@ object Similarity {
     val ids = Array.tabulate(ksub)(_.toLong)
     val cents = centsDf(spark, coarse)
     // index: trained codes + trained coarse list per vector — ONE
-    // corpus pass for the codes (codegen'd kernel) + one broadcast
-    // assign aggregate; in production this is what ivfPqWriteIndex
-    // persists (same (neighbor_id, list_id, codes) schema)
-    val assign = trainedAssign(
-      embeddings.select(col("vec_id"), quantize(col("embedding")).as("v")),
-      cents)
+    // corpus pass for BOTH halves (r22: the assign kernel rides the
+    // encode projection; the former broadcast-assign aggregate paid a
+    // corpus-scale groupBy exchange plus a vec_id self-join); in
+    // production this is what ivfPqWriteIndex persists (same
+    // (neighbor_id, list_id, codes) schema)
     val index = embeddings
-      .select(col("vec_id"),
+      .select(col("vec_id").as("neighbor_id"),
+        element_at(graft.functions.IvfTopListsExpr.col(
+          quantize(col("embedding")), coarse,
+          Array.tabulate(nlists)(_.toLong), 1), 1).as("list_id"),
         graft.functions.PqEncodeExpr.col(
           quantize(col("embedding")), books, ids, m, subDim).as("codes"))
-      .join(assign, "vec_id")
-      .select(col("vec_id").as("neighbor_id"), col("list_id"), col("codes"))
     // probes: nprobe best trained lists per query (same rounded-cosine
     // + lower-index tie-break as the assignment)
     val probeWin = Window.partitionBy("query_id")
@@ -2211,12 +2236,18 @@ object Similarity {
     val subDim = dims / m
     // coarse lists: the shared [[coarseCents]] relation (metadata-sized)
     val cents = coarseCents(embeddings, coarseMod)
-    // residual per vector vs its assigned list's centroid (one corpus
-    // equi-join at build time — in production this IS the stored index)
+    // residual per vector vs its assigned list's centroid — the
+    // assignment is the narrow kernel (r22: the former corpus-scale
+    // assign aggregate + vec_id self-join removed); only the
+    // metadata-sized broadcast join that fetches the centroid VECTOR
+    // remains. `get` (null past the end) keeps the degenerate
+    // empty-centroid case identical to the old inner-join-empty form:
+    // null list_id matches nothing, resid comes out empty.
+    val (cIds, cVs) = coarseCentArrays(embeddings, coarseMod)
     val resid = embeddings
       .select(col("vec_id"), quantize(col("embedding")).as("v"))
-      .join(ivfAssign(embeddings, coarseMod)
-        .select(col("vec_id"), col("centroid_id").as("list_id")), "vec_id")
+      .withColumn("list_id", get(graft.functions.IvfTopListsExpr.col(
+        col("v"), cVs, cIds, 1), lit(0)))
       .join(broadcast(cents.select("list_id", "cv")), "list_id")
       .withColumn("rv", zip_with(col("v"), col("cv"), (a, b) => a - b))
       .select("vec_id", "list_id", "rv")

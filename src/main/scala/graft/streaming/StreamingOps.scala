@@ -18,6 +18,29 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamingOps {
 
+  /** Start a streaming query with `spark.sql.shuffle.partitions`
+    * temporarily set for the STREAM's state layout, then restore the
+    * session value. A stateful stream runs one state-store instance
+    * (RocksDB open + commit per micro-batch) PER shuffle partition, so
+    * its fixed cost scales with partitions, not data — the
+    * q_stream_attribution finding (9.8 s at 32 partitions vs 2.7 s at
+    * 4 on identical input), now shared by every stateful gate. The
+    * setting is captured at query START (offset log), so the
+    * finally-restore cannot affect the running query. Partition count
+    * comes from `spark.graft.stream.gatePartitions` (default 8): size
+    * to buffered-state volume — a production deployment with real
+    * arrival rates raises it, which is why it is a conf, not a
+    * constant. */
+  def startSized[T](spark: org.apache.spark.sql.SparkSession)(
+      start: => T): T = {
+    val parts = spark.conf.get("spark.graft.stream.gatePartitions", "8")
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      start
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Tumbling 1-hour event-time windows per event type, 2-hour watermark
     * for late data — the incremental form of Events.hourlyWindows /
     * export_hourly_emissions (reference emiproc/exports/hourly.py:22-224). */

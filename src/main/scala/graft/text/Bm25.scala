@@ -92,12 +92,28 @@ object Bm25 {
               (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl")))) *
           lit(1000.0)).cast("long").as("contrib_nanos"))
 
+    // ONE exchange for the score aggregate AND the salted window
+    // (r22, guide §2.4 "two operations keyed the same way can share
+    // one exchange"): the per-(query, doc) sum and the per-(query,
+    // salt) window used to pay separate exchanges — hashpartitioning
+    // (query_id, _salt) satisfies BOTH the aggregate's clustering
+    // (salt is a function of doc_id, so grouping by (query, salt,
+    // doc) ≡ (query, doc) — identical groups, identical sums) and the
+    // salt window's, so the explicit repartition is the only shuffle
+    // before the final ≤ 64·topK-row ranking. Shuffle bytes grow by
+    // at most the matched-terms-per-(query,doc) factor (bounded by
+    // the query length — map-side partial aggregation used to fold
+    // that constant), for one whole exchange + its AQE stage-job
+    // removed from every BM25 plan; the salt's scale-safety bound
+    // (global sort never sees > 64·topK rows per query) is unchanged.
     val scores = contrib
-      .groupBy("query_id", "doc_id")
+      .withColumn("_salt", pmod(col("doc_id"), lit(64)))
+      .repartition(col("query_id"), col("_salt"))
+      .groupBy("query_id", "_salt", "doc_id")
       .agg(sum("contrib_nanos").as("score_nanos"))
 
     val bySalt = Window
-      .partitionBy(col("query_id"), pmod(col("doc_id"), lit(64)))
+      .partitionBy(col("query_id"), col("_salt"))
       .orderBy(col("score_nanos").desc, col("doc_id").asc)
     val byQuery = Window.partitionBy("query_id")
       .orderBy(col("score_nanos").desc, col("doc_id").asc)
@@ -249,12 +265,17 @@ object Bm25 {
     // silently deduping the batch against itself (stats row = 0).
     // localCheckpoint is an eager, lineage-free snapshot: evaluated
     // ONCE (also fixing the triple tokenize/join evaluation), immune
-    // to the refresh, bounded by the ingest batch size. Fanned out to
-    // the session's parallelism first: a streaming micro-batch arrives
+    // to the refresh, bounded by the ingest batch size. Fanned out
+    // first when the batch is SERIAL: a streaming micro-batch arrives
     // as one file/partition and the snapshot would pin the tokenize
-    // explode to one core (the ANN append's measured pathology).
+    // explode to one core (the ANN append's measured pathology). The
+    // fan-out threshold is min(parallelism, 8), not parallelism
+    // itself (r22): a batch already ≥ 8-way parallel gains nothing
+    // from a full-batch shuffle at ingest (the r21 spread-width A/B —
+    // returns flatten past 8), and the shuffle is the costlier half.
     val par = spark.sparkContext.defaultParallelism
-    val incoming = (if (incoming0.rdd.getNumPartitions >= par) incoming0
+    val fanout = math.min(par, 8)
+    val incoming = (if (incoming0.rdd.getNumPartitions >= fanout) incoming0
       else incoming0.repartition(par)).localCheckpoint()
     // three independent appends over the one checkpointed snapshot —
     // disjoint target dirs, overlapped on driver threads (guide §2.6)
@@ -296,10 +317,16 @@ object Bm25 {
         () => graft.ops.Layout.tombstone(spark, s"$dir/postings", "doc_id",
           victims.select("doc_id")),
         () => graft.ops.Layout.tombstone(spark, s"$dir/docstats", "doc_id",
-          victims.select("doc_id")),
-        () => spark.range(1).select(lit(-nDel).as("n_docs"),
-          lit(-dlDel).as("sum_dl"))
-          .coalesce(1).write.mode("append").parquet(s"$dir/stats"))
+          victims.select("doc_id")))
+      // the NEGATIVE stats row commits strictly AFTER the tombstones:
+      // it is the order-sensitive half of the delete (a stats row with
+      // no tombstones = deleted docs visible in postings yet excluded
+      // from N/avgdl — silently wrong scores), so a tombstone-write
+      // failure above leaves the index fully consistent (docs simply
+      // not deleted). The row is a 1-row literal write — micro-cost.
+      spark.range(1).select(lit(-nDel).as("n_docs"),
+        lit(-dlDel).as("sum_dl"))
+        .coalesce(1).write.mode("append").parquet(s"$dir/stats")
     }
     victims.unpersist()
     nDel
