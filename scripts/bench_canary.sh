@@ -20,7 +20,11 @@ cd "$(dirname "$0")/.."
 REF=${1:-$(git log --format='%H %s' | awk '$2 ~ /^round$/ {print $1; exit}')}
 ROUND=$(git log --format='%s' -1 "$REF" | sed -n 's/^round \([0-9]*\).*/\1/p')
 TAG=${2:-r$((${ROUND:-0}+1))}
-QUERIES=${CANARY_QUERIES:-"q_bm25 q_bigram_lm q_ngram_jaccard"}
+# default set widened per the r21 verdict: one canary per family the
+# rounds have touched PLUS one per previously-untouched family (export,
+# sketch, spatial) and the r21 spread casualty (q_pagerank), so a
+# harness change can never masquerade as a family-wide win
+QUERIES=${CANARY_QUERIES:-"q_bm25 q_bigram_lm q_ngram_jaccard q_ivfpq_persisted q_remap_conservation q_bm25_append q_hybrid_persisted q_stream_frequency q_hourly_dist q_hll_cardinality q_add_inventories q_pagerank"}
 REPS=${CANARY_REPS:-3}
 SF=${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}
 WT=$(mktemp -d /tmp/canary_wt.XXXX)

@@ -749,10 +749,14 @@ object Similarity {
     val probes = ivfProbesQ(qv, cents, nprobe)
     // (query, probed list, LUT): nQueries × nprobe rows — broadcast;
     // the corpus-side join key is list_id, so unprobed lists never leave
-    // the scan
+    // the scan. The LUT side of THIS assembly join is broadcast-hinted
+    // too (r22): both sides are query-scale by construction, but the
+    // window output defeats size estimation and the planner fell back
+    // to a sort-merge join — two exchanges + two sorts of query-scale
+    // relations inside a subtree that is immediately broadcast anyway.
     val probeLut = probes.join(
-      adcLutFrom(qv, pqCodebooks(embeddings, m, dims, centroidMod),
-        m, dims / m, centroidMod), "query_id")
+      broadcast(adcLutFrom(qv, pqCodebooks(embeddings, m, dims, centroidMod),
+        m, dims / m, centroidMod)), "query_id")
     val joined = index.join(broadcast(probeLut), Seq("list_id"))
     val kept =
       if (excludeSelf) joined.where(col("neighbor_id") =!= col("query_id"))
@@ -1722,8 +1726,12 @@ object Similarity {
         graft.ops.Layout.rangeCoverScan(spark, table, "list_id",
           probedLists)
     val books = subspaceBooks(bookDfCached(spark, root), m, subDim)
+    // LUT side broadcast-hinted (r22): query-scale both sides, but the
+    // planner's estimates fall back to a sort-merge join of two tiny
+    // relations inside a subtree that is broadcast anyway
     val probeLut = probes
-      .join(adcLutFrom(qv, books, m, subDim, centroidMod), "query_id")
+      .join(broadcast(adcLutFrom(qv, books, m, subDim, centroidMod)),
+        "query_id")
     val joined = index.join(broadcast(probeLut), Seq("list_id"))
     val kept =
       if (excludeSelf) joined.where(col("neighbor_id") =!= col("query_id"))
@@ -2104,7 +2112,10 @@ object Similarity {
       .join(broadcast(booksDf), Seq("sub"))
       .select(col("query_id"), col("sub"), col("centroid_id"),
         (col("vn") - lit(2) * dot(col("vs"), col("cs")) + col("cn")).as("pd"))
-    val probeLut = probes.join(lutFold(perEntry, Seq("query_id"), 1), "query_id")
+    // broadcast-hinted for the same reason as ivfPqScoredQ's assembly
+    // join (query-scale both sides; estimates defeated by the window)
+    val probeLut = probes.join(
+      broadcast(lutFold(perEntry, Seq("query_id"), 1)), "query_id")
     index
       .join(broadcast(probeLut), Seq("list_id"))
       .where(col("neighbor_id") =!= col("query_id"))
